@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join.
+  *
+  * Spark has no built-in as-of join; the scalable formulation is NOT a
+  * pairwise theta-join (which explodes to |L|×|R| before filtering) but
+  * union + carry-forward: tag both sides, sort each key's rows by time,
+  * and carry the most recent right-side value forward with
+  * `last(_, ignoreNulls = true)`. Cost: ONE shuffle by key + a
+  * per-partition sort — linear in |L|+|R|, skew-bounded by the window
+  * partitioning; survives a 100×-scale-up where a range-join would not.
+  */
+object AsOfJoin {
+
+  /** Self as-of: within `df`, for each row matching `leftPred`, attach
+    * the value of `valueCol` from the most recent row matching
+    * `rightPred` with the same `key`, at-or-before it in
+    * `(time, tiebreak)` order. `tiebreak` must make the ordering total
+    * (unique per key) or results are nondeterministic.
+    */
+  def lastAtOrBefore(
+      df: DataFrame,
+      key: Column,
+      time: Column,
+      tiebreak: Column,
+      leftPred: Column,
+      rightPred: Column,
+      valueCol: Column,
+      asName: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(time, tiebreak)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(asName,
+        last(when(rightPred, valueCol), ignoreNulls = true).over(w))
+      .filter(leftPred)
+  }
+
+  /** Two-table as-of: for each left row, attach the chosen right-side
+    * columns from the latest right row sharing `keyCols` with
+    * rightTime <= leftTime. On equal times the right row is visible to
+    * the left row (right sorts first).
+    *
+    * @param rightVals (rightColumn, outputAlias) pairs to carry over.
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)]): DataFrame = {
+    val leftStruct = struct(left.columns.map(col): _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+    val valTypes = rightVals.map { case (src, _) => right.select(src).schema.head.dataType }
+
+    val lProj = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"), leftStruct.as("__l")) ++
+        rightVals.zip(valTypes).map { case ((_, as), dt) => lit(null).cast(dt).as(as) }: _*)
+    val rProj = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"), lit(null).cast(leftType).as("__l")) ++
+        rightVals.map { case (src, as) => col(src).as(as) }: _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightVals.foldLeft(lProj.unionByName(rProj)) { case (d, (_, as)) =>
+      d.withColumn(as, last(col(as), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(col("__l.*") +: rightVals.map { case (_, as) => col(as) }: _*)
+  }
+}

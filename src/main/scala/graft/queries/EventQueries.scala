@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.CdcColumns
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q.{cents, centsSql}
+
+/** Queries over the `events` stream table: event-time windowing,
+  * sessionization, pivot, as-of join, and the batch-shaped CDC
+  * semantics of the reference (latest-state upsert, changelog apply,
+  * offset arithmetic, envelope round-trip). The streaming twins of
+  * these run in the Structured Streaming test suites; these batch
+  * forms are what the DuckDB oracle can check.
+  */
+object EventQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** JSON envelope schema (FIXTURES.md §3): type/timestamp/db/table/
+    * schema + rows array — the reference's event shape (AbstractEventWriter).
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("timestamp", LongType),
+    StructField("databaseName", StringType),
+    StructField("tableName", StringType),
+    StructField("schema", StringType),
+    StructField("rows", ArrayType(StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))))))
+
+  /** signup→insert, error→delete, else update (CDC op mapping used by
+    * the batch queries; the streaming source emits real op types). */
+  private def opCol(eventType: org.apache.spark.sql.Column) =
+    when(eventType === "signup", "insert")
+      .when(eventType === "error", "delete")
+      .otherwise("update")
+
+  private val opSql =
+    "CASE WHEN event_type = 'signup' THEN 'insert' " +
+      "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+
+  val defs: Map[String, QFn] = Map(
+    // --- q19: event-time tumbling window aggregation --------------------
+    "q19_events_hourly" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), sum(cents($"value")).as("value_cents"))
+        .select(unix_millis($"window.start").as("hour_start_ms"),
+          $"event_type", $"n_events", $"value_cents")
+        .orderBy($"hour_start_ms", $"event_type")
+    },
+
+    // --- q20: sessionization (30-min gap session windows) ---------------
+    "q20_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), sum(cents($"value")).as("value_cents"))
+        .select($"user_id", unix_millis($"session_window.start").as("session_start_ms"),
+          $"n_events", $"value_cents")
+        .orderBy($"user_id", $"session_start_ms")
+    },
+
+    // --- q21: pivot (counts per event_type per user) --------------------
+    "q21_pivot" -> { (s, dir) =>
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables(s, dir).events
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .count()
+      types.foldLeft(p) { (d, t) => d.withColumn(t, coalesce(col(t), lit(0L))) }
+        .orderBy($"user_id")
+    },
+
+    // --- q22: as-of join (latest click at-or-before each purchase) ------
+    "q22_asof_last_click" -> { (s, dir) =>
+      import s.implicits._
+      AsOfJoin.lastAtOrBefore(
+          Tables(s, dir).events,
+          key = $"user_id", time = $"ts", tiebreak = $"event_id",
+          leftPred = $"event_type" === "purchase",
+          rightPred = $"event_type" === "click",
+          valueCol = $"event_id", asName = "last_click_id")
+        .select($"event_id", $"user_id", cents($"value").as("value_cents"), $"last_click_id")
+        .orderBy($"event_id")
+    },
+
+    // --- cdc: latest-state materialization (upsert semantics) -----------
+    "cdc_latest_state" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"event_type".as("last_type"), cents($"value").as("last_value_cents"))
+        .orderBy($"user_id")
+    },
+
+    // --- cdc: apply an insert/update/delete changelog to a replica ------
+    "cdc_apply_changelog" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val wAll = Window.partitionBy($"user_id")
+      Tables(s, dir).events
+        .withColumn("op", opCol($"event_type"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_ops", count(lit(1)).over(wAll))
+        .filter($"rn" === 1 && $"op" =!= "delete")
+        .select($"user_id", cents($"value").as("value_cents"), $"n_ops")
+        .orderBy($"user_id")
+    },
+
+    // --- cdc: packed-offset arithmetic round-trip ------------------------
+    "cdc_offset_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select($"event_id",
+          ($"event_id" % 997).as("file_id"),
+          ($"event_id" * 31).as("pos"))
+        .withColumn("offset", CdcColumns.packOffset($"file_id", $"pos"))
+        .withColumn("file_id_rt", CdcColumns.offsetFileId($"offset"))
+        .withColumn("pos_rt", CdcColumns.offsetPos($"offset"))
+        .withColumn("filename", CdcColumns.offsetFilename("graft-bin", $"file_id"))
+        .orderBy($"event_id")
+    },
+
+    // --- cdc: JSON envelope encode → decode → aggregate ------------------
+    "cdc_envelope_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val rowSchemaJson = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType))).json
+      val envelopes = t.events.select(to_json(struct(
+        opCol($"event_type").as("type"),
+        unix_millis($"ts").as("timestamp"),
+        lit("graft").as("databaseName"),
+        lit("events").as("tableName"),
+        lit(rowSchemaJson).as("schema"),
+        array(struct($"event_id", $"user_id", $"value")).as("rows"))).as("value"))
+      envelopes
+        .select(from_json($"value", envelopeSchema).as("e"))
+        .select($"e.type".as("op"), $"e.timestamp".as("ts_ms"),
+          explode($"e.rows").as("r"))
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n"), max($"ts_ms").as("max_ts_ms"),
+          sum(cents($"r.value")).as("value_cents"))
+        .orderBy($"op")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q19_events_hourly" ->
+      s"""SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_ms,
+         |  event_type,
+         |  count(*) AS n_events, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q20_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+         |), m AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), sess AS (
+         |  SELECT user_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m)
+         |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events,
+         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q22_asof_last_click" ->
+      s"""SELECT event_id, user_id, value_cents, last_click_id FROM (
+         |  SELECT event_id, user_id, event_type,
+         |    ${centsSql("value")} AS value_cents,
+         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+         |  FROM events)
+         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "cdc_latest_state" ->
+      s"""SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+         |  ${centsSql("value")} AS last_value_cents
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_apply_changelog" ->
+      s"""SELECT user_id, ${centsSql("value")} AS value_cents, n_ops FROM (
+         |  SELECT *, $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_ops
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "cdc_offset_roundtrip" ->
+      """SELECT event_id, file_id, pos,
+        |  file_id * 10000000000000 + pos AS offset,
+        |  (file_id * 10000000000000 + pos) // 10000000000000 AS file_id_rt,
+        |  (file_id * 10000000000000 + pos) % 10000000000000 AS pos_rt,
+        |  printf('graft-bin.%06d', file_id) AS filename
+        |FROM (SELECT event_id, event_id % 997 AS file_id, event_id * 31 AS pos
+        |      FROM events) ORDER BY event_id""".stripMargin,
+
+    "cdc_envelope_roundtrip" ->
+      s"""SELECT $opSql AS op, count(*) AS n,
+         |  max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ts_ms,
+         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

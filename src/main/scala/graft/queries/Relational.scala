@@ -1,0 +1,407 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.{cents, centsSql}
+
+/** Relational query surface over the TPC-H-ish fixtures.
+  *
+  * The reference delegates all general relational operators to Spark
+  * (SURVEY.md §2, "[delegated]" rows); this object is the concrete
+  * coverage of those rows: scan+filter+project with pushdown, hash
+  * aggregation (partial+final), broadcast and shuffle joins, semi/anti
+  * joins, window functions, rollup, set ops, sort/limit/top-k, scalar
+  * functions, scalar subqueries, and union.
+  *
+  * Scale notes (100 TB design): every query here is a declarative plan
+  * — Catalyst pushes filters/projections into the parquet scan, picks
+  * broadcast joins for the dimension tables (`broadcast()` hints on
+  * bounded dims only), and does partial aggregation map-side. No
+  * collect(), no driver-side loops, no UDFs in hot paths.
+  */
+object Relational {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, QFn] = Map(
+    // --- q1: full-scan hash aggregate (TPC-H Q1 shape) ------------------
+    "q1_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_shipdate" <= to_timestamp(lit("2000-12-01")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_base_cents"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // --- q2: fact ⋈ broadcast dim, aggregate by dim attribute -----------
+    "q2_brand_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+
+    // --- q3: 3-way join + agg + deterministic top-k (TPC-H Q3 shape) ----
+    "q3_segment_topk" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cust = t.customer.filter($"c_mktsegment" === "BUILDING")
+      t.lineitem
+        .filter($"l_shipdate" > to_timestamp(lit("1998-06-30")))
+        .join(t.orders.filter($"o_orderdate" < to_timestamp(lit("1998-07-01"))),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate".cast("date").as("o_orderdate"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"))
+        .orderBy($"revenue_cents".desc, $"o_orderkey".asc)
+        .limit(10)
+    },
+
+    // --- q4: semi join / EXISTS (TPC-H Q4 shape) ------------------------
+    "q4_order_priority" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val returned = t.lineitem.filter($"l_returnflag" === "R").select($"l_orderkey")
+      t.orders
+        .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // --- q5: 6-way snowflake join (TPC-H Q5 shape) ----------------------
+    "q5_region_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t.supplier),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // --- q6: selective scan, filter+projection pushdown (TPC-H Q6) ------
+    "q6_forecast_revenue" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("1997-01-01")) &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24)
+        .agg(sum(cents($"l_extendedprice" * $"l_discount")).as("promo_revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // --- q7: anti join / NOT EXISTS -------------------------------------
+    "q7_customers_without_orders" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter($"o_orderstatus" === "P"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // --- q8: global sort + limit (TakeOrderedAndProject) ----------------
+    "q8_topk_orders" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("totalprice_cents"))
+        .orderBy($"totalprice_cents".desc, $"o_orderkey".asc)
+        .limit(10)
+    },
+
+    // --- q9: ranking window, top-3 per group ----------------------------
+    "q9_top_orders_per_customer" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables(s, dir).orders
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rn", cents($"o_totalprice").as("totalprice_cents"))
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // --- q10: running aggregate + lag over a deterministic frame --------
+    "q10_running_total" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      Tables(s, dir).lineitem
+        .withColumn("running_qty",
+          sum($"l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"running_qty", $"prev_qty")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    // --- q11: rollup (grouping sets) ------------------------------------
+    "q11_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_rows", $"sum_qty")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
+    // --- q12: distinct over a join --------------------------------------
+    "q12_distinct_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.orders
+        .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment", $"o_orderpriority")
+        .distinct()
+        .orderBy($"c_mktsegment", $"o_orderpriority")
+    },
+
+    // --- q13: set ops: INTERSECT then EXCEPT ----------------------------
+    "q13_setops" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir).orders
+      val k = (st: String) => o.filter($"o_orderstatus" === st).select($"o_custkey")
+      k("O").intersect(k("F")).except(k("P")).orderBy($"o_custkey")
+    },
+
+    // --- q14: conditional aggregation (TPC-H Q14 shape) -----------------
+    "q14_promo_share" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val rev = cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      t.lineitem
+        .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", rev).otherwise(lit(0L))).as("promo_cents"),
+          sum(rev).as("total_cents"))
+    },
+
+    // --- q15: scalar aggregate subquery ---------------------------------
+    "q15_above_avg_suppliers" -> { (s, dir) =>
+      import s.implicits._
+      val sup = Tables(s, dir).supplier
+      val avgBal = sup.agg(avg(cents($"s_acctbal")).as("avg_cents"))
+      sup.select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_cents"))
+        .crossJoin(broadcast(avgBal))
+        .filter($"acctbal_cents" > $"avg_cents")
+        .select($"s_suppkey", $"s_name", $"acctbal_cents")
+        .orderBy($"s_suppkey")
+    },
+
+    // --- q16: scalar function battery (string/date/math) ----------------
+    "q16_scalar_funcs" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("o_year"),
+          month($"o_orderdate").as("o_month"),
+          dayofmonth($"o_orderdate").as("o_day"),
+          quarter($"o_orderdate").as("o_quarter"),
+          upper($"o_orderstatus").as("status_upper"),
+          substring($"o_orderpriority", 1, 1).as("prio_code"),
+          length($"o_orderpriority").as("prio_len"),
+          concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("tag"),
+          (cents($"o_totalprice") % 97).as("price_mod"))
+        .orderBy($"o_orderkey")
+    },
+
+    // --- q17: union of heterogeneous sources ----------------------------
+    "q17_union_entities" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val c = t.customer.select(lit("customer").as("kind"),
+        $"c_custkey".as("id"), cents($"c_acctbal").as("acctbal_cents"))
+      val p = t.supplier.select(lit("supplier").as("kind"),
+        $"s_suppkey".as("id"), cents($"s_acctbal").as("acctbal_cents"))
+      c.unionByName(p).orderBy($"kind", $"id")
+    },
+
+    // --- q18: aggregate + HAVING + join back (TPC-H Q18 shape) ----------
+    "q18_big_orders" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val big = t.lineitem
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 200)
+      t.orders
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"sum_qty")
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  private val rev = s"l_extendedprice * (1.0 - l_discount)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum(${centsSql(rev)}) AS BIGINT) AS sum_disc_cents,
+         |  count(*) AS n_rows
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_brand_revenue" ->
+      s"""SELECT p_brand, CAST(sum(${centsSql(rev)}) AS BIGINT) AS revenue_cents, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q3_segment_topk" ->
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         |  CAST(sum(${centsSql(rev)}) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30'
+         |  AND o_orderdate < TIMESTAMP '1998-07-01'
+         |GROUP BY 1, 2 ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT r_name, n_name, CAST(sum(${centsSql(rev)}) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(sum(${centsSql("l_extendedprice * l_discount")}) AS BIGINT) AS promo_revenue_cents,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q7_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_topk_orders" ->
+      s"""SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS totalprice_cents
+         |FROM orders
+         |ORDER BY totalprice_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q9_top_orders_per_customer" ->
+      s"""SELECT o_custkey, o_orderkey, rn, totalprice_cents FROM (
+         |  SELECT o_custkey, o_orderkey,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         |    ${centsSql("o_totalprice")} AS totalprice_cents
+         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q10_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q12_distinct_pairs" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q13_setops" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN ${centsSql(rev)} ELSE 0 END) AS BIGINT) AS promo_cents,
+         |  CAST(sum(${centsSql(rev)}) AS BIGINT) AS total_cents
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q15_above_avg_suppliers" ->
+      s"""SELECT s_suppkey, s_name, ${centsSql("s_acctbal")} AS acctbal_cents
+         |FROM supplier
+         |WHERE ${centsSql("s_acctbal")} >
+         |  (SELECT avg(${centsSql("s_acctbal")}) FROM supplier)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_scalar_funcs" ->
+      s"""SELECT o_orderkey,
+         |  CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(month(o_orderdate) AS INT) AS o_month,
+         |  CAST(day(o_orderdate) AS INT) AS o_day,
+         |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+         |  upper(o_orderstatus) AS status_upper,
+         |  substring(o_orderpriority, 1, 1) AS prio_code,
+         |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+         |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+         |  ${centsSql("o_totalprice")} % 97 AS price_mod
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q17_union_entities" ->
+      s"""SELECT 'customer' AS kind, c_custkey AS id,
+         |  ${centsSql("c_acctbal")} AS acctbal_cents FROM customer
+         |UNION ALL
+         |SELECT 'supplier' AS kind, s_suppkey AS id,
+         |  ${centsSql("s_acctbal")} AS acctbal_cents FROM supplier
+         |ORDER BY kind, id""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) big
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

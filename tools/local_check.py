@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/local_check.py [sfDir] [outDir]
+
+Reads each `<outDir>/<name>` parquet (written by `graft.Verify`), runs the
+matching oracle SQL from `<outDir>/oracle_sql.json` in DuckDB against the
+fixture tables, and compares value-by-value with columns sorted by name and
+rows sorted by all columns — the same normalization the driver describes.
+Queries without an oracle get a rows>0 check.
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_integer_dtype(dt):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(dt):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL  {name}: no parquet output")
+            n_fail += 1
+            continue
+        mine = con.sql(
+            f"SELECT * FROM read_parquet({files!r})").df()
+        if name not in oracles:
+            ok = len(mine) > 0
+            print(f"{'ok   ' if ok else 'FAIL '} {name}: rows-only "
+                  f"({len(mine)} rows)")
+            n_pass += ok
+            n_fail += not ok
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        a, b = normalize(mine), normalize(want)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+        elif len(a) != len(b):
+            print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+        elif not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            print(f"FAIL  {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:3]:
+                i = neq[c].idxmax()
+                print(f"      row {i} col {c}: mine={a[c][i]!r} oracle={b[c][i]!r}")
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(a)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
