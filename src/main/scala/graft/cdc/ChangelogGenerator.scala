@@ -1,0 +1,90 @@
+package graft.cdc
+
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Deterministic changelog-fixture generator: turns a batch DataFrame
+  * (the `events` fixture table) into a file-backed changelog the
+  * streaming source replays — the test double the reference never had
+  * (its suite needs a live MySQL; SURVEY.md §5).
+  *
+  * Ops are derived from `event_type`: signup→insert, error→delete,
+  * else update — the same mapping the batch CDC queries use, so the
+  * streamed result can be cross-checked against the DuckDB oracle.
+  * Records are ordered by (ts, event_id) — log order is arrival order,
+  * like a real binlog.
+  *
+  * This is a fixture WRITER (driver-side, test-scale); the reading
+  * path is what's built for scale.
+  */
+object ChangelogGenerator {
+
+  def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
+      db: String = "graft", table: String = "events",
+      prefix: String = ChangelogFiles.DefaultPrefix): Unit = {
+    val dir = new File(outDir)
+    dir.mkdirs()
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+    // schemas.json — the feed's TABLE_MAP/JDBC-probe equivalent
+    val sw = new java.io.StringWriter()
+    val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    g.writeStartObject()
+    g.writeStringField(s"$db.$table", schema.json)
+    g.writeEndObject()
+    g.close()
+    java.nio.file.Files.write(new File(dir, "schemas.json").toPath,
+      sw.toString.getBytes(StandardCharsets.UTF_8))
+
+    val ordered = events
+      .selectExpr("event_id", "user_id", "event_type", "value", "props",
+        "unix_millis(ts) AS ts_ms")
+      .orderBy("ts_ms", "event_id")
+
+    var fileId = 1L
+    var posInFile = 0L
+    var out: BufferedWriter = null
+    def roll(): Unit = {
+      if (out != null) out.close()
+      val f = new File(dir, f"$prefix.$fileId%06d")
+      out = new BufferedWriter(new OutputStreamWriter(
+        new FileOutputStream(f), StandardCharsets.UTF_8))
+    }
+    roll()
+
+    val it = ordered.toLocalIterator()
+    while (it.hasNext) {
+      val r: Row = it.next()
+      if (posInFile >= recordsPerFile) {
+        fileId += 1; posInFile = 0; roll()
+      }
+      posInFile += 1
+      val et = r.getString(2)
+      val op = et match {
+        case "signup" => "insert"
+        case "error"  => "delete"
+        case _        => "update"
+      }
+      val row = Map[String, EnvelopeValue](
+        "event_id" -> EnvelopeValue.VLong(r.getLong(0)),
+        "user_id" -> EnvelopeValue.VLong(r.getLong(1)),
+        "event_type" -> EnvelopeValue.VString(et),
+        "value" -> EnvelopeValue.VDouble(r.getDouble(3)),
+        "props" -> (if (r.isNullAt(4)) EnvelopeValue.VNull
+                    else EnvelopeValue.VString(r.getString(4))))
+      val rec = ChangelogRecord(posInFile, op, db, table, r.getLong(5), row)
+      out.write(ChangelogRecord.write(rec))
+      out.write("\n")
+    }
+    out.close()
+  }
+}

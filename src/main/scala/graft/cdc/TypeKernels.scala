@@ -1,0 +1,114 @@
+package graft.cdc
+
+import java.nio.charset.Charset
+import java.text.SimpleDateFormat
+import java.util.{BitSet => JBitSet, Date, TimeZone}
+
+import org.apache.spark.sql.types._
+
+/** Scalar conversion kernels for turning raw change-log cell values
+  * into envelope values — the semantics of the reference's
+  * MySQLCDCUtils.getWritableObject (MySQLCDCUtils.java:28-84) driven
+  * by SchemaTool type tests (SchemaTool.scala:19-41), re-expressed as
+  * pure functions with explicit parameters instead of thread-local
+  * session state.
+  */
+object TypeKernels {
+
+  /** CHAR/BINARY columns arrive as byte[]; decode with the per-column
+    * charset (`binlog.field.decode.<col>`, wildcard
+    * `binlog.field.decode.*`, default UTF-8 — reference
+    * SchemaTool.scala:43-50, MySQLCDCUtils.java:35-37).
+    */
+  def decodeBytes(bytes: Array[Byte], col: String,
+      charsetConf: Map[String, String]): String = {
+    val cs = charsetConf.getOrElse(s"binlog.field.decode.$col",
+      charsetConf.getOrElse("binlog.field.decode.*", "utf-8"))
+    new String(bytes, Charset.forName(cs))
+  }
+
+  /** MySQL BIT(1) → BooleanType: bit 0 (MySQLCDCUtils.java:39-43). */
+  def bitSetToBoolean(bs: JBitSet): Boolean = bs.get(0)
+
+  /** MySQL BIT(n>1) → LongType: little-endian reassembly — bit i of the
+    * BitSet is bit i of the long (MySQLCDCUtils.java:45-53).
+    */
+  def bitSetToLong(bs: JBitSet): Long = {
+    var v = 0L
+    var i = bs.nextSetBit(0)
+    while (i >= 0 && i < 64) {
+      v |= (1L << i)
+      i = bs.nextSetBit(i + 1)
+    }
+    v
+  }
+
+  /** Dispatch a BitSet by target Spark type (SchemaTool.scala:31-37;
+    * anything else throws, MySQLCDCUtils.java:54).
+    */
+  def convertBitSet(bs: JBitSet, dt: DataType): Any = dt match {
+    case BooleanType => bitSetToBoolean(bs)
+    case LongType    => bitSetToLong(bs)
+    case other => throw new IllegalArgumentException(
+      s"cannot serialize BIT column as $other (only BooleanType/LongType)")
+  }
+
+  /** TIMESTAMP values: format in the session time zone
+    * (MySQLCDCUtils.java:57-61 via Spark JSONOptions.timestampFormat).
+    */
+  def formatTimestamp(ts: java.sql.Timestamp, sessionTz: String,
+      pattern: String = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"): String = {
+    val f = new SimpleDateFormat(pattern)
+    f.setTimeZone(TimeZone.getTimeZone(sessionTz))
+    f.format(ts)
+  }
+
+  /** MySQL DATETIME is time-zone-less, but log clients decode it in the
+    * JVM's local zone; compensate by subtracting the raw zone offset
+    * before formatting (MySQLCDCUtils.java:63-69 does the same with
+    * joda). `decodedIn` is the zone the client used (the JVM default in
+    * the reference).
+    */
+  def compensateDatetime(d: Date, decodedIn: TimeZone): Date =
+    new Date(d.getTime - decodedIn.getRawOffset)
+
+  /** DATE values → `yyyy-MM-dd` in the session zone
+    * (MySQLCDCUtils.java:71-81).
+    */
+  def formatDate(d: Date, sessionTz: String): String = {
+    val f = new SimpleDateFormat("yyyy-MM-dd")
+    f.setTimeZone(TimeZone.getTimeZone(sessionTz))
+    f.format(d)
+  }
+
+  /** Full cell conversion: raw decoded value + target Spark type →
+    * envelope value. Mirrors MySQLCDCUtils.getWritableObject's
+    * dispatch order (byte[] first, then BitSet, then temporal, then
+    * pass-through).
+    */
+  def toEnvelopeValue(raw: Any, col: String, dt: DataType,
+      sessionTz: String, charsetConf: Map[String, String]): EnvelopeValue = raw match {
+    case null => EnvelopeValue.VNull
+    case b: Array[Byte] => EnvelopeValue.VString(decodeBytes(b, col, charsetConf))
+    case bs: JBitSet => convertBitSet(bs, dt) match {
+      case b: Boolean => EnvelopeValue.VBool(b)
+      case l: Long    => EnvelopeValue.VLong(l)
+    }
+    case t: java.sql.Timestamp => EnvelopeValue.VString(formatTimestamp(t, sessionTz))
+    case d: java.sql.Date => EnvelopeValue.VString(formatDate(d, sessionTz))
+    case d: Date if dt == TimestampType =>
+      EnvelopeValue.VString(formatTimestamp(
+        new java.sql.Timestamp(compensateDatetime(d, TimeZone.getDefault).getTime), sessionTz))
+    case d: Date => EnvelopeValue.VString(formatDate(d, sessionTz))
+    case s: String => EnvelopeValue.VString(s)
+    case b: Boolean => EnvelopeValue.VBool(b)
+    case i: Int => EnvelopeValue.VLong(i.toLong)
+    case l: Long => EnvelopeValue.VLong(l)
+    case s: Short => EnvelopeValue.VLong(s.toLong)
+    case f: Float => EnvelopeValue.VDouble(f.toDouble)
+    case d: Double => EnvelopeValue.VDouble(d)
+    case d: java.math.BigDecimal => EnvelopeValue.VDecimal(d)
+    case d: BigDecimal => EnvelopeValue.VDecimal(d.bigDecimal)
+    case other => EnvelopeValue.VString(other.toString)
+  }
+}

@@ -1,0 +1,246 @@
+package graft.sources.binlog
+
+import java.util.regex.Pattern
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc._
+
+/** DataSource V2 CDC streaming source over a file-backed changelog —
+  * the Spark-4-native re-expression of the reference's v1
+  * `StreamSourceProvider` (MLSQLBinLogDataSource.scala:33-253).
+  *
+  * Architectural deltas from the reference, by design (SURVEY.md §7):
+  *  - no executor-resident socket server / RPC (R1-R7): partition
+  *    readers read the shared log directly, so fetch parallelism is
+  *    N partitions instead of the reference's single partition
+  *    ("todo: optimize", MLSQLBinLogDataSource.scala:394-397);
+  *  - offsets/checkpointing ride on `MicroBatchExecution` instead of a
+  *    hand-rolled HDFSMetadataLog + offset-dir scan (MBDS:112-134,300-343);
+  *  - admission control (`maxEventsPerTrigger`) replaces connect/
+  *    disconnect back-pressure (BinLogSocketServerInExecutor.scala:334-362).
+  *
+  * Public surface (same option names as the reference where one
+  * exists): `path`, `databaseNamePattern`, `tableNamePattern`,
+  * `startingOffsets` (earliest|latest|<packed long>), `binlogIndex` +
+  * `binlogFileOffset`, `maxEventsPerTrigger`, `maxRecordsPerPartition`,
+  * `failOnDataLoss`.
+  *
+  * Output schema: a single `value: String` column of JSON envelopes —
+  * the Kafka-source shape the reference emits (MBDS:40-44).
+  */
+class BinlogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-binlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BinlogDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(schema == BinlogDataSource.Schema,
+      s"graft-binlog has a fixed schema ${BinlogDataSource.Schema.simpleString}; " +
+        "custom schemas are not supported") // reference MBDS:40 rejects them too
+    new BinlogTable(new CaseInsensitiveStringMap(properties))
+  }
+}
+
+object BinlogDataSource {
+  val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+final class BinlogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-binlog(${options.get("path")})"
+  override def schema(): StructType = BinlogDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new BinlogScan(opts)
+    }
+}
+
+final class BinlogScan(options: CaseInsensitiveStringMap) extends Scan {
+  private val conf = BinlogSourceConf(options)
+  override def readSchema(): StructType = BinlogDataSource.Schema
+  override def description(): String = s"graft-binlog ${conf.dir}"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BinlogMicroBatchStream(conf)
+  override def toBatch: Batch = new BinlogBatch(conf)
+}
+
+/** Validated source configuration (serializable, shipped to readers). */
+final case class BinlogSourceConf(
+    dir: String,
+    prefix: String,
+    databaseNamePattern: Option[String],
+    tableNamePattern: Option[String],
+    startingOffsets: String,
+    binlogIndex: Option[Long],
+    binlogFileOffset: Option[Long],
+    maxEventsPerTrigger: Option[Long],
+    maxRecordsPerPartition: Long,
+    failOnDataLoss: Boolean) extends Serializable
+
+object BinlogSourceConf {
+  def apply(options: CaseInsensitiveStringMap): BinlogSourceConf = {
+    val dir = options.get("path")
+    require(dir != null, "option 'path' (changelog directory) is required")
+    BinlogSourceConf(
+      dir = dir,
+      prefix = Option(options.get("prefix")).getOrElse(ChangelogFiles.DefaultPrefix),
+      databaseNamePattern = Option(options.get("databaseNamePattern")),
+      tableNamePattern = Option(options.get("tableNamePattern")),
+      startingOffsets = Option(options.get("startingOffsets")).getOrElse("earliest"),
+      binlogIndex = Option(options.get("binlogIndex")).map(_.toLong),
+      binlogFileOffset = Option(options.get("binlogFileOffset")).map(_.toLong),
+      maxEventsPerTrigger = Option(options.get("maxEventsPerTrigger")).map(_.toLong),
+      maxRecordsPerPartition =
+        Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L),
+      failOnDataLoss =
+        Option(options.get("failOnDataLoss")).forall(_.toBoolean))
+  }
+}
+
+/** Streaming offset: the packed (fileId, pos) long, serialized as its
+  * decimal string — checkpoint-format-compatible with the reference's
+  * LongOffset-wrapped packing (MBDS:98, protocols.scala:24-26).
+  */
+final case class BinlogSourceOffset(packed: Long) extends Offset {
+  override def json(): String = packed.toString
+  def offset: BinlogOffset = BinlogOffset.unpack(packed)
+}
+
+final class BinlogMicroBatchStream(conf: BinlogSourceConf)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = {
+    val off = (conf.binlogIndex, conf.binlogFileOffset) match {
+      case (Some(idx), pos) => BinlogOffset(idx, pos.getOrElse(1L))
+      case _ => conf.startingOffsets.toLowerCase match {
+        case "earliest" => ChangelogFiles.earliestOffset(conf.dir, conf.prefix)
+        case "latest"   => ChangelogFiles.latestOffset(conf.dir, conf.prefix)
+        case n          => BinlogOffset.unpack(n.toLong)
+      }
+    }
+    BinlogSourceOffset(off.packed)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    conf.maxEventsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startOff = start.asInstanceOf[BinlogSourceOffset].offset
+    val latest = ChangelogFiles.latestOffset(conf.dir, conf.prefix)
+    val end = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        val capped = ChangelogFiles.advance(conf.dir, startOff, r.maxRows(), conf.prefix)
+        if (capped < latest) capped else latest
+      case _ => latest
+    }
+    BinlogSourceOffset(math.max(end.packed, startOff.packed))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    BinlogPartitioning.plan(conf,
+      start.asInstanceOf[BinlogSourceOffset].offset,
+      end.asInstanceOf[BinlogSourceOffset].offset)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir))
+
+  override def deserializeOffset(json: String): Offset = BinlogSourceOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // retention/pruning hook
+  override def stop(): Unit = ()
+}
+
+/** Batch read of the whole log (earliest → latest) — lets users run
+  * the bootstrap full-sync (SURVEY.md §2.1 S4) through the same source.
+  */
+final class BinlogBatch(conf: BinlogSourceConf) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    BinlogPartitioning.plan(conf,
+      ChangelogFiles.earliestOffset(conf.dir, conf.prefix),
+      ChangelogFiles.latestOffset(conf.dir, conf.prefix))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir))
+}
+
+object BinlogPartitioning {
+  /** Slice [start, end) into one partition per file, further split into
+    * `maxRecordsPerPartition` chunks — N-way fetch parallelism where
+    * the reference served every batch through one partition
+    * (MBDS:394-397). Also the ST8 regression check (HWDS:220-241).
+    */
+  def plan(conf: BinlogSourceConf, start: BinlogOffset, end: BinlogOffset): Array[InputPartition] = {
+    require(end.packed >= start.packed,
+      s"end offset $end < start offset $start — some data may have been missed")
+    if (end.packed == start.packed) return Array.empty
+    val files = ChangelogFiles.listFiles(conf.dir, conf.prefix)
+    if (conf.failOnDataLoss && files.nonEmpty && start.fileId < files.head._1) {
+      throw new IllegalStateException(
+        s"start offset $start precedes earliest changelog file ${files.head._1} — " +
+          "files were purged (set failOnDataLoss=false to ignore)")
+    }
+    val parts = for {
+      (id, f) <- files
+      if id >= start.fileId && id <= end.fileId
+      n = ChangelogFiles.recordCount(f)
+      from = if (id == start.fileId) start.pos else 1L
+      until = if (id == end.fileId) math.min(end.pos, n + 1) else n + 1
+      if until > from
+      chunkStart <- from until until by conf.maxRecordsPerPartition
+    } yield BinlogInputPartition(f.getAbsolutePath, id, chunkStart,
+      math.min(chunkStart + conf.maxRecordsPerPartition, until))
+    parts.toArray
+  }
+}
+
+final case class BinlogInputPartition(
+    filePath: String, fileId: Long, fromPos: Long, untilPos: Long) extends InputPartition
+
+final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BinlogInputPartition]
+    new PartitionReader[InternalRow] {
+      // db/table regex filters applied at the source, pre-materialization
+      // (reference BinLogSocketServerInExecutor.scala:239-250, compile :278-281)
+      private val dbP = conf.databaseNamePattern.map(Pattern.compile)
+      private val tblP = conf.tableNamePattern.map(Pattern.compile)
+      private val it = ChangelogFiles
+        .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
+        .filter { r =>
+          dbP.forall(_.matcher(r.db).matches()) &&
+            tblP.forall(_.matcher(r.table).matches()) &&
+            (r.op == "insert" || r.op == "update" || r.op == "delete")
+        }
+      private var current: ChangelogRecord = _
+
+      override def next(): Boolean = {
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow = {
+        val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
+          schemas.getOrElse(s"${current.db}.${current.table}", null), current.row)
+        InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import graft.{SparkSuite, Tables}
+
+class ChangelogSpec extends SparkSuite {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-changelog").toString
+    ChangelogGenerator.generate(Tables(spark, sfDir).events, d, recordsPerFile = 300)
+    d
+  }
+
+  test("generator writes %06d-named files + schemas.json") {
+    val files = ChangelogFiles.listFiles(dir)
+    assert(files.map(_._1) === Seq(1L, 2L, 3L, 4L)) // 1000 events / 300 per file
+    assert(files.map(f => ChangelogFiles.recordCount(f._2)).sum === 1000L)
+    val schemas = ChangelogFiles.readSchemas(dir)
+    assert(schemas.keySet === Set("graft.events"))
+    val st = org.apache.spark.sql.types.DataType.fromJson(schemas("graft.events"))
+    assert(st.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      .contains("event_id"))
+  }
+
+  test("earliest/latest offsets bracket the log") {
+    assert(ChangelogFiles.earliestOffset(dir) === BinlogOffset(1, 1))
+    assert(ChangelogFiles.latestOffset(dir) === BinlogOffset(4, 101))
+  }
+
+  test("advance walks across file boundaries and clamps at the end") {
+    val start = ChangelogFiles.earliestOffset(dir)
+    assert(ChangelogFiles.advance(dir, start, 10) === BinlogOffset(1, 11))
+    assert(ChangelogFiles.advance(dir, start, 300) === BinlogOffset(1, 301))
+    assert(ChangelogFiles.advance(dir, start, 301) === BinlogOffset(2, 2))
+    assert(ChangelogFiles.advance(dir, BinlogOffset(1, 250), 100) === BinlogOffset(2, 50))
+    assert(ChangelogFiles.advance(dir, start, 100000) === BinlogOffset(4, 101))
+  }
+
+  test("readRange honors [from, until) and record order") {
+    val f = ChangelogFiles.listFiles(dir).head._2
+    val recs = ChangelogFiles.readRange(f, 5, 8).toSeq
+    assert(recs.map(_.pos) === Seq(5L, 6L, 7L))
+    val all = ChangelogFiles.readRange(f, 1, Long.MaxValue).toSeq
+    assert(all.size === 300)
+    assert(all.map(_.pos) === (1L to 300L))
+    // log order is (ts, event_id)
+    assert(all.map(_.tsMillis) === all.map(_.tsMillis).sorted)
+  }
+
+  test("record codec round-trips") {
+    val f = ChangelogFiles.listFiles(dir).head._2
+    val rec = ChangelogFiles.readRange(f, 1, 2).next()
+    val back = ChangelogRecord.parse(ChangelogRecord.write(rec))
+    assert(back === rec)
+    assert(Set("insert", "update", "delete").contains(rec.op))
+    assert(rec.row.keySet === Set("event_id", "user_id", "event_type", "value", "props"))
+  }
+}

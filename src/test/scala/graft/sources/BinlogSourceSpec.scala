@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSuite, Tables}
+import graft.cdc._
+import graft.streaming.CdcStream
+
+/** End-to-end Structured Streaming tests of the graft-binlog DSv2
+  * source against a generated changelog at sf0.001 (1000 events) —
+  * the "minimum end-to-end slice" of SURVEY.md §7 with zero external
+  * services: offset packing, schema embedding, regex filter, range
+  * serving, admission control, checkpoint recovery, upsert sink.
+  */
+class BinlogSourceSpec extends SparkSuite {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-src").toString
+    ChangelogGenerator.generate(Tables(spark, sfDir).events, d, recordsPerFile = 300)
+    d
+  }
+
+  private val rowSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def readAll(extraOpts: Map[String, String] = Map.empty,
+      queryName: String = "sink"): org.apache.spark.sql.DataFrame = {
+    var r = spark.readStream.format("graft-binlog").option("path", dir)
+    extraOpts.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load().writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  test("streams every record as a parseable JSON envelope") {
+    val out = readAll(queryName = "all_events")
+    assert(out.count() === 1000L)
+    val first = out.select("value").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().head
+    val ev = EnvelopeCodec.parse(first)
+    assert(Set("insert", "update", "delete").contains(ev.eventType))
+    assert(ev.databaseName === "graft" && ev.tableName === "events")
+    val st = DataType.fromJson(ev.schemaJson).asInstanceOf[StructType]
+    assert(st.fieldNames.toSet === rowSchema.fieldNames.toSet)
+  }
+
+  test("typed expansion matches the batch op-mix oracle") {
+    val out = readAll(queryName = "typed_events")
+    val typed = CdcStream.parsed(out, rowSchema)
+    val mix = typed.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same op mapping as the DuckDB-checked batch query cdc_envelope_roundtrip
+    val want = Tables(spark, sfDir).events
+      .groupBy(when($"event_type" === "signup", "insert")
+        .when($"event_type" === "error", "delete").otherwise("update").as("op"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix === want)
+  }
+
+  test("tableNamePattern regex filters at the source (F1)") {
+    val none = readAll(Map("tableNamePattern" -> "nomatch.*"), "filtered_none")
+    assert(none.count() === 0L)
+    val all = readAll(Map("tableNamePattern" -> "ev.*", "databaseNamePattern" -> "gr.ft"),
+      "filtered_all")
+    assert(all.count() === 1000L)
+  }
+
+  test("maxEventsPerTrigger caps each micro-batch (admission control)") {
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", dir).option("maxEventsPerTrigger", "250")
+      .load().writeStream.format("memory").queryName("capped")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("capped").count() === 1000L)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.nonEmpty && sizes.forall(_ <= 250L), s"batch sizes: ${sizes.mkString(",")}")
+    assert(sizes.length >= 4)
+  }
+
+  test("checkpoint restart resumes after log rotation without duplicates") {
+    // phase 1: only the first two binlog files exist (600 records)
+    val growDir = Files.createTempDirectory("grow").toString
+    val srcFiles = ChangelogFiles.listFiles(dir)
+    def copyFile(id: Long): Unit = {
+      val f = srcFiles.find(_._1 == id).get._2
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(growDir, f.getName).toPath)
+    }
+    java.nio.file.Files.copy(new java.io.File(dir, "schemas.json").toPath,
+      new java.io.File(growDir, "schemas.json").toPath)
+    copyFile(1); copyFile(2)
+
+    val ck = Files.createTempDirectory("ck-restart").toString
+    def run(name: String): Long = {
+      val q = spark.readStream.format("graft-binlog")
+        .option("path", growDir).option("maxEventsPerTrigger", "250")
+        .load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).count()
+    }
+    assert(run("restart1") === 600L)
+
+    // phase 2: the log rotates — two new files appear; a fresh query on
+    // the same checkpoint serves ONLY the new records
+    copyFile(3); copyFile(4)
+    val n2 = run("restart2")
+    assert(n2 === 400L)
+    val ids = CdcStream.parsed(spark.table("restart2"), rowSchema)
+      .select("event_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(ids.size === 400)
+  }
+
+  test("startingOffsets=latest sees nothing; explicit packed offset mid-log") {
+    val latest = readAll(Map("startingOffsets" -> "latest"), "from_latest")
+    assert(latest.count() === 0L)
+    val mid = BinlogOffset(3, 1).packed // skip files 1-2 (600 records)
+    val fromMid = readAll(Map("startingOffsets" -> mid.toString), "from_mid")
+    assert(fromMid.count() === 400L)
+    val viaIndex = readAll(Map("binlogIndex" -> "4", "binlogFileOffset" -> "51"), "via_index")
+    assert(viaIndex.count() === 50L)
+  }
+
+  test("batch read (spark.read) covers the whole log — bootstrap path") {
+    val df = spark.read.format("graft-binlog").option("path", dir).load()
+    assert(df.count() === 1000L)
+    assert(df.schema === BinlogDataSourceSchema)
+  }
+
+  private val BinlogDataSourceSchema =
+    graft.sources.binlog.BinlogDataSource.Schema
+
+  test("foreachBatch upsert materializes the same replica as the batch oracle query") {
+    val replicaDir = Files.createTempDirectory("replica").toString + "/state"
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", dir).option("maxEventsPerTrigger", "250")
+      .load().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val typed = CdcStream.parsed(batch, rowSchema)
+        CdcStream.applyBatchToReplica(replicaDir, typed,
+          idCols = Seq("user_id"),
+          orderCols = Seq(col("ts_ms"), col("event_id")))
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val replica = spark.read.parquet(replicaDir)
+      .select($"user_id", $"event_id".as("last_event_id"))
+    // oracle: the DuckDB-checked batch query (last op per user, delete drops)
+    val expect = graft.SparkEntry.queries("cdc_apply_changelog")(spark, sfDir)
+      .select($"user_id")
+    assert(replica.count() === expect.count())
+    assert(replica.select("user_id").exceptAll(expect).count() === 0L)
+  }
+}
