@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.llm.LlmQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.llm.LlmQueries.oracles
 }

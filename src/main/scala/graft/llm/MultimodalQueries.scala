@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked slice of the multimodal surface: payloads are built
+  * from the `documents` fixture (UTF-8 bytes of `text` — verified pure
+  * ASCII, so char positions == byte positions in both engines), then
+  * per-record metadata and deterministic frame hashes are computed.
+  * The codec-side operators (feature extraction, resize) are covered
+  * by `MultimodalSpec` instead — they are not SQL-expressible.
+  */
+object MultimodalQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  import Multimodal.FrameSize
+
+  val defs: Map[String, QFn] = Map(
+
+    "llm_multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"text",
+          length(encode($"text", "UTF-8")).as("n_bytes"),
+          md5($"text").as("checksum"))
+        .withColumn("n_frames",
+          expr(s"(n_bytes + ${FrameSize - 1}) div $FrameSize"))
+        .withColumn("first_frame_md5",
+          md5(expr(s"substr(text, 1, $FrameSize)")))
+        .withColumn("mid_frame_md5",
+          md5(expr(
+            s"substr(text, CAST(((n_frames - 1) div 2) * $FrameSize + 1 AS INT), $FrameSize)")))
+        .select($"doc_id", $"n_bytes", $"n_frames", $"checksum",
+          $"first_frame_md5", $"mid_frame_md5")
+        .orderBy($"doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_multimodal_frames" ->
+      s"""SELECT doc_id, n_bytes, n_frames, checksum,
+         |  md5(substr(text, 1, $FrameSize)) AS first_frame_md5,
+         |  md5(substr(text, ((n_frames - 1) // 2) * $FrameSize + 1, $FrameSize))
+         |    AS mid_frame_md5
+         |FROM (
+         |  SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |    (CAST(octet_length(encode(text)) AS BIGINT) + ${FrameSize - 1})
+         |      // $FrameSize AS n_frames,
+         |    md5(text) AS checksum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,171 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Text-analysis operator family over `documents`: per-document quality
+  * statistics, marker-word language identification, token counting
+  * (whitespace + a BPE-ish subword estimate), and a rolling-hash
+  * document fingerprint.
+  *
+  * All four are pure per-row Catalyst expression pipelines — no
+  * shuffle at all except the final gate-only `orderBy` — so they scale
+  * linearly: at 100 TB they are a single embarrassingly-parallel scan.
+  * Ratios are one IEEE double division of exact ints (bitwise
+  * reproducible); folds are sequential left-folds with the identical
+  * operation order in Spark (`aggregate`) and DuckDB
+  * (`list_reduce(list_prepend(init, …))`).
+  */
+object TextAnalysisQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** (language, marker words) in fixed priority order — ties in the
+    * arg-max resolve to the earliest entry in both engines.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "las", "y"),
+    "fr" -> Seq("le", "les", "des", "et"),
+    "zh" -> Seq("de", "shi", "le", "bu"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val defs: Map[String, QFn] = Map(
+
+    // --- per-document quality statistics --------------------------------
+    "llm_text_stats" -> { (s, dir) =>
+      import s.implicits._
+      val t = tokens($"text")
+      Tables(s, dir).documents
+        .select($"doc_id",
+          length($"text").as("n_chars"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct"),
+          size(filter(t, c => c.isin(stopwords.map(lit): _*))).as("n_stop"))
+        .withColumn("ttr", $"n_distinct".cast("double") / $"n_tokens")
+        .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+        .withColumn("avg_token_len",
+          ($"n_chars" - $"n_tokens" + 1).cast("double") / $"n_tokens")
+        .orderBy($"doc_id")
+    },
+
+    // --- marker-word language identification ----------------------------
+    "llm_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      val dt = array_distinct(tokens($"text"))
+      val scored = Tables(s, dir).documents
+        .select(Seq($"doc_id", $"lang") ++ langMarkers.map { case (l, ms) =>
+          size(array_intersect(dt, array(ms.map(lit): _*))).as(s"score_$l")
+        }: _*)
+      val mx = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+      val predicted = langMarkers.tail.foldLeft(
+        when(langMarkers.head match { case (l, _) => col(s"score_$l") === mx },
+          langMarkers.head._1)) { case (acc, (l, _)) =>
+        acc.when(col(s"score_$l") === mx, l)
+      }
+      scored
+        .withColumn("predicted", predicted)
+        .orderBy($"doc_id")
+    },
+
+    // --- whitespace + BPE-ish subword token counting --------------------
+    "llm_token_count" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id",
+          size(tokens($"text")).as("n_ws_tokens"),
+          // BPE-ish: each word costs ceil(len/4) subword units.
+          expr("""aggregate(
+                 |  transform(split(lower(text), ' '),
+                 |            t -> (length(t) + 3) div 4),
+                 |  0L, (acc, x) -> acc + x)""".stripMargin).as("n_subwords"))
+        .orderBy($"doc_id")
+    },
+
+    // --- rolling-hash document fingerprint ------------------------------
+    "llm_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id",
+          // Left-fold polynomial hash over character codepoints,
+          // acc' = (acc * 31 + code) mod 1e9+7 — same sequential order
+          // as the DuckDB list_reduce twin.
+          expr("""aggregate(
+                 |  transform(sequence(1, length(text)),
+                 |            i -> ascii(substr(text, i, 1))),
+                 |  0L, (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin)
+            .as("fingerprint"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val langScoresSql = langMarkers.map { case (l, ms) =>
+    val lst = ms.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_intersect(dt, [$lst])) AS INT) AS score_$l"
+  }.mkString(",\n  ")
+
+  private val langMaxSql =
+    "greatest(" + langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+
+  private val langCaseSql = "CASE " + langMarkers.map { case (l, _) =>
+    s"WHEN score_$l = mx THEN '$l'"
+  }.mkString(" ") + " END"
+
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_text_stats" ->
+      s"""SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop,
+         |  n_distinct::DOUBLE / n_tokens AS ttr,
+         |  n_stop::DOUBLE / n_tokens AS stop_ratio,
+         |  (n_chars - n_tokens + 1)::DOUBLE / n_tokens AS avg_token_len
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(len(t) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+         |    CAST(len(list_filter(t, c -> c IN ($stopListSql))) AS INT) AS n_stop
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_id" ->
+      s"""SELECT doc_id, lang, ${langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")},
+         |  $langCaseSql AS predicted
+         |FROM (
+         |  SELECT doc_id, lang, ${langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")},
+         |    $langMaxSql AS mx
+         |  FROM (
+         |    SELECT doc_id, lang, $langScoresSql
+         |    FROM (SELECT doc_id, lang, list_distinct($toksSql) AS dt
+         |          FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_ws_tokens,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, t -> (length(t) + 3) // 4)),
+         |    (acc, x) -> acc + x) AS n_subwords
+         |FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, CAST(length(text) AS INT) + 1),
+        |                     i -> ord(substr(text, i, 1)))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable text primitives shared by the LLM
+  * data-pipeline operators (dedup / analysis) and their DuckDB oracle
+  * twins.
+  *
+  * Every primitive is chosen so the SAME value is computable in DuckDB
+  * SQL: tokenisation is a plain single-space split (the fixture corpus
+  * is clean ASCII, single-spaced — verified), token hashes derive from
+  * md5 hex (bit-identical across engines), and all arithmetic stays in
+  * exact signed 64-bit ranges (no overflow, no engine-specific
+  * promotion). Where a ratio is emitted it is ONE IEEE double division
+  * of two exact integers — bitwise reproducible everywhere.
+  *
+  * Scale notes (100 TB): everything here is per-row Catalyst expression
+  * work — no shuffle, no UDF, no driver participation. Shuffles happen
+  * only in the consuming operators (groupBy/join), which are
+  * banded/bucketed by design (see [[DedupQueries]]): candidate
+  * generation is always a bucket equi-join, never an all-pairs cross
+  * join.
+  */
+object TextOps {
+
+  /** Mersenne prime 2^31-1 — modulus for MinHash permutations. Both
+    * factors of `a * h` stay < 2^31, so products stay < 2^62 and 64-bit
+    * signed arithmetic is exact in Spark and DuckDB alike.
+    */
+  val P: Long = 2147483647L
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** MinHash permutation coefficients `(a_i, b_i)`, fixed LCG-derived so
+    * the oracle SQL embeds identical literals. `a_i` is never 0 mod P.
+    */
+  val perms: IndexedSeq[(Long, Long)] = (0 until NumHashes).map { i =>
+    val a = (1664525L * (i + 1) + 1013904223L) % P
+    val b = (22695477L * (i + 1) + 7L) % P
+    (if (a == 0L) 1L else a, b)
+  }
+
+  // ---------------------------------------------------------------- Spark
+
+  /** lower + single-space split. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word-bigram shingles; empty array for <2 tokens (Spark's
+    * `sequence(1, 0)` would produce a DESCENDING range, hence the guard).
+    */
+  def bigramShingles(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      array_distinct(transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** First 8 hex chars of md5 → 32-bit value as long — the shared token
+    * hash both engines compute identically (`conv` here,
+    * `CAST('0x…' AS BIGINT)` in DuckDB).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact Jaccard of two pre-distinct string arrays — |A∩B| / |A∪B| as
+    * one double division of two exact ints.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // --------------------------------------------------- DuckDB oracle twins
+  // Keep in lockstep with the Column builders above.
+
+  /** `string_split(lower(text), ' ')` */
+  val toksSql: String = "string_split(lower(text), ' ')"
+
+  /** Distinct word-bigram shingles over a tokens-list expression `t`. */
+  def shinglesSql(t: String): String =
+    s"list_distinct([$t[i] || ' ' || $t[i+1] for i in range(1, len($t))])"
+
+  /** 32-bit md5-prefix hash of expression `e`. */
+  def hash32Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Exact Jaccard of two pre-distinct list expressions. */
+  def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))"
+}

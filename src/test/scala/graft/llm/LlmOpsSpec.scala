@@ -1,0 +1,154 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Property and behavior tests for the LLM-pipeline operators — the
+  * checks the DuckDB oracle cannot express: LSH recall against
+  * ground-truth pairs, MinHash signature semantics, codec plumbing.
+  */
+class LlmOpsSpec extends SparkSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exact dedup finds exactly the planted duplicate groups") {
+    val out = DedupQueries.defs("llm_exact_dedup")(spark, sfDir).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getAs[Long]("n_copies") == 2))
+    // keep_id is always the original (min) doc id, < 20 by construction
+    assert(out.forall(_.getAs[Long]("keep_id") < 20))
+  }
+
+  test("minhash-lsh output is a subset of true high-Jaccard pairs and catches near-exact ones") {
+    import graft.SparkSuite.spark.implicits._
+    // ground truth: blocked all-pairs exact bigram Jaccard (test-scale only)
+    val d = docs.select($"doc_id", TextOps.bigramShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val truth = d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        TextOps.jaccard(col("x.sh"), col("y.sh")).as("j"))
+      .filter($"j" >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val found = DedupQueries.defs("llm_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    // soundness: every reported pair IS a true >=0.3 pair
+    assert(found.forall(truth.contains))
+    // recall: banding (b=4, r=4) must catch essentially all >=0.8 pairs
+    val strong = truth.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty, "fixture should contain planted near-dupes")
+    val caught = strong.intersect(found)
+    assert(caught.size.toDouble / strong.size >= 0.9,
+      s"LSH recall too low: ${caught.size}/${strong.size}")
+  }
+
+  test("minhash signature equals direct per-document computation for a sample doc") {
+    import graft.SparkSuite.spark.implicits._
+    val row = docs.orderBy($"doc_id").first()
+    val text = row.getAs[String]("text")
+    // reference implementation in plain Scala
+    val toks = text.toLowerCase.split(' ')
+    val shingles = toks.sliding(2).map(_.mkString(" ")).toSet
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expected = TextOps.perms.map { case (a, b) =>
+      shingles.map(t => (a * (h32(t) % TextOps.P) + b) % TextOps.P).min
+    }
+
+    val tok = docs.filter($"doc_id" === row.getAs[Long]("doc_id"))
+      .select(explode(TextOps.bigramShingles($"text")).as("tok"))
+      .withColumn("h", TextOps.hash32($"tok") % TextOps.P)
+    val sig = tok.agg(
+      min((lit(TextOps.perms(0)._1) * $"h" + lit(TextOps.perms(0)._2)) % TextOps.P),
+      TextOps.perms.tail.map { case (a, b) =>
+        min((lit(a) * $"h" + lit(b)) % TextOps.P)
+      }: _*).first()
+    val actual = (0 until TextOps.NumHashes).map(sig.getLong)
+    assert(actual == expected)
+  }
+
+  test("fingerprint matches a reference rolling hash") {
+    import graft.SparkSuite.spark.implicits._
+    val out = TextAnalysisQueries.defs("llm_fingerprint")(spark, sfDir)
+      .orderBy($"doc_id").limit(5).collect()
+    val texts = docs.orderBy($"doc_id").limit(5).collect()
+    out.zip(texts).foreach { case (got, src) =>
+      val expected = src.getAs[String]("text")
+        .foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      assert(got.getAs[Long]("fingerprint") == expected)
+    }
+  }
+
+  test("embed top-k: rank 1 neighbor agrees with driver-side brute force") {
+    import graft.SparkSuite.spark.implicits._
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = SimilarityQueries.defs("llm_embed_topk")(spark, sfDir)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    for ((q, got) <- out) {
+      val expected = vecs.filter(_._1 != q)
+        .maxBy { case (id, v) => (cos(vecs(q), v), -id.toDouble) }._1
+      assert(got == expected, s"query $q: got $got expected $expected")
+    }
+  }
+
+  test("multimodal: features are batched, deterministic, and partition-preserving") {
+    val media = Multimodal.fromDocuments(spark, docs.limit(100)).repartition(7)
+    assert(media.rdd.getNumPartitions == 7)
+    val feats = Multimodal.extractFeatures(media, batchSize = 16)
+    assert(feats.rdd.getNumPartitions == 7) // narrow: no shuffle
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.features.length == 8))
+    // L1-normalized histogram sums to ~1
+    assert(rows.forall(r => math.abs(r.features.map(_.toDouble).sum - 1.0) < 1e-3))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, batchSize = 16).collect()
+    assert(rows.sortBy(_.docId).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.docId).map(_.features.toSeq).toSeq)
+  }
+
+  test("multimodal: frame sampling slices payload at frame boundaries") {
+    import graft.SparkSuite.spark.implicits._
+    val media = Multimodal.fromDocuments(spark, docs.limit(10))
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frameIdx % 2 == 0))
+    assert(frames.forall(_.frame.length <= Multimodal.FrameSize))
+    // frame 0 of each doc is the payload's first FrameSize bytes
+    val payloads = media.collect().map(m => m.docId -> m.payload).toMap
+    frames.filter(_.frameIdx == 0).foreach { f =>
+      assert(f.frame.sameElements(
+        payloads(f.docId).take(Multimodal.FrameSize)))
+    }
+  }
+
+  test("multimodal: resize truncates payload and keeps metadata consistent") {
+    val media = Multimodal.fromDocuments(spark, docs.limit(10))
+    val resized = Multimodal.resize(media, maxBytes = 50).collect()
+    assert(resized.forall(_.payload.length <= 50))
+    assert(resized.forall(r => r.meta.nBytes == r.payload.length))
+  }
+
+  test("lang-id predicts deterministically with fixed tie-break priority") {
+    val out = TextAnalysisQueries.defs("llm_lang_id")(spark, sfDir).collect()
+    assert(out.length == docs.count())
+    val langs = TextAnalysisQueries.langMarkers.map(_._1).toSet
+    assert(out.forall(r => langs.contains(r.getAs[String]("predicted"))))
+  }
+}
