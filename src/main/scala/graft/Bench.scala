@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall seconds.
+  *
+  * Methodology: queries run in FIXED (sorted) order; a full untimed
+  * warmup pass first absorbs session/codegen/IO-cache warmup so the
+  * timed pass measures steady state (round-over-round comparable);
+  * failures are reported in a separate `failed` list, never as fake
+  * timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,15 +20,32 @@ object Bench {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // untimed warmup pass (ignore failures here; they re-surface timed)
+    queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    var failed = List.empty[String]
+    val results = queries.flatMap { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          None
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

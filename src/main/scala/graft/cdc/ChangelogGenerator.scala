@@ -53,9 +53,15 @@ object ChangelogGenerator {
     var fileId = 1L
     var posInFile = 0L
     var out: BufferedWriter = null
+    var current: File = null
+    val written = scala.collection.mutable.LinkedHashMap.empty[String, (File, Long)]
     def roll(): Unit = {
-      if (out != null) out.close()
+      if (out != null) {
+        out.close()
+        written += current.getName -> (current, posInFile)
+      }
       val f = new File(dir, f"$prefix.$fileId%06d")
+      current = f
       out = new BufferedWriter(new OutputStreamWriter(
         new FileOutputStream(f), StandardCharsets.UTF_8))
     }
@@ -65,7 +71,7 @@ object ChangelogGenerator {
     while (it.hasNext) {
       val r: Row = it.next()
       if (posInFile >= recordsPerFile) {
-        fileId += 1; posInFile = 0; roll()
+        fileId += 1; roll(); posInFile = 0 // roll() records the closed file's count
       }
       posInFile += 1
       val et = r.getString(2)
@@ -86,5 +92,22 @@ object ChangelogGenerator {
       out.write("\n")
     }
     out.close()
+    written += current.getName -> (current, posInFile)
+
+    // manifest.json sidecar: per-file (length, count) so the source's
+    // per-trigger latestOffset never re-scans completed files
+    val mw = new java.io.StringWriter()
+    val mg = new com.fasterxml.jackson.core.JsonFactory().createGenerator(mw)
+    mg.writeStartObject()
+    written.foreach { case (name, (f, count)) =>
+      mg.writeObjectFieldStart(name)
+      mg.writeNumberField("length", f.length())
+      mg.writeNumberField("count", count)
+      mg.writeEndObject()
+    }
+    mg.writeEndObject()
+    mg.close()
+    java.nio.file.Files.write(new File(dir, ChangelogFiles.ManifestName).toPath,
+      mw.toString.getBytes(StandardCharsets.UTF_8))
   }
 }

@@ -1,8 +1,10 @@
 package graft.cdc
 
 import java.nio.charset.Charset
-import java.text.SimpleDateFormat
+import java.time.{Instant, ZoneId}
+import java.time.format.DateTimeFormatter
 import java.util.{BitSet => JBitSet, Date, TimeZone}
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.types._
 
@@ -53,15 +55,20 @@ object TypeKernels {
       s"cannot serialize BIT column as $other (only BooleanType/LongType)")
   }
 
+  /** Thread-safe cached formatters — a SimpleDateFormat per value would
+    * be a hot-path allocation once kernels sit in the feed.
+    */
+  private val formatters = new ConcurrentHashMap[(String, String), DateTimeFormatter]()
+  private def formatter(pattern: String, tz: String): DateTimeFormatter =
+    formatters.computeIfAbsent((pattern, tz),
+      _ => DateTimeFormatter.ofPattern(pattern).withZone(ZoneId.of(tz)))
+
   /** TIMESTAMP values: format in the session time zone
     * (MySQLCDCUtils.java:57-61 via Spark JSONOptions.timestampFormat).
     */
   def formatTimestamp(ts: java.sql.Timestamp, sessionTz: String,
-      pattern: String = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"): String = {
-    val f = new SimpleDateFormat(pattern)
-    f.setTimeZone(TimeZone.getTimeZone(sessionTz))
-    f.format(ts)
-  }
+      pattern: String = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"): String =
+    formatter(pattern, sessionTz).format(Instant.ofEpochMilli(ts.getTime))
 
   /** MySQL DATETIME is time-zone-less, but log clients decode it in the
     * JVM's local zone; compensate by subtracting the raw zone offset
@@ -75,11 +82,8 @@ object TypeKernels {
   /** DATE values → `yyyy-MM-dd` in the session zone
     * (MySQLCDCUtils.java:71-81).
     */
-  def formatDate(d: Date, sessionTz: String): String = {
-    val f = new SimpleDateFormat("yyyy-MM-dd")
-    f.setTimeZone(TimeZone.getTimeZone(sessionTz))
-    f.format(d)
-  }
+  def formatDate(d: Date, sessionTz: String): String =
+    formatter("yyyy-MM-dd", sessionTz).format(Instant.ofEpochMilli(d.getTime))
 
   /** Full cell conversion: raw decoded value + target Spark type →
     * envelope value. Mirrors MySQLCDCUtils.getWritableObject's
@@ -110,5 +114,59 @@ object TypeKernels {
     case d: java.math.BigDecimal => EnvelopeValue.VDecimal(d)
     case d: BigDecimal => EnvelopeValue.VDecimal(d.bigDecimal)
     case other => EnvelopeValue.VString(other.toString)
+  }
+
+  /** Convert a changelog cell that may carry a RAW variant
+    * ([[EnvelopeValue.VBytes]]/VBits/VDatetime/VDate/VTimestamp) into
+    * its envelope form, driven by the table schema's target type and
+    * the source's `binlog.field.decode.*` options — the feed-side
+    * wiring of the kernels above (reference wires this inside
+    * InsertRowsWriter via MySQLCDCUtils; we do it in the partition
+    * reader, once per emitted cell).
+    */
+  def convertCell(v: EnvelopeValue, col: String, dt: DataType,
+      sessionTz: String, charsetConf: Map[String, String]): EnvelopeValue = v match {
+    case b: EnvelopeValue.VBytes =>
+      EnvelopeValue.VString(decodeBytes(b.bytes, col, charsetConf))
+    case EnvelopeValue.VBits(bits) =>
+      val bs = new JBitSet()
+      bits.foreach(bs.set)
+      convertBitSet(bs, dt) match {
+        case b: Boolean => EnvelopeValue.VBool(b)
+        case l: Long    => EnvelopeValue.VLong(l)
+      }
+    case EnvelopeValue.VDatetime(ms) =>
+      // DATETIME is zone-less; the log client decoded it in the JVM
+      // default zone — compensate, then format (CDCU:63-69)
+      val comp = compensateDatetime(new Date(ms), TimeZone.getDefault)
+      EnvelopeValue.VString(formatTimestamp(new java.sql.Timestamp(comp.getTime), sessionTz))
+    case EnvelopeValue.VTimestamp(ms) =>
+      EnvelopeValue.VString(formatTimestamp(new java.sql.Timestamp(ms), sessionTz))
+    case EnvelopeValue.VDate(ms) =>
+      EnvelopeValue.VString(formatDate(new Date(ms), sessionTz))
+    case converted => converted
+  }
+
+  private def isRaw(v: EnvelopeValue): Boolean = v match {
+    case _: EnvelopeValue.VBytes | _: EnvelopeValue.VBits |
+         _: EnvelopeValue.VDatetime | _: EnvelopeValue.VDate |
+         _: EnvelopeValue.VTimestamp => true
+    case _ => false
+  }
+
+  /** Convert every raw cell of a row; rows with no raw cells return
+    * unchanged (zero-allocation fast path — the common case in the
+    * feed hot loop). `schema` may be null (e.g. the WAL path embeds
+    * none) — raw BIT cells then default to LongType.
+    */
+  def convertRow(row: Map[String, EnvelopeValue], schema: StructType,
+      sessionTz: String, charsetConf: Map[String, String]): Map[String, EnvelopeValue] = {
+    if (!row.exists(c => isRaw(c._2))) return row
+    val types: Map[String, DataType] =
+      if (schema == null) Map.empty
+      else schema.fields.map(f => f.name -> f.dataType).toMap
+    row.map { case (col, v) =>
+      col -> convertCell(v, col, types.getOrElse(col, LongType), sessionTz, charsetConf)
+    }
   }
 }

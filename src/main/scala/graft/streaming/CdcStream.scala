@@ -1,14 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+/** One envelope keyed for cross-batch dedup: `key` = `db.table`,
+  * `offset` = the packed log coordinate the source stamped into the
+  * envelope, `value` = the raw envelope JSON.
+  */
+final case class KeyedOffsetEvent(key: String, offset: Long, value: String)
+
 /** Consumer-side surface for the CDC envelope stream: typed expansion
-  * of the `value: String` JSON envelopes, and the upsert
-  * materialization pattern the reference delegates to delta-plus
-  * (README.md:88-99 — `syncType=binlog`, `idCols`).
+  * of the `value: String` JSON envelopes, cross-batch exactly-once
+  * dedup, and the upsert materialization pattern the reference
+  * delegates to delta-plus (README.md:88-99 — `syncType=binlog`,
+  * `idCols`).
   */
 object CdcStream {
 
@@ -22,11 +30,12 @@ object CdcStream {
     StructField("databaseName", StringType),
     StructField("tableName", StringType),
     StructField("schema", StringType),
+    StructField("offset", LongType),
     StructField("rows", ArrayType(rowSchema))))
 
   /** Expand a `value: String` envelope stream into typed columns:
-    * op/timestamp/db/table + one output row per changed row. Pure
-    * Catalyst (`from_json` + `explode`) — codegen'd, no UDF.
+    * op/timestamp/db/table/offset + one output row per changed row.
+    * Pure Catalyst (`from_json` + `explode`) — codegen'd, no UDF.
     */
   def parsed(envelopes: DataFrame, rowSchema: StructType): DataFrame = {
     val e = envelopes
@@ -36,9 +45,48 @@ object CdcStream {
         col("e.timestamp").as("ts_ms"),
         col("e.databaseName").as("databaseName"),
         col("e.tableName").as("tableName"),
+        col("e.offset").as("offset"),
         explode(col("e.rows")).as("row"))
     rowSchema.fieldNames.foldLeft(e) { (d, f) => d.withColumn(f, col(s"row.$f")) }
       .drop("row")
+  }
+
+  /** Key a raw envelope stream by `db.table` with its packed offset —
+    * the input shape for [[dedupMonotonic]]. Only the two name fields
+    * and the offset are extracted (`get_json_object`, no full parse).
+    */
+  def keyedByTable(envelopes: DataFrame): Dataset[KeyedOffsetEvent] = {
+    import envelopes.sparkSession.implicits._
+    envelopes.select(
+        concat(get_json_object(col("value"), "$.databaseName"), lit("."),
+          get_json_object(col("value"), "$.tableName")).as("key"),
+        coalesce(get_json_object(col("value"), "$.offset").cast("long"), lit(0L))
+          .as("offset"),
+        col("value"))
+      .as[KeyedOffsetEvent]
+  }
+
+  /** Cross-batch per-key monotonic-offset dedup (F7/ST7): drop any
+    * event whose offset is <= the maximum already served for its key —
+    * the reference's at-least-once re-read filter
+    * (OriginalSourceServerInExecutor.scala:165-171), held here in
+    * Spark's state store so it survives restarts via the checkpoint.
+    *
+    * Scale: state is ONE long per (db, table) key — bounded by table
+    * count, not row count (SURVEY.md §7 hard part #5). Events within a
+    * batch are sorted by offset so intra-batch duplicates collapse too.
+    */
+  def dedupMonotonic(events: Dataset[KeyedOffsetEvent]): Dataset[KeyedOffsetEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[KeyedOffsetEvent], state: GroupState[Long]) =>
+        val seen = state.getOption.getOrElse(Long.MinValue)
+        val fresh = it.filter(_.offset > seen).toVector
+          .sortBy(_.offset).distinctBy(_.offset)
+        if (fresh.nonEmpty) state.update(fresh.last.offset)
+        fresh.iterator
+    }
   }
 
   /** Reduce a CDC micro-batch to its net effect: the last op per key in
@@ -51,11 +99,39 @@ object CdcStream {
     batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Apply one CDC micro-batch to a parquet-backed replica (idCols
+  // ------------------------------------------------------- replica store
+  // Versioned-directory layout: <replicaDir>/v000000001, … plus a
+  // CURRENT pointer file naming the live version. The swap is: write
+  // the new version dir completely, then ATOMIC_MOVE a fresh pointer
+  // over CURRENT, then best-effort-delete superseded versions. A crash
+  // anywhere leaves either the old or the new version live — never
+  // neither (the delete-then-rename swap this replaces could lose the
+  // whole replica between its two steps).
+
+  private val Pointer = "CURRENT"
+
+  private def currentVersion(replicaDir: String): Option[(Long, java.io.File)] = {
+    val ptr = new java.io.File(replicaDir, Pointer)
+    if (!ptr.exists()) return None
+    val name = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val d = new java.io.File(replicaDir, name)
+    if (d.isDirectory) Some((name.stripPrefix("v").toLong, d)) else None
+  }
+
+  /** Read the live replica version (empty relation requires a caller-side
+    * existence check — returns None when no version was ever committed).
+    */
+  def readReplica(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String): Option[DataFrame] =
+    currentVersion(replicaDir).map { case (_, d) => spark.read.parquet(d.toString) }
+
+  /** Apply one CDC micro-batch to the versioned parquet replica (idCols
     * upsert + delete) — `foreachBatch` body reproducing the reference's
     * downstream `MERGE` pattern. At production scale the same logic
-    * targets a Delta/Iceberg MERGE; the parquet swap here keeps the
-    * test environment dependency-free.
+    * targets a Delta/Iceberg MERGE (which brings real atomic commit);
+    * the versioned-pointer swap keeps the test environment
+    * dependency-free while staying crash-safe.
     */
   def applyBatchToReplica(
       replicaDir: String,
@@ -69,22 +145,34 @@ object CdcStream {
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
     val keys = net.select(idCols.map(col): _*)
 
-    val dir = new java.io.File(replicaDir)
-    val merged =
-      if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty) {
-        val replica = spark.read.parquet(replicaDir)
-        replica.join(broadcast(keys), idCols, "left_anti").unionByName(upserts)
-      } else upserts
-
-    val tmp = replicaDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: parquet has no MERGE; real deployments use Delta
-    val old = new java.io.File(replicaDir)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
-      f.delete()
+    new java.io.File(replicaDir).mkdirs()
+    val cur = currentVersion(replicaDir)
+    val merged = cur match {
+      case Some((_, d)) =>
+        spark.read.parquet(d.toString)
+          .join(broadcast(keys), idCols, "left_anti").unionByName(upserts)
+      case None => upserts
     }
-    delete(old)
-    new java.io.File(tmp).renameTo(old)
+
+    val nextV = cur.map(_._1 + 1).getOrElse(1L)
+    val nextName = f"v$nextV%09d"
+    merged.write.mode("overwrite").parquet(s"$replicaDir/$nextName")
+
+    // publish: write pointer aside, atomically move over CURRENT
+    val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
+    java.nio.file.Files.write(tmpPtr,
+      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    // GC superseded versions (best effort; failure leaves garbage, not loss)
+    cur.foreach { case (_, old) =>
+      def delete(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+        f.delete()
+      }
+      delete(old)
+    }
   }
 }

@@ -56,4 +56,42 @@ class ChangelogSpec extends SparkSuite {
     assert(Set("insert", "update", "delete").contains(rec.op))
     assert(rec.row.keySet === Set("event_id", "user_id", "event_type", "value", "props"))
   }
+
+  test("manifest sidecar carries exact per-file lengths and counts") {
+    val m = ChangelogFiles.manifest(dir)
+    val files = ChangelogFiles.listFiles(dir)
+    assert(m.keySet === files.map(_._2.getName).toSet)
+    files.foreach { case (_, f) =>
+      assert(m(f.getName) === ((f.length(), ChangelogFiles.recordCount(f))))
+    }
+    assert(ChangelogFiles.manifestCount(dir, files.head._2.getName) === Some(300L))
+    assert(ChangelogFiles.manifestCount(dir, "graft-bin.999999") === None)
+  }
+
+  test("recordCount counts incrementally on append and tolerates blank lines") {
+    val d = Files.createTempDirectory("graft-count").toString
+    val f = new java.io.File(d, "graft-bin.000001")
+    def append(s: String): Unit = {
+      val w = new java.io.FileWriter(f, true); w.write(s); w.close()
+      // mtime granularity can be 1s; force a visible change
+      f.setLastModified(f.lastModified() + 1000)
+    }
+    append("{\"pos\":1,\"op\":\"insert\",\"db\":\"g\",\"table\":\"t\",\"ts\":1,\"row\":{}}\n")
+    assert(ChangelogFiles.recordCount(f) === 1L)
+    // blank line consumes a pos in BOTH counting and reading
+    append("\n")
+    assert(ChangelogFiles.recordCount(f) === 2L)
+    append("{\"pos\":3,\"op\":\"insert\",\"db\":\"g\",\"table\":\"t\",\"ts\":3,\"row\":{}}\n")
+    assert(ChangelogFiles.recordCount(f) === 3L)
+    val recs = ChangelogFiles.readRange(f, 1, 4).toSeq
+    assert(recs.map(_.pos) === Seq(1L, 3L)) // blank pos 2 emits nothing
+  }
+
+  test("readRange close() releases the reader before exhaustion") {
+    val f = ChangelogFiles.listFiles(dir).head._2
+    val it = ChangelogFiles.readRange(f, 1, 100)
+    assert(it.hasNext)
+    it.close()   // must not throw; double-close safe
+    it.close()
+  }
 }

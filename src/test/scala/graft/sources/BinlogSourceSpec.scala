@@ -102,26 +102,35 @@ class BinlogSourceSpec extends SparkSuite {
       new java.io.File(growDir, "schemas.json").toPath)
     copyFile(1); copyFile(2)
 
+    // The memory sink cannot recover from a checkpoint, so the restart
+    // goes through foreachBatch into an append-only parquet dir — the
+    // shape a real consumer has, and one that exercises the source's
+    // DSv2 offset recovery for real.
     val ck = Files.createTempDirectory("ck-restart").toString
-    def run(name: String): Long = {
+    val outDir = Files.createTempDirectory("restart-out").toString + "/rows"
+    def run(): Long = {
       val q = spark.readStream.format("graft-binlog")
         .option("path", growDir).option("maxEventsPerTrigger", "250")
-        .load().writeStream.format("memory").queryName(name)
+        .load().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
         .option("checkpointLocation", ck).start()
       try q.processAllAvailable() finally q.stop()
-      spark.table(name).count()
+      spark.read.parquet(outDir).count()
     }
-    assert(run("restart1") === 600L)
+    assert(run() === 600L)
 
     // phase 2: the log rotates — two new files appear; a fresh query on
-    // the same checkpoint serves ONLY the new records
+    // the same checkpoint serves ONLY the new records (total 1000, no
+    // duplicates, no loss across the restart boundary)
     copyFile(3); copyFile(4)
-    val n2 = run("restart2")
-    assert(n2 === 400L)
-    val ids = CdcStream.parsed(spark.table("restart2"), rowSchema)
+    assert(run() === 1000L)
+    val ids = CdcStream.parsed(spark.read.parquet(outDir), rowSchema)
       .select("event_id")
-      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
-    assert(ids.size === 400)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    assert(ids.length === 1000)
+    assert(ids.toSet.size === 1000, "duplicate event_ids across restart")
   }
 
   test("startingOffsets=latest sees nothing; explicit packed offset mid-log") {
@@ -143,6 +152,34 @@ class BinlogSourceSpec extends SparkSuite {
   private val BinlogDataSourceSchema =
     graft.sources.binlog.BinlogDataSource.Schema
 
+  test("failOnDataLoss: empty-dir sentinel and fully-consumed purged head are not losses") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.binlog.{BinlogPartitioning, BinlogSourceConf}
+    def confFor(d: String) = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map("path" -> d).asJava))
+
+    // sentinel (0,1): stream began on an empty dir, files appeared later
+    val parts = BinlogPartitioning.plan(confFor(dir),
+      BinlogOffset(0, 1), ChangelogFiles.latestOffset(dir))
+    assert(parts.nonEmpty, "sentinel start must serve from the beginning, not throw")
+
+    // prune the head file but keep the manifest: a reader that fully
+    // consumed it (pos = count+1) is fine; one mid-file is a real loss
+    val pruned = Files.createTempDirectory("pruned").toString
+    ChangelogFiles.listFiles(dir).filter(_._1 >= 2).foreach { case (_, f) =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(pruned, f.getName).toPath)
+    }
+    for (aux <- Seq("schemas.json", ChangelogFiles.ManifestName)) {
+      java.nio.file.Files.copy(new java.io.File(dir, aux).toPath,
+        new java.io.File(pruned, aux).toPath)
+    }
+    val latest = ChangelogFiles.latestOffset(pruned)
+    assert(BinlogPartitioning.plan(confFor(pruned), BinlogOffset(1, 301), latest).nonEmpty)
+    intercept[IllegalStateException] {
+      BinlogPartitioning.plan(confFor(pruned), BinlogOffset(1, 200), latest)
+    }
+  }
+
   test("foreachBatch upsert materializes the same replica as the batch oracle query") {
     val replicaDir = Files.createTempDirectory("replica").toString + "/state"
     val q = spark.readStream.format("graft-binlog")
@@ -158,7 +195,7 @@ class BinlogSourceSpec extends SparkSuite {
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    val replica = spark.read.parquet(replicaDir)
+    val replica = CdcStream.readReplica(spark, replicaDir).get
       .select($"user_id", $"event_id".as("last_event_id"))
     // oracle: the DuckDB-checked batch query (last op per user, delete drops)
     val expect = graft.SparkEntry.queries("cdc_apply_changelog")(spark, sfDir)

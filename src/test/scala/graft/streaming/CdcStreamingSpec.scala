@@ -1,0 +1,177 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSuite, Tables}
+import graft.cdc._
+
+/** Streaming-semantics suite: cross-batch exactly-once dedup (F7/ST7),
+  * commit-time retention (ST5), the crash-safe replica swap, and the
+  * event-time window/session twins of the oracle-checked batch queries
+  * q19/q20 (ST9).
+  */
+class CdcStreamingSpec extends SparkSuite {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def freshChangelog(recordsPerFile: Long = 300): String = {
+    val d = Files.createTempDirectory("graft-stream").toString
+    ChangelogGenerator.generate(Tables(spark, sfDir).events, d, recordsPerFile)
+    d
+  }
+
+  test("dedupMonotonic: re-served overlapping ranges yield exactly-once output") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedOffsetEvent]
+    val q = CdcStream.dedupMonotonic(in.toDS()).writeStream
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .outputMode("append").start()
+    def ev(off: Long) = KeyedOffsetEvent("graft.events", off, s"""{"n":$off}""")
+
+    in.addData((1L to 100L).map(ev): _*)
+    q.processAllAvailable()
+    // a retry re-serves 50..150 — the 50..100 overlap must be dropped
+    in.addData((50L to 150L).map(ev): _*)
+    q.processAllAvailable()
+    // and a full re-serve of everything must add nothing
+    in.addData((1L to 150L).map(ev): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val offs = spark.table("dedup_out").select("offset")
+      .as[Long].collect().sorted
+    assert(offs.length === 150, s"expected exactly-once 150, got ${offs.length}")
+    assert(offs.toSeq === (1L to 150L))
+  }
+
+  test("source envelopes carry monotonic offsets usable for keyed dedup") {
+    val dir = freshChangelog()
+    val df = spark.read.format("graft-binlog").option("path", dir).load()
+    val keyed = CdcStream.keyedByTable(df).collect()
+    assert(keyed.length === 1000)
+    assert(keyed.forall(_.key == "graft.events"))
+    val offs = keyed.map(_.offset).sorted
+    assert(offs.distinct.length === 1000, "offsets must be unique")
+    assert(offs.head === BinlogOffset(1, 1).packed)
+    assert(offs.last === BinlogOffset(4, 100).packed)
+  }
+
+  test("pruneCommitted: fully-consumed files are deleted on commit and restart still works") {
+    val dir = freshChangelog()
+    val ck = Files.createTempDirectory("ck-prune").toString
+    def run(name: String): Long = {
+      val q = spark.readStream.format("graft-binlog")
+        .option("path", dir).option("pruneCommitted", "true")
+        .option("maxEventsPerTrigger", "250")
+        .load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck).start()
+      try { q.processAllAvailable(); spark.table(name).count() }
+      finally q.stop()
+    }
+    assert(run("prune1") === 1000L)
+    // commit(end_k) fires when batch k+1 starts, so the last batch's
+    // prune point is one behind: files 1-2 are gone, 3-4 remain
+    val remaining = ChangelogFiles.listFiles(dir).map(_._1)
+    assert(remaining === Seq(3L, 4L), s"files left: $remaining")
+    // restart on the same checkpoint: offsets point at/past pruned files,
+    // the manifest proves they were fully consumed → no data-loss error
+    // (foreachBatch sink — memory sink cannot recover from a checkpoint)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q2 = spark.readStream.format("graft-binlog")
+      .option("path", dir).option("pruneCommitted", "true")
+      .load().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(batch.count()); ()
+      }
+      .option("checkpointLocation", ck).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.get() === 0L) // nothing new
+  }
+
+  test("replica swap is versioned: CURRENT pointer flips, old version GC'd") {
+    val dir = Files.createTempDirectory("replica-v").toString + "/r"
+    def batchDf(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("user_id", "op", "event_id")
+    CdcStream.applyBatchToReplica(dir, batchDf(Seq((1L, "insert", 10L), (2L, "insert", 11L))),
+      idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
+    val v1 = CdcStream.readReplica(spark, dir).get.collect()
+    assert(v1.length === 2)
+    assert(new java.io.File(dir, "v000000001").isDirectory)
+
+    CdcStream.applyBatchToReplica(dir, batchDf(Seq((2L, "delete", 12L), (3L, "insert", 13L))),
+      idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
+    val v2 = CdcStream.readReplica(spark, dir).get
+      .select("user_id").as[Long].collect().sorted
+    assert(v2.toSeq === Seq(1L, 3L))
+    assert(new java.io.File(dir, "v000000002").isDirectory)
+    assert(!new java.io.File(dir, "v000000001").exists(), "old version must be GC'd")
+  }
+
+  test("streaming event-time window twin matches batch q19 (ST9)") {
+    val dir = freshChangelog()
+    val stream = spark.readStream.format("graft-binlog").option("path", dir).load()
+    val parsed = CdcStream.parsed(stream, rowSchema)
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val agg = parsed
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis($"window.start").as("hour_start_ms"),
+        $"event_type", $"n_events")
+    val q = agg.writeStream.format("memory").queryName("q19_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("q19_stream")
+      .orderBy("hour_start_ms", "event_type").collect().toSeq
+    val want = Tables(spark, sfDir).events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis($"window.start").as("hour_start_ms"),
+        $"event_type", $"n_events")
+      .orderBy("hour_start_ms", "event_type").collect().toSeq
+    assert(got === want)
+  }
+
+  test("streaming session-window twin matches batch q20 (ST9)") {
+    val dir = freshChangelog()
+    val stream = spark.readStream.format("graft-binlog").option("path", dir).load()
+    val parsed = CdcStream.parsed(stream, rowSchema)
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val agg = parsed
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_millis($"session_window.start").as("session_start_ms"),
+        $"n_events")
+    val q = agg.writeStream.format("memory").queryName("q20_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("q20_stream")
+      .orderBy("user_id", "session_start_ms").collect().toSeq
+    val want = Tables(spark, sfDir).events
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_millis($"session_window.start").as("session_start_ms"),
+        $"n_events")
+      .orderBy("user_id", "session_start_ms").collect().toSeq
+    assert(got === want)
+  }
+}
