@@ -1,0 +1,87 @@
+package graft.cdc
+
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Deterministic multi-region WAL fixture generator: shards the
+  * `events` fixture into `<outDir>/<region>/` sub-changelogs of HBase
+  * put/delete mutations (region = user_id hash bucket — the analog of
+  * an HBase region split by rowkey). Rows use the HBase envelope shape:
+  * `rowkey` + `family:qualifier` string cells (PutWriter.java:25-39).
+  *
+  * Like [[ChangelogGenerator]], this is a driver-side fixture WRITER
+  * (test scale); the reading path is what is built for scale.
+  */
+object WalGenerator {
+
+  def generate(events: DataFrame, outDir: String, numRegions: Int,
+      recordsPerFile: Long,
+      prefix: String = ChangelogFiles.DefaultPrefix): Unit = {
+    require(numRegions > 0)
+    val root = new File(outDir)
+    root.mkdirs()
+
+    final class RegionWriter(val region: String) {
+      val dir = new File(root, region)
+      dir.mkdirs()
+      var fileId = 1L
+      var posInFile = 0L
+      var out: BufferedWriter = _
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, (File, Long)]
+      var current: File = _
+      def roll(): Unit = {
+        if (out != null) { out.close(); counts += current.getName -> (current, posInFile) }
+        current = new File(dir, f"$prefix.$fileId%06d")
+        out = new BufferedWriter(new OutputStreamWriter(
+          new FileOutputStream(current), StandardCharsets.UTF_8))
+      }
+      roll()
+      def write(r: Row): Unit = {
+        if (posInFile >= recordsPerFile) { fileId += 1; roll(); posInFile = 0 }
+        posInFile += 1
+        val et = r.getString(2)
+        val op = if (et == "error") "delete" else "put"
+        val row = Map[String, EnvelopeValue](
+          "rowkey" -> EnvelopeValue.VString(r.getLong(1).toString),
+          "d:event_id" -> EnvelopeValue.VString(r.getLong(0).toString),
+          "d:event_type" -> EnvelopeValue.VString(et),
+          "d:value" -> EnvelopeValue.VString(r.getDouble(3).toString))
+        out.write(ChangelogRecord.write(
+          ChangelogRecord(posInFile, op, "wal", region, r.getLong(4), row)))
+        out.write("\n")
+      }
+      def close(): Unit = {
+        out.close()
+        counts += current.getName -> (current, posInFile)
+        val sw = new java.io.StringWriter()
+        val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+        g.writeStartObject()
+        counts.foreach { case (name, (f, c)) =>
+          g.writeObjectFieldStart(name)
+          g.writeNumberField("length", f.length())
+          g.writeNumberField("count", c)
+          g.writeEndObject()
+        }
+        g.writeEndObject()
+        g.close()
+        java.nio.file.Files.write(new File(dir, ChangelogFiles.ManifestName).toPath,
+          sw.toString.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+    val writers = (0 until numRegions)
+      .map(i => i -> new RegionWriter(f"region-$i%03d")).toMap
+
+    val it = events
+      .selectExpr("event_id", "user_id", "event_type", "value", "unix_millis(ts) AS ts_ms")
+      .orderBy("ts_ms", "event_id")
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      writers((r.getLong(1) % numRegions).toInt).write(r)
+    }
+    writers.values.foreach(_.close())
+  }
+}

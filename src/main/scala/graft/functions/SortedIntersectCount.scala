@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** `sorted_intersect_count(a, b)`: |a ∩ b| for two ASCENDING-sorted
+  * long arrays, by two-pointer merge — O(n+m) with zero per-row
+  * allocation, fully whole-stage-codegen'd.
+  *
+  * Why a custom Expression (SURVEY §2.9 preference order): the blocked
+  * pairwise dedup verify calls this once per candidate pair; Spark's
+  * builtin `array_intersect` builds a hash set per row (boxing +
+  * allocation), which dominated the n-gram Jaccard bench. Sorting is
+  * hoisted to once per DOCUMENT (`array_sort` in the projection), so
+  * the per-PAIR work is a primitive merge scan — the classic
+  * decomposition.
+  *
+  * Inputs must be duplicate-free and sorted; outputs then equal
+  * `size(array_intersect(a, b))` exactly (the DuckDB oracle keeps
+  * using `list_intersect` — same count, engine-portable).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0;
+         |final int $n = $a.numElements(), $m = $b.numElements();
+         |int ${ev.value}Tmp = 0;
+         |while ($i < $n && $j < $m) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { ${ev.value}Tmp++; $i++; $j++; }
+         |}
+         |${ev.value} = ${ev.value}Tmp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions — callable from
+  * `expr("sorted_intersect_count(a, b)")` after [[register]].
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hashed_word_bigrams"),
+      new ExpressionInfo(classOf[HashedWordBigrams].getName,
+        "hashed_word_bigrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "hashed_word_bigrams takes exactly 1 argument")
+        HashedWordBigrams(children.head)
+      })
+  }
+}

@@ -49,19 +49,20 @@ object DedupQueries {
       |SELECT doc_id + 10000 AS doc_id, upper(text) AS text
       |FROM documents WHERE doc_id < 20""".stripMargin
 
-  /** doc_id + distinct bigram-shingle set, shingle-less docs dropped
-    * (consistently in both engines).
+  /** doc_id + sorted distinct HASHED bigram-shingle set (longs),
+    * shingle-less docs dropped — the shared base of minhash/simhash/
+    * n-gram Jaccard, computed in one native pass per document.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir).documents
-      .select($"doc_id", bigramShingles($"text").as("sh"))
+      .select($"doc_id", hashedShingles($"text").as("sh"))
       .filter(size($"sh") > 0)
   }
 
   private val shingledSql =
     s"""SELECT doc_id, sh FROM (
-       |    SELECT doc_id, ${shinglesSql("t")} AS sh
+       |    SELECT doc_id, ${hashedShinglesSql("t")} AS sh
        |    FROM (SELECT doc_id, $toksSql AS t FROM documents))
        |  WHERE len(sh) > 0""".stripMargin
 
@@ -82,19 +83,23 @@ object DedupQueries {
     "llm_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
       val docs = shingled(s, dir)
-      val tok = docs.select($"doc_id", explode($"sh").as("tok"))
-        .withColumn("h", hash32($"tok") % P)
+      val tok = docs.select($"doc_id", explode($"sh").as("h0"))
+        .withColumn("h", $"h0" % P)
       val sig = tok.groupBy($"doc_id").agg(
         min((lit(perms(0)._1) * $"h" + lit(perms(0)._2)) % P).as("m0"),
         perms.zipWithIndex.tail.map { case ((a, b), i) =>
           min((lit(a) * $"h" + lit(b)) % P).as(s"m$i")
         }: _*)
-      val bands = (0 until Bands).map { k =>
+      // all 4 band hashes in ONE projection + explode — a 4-way union
+      // would recompute the whole signature pipeline per band
+      val bandCols = (0 until Bands).map { k =>
         val cols = (0 until RowsPerBand)
           .map(r => col(s"m${k * RowsPerBand + r}").cast("string"))
-        sig.select($"doc_id", lit(k).as("band"),
-          md5(concat_ws(",", cols: _*)).as("bh"))
-      }.reduce(_ unionByName _)
+        struct(lit(k).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))
+      }
+      val bands = sig
+        .select($"doc_id", explode(array(bandCols: _*)).as("s"))
+        .select($"doc_id", col("s.band").as("band"), col("s.bh").as("bh"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -113,8 +118,7 @@ object DedupQueries {
     "llm_simhash" -> { (s, dir) =>
       import s.implicits._
       val tok = shingled(s, dir)
-        .select($"doc_id", explode($"sh").as("tok"))
-        .withColumn("h", hash32($"tok"))
+        .select($"doc_id", explode($"sh").as("h"))
       val bitSums = (0 until 32).map { i =>
         sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) === 1, 1)
           .otherwise(-1)).as(s"s$i")
@@ -124,10 +128,13 @@ object DedupQueries {
         (0 until 32).map(i =>
           when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      val bands = (0 until 4).map { k =>
-        simhash.select($"doc_id", $"simhash", lit(k).as("band"),
+      val bandCols = (0 until 4).map { k =>
+        struct(lit(k).as("band"),
           shiftright($"simhash", 8 * k).bitwiseAND(lit(255L)).as("bb"))
-      }.reduce(_ unionByName _)
+      }
+      val bands = simhash
+        .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("s"))
+        .select($"doc_id", $"simhash", col("s.band").as("band"), col("s.bb").as("bb"))
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bb") === col("y.bb") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -140,23 +147,29 @@ object DedupQueries {
     },
 
     // --- blocked exact n-gram Jaccard -----------------------------------
-    // Shingles are pre-hashed to longs: the pairwise intersect then
-    // compares ints, not strings — the difference between 42 s and 4 s
-    // at sf0.1, and the shape that survives 100× (blocked pair count ×
-    // O(|shingles|) integer ops).
+    // Shingles are hashed to longs and SORTED once per document; the
+    // per-pair work is then a codegen'd two-pointer merge count
+    // (graft.functions.SortedIntersectCount) — zero allocation on the
+    // blocked-pairwise hot path, the shape that survives 100×.
     "llm_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      // composite blocking key (source, lang) bounds each block — the
+      // pair count is Σ_block |block|², never N²
       val d = Tables(s, dir).documents
-        .select($"source", $"doc_id", hashedShingles($"text").as("sh"))
+        .select($"source", $"lang", $"doc_id", hashedShingles($"text").as("sh"))
         .filter(size($"sh") > 0)
       d.as("x").join(d.as("y"),
           col("x.source") === col("y.source") &&
+            col("x.lang") === col("y.lang") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.source").as("source"),
+        .withColumn("n_common", expr("sorted_intersect_count(x.sh, y.sh)"))
+        .select(col("x.source").as("source"), col("x.lang").as("lang"),
           col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
-        .filter($"jaccard" >= 0.2)
-        .orderBy($"source", $"doc_a", $"doc_b")
+          ($"n_common".cast("double") /
+            (size(col("x.sh")) + size(col("y.sh")) - $"n_common")).as("jaccard"))
+        .filter($"jaccard" >= 0.1)
+        .orderBy($"source", $"lang", $"doc_a", $"doc_b")
     }
   )
 
@@ -197,7 +210,7 @@ object DedupQueries {
     "llm_minhash_lsh" ->
       s"""WITH docs AS ($shingledSql),
          |tok AS (
-         |  SELECT doc_id, ${hash32Sql("tok")} % $P AS h
+         |  SELECT doc_id, tok % $P AS h
          |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
          |$minhashSigSql,
          |bands AS (
@@ -217,8 +230,7 @@ object DedupQueries {
     "llm_simhash" ->
       s"""WITH docs AS ($shingledSql),
          |tok AS (
-         |  SELECT doc_id, ${hash32Sql("tok")} AS h
-         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
+         |  SELECT doc_id, unnest(sh) AS h FROM docs),
          |sums AS (
          |  SELECT doc_id, $simhashSumsSql
          |  FROM tok GROUP BY doc_id),
@@ -236,15 +248,17 @@ object DedupQueries {
 
     "llm_ngram_jaccard" ->
       s"""WITH d AS (
-         |  SELECT source, doc_id, sh FROM (
-         |    SELECT source, doc_id, ${hashedShinglesSql("t")} AS sh
-         |    FROM (SELECT source, doc_id, $toksSql AS t FROM documents))
+         |  SELECT source, lang, doc_id, sh FROM (
+         |    SELECT source, lang, doc_id, ${hashedShinglesSql("t")} AS sh
+         |    FROM (SELECT source, lang, doc_id, $toksSql AS t FROM documents))
          |  WHERE len(sh) > 0)
          |SELECT * FROM (
-         |  SELECT x.source AS source, x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  SELECT x.source AS source, x.lang AS lang,
+         |    x.doc_id AS doc_a, y.doc_id AS doc_b,
          |    ${jaccardSql("x.sh", "y.sh")} AS jaccard
-         |  FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id)
-         |WHERE jaccard >= 0.2
-         |ORDER BY 1, 2, 3""".stripMargin
+         |  FROM d x JOIN d y ON x.source = y.source AND x.lang = y.lang
+         |    AND x.doc_id < y.doc_id)
+         |WHERE jaccard >= 0.1
+         |ORDER BY 1, 2, 3, 4""".stripMargin
   )
 }

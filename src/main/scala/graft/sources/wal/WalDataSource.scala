@@ -1,0 +1,265 @@
+package graft.sources.wal
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc._
+
+/** Multi-partition WAL-tailing CDC source — the analog of the
+  * reference's HBase-WAL module (MLSQLHBaseWALDataSource.scala), which
+  * proves the envelope/offset machinery generalizes past one table
+  * shape:
+  *
+  *  - the log is REGION-PARTITIONED: `<path>/<region>/<prefix>.%06d`
+  *    sub-logs that advance independently;
+  *  - the offset is a Kafka-style MAP `{region → packed(fileId,pos)}`
+  *    (reference CommonSourceOffset.scala:14-53 mirrors
+  *    KafkaSourceOffset the same way) — a slow region never stalls the
+  *    others, the scalable shape the single-long binlog offset lacks;
+  *  - events are put/delete mutations with HBase-ish rows
+  *    (`rowkey` + `family:qualifier` cells), schema-less envelopes
+  *    (hbase AbstractEventWriter.java:39 embeds null);
+  *  - planInputPartitions emits one partition set PER REGION
+  *    (reference HWDS:248 runs one partition per region; we further
+  *    chunk large ranges for reader parallelism).
+  */
+class WalDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-wal"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(schema == WalDataSource.Schema,
+      s"graft-wal has a fixed schema ${WalDataSource.Schema.simpleString}")
+    new WalTable(new CaseInsensitiveStringMap(properties))
+  }
+}
+
+object WalDataSource {
+  val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Region sub-dirs under the WAL root, sorted for determinism (W2). */
+  def listRegions(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+}
+
+final class WalTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-wal(${options.get("path")})"
+  override def schema(): StructType = WalDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new WalScan(opts)
+    }
+}
+
+final class WalScan(options: CaseInsensitiveStringMap) extends Scan {
+  private val conf = WalSourceConf(options)
+  override def readSchema(): StructType = WalDataSource.Schema
+  override def description(): String = s"graft-wal ${conf.dir}"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WalMicroBatchStream(conf)
+  override def toBatch: Batch = new WalBatch(conf)
+}
+
+final case class WalSourceConf(
+    dir: String,
+    prefix: String,
+    maxEventsPerTrigger: Option[Long],
+    maxRecordsPerPartition: Long) extends Serializable
+
+object WalSourceConf {
+  def apply(options: CaseInsensitiveStringMap): WalSourceConf = {
+    val dir = options.get("path")
+    require(dir != null, "option 'path' (WAL root directory) is required")
+    WalSourceConf(
+      dir = dir,
+      prefix = Option(options.get("prefix")).getOrElse(ChangelogFiles.DefaultPrefix),
+      maxEventsPerTrigger = Option(options.get("maxEventsPerTrigger")).map(_.toLong),
+      maxRecordsPerPartition =
+        Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L))
+  }
+}
+
+/** Kafka-style map offset `{region: packedLong}` with deterministic
+  * (sorted-key) JSON — the CommonSourceOffset shape
+  * (CommonSourceOffset.scala:24-53 serializes partition maps the same
+  * way; W3 deterministic ordering).
+  */
+final case class WalOffset(regions: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val sw = new java.io.StringWriter()
+    val g = new JsonFactory().createGenerator(sw)
+    g.writeStartObject()
+    regions.toSeq.sortBy(_._1).foreach { case (r, off) => g.writeNumberField(r, off) }
+    g.writeEndObject()
+    g.close()
+    sw.toString
+  }
+}
+
+object WalOffset {
+  def parse(json: String): WalOffset = {
+    val p = new JsonFactory().createParser(json)
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    require(p.nextToken() == JsonToken.START_OBJECT, "wal offset must be a JSON object")
+    while (p.nextToken() != JsonToken.END_OBJECT) {
+      val r = p.currentName(); p.nextToken(); m += r -> p.getLongValue
+    }
+    p.close()
+    WalOffset(m.toMap)
+  }
+}
+
+final class WalMicroBatchStream(conf: WalSourceConf)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def regionDir(r: String): String = s"${conf.dir}/$r"
+
+  override def initialOffset(): Offset =
+    WalOffset(WalDataSource.listRegions(conf.dir).map { r =>
+      r -> ChangelogFiles.earliestOffset(regionDir(r), conf.prefix).packed
+    }.toMap)
+
+  override def getDefaultReadLimit: ReadLimit =
+    conf.maxEventsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  /** Per-region independent advance. Under a row cap, the budget splits
+    * evenly across regions (min 1) — a stalled/slow region can neither
+    * stall the others nor starve itself.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = start.asInstanceOf[WalOffset].regions
+    // regions discovered now ∪ regions already tracked (a region dir
+    // disappearing must not drop its checkpointed offset)
+    val regions = (WalDataSource.listRegions(conf.dir) ++ startMap.keys).distinct.sorted
+    val perRegionCap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        Some(math.max(1L, r.maxRows() / math.max(1, regions.size)))
+      case _ => None
+    }
+    WalOffset(regions.map { r =>
+      val dir = regionDir(r)
+      val from = startMap.get(r)
+        .map(BinlogOffset.unpack)
+        .getOrElse(ChangelogFiles.earliestOffset(dir, conf.prefix)) // new region: from its start (HWDS new-region -1 analog)
+      val latest = ChangelogFiles.latestOffset(dir, conf.prefix)
+      val end = perRegionCap match {
+        case Some(cap) =>
+          val capped = ChangelogFiles.advance(dir, from, cap, conf.prefix)
+          if (capped < latest) capped else latest
+        case None => latest
+      }
+      r -> math.max(end.packed, from.packed)
+    }.toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    WalPartitioning.plan(conf,
+      start.asInstanceOf[WalOffset], end.asInstanceOf[WalOffset])
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalReaderFactory(conf)
+
+  override def deserializeOffset(json: String): Offset = WalOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final class WalBatch(conf: WalSourceConf) extends Batch {
+  private def full: (WalOffset, WalOffset) = {
+    val regions = WalDataSource.listRegions(conf.dir)
+    (WalOffset(regions.map(r =>
+       r -> ChangelogFiles.earliestOffset(s"${conf.dir}/$r", conf.prefix).packed).toMap),
+     WalOffset(regions.map(r =>
+       r -> ChangelogFiles.latestOffset(s"${conf.dir}/$r", conf.prefix).packed).toMap))
+  }
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (s, e) = full
+    WalPartitioning.plan(conf, s, e)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalReaderFactory(conf)
+}
+
+object WalPartitioning {
+  /** One partition set per region (reference HWDS:248), each region's
+    * [start, end) range further chunked by maxRecordsPerPartition.
+    */
+  def plan(conf: WalSourceConf, start: WalOffset, end: WalOffset): Array[InputPartition] = {
+    end.regions.toSeq.sortBy(_._1).flatMap { case (region, endPacked) =>
+      val startOff = start.regions.get(region)
+        .map(BinlogOffset.unpack)
+        .getOrElse(ChangelogFiles.earliestOffset(s"${conf.dir}/$region", conf.prefix))
+      val endOff = BinlogOffset.unpack(endPacked)
+      require(endOff.packed >= startOff.packed,
+        s"region $region: end $endOff < start $startOff — data may have been missed")
+      if (endOff.packed == startOff.packed) Seq.empty
+      else {
+        val files = ChangelogFiles.listFiles(s"${conf.dir}/$region", conf.prefix)
+        for {
+          (id, f) <- files
+          if id >= startOff.fileId && id <= endOff.fileId
+          n = ChangelogFiles.recordCount(f)
+          from = if (id == startOff.fileId) startOff.pos else 1L
+          until = if (id == endOff.fileId) math.min(endOff.pos, n + 1) else n + 1
+          if until > from
+          chunkStart <- from until until by conf.maxRecordsPerPartition
+        } yield WalInputPartition(region, f.getAbsolutePath, id, chunkStart,
+          math.min(chunkStart + conf.maxRecordsPerPartition, until))
+      }
+    }.toArray
+  }
+}
+
+final case class WalInputPartition(
+    region: String, filePath: String, fileId: Long,
+    fromPos: Long, untilPos: Long) extends InputPartition
+
+final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WalInputPartition]
+    new PartitionReader[InternalRow] {
+      private val raw = ChangelogFiles
+        .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
+      private val it = raw.filter(r => r.op == "put" || r.op == "delete")
+      private var current: ChangelogRecord = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+
+      override def get(): InternalRow = {
+        // HBase-family envelope: schema is null, row carries
+        // rowkey + family:qualifier cells (PutWriter.java:25-39)
+        val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
+          schemaJson = null, row = current.row,
+          offset = BinlogOffset(p.fileId, current.pos).packed)
+        InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
+      }
+      override def close(): Unit = raw.close()
+    }
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column⇄Expression converters — the
+  * supported way for an external library to wrap a custom Catalyst
+  * `Expression` (e.g. [[graft.functions.HashedWordBigrams]]) as a
+  * user-facing `Column` on Spark 4's ColumnNode API.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

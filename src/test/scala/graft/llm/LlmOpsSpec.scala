@@ -21,10 +21,19 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.forall(_.getAs[Long]("keep_id") < 20))
   }
 
+  test("native hashed_word_bigrams equals the composable HOF formulation") {
+    import graft.SparkSuite.spark.implicits._
+    val both = docs.select(
+      TextOps.hashedShingles($"text").as("fast"),
+      array_sort(array_distinct(transform(
+        TextOps.bigramShingles($"text"), TextOps.hash32(_)))).as("ref"))
+    assert(both.filter(not($"fast" <=> $"ref")).count() === 0)
+  }
+
   test("minhash-lsh output is a subset of true high-Jaccard pairs and catches near-exact ones") {
     import graft.SparkSuite.spark.implicits._
-    // ground truth: blocked all-pairs exact bigram Jaccard (test-scale only)
-    val d = docs.select($"doc_id", TextOps.bigramShingles($"text").as("sh"))
+    // ground truth: blocked all-pairs exact hashed-shingle Jaccard (test-scale only)
+    val d = docs.select($"doc_id", TextOps.hashedShingles($"text").as("sh"))
       .filter(size($"sh") > 0)
     val truth = d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -143,6 +152,23 @@ class LlmOpsSpec extends SparkSuite {
     val resized = Multimodal.resize(media, maxBytes = 50).collect()
     assert(resized.forall(_.payload.length <= 50))
     assert(resized.forall(r => r.meta.nBytes == r.payload.length))
+  }
+
+  test("sorted_intersect_count matches array_intersect on random sorted arrays") {
+    import graft.SparkSuite.spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+      .withColumn("fast", expr("sorted_intersect_count(a, b)"))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0)
+    // empty arrays behave
+    assert(df.filter(size(col("a")) === 0 && col("fast") =!= 0).count() === 0)
   }
 
   test("lang-id predicts deterministically with fixed tie-break priority") {

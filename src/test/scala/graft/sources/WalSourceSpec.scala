@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+import graft.cdc._
+import graft.sources.wal.{WalDataSource, WalOffset}
+
+/** End-to-end tests of the multi-region graft-wal source: map offsets,
+  * independent region progression, per-region partitions, put/delete
+  * envelope family, checkpoint recovery of the map offset.
+  */
+class WalSourceSpec extends SparkSuite {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private val NumRegions = 4
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-wal").toString
+    WalGenerator.generate(Tables(spark, sfDir).events, d, NumRegions, recordsPerFile = 100)
+    d
+  }
+
+  test("wal offset JSON round-trips with deterministic key order") {
+    val o = WalOffset(Map("region-002" -> 5L, "region-000" -> 9L))
+    assert(o.json() === """{"region-000":9,"region-002":5}""")
+    assert(WalOffset.parse(o.json()) === o)
+  }
+
+  test("batch read covers all regions; envelopes are put/delete HBase rows") {
+    val df = spark.read.format("graft-wal").option("path", dir).load()
+    val values = df.select("value").as[String].collect()
+    assert(values.length === 1000)
+    val evs = values.map(EnvelopeCodec.parse)
+    assert(evs.forall(e => e.eventType == "put" || e.eventType == "delete"))
+    assert(evs.forall(_.schemaJson == null)) // HBase envelopes embed no schema
+    assert(evs.forall(_.row.contains("rowkey")))
+    assert(evs.forall(_.row.keys.exists(_.startsWith("d:"))))
+    assert(evs.map(_.tableName).toSet === (0 until NumRegions).map(i => f"region-$i%03d").toSet)
+    // delete mutations are exactly the error events
+    val nDeletes = Tables(spark, sfDir).events.filter($"event_type" === "error").count()
+    assert(evs.count(_.eventType == "delete") === nDeletes)
+  }
+
+  test("streaming with per-trigger cap: all rows arrive, batches are bounded") {
+    val q = spark.readStream.format("graft-wal")
+      .option("path", dir).option("maxEventsPerTrigger", "200")
+      .load().writeStream.format("memory").queryName("wal_all")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("wal_all").count() === 1000L)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.forall(_ <= 200L), s"batch sizes: ${sizes.mkString(",")}")
+  }
+
+  test("regions advance independently: appending to ONE region moves only its offset") {
+    // copy the fixture so we can grow one region
+    val grow = Files.createTempDirectory("wal-grow").toString
+    for (r <- WalDataSource.listRegions(dir)) {
+      val src = new java.io.File(dir, r); val dst = new java.io.File(grow, r)
+      dst.mkdirs()
+      for (f <- src.listFiles()) {
+        java.nio.file.Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath)
+      }
+    }
+    val ck = Files.createTempDirectory("ck-region").toString
+    val out = Files.createTempDirectory("wal-out").toString + "/rows"
+    def run(): Long = {
+      val q = spark.readStream.format("graft-wal").option("path", grow)
+        .load().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).count()
+    }
+    assert(run() === 1000L)
+
+    // grow region-000 with 50 extra put records in a NEW log file
+    val r0 = new java.io.File(grow, "region-000")
+    val lastId = ChangelogFiles.listFiles(r0.toString).last._1
+    val extra = new java.io.File(r0, f"graft-bin.${lastId + 1}%06d")
+    val w = new java.io.FileWriter(extra)
+    for (i <- 1 to 50) {
+      w.write(ChangelogRecord.write(ChangelogRecord(i, "put", "wal", "region-000",
+        9999990000L + i, Map(
+          "rowkey" -> EnvelopeValue.VString(s"x$i"),
+          "d:event_id" -> EnvelopeValue.VString(s"${900000 + i}")))))
+      w.write("\n")
+    }
+    w.close()
+
+    // restart on the same checkpoint: exactly the 50 new records arrive
+    assert(run() === 1050L)
+    val evs = spark.read.parquet(out).select("value").as[String].collect()
+      .map(EnvelopeCodec.parse)
+    assert(evs.length === 1050)
+    // no duplicates: (table, offset) unique
+    assert(evs.map(e => (e.tableName, e.offset)).distinct.length === 1050)
+    // the 50 new ones (rowkey x*) are all in region-000
+    val added = evs.filter(_.row.get("rowkey").exists {
+      case EnvelopeValue.VString(s) => s.startsWith("x")
+      case _ => false
+    })
+    assert(added.length === 50)
+    assert(added.forall(_.tableName == "region-000"))
+  }
+
+  test("plan emits at least one partition per non-empty region") {
+    import graft.sources.wal.{WalPartitioning, WalSourceConf, WalInputPartition}
+    import scala.jdk.CollectionConverters._
+    val conf = WalSourceConf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> dir).asJava))
+    val regions = WalDataSource.listRegions(dir)
+    val start = WalOffset(regions.map(r =>
+      r -> ChangelogFiles.earliestOffset(s"$dir/$r").packed).toMap)
+    val end = WalOffset(regions.map(r =>
+      r -> ChangelogFiles.latestOffset(s"$dir/$r").packed).toMap)
+    val parts = WalPartitioning.plan(conf, start, end)
+      .map(_.asInstanceOf[WalInputPartition])
+    assert(parts.map(_.region).distinct.sorted === regions)
+  }
+}
