@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
       graft.queries.EventQueries.defs ++
+      graft.queries.SourceQueries.defs ++
       graft.llm.LlmQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.EventQueries.oracles ++
+      graft.queries.SourceQueries.oracles ++
       graft.llm.LlmQueries.oracles
 }

@@ -75,11 +75,7 @@ object ChangelogGenerator {
       }
       posInFile += 1
       val et = r.getString(2)
-      val op = et match {
-        case "signup" => "insert"
-        case "error"  => "delete"
-        case _        => "update"
-      }
+      val op = OpMapping.op(et)
       val row = Map[String, EnvelopeValue](
         "event_id" -> EnvelopeValue.VLong(r.getLong(0)),
         "user_id" -> EnvelopeValue.VLong(r.getLong(1)),

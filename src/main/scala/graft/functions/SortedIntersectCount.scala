@@ -80,27 +80,34 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 /** Session registration for graft's native expressions — callable from
-  * `expr("sorted_intersect_count(a, b)")` after [[register]].
+  * `expr("sorted_intersect_count(a, b)")` after [[register]], or
+  * session-wide via `spark.sql.extensions=graft.GraftExtensions`.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("sorted_intersect_count"),
+
+  /** (name, info, builder) descriptions — consumed both by direct
+    * registry registration and by [[graft.GraftExtensions]].
+    */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           "sorted_intersect_count takes exactly 2 arguments")
         SortedIntersectCount(children.head, children(1))
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("hashed_word_bigrams"),
+      }),
+    (FunctionIdentifier("hashed_word_bigrams"),
       new ExpressionInfo(classOf[HashedWordBigrams].getName,
         "hashed_word_bigrams"),
       (children: Seq[Expression]) => {
         require(children.length == 1,
           "hashed_word_bigrams takes exactly 1 argument")
         HashedWordBigrams(children.head)
-      })
-  }
+      }))
+
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

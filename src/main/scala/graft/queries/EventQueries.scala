@@ -35,16 +35,12 @@ object EventQueries {
       StructField("user_id", LongType),
       StructField("value", DoubleType)))))))
 
-  /** signup→insert, error→delete, else update (CDC op mapping used by
-    * the batch queries; the streaming source emits real op types). */
+  /** signup→insert, error→delete, else update — the shared
+    * [[graft.cdc.OpMapping]] (generator + queries + oracles). */
   private def opCol(eventType: org.apache.spark.sql.Column) =
-    when(eventType === "signup", "insert")
-      .when(eventType === "error", "delete")
-      .otherwise("update")
+    graft.cdc.OpMapping.col(eventType)
 
-  private val opSql =
-    "CASE WHEN event_type = 'signup' THEN 'insert' " +
-      "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+  private val opSql = graft.cdc.OpMapping.sql
 
   val defs: Map[String, QFn] = Map(
     // --- q19: event-time tumbling window aggregation --------------------

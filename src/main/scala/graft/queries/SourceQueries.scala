@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.cdc.{ChangelogGenerator, WalGenerator}
+import graft.streaming.CdcStream
+
+/** Source-through-oracle queries: batch-read the graft-binlog and
+  * graft-wal DSv2 sources over changelogs DERIVED from the `events`
+  * fixture, then aggregate the parsed envelopes so DuckDB can verify
+  * the same numbers straight off `events.parquet`. This puts the
+  * sources themselves — generator → files → partition readers →
+  * envelope codec → typed expansion — inside the driver's correctness
+  * gate, not just unit tests.
+  */
+object SourceQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val eventsRowSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val NumWalRegions = 4
+
+  /** Generate-once cache of fixture logs per sf dir (atomic dir-move
+    * publish; concurrent callers in other JVMs fall back to whoever
+    * won the rename).
+    */
+  private def cachedLog(sfDir: String, kind: String)(gen: String => Unit): String = synchronized {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val target = new File(s"/tmp/graft-fixture-logs/$key/$kind")
+    if (new File(target, "_SUCCESS").exists()) return target.toString
+    val tmp = new File(s"${target}.tmp-${ProcessHandle.current().pid()}")
+    tmp.mkdirs()
+    gen(tmp.toString)
+    Files.write(Paths.get(tmp.toString, "_SUCCESS"), Array.empty[Byte])
+    target.getParentFile.mkdirs()
+    try Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => // another writer won
+        def rm(f: File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(tmp)
+    }
+    target.toString
+  }
+
+  def binlogDir(s: SparkSession, sfDir: String): String =
+    cachedLog(sfDir, "binlog") { out =>
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out, recordsPerFile = 50000)
+    }
+
+  def walDir(s: SparkSession, sfDir: String): String =
+    cachedLog(sfDir, "wal") { out =>
+      WalGenerator.generate(Tables(s, sfDir).events, out, NumWalRegions,
+        recordsPerFile = 50000)
+    }
+
+  val defs: Map[String, QFn] = Map(
+
+    // --- binlog source → typed expansion → content checksums ------------
+    "src_binlog_opmix" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogDir(s, dir)).load()
+      CdcStream.parsed(df, eventsRowSchema)
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"event_id").as("sum_event_id"),
+          sum($"user_id").as("sum_user_id"))
+        .orderBy($"op")
+    },
+
+    // --- wal source → per-region put/delete mix with content sums -------
+    "src_wal_region_mix" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-wal")
+        .option("path", walDir(s, dir)).load()
+      df.select(
+          get_json_object($"value", "$.tableName").as("region"),
+          get_json_object($"value", "$.type").as("op"),
+          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("rowkey"),
+          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"))
+        .groupBy($"region", $"op")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"rowkey").as("sum_rowkey"),
+          sum($"event_id").as("sum_event_id"))
+        .orderBy($"region", $"op")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "src_binlog_opmix" ->
+      s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_wal_region_mix" ->
+      s"""SELECT
+         |  'region-' || lpad(CAST(user_id % $NumWalRegions AS VARCHAR), 3, '0') AS region,
+         |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         |  count(*) AS n_events,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_rowkey,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
