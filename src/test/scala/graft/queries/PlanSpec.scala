@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan assertions for the 100 TB design goals: filters and
+  * projections reach the parquet scan, bounded dims broadcast, top-k
+  * plans use TakeOrderedAndProject / WindowGroupLimit, aggregates are
+  * partial+final, and no dedup/similarity operator ever degrades to a
+  * cartesian product.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q6: selective filters are pushed into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    // (the plan string truncates long PushedFilters lists)
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p.take(2000))
+  }
+
+  test("q8: scan reads only the three projected columns") {
+    val p = plan("q8_topk_orders")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      readSchema)
+  }
+
+  test("q8: global top-k plans as TakeOrderedAndProject, not full sort") {
+    assert(plan("q8_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q2: bounded dimension joins broadcast") {
+    assert(plan("q2_brand_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q1: aggregation is partial+final hash aggregate") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1000))
+  }
+
+  test("q9: per-group top-k uses WindowGroupLimit pushdown") {
+    assert(plan("q9_top_orders_per_customer").contains("WindowGroupLimit"))
+  }
+
+  test("dedup and similarity operators never plan a cartesian product") {
+    for (q <- Seq("llm_minhash_lsh", "llm_simhash", "llm_ngram_jaccard",
+        "llm_embed_lsh_ann", "llm_exact_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("llm_embed_topk: the only nested loop is the bounded broadcast query set") {
+    // brute-force baseline: query side must be the broadcast build side
+    val p = plan("llm_embed_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastExchange"))
+  }
+}
