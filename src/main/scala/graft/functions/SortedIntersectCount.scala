@@ -104,6 +104,12 @@ object GraftFunctions {
         require(children.length == 1,
           "hashed_word_bigrams takes exactly 1 argument")
         HashedWordBigrams(children.head)
+      }),
+    (FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vector_dot takes exactly 2 arguments")
+        VectorDot(children.head, children(1))
       }))
 
   def register(spark: SparkSession): Unit =

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,25 +51,28 @@ object SimilarityQueries {
   private def planeComp(p: Int, d: Int): String =
     s"(CAST(${planeSeed(p, d)} AS DOUBLE) / 2147483648.0 - 0.5)"
 
-  /** Spark expr: sequential-fold squared norm of `embedding`. */
-  private val normExpr =
-    """sqrt(aggregate(embedding,
-      |  cast(0.0 as double),
-      |  (acc, x) -> acc + cast(x as double) * cast(x as double)))""".stripMargin
+  /** The identical double, computed in Scala (exact dyadic rational —
+    * bit-equal to the SQL-parsed expression).
+    */
+  private def planeCompVal(p: Int, d: Int): Double =
+    planeSeed(p, d).toDouble / 2147483648.0 - 0.5
 
-  /** Spark expr: sequential-fold dot of two float arrays. */
-  private def dotExpr(a: String, b: String) =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-       |  cast(0.0 as double),
-       |  (acc, v) -> acc + v)""".stripMargin
+  /** Native sequential double-fold dot product
+    * ([[graft.functions.VectorDot]]) — same IEEE op order as the
+    * portable `aggregate(zip_with(...))` fold and the DuckDB
+    * `list_reduce` twin, so results stay bit-identical; ~10× faster
+    * than the interpreted lambda fold.
+    */
+  private def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
-  /** Spark expr: dot of `embedding` against the fixed hyperplane p. */
-  private def planeDotExpr(p: Int): String = {
-    val arr = (0 until Dim).map(planeComp(p, _)).mkString(", ")
-    s"""aggregate(zip_with(embedding, array($arr), (x, y) -> cast(x as double) * y),
-       |  cast(0.0 as double),
-       |  (acc, v) -> acc + v)""".stripMargin
-  }
+  private def norm(c: Column): Column = sqrt(dot(c, c))
+
+  private def planeDot(p: Int): Column =
+    dot(col("embedding"), array((0 until Dim).map(d => lit(planeCompVal(p, d))): _*))
 
   val defs: Map[String, QFn] = Map(
 
@@ -77,7 +80,7 @@ object SimilarityQueries {
     "llm_embed_topk" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", expr(normExpr).as("norm"))
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"))
       val q = emb.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"))
@@ -85,7 +88,7 @@ object SimilarityQueries {
         .orderBy($"cos_sim".desc, $"vec_id".asc)
       emb.join(broadcast(q), $"vec_id" =!= $"query_id")
         .withColumn("cos_sim",
-          expr(dotExpr("qe", "embedding")) / ($"qn" * $"norm"))
+          dot($"qe", $"embedding") / ($"qn" * $"norm"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= TopK)
         .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
@@ -96,10 +99,10 @@ object SimilarityQueries {
     "llm_embed_lsh_ann" -> { (s, dir) =>
       import s.implicits._
       val bucket = (0 until NumPlanes).map { p =>
-        when(expr(planeDotExpr(p)) >= 0, lit(1 << p)).otherwise(lit(0))
+        when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       val b = Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", expr(normExpr).as("norm"),
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
           bucket.as("bucket"))
       val w = Window.partitionBy(col("x.vec_id"))
         .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
@@ -107,7 +110,7 @@ object SimilarityQueries {
           col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") =!= col("y.vec_id"))
         .withColumn("cos_sim",
-          expr(dotExpr("x.embedding", "y.embedding")) /
+          dot(col("x.embedding"), col("y.embedding")) /
             (col("x.norm") * col("y.norm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") === 1)

@@ -82,6 +82,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(actual == expected)
   }
 
+  test("MinHashAggregator (typed UDAF) equals the SQL min-formulation signatures") {
+    import graft.SparkSuite.spark.implicits._
+    val pairs = docs.select($"doc_id", TextOps.hashedShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", explode($"sh").as("h"))
+      .as[(Long, Long)]
+    val agg = new MinHashAggregator().toColumn
+    val typed = pairs.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .collect().toMap
+
+    val tok = pairs.toDF("doc_id", "h0").withColumn("h", $"h0" % TextOps.P)
+    val sql = tok.groupBy($"doc_id").agg(
+      min((lit(TextOps.perms(0)._1) * $"h" + lit(TextOps.perms(0)._2)) % TextOps.P),
+      TextOps.perms.tail.map { case (a, b) =>
+        min((lit(a) * $"h" + lit(b)) % TextOps.P)
+      }: _*).collect()
+      .map(r => r.getLong(0) -> (1 to TextOps.NumHashes).map(r.getLong).toArray)
+      .toMap
+
+    assert(typed.keySet === sql.keySet)
+    typed.foreach { case (doc, sig) =>
+      assert(sig.toSeq === sql(doc).toSeq, s"doc $doc signature mismatch")
+    }
+  }
+
   test("fingerprint matches a reference rolling hash") {
     import graft.SparkSuite.spark.implicits._
     val out = TextAnalysisQueries.defs("llm_fingerprint")(spark, sfDir)

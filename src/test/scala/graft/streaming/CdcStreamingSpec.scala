@@ -147,6 +147,44 @@ class CdcStreamingSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("stream-stream watermarked join: purchases enrich with same-user signups") {
+    val dir = freshChangelog()
+    def parsedStream() = CdcStream.parsed(
+        spark.readStream.format("graft-binlog").option("path", dir).load(),
+        rowSchema)
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+
+    val signups = parsedStream().filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"event_id".as("signup_id"), $"ts".as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = parsedStream().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+
+    // signup at-or-before the purchase, within 30 days — the time-range
+    // condition bounds join state on both sides
+    val joined = purchases.join(signups,
+      expr("""p_user = s_user AND
+             |s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 30 DAYS""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ss_join").count()
+    // batch oracle over the same fixture
+    val ev = Tables(spark, sfDir).events
+    val want = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .join(ev.filter($"event_type" === "signup")
+          .select($"user_id".as("s_user"), $"ts".as("s_ts")),
+        expr("""p_user = s_user AND
+               |s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 30 DAYS""".stripMargin))
+      .count()
+    assert(want > 0, "fixture should produce some joined rows")
+    assert(got === want)
+  }
+
   test("streaming session-window twin matches batch q20 (ST9)") {
     val dir = freshChangelog()
     val stream = spark.readStream.format("graft-binlog").option("path", dir).load()
