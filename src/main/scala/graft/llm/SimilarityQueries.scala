@@ -45,11 +45,33 @@ object SimilarityQueries {
   def planeSeed(p: Int, d: Int): Long =
     (1103515245L * (p.toLong * Dim + d + 1) + 12345L) % 2147483648L
 
+  val NumCentroids = 8
+  val IvfTopK = 3
+
+  /** LCG seed for IVF centroid component (c, d) — distinct multiplier
+    * from the hyperplane LCG so the two structures are independent.
+    */
+  def centroidSeed(c: Int, d: Int): Long =
+    (69069L * (c.toLong * Dim + d + 1) + 12345L) % 2147483648L
+
+  /** Exact dyadic centroid component, identical in Scala and SQL. */
+  private def centroidVal(c: Int, d: Int): Double =
+    centroidSeed(c, d).toDouble / 2147483648.0 - 0.5
+
+  /** Half squared norm of centroid c, as the sequential left-fold both
+    * engines compute (`0.0 + x0² + x1² + …` then / 2).
+    */
+  private def centroidHalfNorm2(c: Int): Double =
+    (0 until Dim).foldLeft(0.0)((a, d) => a + centroidVal(c, d) * centroidVal(c, d)) / 2.0
+
   /** SQL fragment for hyperplane component (p, d): exact in both
     * engines.
     */
   private def planeComp(p: Int, d: Int): String =
     s"(CAST(${planeSeed(p, d)} AS DOUBLE) / 2147483648.0 - 0.5)"
+
+  private def centroidComp(c: Int, d: Int): String =
+    s"(CAST(${centroidSeed(c, d)} AS DOUBLE) / 2147483648.0 - 0.5)"
 
   /** The identical double, computed in Scala (exact dyadic rational —
     * bit-equal to the SQL-parsed expression).
@@ -74,6 +96,25 @@ object SimilarityQueries {
   private def planeDot(p: Int): Column =
     dot(col("embedding"), array((0 until Dim).map(d => lit(planeCompVal(p, d))): _*))
 
+  /** IVF assignment score for centroid c: `e·c − ||c||²/2` — argmax
+    * over c is the nearest-centroid (argmin L2) assignment, in one dot
+    * per centroid.
+    */
+  private def centroidScore(c: Int): Column =
+    dot(col("embedding"),
+      array((0 until Dim).map(d => lit(centroidVal(c, d))): _*)) -
+      lit(centroidHalfNorm2(c))
+
+  /** Nearest-centroid cell id over pre-computed score columns cs0..csN
+    * with deterministic lowest-index tie-break (same greatest+CASE
+    * shape as the oracle).
+    */
+  private def cellFromScores: Column = {
+    val mx = greatest((0 until NumCentroids).map(c => col(s"cs$c")): _*)
+    (1 until NumCentroids).foldLeft(
+      when(col("cs0") === mx, 0)) { (acc, c) => acc.when(col(s"cs$c") === mx, c) }
+  }
+
   val defs: Map[String, QFn] = Map(
 
     // --- brute-force cosine top-k (exact ANN baseline) ------------------
@@ -92,6 +133,34 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= TopK)
         .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // --- IVF-style cell-probed ANN --------------------------------------
+    // Coarse quantizer: 8 fixed centroids; every vector is assigned to
+    // its nearest cell (argmin L2 via one dot per centroid), queries
+    // probe their own cell and rank candidates by exact cosine. The
+    // 100 TB shape: assignment is an embarrassingly parallel scan, the
+    // probe is a cell equi-join (bucketed, never all-pairs), and at
+    // scale you raise NumCentroids to keep cells bounded.
+    "llm_embed_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val scored = Tables(s, dir).embeddings
+        .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
+          (0 until NumCentroids).map(c => centroidScore(c).as(s"cs$c")): _*)
+      val b = scored.select($"vec_id", $"embedding", $"norm",
+        cellFromScores.as("cell"))
+      val q = b.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"norm".as("qn"), $"cell".as("qcell"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      b.join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
+        .withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= IvfTopK)
+        .select($"query_id", $"rank", $"cell", $"vec_id".as("neighbor_id"),
+          $"cos_sim")
         .orderBy($"query_id", $"rank")
     },
 
@@ -143,6 +212,26 @@ object SimilarityQueries {
     s"(CASE WHEN ${planeDotSql(p)} >= 0 THEN ${1 << p} ELSE 0 END)"
   }.mkString(" + ")
 
+  private def centroidScoreSql(c: Int): String = {
+    val arr = (0 until Dim).map(centroidComp(c, _)).mkString(", ")
+    val comps = (0 until Dim).map(centroidComp(c, _)).mkString(", ")
+    s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * ([$arr])[k])),
+       |  (acc, v) -> acc + v)
+       | - (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform([$comps], x -> x * x)), (a, b) -> a + b) / 2.0))""".stripMargin
+  }
+
+  private val ivfScoresSql = (0 until NumCentroids)
+    .map(c => s"${centroidScoreSql(c)} AS cs$c").mkString(",\n    ")
+
+  private val ivfMaxSql =
+    "greatest(" + (0 until NumCentroids).map(c => s"cs$c").mkString(", ") + ")"
+
+  private val ivfCellSql = "CASE " + (0 until NumCentroids).map { c =>
+    s"WHEN cs$c = mx THEN $c"
+  }.mkString(" ") + " END"
+
   val oracles: Map[String, String] = Map(
 
     "llm_embed_topk" ->
@@ -162,6 +251,30 @@ object SimilarityQueries {
          |  FROM p)
          |SELECT query_id, CAST(rk AS INT) AS rank, neighbor_id, cos_sim
          |FROM r WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
+
+    "llm_embed_ivf" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id, embedding, $normSql AS norm,
+         |    $ivfScoresSql
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, embedding, norm, $ivfCellSql AS cell
+         |  FROM (SELECT *, $ivfMaxSql AS mx FROM scored)),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn,
+         |    cell AS qcell
+         |  FROM b WHERE vec_id < $NumQueries),
+         |p AS (
+         |  SELECT q.query_id, b.cell AS cell, b.vec_id AS neighbor_id,
+         |    ${dotSql("q.qe", "b.embedding")} / (q.qn * b.norm) AS cos_sim
+         |  FROM b JOIN q ON b.cell = q.qcell AND b.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, cell, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM p)
+         |SELECT query_id, CAST(rk AS INT) AS rank, cell, neighbor_id, cos_sim
+         |FROM r WHERE rk <= $IvfTopK ORDER BY 1, 2""".stripMargin,
 
     "llm_embed_lsh_ann" ->
       s"""WITH b AS (

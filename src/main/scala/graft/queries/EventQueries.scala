@@ -90,6 +90,26 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
+    // --- q23: salted join (hot-key mitigation, identical result) --------
+    // The fact side gets a deterministic salt shard and the dim side is
+    // replicated ×SaltN, so the shuffle key becomes (user_id, salt): a
+    // hot user spreads over SaltN tasks instead of hotspotting one.
+    // Result is provably identical to the plain join — the oracle runs
+    // the UNsalted SQL.
+    "q23_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val SaltN = 8
+      val fact = t.events.withColumn("fsalt", pmod($"event_id", lit(SaltN.toLong)))
+      val dim = t.customer.select($"c_custkey", $"c_mktsegment")
+        .withColumn("dsalt",
+          explode(sequence(lit(0L), lit(SaltN.toLong - 1))))
+      fact.join(dim, $"user_id" === $"c_custkey" && $"fsalt" === $"dsalt")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), sum(cents($"value")).as("value_cents"))
+        .orderBy($"c_mktsegment")
+    },
+
     // --- cdc: latest-state materialization (upsert semantics) -----------
     "cdc_latest_state" -> { (s, dir) =>
       import s.implicits._
@@ -188,6 +208,12 @@ object EventQueries {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q23_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_events,
+         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q22_asof_last_click" ->
       s"""SELECT event_id, user_id, value_cents, last_click_id FROM (
