@@ -61,7 +61,10 @@ object TypeKernels {
   private val formatters = new ConcurrentHashMap[(String, String), DateTimeFormatter]()
   private def formatter(pattern: String, tz: String): DateTimeFormatter =
     formatters.computeIfAbsent((pattern, tz),
-      _ => DateTimeFormatter.ofPattern(pattern).withZone(ZoneId.of(tz)))
+      // TimeZone.getTimeZone(...).toZoneId keeps accepting legacy
+      // three-letter IDs ("EST") that ZoneId.of would reject
+      _ => DateTimeFormatter.ofPattern(pattern)
+        .withZone(TimeZone.getTimeZone(tz).toZoneId))
 
   /** TIMESTAMP values: format in the session time zone
     * (MySQLCDCUtils.java:57-61 via Spark JSONOptions.timestampFormat).

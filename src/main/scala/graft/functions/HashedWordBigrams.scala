@@ -43,9 +43,10 @@ case class HashedWordBigrams(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val md5 = md5Local.get()
     val s = input.asInstanceOf[UTF8String].toString
-    // split(' ') semantics identical to Spark's split(text, ' ') and
-    // DuckDB's string_split: empty segments are kept
-    val toks = s.split(' ')
+    // limit -1 keeps trailing empty segments — Spark's split(text, ' ')
+    // and DuckDB's string_split both keep them (Scala's split(Char)
+    // default would drop them and diverge from the oracle)
+    val toks = s.split(" ", -1)
     if (toks.length < 2) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](toks.length - 1)
     var n = 0

@@ -47,7 +47,11 @@ object SourceQueries {
     target.getParentFile.mkdirs()
     try Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException => // another writer won
+      // another writer won the publish: rename onto an existing dir
+      // surfaces as FileAlreadyExists OR DirectoryNotEmpty (Linux
+      // ENOTEMPTY) — both mean "use theirs"
+      case _: java.nio.file.FileSystemException
+          if new File(target, "_SUCCESS").exists() =>
         def rm(f: File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete()

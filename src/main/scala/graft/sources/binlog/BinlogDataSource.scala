@@ -236,11 +236,20 @@ object BinlogPartitioning {
       val fullyConsumed = ChangelogFiles
         .manifestCount(conf.dir, start.filename(conf.prefix))
         .exists(n => start.pos >= n + 1)
-      if (!fullyConsumed) {
+      // files strictly BETWEEN the start file and the earliest existing
+      // one were never read at all — any manifest entry there with
+      // records means unread data was purged
+      val gapLoss = ChangelogFiles.manifest(conf.dir).exists { case (name, (_, count)) =>
+        count > 0 && (try {
+          val id = BinlogOffset.fileIdOf(name)
+          id > start.fileId && id < files.head._1
+        } catch { case _: Exception => false })
+      }
+      if (!fullyConsumed || gapLoss) {
         throw new IllegalStateException(
-          s"start offset $start points inside a purged changelog file " +
-            s"(earliest existing: ${files.head._1}) — unread data was lost " +
-            "(set failOnDataLoss=false to ignore)")
+          s"start offset $start points at or before purged changelog data " +
+            s"(earliest existing file: ${files.head._1}) — unread data was " +
+            "lost (set failOnDataLoss=false to ignore)")
       }
     }
     val parts = for {
@@ -263,12 +272,15 @@ final case class BinlogInputPartition(
 final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, String])
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[BinlogInputPartition]
-    // parsed StructTypes for kernel dispatch, resolved once per reader
-    val structs: Map[String, StructType] = schemas.map { case (k, v) =>
+  // parsed StructTypes for kernel dispatch — once per factory, not per
+  // partition (the map is fixed at construction)
+  @transient private lazy val structs: Map[String, StructType] =
+    schemas.map { case (k, v) =>
       k -> DataType.fromJson(v).asInstanceOf[StructType]
     }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BinlogInputPartition]
     new PartitionReader[InternalRow] {
       // db/table regex filters applied at the source, pre-materialization
       // (reference BinLogSocketServerInExecutor.scala:239-250, compile :278-281)

@@ -253,9 +253,12 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
 
       override def get(): InternalRow = {
         // HBase-family envelope: schema is null, row carries
-        // rowkey + family:qualifier cells (PutWriter.java:25-39)
+        // rowkey + family:qualifier cells (PutWriter.java:25-39).
+        // Raw tagged cells still convert through the kernels (null
+        // schema → BIT defaults to LongType), same as the binlog path.
+        val row = TypeKernels.convertRow(current.row, null, "UTC", Map.empty)
         val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
-          schemaJson = null, row = current.row,
+          schemaJson = null, row = row,
           offset = BinlogOffset(p.fileId, current.pos).packed)
         InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
       }

@@ -82,10 +82,15 @@ object CdcStream {
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: String, it: Iterator[KeyedOffsetEvent], state: GroupState[Long]) =>
         val seen = state.getOption.getOrElse(Long.MinValue)
-        val fresh = it.filter(_.offset > seen).toVector
+        // offset <= 0 means the producer stamped no log coordinate —
+        // such events CANNOT be deduplicated, so they pass through
+        // (at-least-once) rather than being silently dropped against a
+        // positive high-water mark they can never exceed
+        val (coordless, coded) = it.toVector.partition(_.offset <= 0L)
+        val fresh = coded.filter(_.offset > seen)
           .sortBy(_.offset).distinctBy(_.offset)
         if (fresh.nonEmpty) state.update(fresh.last.offset)
-        fresh.iterator
+        (coordless ++ fresh).iterator
     }
   }
 
@@ -166,13 +171,20 @@ object CdcStream {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
-    // GC superseded versions (best effort; failure leaves garbage, not loss)
-    cur.foreach { case (_, old) =>
-      def delete(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
-        f.delete()
+    // GC superseded versions, RETAINING the immediately-previous one:
+    // a concurrent reader that resolved CURRENT just before the flip
+    // is still scanning it. (Best effort; failure leaves garbage, not
+    // loss.)
+    val retain = Set(nextName, cur.map(_._2.getName).getOrElse(""))
+    Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !retain.contains(f.getName))
+      .foreach { old =>
+        def delete(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+          f.delete()
+        }
+        delete(old)
       }
-      delete(old)
-    }
   }
 }

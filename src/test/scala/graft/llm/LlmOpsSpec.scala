@@ -23,7 +23,12 @@ class LlmOpsSpec extends SparkSuite {
 
   test("native hashed_word_bigrams equals the composable HOF formulation") {
     import graft.SparkSuite.spark.implicits._
-    val both = docs.select(
+    // fixture corpus + adversarial token shapes (trailing/leading/double
+    // spaces, single token, empty) — split semantics must match exactly
+    val adversarial = Seq("foo bar ", " foo bar", "a  b", "solo", "", "  ")
+      .toDF("text")
+    val all = docs.select($"text").unionByName(adversarial)
+    val both = all.select(
       TextOps.hashedShingles($"text").as("fast"),
       array_sort(array_distinct(transform(
         TextOps.bigramShingles($"text"), TextOps.hash32(_)))).as("ref"))

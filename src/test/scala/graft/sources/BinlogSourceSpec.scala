@@ -178,6 +178,22 @@ class BinlogSourceSpec extends SparkSuite {
     intercept[IllegalStateException] {
       BinlogPartitioning.plan(confFor(pruned), BinlogOffset(1, 200), latest)
     }
+
+    // gap loss: prune files 1 AND 2; a reader that fully consumed file
+    // 1 but never read file 2 must still fail — file 2's manifest
+    // entry proves unread records were purged
+    val gap = Files.createTempDirectory("gap").toString
+    ChangelogFiles.listFiles(dir).filter(_._1 >= 3).foreach { case (_, f) =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(gap, f.getName).toPath)
+    }
+    for (aux <- Seq("schemas.json", ChangelogFiles.ManifestName)) {
+      java.nio.file.Files.copy(new java.io.File(dir, aux).toPath,
+        new java.io.File(gap, aux).toPath)
+    }
+    intercept[IllegalStateException] {
+      BinlogPartitioning.plan(confFor(gap), BinlogOffset(1, 301),
+        ChangelogFiles.latestOffset(gap))
+    }
   }
 
   test("foreachBatch upsert materializes the same replica as the batch oracle query") {

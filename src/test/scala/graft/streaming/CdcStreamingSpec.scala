@@ -45,15 +45,17 @@ class CdcStreamingSpec extends SparkSuite {
     // a retry re-serves 50..150 — the 50..100 overlap must be dropped
     in.addData((50L to 150L).map(ev): _*)
     q.processAllAvailable()
-    // and a full re-serve of everything must add nothing
+    // a full re-serve of everything must add nothing; a coordinate-less
+    // event (offset 0) must pass through, never be swallowed
+    in.addData(KeyedOffsetEvent("graft.events", 0L, """{"n":"coordless"}"""))
     in.addData((1L to 150L).map(ev): _*)
     q.processAllAvailable()
     q.stop()
 
     val offs = spark.table("dedup_out").select("offset")
       .as[Long].collect().sorted
-    assert(offs.length === 150, s"expected exactly-once 150, got ${offs.length}")
-    assert(offs.toSeq === (1L to 150L))
+    assert(offs.length === 151, s"expected 150 + 1 coordless, got ${offs.length}")
+    assert(offs.toSeq === (0L +: (1L to 150L)))
   }
 
   test("source envelopes carry monotonic offsets usable for keyed dedup") {
@@ -116,7 +118,16 @@ class CdcStreamingSpec extends SparkSuite {
       .select("user_id").as[Long].collect().sorted
     assert(v2.toSeq === Seq(1L, 3L))
     assert(new java.io.File(dir, "v000000002").isDirectory)
-    assert(!new java.io.File(dir, "v000000001").exists(), "old version must be GC'd")
+    // the immediately-previous version is RETAINED for concurrent
+    // readers that resolved CURRENT just before the flip...
+    assert(new java.io.File(dir, "v000000001").isDirectory)
+
+    CdcStream.applyBatchToReplica(dir, batchDf(Seq((4L, "insert", 14L))),
+      idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
+    assert(CdcStream.readReplica(spark, dir).get.count() === 3) // 1,3,4
+    // ...and versions older than previous are GC'd
+    assert(new java.io.File(dir, "v000000002").isDirectory)
+    assert(!new java.io.File(dir, "v000000001").exists(), "v1 must be GC'd after v3")
   }
 
   test("streaming event-time window twin matches batch q19 (ST9)") {
