@@ -146,6 +146,38 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // --- embedding-cosine near-dup (feature-hashed doc vectors) ---------
+    // Each document becomes a 32-dim COUNT vector by feature hashing
+    // its shingles (h mod 32); near-dups are blocked pairs with cosine
+    // >= 0.85. All counts/dots/norms² are exact 64-bit integers — the
+    // only floating point is the final sqrt+divide, identical in both
+    // engines. Scale shape: vectorization is one groupBy, pairs are
+    // blocked per source.
+    "llm_vector_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val VDim = 32
+      val tok = Tables(s, dir).documents
+        .select($"source", $"doc_id", hashedShingles($"text").as("sh"))
+        .filter(size($"sh") > 0)
+        .select($"source", $"doc_id", explode($"sh").as("h0"))
+        .withColumn("d", pmod($"h0", lit(VDim.toLong)))
+      val counts = (0 until VDim).map(i =>
+        sum(when($"d" === i, 1L).otherwise(0L)).as(s"c$i"))
+      val v = tok.groupBy($"source", $"doc_id").agg(counts.head, counts.tail: _*)
+        .withColumn("n2",
+          (0 until VDim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+      val dotE = (0 until VDim).map(i => col(s"x.c$i") * col(s"y.c$i")).reduce(_ + _)
+      v.as("x").join(v.as("y"),
+          col("x.source") === col("y.source") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .withColumn("cosine", dotE.cast("double") /
+          (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double"))))
+        .filter($"cosine" >= 0.85)
+        .select(col("x.source").as("source"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), $"cosine")
+        .orderBy($"source", $"doc_a", $"doc_b")
+    },
+
     // --- blocked exact n-gram Jaccard -----------------------------------
     // Shingles are hashed to longs and SORTED once per document; the
     // per-pair work is then a codegen'd two-pointer merge count
@@ -245,6 +277,34 @@ object DedupQueries {
          |  ON x.band = y.band AND x.bb = y.bb AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
          |ORDER BY 1, 2""".stripMargin,
+
+    "llm_vector_neardup" -> {
+      val VDim = 32
+      val countsSql = (0 until VDim)
+        .map(i => s"count(*) FILTER (WHERE d = $i) AS c$i").mkString(",\n    ")
+      val n2Sql = (0 until VDim).map(i => s"c$i*c$i").mkString(" + ")
+      val dotSql = (0 until VDim).map(i => s"x.c$i*y.c$i").mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT source, doc_id, sh FROM (
+         |    SELECT source, doc_id, ${hashedShinglesSql("t")} AS sh
+         |    FROM (SELECT source, doc_id, $toksSql AS t FROM documents))
+         |  WHERE len(sh) > 0),
+         |tok AS (
+         |  SELECT source, doc_id, tok % $VDim AS d
+         |  FROM (SELECT source, doc_id, unnest(sh) AS tok FROM sh)),
+         |v AS (
+         |  SELECT source, doc_id,
+         |    $countsSql
+         |  FROM tok GROUP BY 1, 2),
+         |n AS (SELECT *, ($n2Sql) AS n2 FROM v)
+         |SELECT * FROM (
+         |  SELECT x.source AS source, x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(($dotSql) AS DOUBLE)
+         |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cosine
+         |  FROM n x JOIN n y ON x.source = y.source AND x.doc_id < y.doc_id)
+         |WHERE cosine >= 0.85
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
 
     "llm_ngram_jaccard" ->
       s"""WITH d AS (

@@ -196,6 +196,50 @@ class BinlogSourceSpec extends SparkSuite {
     }
   }
 
+  test("schema registry updates are picked up by subsequent micro-batches") {
+    // The reference caches table schemas forever (BSSE:88 — DDL during
+    // streaming unsupported); here the registry is re-read per batch,
+    // so a column added between batches shows up in new envelopes.
+    val d = Files.createTempDirectory("schema-drift").toString
+    def writeSchemas(st: StructType): Unit =
+      java.nio.file.Files.write(new java.io.File(d, "schemas.json").toPath,
+        s"""{"graft.t": ${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(st.json)}}""".getBytes("UTF-8"))
+    def writeFile(id: Long, rec: ChangelogRecord): Unit = {
+      val f = new java.io.File(d, f"graft-bin.$id%06d")
+      java.nio.file.Files.write(f.toPath,
+        (ChangelogRecord.write(rec) + "\n").getBytes("UTF-8"))
+    }
+    val v1 = StructType(Seq(StructField("id", LongType)))
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    writeSchemas(v1)
+    writeFile(1, ChangelogRecord(1, "insert", "graft", "t", 1L,
+      Map("id" -> EnvelopeValue.VLong(1))))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("graft-binlog").option("path", d)
+      .load().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("value").collect()
+          .foreach(r => seen.synchronized { seen += r.getString(0) }); ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      writeSchemas(v2) // DDL between batches
+      writeFile(2, ChangelogRecord(1, "insert", "graft", "t", 2L,
+        Map("id" -> EnvelopeValue.VLong(2), "name" -> EnvelopeValue.VString("x"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val schemas = seen.map(EnvelopeCodec.parse).sortBy(_.timestamp)
+      .map(e => DataType.fromJson(e.schemaJson).asInstanceOf[StructType])
+    assert(schemas.length === 2)
+    assert(schemas.head.fieldNames.toSeq === Seq("id"))
+    assert(schemas.last.fieldNames.toSeq === Seq("id", "name"))
+  }
+
   test("foreachBatch upsert materializes the same replica as the batch oracle query") {
     val replicaDir = Files.createTempDirectory("replica").toString + "/state"
     val q = spark.readStream.format("graft-binlog")
