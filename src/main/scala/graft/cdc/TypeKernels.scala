@@ -61,10 +61,11 @@ object TypeKernels {
   private val formatters = new ConcurrentHashMap[(String, String), DateTimeFormatter]()
   private def formatter(pattern: String, tz: String): DateTimeFormatter =
     formatters.computeIfAbsent((pattern, tz),
-      // TimeZone.getTimeZone(...).toZoneId keeps accepting legacy
-      // three-letter IDs ("EST") that ZoneId.of would reject
+      // SHORT_IDS accepts legacy three-letter IDs ("EST") while still
+      // REJECTING misspelled zones (TimeZone.getTimeZone would
+      // silently map typos to GMT)
       _ => DateTimeFormatter.ofPattern(pattern)
-        .withZone(TimeZone.getTimeZone(tz).toZoneId))
+        .withZone(ZoneId.of(tz, ZoneId.SHORT_IDS)))
 
   /** TIMESTAMP values: format in the session time zone
     * (MySQLCDCUtils.java:57-61 via Spark JSONOptions.timestampFormat).

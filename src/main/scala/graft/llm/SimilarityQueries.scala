@@ -214,12 +214,11 @@ object SimilarityQueries {
 
   private def centroidScoreSql(c: Int): String = {
     val arr = (0 until Dim).map(centroidComp(c, _)).mkString(", ")
-    val comps = (0 until Dim).map(centroidComp(c, _)).mkString(", ")
     s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |  list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * ([$arr])[k])),
        |  (acc, v) -> acc + v)
        | - (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      list_transform([$comps], x -> x * x)), (a, b) -> a + b) / 2.0))""".stripMargin
+       |      list_transform([$arr], x -> x * x)), (a, b) -> a + b) / 2.0))""".stripMargin
   }
 
   private val ivfScoresSql = (0 until NumCentroids)

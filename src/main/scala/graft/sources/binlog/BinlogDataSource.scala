@@ -223,35 +223,34 @@ object BinlogPartitioning {
   def plan(conf: BinlogSourceConf, start: BinlogOffset, end: BinlogOffset): Array[InputPartition] = {
     require(end.packed >= start.packed,
       s"end offset $end < start offset $start — some data may have been missed")
-    if (end.packed == start.packed) return Array.empty
     val files = ChangelogFiles.listFiles(conf.dir, conf.prefix)
-    // Data-loss check: fileId 0 is the empty-dir sentinel (= beginning
-    // of log, never a loss). A start below the earliest existing file
-    // is a loss only if UNREAD records were purged — i.e. the start
-    // points strictly inside the missing file. The manifest (which
-    // survives pruning) tells us the purged file's record count; a
-    // start of (purgedId, n+1) means it was fully consumed.
-    if (conf.failOnDataLoss && files.nonEmpty &&
-        start.fileId > 0 && start.fileId < files.head._1) {
-      val fullyConsumed = ChangelogFiles
-        .manifestCount(conf.dir, start.filename(conf.prefix))
-        .exists(n => start.pos >= n + 1)
-      // files strictly BETWEEN the start file and the earliest existing
-      // one were never read at all — any manifest entry there with
-      // records means unread data was purged
-      val gapLoss = ChangelogFiles.manifest(conf.dir).exists { case (name, (_, count)) =>
-        count > 0 && (try {
+    // Data-loss check — BEFORE the empty-range early return, so a
+    // total purge (all files gone, end collapses to start) still
+    // surfaces. fileId 0 is the empty-dir sentinel (= beginning of
+    // log, never a loss). For any PURGED file the manifest (which
+    // survives pruning) knows the record count: unread data was lost
+    // iff a purged file at/after the start offset had records the
+    // reader had not consumed — at the start file itself that means
+    // `count >= start.pos`; strictly after it, any record at all.
+    // Purged files wholly BELOW the start offset are normal retention.
+    if (conf.failOnDataLoss && start.fileId > 0) {
+      val existing = files.map(_._1).toSet
+      val unreadPurged = ChangelogFiles.manifest(conf.dir).exists { case (name, (_, count)) =>
+        try {
           val id = BinlogOffset.fileIdOf(name)
-          id > start.fileId && id < files.head._1
-        } catch { case _: Exception => false })
+          !existing.contains(id) &&
+            ((id == start.fileId && count >= start.pos) ||
+             (id > start.fileId && count > 0))
+        } catch { case _: Exception => false }
       }
-      if (!fullyConsumed || gapLoss) {
+      if (unreadPurged) {
         throw new IllegalStateException(
           s"start offset $start points at or before purged changelog data " +
-            s"(earliest existing file: ${files.head._1}) — unread data was " +
-            "lost (set failOnDataLoss=false to ignore)")
+            s"(existing files: ${files.map(_._1).mkString(",")}) — unread " +
+            "data was lost (set failOnDataLoss=false to ignore)")
       }
     }
+    if (end.packed == start.packed) return Array.empty
     val parts = for {
       (id, f) <- files
       if id >= start.fileId && id <= end.fileId

@@ -84,10 +84,16 @@ final case class WalSourceConf(
     dir: String,
     prefix: String,
     maxEventsPerTrigger: Option[Long],
-    maxRecordsPerPartition: Long) extends Serializable
+    maxRecordsPerPartition: Long,
+    /** Same kernel options as the binlog path: `binlog.field.decode.*`
+      * charsets and the session zone for raw temporal cells.
+      */
+    fieldDecode: Map[String, String],
+    sessionTimeZone: String) extends Serializable
 
 object WalSourceConf {
   def apply(options: CaseInsensitiveStringMap): WalSourceConf = {
+    import scala.jdk.CollectionConverters._
     val dir = options.get("path")
     require(dir != null, "option 'path' (WAL root directory) is required")
     WalSourceConf(
@@ -95,7 +101,12 @@ object WalSourceConf {
       prefix = Option(options.get("prefix")).getOrElse(ChangelogFiles.DefaultPrefix),
       maxEventsPerTrigger = Option(options.get("maxEventsPerTrigger")).map(_.toLong),
       maxRecordsPerPartition =
-        Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L))
+        Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L),
+      fieldDecode = options.asCaseSensitiveMap().asScala.toMap
+        .filter(_._1.toLowerCase.startsWith("binlog.field.decode."))
+        .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
+      sessionTimeZone =
+        Option(options.get("sessionTimeZone")).getOrElse("UTC"))
   }
 }
 
@@ -255,8 +266,10 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
         // HBase-family envelope: schema is null, row carries
         // rowkey + family:qualifier cells (PutWriter.java:25-39).
         // Raw tagged cells still convert through the kernels (null
-        // schema → BIT defaults to LongType), same as the binlog path.
-        val row = TypeKernels.convertRow(current.row, null, "UTC", Map.empty)
+        // schema → BIT defaults to LongType), same options as the
+        // binlog path.
+        val row = TypeKernels.convertRow(current.row, null,
+          conf.sessionTimeZone, conf.fieldDecode)
         val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
           schemaJson = null, row = row,
           offset = BinlogOffset(p.fileId, current.pos).packed)

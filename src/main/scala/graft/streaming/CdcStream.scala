@@ -72,6 +72,12 @@ object CdcStream {
     * (OriginalSourceServerInExecutor.scala:165-171), held here in
     * Spark's state store so it survives restarts via the checkpoint.
     *
+    * Contract: exactly-once FOR COORDINATED EVENTS (offset > 0, which
+    * every graft source stamps). Events WITHOUT a log coordinate
+    * (offset <= 0 — foreign producers, pre-offset logs) cannot be
+    * deduplicated and pass through at-least-once instead of being
+    * dropped.
+    *
     * Scale: state is ONE long per (db, table) key — bounded by table
     * count, not row count (SURVEY.md §7 hard part #5). Events within a
     * batch are sorted by offset so intra-batch duplicates collapse too.

@@ -47,7 +47,8 @@ class PlanSpec extends SparkSuite {
 
   test("dedup and similarity operators never plan a cartesian product") {
     for (q <- Seq("llm_minhash_lsh", "llm_simhash", "llm_ngram_jaccard",
-        "llm_embed_lsh_ann", "llm_embed_ivf", "llm_exact_dedup")) {
+        "llm_embed_lsh_ann", "llm_embed_ivf", "llm_vector_neardup",
+        "llm_exact_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),

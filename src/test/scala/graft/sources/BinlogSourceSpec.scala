@@ -194,6 +194,21 @@ class BinlogSourceSpec extends SparkSuite {
       BinlogPartitioning.plan(confFor(gap), BinlogOffset(1, 301),
         ChangelogFiles.latestOffset(gap))
     }
+
+    // total purge: ALL files gone but the manifest proves unread
+    // records existed at/after the start — must throw even though the
+    // range collapses to empty
+    val total = Files.createTempDirectory("total").toString
+    for (aux <- Seq("schemas.json", ChangelogFiles.ManifestName)) {
+      java.nio.file.Files.copy(new java.io.File(dir, aux).toPath,
+        new java.io.File(total, aux).toPath)
+    }
+    intercept[IllegalStateException] {
+      BinlogPartitioning.plan(confFor(total), BinlogOffset(1, 200), BinlogOffset(1, 200))
+    }
+    // ...but a reader past the end of everything purged is fine
+    assert(BinlogPartitioning.plan(confFor(total),
+      BinlogOffset(4, 101), BinlogOffset(4, 101)).isEmpty)
   }
 
   test("schema registry updates are picked up by subsequent micro-batches") {
