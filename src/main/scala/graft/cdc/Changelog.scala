@@ -254,6 +254,25 @@ object ChangelogFiles {
   def manifestCount(dir: String, name: String): Option[Long] =
     manifest(dir).get(name).map(_._2)
 
+  /** Write `manifest.json` for a directory of generated files
+    * (name → (length, count)) — shared by the fixture generators.
+    */
+  def writeManifest(dir: File, entries: Iterable[(String, (File, Long))]): Unit = {
+    val sw = new java.io.StringWriter()
+    val g = new JsonFactory().createGenerator(sw)
+    g.writeStartObject()
+    entries.foreach { case (name, (f, count)) =>
+      g.writeObjectFieldStart(name)
+      g.writeNumberField("length", f.length())
+      g.writeNumberField("count", count)
+      g.writeEndObject()
+    }
+    g.writeEndObject()
+    g.close()
+    java.nio.file.Files.write(new File(dir, ManifestName).toPath,
+      sw.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   def recordCount(f: File): Long = {
     val path = f.getAbsolutePath
     val len = f.length(); val mtime = f.lastModified()

@@ -92,18 +92,6 @@ object ChangelogGenerator {
 
     // manifest.json sidecar: per-file (length, count) so the source's
     // per-trigger latestOffset never re-scans completed files
-    val mw = new java.io.StringWriter()
-    val mg = new com.fasterxml.jackson.core.JsonFactory().createGenerator(mw)
-    mg.writeStartObject()
-    written.foreach { case (name, (f, count)) =>
-      mg.writeObjectFieldStart(name)
-      mg.writeNumberField("length", f.length())
-      mg.writeNumberField("count", count)
-      mg.writeEndObject()
-    }
-    mg.writeEndObject()
-    mg.close()
-    java.nio.file.Files.write(new File(dir, ChangelogFiles.ManifestName).toPath,
-      mw.toString.getBytes(StandardCharsets.UTF_8))
+    ChangelogFiles.writeManifest(dir, written)
   }
 }

@@ -55,19 +55,7 @@ object WalGenerator {
       def close(): Unit = {
         out.close()
         counts += current.getName -> (current, posInFile)
-        val sw = new java.io.StringWriter()
-        val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
-        g.writeStartObject()
-        counts.foreach { case (name, (f, c)) =>
-          g.writeObjectFieldStart(name)
-          g.writeNumberField("length", f.length())
-          g.writeNumberField("count", c)
-          g.writeEndObject()
-        }
-        g.writeEndObject()
-        g.close()
-        java.nio.file.Files.write(new File(dir, ChangelogFiles.ManifestName).toPath,
-          sw.toString.getBytes(StandardCharsets.UTF_8))
+        ChangelogFiles.writeManifest(dir, counts)
       }
     }
 

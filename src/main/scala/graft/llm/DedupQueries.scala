@@ -97,9 +97,16 @@ object DedupQueries {
           .map(r => col(s"m${k * RowsPerBand + r}").cast("string"))
         struct(lit(k).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))
       }
+      // persist the band table: both sides of the candidate self-join
+      // consume it, and without materialization each side re-runs the
+      // whole explode+16-min signature pipeline (no exchange to reuse
+      // under a broadcast join). The band table is 4 rows × (long +
+      // 32-char hash) per doc — the LSH "index", tiny next to the
+      // corpus at any scale.
       val bands = sig
         .select($"doc_id", explode(array(bandCols: _*)).as("s"))
         .select($"doc_id", col("s.band").as("band"), col("s.bh").as("bh"))
+        .persist()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -132,9 +139,12 @@ object DedupQueries {
         struct(lit(k).as("band"),
           shiftright($"simhash", 8 * k).bitwiseAND(lit(255L)).as("bb"))
       }
+      // persisted for the same reason as the MinHash band table: the
+      // self-join would otherwise recompute the 32-sum signature per side
       val bands = simhash
         .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("s"))
         .select($"doc_id", $"simhash", col("s.band").as("band"), col("s.bb").as("bb"))
+        .persist()
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bb") === col("y.bb") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -163,6 +173,8 @@ object DedupQueries {
         .withColumn("d", pmod($"h0", lit(VDim.toLong)))
       val counts = (0 until VDim).map(i =>
         sum(when($"d" === i, 1L).otherwise(0L)).as(s"c$i"))
+      // NOT persisted: measured slower through the columnar cache than
+      // recomputing the groupBy from the parquet scan (33 int columns)
       val v = tok.groupBy($"source", $"doc_id").agg(counts.head, counts.tail: _*)
         .withColumn("n2",
           (0 until VDim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
@@ -191,6 +203,7 @@ object DedupQueries {
       val d = Tables(s, dir).documents
         .select($"source", $"lang", $"doc_id", hashedShingles($"text").as("sh"))
         .filter(size($"sh") > 0)
+        .persist() // both join sides; avoids re-shingling the corpus
       d.as("x").join(d.as("y"),
           col("x.source") === col("y.source") &&
             col("x.lang") === col("y.lang") &&

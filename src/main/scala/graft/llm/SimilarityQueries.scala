@@ -148,8 +148,10 @@ object SimilarityQueries {
       val scored = Tables(s, dir).embeddings
         .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
           (0 until NumCentroids).map(c => centroidScore(c).as(s"cs$c")): _*)
+      // persisted: the probe side and the broadcast query side both
+      // consume the assignment, which costs 8 centroid dots per vector
       val b = scored.select($"vec_id", $"embedding", $"norm",
-        cellFromScores.as("cell"))
+        cellFromScores.as("cell")).persist()
       val q = b.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"), $"cell".as("qcell"))
@@ -173,6 +175,7 @@ object SimilarityQueries {
       val b = Tables(s, dir).embeddings
         .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
           bucket.as("bucket"))
+        .persist() // both self-join sides re-run the 6 plane dots otherwise
       val w = Window.partitionBy(col("x.vec_id"))
         .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
       b.as("x").join(b.as("y"),
