@@ -144,6 +144,9 @@ object Relational {
     },
 
     // --- q10: running aggregate + lag over a deterministic frame --------
+    // NOTE: the final global orderBy exists ONLY for the oracle gate's
+    // order-dependent hash compare; a production pipeline would drop it
+    // (the window computation itself needs no global sort).
     "q10_running_total" -> { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
@@ -214,6 +217,8 @@ object Relational {
     },
 
     // --- q16: scalar function battery (string/date/math) ----------------
+    // NOTE: gate-only global orderBy, same as q10 — the scalar pipeline
+    // is a pure per-row scan.
     "q16_scalar_funcs" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).orders
