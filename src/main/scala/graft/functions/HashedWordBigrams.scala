@@ -9,9 +9,10 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `hashed_word_bigrams(text)`: sorted distinct 32-bit md5-prefix
-  * hashes of the word bigrams of a single-space-tokenized string —
-  * one native pass per document.
+/** `hashed_word_bigrams(text)` (n=2) and its word-n-gram
+  * generalization: sorted distinct 32-bit md5-prefix hashes of the
+  * word n-grams of a single-space-tokenized string — one native pass
+  * per document.
   *
   * Semantically IDENTICAL to the composable formulation
   * `array_sort(array_distinct(transform(shingles(text), t ->
@@ -24,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * The hash is the md5 prefix on purpose (not xxhash): both engines
   * must compute identical values for the oracle gate.
   */
-case class HashedWordBigrams(child: Expression)
+case class HashedWordBigrams(child: Expression, n: Int = 2)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 2, s"n-gram size must be >= 2, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -33,7 +35,8 @@ case class HashedWordBigrams(child: Expression)
       s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "hashed_word_bigrams"
+  override def prettyName: String =
+    if (n == 2) "hashed_word_bigrams" else s"hashed_word_${n}grams"
 
   // one digest per thread: in local mode the same expression instance
   // can be evaluated by many tasks concurrently
@@ -47,25 +50,31 @@ case class HashedWordBigrams(child: Expression)
     // and DuckDB's string_split both keep them (Scala's split(Char)
     // default would drop them and diverge from the oracle)
     val toks = s.split(" ", -1)
-    if (toks.length < 2) return new GenericArrayData(Array.empty[Long])
-    val out = new Array[Long](toks.length - 1)
-    var n = 0
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val cnt = toks.length - n + 1
+    val out = new Array[Long](cnt)
+    val sb = new java.lang.StringBuilder
     var i = 0
-    while (i < toks.length - 1) {
-      val shingle = toks(i) + " " + toks(i + 1)
+    while (i < cnt) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
       md5.reset()
-      val d = md5.digest(shingle.getBytes("UTF-8"))
+      val d = md5.digest(sb.toString.getBytes("UTF-8"))
       // first 8 hex chars == first 4 bytes, big-endian, unsigned
-      out(n) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      n += 1
       i += 1
     }
-    java.util.Arrays.sort(out, 0, n)
+    java.util.Arrays.sort(out)
     // unique in place
     var w = 0
     i = 0
-    while (i < n) {
+    while (i < cnt) {
       if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
       i += 1
     }

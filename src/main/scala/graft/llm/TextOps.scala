@@ -75,10 +75,17 @@ object TextOps {
     * Values are the same engine-portable md5 prefixes, so the DuckDB
     * oracles are unaffected.
     */
-  def hashedShingles(text: Column): Column =
+  def hashedShingles(text: Column): Column = hashedNgrams(text, 2)
+
+  /** SORTED distinct word-n-gram shingles hashed to longs — the n=3
+    * (trigram) form backs [[DedupQueries]]' n-gram Jaccard operator:
+    * trigram noise Jaccard between unrelated fixture docs maxes ~0.04
+    * (bigram: ~0.2), so a 0.1 threshold sits cleanly above noise.
+    */
+  def hashedNgrams(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.HashedWordBigrams(
-        org.apache.spark.sql.GraftColumnBridge.expression(lower(text))))
+        org.apache.spark.sql.GraftColumnBridge.expression(lower(text)), n))
 
   /** Exact Jaccard of two pre-distinct arrays — |A∩B| / |A∪B| as one
     * double division of two exact ints.
@@ -93,16 +100,28 @@ object TextOps {
   val toksSql: String = "string_split(lower(text), ' ')"
 
   /** Distinct word-bigram shingles over a tokens-list expression `t`. */
-  def shinglesSql(t: String): String =
-    s"list_distinct([$t[i] || ' ' || $t[i+1] for i in range(1, len($t))])"
+  def shinglesSql(t: String): String = ngramsSql(t, 2)
+
+  /** Distinct word-n-gram shingles over a tokens-list expression `t`
+    * (1-based DuckDB list indexing; empty for < n tokens via an empty
+    * range).
+    */
+  def ngramsSql(t: String, n: Int): String = {
+    val elem = (0 until n)
+      .map(k => if (k == 0) s"$t[i]" else s"$t[i+$k]").mkString(" || ' ' || ")
+    s"list_distinct([$elem for i in range(1, len($t) - ${n - 2})])"
+  }
 
   /** 32-bit md5-prefix hash of expression `e`. */
   def hash32Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
 
   /** Hashed distinct shingles over a tokens-list expression `t`. */
-  def hashedShinglesSql(t: String): String =
-    s"list_distinct(list_transform(${shinglesSql(t)}, s -> ${hash32Sql("s")}))"
+  def hashedShinglesSql(t: String): String = hashedNgramsSql(t, 2)
+
+  /** Hashed distinct n-gram shingles over a tokens-list expression. */
+  def hashedNgramsSql(t: String, n: Int): String =
+    s"list_distinct(list_transform(${ngramsSql(t, n)}, s -> ${hash32Sql("s")}))"
 
   /** Exact Jaccard of two pre-distinct list expressions. */
   def jaccardSql(a: String, b: String): String =

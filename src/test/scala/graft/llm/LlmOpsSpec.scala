@@ -59,6 +59,61 @@ class LlmOpsSpec extends SparkSuite {
       s"LSH recall too low: ${caught.size}/${strong.size}")
   }
 
+  test("trigram jaccard: sound vs brute-force truth, catches planted near-dups") {
+    import graft.SparkSuite.spark.implicits._
+    val d = docs.select($"doc_id", TextOps.hashedNgrams($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    // ground truth: all-pairs exact trigram Jaccard (test-scale only)
+    val truth = d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        TextOps.jaccard(col("x.sh"), col("y.sh")).as("j"))
+      .filter($"j" >= 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val found = DedupQueries.defs("llm_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // soundness: the exact verifier admits only true >=0.1 pairs
+    assert(found.forall(truth.contains))
+    // recall: planted near-dups (trigram J >= 0.8) must be caught
+    val strong = truth.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty, "fixture should contain planted near-dupes")
+    val caught = strong.intersect(found)
+    assert(caught.size.toDouble / strong.size >= 0.9,
+      s"banded recall too low: ${caught.size}/${strong.size}")
+  }
+
+  test("vector near-dup: sound vs brute-force centered cosine, catches planted near-dups") {
+    import graft.SparkSuite.spark.implicits._
+    val sh = docs.select($"doc_id", TextOps.hashedShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def cvec(s: Seq[Long]): Array[Long] = {
+      val v = new Array[Long](32); s.foreach(h => v((h % 32).toInt) += 1); v
+    }
+    def ccos(a: Seq[Long], b: Seq[Long]): Double = {
+      val (va, vb) = (cvec(a), cvec(b))
+      val (ta, tb) = (va.sum, vb.sum)
+      val da = va.map(c => 32 * c - ta); val db = vb.map(c => 32 * c - tb)
+      val dot = da.zip(db).map { case (x, y) => x * y }.sum.toDouble
+      dot / math.sqrt(da.map(x => x * x).sum.toDouble) /
+        math.sqrt(db.map(x => x * x).sum.toDouble)
+    }
+    val ids = sh.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      c = ccos(sh(ids(i)), sh(ids(j))) if c >= 0.8
+    } yield (ids(i), ids(j)) -> c).toMap
+    val found = DedupQueries.defs("llm_vector_neardup")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // soundness: verify filter is the exact centered cosine
+    assert(found.forall(truth.contains))
+    // recall: clearly-separated near-dups (centered cos >= 0.9) caught
+    val strong = truth.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty, "fixture should contain planted near-dupes")
+    val caught = strong.intersect(found)
+    assert(caught.size.toDouble / strong.size >= 0.9,
+      s"banded recall too low: ${caught.size}/${strong.size}")
+  }
+
   test("minhash signature equals direct per-document computation for a sample doc") {
     import graft.SparkSuite.spark.implicits._
     val row = docs.orderBy($"doc_id").first()

@@ -45,6 +45,18 @@ class PlanSpec extends SparkSuite {
     assert(plan("q9_top_orders_per_customer").contains("WindowGroupLimit"))
   }
 
+  test("near-dup candidate self-joins are keyed on LSH band buckets") {
+    // the r2 verdict's scale-killer was a block-local all-pairs self-join;
+    // every near-dup operator must generate candidates via a banded
+    // bucket equi-join instead
+    for (q <- Seq("llm_minhash_lsh", "llm_ngram_jaccard",
+        "llm_vector_neardup", "llm_simhash")) {
+      val p = plan(q)
+      assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("band#")),
+        s"$q: candidate join not keyed on a band bucket\n${p.take(1500)}")
+    }
+  }
+
   test("dedup and similarity operators never plan a cartesian product") {
     for (q <- Seq("llm_minhash_lsh", "llm_simhash", "llm_ngram_jaccard",
         "llm_embed_lsh_ann", "llm_embed_ivf", "llm_vector_neardup",
