@@ -180,9 +180,24 @@ object ChangelogFiles {
   private final case class CountState(len: Long, mtime: Long, count: Long)
   private val countCache = new ConcurrentHashMap[String, CountState]()
 
+  /** One manifest row: byte length, record count, and (optionally)
+    * per-`db.table` record counts of the file — the metadata that lets
+    * per-table map offsets advance without scanning file contents.
+    */
+  final case class ManifestEntry(length: Long, count: Long,
+      tables: Map[String, Long])
+
   private final case class ManifestState(len: Long, mtime: Long,
-      entries: Map[String, (Long, Long)]) // name -> (length, count)
+      entries: Map[String, ManifestEntry])
   private val manifestCache = new ConcurrentHashMap[String, ManifestState]()
+
+  /** Per-table count cache for live files: `len` is the CONSUMED prefix
+    * (position just past the last complete line scanned), so a partial
+    * trailing line under concurrent append is re-read next time, never
+    * double- or under-counted.
+    */
+  private final case class TableCountState(len: Long, counts: Map[String, Long])
+  private val tableCountCache = new ConcurrentHashMap[String, TableCountState]()
 
   def listFiles(dir: String, prefix: String = DefaultPrefix): Seq[(Long, File)] = {
     val d = new File(dir)
@@ -192,10 +207,14 @@ object ChangelogFiles {
       .sortBy(_._1).toSeq
   }
 
-  /** Raw newline-byte count from byte offset `from` — no UTF-8 decode,
-    * no line materialization.
+  /** Raw newline-byte count in [from, until) — no UTF-8 decode, no line
+    * materialization. The scan is BOUNDED at `until` (the caller's
+    * stat-snapshotted length): under concurrent append, reading to EOF
+    * would count newlines past the snapshot and the cached
+    * (length, count) pair would double-count those bytes on the next
+    * incremental update — silently skipping records later.
     */
-  private def countNewlines(f: File, from: Long): Long = {
+  private def countNewlines(f: File, from: Long, until: Long): Long = {
     val in = new FileInputStream(f)
     try {
       var skipped = 0L
@@ -206,20 +225,23 @@ object ChangelogFiles {
       }
       val buf = new Array[Byte](64 * 1024)
       var count = 0L
-      var n = in.read(buf)
-      while (n > 0) {
+      var remaining = until - from
+      var n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+      while (n > 0 && remaining > 0) {
         var i = 0
         while (i < n) { if (buf(i) == '\n') count += 1; i += 1 }
-        n = in.read(buf)
+        remaining -= n
+        n = if (remaining > 0)
+          in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt) else 0
       }
       count
     } finally in.close()
   }
 
-  /** Per-file record counts from `manifest.json` (name → (length, count));
-    * empty if absent. Cached, reloaded only when the manifest changes.
+  /** Per-file manifest entries; empty if absent. Cached, reloaded only
+    * when the manifest changes.
     */
-  def manifest(dir: String): Map[String, (Long, Long)] = {
+  def manifest(dir: String): Map[String, ManifestEntry] = {
     val mf = new File(dir, ManifestName)
     if (!mf.exists()) return Map.empty
     val len = mf.length(); val mtime = mf.lastModified()
@@ -227,44 +249,55 @@ object ChangelogFiles {
     if (prev != null && prev.len == len && prev.mtime == mtime) return prev.entries
     val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
     val p = new JsonFactory().createParser(txt)
-    val m = mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val m = mutable.LinkedHashMap.empty[String, ManifestEntry]
     require(p.nextToken() == JsonToken.START_OBJECT)
     while (p.nextToken() != JsonToken.END_OBJECT) {
       val name = p.currentName()
       require(p.nextToken() == JsonToken.START_OBJECT)
       var l = -1L; var c = -1L
+      val tabs = mutable.LinkedHashMap.empty[String, Long]
       while (p.nextToken() != JsonToken.END_OBJECT) {
         val k = p.currentName(); p.nextToken()
         k match {
           case "length" => l = p.getLongValue
           case "count"  => c = p.getLongValue
-          case _        => p.skipChildren()
+          case "tables" =>
+            require(p.currentToken() == JsonToken.START_OBJECT)
+            while (p.nextToken() != JsonToken.END_OBJECT) {
+              val t = p.currentName(); p.nextToken(); tabs += t -> p.getLongValue
+            }
+          case _ => p.skipChildren()
         }
       }
-      m += name -> (l, c)
+      m += name -> ManifestEntry(l, c, tabs.toMap)
     }
     p.close()
     manifestCache.put(dir, ManifestState(len, mtime, m.toMap))
     m.toMap
   }
 
-  /** Record count of a (possibly still purged) file, from the manifest
+  /** Record count of a (possibly since-purged) file, from the manifest
     * only — used for the data-loss check on missing files.
     */
   def manifestCount(dir: String, name: String): Option[Long] =
-    manifest(dir).get(name).map(_._2)
+    manifest(dir).get(name).map(_.count)
 
-  /** Write `manifest.json` for a directory of generated files
-    * (name → (length, count)) — shared by the fixture generators.
+  /** Write `manifest.json` for a directory of generated files — shared
+    * by the fixture generators. Per-table counts ride along so map
+    * offsets can advance tables independently without content scans.
     */
-  def writeManifest(dir: File, entries: Iterable[(String, (File, Long))]): Unit = {
+  def writeManifest(dir: File,
+      entries: Iterable[(String, (File, Long, Map[String, Long]))]): Unit = {
     val sw = new java.io.StringWriter()
     val g = new JsonFactory().createGenerator(sw)
     g.writeStartObject()
-    entries.foreach { case (name, (f, count)) =>
+    entries.foreach { case (name, (f, count, tables)) =>
       g.writeObjectFieldStart(name)
       g.writeNumberField("length", f.length())
       g.writeNumberField("count", count)
+      g.writeObjectFieldStart("tables")
+      tables.toSeq.sortBy(_._1).foreach { case (t, n) => g.writeNumberField(t, n) }
+      g.writeEndObject()
       g.writeEndObject()
     }
     g.writeEndObject()
@@ -279,13 +312,130 @@ object ChangelogFiles {
     val prev = countCache.get(path)
     if (prev != null && prev.len == len && prev.mtime == mtime) return prev.count
     val fromManifest = manifest(f.getParent).get(f.getName)
-      .collect { case (l, c) if l == len => c }
+      .collect { case ManifestEntry(l, c, _) if l == len => c }
     val count = fromManifest.getOrElse {
-      if (prev != null && len > prev.len) prev.count + countNewlines(f, prev.len)
-      else countNewlines(f, 0L)
+      if (prev != null && len > prev.len) prev.count + countNewlines(f, prev.len, len)
+      else countNewlines(f, 0L, len)
     }
     countCache.put(path, CountState(len, mtime, count))
     count
+  }
+
+  // ----------------------------------------------------- per-table index
+
+  /** Per-`db.table` record counts of one LIVE file. Manifest-backed when
+    * current; otherwise an incremental scan of appended bytes. The cache
+    * tracks the consumed PREFIX length (up to the last complete line),
+    * so concurrent appends and partial trailing lines stay consistent.
+    */
+  def tableCounts(f: File): Map[String, Long] = {
+    val path = f.getAbsolutePath
+    val len = f.length()
+    val prev = tableCountCache.get(path)
+    if (prev != null && prev.len == len) return prev.counts
+    manifest(f.getParent).get(f.getName) match {
+      case Some(ManifestEntry(l, _, tabs)) if l == len && tabs.nonEmpty =>
+        tableCountCache.put(path, TableCountState(len, tabs))
+        tabs
+      case _ =>
+        val from = if (prev != null && len > prev.len) prev.len else 0L
+        val base = if (from > 0) prev.counts else Map.empty[String, Long]
+        val (inc, consumed) = scanTableCounts(f, from, len)
+        val merged = inc.foldLeft(base) { case (acc, (t, n)) =>
+          acc.updated(t, acc.getOrElse(t, 0L) + n)
+        }
+        tableCountCache.put(path, TableCountState(consumed, merged))
+        merged
+    }
+  }
+
+  /** Scan [from, until) for complete lines, counting records per
+    * `db.table`; returns (counts, position past the last complete line).
+    */
+  private def scanTableCounts(f: File, from: Long, until: Long): (Map[String, Long], Long) = {
+    val in = new FileInputStream(f)
+    try {
+      var skipped = 0L
+      while (skipped < from) {
+        val s = in.skip(from - skipped)
+        if (s <= 0) throw new java.io.IOException(s"cannot skip to $from in $f")
+        skipped += s
+      }
+      val bytes = new Array[Byte]((until - from).toInt)
+      var read = 0
+      var n = in.read(bytes, 0, bytes.length)
+      while (n > 0 && read < bytes.length) {
+        read += n
+        n = in.read(bytes, read, bytes.length - read)
+      }
+      var lastNl = read - 1
+      while (lastNl >= 0 && bytes(lastNl) != '\n') lastNl -= 1
+      if (lastNl < 0) return (Map.empty, from)
+      val counts = mutable.HashMap.empty[String, Long]
+      val txt = new String(bytes, 0, lastNl + 1, StandardCharsets.UTF_8)
+      txt.split("\n", -1).foreach { line =>
+        if (line.nonEmpty) {
+          val r = ChangelogRecord.parse(line)
+          val k = s"${r.db}.${r.table}"
+          counts.put(k, counts.getOrElse(k, 0L) + 1)
+        }
+      }
+      (counts.toMap, from + lastNl + 1)
+    } finally in.close()
+  }
+
+  /** Every file the log has EVER known (live ∪ manifest, the latter
+    * covering since-purged files), sorted by fileId, with its per-table
+    * counts — the spine of the per-table offset space. Table-local
+    * indices must be computed over this full history so pruning a
+    * consumed head file never shifts later indices.
+    */
+  def fileTableCounts(dir: String, prefix: String = DefaultPrefix)
+      : Seq[(Long, Option[File], Map[String, Long])] = {
+    val live = listFiles(dir, prefix).toMap
+    val fromManifest = manifest(dir).collect {
+      case (name, e) if name.startsWith(prefix + ".") =>
+        BinlogOffset.fileIdOf(name) -> e.tables
+    }
+    (live.keySet ++ fromManifest.keySet).toSeq.sorted.map { id =>
+      live.get(id) match {
+        case Some(f) => (id, Some(f), tableCounts(f))
+        case None    => (id, None, fromManifest.getOrElse(id, Map.empty))
+      }
+    }
+  }
+
+  /** Total per-table record counts over the full log history — the
+    * per-table `latestOffset`. O(#files) stats + incremental tail scan.
+    */
+  def totalsByTable(dir: String, prefix: String = DefaultPrefix): Map[String, Long] =
+    fileTableCounts(dir, prefix).foldLeft(Map.empty[String, Long]) {
+      case (acc, (_, _, counts)) =>
+        counts.foldLeft(acc) { case (a, (t, n)) => a.updated(t, a.getOrElse(t, 0L) + n) }
+    }
+
+  /** Convert a GLOBAL (fileId, pos) offset into per-table consumed
+    * counts — the number of each table's records strictly before it.
+    * Used to resolve packed `startingOffsets` and to upgrade legacy
+    * single-long checkpoints to map offsets. Scans only the boundary
+    * file (once, at stream start).
+    */
+  def tableCountsBefore(dir: String, off: BinlogOffset,
+      prefix: String = DefaultPrefix): Map[String, Long] = {
+    if (off.fileId <= 0) return Map.empty
+    val acc = mutable.HashMap.empty[String, Long]
+    fileTableCounts(dir, prefix).foreach {
+      case (id, _, counts) if id < off.fileId =>
+        counts.foreach { case (t, n) => acc.put(t, acc.getOrElse(t, 0L) + n) }
+      case (id, Some(f), _) if id == off.fileId && off.pos > 1 =>
+        val it = readRange(f, 1L, off.pos)
+        try it.foreach { r =>
+          val k = s"${r.db}.${r.table}"
+          acc.put(k, acc.getOrElse(k, 0L) + 1)
+        } finally it.close()
+      case _ => ()
+    }
+    acc.toMap
   }
 
   /** Offset of the first record (inclusive): (firstFileId, 1); (0, 1)

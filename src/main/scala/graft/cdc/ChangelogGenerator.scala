@@ -54,11 +54,13 @@ object ChangelogGenerator {
     var posInFile = 0L
     var out: BufferedWriter = null
     var current: File = null
-    val written = scala.collection.mutable.LinkedHashMap.empty[String, (File, Long)]
+    val written =
+      scala.collection.mutable.LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
     def roll(): Unit = {
       if (out != null) {
         out.close()
-        written += current.getName -> (current, posInFile)
+        written += current.getName ->
+          (current, posInFile, Map(s"$db.$table" -> posInFile))
       }
       val f = new File(dir, f"$prefix.$fileId%06d")
       current = f
@@ -88,10 +90,12 @@ object ChangelogGenerator {
       out.write("\n")
     }
     out.close()
-    written += current.getName -> (current, posInFile)
+    written += current.getName ->
+      (current, posInFile, Map(s"$db.$table" -> posInFile))
 
-    // manifest.json sidecar: per-file (length, count) so the source's
-    // per-trigger latestOffset never re-scans completed files
+    // manifest.json sidecar: per-file (length, count, per-table counts)
+    // so the source's per-trigger latestOffset never re-scans completed
+    // files — in either global or per-table offset mode
     ChangelogFiles.writeManifest(dir, written)
   }
 }

@@ -29,10 +29,15 @@ object WalGenerator {
       var fileId = 1L
       var posInFile = 0L
       var out: BufferedWriter = _
-      val counts = scala.collection.mutable.LinkedHashMap.empty[String, (File, Long)]
+      val counts = scala.collection.mutable
+        .LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
       var current: File = _
       def roll(): Unit = {
-        if (out != null) { out.close(); counts += current.getName -> (current, posInFile) }
+        if (out != null) {
+          out.close()
+          counts += current.getName ->
+            (current, posInFile, Map(s"wal.$region" -> posInFile))
+        }
         current = new File(dir, f"$prefix.$fileId%06d")
         out = new BufferedWriter(new OutputStreamWriter(
           new FileOutputStream(current), StandardCharsets.UTF_8))
@@ -54,7 +59,8 @@ object WalGenerator {
       }
       def close(): Unit = {
         out.close()
-        counts += current.getName -> (current, posInFile)
+        counts += current.getName ->
+          (current, posInFile, Map(s"wal.$region" -> posInFile))
         ChangelogFiles.writeManifest(dir, counts)
       }
     }

@@ -34,7 +34,17 @@ import graft.cdc._
   * exists): `path`, `databaseNamePattern`, `tableNamePattern`,
   * `startingOffsets` (earliest|latest|<packed long>), `binlogIndex` +
   * `binlogFileOffset`, `maxEventsPerTrigger`, `maxRecordsPerPartition`,
-  * `failOnDataLoss`.
+  * `failOnDataLoss`, `offsetsByTable`.
+  *
+  * Streaming offsets are PER-TABLE maps by default (`offsetsByTable`,
+  * Kafka-style `{db.table: consumedCount}` — the reference's
+  * CommonSourceOffset.scala:14-53 shape): each table tracks how many of
+  * ITS records are consumed, so one slow/capped table never stalls the
+  * others, and the admission-control budget splits across tables. The
+  * per-table "partition offset" is the table-local record index — O(1)
+  * to advance from manifest metadata, stable under head-file pruning.
+  * `offsetsByTable=false` restores the reference-compatible single
+  * packed (fileId, pos) long.
   *
   * Output schema: a single `value: String` column of JSON envelopes —
   * the Kafka-source shape the reference emits (MBDS:40-44).
@@ -92,6 +102,7 @@ final case class BinlogSourceConf(
     maxRecordsPerPartition: Long,
     failOnDataLoss: Boolean,
     pruneCommitted: Boolean,
+    offsetsByTable: Boolean,
     /** `binlog.field.decode.<col>` / `binlog.field.decode.*` charset
       * options, keyed exactly as [[graft.cdc.TypeKernels.decodeBytes]]
       * expects (reference SchemaTool.scala:43-50).
@@ -101,7 +112,21 @@ final case class BinlogSourceConf(
       * reference silently drops them, UpdateRowsWriter.java:54-57).
       */
     includeBeforeImage: Boolean,
-    sessionTimeZone: String) extends Serializable
+    sessionTimeZone: String) extends Serializable {
+
+  /** db/table regex filters applied to a `db.table` offset key (split
+    * at the FIRST dot — fixture dbs are dot-free).
+    */
+  @transient lazy val tableKeyMatches: String => Boolean = {
+    val dbP = databaseNamePattern.map(Pattern.compile)
+    val tblP = tableNamePattern.map(Pattern.compile)
+    key => {
+      val i = key.indexOf('.')
+      val (db, tbl) = if (i < 0) ("", key) else (key.take(i), key.drop(i + 1))
+      dbP.forall(_.matcher(db).matches()) && tblP.forall(_.matcher(tbl).matches())
+    }
+  }
+}
 
 object BinlogSourceConf {
   def apply(options: CaseInsensitiveStringMap): BinlogSourceConf = {
@@ -122,6 +147,8 @@ object BinlogSourceConf {
         Option(options.get("failOnDataLoss")).forall(_.toBoolean),
       pruneCommitted =
         Option(options.get("pruneCommitted")).exists(_.toBoolean),
+      offsetsByTable =
+        Option(options.get("offsetsByTable")).forall(_.toBoolean),
       fieldDecode = options.asCaseSensitiveMap().asScala.toMap
         .filter(_._1.toLowerCase.startsWith("binlog.field.decode."))
         .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
@@ -141,11 +168,48 @@ final case class BinlogSourceOffset(packed: Long) extends Offset {
   def offset: BinlogOffset = BinlogOffset.unpack(packed)
 }
 
+/** Kafka-style per-table map offset `{db.table: consumedCount}` with
+  * deterministic (sorted-key) JSON — the binlog-path port of
+  * [[graft.sources.wal.WalOffset]] (reference
+  * CommonSourceOffset.scala:14-53). The value is the table-LOCAL count
+  * of records consumed, computed over the full log history (manifest ∪
+  * live files), so it is stable under head-file retention pruning.
+  */
+final case class BinlogTableOffsets(tables: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val sw = new java.io.StringWriter()
+    val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    g.writeStartObject()
+    tables.toSeq.sortBy(_._1).foreach { case (t, n) => g.writeNumberField(t, n) }
+    g.writeEndObject()
+    g.close()
+    sw.toString
+  }
+}
+
+object BinlogTableOffsets {
+  def parse(json: String): BinlogTableOffsets = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = new com.fasterxml.jackson.core.JsonFactory().createParser(json)
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    require(p.nextToken() == JsonToken.START_OBJECT,
+      "binlog table offset must be a JSON object")
+    while (p.nextToken() != JsonToken.END_OBJECT) {
+      val t = p.currentName(); p.nextToken(); m += t -> p.getLongValue
+    }
+    p.close()
+    BinlogTableOffsets(m.toMap)
+  }
+}
+
 final class BinlogMicroBatchStream(conf: BinlogSourceConf)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = {
-    val off = (conf.binlogIndex, conf.binlogFileOffset) match {
+  /** The configured global starting position (legacy mode; also the
+    * conversion anchor for map-offset mode).
+    */
+  private def configuredStart: BinlogOffset =
+    (conf.binlogIndex, conf.binlogFileOffset) match {
       case (Some(idx), pos) => BinlogOffset(idx, pos.getOrElse(1L))
       case _ => conf.startingOffsets.toLowerCase match {
         case "earliest" => ChangelogFiles.earliestOffset(conf.dir, conf.prefix)
@@ -153,7 +217,31 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
         case n          => BinlogOffset.unpack(n.toLong)
       }
     }
-    BinlogSourceOffset(off.packed)
+
+  override def initialOffset(): Offset =
+    if (!conf.offsetsByTable) BinlogSourceOffset(configuredStart.packed)
+    else {
+      val base = (conf.binlogIndex, conf.binlogFileOffset) match {
+        case (Some(_), _) =>
+          ChangelogFiles.tableCountsBefore(conf.dir, configuredStart, conf.prefix)
+        case _ => conf.startingOffsets.toLowerCase match {
+          case "earliest" => Map.empty[String, Long] // every table from 0
+          case "latest"   => ChangelogFiles.totalsByTable(conf.dir, conf.prefix)
+          case _ =>
+            ChangelogFiles.tableCountsBefore(conf.dir, configuredStart, conf.prefix)
+        }
+      }
+      BinlogTableOffsets(base.filter { case (k, _) => conf.tableKeyMatches(k) })
+    }
+
+  /** Upgrade path: a legacy single-long checkpoint read under map-offset
+    * mode converts via the global→table-local index mapping.
+    */
+  private def asTableOffsets(o: Offset): Map[String, Long] = o match {
+    case m: BinlogTableOffsets => m.tables
+    case s: BinlogSourceOffset =>
+      ChangelogFiles.tableCountsBefore(conf.dir, s.offset, conf.prefix)
+        .filter { case (k, _) => conf.tableKeyMatches(k) }
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -163,40 +251,86 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startOff = start.asInstanceOf[BinlogSourceOffset].offset
-    val latest = ChangelogFiles.latestOffset(conf.dir, conf.prefix)
-    val end = limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        val capped = ChangelogFiles.advance(conf.dir, startOff, r.maxRows(), conf.prefix)
-        if (capped < latest) capped else latest
-      case _ => latest
+  /** Per-table independent advance (map-offset mode): under a row cap,
+    * the budget splits evenly across tables (min 1) — a stalled/slow
+    * table can neither stall the others nor starve itself. Mirrors
+    * WalMicroBatchStream.latestOffset region handling.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    if (!conf.offsetsByTable) {
+      val startOff = start.asInstanceOf[BinlogSourceOffset].offset
+      val latest = ChangelogFiles.latestOffset(conf.dir, conf.prefix)
+      val end = limit match {
+        case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          val capped = ChangelogFiles.advance(conf.dir, startOff, r.maxRows(), conf.prefix)
+          if (capped < latest) capped else latest
+        case _ => latest
+      }
+      BinlogSourceOffset(math.max(end.packed, startOff.packed))
+    } else {
+      val startMap = asTableOffsets(start)
+      val totals = ChangelogFiles.totalsByTable(conf.dir, conf.prefix)
+        .filter { case (k, _) => conf.tableKeyMatches(k) }
+      // tables discovered now ∪ tables already tracked (a table going
+      // quiet must not drop its checkpointed offset)
+      val keys = (totals.keys ++ startMap.keys).toSeq.distinct.sorted
+      val perTableCap = limit match {
+        case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          Some(math.max(1L, r.maxRows() / math.max(1, keys.size)))
+        case _ => None
+      }
+      BinlogTableOffsets(keys.map { t =>
+        val from = startMap.getOrElse(t, 0L) // new table: all records are new
+        val total = math.max(totals.getOrElse(t, 0L), from)
+        t -> perTableCap.map(c => math.min(total, from + c)).getOrElse(total)
+      }.toMap)
     }
-    BinlogSourceOffset(math.max(end.packed, startOff.packed))
-  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    BinlogPartitioning.plan(conf,
-      start.asInstanceOf[BinlogSourceOffset].offset,
-      end.asInstanceOf[BinlogSourceOffset].offset)
+    (start, end) match {
+      case (_, e: BinlogTableOffsets) =>
+        BinlogPartitioning.planByTable(conf, asTableOffsets(start), e.tables)
+      case _ =>
+        BinlogPartitioning.plan(conf,
+          start.asInstanceOf[BinlogSourceOffset].offset,
+          end.asInstanceOf[BinlogSourceOffset].offset)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir))
 
-  override def deserializeOffset(json: String): Offset = BinlogSourceOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset =
+    if (json.trim.startsWith("{")) BinlogTableOffsets.parse(json)
+    else BinlogSourceOffset(json.toLong)
 
-  /** ST5 retention: once a batch end-offset is committed, files wholly
-    * below it are fully consumed and (with `pruneCommitted=true`) can
-    * be deleted — the reference's WAL cleanup
-    * (BinlogWriteAheadLog.scala:42-48, 1 h / 3 d retention). The
-    * manifest entry survives, so a later restart whose checkpoint
-    * points at the pruned file's end passes the data-loss check.
+  /** ST5 retention: once a batch end-offset is committed, fully-consumed
+    * files can (with `pruneCommitted=true`) be deleted — the reference's
+    * WAL cleanup (BinlogWriteAheadLog.scala:42-48, 1 h / 3 d retention).
+    * The manifest entry survives, so a later restart whose checkpoint
+    * points at the pruned file's end passes the data-loss check, and
+    * table-local indices stay stable. In map-offset mode a file is
+    * fully consumed when every regex-matched table has consumed its
+    * records through that file; non-matched tables are never served, so
+    * they do not block retention.
     */
-  override def commit(end: Offset): Unit = if (conf.pruneCommitted) {
-    val endOff = end.asInstanceOf[BinlogSourceOffset].offset
-    ChangelogFiles.listFiles(conf.dir, conf.prefix)
-      .filter(_._1 < endOff.fileId)
-      .foreach { case (_, f) => f.delete() }
+  override def commit(end: Offset): Unit = if (conf.pruneCommitted) end match {
+    case s: BinlogSourceOffset =>
+      ChangelogFiles.listFiles(conf.dir, conf.prefix)
+        .filter(_._1 < s.offset.fileId)
+        .foreach { case (_, f) => f.delete() }
+    case m: BinlogTableOffsets =>
+      val fts = ChangelogFiles.fileTableCounts(conf.dir, conf.prefix)
+      val maxLive = fts.collect { case (id, Some(_), _) => id }
+        .foldLeft(0L)(math.max)
+      val cum = scala.collection.mutable.HashMap.empty[String, Long]
+      fts.foreach { case (id, fOpt, counts) =>
+        counts.foreach { case (t, n) => cum.put(t, cum.getOrElse(t, 0L) + n) }
+        val fully = counts.forall { case (t, _) =>
+          !conf.tableKeyMatches(t) || m.tables.getOrElse(t, 0L) >= cum(t)
+        }
+        // keep the newest file: it is the append tail
+        fOpt.foreach(f => if (fully && id < maxLive) f.delete())
+      }
   }
 
   override def stop(): Unit = ()
@@ -235,12 +369,12 @@ object BinlogPartitioning {
     // Purged files wholly BELOW the start offset are normal retention.
     if (conf.failOnDataLoss && start.fileId > 0) {
       val existing = files.map(_._1).toSet
-      val unreadPurged = ChangelogFiles.manifest(conf.dir).exists { case (name, (_, count)) =>
+      val unreadPurged = ChangelogFiles.manifest(conf.dir).exists { case (name, e) =>
         try {
           val id = BinlogOffset.fileIdOf(name)
           !existing.contains(id) &&
-            ((id == start.fileId && count >= start.pos) ||
-             (id > start.fileId && count > 0))
+            ((id == start.fileId && e.count >= start.pos) ||
+             (id > start.fileId && e.count > 0))
         } catch { case _: Exception => false }
       }
       if (unreadPurged) {
@@ -263,10 +397,61 @@ object BinlogPartitioning {
       math.min(chunkStart + conf.maxRecordsPerPartition, until))
     parts.toArray
   }
+
+  /** Map-offset planning: one partition per file that holds any
+    * in-range record of any table — the file is scanned ONCE for all
+    * tables (no per-table read amplification over the shared log).
+    * Each partition carries, per table, the table-local index range to
+    * serve plus the table's cumulative index at the file start; the
+    * reader reconstructs local indices by counting as it scans.
+    *
+    * Data loss in this mode falls out of the index spine: a purged
+    * (manifest-only) file whose range still overlaps [start, end) for
+    * some table means unread records were lost.
+    */
+  def planByTable(conf: BinlogSourceConf, start: Map[String, Long],
+      end: Map[String, Long]): Array[InputPartition] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val lost = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cum = scala.collection.mutable.HashMap.empty[String, Long]
+    ChangelogFiles.fileTableCounts(conf.dir, conf.prefix).foreach {
+      case (id, fOpt, counts) =>
+        val ranges: Map[String, (Long, Long)] = counts.flatMap { case (t, n) =>
+          end.get(t).flatMap { endT =>
+            val base = cum.getOrElse(t, 0L)
+            val lo = math.max(start.getOrElse(t, 0L), base)
+            val hi = math.min(endT, base + n)
+            if (hi > lo) Some(t -> (lo, hi)) else None
+          }
+        }
+        if (ranges.nonEmpty) fOpt match {
+          case Some(f) =>
+            parts += BinlogMapInputPartition(f.getAbsolutePath, id,
+              ranges.keys.map(t => t -> cum.getOrElse(t, 0L)).toMap, ranges)
+          case None => lost += id
+        }
+        counts.foreach { case (t, n) => cum.put(t, cum.getOrElse(t, 0L) + n) }
+    }
+    if (lost.nonEmpty && conf.failOnDataLoss) {
+      throw new IllegalStateException(
+        s"changelog files ${lost.mkString(",")} were purged with unread " +
+          "records for some tables — data was lost (set failOnDataLoss=false to ignore)")
+    }
+    parts.toArray
+  }
 }
 
 final case class BinlogInputPartition(
     filePath: String, fileId: Long, fromPos: Long, untilPos: Long) extends InputPartition
+
+/** Map-offset partition: serve, per table, local indices
+  * `[ranges(t)._1, ranges(t)._2)` where `base(t)` is the table's
+  * cumulative index at the file start.
+  */
+final case class BinlogMapInputPartition(
+    filePath: String, fileId: Long,
+    base: Map[String, Long],
+    ranges: Map[String, (Long, Long)]) extends InputPartition
 
 final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, String])
     extends PartitionReaderFactory {
@@ -278,46 +463,85 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
       k -> DataType.fromJson(v).asInstanceOf[StructType]
     }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[BinlogInputPartition]
-    new PartitionReader[InternalRow] {
-      // db/table regex filters applied at the source, pre-materialization
-      // (reference BinLogSocketServerInExecutor.scala:239-250, compile :278-281)
-      private val dbP = conf.databaseNamePattern.map(Pattern.compile)
-      private val tblP = conf.tableNamePattern.map(Pattern.compile)
-      private val raw = ChangelogFiles
-        .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
-      private val it = raw
-        .filter { r =>
-          dbP.forall(_.matcher(r.db).matches()) &&
-            tblP.forall(_.matcher(r.table).matches()) &&
-            (r.op == "insert" || r.op == "update" || r.op == "delete")
-        }
-      private var current: ChangelogRecord = _
-
-      override def next(): Boolean = {
-        if (it.hasNext) { current = it.next(); true } else false
-      }
-      override def get(): InternalRow = {
-        val key = s"${current.db}.${current.table}"
-        val st = structs.getOrElse(key, null)
-        // raw byte[]/BIT/temporal cells → envelope form via the type
-        // kernels, driven by schema type + binlog.field.decode.* conf
-        val row = TypeKernels.convertRow(current.row, st,
-          conf.sessionTimeZone, conf.fieldDecode)
-        val before =
-          if (conf.includeBeforeImage)
-            current.before.map(TypeKernels.convertRow(_, st,
-              conf.sessionTimeZone, conf.fieldDecode))
-          else None
-        val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
-          schemas.getOrElse(key, null), row,
-          offset = BinlogOffset(p.fileId, current.pos).packed,
-          beforeRow = before)
-        InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
-      }
-      // release the file handle even if the task is cancelled mid-range
-      override def close(): Unit = raw.close()
-    }
+  /** Changelog record → JSON-envelope row. `offset` is the packed
+    * global offset (legacy partitions) or the 1-based table-local index
+    * (map-offset partitions) — monotonic per (db, table) either way,
+    * which is all the downstream exactly-once dedup (F7) requires.
+    */
+  private def envelope(current: ChangelogRecord, offset: Long): InternalRow = {
+    val key = s"${current.db}.${current.table}"
+    val st = structs.getOrElse(key, null)
+    // raw byte[]/BIT/temporal cells → envelope form via the type
+    // kernels, driven by schema type + binlog.field.decode.* conf
+    val row = TypeKernels.convertRow(current.row, st,
+      conf.sessionTimeZone, conf.fieldDecode)
+    val before =
+      if (conf.includeBeforeImage)
+        current.before.map(TypeKernels.convertRow(_, st,
+          conf.sessionTimeZone, conf.fieldDecode))
+      else None
+    val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
+      schemas.getOrElse(key, null), row, offset = offset, beforeRow = before)
+    InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
   }
+
+  private def isCdcOp(op: String): Boolean =
+    op == "insert" || op == "update" || op == "delete"
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: BinlogInputPartition =>
+        new PartitionReader[InternalRow] {
+          // db/table regex filters applied at the source, pre-materialization
+          // (reference BinLogSocketServerInExecutor.scala:239-250, compile :278-281)
+          private val dbP = conf.databaseNamePattern.map(Pattern.compile)
+          private val tblP = conf.tableNamePattern.map(Pattern.compile)
+          private val raw = ChangelogFiles
+            .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
+          private val it = raw
+            .filter { r =>
+              dbP.forall(_.matcher(r.db).matches()) &&
+                tblP.forall(_.matcher(r.table).matches()) && isCdcOp(r.op)
+            }
+          private var current: ChangelogRecord = _
+
+          override def next(): Boolean =
+            if (it.hasNext) { current = it.next(); true } else false
+          override def get(): InternalRow =
+            envelope(current, BinlogOffset(p.fileId, current.pos).packed)
+          // release the file handle even if the task is cancelled mid-range
+          override def close(): Unit = raw.close()
+        }
+
+      case p: BinlogMapInputPartition =>
+        new PartitionReader[InternalRow] {
+          // one scan serves every table's range: local indices are
+          // reconstructed by counting each table's records from the
+          // file start (base + seen-so-far)
+          private val raw = ChangelogFiles
+            .readRange(new java.io.File(p.filePath), 1L, Long.MaxValue)
+          private val seen = scala.collection.mutable.HashMap.empty[String, Long]
+          private var current: ChangelogRecord = _
+          private var currentIdx = 0L
+
+          override def next(): Boolean = {
+            while (raw.hasNext) {
+              val r = raw.next()
+              val k = s"${r.db}.${r.table}"
+              p.ranges.get(k) match {
+                case Some((lo, hi)) =>
+                  val idx = p.base(k) + seen.getOrElse(k, 0L)
+                  seen.put(k, seen.getOrElse(k, 0L) + 1)
+                  if (idx >= lo && idx < hi && isCdcOp(r.op)) {
+                    current = r; currentIdx = idx; return true
+                  }
+                case None => () // table not served by this batch
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = envelope(current, currentIdx + 1)
+          override def close(): Unit = raw.close()
+        }
+    }
 }

@@ -62,7 +62,11 @@ class ChangelogSpec extends SparkSuite {
     val files = ChangelogFiles.listFiles(dir)
     assert(m.keySet === files.map(_._2.getName).toSet)
     files.foreach { case (_, f) =>
-      assert(m(f.getName) === ((f.length(), ChangelogFiles.recordCount(f))))
+      val e = m(f.getName)
+      assert(e.length === f.length())
+      assert(e.count === ChangelogFiles.recordCount(f))
+      // per-table counts sum to the file count (single-table fixture)
+      assert(e.tables === Map("graft.events" -> e.count))
     }
     assert(ChangelogFiles.manifestCount(dir, files.head._2.getName) === Some(300L))
     assert(ChangelogFiles.manifestCount(dir, "graft-bin.999999") === None)

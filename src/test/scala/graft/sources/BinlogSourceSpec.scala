@@ -211,6 +211,107 @@ class BinlogSourceSpec extends SparkSuite {
       BinlogOffset(4, 101), BinlogOffset(4, 101)).isEmpty)
   }
 
+  test("per-table map offsets: tables advance independently; checkpoint round-trips the map") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.binlog._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+    val d = Files.createTempDirectory("two-table").toString
+    def rec(pos: Long, table: String, id: Long) = ChangelogRecord.write(
+      ChangelogRecord(pos, "insert", "shop", table, id,
+        Map("id" -> EnvelopeValue.VLong(id)))) + "\n"
+    def writeFile(fid: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(d, f"graft-bin.$fid%06d").toPath,
+        lines.mkString.getBytes("UTF-8"))
+    // file 1: orders and users interleaved in one shared log
+    writeFile(1, Seq(rec(1, "orders", 1), rec(2, "users", 1), rec(3, "orders", 2),
+      rec(4, "users", 2), rec(5, "orders", 3)))
+
+    val conf = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map("path" -> d).asJava))
+    val stream = new BinlogMicroBatchStream(conf)
+    val init = stream.initialOffset().asInstanceOf[BinlogTableOffsets]
+    assert(init.tables === Map.empty) // earliest: every table from 0
+
+    val end1 = stream.latestOffset(init, ReadLimit.allAvailable())
+      .asInstanceOf[BinlogTableOffsets]
+    assert(end1.tables === Map("shop.orders" -> 3L, "shop.users" -> 2L))
+    // checkpoint round-trip of the map format
+    assert(stream.deserializeOffset(end1.json()) === end1)
+
+    // append a file containing ONLY orders: just that table's offset moves
+    writeFile(2, Seq(rec(1, "orders", 4), rec(2, "orders", 5)))
+    val end2 = stream.latestOffset(end1, ReadLimit.allAvailable())
+      .asInstanceOf[BinlogTableOffsets]
+    assert(end2.tables === Map("shop.orders" -> 5L, "shop.users" -> 2L))
+
+    // the delta batch serves exactly the two new orders records, with
+    // 1-based table-local indices as envelope offsets
+    val parts = stream.planInputPartitions(end1, end2)
+    val factory = stream.createReaderFactory()
+    val served = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[CdcEvent]
+      while (r.next()) buf += EnvelopeCodec.parse(r.get().getString(0))
+      r.close()
+      buf
+    }
+    assert(served.map(e => (e.tableName, e.offset)).toSet ===
+      Set(("orders", 4L), ("orders", 5L)))
+
+    // under a row cap the budget splits per table: from scratch, a
+    // 2-row limit advances BOTH tables by 1 — neither starves the other
+    val capped = stream.latestOffset(init, ReadLimit.maxRows(2))
+      .asInstanceOf[BinlogTableOffsets]
+    assert(capped.tables === Map("shop.orders" -> 1L, "shop.users" -> 1L))
+
+    // regex filter restricts the offset space itself (F1 at offset level)
+    val confFiltered = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> d, "tableNamePattern" -> "users").asJava))
+    val fStream = new BinlogMicroBatchStream(confFiltered)
+    val fEnd = fStream.latestOffset(fStream.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[BinlogTableOffsets]
+    assert(fEnd.tables === Map("shop.users" -> 2L))
+  }
+
+  test("per-table map offsets stream end-to-end and resume from a map checkpoint") {
+    import graft.sources.binlog._
+    val d = Files.createTempDirectory("two-table-e2e").toString
+    def rec(pos: Long, table: String, id: Long) = ChangelogRecord.write(
+      ChangelogRecord(pos, "insert", "shop", table, id,
+        Map("id" -> EnvelopeValue.VLong(id)))) + "\n"
+    def writeFile(fid: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(d, f"graft-bin.$fid%06d").toPath,
+        lines.mkString.getBytes("UTF-8"))
+    writeFile(1, (1L to 6L).map(i =>
+      rec(i, if (i % 3 == 0) "users" else "orders", i)))
+
+    val ck = Files.createTempDirectory("ck-map").toString
+    val outDir = Files.createTempDirectory("map-out").toString + "/rows"
+    def run(): Seq[CdcEvent] = {
+      val q = spark.readStream.format("graft-binlog").option("path", d)
+        .load().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(outDir).collect()
+        .map(r => EnvelopeCodec.parse(r.getString(0))).toSeq
+    }
+    assert(run().size === 6)
+    // restart after appending to ONE table only — no duplicates, no loss
+    writeFile(2, Seq(rec(1, "users", 7), rec(2, "users", 8)))
+    val all = run()
+    assert(all.size === 8)
+    val byTable = all.groupBy(_.tableName).view.mapValues(_.map(_.offset).sorted).toMap
+    assert(byTable("orders") === Seq(1L, 2L, 3L, 4L))
+    assert(byTable("users") === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("schema registry updates are picked up by subsequent micro-batches") {
     // The reference caches table schemas forever (BSSE:88 — DDL during
     // streaming unsupported); here the registry is re-read per batch,
