@@ -17,9 +17,15 @@ import org.apache.spark.sql.types._
   * Why: Spark evaluates higher-order lambdas interpreted per element;
   * the similarity queries fold 64-dim vectors several times per row.
   * This is a primitive loop with whole-stage codegen.
+  *
+  * Ragged inputs return NULL — the same result as the fold formulation
+  * (`zip_with` null-pads the shorter array, poisoning the sum to NULL),
+  * so malformed embeddings surface instead of silently truncating.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _)  => Some(FloatType)
@@ -45,9 +51,10 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val at = elemType(left).get
     val bt = elemType(right).get
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -66,12 +73,16 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(elemType(left).get, a, i)} * ${getter(elemType(right).get, b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${getter(elemType(left).get, a, i)} * ${getter(elemType(right).get, b, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -85,6 +85,7 @@ final case class WalSourceConf(
     prefix: String,
     maxEventsPerTrigger: Option[Long],
     maxRecordsPerPartition: Long,
+    failOnDataLoss: Boolean,
     /** Same kernel options as the binlog path: `binlog.field.decode.*`
       * charsets and the session zone for raw temporal cells.
       */
@@ -102,6 +103,8 @@ object WalSourceConf {
       maxEventsPerTrigger = Option(options.get("maxEventsPerTrigger")).map(_.toLong),
       maxRecordsPerPartition =
         Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L),
+      failOnDataLoss =
+        Option(options.get("failOnDataLoss")).forall(_.toBoolean),
       fieldDecode = options.asCaseSensitiveMap().asScala.toMap
         .filter(_._1.toLowerCase.startsWith("binlog.field.decode."))
         .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
@@ -221,15 +224,38 @@ object WalPartitioning {
     */
   def plan(conf: WalSourceConf, start: WalOffset, end: WalOffset): Array[InputPartition] = {
     end.regions.toSeq.sortBy(_._1).flatMap { case (region, endPacked) =>
+      val regionDir = s"${conf.dir}/$region"
       val startOff = start.regions.get(region)
         .map(BinlogOffset.unpack)
-        .getOrElse(ChangelogFiles.earliestOffset(s"${conf.dir}/$region", conf.prefix))
+        .getOrElse(ChangelogFiles.earliestOffset(regionDir, conf.prefix))
       val endOff = BinlogOffset.unpack(endPacked)
       require(endOff.packed >= startOff.packed,
         s"region $region: end $endOff < start $startOff — data may have been missed")
+      val files = ChangelogFiles.listFiles(regionDir, conf.prefix)
+      // per-region data-loss check, mirroring the binlog path: a purged
+      // file (manifest entry, no file) at/after the region's start
+      // offset with records the reader had not consumed means loss —
+      // silently skipping it would drop region records. fileId 0 is the
+      // empty-dir sentinel (stream began before the region had files).
+      if (conf.failOnDataLoss && startOff.fileId > 0) {
+        val existing = files.map(_._1).toSet
+        val unreadPurged = ChangelogFiles.manifest(regionDir).exists { case (name, e) =>
+          try {
+            val id = BinlogOffset.fileIdOf(name)
+            !existing.contains(id) &&
+              ((id == startOff.fileId && e.count >= startOff.pos) ||
+               (id > startOff.fileId && e.count > 0))
+          } catch { case _: Exception => false }
+        }
+        if (unreadPurged) {
+          throw new IllegalStateException(
+            s"region $region: start offset $startOff points at or before purged " +
+              s"WAL data (existing files: ${files.map(_._1).mkString(",")}) — unread " +
+              "data was lost (set failOnDataLoss=false to ignore)")
+        }
+      }
       if (endOff.packed == startOff.packed) Seq.empty
       else {
-        val files = ChangelogFiles.listFiles(s"${conf.dir}/$region", conf.prefix)
         for {
           (id, f) <- files
           if id >= startOff.fileId && id <= endOff.fileId

@@ -79,8 +79,13 @@ object CdcStream {
     * dropped.
     *
     * Scale: state is ONE long per (db, table) key — bounded by table
-    * count, not row count (SURVEY.md §7 hard part #5). Events within a
-    * batch are sorted by offset so intra-batch duplicates collapse too.
+    * count, not row count (SURVEY.md §7 hard part #5). The group
+    * iterator is consumed in a SINGLE STREAMING PASS: working memory is
+    * one 8-byte offset per batch row of the key (the intra-batch dedup
+    * set), never the envelope payloads themselves — a hot table's JSON
+    * strings are not buffered. State advances monotonically as events
+    * are actually emitted, so a partially-consumed batch can only
+    * re-serve (at-least-once), never mark-unserved-as-served.
     */
   def dedupMonotonic(events: Dataset[KeyedOffsetEvent]): Dataset[KeyedOffsetEvent] = {
     import events.sparkSession.implicits._
@@ -88,15 +93,60 @@ object CdcStream {
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: String, it: Iterator[KeyedOffsetEvent], state: GroupState[Long]) =>
         val seen = state.getOption.getOrElse(Long.MinValue)
-        // offset <= 0 means the producer stamped no log coordinate —
-        // such events CANNOT be deduplicated, so they pass through
-        // (at-least-once) rather than being silently dropped against a
-        // positive high-water mark they can never exceed
-        val (coordless, coded) = it.toVector.partition(_.offset <= 0L)
-        val fresh = coded.filter(_.offset > seen)
-          .sortBy(_.offset).distinctBy(_.offset)
-        if (fresh.nonEmpty) state.update(fresh.last.offset)
-        (coordless ++ fresh).iterator
+        // intra-batch duplicate offsets (e.g. a re-served overlapping
+        // range split across partitions) — offsets only, not payloads
+        val emitted = new java.util.HashSet[java.lang.Long]()
+        var high = seen
+        it.flatMap { e =>
+          // offset <= 0 means the producer stamped no log coordinate —
+          // such events CANNOT be deduplicated, so they pass through
+          // (at-least-once) rather than being silently dropped against
+          // a positive high-water mark they can never exceed
+          if (e.offset <= 0L) Some(e)
+          else if (e.offset > seen && emitted.add(e.offset)) {
+            if (e.offset > high) { high = e.offset; state.update(high) }
+            Some(e)
+          } else None
+        }
+    }
+  }
+
+  /** Fan a multi-table envelope micro-batch out to per-table replicas —
+    * the reference's delta-plus consumer pattern where the sink `path`
+    * carries `{db}`/`{table}` placeholders (README.md:61-67). Each
+    * table present in the batch is routed to
+    * `pathTemplate.replace("{db}", db).replace("{table}", table)` and
+    * upserted there with ITS row schema and id columns via
+    * [[applyBatchToReplica]].
+    *
+    * The default order column is `offset` — under per-table map offsets
+    * that is the table-local record index, a total order per table.
+    *
+    * Scale: the driver-side work is one tiny distinct over (db, table)
+    * — bounded by table count — and one upsert job per table; the
+    * per-table filter is a pushed-down `get_json_object` predicate, no
+    * full envelope parse. Returns the materialized replica paths.
+    */
+  def fanOutToReplicas(
+      envelopes: DataFrame,
+      pathTemplate: String,
+      schemas: Map[String, StructType],
+      idCols: Map[String, Seq[String]],
+      orderCols: Seq[Column] = Seq(col("offset"))): Seq[String] = {
+    val dbCol = get_json_object(col("value"), "$.databaseName")
+    val tblCol = get_json_object(col("value"), "$.tableName")
+    val present = envelopes.select(dbCol.as("db"), tblCol.as("tbl"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    present.flatMap { case (db, tbl) =>
+      val key = s"$db.$tbl"
+      schemas.get(key).map { schema =>
+        val path = pathTemplate.replace("{db}", db).replace("{table}", tbl)
+        applyBatchToReplica(path,
+          parsed(envelopes.filter(dbCol === db && tblCol === tbl), schema),
+          idCols(key), orderCols)
+        path
+      }
     }
   }
 

@@ -239,6 +239,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(resized.forall(r => r.meta.nBytes == r.payload.length))
   }
 
+  test("vector_dot returns NULL on ragged arrays, matching the zip_with fold") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)), // equal length
+      (Array(1.0f, 2.0f), Array(4.0f, 5.0f, 6.0f)),       // ragged
+      (Array.empty[Float], Array.empty[Float]))           // empty
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.VectorDot(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("a")),
+          org.apache.spark.sql.GraftColumnBridge.expression(col("b")))))
+      .withColumn("ref", aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    assert(df.filter(not(col("fast") <=> col("ref"))).count() === 0)
+    assert(df.filter(col("fast").isNull).count() === 1)
+  }
+
   test("sorted_intersect_count matches array_intersect on random sorted arrays") {
     import graft.SparkSuite.spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -111,6 +111,42 @@ class WalSourceSpec extends SparkSuite {
     assert(added.forall(_.tableName == "region-000"))
   }
 
+  test("failOnDataLoss: a purged region file with unread records fails the plan") {
+    import graft.sources.wal.{WalPartitioning, WalSourceConf}
+    import scala.jdk.CollectionConverters._
+    // clone one region, then purge its head file but keep the manifest
+    val cloned = java.nio.file.Files.createTempDirectory("wal-pruned").toString
+    val region = WalDataSource.listRegions(dir).head
+    val rd = new java.io.File(cloned, region); rd.mkdirs()
+    val srcFiles = ChangelogFiles.listFiles(s"$dir/$region")
+    srcFiles.filter(_._1 >= 2).foreach { case (_, f) =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(rd, f.getName).toPath)
+    }
+    java.nio.file.Files.copy(
+      new java.io.File(s"$dir/$region", ChangelogFiles.ManifestName).toPath,
+      new java.io.File(rd, ChangelogFiles.ManifestName).toPath)
+
+    def confWith(opts: Map[String, String]) = WalSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        (Map("path" -> cloned) ++ opts).asJava))
+    val latest = WalOffset(Map(region ->
+      ChangelogFiles.latestOffset(s"$cloned/$region").packed))
+
+    // reader mid-way through the purged file: loss must surface
+    val midPurged = WalOffset(Map(region -> BinlogOffset(1, 50).packed))
+    intercept[IllegalStateException] {
+      WalPartitioning.plan(confWith(Map.empty), midPurged, latest)
+    }
+    // same offsets with failOnDataLoss=false: skip silently, plan the rest
+    assert(WalPartitioning.plan(
+      confWith(Map("failOnDataLoss" -> "false")), midPurged, latest).nonEmpty)
+    // a reader that fully consumed the purged file is not a loss
+    val consumed = WalOffset(Map(region ->
+      BinlogOffset(1, ChangelogFiles.manifestCount(rd.toString,
+        srcFiles.head._2.getName).get + 1).packed))
+    assert(WalPartitioning.plan(confWith(Map.empty), consumed, latest).nonEmpty)
+  }
+
   test("plan emits at least one partition per non-empty region") {
     import graft.sources.wal.{WalPartitioning, WalSourceConf, WalInputPartition}
     import scala.jdk.CollectionConverters._

@@ -31,6 +31,68 @@ class CdcStreamingSpec extends SparkSuite {
     d
   }
 
+  test("fan-out sink: one multi-table stream materializes {db}/{table} replicas") {
+    val d = Files.createTempDirectory("fanout-log").toString
+    def rec(pos: Long, op: String, table: String,
+        row: Map[String, EnvelopeValue]): String =
+      ChangelogRecord.write(ChangelogRecord(pos, op, "shop", table, pos, row)) + "\n"
+    def order(id: Long, amount: Long) = Map(
+      "id" -> EnvelopeValue.VLong(id), "amount" -> EnvelopeValue.VLong(amount))
+    def user(id: Long, name: String) = Map(
+      "id" -> EnvelopeValue.VLong(id), "name" -> EnvelopeValue.VString(name))
+    java.nio.file.Files.write(
+      new java.io.File(d, "graft-bin.000001").toPath,
+      Seq(
+        rec(1, "insert", "orders", order(1, 10)),
+        rec(2, "insert", "users", user(1, "a")),
+        rec(3, "insert", "orders", order(2, 20)),
+        rec(4, "insert", "users", user(2, "b")),
+        rec(5, "update", "orders", order(1, 15)),
+        rec(6, "update", "users", user(2, "c")),
+        rec(7, "delete", "orders", order(2, 20))
+      ).mkString.getBytes("UTF-8"))
+
+    val schemas = Map(
+      "shop.orders" -> StructType(Seq(
+        StructField("id", LongType), StructField("amount", LongType))),
+      "shop.users" -> StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType))))
+    val idCols = Map("shop.orders" -> Seq("id"), "shop.users" -> Seq("id"))
+
+    val root = Files.createTempDirectory("fanout-replicas").toString
+    val template = s"$root/{db}/{table}"
+    val q = spark.readStream.format("graft-binlog").option("path", d)
+      .option("maxEventsPerTrigger", "3") // force the upsert across batches
+      .load().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcStream.fanOutToReplicas(batch, template, schemas, idCols); ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val orders = CdcStream.readReplica(spark, s"$root/shop/orders").get
+      .select("id", "amount").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(orders === Map(1L -> 15L), "update applied, delete dropped")
+    val users = CdcStream.readReplica(spark, s"$root/shop/users").get
+      .select("id", "name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(users === Map(1L -> "a", 2L -> "c"))
+
+    // regex filtering upstream restricts which replicas materialize
+    val root2 = Files.createTempDirectory("fanout-filtered").toString
+    val q2 = spark.readStream.format("graft-binlog").option("path", d)
+      .option("tableNamePattern", "orders")
+      .load().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcStream.fanOutToReplicas(batch, s"$root2/{db}/{table}", schemas, idCols); ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CdcStream.readReplica(spark, s"$root2/shop/orders").isDefined)
+    assert(CdcStream.readReplica(spark, s"$root2/shop/users").isEmpty)
+  }
+
   test("dedupMonotonic: re-served overlapping ranges yield exactly-once output") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedOffsetEvent]
