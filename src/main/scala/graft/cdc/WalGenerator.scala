@@ -16,9 +16,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object WalGenerator {
 
+  /** `cellPerRecord=true` writes the RAW-cell log shape: one record per
+    * `family:qualifier` cell (rowkey repeated), cells of one mutation
+    * consecutive and never split across a file roll — the wire form the
+    * reference's read-path fold reassembles (HBaseWALClient.scala:157-203).
+    * The reader groups them back with `groupRawCells=true`.
+    */
   def generate(events: DataFrame, outDir: String, numRegions: Int,
       recordsPerFile: Long,
-      prefix: String = ChangelogFiles.DefaultPrefix): Unit = {
+      prefix: String = ChangelogFiles.DefaultPrefix,
+      cellPerRecord: Boolean = false): Unit = {
     require(numRegions > 0)
     val root = new File(outDir)
     root.mkdirs()
@@ -43,19 +50,32 @@ object WalGenerator {
           new FileOutputStream(current), StandardCharsets.UTF_8))
       }
       roll()
-      def write(r: Row): Unit = {
-        if (posInFile >= recordsPerFile) { fileId += 1; roll(); posInFile = 0 }
+      private def emit(op: String, ts: Long, row: Map[String, EnvelopeValue]): Unit = {
         posInFile += 1
+        out.write(ChangelogRecord.write(
+          ChangelogRecord(posInFile, op, "wal", region, ts, row)))
+        out.write("\n")
+      }
+      def write(r: Row): Unit = {
         val et = r.getString(2)
         val op = if (et == "error") "delete" else "put"
-        val row = Map[String, EnvelopeValue](
-          "rowkey" -> EnvelopeValue.VString(r.getLong(1).toString),
+        val rowkey = EnvelopeValue.VString(r.getLong(1).toString)
+        val cells = Seq[(String, EnvelopeValue)](
           "d:event_id" -> EnvelopeValue.VString(r.getLong(0).toString),
           "d:event_type" -> EnvelopeValue.VString(et),
           "d:value" -> EnvelopeValue.VString(r.getDouble(3).toString))
-        out.write(ChangelogRecord.write(
-          ChangelogRecord(posInFile, op, "wal", region, r.getLong(4), row)))
-        out.write("\n")
+        if (!cellPerRecord) {
+          if (posInFile >= recordsPerFile) { fileId += 1; roll(); posInFile = 0 }
+          emit(op, r.getLong(4), (("rowkey" -> rowkey) +: cells).toMap)
+        } else {
+          // roll BEFORE the mutation: its cells must stay in one file
+          if (posInFile > 0 && posInFile + cells.size > recordsPerFile) {
+            fileId += 1; roll(); posInFile = 0
+          }
+          cells.foreach { case (q, v) =>
+            emit(op, r.getLong(4), Map("rowkey" -> rowkey, q -> v))
+          }
+        }
       }
       def close(): Unit = {
         out.close()

@@ -48,30 +48,19 @@ object SimilarityQueries {
   val NumCentroids = 8
   val IvfTopK = 3
 
-  /** LCG seed for IVF centroid component (c, d) — distinct multiplier
-    * from the hyperplane LCG so the two structures are independent.
+  /** Deterministic centroid sample selector: `vec_id % CentroidStride
+    * == CentroidPhase`, lowest vec_ids first — the k-means|| init
+    * stand-in. Both engines select the SAME rows, so the centroid
+    * vectors are identical exact floats in both.
     */
-  def centroidSeed(c: Int, d: Int): Long =
-    (69069L * (c.toLong * Dim + d + 1) + 12345L) % 2147483648L
-
-  /** Exact dyadic centroid component, identical in Scala and SQL. */
-  private def centroidVal(c: Int, d: Int): Double =
-    centroidSeed(c, d).toDouble / 2147483648.0 - 0.5
-
-  /** Half squared norm of centroid c, as the sequential left-fold both
-    * engines compute (`0.0 + x0² + x1² + …` then / 2).
-    */
-  private def centroidHalfNorm2(c: Int): Double =
-    (0 until Dim).foldLeft(0.0)((a, d) => a + centroidVal(c, d) * centroidVal(c, d)) / 2.0
+  val CentroidStride = 17
+  val CentroidPhase = 5
 
   /** SQL fragment for hyperplane component (p, d): exact in both
     * engines.
     */
   private def planeComp(p: Int, d: Int): String =
     s"(CAST(${planeSeed(p, d)} AS DOUBLE) / 2147483648.0 - 0.5)"
-
-  private def centroidComp(c: Int, d: Int): String =
-    s"(CAST(${centroidSeed(c, d)} AS DOUBLE) / 2147483648.0 - 0.5)"
 
   /** The identical double, computed in Scala (exact dyadic rational —
     * bit-equal to the SQL-parsed expression).
@@ -96,22 +85,42 @@ object SimilarityQueries {
   private def planeDot(p: Int): Column =
     dot(col("embedding"), array((0 until Dim).map(d => lit(planeCompVal(p, d))): _*))
 
-  /** IVF assignment score for centroid c: `e·c − ||c||²/2` — argmax
-    * over c is the nearest-centroid (argmin L2) assignment, in one dot
-    * per centroid.
+  /** The deterministic centroid sample, collected to the driver (k
+    * vectors of Dim floats — bounded, the same place k-means centroids
+    * live between iterations). Embedded as exact literals, the
+    * per-vector assignment stays a zero-shuffle projection.
     */
-  private def centroidScore(c: Int): Column =
-    dot(col("embedding"),
-      array((0 until Dim).map(d => lit(centroidVal(c, d))): _*)) -
-      lit(centroidHalfNorm2(c))
+  private def sampleCentroids(s: SparkSession, dir: String,
+      numCentroids: Int): Seq[Array[Float]] = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .filter(pmod($"vec_id", lit(CentroidStride.toLong)) === CentroidPhase)
+      .orderBy($"vec_id")
+      .limit(numCentroids)
+      .select($"embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+  }
+
+  /** IVF assignment score for a sampled centroid: `e·c − ||c||²/2` —
+    * argmax over c is the nearest-centroid (argmin L2) assignment, in
+    * one dot per centroid. The half-norm is the same sequential
+    * left-fold both engines compute (`0.0 + x0² + x1² + …` then / 2),
+    * over the identical float values, so scores are bit-equal.
+    */
+  private def centroidScore(cent: Array[Float]): Column = {
+    val halfNorm = cent.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2.0
+    dot(col("embedding"), array(cent.map(x => lit(x.toDouble)).toSeq: _*)) -
+      lit(halfNorm)
+  }
 
   /** Nearest-centroid cell id over pre-computed score columns cs0..csN
     * with deterministic lowest-index tie-break (same greatest+CASE
     * shape as the oracle).
     */
-  private def cellFromScores: Column = {
-    val mx = greatest((0 until NumCentroids).map(c => col(s"cs$c")): _*)
-    (1 until NumCentroids).foldLeft(
+  private def cellFromScores(k: Int): Column = {
+    val mx = greatest((0 until k).map(c => col(s"cs$c")): _*)
+    (1 until k).foldLeft(
       when(col("cs0") === mx, 0)) { (acc, c) => acc.when(col(s"cs$c") === mx, c) }
   }
 
@@ -137,60 +146,77 @@ object SimilarityQueries {
     },
 
     // --- IVF-style cell-probed ANN --------------------------------------
-    // Coarse quantizer: 8 fixed centroids; every vector is assigned to
-    // its nearest cell (argmin L2 via one dot per centroid), queries
-    // probe their own cell and rank candidates by exact cosine. The
-    // 100 TB shape: assignment is an embarrassingly parallel scan, the
-    // probe is a cell equi-join (bucketed, never all-pairs), and at
-    // scale you raise NumCentroids to keep cells bounded.
-    "llm_embed_ivf" -> { (s, dir) =>
-      import s.implicits._
-      val scored = Tables(s, dir).embeddings
-        .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
-          (0 until NumCentroids).map(c => centroidScore(c).as(s"cs$c")): _*)
-      // persisted: the probe side and the broadcast query side both
-      // consume the assignment, which costs 8 centroid dots per vector
-      val b = scored.select($"vec_id", $"embedding", $"norm",
-        cellFromScores.as("cell")).persist()
-      val q = b.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-          $"norm".as("qn"), $"cell".as("qcell"))
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"cos_sim".desc, $"vec_id".asc)
-      b.join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
-        .withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= IvfTopK)
-        .select($"query_id", $"rank", $"cell", $"vec_id".as("neighbor_id"),
-          $"cos_sim")
-        .orderBy($"query_id", $"rank")
-    },
+    "llm_embed_ivf" -> embedIvf(),
 
     // --- random-hyperplane LSH bucketed ANN -----------------------------
-    "llm_embed_lsh_ann" -> { (s, dir) =>
-      import s.implicits._
-      val bucket = (0 until NumPlanes).map { p =>
-        when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val b = Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-          bucket.as("bucket"))
-        .persist() // both self-join sides re-run the 6 plane dots otherwise
-      val w = Window.partitionBy(col("x.vec_id"))
-        .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
-      b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .withColumn("cos_sim",
-          dot(col("x.embedding"), col("y.embedding")) /
-            (col("x.norm") * col("y.norm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
-          col("y.vec_id").as("neighbor_id"), col("cos_sim"))
-        .orderBy(col("vec_id"))
-    }
+    "llm_embed_lsh_ann" -> embedLshAnn()
   )
+
+  /** IVF cell-probed ANN with a configurable, DATA-DERIVED coarse
+    * quantizer: centroids are a deterministic sample of the corpus
+    * (k-means-init style; a full k-means refinement would iterate the
+    * same collect + reassign shape), collected to the driver and
+    * embedded as exact literals. Every vector is assigned to its
+    * nearest cell (argmin L2 via one dot per centroid — a zero-shuffle
+    * projection), queries probe their own cell and rank candidates by
+    * exact cosine. The 100 TB shape: assignment is an embarrassingly
+    * parallel scan, the probe is a cell equi-join (bucketed, never
+    * all-pairs), and at scale you raise `numCentroids` to keep cells
+    * bounded.
+    */
+  def embedIvf(numCentroids: Int = NumCentroids): QFn = { (s, dir) =>
+    import s.implicits._
+    val cents = sampleCentroids(s, dir, numCentroids)
+    require(cents.nonEmpty, "embeddings contain no centroid-sample rows")
+    val k = cents.size
+    val scored = Tables(s, dir).embeddings
+      .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
+        cents.zipWithIndex.map { case (c, i) => centroidScore(c).as(s"cs$i") }: _*)
+    // persisted: the probe side and the broadcast query side both
+    // consume the assignment, which costs k centroid dots per vector
+    val b = scored.select($"vec_id", $"embedding", $"norm",
+      cellFromScores(k).as("cell")).persist()
+    val q = b.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"norm".as("qn"), $"cell".as("qcell"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    b.join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
+      .withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= IvfTopK)
+      .select($"query_id", $"rank", $"cell", $"vec_id".as("neighbor_id"),
+        $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Random-hyperplane LSH ANN with a configurable plane count — at
+    * larger corpora raise `numPlanes` so bucket populations stay
+    * bounded (buckets = 2^numPlanes, uniformly filled for random data).
+    */
+  def embedLshAnn(numPlanes: Int = NumPlanes): QFn = { (s, dir) =>
+    import s.implicits._
+    val bucket = (0 until numPlanes).map { p =>
+      when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val b = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
+        bucket.as("bucket"))
+      .persist() // both self-join sides re-run the plane dots otherwise
+    val w = Window.partitionBy(col("x.vec_id"))
+      .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .withColumn("cos_sim",
+        dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.norm") * col("y.norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
+        col("y.vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
 
   // ------------------------------------------------------------- oracles
 
@@ -215,24 +241,13 @@ object SimilarityQueries {
     s"(CASE WHEN ${planeDotSql(p)} >= 0 THEN ${1 << p} ELSE 0 END)"
   }.mkString(" + ")
 
-  private def centroidScoreSql(c: Int): String = {
-    val arr = (0 until Dim).map(centroidComp(c, _)).mkString(", ")
-    s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |  list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * ([$arr])[k])),
-       |  (acc, v) -> acc + v)
-       | - (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      list_transform([$arr], x -> x * x)), (a, b) -> a + b) / 2.0))""".stripMargin
-  }
-
-  private val ivfScoresSql = (0 until NumCentroids)
-    .map(c => s"${centroidScoreSql(c)} AS cs$c").mkString(",\n    ")
-
-  private val ivfMaxSql =
-    "greatest(" + (0 until NumCentroids).map(c => s"cs$c").mkString(", ") + ")"
-
-  private val ivfCellSql = "CASE " + (0 until NumCentroids).map { c =>
-    s"WHEN cs$c = mx THEN $c"
-  }.mkString(" ") + " END"
+  /** Centroid half squared norm over the sampled centroid's list —
+    * the same sequential left-fold the Scala side computes.
+    */
+  private val centHalfNorm2Sql =
+    """(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |  list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE)),
+      |  (a, b) -> a + b) / 2.0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -255,13 +270,22 @@ object SimilarityQueries {
          |FROM r WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
 
     "llm_embed_ivf" ->
-      s"""WITH scored AS (
-         |  SELECT vec_id, embedding, $normSql AS norm,
-         |    $ivfScoresSql
-         |  FROM embeddings),
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+         |    embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % $CentroidStride = $CentroidPhase
+         |        ORDER BY vec_id LIMIT $NumCentroids)),
+         |e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.norm, c.centroid_id,
+         |    ${dotSql("e.embedding", "c.ce")} - $centHalfNorm2Sql AS score
+         |  FROM e CROSS JOIN cent c),
          |b AS (
-         |  SELECT vec_id, embedding, norm, $ivfCellSql AS cell
-         |  FROM (SELECT *, $ivfMaxSql AS mx FROM scored)),
+         |  SELECT vec_id, embedding, norm, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM scored) WHERE rk = 1),
          |q AS (
          |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn,
          |    cell AS qcell

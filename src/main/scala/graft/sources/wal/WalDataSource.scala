@@ -86,6 +86,14 @@ final case class WalSourceConf(
     maxEventsPerTrigger: Option[Long],
     maxRecordsPerPartition: Long,
     failOnDataLoss: Boolean,
+    /** Read-path cell grouping (T5): the log carries one record per
+      * `family:qualifier` cell and the reader folds consecutive cells
+      * of the same (rowkey, op, timestamp) into one mutation — the
+      * reference's HBaseWALClient.scala:157-203 fold. With this on,
+      * partitions are file-granular (a mutation never spans files, but
+      * could span an arbitrary record chunk).
+      */
+    groupRawCells: Boolean,
     /** Same kernel options as the binlog path: `binlog.field.decode.*`
       * charsets and the session zone for raw temporal cells.
       */
@@ -105,6 +113,8 @@ object WalSourceConf {
         Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L),
       failOnDataLoss =
         Option(options.get("failOnDataLoss")).forall(_.toBoolean),
+      groupRawCells =
+        Option(options.get("groupRawCells")).exists(_.toBoolean),
       fieldDecode = options.asCaseSensitiveMap().asScala.toMap
         .filter(_._1.toLowerCase.startsWith("binlog.field.decode."))
         .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
@@ -256,6 +266,10 @@ object WalPartitioning {
       }
       if (endOff.packed == startOff.packed) Seq.empty
       else {
+        // cell-grouping mode must not split a mutation mid-file: chunk
+        // at file granularity only (mutations never span files)
+        val chunk =
+          if (conf.groupRawCells) Long.MaxValue else conf.maxRecordsPerPartition
         for {
           (id, f) <- files
           if id >= startOff.fileId && id <= endOff.fileId
@@ -263,9 +277,9 @@ object WalPartitioning {
           from = if (id == startOff.fileId) startOff.pos else 1L
           until = if (id == endOff.fileId) math.min(endOff.pos, n + 1) else n + 1
           if until > from
-          chunkStart <- from until until by conf.maxRecordsPerPartition
-        } yield WalInputPartition(region, f.getAbsolutePath, id, chunkStart,
-          math.min(chunkStart + conf.maxRecordsPerPartition, until))
+          chunkStart <- from until until by chunk
+          chunkEnd = if (chunk >= until - chunkStart) until else chunkStart + chunk
+        } yield WalInputPartition(region, f.getAbsolutePath, id, chunkStart, chunkEnd)
       }
     }.toArray
   }
@@ -282,7 +296,31 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
     new PartitionReader[InternalRow] {
       private val raw = ChangelogFiles
         .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
-      private val it = raw.filter(r => r.op == "put" || r.op == "delete")
+      private val cells = raw.filter(r => r.op == "put" || r.op == "delete")
+      // T5 read-path cell grouping: fold consecutive records that share
+      // (rowkey, op, timestamp) into ONE mutation, merging their cells —
+      // the reference reassembles mutations from per-cell WAL entries
+      // the same way (HBaseWALClient.scala:157-203). The merged record
+      // takes the LAST cell's pos, so offsets stay resumable.
+      private val it: Iterator[ChangelogRecord] =
+        if (!conf.groupRawCells) cells
+        else new Iterator[ChangelogRecord] {
+          private var pending: ChangelogRecord =
+            if (cells.hasNext) cells.next() else null
+          override def hasNext: Boolean = pending != null
+          override def next(): ChangelogRecord = {
+            var acc = pending
+            pending = null
+            while (pending == null && cells.hasNext) {
+              val n = cells.next()
+              val sameMutation = n.op == acc.op && n.tsMillis == acc.tsMillis &&
+                n.row.get("rowkey") == acc.row.get("rowkey")
+              if (sameMutation) acc = acc.copy(pos = n.pos, row = acc.row ++ n.row)
+              else pending = n
+            }
+            acc
+          }
+        }
       private var current: ChangelogRecord = _
 
       override def next(): Boolean =

@@ -239,6 +239,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(resized.forall(r => r.meta.nBytes == r.payload.length))
   }
 
+  test("ANN structures run end-to-end at non-default configurations") {
+    import graft.SparkSuite.spark.implicits._
+    // LSH with more planes: buckets stay within [0, 2^8)
+    val lsh = SimilarityQueries.embedLshAnn(numPlanes = 8)(spark, sfDir)
+    val buckets = lsh.select($"bucket").as[Int].collect()
+    assert(buckets.nonEmpty)
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    // IVF with a smaller data-derived quantizer: cells within [0, k)
+    val ivf = SimilarityQueries.embedIvf(numCentroids = 3)(spark, sfDir)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("cell") >= 0 && r.getAs[Int]("cell") < 3))
+    // default-config cells are data-derived too and still bounded
+    val cells = SimilarityQueries.defs("llm_embed_ivf")(spark, sfDir)
+      .select($"cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < SimilarityQueries.NumCentroids))
+  }
+
   test("vector_dot returns NULL on ragged arrays, matching the zip_with fold") {
     import graft.SparkSuite.spark.implicits._
     val rows = Seq(

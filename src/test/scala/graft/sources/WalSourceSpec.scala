@@ -147,6 +147,55 @@ class WalSourceSpec extends SparkSuite {
     assert(WalPartitioning.plan(confWith(Map.empty), consumed, latest).nonEmpty)
   }
 
+  test("T5: raw per-cell log groups into the same mutations as the pre-grouped log") {
+    val rawDir = java.nio.file.Files.createTempDirectory("wal-raw").toString
+    WalGenerator.generate(Tables(spark, sfDir).events, rawDir, NumRegions,
+      recordsPerFile = 100, cellPerRecord = true)
+    def mutations(dir: String, opts: Map[String, String]) = {
+      var r = spark.read.format("graft-wal").option("path", dir)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().select("value").as[String].collect()
+        .map(EnvelopeCodec.parse)
+        .map(e => (e.tableName, e.eventType, e.timestamp,
+          e.row.toSeq.sortBy(_._1).toList))
+    }
+    val grouped = mutations(rawDir, Map("groupRawCells" -> "true"))
+    val expected = mutations(dir, Map.empty)
+    assert(grouped.length === expected.length)
+    assert(grouped.toSet === expected.toSet)
+    // ungrouped raw read sees 3 cells per event
+    assert(mutations(rawDir, Map.empty).length === expected.length * 3)
+  }
+
+  test("T5: grouping splits on row change, op change, and timestamp change") {
+    val d = java.nio.file.Files.createTempDirectory("wal-bounds").toString
+    val rd = new java.io.File(d, "region-b"); rd.mkdirs()
+    def cell(pos: Long, op: String, rk: String, ts: Long,
+        q: String, v: String): String =
+      ChangelogRecord.write(ChangelogRecord(pos, op, "wal", "region-b", ts,
+        Map("rowkey" -> EnvelopeValue.VString(rk),
+          q -> EnvelopeValue.VString(v)))) + "\n"
+    java.nio.file.Files.write(new java.io.File(rd, "graft-bin.000001").toPath,
+      Seq(
+        cell(1, "put", "r1", 10, "d:a", "1"),
+        cell(2, "put", "r1", 10, "d:b", "2"), // same mutation as pos 1
+        cell(3, "put", "r1", 11, "d:a", "3"), // ts change → new mutation
+        cell(4, "delete", "r1", 11, "d:a", "3"), // op change → new
+        cell(5, "put", "r2", 11, "d:a", "4")  // row change → new
+      ).mkString.getBytes("UTF-8"))
+
+    val out = spark.read.format("graft-wal").option("path", d)
+      .option("groupRawCells", "true")
+      .load().select("value").as[String].collect()
+      .map(EnvelopeCodec.parse).sortBy(_.offset)
+    assert(out.length === 4)
+    def cellsOf(i: Int) = out(i).row.keySet.filter(_ != "rowkey")
+    assert(cellsOf(0) === Set("d:a", "d:b")) // two cells folded
+    assert(out(0).offset === BinlogOffset(1, 2).packed) // last cell's pos
+    assert(out(1).eventType === "put" && out(2).eventType === "delete")
+    assert(cellsOf(3) === Set("d:a"))
+  }
+
   test("plan emits at least one partition per non-empty region") {
     import graft.sources.wal.{WalPartitioning, WalSourceConf, WalInputPartition}
     import scala.jdk.CollectionConverters._
