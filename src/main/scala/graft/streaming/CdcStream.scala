@@ -161,45 +161,108 @@ object CdcStream {
   }
 
   // ------------------------------------------------------- replica store
-  // Versioned-directory layout: <replicaDir>/v000000001, … plus a
-  // CURRENT pointer file naming the live version. The swap is: write
-  // the new version dir completely, then ATOMIC_MOVE a fresh pointer
-  // over CURRENT, then best-effort-delete superseded versions. A crash
-  // anywhere leaves either the old or the new version live — never
-  // neither (the delete-then-rename swap this replaces could lose the
-  // whole replica between its two steps).
+  // Bucket-scoped versioned layout — the partition-scoped MERGE shape
+  // (what a Delta/Iceberg MERGE does under the hood):
+  //
+  //   <replicaDir>/CURRENT                   → "v000000003"
+  //   <replicaDir>/v000000003/manifest.json  {numBuckets, buckets: {k → path}}
+  //   <replicaDir>/v000000003/data/__bucket=5/…parquet
+  //
+  // Rows hash-partition into numBuckets buckets by idCols; a batch
+  // REWRITES ONLY the buckets its keys touch, and the new manifest
+  // points untouched buckets at their existing files in older versions.
+  // At 100 TB the per-batch write cost is O(touched buckets), not
+  // O(replica). The swap is: write the new version dir + manifest
+  // completely, then ATOMIC_MOVE a fresh pointer over CURRENT, then
+  // best-effort-delete version dirs no current/previous manifest
+  // references. A crash anywhere leaves either the old or the new
+  // version live — never neither.
 
   private val Pointer = "CURRENT"
+  val DefaultReplicaBuckets = 16
 
-  private def currentVersion(replicaDir: String): Option[(Long, java.io.File)] = {
+  private final case class ReplicaManifest(numBuckets: Int, buckets: Map[Int, String])
+
+  private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
+    val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
+    if (!f.exists()) return None
+    import com.fasterxml.jackson.core.JsonToken
+    val p = new com.fasterxml.jackson.core.JsonFactory()
+      .createParser(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    var nb = DefaultReplicaBuckets
+    val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    require(p.nextToken() == JsonToken.START_OBJECT)
+    while (p.nextToken() != JsonToken.END_OBJECT) {
+      p.currentName() match {
+        case "numBuckets" => p.nextToken(); nb = p.getIntValue
+        case "buckets" =>
+          p.nextToken()
+          while (p.nextToken() != JsonToken.END_OBJECT) {
+            val k = p.currentName().toInt; p.nextToken(); buckets += k -> p.getText
+          }
+        case _ => p.nextToken(); p.skipChildren()
+      }
+    }
+    p.close()
+    Some(ReplicaManifest(nb, buckets.toMap))
+  }
+
+  private def writeManifest(replicaDir: String, version: String,
+      m: ReplicaManifest): Unit = {
+    val sw = new java.io.StringWriter()
+    val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    g.writeStartObject()
+    g.writeNumberField("numBuckets", m.numBuckets)
+    g.writeObjectFieldStart("buckets")
+    m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => g.writeStringField(k.toString, v) }
+    g.writeEndObject()
+    g.writeEndObject()
+    g.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(replicaDir, version, "manifest.json"),
+      sw.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def currentVersion(replicaDir: String): Option[(Long, String)] = {
     val ptr = new java.io.File(replicaDir, Pointer)
     if (!ptr.exists()) return None
     val name = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
       java.nio.charset.StandardCharsets.UTF_8).trim
-    val d = new java.io.File(replicaDir, name)
-    if (d.isDirectory) Some((name.stripPrefix("v").toLong, d)) else None
+    if (new java.io.File(replicaDir, name).isDirectory)
+      Some((name.stripPrefix("v").toLong, name))
+    else None
   }
 
-  /** Read the live replica version (empty relation requires a caller-side
-    * existence check — returns None when no version was ever committed).
+  /** Read the live replica (the current manifest's bucket union).
+    * None when no version was ever committed or the replica is empty.
     */
   def readReplica(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String): Option[DataFrame] =
-    currentVersion(replicaDir).map { case (_, d) => spark.read.parquet(d.toString) }
+    for {
+      (_, name) <- currentVersion(replicaDir)
+      m <- readManifest(replicaDir, name)
+      if m.buckets.nonEmpty
+    } yield spark.read.parquet(
+      m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*)
 
-  /** Apply one CDC micro-batch to the versioned parquet replica (idCols
-    * upsert + delete) — `foreachBatch` body reproducing the reference's
-    * downstream `MERGE` pattern. At production scale the same logic
-    * targets a Delta/Iceberg MERGE (which brings real atomic commit);
-    * the versioned-pointer swap keeps the test environment
-    * dependency-free while staying crash-safe.
+  /** Apply one CDC micro-batch to the bucketed versioned parquet
+    * replica (idCols upsert + delete) — `foreachBatch` body reproducing
+    * the reference's downstream partition-scoped `MERGE` pattern
+    * (README.md:88-99). Only buckets containing a touched key are read
+    * and rewritten; untouched buckets carry over by reference. At
+    * production scale the same logic targets a Delta/Iceberg MERGE
+    * (which brings real atomic commit); the versioned-pointer swap
+    * keeps the test environment dependency-free while staying
+    * crash-safe.
     */
   def applyBatchToReplica(
       replicaDir: String,
       batch: DataFrame,
       idCols: Seq[String],
       orderCols: Seq[Column],
-      opCol: String = "op"): Unit = {
+      opCol: String = "op",
+      numBuckets: Int = DefaultReplicaBuckets): Unit = {
     val spark = batch.sparkSession
     val net = lastOpPerKey(batch, idCols, orderCols)
     val dataCols = batch.columns.filterNot(_ == opCol)
@@ -208,16 +271,38 @@ object CdcStream {
 
     new java.io.File(replicaDir).mkdirs()
     val cur = currentVersion(replicaDir)
-    val merged = cur match {
-      case Some((_, d)) =>
-        spark.read.parquet(d.toString)
-          .join(broadcast(keys), idCols, "left_anti").unionByName(upserts)
-      case None => upserts
-    }
+    val prev = cur.flatMap { case (_, name) => readManifest(replicaDir, name) }
+    // bucket count is fixed at replica creation (stored in the manifest)
+    val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
+    val bucketOf = pmod(hash(idCols.map(col): _*), lit(nb))
+
+    // buckets touched by this batch — bounded by nb, driver-side
+    val touched = keys.select(bucketOf.as("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
+    val touchedPaths = prevBuckets.collect {
+      case (k, p) if touched(k) => s"$replicaDir/$p"
+    }.toSeq.sorted
+    val base =
+      if (touchedPaths.isEmpty) upserts.limit(0)
+      else spark.read.parquet(touchedPaths: _*)
+    val merged = base.join(broadcast(keys), idCols, "left_anti")
+      .unionByName(upserts)
 
     val nextV = cur.map(_._1 + 1).getOrElse(1L)
     val nextName = f"v$nextV%09d"
-    merged.write.mode("overwrite").parquet(s"$replicaDir/$nextName")
+    merged.withColumn("__bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$replicaDir/$nextName/data")
+
+    // buckets actually written (a delete can empty one entirely)
+    val written = Option(new java.io.File(s"$replicaDir/$nextName/data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(_.getName.stripPrefix("__bucket=").toInt)
+    val newBuckets = (prevBuckets -- touched) ++
+      written.map(k => k -> s"$nextName/data/__bucket=$k")
+    writeManifest(replicaDir, nextName, ReplicaManifest(nb, newBuckets))
 
     // publish: write pointer aside, atomically move over CURRENT
     val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
@@ -227,11 +312,14 @@ object CdcStream {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
-    // GC superseded versions, RETAINING the immediately-previous one:
-    // a concurrent reader that resolved CURRENT just before the flip
-    // is still scanning it. (Best effort; failure leaves garbage, not
-    // loss.)
-    val retain = Set(nextName, cur.map(_._2.getName).getOrElse(""))
+    // GC version dirs referenced by NEITHER the new manifest NOR the
+    // previous one (a concurrent reader that resolved CURRENT just
+    // before the flip is still scanning the previous version's
+    // buckets). Best effort; failure leaves garbage, not loss.
+    def refs(m: Option[ReplicaManifest]): Set[String] =
+      m.map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
+    val retain = refs(Some(ReplicaManifest(nb, newBuckets))) ++ refs(prev) +
+      nextName + cur.map(_._2).getOrElse("")
     Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v") &&
         !retain.contains(f.getName))

@@ -164,32 +164,47 @@ class CdcStreamingSpec extends SparkSuite {
     assert(seen.get() === 0L) // nothing new
   }
 
-  test("replica swap is versioned: CURRENT pointer flips, old version GC'd") {
+  test("replica merge is bucket-scoped: untouched buckets carry over, unreferenced versions GC'd") {
     val dir = Files.createTempDirectory("replica-v").toString + "/r"
     def batchDf(rows: Seq[(Long, String, Long)]) =
       rows.toDF("user_id", "op", "event_id")
-    CdcStream.applyBatchToReplica(dir, batchDf(Seq((1L, "insert", 10L), (2L, "insert", 11L))),
-      idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
-    val v1 = CdcStream.readReplica(spark, dir).get.collect()
-    assert(v1.length === 2)
+    def apply(rows: (Long, String, Long)*): Unit =
+      CdcStream.applyBatchToReplica(dir, batchDf(rows),
+        idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
+    // the same murmur3 bucket expression the store uses
+    def bucketOf(u: Long): Int = spark.range(1)
+      .select(pmod(hash(lit(u)), lit(CdcStream.DefaultReplicaBuckets)))
+      .first().getInt(0)
+    val u1 = 1L
+    val u2 = (2L to 60L).find(u => bucketOf(u) != bucketOf(u1)).get
+    val u3 = ((u2 + 1) to 120L)
+      .find(u => bucketOf(u) != bucketOf(u1) && bucketOf(u) != bucketOf(u2)).get
+
+    apply((u1, "insert", 10L), (u2, "insert", 11L))
+    assert(CdcStream.readReplica(spark, dir).get.count() === 2)
     assert(new java.io.File(dir, "v000000001").isDirectory)
 
-    CdcStream.applyBatchToReplica(dir, batchDf(Seq((2L, "delete", 12L), (3L, "insert", 13L))),
-      idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
-    val v2 = CdcStream.readReplica(spark, dir).get
+    apply((u2, "delete", 12L), (u3, "insert", 13L))
+    val after2 = CdcStream.readReplica(spark, dir).get
       .select("user_id").as[Long].collect().sorted
-    assert(v2.toSeq === Seq(1L, 3L))
-    assert(new java.io.File(dir, "v000000002").isDirectory)
-    // the immediately-previous version is RETAINED for concurrent
-    // readers that resolved CURRENT just before the flip...
-    assert(new java.io.File(dir, "v000000001").isDirectory)
+    assert(after2.toSeq === Seq(u1, u3))
+    // u1's bucket was untouched: v2's manifest must still reference its
+    // files inside v1 — the partition-scoped MERGE property
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "v000000002/manifest.json").toPath), "UTF-8")
+    assert(m2.contains("v000000001/"), s"untouched bucket not carried over: $m2")
 
-    CdcStream.applyBatchToReplica(dir, batchDf(Seq((4L, "insert", 14L))),
-      idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
-    assert(CdcStream.readReplica(spark, dir).get.count() === 3) // 1,3,4
-    // ...and versions older than previous are GC'd
-    assert(new java.io.File(dir, "v000000002").isDirectory)
-    assert(!new java.io.File(dir, "v000000001").exists(), "v1 must be GC'd after v3")
+    // churn only u3's bucket twice: versions no manifest references
+    // anymore are GC'd, while v1 (still referenced by u1's bucket)
+    // survives arbitrarily many flips
+    apply((u3, "update", 14L))
+    apply((u3, "update", 15L))
+    assert(new java.io.File(dir, "v000000001").isDirectory, "referenced version GC'd")
+    assert(!new java.io.File(dir, "v000000002").exists(),
+      "unreferenced version beyond the grace window must be GC'd")
+    val fin = CdcStream.readReplica(spark, dir).get
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(fin === Map(u1 -> 10L, u3 -> 15L))
   }
 
   test("streaming event-time window twin matches batch q19 (ST9)") {
