@@ -240,6 +240,52 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // --- near-dup cluster resolution (connected components) -------------
+    // The pipeline stage AFTER pair generation: near-dup pairs form a
+    // graph; each connected component is one duplicate family and the
+    // member with the smallest doc_id is kept as canonical. Computed by
+    // MIN-LABEL PROPAGATION — the standard distributed connected-
+    // components loop: every vertex starts labeled with its own id and
+    // repeatedly takes the min over its neighborhood until fixpoint.
+    // Scale shape: one bucketed equi-join + partial-aggregated groupBy
+    // per iteration, iterations bounded by component DIAMETER (near-dup
+    // families are tiny cliques, so 1-2 rounds); the driver only
+    // checks the convergence count, rows never leave the cluster.
+    "llm_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val docs = shingled(s, dir)
+      val bands = minhashBands(docs).persist()
+      val pairs = bandCandidates(bands, Seq("band", "bh"))
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
+        .filter(jaccard($"sa", $"sb") >= 0.3)
+        .select($"doc_a", $"doc_b")
+      val adj = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .persist()
+      var labels = adj.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("label")).persist()
+      var converged = false
+      while (!converged) {
+        val neighborMin = adj.toDF("src", "dst")
+          .join(labels.toDF("dst", "dstLabel"), "dst")
+          .groupBy($"src").agg(min($"dstLabel").as("nmin"))
+          .toDF("doc_id", "nmin")
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select($"doc_id",
+            least($"label", coalesce($"nmin", $"label")).as("label"))
+          .persist()
+        val changed = next.toDF("doc_id", "l2")
+          .join(labels, "doc_id").filter($"l2" =!= $"label").count()
+        labels = next
+        converged = changed == 0
+      }
+      labels
+        .select($"doc_id", $"label".as("cluster_id"),
+          ($"doc_id" === $"label").as("keep"))
+        .orderBy($"doc_id")
+    },
+
     // --- n-gram (trigram) Jaccard near-dedup ----------------------------
     // TRIGRAM shingles (vs the bigram llm_minhash_lsh): trigram Jaccard
     // between unrelated fixture docs maxes ~0.04 (bigram noise reaches
@@ -344,6 +390,38 @@ object DedupQueries {
          |  ON x.band = y.band AND x.bb = y.bb AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
          |ORDER BY 1, 2""".stripMargin,
+
+    // same candidate+verify pipeline as llm_minhash_lsh, then full
+    // reachability via a recursive CTE — min over the transitive
+    // closure equals the label-propagation fixpoint
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE docs AS ($shingledSql),
+         |tok AS (
+         |  SELECT doc_id, tok % $P AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
+         |$minhashSigSql,
+         |bands AS (
+         |  $minhashBandsSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand
+         |  JOIN docs da ON da.doc_id = doc_a
+         |  JOIN docs db ON db.doc_id = doc_b
+         |  WHERE ${jaccardSql("da.sh", "db.sh")} >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT a, a FROM edges
+         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, min(dst) AS cluster_id,
+         |  src = min(dst) AS keep
+         |FROM reach GROUP BY src ORDER BY 1""".stripMargin,
 
     "llm_vector_neardup" -> {
       val countsSql = (0 until VDim)

@@ -114,6 +114,17 @@ class LlmOpsSpec extends SparkSuite {
       s"banded recall too low: ${caught.size}/${strong.size}")
   }
 
+  test("dedup clusters: exactly one canonical doc per component, the minimum id") {
+    val out = DedupQueries.defs("llm_dedup_clusters")(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture should contain near-dup families")
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[Long]("doc_id")).min === cid)
+      assert(rows.count(_.getAs[Boolean]("keep")) === 1)
+      assert(rows.filter(_.getAs[Boolean]("keep"))
+        .forall(_.getAs[Long]("doc_id") == cid))
+    }
+  }
+
   test("minhash signature equals direct per-document computation for a sample doc") {
     import graft.SparkSuite.spark.implicits._
     val row = docs.orderBy($"doc_id").first()
