@@ -117,6 +117,79 @@ object DedupQueries {
     */
   val VDim = 32
 
+  /** Connected-component label per doc appearing in a near-dup pair
+    * (MinHash-banded candidates, exact Jaccard >= 0.3 verify), by
+    * distributed MIN-LABEL PROPAGATION: every vertex starts labeled
+    * with its own id and repeatedly takes the min over its neighborhood
+    * until fixpoint. One bucketed equi-join + partially-aggregated
+    * groupBy per iteration; iterations bounded by component diameter
+    * (near-dup families are tiny cliques, so 1-2 rounds); the driver
+    * only checks the convergence count.
+    */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = shingled(s, dir)
+    val bands = minhashBands(docs).persist()
+    val pairs = bandCandidates(bands, Seq("band", "bh"))
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
+      .filter(jaccard($"sa", $"sb") >= 0.3)
+      .select($"doc_a", $"doc_b")
+    val adj = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+    var labels = adj.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label")).persist()
+    var converged = false
+    while (!converged) {
+      val neighborMin = adj.toDF("src", "dst")
+        .join(labels.toDF("dst", "dstLabel"), "dst")
+        .groupBy($"src").agg(min($"dstLabel").as("nmin"))
+        .toDF("doc_id", "nmin")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nmin", $"label")).as("label"))
+        .persist()
+      val changed = next.toDF("doc_id", "l2")
+        .join(labels, "doc_id").filter($"l2" =!= $"label").count()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
+
+  /** Shared reachability pipeline of the cluster oracles: near-dup
+    * pairs → symmetric edges → recursive-CTE transitive closure →
+    * min-label per doc (equals the propagation fixpoint).
+    */
+  private def clusterLabelsSql: String =
+    s"""docs AS ($shingledSql),
+       |tok AS (
+       |  SELECT doc_id, tok % $P AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
+       |$minhashSigSql,
+       |bands AS (
+       |  $minhashBandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN docs da ON da.doc_id = doc_a
+       |  JOIN docs db ON db.doc_id = doc_b
+       |  WHERE ${jaccardSql("da.sh", "db.sh")} >= 0.3),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION SELECT a, a FROM edges
+       |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
   val defs: Map[String, QFn] = Map(
 
     // --- exact dedup: normalize → hash → groupBy ------------------------
@@ -253,37 +326,48 @@ object DedupQueries {
     // checks the convergence count, rows never leave the cluster.
     "llm_dedup_clusters" -> { (s, dir) =>
       import s.implicits._
-      val docs = shingled(s, dir)
-      val bands = minhashBands(docs).persist()
-      val pairs = bandCandidates(bands, Seq("band", "bh"))
-        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
-        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
-        .filter(jaccard($"sa", $"sb") >= 0.3)
-        .select($"doc_a", $"doc_b")
-      val adj = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-        .persist()
-      var labels = adj.select($"src".as("doc_id")).distinct()
-        .select($"doc_id", $"doc_id".as("label")).persist()
-      var converged = false
-      while (!converged) {
-        val neighborMin = adj.toDF("src", "dst")
-          .join(labels.toDF("dst", "dstLabel"), "dst")
-          .groupBy($"src").agg(min($"dstLabel").as("nmin"))
-          .toDF("doc_id", "nmin")
-        val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select($"doc_id",
-            least($"label", coalesce($"nmin", $"label")).as("label"))
-          .persist()
-        val changed = next.toDF("doc_id", "l2")
-          .join(labels, "doc_id").filter($"l2" =!= $"label").count()
-        labels = next
-        converged = changed == 0
-      }
-      labels
+      clusterLabels(s, dir)
         .select($"doc_id", $"label".as("cluster_id"),
           ($"doc_id" === $"label").as("keep"))
         .orderBy($"doc_id")
+    },
+
+    // --- deterministic stratified sampling (data mixing) ----------------
+    // Per-(source, lang) stratum subsample at a fixed rate, selected by
+    // an md5-derived hash of the doc id — reproducible across runs and
+    // engines, zero shuffle beyond the summary aggregate. The per-doc
+    // decision is the operator; the query reports per-stratum totals so
+    // the oracle is compact at any corpus size.
+    "llm_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(hash32(concat(lit("sample:"), $"doc_id".cast("string")))
+              % 100 < 10, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy($"source", $"lang")
+    },
+
+    // --- leakage-safe train/test split ----------------------------------
+    // Contamination-safe splitting: the split UNIT is the near-dup
+    // CLUSTER (falling back to the doc itself), so near-duplicate
+    // documents can never straddle train and test — the property plain
+    // per-doc hash splitting silently violates. Unit assignment is the
+    // same deterministic md5 hash in both engines.
+    "llm_split_leakage_safe" -> { (s, dir) =>
+      import s.implicits._
+      val labels = clusterLabels(s, dir)
+        .select($"doc_id", $"label".as("cluster_id"))
+      Tables(s, dir).documents.select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("unit"))
+        .withColumn("split",
+          when(hash32(concat(lit("split:"), $"unit".cast("string")))
+            % 100 < 90, "train").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"unit").as("n_units"))
+        .orderBy($"split")
     },
 
     // --- n-gram (trigram) Jaccard near-dedup ----------------------------
@@ -395,33 +479,31 @@ object DedupQueries {
     // reachability via a recursive CTE — min over the transitive
     // closure equals the label-propagation fixpoint
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE docs AS ($shingledSql),
-         |tok AS (
-         |  SELECT doc_id, tok % $P AS h
-         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
-         |$minhashSigSql,
-         |bands AS (
-         |  $minhashBandsSql),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM cand
-         |  JOIN docs da ON da.doc_id = doc_a
-         |  JOIN docs db ON db.doc_id = doc_b
-         |  WHERE ${jaccardSql("da.sh", "db.sh")} >= 0.3),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT a, b FROM edges
-         |  UNION SELECT a, a FROM edges
-         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-         |SELECT src AS doc_id, min(dst) AS cluster_id,
-         |  src = min(dst) AS keep
-         |FROM reach GROUP BY src ORDER BY 1""".stripMargin,
+      s"""WITH RECURSIVE $clusterLabelsSql
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+         |FROM labels ORDER BY 1""".stripMargin,
+
+    "llm_stratified_sample" ->
+      s"""SELECT source, lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ${hash32Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_split_leakage_safe" ->
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |units AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS unit
+         |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         |s AS (
+         |  SELECT doc_id, unit,
+         |    CASE WHEN ${hash32Sql("'split:' || CAST(unit AS VARCHAR)")} % 100 < 90
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM units)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT unit) AS BIGINT) AS n_units
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_vector_neardup" -> {
       val countsSql = (0 until VDim)
