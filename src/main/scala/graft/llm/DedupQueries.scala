@@ -379,6 +379,37 @@ object DedupQueries {
         .orderBy($"split")
     },
 
+    // --- corpus curation composite --------------------------------------
+    // The end-to-end filter a training-data pipeline applies before
+    // tokenization, composed from the primitives above: length gate →
+    // lexical-diversity gate (type-token ratio) → stopword-density gate
+    // (drops non-natural-language text) → near-dup canonicalization
+    // (only the cluster minimum survives). Every doc gets a verdict
+    // with its FIRST failing rule, so rejection reasons are auditable.
+    // One scan + the cluster-label join — no new shuffle shapes.
+    "llm_corpus_filter" -> { (s, dir) =>
+      import s.implicits._
+      val labels = clusterLabels(s, dir)
+      val t = tokens($"text")
+      val stats = Tables(s, dir).documents
+        .select($"doc_id",
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct"),
+          size(filter(t, c =>
+            c.isin(TextAnalysisQueries.stopwords.map(lit): _*))).as("n_stop"))
+        .withColumn("ttr", $"n_distinct".cast("double") / $"n_tokens")
+        .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      stats.join(labels, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when($"n_tokens" < 40, "short")
+            .when($"ttr" < 0.35, "low_ttr")
+            .when($"stop_ratio" < 0.02, "low_stopword")
+            .when($"label".isNotNull && $"label" =!= $"doc_id", "duplicate")
+            .otherwise("ok"))
+        .select($"doc_id", $"reason", ($"reason" === "ok").as("kept"))
+        .orderBy($"doc_id")
+    },
+
     // --- n-gram (trigram) Jaccard near-dedup ----------------------------
     // TRIGRAM shingles (vs the bigram llm_minhash_lsh): trigram Jaccard
     // between unrelated fixture docs maxes ~0.04 (bigram noise reaches
@@ -491,6 +522,28 @@ object DedupQueries {
       s"""WITH RECURSIVE $clusterLabelsSql
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
          |FROM labels ORDER BY 1""".stripMargin,
+
+    "llm_corpus_filter" -> {
+      val stopList = TextAnalysisQueries.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |stats AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS INT) AS n_tokens,
+         |    len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+         |    len(list_filter(t, c -> c IN ($stopList)))::DOUBLE / len(t) AS stop_ratio
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |v AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN s.n_tokens < 40 THEN 'short'
+         |         WHEN s.ttr < 0.35 THEN 'low_ttr'
+         |         WHEN s.stop_ratio < 0.02 THEN 'low_stopword'
+         |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> s.doc_id
+         |           THEN 'duplicate'
+         |         ELSE 'ok' END AS reason
+         |  FROM stats s LEFT JOIN labels l ON l.doc_id = s.doc_id)
+         |SELECT doc_id, reason, reason = 'ok' AS kept
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     "llm_stratified_sample" ->
       s"""SELECT source, lang,

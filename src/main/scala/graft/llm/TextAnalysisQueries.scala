@@ -33,7 +33,8 @@ object TextAnalysisQueries {
     "fr" -> Seq("le", "les", "des", "et"),
     "zh" -> Seq("de", "shi", "le", "bu"))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  /** Shared with the corpus-curation composite in [[DedupQueries]]. */
+  val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   val defs: Map[String, QFn] = Map(
 

@@ -91,6 +91,29 @@ class ChangelogSpec extends SparkSuite {
     assert(recs.map(_.pos) === Seq(1L, 3L)) // blank pos 2 emits nothing
   }
 
+  test("tableCounts: incremental scan stops at the last complete line (concurrent append)") {
+    val d = Files.createTempDirectory("graft-tcount").toString
+    val f = new java.io.File(d, "graft-bin.000001")
+    def rec(table: String, pos: Long): String =
+      s"""{"pos":$pos,"op":"insert","db":"g","table":"$table","ts":$pos,"row":{}}"""
+    def append(s: String): Unit = {
+      val w = new java.io.FileWriter(f, true); w.write(s); w.close()
+    }
+    append(rec("a", 1) + "\n")
+    assert(ChangelogFiles.tableCounts(f) === Map("g.a" -> 1L))
+    // a writer mid-append: the partial trailing line must NOT count...
+    append(rec("b", 2)) // no newline yet
+    assert(ChangelogFiles.tableCounts(f) === Map("g.a" -> 1L))
+    // ...and completing it later must count it exactly once
+    append("\n" + rec("b", 3) + "\n")
+    assert(ChangelogFiles.tableCounts(f) === Map("g.a" -> 1L, "g.b" -> 2L))
+    // totals aggregate the same view across the directory
+    assert(ChangelogFiles.totalsByTable(d) === Map("g.a" -> 1L, "g.b" -> 2L))
+    // and a global offset converts to per-table consumed counts
+    assert(ChangelogFiles.tableCountsBefore(d, BinlogOffset(1, 3)) ===
+      Map("g.a" -> 1L, "g.b" -> 1L))
+  }
+
   test("readRange close() releases the reader before exhaustion") {
     val f = ChangelogFiles.listFiles(dir).head._2
     val it = ChangelogFiles.readRange(f, 1, 100)
