@@ -6,35 +6,35 @@ import org.apache.spark.sql.functions._
 
 import TextOps._
 
-/** Document-deduplication operator family over the `documents` fixture
-  * (SURVEY.md §7.5; the reference has no analog — these are the
-  * training-data-pipeline extensions the driver mandates).
-  *
-  * Four operators, each with a DuckDB oracle twin built from the same
-  * deterministic primitives ([[TextOps]]):
+/** Document-deduplication + corpus-curation operator family over the
+  * `documents` fixture (SURVEY.md §7.5; the reference has no analog —
+  * these are the training-data-pipeline extensions the driver
+  * mandates). Each operator has a DuckDB oracle twin built from the
+  * same deterministic primitives ([[TextOps]]):
   *
   *  - exact dedup: normalized-content md5 → hash groupBy.
   *  - MinHash-LSH near-dedup: k=16 signature → 4 banded buckets →
   *    bucket equi-join for candidates → exact-Jaccard verification.
-  *    NEVER all-pairs: at 100 TB the only shuffles are the signature
-  *    groupBy and the band-hash self-join, both keyed on uniformly
-  *    distributed hashes (no skew), and verification touches candidate
-  *    pairs only.
   *  - SimHash near-dedup: 32-bit sign-aggregated fingerprint, 4×8-bit
   *    banded buckets, Hamming-distance verification via bit_count(xor).
-  *  - n-gram Jaccard near-dedup: MinHash-banded candidate generation +
-  *    exact bigram-shingle Jaccard verification (codegen'd two-pointer
-  *    intersect) — candidates only, never all-pairs within a block.
-  *  - embedding-cosine near-dup: hyperplane-sign banded candidate
-  *    generation over centered count vectors (exact integer signs) +
-  *    exact cosine verification — same banded shape.
+  *  - n-gram (trigram) Jaccard near-dedup: MinHash-banded candidates +
+  *    exact verification via the codegen'd two-pointer intersect.
+  *  - embedding-cosine near-dup: MinHash-banded candidates + exact
+  *    integer CENTERED-cosine verification over feature-hashed count
+  *    vectors.
+  *  - near-dup cluster resolution: distributed min-label connected
+  *    components → one canonical doc per duplicate family.
+  *  - deterministic stratified sampling and leakage-safe train/test
+  *    splitting (split unit = dedup cluster).
+  *  - corpus curation composite: quality gates + canonicalization with
+  *    auditable per-doc rejection reasons.
   *
   * Scale invariant shared by every near-dup operator here: candidate
   * generation is ALWAYS a band/bucket equi-join on uniformly-hashed
   * keys, and the exact verifier touches candidate pairs only. At 100 TB
-  * the knobs are the band structure (more planes/rows per band keeps
-  * buckets bounded as the corpus grows); the join never degrades to
-  * Σ|block|² all-pairs.
+  * the knobs are the band structure (more rows per band keeps buckets
+  * bounded as the corpus grows); the join never degrades to Σ|block|²
+  * all-pairs.
   */
 object DedupQueries {
 
