@@ -393,10 +393,12 @@ object ChangelogFiles {
   def fileTableCounts(dir: String, prefix: String = DefaultPrefix)
       : Seq[(Long, Option[File], Map[String, Long])] = {
     val live = listFiles(dir, prefix).toMap
-    val fromManifest = manifest(dir).collect {
+    val fromManifest = manifest(dir).toSeq.flatMap {
       case (name, e) if name.startsWith(prefix + ".") =>
-        BinlogOffset.fileIdOf(name) -> e.tables
-    }
+        try Some(BinlogOffset.fileIdOf(name) -> e.tables)
+        catch { case _: Exception => None } // non-log manifest entry
+      case _ => None
+    }.toMap
     (live.keySet ++ fromManifest.keySet).toSeq.sorted.map { id =>
       live.get(id) match {
         case Some(f) => (id, Some(f), tableCounts(f))

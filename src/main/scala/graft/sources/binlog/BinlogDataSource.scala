@@ -411,6 +411,26 @@ object BinlogPartitioning {
     */
   def planByTable(conf: BinlogSourceConf, start: Map[String, Long],
       end: Map[String, Long]): Array[InputPartition] = {
+    // A PURGED file whose manifest entry predates per-table counts
+    // (records exist but no `tables` map) cannot be placed in the
+    // per-table index space at all — its absence would silently shift
+    // every later index. Conservative: that is a loss condition.
+    if (conf.failOnDataLoss) {
+      val live = ChangelogFiles.listFiles(conf.dir, conf.prefix).map(_._1).toSet
+      val unplaceable = ChangelogFiles.manifest(conf.dir).collect {
+        case (name, e) if name.startsWith(conf.prefix + ".") &&
+            e.count > 0 && e.tables.isEmpty &&
+            (try !live.contains(BinlogOffset.fileIdOf(name))
+             catch { case _: Exception => false }) => name
+      }
+      if (unplaceable.nonEmpty) {
+        throw new IllegalStateException(
+          s"purged changelog files ${unplaceable.mkString(",")} have no " +
+            "per-table manifest counts — their records cannot be placed in " +
+            "the per-table offset space (set failOnDataLoss=false to ignore, " +
+            "or use offsetsByTable=false)")
+      }
+    }
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val lost = scala.collection.mutable.ArrayBuffer.empty[Long]
     val cum = scala.collection.mutable.HashMap.empty[String, Long]
