@@ -31,6 +31,42 @@ class CdcStreamingSpec extends SparkSuite {
     d
   }
 
+  test("streaming exact-dedup twin: cross-batch content-hash state matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // the planted-dupe corpus of llm_exact_dedup: first 20 docs
+    // re-appear upper-cased under doc_id+10000
+    val dupes = base.filter(_._1 < 20).map { case (id, t) => (id + 10000, t.toUpperCase) }
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text")
+      .withColumn("content_hash", md5(trim(lower($"text"))))
+      .dropDuplicates("content_hash") // Spark streaming-state dedup
+      .writeStream.format("memory").queryName("stream_dedup")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .outputMode("append").start()
+    // originals arrive first, duplicates in a LATER micro-batch — only
+    // cross-batch state can drop them
+    in.addData(base.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(dupes.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("stream_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size === base.length, "each hash kept exactly once")
+    // the survivor of every planted pair is the original (min doc_id) —
+    // the same keep_id the batch operator (llm_exact_dedup) reports
+    val keeps = graft.llm.DedupQueries.defs("llm_exact_dedup")(spark, sfDir)
+      .select("keep_id").as[Long].collect().toSet
+    assert(keeps.subsetOf(kept))
+    assert(dupes.map(_._1).toSet.intersect(kept).isEmpty,
+      "no upper-cased duplicate may survive")
+  }
+
   test("fan-out sink: one multi-table stream materializes {db}/{table} replicas") {
     val d = Files.createTempDirectory("fanout-log").toString
     def rec(pos: Long, op: String, table: String,
