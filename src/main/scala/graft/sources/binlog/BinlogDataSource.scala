@@ -446,8 +446,24 @@ object BinlogPartitioning {
         }
         if (ranges.nonEmpty) fOpt match {
           case Some(f) =>
-            parts += BinlogMapInputPartition(f.getAbsolutePath, id,
-              ranges.keys.map(t => t -> cum.getOrElse(t, 0L)).toMap, ranges)
+            val bases = ranges.keys.map(t => t -> cum.getOrElse(t, 0L)).toMap
+            val total = ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum
+            if (total <= conf.maxRecordsPerPartition) {
+              // common case: one partition scans the file once for all tables
+              parts += BinlogMapInputPartition(f.getAbsolutePath, id, bases, ranges)
+            } else {
+              // large in-range volume: split per table, then chunk each
+              // table's local range so partitions stay bounded — the
+              // extra scans cost the same line-skipping a chunked legacy
+              // readRange pays
+              for {
+                (t, (lo, hi)) <- ranges.toSeq.sortBy(_._1)
+                chunkLo <- lo until hi by conf.maxRecordsPerPartition
+              } parts += BinlogMapInputPartition(f.getAbsolutePath, id,
+                Map(t -> bases(t)),
+                Map(t -> (chunkLo,
+                  math.min(chunkLo + conf.maxRecordsPerPartition, hi))))
+            }
           case None => lost += id
         }
         counts.foreach { case (t, n) => cum.put(t, cum.getOrElse(t, 0L) + n) }

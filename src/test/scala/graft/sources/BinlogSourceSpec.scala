@@ -276,6 +276,35 @@ class BinlogSourceSpec extends SparkSuite {
     assert(fEnd.tables === Map("shop.users" -> 2L))
   }
 
+  test("per-table map offsets: large in-range files chunk into bounded partitions") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.binlog._
+    val d = Files.createTempDirectory("chunked").toString
+    val lines = (1L to 10L).map(i => ChangelogRecord.write(
+      ChangelogRecord(i, "insert", "shop", if (i <= 6) "orders" else "users", i,
+        Map("id" -> EnvelopeValue.VLong(i)))) + "\n")
+    java.nio.file.Files.write(new java.io.File(d, "graft-bin.000001").toPath,
+      lines.mkString.getBytes("UTF-8"))
+    val conf = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> d, "maxRecordsPerPartition" -> "4").asJava))
+    val parts = BinlogPartitioning.planByTable(conf,
+      Map.empty, Map("shop.orders" -> 6L, "shop.users" -> 4L))
+      .map(_.asInstanceOf[BinlogMapInputPartition])
+    // 10 in-range records > 4 → per-table chunks: orders 6→2, users 4→1
+    assert(parts.length === 3)
+    assert(parts.forall(p =>
+      p.ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum <= 4))
+    // chunks partition the index space exactly (no overlap, no gap)
+    val served = parts.flatMap(p => p.ranges.toSeq.flatMap {
+      case (t, (lo, hi)) => (lo until hi).map(t -> _)
+    })
+    assert(served.length === served.distinct.length)
+    assert(served.toSet ===
+      ((0L until 6L).map("shop.orders" -> _) ++
+        (0L until 4L).map("shop.users" -> _)).toSet)
+  }
+
   test("per-table map offsets stream end-to-end and resume from a map checkpoint") {
     import graft.sources.binlog._
     val d = Files.createTempDirectory("two-table-e2e").toString
