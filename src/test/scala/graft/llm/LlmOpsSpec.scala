@@ -35,6 +35,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(both.filter(not($"fast" <=> $"ref")).count() === 0)
   }
 
+  test("native hashed trigrams (n=3) equal the composable HOF formulation") {
+    import graft.SparkSuite.spark.implicits._
+    val adversarial = Seq("a b", "a b c", "a b c d", "", " ", "x  y z", "solo",
+      "one two three four five").toDF("text")
+    val all = docs.select($"text").unionByName(adversarial)
+    val t = TextOps.tokens($"text")
+    val hofTrigrams = when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1),
+          lit(" "), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val both = all.select(
+      TextOps.hashedNgrams($"text", 3).as("fast"),
+      array_sort(array_distinct(transform(hofTrigrams, TextOps.hash32(_)))).as("ref"))
+    assert(both.filter(not($"fast" <=> $"ref")).count() === 0)
+  }
+
   test("minhash-lsh output is a subset of true high-Jaccard pairs and catches near-exact ones") {
     import graft.SparkSuite.spark.implicits._
     // ground truth: blocked all-pairs exact hashed-shingle Jaccard (test-scale only)
