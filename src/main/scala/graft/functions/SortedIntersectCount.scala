@@ -105,6 +105,20 @@ object GraftFunctions {
           "hashed_word_bigrams takes exactly 1 argument")
         HashedWordBigrams(children.head)
       }),
+    (FunctionIdentifier("hashed_word_ngrams"),
+      new ExpressionInfo(classOf[HashedWordBigrams].getName,
+        "hashed_word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "hashed_word_ngrams takes (text, n) — n a literal >= 2")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hashed_word_ngrams n must be an integer literal, got $other")
+        }
+        HashedWordBigrams(children.head, n)
+      }),
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => {

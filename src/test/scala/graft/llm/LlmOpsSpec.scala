@@ -50,6 +50,11 @@ class LlmOpsSpec extends SparkSuite {
       TextOps.hashedNgrams($"text", 3).as("fast"),
       array_sort(array_distinct(transform(hofTrigrams, TextOps.hash32(_)))).as("ref"))
     assert(both.filter(not($"fast" <=> $"ref")).count() === 0)
+    // the SQL-registered 2-arg form resolves to the same expression
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = all.select(expr("hashed_word_ngrams(lower(text), 3)").as("fast"),
+      array_sort(array_distinct(transform(hofTrigrams, TextOps.hash32(_)))).as("ref"))
+    assert(viaSql.filter(not($"fast" <=> $"ref")).count() === 0)
   }
 
   test("minhash-lsh output is a subset of true high-Jaccard pairs and catches near-exact ones") {
