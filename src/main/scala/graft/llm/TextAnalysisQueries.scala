@@ -88,6 +88,33 @@ object TextAnalysisQueries {
         .orderBy($"doc_id")
     },
 
+    // --- per-source corpus length statistics (exact deciles) ------------
+    // Exact rank-selected percentiles, NOT approx_percentile: the value
+    // at rank ceil(p·n/100) under the deterministic (n_tokens, doc_id)
+    // total order — identical integer rank arithmetic in both engines,
+    // so the oracle is bit-exact. Scale shape: one window per source
+    // partition + one groupBy; a skewed giant source is the only risk
+    // and would shard with a two-level rank (documented knob).
+    "llm_corpus_stats" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir).documents
+        .select($"source", $"doc_id", size(tokens($"text")).as("n_tokens"))
+      val r = t
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"source").orderBy($"n_tokens", $"doc_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      def dec(p: Int) =
+        max(when($"rk" === expr(s"(n * $p + 99) div 100"), $"n_tokens"))
+      r.groupBy($"source").agg(
+        max($"n").as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        dec(10).as("p10_tokens"),
+        dec(50).as("p50_tokens"),
+        dec(90).as("p90_tokens"))
+        .orderBy($"source")
+    },
+
     // --- rolling-hash document fingerprint ------------------------------
     "llm_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -158,6 +185,24 @@ object TextAnalysisQueries {
          |    (acc, x) -> acc + x) AS n_subwords
          |FROM (SELECT doc_id, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "llm_corpus_stats" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($toksSql) AS INT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, n_tokens,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY n_tokens, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM t)
+         |SELECT source,
+         |  CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  max(CASE WHEN rk = (n * 10 + 99) // 100 THEN n_tokens END) AS p10_tokens,
+         |  max(CASE WHEN rk = (n * 50 + 99) // 100 THEN n_tokens END) AS p50_tokens,
+         |  max(CASE WHEN rk = (n * 90 + 99) // 100 THEN n_tokens END) AS p90_tokens
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,
