@@ -351,6 +351,9 @@ object ChangelogFiles {
 
   /** Scan [from, until) for complete lines, counting records per
     * `db.table`; returns (counts, position past the last complete line).
+    * STREAMS through a fixed 64 KB buffer — the region can be the whole
+    * unmanifested file, and buffering it at once would break both the
+    * 2 GB array limit and the driver-memory contract (SCALING.md).
     */
   private def scanTableCounts(f: File, from: Long, until: Long): (Map[String, Long], Long) = {
     val in = new FileInputStream(f)
@@ -361,26 +364,35 @@ object ChangelogFiles {
         if (s <= 0) throw new java.io.IOException(s"cannot skip to $from in $f")
         skipped += s
       }
-      val bytes = new Array[Byte]((until - from).toInt)
-      var read = 0
-      var n = in.read(bytes, 0, bytes.length)
-      while (n > 0 && read < bytes.length) {
-        read += n
-        n = in.read(bytes, read, bytes.length - read)
-      }
-      var lastNl = read - 1
-      while (lastNl >= 0 && bytes(lastNl) != '\n') lastNl -= 1
-      if (lastNl < 0) return (Map.empty, from)
       val counts = mutable.HashMap.empty[String, Long]
-      val txt = new String(bytes, 0, lastNl + 1, StandardCharsets.UTF_8)
-      txt.split("\n", -1).foreach { line =>
-        if (line.nonEmpty) {
-          val r = ChangelogRecord.parse(line)
-          val k = s"${r.db}.${r.table}"
-          counts.put(k, counts.getOrElse(k, 0L) + 1)
+      val buf = new Array[Byte](64 * 1024)
+      val line = new java.io.ByteArrayOutputStream(256)
+      var pos = from          // absolute position of the next unread byte
+      var consumed = from     // position just past the last complete line
+      var remaining = until - from
+      var n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+      while (n > 0 && remaining > 0) {
+        var i = 0
+        while (i < n) {
+          val b = buf(i)
+          if (b == '\n') {
+            if (line.size() > 0) {
+              val r = ChangelogRecord.parse(
+                new String(line.toByteArray, StandardCharsets.UTF_8))
+              val k = s"${r.db}.${r.table}"
+              counts.put(k, counts.getOrElse(k, 0L) + 1)
+              line.reset()
+            }
+            consumed = pos + i + 1
+          } else line.write(b)
+          i += 1
         }
+        pos += n
+        remaining -= n
+        n = if (remaining > 0)
+          in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt) else 0
       }
-      (counts.toMap, from + lastNl + 1)
+      (counts.toMap, consumed)
     } finally in.close()
   }
 
@@ -426,15 +438,27 @@ object ChangelogFiles {
       prefix: String = DefaultPrefix): Map[String, Long] = {
     if (off.fileId <= 0) return Map.empty
     val acc = mutable.HashMap.empty[String, Long]
+    def add(counts: Map[String, Long]): Unit =
+      counts.foreach { case (t, n) => acc.put(t, acc.getOrElse(t, 0L) + n) }
     fileTableCounts(dir, prefix).foreach {
-      case (id, _, counts) if id < off.fileId =>
-        counts.foreach { case (t, n) => acc.put(t, acc.getOrElse(t, 0L) + n) }
+      case (id, _, counts) if id < off.fileId => add(counts)
       case (id, Some(f), _) if id == off.fileId && off.pos > 1 =>
         val it = readRange(f, 1L, off.pos)
         try it.foreach { r =>
           val k = s"${r.db}.${r.table}"
           acc.put(k, acc.getOrElse(k, 0L) + 1)
         } finally it.close()
+      case (id, None, counts) if id == off.fileId && off.pos > 1 =>
+        // boundary file since PURGED (normal retention for a checkpoint
+        // at the file's end): when the offset proves the file was fully
+        // consumed, its whole manifest count belongs below the offset.
+        // A mid-file position in a purged file stays unknowable — the
+        // planner surfaces that as data loss.
+        val total = manifest(dir).collectFirst {
+          case (name, e) if (try BinlogOffset.fileIdOf(name) == id
+                             catch { case _: Exception => false }) => e.count
+        }
+        if (total.exists(off.pos > _)) add(counts)
       case _ => ()
     }
     acc.toMap

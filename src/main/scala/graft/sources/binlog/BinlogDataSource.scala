@@ -256,9 +256,21 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
     * table can neither stall the others nor starve itself. Mirrors
     * WalMicroBatchStream.latestOffset region handling.
     */
+  /** A map-offset checkpoint cannot be downgraded to the single-long
+    * space (the global position of a per-table count mix is not
+    * recoverable) — fail with the remedy instead of a bare cast error.
+    */
+  private def requireLegacy(o: Offset): BinlogSourceOffset = o match {
+    case s: BinlogSourceOffset => s
+    case _: BinlogTableOffsets => throw new IllegalStateException(
+      "this checkpoint was written with offsetsByTable=true (per-table map " +
+        "offsets); it cannot resume with offsetsByTable=false — remove the " +
+        "option or start a fresh checkpoint")
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     if (!conf.offsetsByTable) {
-      val startOff = start.asInstanceOf[BinlogSourceOffset].offset
+      val startOff = requireLegacy(start).offset
       val latest = ChangelogFiles.latestOffset(conf.dir, conf.prefix)
       val end = limit match {
         case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
@@ -292,8 +304,7 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
         BinlogPartitioning.planByTable(conf, asTableOffsets(start), e.tables)
       case _ =>
         BinlogPartitioning.plan(conf,
-          start.asInstanceOf[BinlogSourceOffset].offset,
-          end.asInstanceOf[BinlogSourceOffset].offset)
+          requireLegacy(start).offset, requireLegacy(end).offset)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -322,6 +333,12 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
       val fts = ChangelogFiles.fileTableCounts(conf.dir, conf.prefix)
       val maxLive = fts.collect { case (id, Some(_), _) => id }
         .foldLeft(0L)(math.max)
+      // only files whose per-table counts are MANIFEST-backed may be
+      // deleted: a pruned file with scan-only counts would vanish from
+      // the index spine and silently shift every later table-local index
+      val manifested = ChangelogFiles.manifest(conf.dir).collect {
+        case (name, e) if e.tables.nonEmpty => name
+      }.toSet
       val cum = scala.collection.mutable.HashMap.empty[String, Long]
       fts.foreach { case (id, fOpt, counts) =>
         counts.foreach { case (t, n) => cum.put(t, cum.getOrElse(t, 0L) + n) }
@@ -329,7 +346,8 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
           !conf.tableKeyMatches(t) || m.tables.getOrElse(t, 0L) >= cum(t)
         }
         // keep the newest file: it is the append tail
-        fOpt.foreach(f => if (fully && id < maxLive) f.delete())
+        fOpt.foreach(f =>
+          if (fully && id < maxLive && manifested.contains(f.getName)) f.delete())
       }
   }
 
@@ -553,27 +571,38 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
         new PartitionReader[InternalRow] {
           // one scan serves every table's range: local indices are
           // reconstructed by counting each table's records from the
-          // file start (base + seen-so-far)
+          // file start (base + seen-so-far). The scan STOPS as soon as
+          // every range is exhausted — never reading to EOF matters
+          // under concurrent append, where the file may end in a torn
+          // (not yet newline-terminated) line that must not be parsed.
+          // All in-range records are complete lines by construction:
+          // the planner's counts only cover complete lines.
           private val raw = ChangelogFiles
             .readRange(new java.io.File(p.filePath), 1L, Long.MaxValue)
           private val seen = scala.collection.mutable.HashMap.empty[String, Long]
+          private var remaining =
+            p.ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum
           private var current: ChangelogRecord = _
           private var currentIdx = 0L
 
           override def next(): Boolean = {
-            while (raw.hasNext) {
+            while (remaining > 0 && raw.hasNext) {
               val r = raw.next()
               val k = s"${r.db}.${r.table}"
               p.ranges.get(k) match {
                 case Some((lo, hi)) =>
                   val idx = p.base(k) + seen.getOrElse(k, 0L)
                   seen.put(k, seen.getOrElse(k, 0L) + 1)
-                  if (idx >= lo && idx < hi && isCdcOp(r.op)) {
-                    current = r; currentIdx = idx; return true
+                  if (idx >= lo && idx < hi) {
+                    remaining -= 1
+                    if (isCdcOp(r.op)) {
+                      current = r; currentIdx = idx; return true
+                    }
                   }
                 case None => () // table not served by this batch
               }
             }
+            close()
             false
           }
           override def get(): InternalRow = envelope(current, currentIdx + 1)

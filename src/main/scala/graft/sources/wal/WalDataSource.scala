@@ -170,6 +170,45 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
+  /** Cell-grouping batch alignment: an end offset must never split the
+    * cells of one (rowkey, op, ts) mutation across micro-batches — the
+    * reader folds within a batch only, so a split would emit two
+    * partial mutations (and a downstream upsert would apply a partial
+    * row image). Snaps the end DOWN to the nearest mutation boundary;
+    * at the live tail (no later file yet), the trailing mutation is
+    * DEFERRED entirely, because its completeness cannot be known while
+    * the writer may still be appending cells — it is served as soon as
+    * any later record or file appears. Driver cost: one pass over the
+    * end file's records per trigger, grouping mode only.
+    */
+  private def mutationAlignedEnd(regionDir: String, end: BinlogOffset): BinlogOffset = {
+    if (!conf.groupRawCells || end.pos <= 1) return end
+    val files = ChangelogFiles.listFiles(regionDir, conf.prefix)
+    val f = files.find(_._1 == end.fileId).map(_._2).getOrElse(return end)
+    val n = ChangelogFiles.recordCount(f)
+    val atEof = end.pos > n
+    if (atEof && files.exists(_._1 > end.fileId)) return end // file rolled: complete
+    def keyOf(r: ChangelogRecord) = (r.row.get("rowkey"), r.op, r.tsMillis)
+    val lastIncluded = math.min(end.pos - 1, n)
+    var curStart = 1L
+    var prev: Option[(Option[EnvelopeValue], String, Long)] = None
+    var includedStart = 1L
+    var includedKey: Option[(Option[EnvelopeValue], String, Long)] = None
+    var excludedKey: Option[(Option[EnvelopeValue], String, Long)] = None
+    val it = ChangelogFiles.readRange(f, 1L, lastIncluded + 2)
+    try it.foreach { r =>
+      val k = Some(keyOf(r))
+      if (prev != k) curStart = r.pos
+      prev = k
+      if (r.pos == lastIncluded) { includedStart = curStart; includedKey = k }
+      if (r.pos == lastIncluded + 1) excludedKey = k
+    } finally it.close()
+    val splits =
+      if (atEof) true // trailing mutation may still be growing: defer
+      else excludedKey.isDefined && excludedKey == includedKey
+    if (splits) BinlogOffset(end.fileId, includedStart) else end
+  }
+
   /** Per-region independent advance. Under a row cap, the budget splits
     * evenly across regions (min 1) — a stalled/slow region can neither
     * stall the others nor starve itself.
@@ -196,7 +235,7 @@ final class WalMicroBatchStream(conf: WalSourceConf)
           if (capped < latest) capped else latest
         case None => latest
       }
-      r -> math.max(end.packed, from.packed)
+      r -> math.max(mutationAlignedEnd(dir, end).packed, from.packed)
     }.toMap)
   }
 

@@ -136,16 +136,23 @@ object CdcStream {
     val dbCol = get_json_object(col("value"), "$.databaseName")
     val tblCol = get_json_object(col("value"), "$.tableName")
     val present = envelopes.select(dbCol.as("db"), tblCol.as("tbl"))
+      .filter(col("db").isNotNull && col("tbl").isNotNull) // malformed envelopes
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     present.flatMap { case (db, tbl) =>
       val key = s"$db.$tbl"
-      schemas.get(key).map { schema =>
-        val path = pathTemplate.replace("{db}", db).replace("{table}", tbl)
-        applyBatchToReplica(path,
-          parsed(envelopes.filter(dbCol === db && tblCol === tbl), schema),
-          idCols(key), orderCols)
-        path
+      // a table needs BOTH a schema and id columns to materialize;
+      // surface config skew instead of a bare NoSuchElementException
+      (schemas.get(key), idCols.get(key)) match {
+        case (Some(schema), Some(ids)) =>
+          val path = pathTemplate.replace("{db}", db).replace("{table}", tbl)
+          applyBatchToReplica(path,
+            parsed(envelopes.filter(dbCol === db && tblCol === tbl), schema),
+            ids, orderCols)
+          Some(path)
+        case (Some(_), None) => throw new IllegalArgumentException(
+          s"fanOutToReplicas: table $key has a schema but no idCols entry")
+        case _ => None // unconfigured table: skipped by design
       }
     }
   }
@@ -236,15 +243,20 @@ object CdcStream {
 
   /** Read the live replica (the current manifest's bucket union).
     * None when no version was ever committed or the replica is empty.
+    * A version dir WITHOUT a manifest is the pre-bucket flat layout and
+    * reads whole — existing replicas stay readable across the upgrade.
     */
   def readReplica(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String): Option[DataFrame] =
-    for {
-      (_, name) <- currentVersion(replicaDir)
-      m <- readManifest(replicaDir, name)
-      if m.buckets.nonEmpty
-    } yield spark.read.parquet(
-      m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*)
+    currentVersion(replicaDir).flatMap { case (_, name) =>
+      readManifest(replicaDir, name) match {
+        case Some(m) if m.buckets.nonEmpty =>
+          Some(spark.read.parquet(
+            m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*))
+        case Some(_) => None // committed but empty
+        case None => Some(spark.read.parquet(s"$replicaDir/$name"))
+      }
+    }
 
   /** Apply one CDC micro-batch to the bucketed versioned parquet
     * replica (idCols upsert + delete) — `foreachBatch` body reproducing
@@ -272,6 +284,11 @@ object CdcStream {
     new java.io.File(replicaDir).mkdirs()
     val cur = currentVersion(replicaDir)
     val prev = cur.flatMap { case (_, name) => readManifest(replicaDir, name) }
+    // a current version WITHOUT a manifest is the pre-bucket flat
+    // layout: merge against the whole old version once (this batch
+    // migrates the replica into the bucketed layout)
+    val legacyFlat = cur.filter(_ => prev.isEmpty)
+      .map { case (_, name) => s"$replicaDir/$name" }
     // bucket count is fixed at replica creation (stored in the manifest)
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
     val bucketOf = pmod(hash(idCols.map(col): _*), lit(nb))
@@ -283,9 +300,11 @@ object CdcStream {
     val touchedPaths = prevBuckets.collect {
       case (k, p) if touched(k) => s"$replicaDir/$p"
     }.toSeq.sorted
-    val base =
-      if (touchedPaths.isEmpty) upserts.limit(0)
-      else spark.read.parquet(touchedPaths: _*)
+    val base = legacyFlat match {
+      case Some(flat) => spark.read.parquet(flat)
+      case None if touchedPaths.isEmpty => upserts.limit(0)
+      case None => spark.read.parquet(touchedPaths: _*)
+    }
     val merged = base.join(broadcast(keys), idCols, "left_anti")
       .unionByName(upserts)
 
