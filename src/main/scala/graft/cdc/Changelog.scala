@@ -458,7 +458,9 @@ object ChangelogFiles {
           case (name, e) if (try BinlogOffset.fileIdOf(name) == id
                              catch { case _: Exception => false }) => e.count
         }
-        if (total.exists(off.pos > _)) add(counts)
+        // count defaults to -1 when the manifest field is absent — an
+        // unknown total must never satisfy the fully-consumed proof
+        if (total.exists(c => c >= 0 && off.pos > c)) add(counts)
       case _ => ()
     }
     acc.toMap

@@ -333,12 +333,12 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
       val fts = ChangelogFiles.fileTableCounts(conf.dir, conf.prefix)
       val maxLive = fts.collect { case (id, Some(_), _) => id }
         .foldLeft(0L)(math.max)
-      // only files whose per-table counts are MANIFEST-backed may be
-      // deleted: a pruned file with scan-only counts would vanish from
-      // the index spine and silently shift every later table-local index
-      val manifested = ChangelogFiles.manifest(conf.dir).collect {
-        case (name, e) if e.tables.nonEmpty => name
-      }.toSet
+      // only files whose per-table counts are MANIFEST-backed AT THE
+      // CURRENT LENGTH may be deleted: a pruned file with scan-only (or
+      // stale — appended-to after the manifest was written) counts
+      // would vanish from the index spine and silently shift every
+      // later table-local index
+      val man = ChangelogFiles.manifest(conf.dir)
       val cum = scala.collection.mutable.HashMap.empty[String, Long]
       fts.foreach { case (id, fOpt, counts) =>
         counts.foreach { case (t, n) => cum.put(t, cum.getOrElse(t, 0L) + n) }
@@ -346,8 +346,11 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
           !conf.tableKeyMatches(t) || m.tables.getOrElse(t, 0L) >= cum(t)
         }
         // keep the newest file: it is the append tail
-        fOpt.foreach(f =>
-          if (fully && id < maxLive && manifested.contains(f.getName)) f.delete())
+        fOpt.foreach { f =>
+          val backed = man.get(f.getName)
+            .exists(e => e.tables.nonEmpty && e.length == f.length())
+          if (fully && id < maxLive && backed) f.delete()
+        }
       }
   }
 
@@ -465,10 +468,12 @@ object BinlogPartitioning {
         if (ranges.nonEmpty) fOpt match {
           case Some(f) =>
             val bases = ranges.keys.map(t => t -> cum.getOrElse(t, 0L)).toMap
+            val scanUntil = ChangelogFiles.recordCount(f) + 1
             val total = ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum
             if (total <= conf.maxRecordsPerPartition) {
               // common case: one partition scans the file once for all tables
-              parts += BinlogMapInputPartition(f.getAbsolutePath, id, bases, ranges)
+              parts += BinlogMapInputPartition(f.getAbsolutePath, id, bases,
+                ranges, scanUntil)
             } else {
               // large in-range volume: split per table, then chunk each
               // table's local range so partitions stay bounded — the
@@ -480,7 +485,8 @@ object BinlogPartitioning {
               } parts += BinlogMapInputPartition(f.getAbsolutePath, id,
                 Map(t -> bases(t)),
                 Map(t -> (chunkLo,
-                  math.min(chunkLo + conf.maxRecordsPerPartition, hi))))
+                  math.min(chunkLo + conf.maxRecordsPerPartition, hi))),
+                scanUntil)
             }
           case None => lost += id
         }
@@ -500,12 +506,16 @@ final case class BinlogInputPartition(
 
 /** Map-offset partition: serve, per table, local indices
   * `[ranges(t)._1, ranges(t)._2)` where `base(t)` is the table's
-  * cumulative index at the file start.
+  * cumulative index at the file start. `scanUntil` is the planner's
+  * complete-line count + 1: the reader must never parse at or past it,
+  * because under concurrent append the bytes beyond the planning
+  * snapshot can end in a torn line.
   */
 final case class BinlogMapInputPartition(
     filePath: String, fileId: Long,
     base: Map[String, Long],
-    ranges: Map[String, (Long, Long)]) extends InputPartition
+    ranges: Map[String, (Long, Long)],
+    scanUntil: Long) extends InputPartition
 
 final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, String])
     extends PartitionReaderFactory {
@@ -571,14 +581,15 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
         new PartitionReader[InternalRow] {
           // one scan serves every table's range: local indices are
           // reconstructed by counting each table's records from the
-          // file start (base + seen-so-far). The scan STOPS as soon as
-          // every range is exhausted — never reading to EOF matters
-          // under concurrent append, where the file may end in a torn
-          // (not yet newline-terminated) line that must not be parsed.
-          // All in-range records are complete lines by construction:
-          // the planner's counts only cover complete lines.
+          // file start (base + seen-so-far). The scan is BOUNDED at the
+          // planner's complete-line count (`scanUntil` — RecordIterator
+          // never parses a line at or past its untilPos, including its
+          // one-line prefetch) and additionally stops as soon as every
+          // range is exhausted: under concurrent append the bytes past
+          // the planning snapshot can end in a torn line that must not
+          // be parsed.
           private val raw = ChangelogFiles
-            .readRange(new java.io.File(p.filePath), 1L, Long.MaxValue)
+            .readRange(new java.io.File(p.filePath), 1L, p.scanUntil)
           private val seen = scala.collection.mutable.HashMap.empty[String, Long]
           private var remaining =
             p.ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum

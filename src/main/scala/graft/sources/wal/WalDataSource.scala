@@ -181,21 +181,33 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     * any later record or file appears. Driver cost: one pass over the
     * end file's records per trigger, grouping mode only.
     */
-  private def mutationAlignedEnd(regionDir: String, end: BinlogOffset): BinlogOffset = {
+  private def mutationAlignedEnd(regionDir: String, from: BinlogOffset,
+      end: BinlogOffset): BinlogOffset = {
     if (!conf.groupRawCells || end.pos <= 1) return end
     val files = ChangelogFiles.listFiles(regionDir, conf.prefix)
     val f = files.find(_._1 == end.fileId).map(_._2).getOrElse(return end)
     val n = ChangelogFiles.recordCount(f)
     val atEof = end.pos > n
-    if (atEof && files.exists(_._1 > end.fileId)) return end // file rolled: complete
+    val laterFileExists = files.exists(_._1 > end.fileId)
+    if (atEof && laterFileExists) return end // file rolled: complete
     def keyOf(r: ChangelogRecord) = (r.row.get("rowkey"), r.op, r.tsMillis)
+    // `from` is itself a mutation boundary (by induction over prior
+    // snapped ends), so the scan starts there when it is in this file —
+    // the driver pass is bounded by the batch's records, not the file
+    val scanStart =
+      if (from.fileId == end.fileId && from.pos >= 1 && from.pos <= n) from.pos
+      else 1L
     val lastIncluded = math.min(end.pos - 1, n)
-    var curStart = 1L
+    if (lastIncluded < scanStart) return end
+    var curStart = scanStart
     var prev: Option[(Option[EnvelopeValue], String, Long)] = None
-    var includedStart = 1L
+    var includedStart = scanStart
     var includedKey: Option[(Option[EnvelopeValue], String, Long)] = None
     var excludedKey: Option[(Option[EnvelopeValue], String, Long)] = None
-    val it = ChangelogFiles.readRange(f, 1L, lastIncluded + 2)
+    // at the live-tail EOF the byte after the last COMPLETE line may be
+    // a torn line — never read pos n+1 there (splits is unconditional)
+    val scanUntil = if (atEof) lastIncluded + 1 else lastIncluded + 2
+    val it = ChangelogFiles.readRange(f, scanStart, scanUntil)
     try it.foreach { r =>
       val k = Some(keyOf(r))
       if (prev != k) curStart = r.pos
@@ -206,7 +218,22 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     val splits =
       if (atEof) true // trailing mutation may still be growing: defer
       else excludedKey.isDefined && excludedKey == includedKey
-    if (splits) BinlogOffset(end.fileId, includedStart) else end
+    if (!splits) return end
+    val down = BinlogOffset(end.fileId, includedStart)
+    if (down.packed > from.packed) return down
+    // snapping down would make no progress: the mutation is LARGER than
+    // the admission budget. Extend UP to its end instead (soft cap
+    // overrun bounded by one mutation) — except at the live tail, where
+    // completeness is unknowable and the defer stands until more data.
+    if (atEof) return down
+    var boundary = -1L
+    val fw = ChangelogFiles.readRange(f, lastIncluded + 1, n + 1)
+    try fw.foreach { r =>
+      if (boundary < 0 && Some(keyOf(r)) != includedKey) boundary = r.pos
+    } finally fw.close()
+    if (boundary > 0) BinlogOffset(end.fileId, boundary)
+    else if (laterFileExists) BinlogOffset(end.fileId, n + 1) // completes at file end
+    else down // runs to the live EOF: defer
   }
 
   /** Per-region independent advance. Under a row cap, the budget splits
@@ -235,7 +262,7 @@ final class WalMicroBatchStream(conf: WalSourceConf)
           if (capped < latest) capped else latest
         case None => latest
       }
-      r -> math.max(mutationAlignedEnd(dir, end).packed, from.packed)
+      r -> math.max(mutationAlignedEnd(dir, from, end).packed, from.packed)
     }.toMap)
   }
 

@@ -152,7 +152,9 @@ object CdcStream {
           Some(path)
         case (Some(_), None) => throw new IllegalArgumentException(
           s"fanOutToReplicas: table $key has a schema but no idCols entry")
-        case _ => None // unconfigured table: skipped by design
+        case (None, Some(_)) => throw new IllegalArgumentException(
+          s"fanOutToReplicas: table $key has idCols but no schema entry")
+        case (None, None) => None // unconfigured table: skipped by design
       }
     }
   }

@@ -243,6 +243,51 @@ class WalSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("T5: a mutation larger than the admission cap aligns UP — no livelock") {
+    val d = java.nio.file.Files.createTempDirectory("wal-align-up").toString
+    val rd = new java.io.File(d, "region-u"); rd.mkdirs()
+    val f = new java.io.File(rd, "graft-bin.000001")
+    def cells(startPos: Long, rk: String, ts: Long): String =
+      (0 until 3).map { i =>
+        ChangelogRecord.write(ChangelogRecord(startPos + i, "put", "wal",
+          "region-u", ts, Map("rowkey" -> EnvelopeValue.VString(rk),
+            s"d:q$i" -> EnvelopeValue.VString(i.toString)))) + "\n"
+      }.mkString
+    def append(s: String): Unit = {
+      val w = new java.io.FileWriter(f, true); w.write(s); w.close()
+    }
+    append(cells(1, "a", 1) + cells(4, "b", 2))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[CdcEvent]
+    val q = spark.readStream.format("graft-wal").option("path", d)
+      .option("groupRawCells", "true")
+      .option("maxEventsPerTrigger", "2") // cap SMALLER than one mutation
+      .load().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("value").collect().foreach(r =>
+          seen.synchronized { seen += EnvelopeCodec.parse(r.getString(0)) }); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the 3-cell mutation exceeds the 2-row budget: the end extends to
+      // the mutation boundary (soft overrun) instead of stalling forever
+      seen.synchronized {
+        assert(seen.map(e => e.row("rowkey")) ===
+          Seq(EnvelopeValue.VString("a")))
+      }
+      append(cells(7, "c", 3))
+      q.processAllAvailable()
+      seen.synchronized {
+        assert(seen.map(e => e.row("rowkey")) ===
+          Seq(EnvelopeValue.VString("a"), EnvelopeValue.VString("b")))
+        assert(seen.forall(_.row.keySet.count(_ != "rowkey") === 3))
+      }
+    } finally q.stop()
+  }
+
   test("plan emits at least one partition per non-empty region") {
     import graft.sources.wal.{WalPartitioning, WalSourceConf, WalInputPartition}
     import scala.jdk.CollectionConverters._
