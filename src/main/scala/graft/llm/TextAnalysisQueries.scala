@@ -115,6 +115,33 @@ object TextAnalysisQueries {
         .orderBy($"source")
     },
 
+    // --- greedy sequence packing (training-batch assembly) --------------
+    // Pack documents into fixed token-budget bins: within each source
+    // (packing domain), docs in deterministic doc_id order accumulate a
+    // running subword total and a doc's bin is its PRECEDING total div
+    // budget — the classic greedy concatenation packing a pretraining
+    // pipeline runs before batching. All integer arithmetic; the
+    // running sum is a per-source window (parallel across sources), so
+    // no global sequential bottleneck. Output is the per-bin summary.
+    "llm_seq_pack" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048L
+      val t = Tables(s, dir).documents
+        .select($"source", $"doc_id",
+          expr("""aggregate(
+                 |  transform(split(lower(text), ' '),
+                 |            t -> (length(t) + 3) div 4),
+                 |  0L, (acc, x) -> acc + x)""".stripMargin).as("n_subwords"))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("running", sum($"n_subwords").over(w))
+        .withColumn("bin", expr(s"(running - n_subwords) div $budget"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_subwords").as("bin_tokens"))
+        .orderBy($"source", $"bin")
+    },
+
     // --- rolling-hash document fingerprint ------------------------------
     "llm_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -203,6 +230,24 @@ object TextAnalysisQueries {
          |  max(CASE WHEN rk = (n * 50 + 99) // 100 THEN n_tokens END) AS p50_tokens,
          |  max(CASE WHEN rk = (n * 90 + 99) // 100 THEN n_tokens END) AS p90_tokens
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform($toksSql, t -> (length(t) + 3) // 4)),
+         |      (acc, x) -> acc + x) AS n_subwords
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, n_subwords,
+         |    sum(n_subwords) OVER (PARTITION BY source ORDER BY doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS running
+         |  FROM t)
+         |SELECT source, CAST((running - n_subwords) // 2048 AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_subwords) AS BIGINT) AS bin_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,
