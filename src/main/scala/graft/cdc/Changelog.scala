@@ -508,27 +508,47 @@ object ChangelogFiles {
   /** Iterator over changelog records that exposes `close()` so an
     * abandoned/cancelled task can release the file handle early
     * (`PartitionReader.close` calls it); exhaustion also closes.
+    *
+    * TORN-LINE SAFETY lives HERE, once for every caller: only lines
+    * terminated by a newline are ever parsed. Under concurrent append
+    * the file can end in a partial line (truncated JSON); a terminated
+    * line earlier in the file is complete by filesystem append
+    * semantics. The unterminated tail is treated as end-of-stream — it
+    * has no pos yet (recordCount's newline accounting agrees) and will
+    * be served once its newline lands.
     */
   final class RecordIterator(f: File, fromPos: Long, untilPos: Long)
       extends Iterator[ChangelogRecord] with AutoCloseable {
-    private val r = new BufferedReader(
-      new InputStreamReader(new FileInputStream(f), StandardCharsets.UTF_8))
+    private val in = new java.io.BufferedInputStream(new FileInputStream(f), 64 * 1024)
+    private val buf = new java.io.ByteArrayOutputStream(256)
     private var closed = false
-    private var line = r.readLine()
     private var idx = 0L
     private var nextRec: ChangelogRecord = advanceTo()
+
+    /** Next NEWLINE-TERMINATED line, or null at EOF / torn tail. */
+    private def readTerminatedLine(): String = {
+      buf.reset()
+      var b = in.read()
+      while (b >= 0) {
+        if (b == '\n')
+          return new String(buf.toByteArray, StandardCharsets.UTF_8)
+        buf.write(b)
+        b = in.read()
+      }
+      null // EOF: any accumulated bytes are an unterminated (torn) line
+    }
 
     private def advanceTo(): ChangelogRecord = {
       // one pos per line (same accounting as recordCount's newline
       // count); blank lines consume their pos but emit nothing
-      while (line != null) {
+      var cur = readTerminatedLine()
+      while (cur != null) {
         idx += 1
-        val cur = line
-        line = r.readLine()
         if (cur.nonEmpty && idx >= fromPos && idx < untilPos) {
           return ChangelogRecord.parse(cur)
         }
-        if (idx >= untilPos) { close(); return null }
+        if (idx >= untilPos - 1) { close(); return null }
+        cur = readTerminatedLine()
       }
       close(); null
     }
@@ -536,7 +556,7 @@ object ChangelogFiles {
     override def next(): ChangelogRecord = {
       val v = nextRec; nextRec = advanceTo(); v
     }
-    override def close(): Unit = if (!closed) { closed = true; r.close() }
+    override def close(): Unit = if (!closed) { closed = true; in.close() }
   }
 
   /** Read records of one file with `fromPos <= pos < untilPos`. */

@@ -80,11 +80,7 @@ object TextAnalysisQueries {
       Tables(s, dir).documents
         .select($"doc_id",
           size(tokens($"text")).as("n_ws_tokens"),
-          // BPE-ish: each word costs ceil(len/4) subword units.
-          expr("""aggregate(
-                 |  transform(split(lower(text), ' '),
-                 |            t -> (length(t) + 3) div 4),
-                 |  0L, (acc, x) -> acc + x)""".stripMargin).as("n_subwords"))
+          subwordCost($"text").as("n_subwords"))
         .orderBy($"doc_id")
     },
 
@@ -128,11 +124,7 @@ object TextAnalysisQueries {
       import org.apache.spark.sql.expressions.Window
       val budget = 2048L
       val t = Tables(s, dir).documents
-        .select($"source", $"doc_id",
-          expr("""aggregate(
-                 |  transform(split(lower(text), ' '),
-                 |            t -> (length(t) + 3) div 4),
-                 |  0L, (acc, x) -> acc + x)""".stripMargin).as("n_subwords"))
+        .select($"source", $"doc_id", subwordCost($"text").as("n_subwords"))
       val w = Window.partitionBy($"source").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.withColumn("running", sum($"n_subwords").over(w))
@@ -205,12 +197,9 @@ object TextAnalysisQueries {
 
     "llm_token_count" ->
       s"""SELECT doc_id,
-         |  CAST(len(t) AS INT) AS n_ws_tokens,
-         |  list_reduce(
-         |    list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(t, t -> (length(t) + 3) // 4)),
-         |    (acc, x) -> acc + x) AS n_subwords
-         |FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |  CAST(len($toksSql) AS INT) AS n_ws_tokens,
+         |  $subwordCostSql AS n_subwords
+         |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
     "llm_corpus_stats" ->
@@ -233,11 +222,7 @@ object TextAnalysisQueries {
 
     "llm_seq_pack" ->
       s"""WITH t AS (
-         |  SELECT source, doc_id,
-         |    list_reduce(
-         |      list_prepend(CAST(0 AS BIGINT),
-         |        list_transform($toksSql, t -> (length(t) + 3) // 4)),
-         |      (acc, x) -> acc + x) AS n_subwords
+         |  SELECT source, doc_id, $subwordCostSql AS n_subwords
          |  FROM documents),
          |r AS (
          |  SELECT source, n_subwords,

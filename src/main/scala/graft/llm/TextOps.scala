@@ -93,6 +93,18 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** BPE-ish subword cost: each word costs ceil(len/4) units, summed
+    * with a sequential left-fold. THE shared cost model of
+    * `llm_token_count` and `llm_seq_pack` — change it here and in
+    * [[subwordCostSql]] together or oracle parity breaks.
+    */
+  def subwordCost(text: Column): Column =
+    org.apache.spark.sql.functions.expr(
+      """aggregate(
+        |  transform(split(lower(text), ' '),
+        |            t -> (length(t) + 3) div 4),
+        |  0L, (acc, x) -> acc + x)""".stripMargin)
+
   // --------------------------------------------------- DuckDB oracle twins
   // Keep in lockstep with the Column builders above.
 
@@ -126,4 +138,11 @@ object TextOps {
   /** Exact Jaccard of two pre-distinct list expressions. */
   def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))"
+
+  /** DuckDB twin of [[subwordCost]] (identical sequential fold). */
+  val subwordCostSql: String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform($toksSql, t -> (length(t) + 3) // 4)),
+       |      (acc, x) -> acc + x)""".stripMargin
 }

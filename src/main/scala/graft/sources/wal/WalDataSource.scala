@@ -184,6 +184,7 @@ final class WalMicroBatchStream(conf: WalSourceConf)
   private def mutationAlignedEnd(regionDir: String, from: BinlogOffset,
       end: BinlogOffset): BinlogOffset = {
     if (!conf.groupRawCells || end.pos <= 1) return end
+    if (end.packed <= from.packed) return end // idle/caught-up: nothing to align
     val files = ChangelogFiles.listFiles(regionDir, conf.prefix)
     val f = files.find(_._1 == end.fileId).map(_._2).getOrElse(return end)
     val n = ChangelogFiles.recordCount(f)
@@ -226,11 +227,11 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     // overrun bounded by one mutation) — except at the live tail, where
     // completeness is unknowable and the defer stands until more data.
     if (atEof) return down
-    var boundary = -1L
+    // short-circuits at the first key change — never drains the file
     val fw = ChangelogFiles.readRange(f, lastIncluded + 1, n + 1)
-    try fw.foreach { r =>
-      if (boundary < 0 && Some(keyOf(r)) != includedKey) boundary = r.pos
-    } finally fw.close()
+    val boundary =
+      try fw.find(r => Some(keyOf(r)) != includedKey).map(_.pos).getOrElse(-1L)
+      finally fw.close()
     if (boundary > 0) BinlogOffset(end.fileId, boundary)
     else if (laterFileExists) BinlogOffset(end.fileId, n + 1) // completes at file end
     else down // runs to the live EOF: defer

@@ -152,9 +152,10 @@ object CdcStream {
           Some(path)
         case (Some(_), None) => throw new IllegalArgumentException(
           s"fanOutToReplicas: table $key has a schema but no idCols entry")
-        case (None, Some(_)) => throw new IllegalArgumentException(
-          s"fanOutToReplicas: table $key has idCols but no schema entry")
-        case (None, None) => None // unconfigured table: skipped by design
+        // the SCHEMAS map selects which tables materialize: a table with
+        // only an idCols entry (e.g. a shared broad idCols config) is
+        // skipped like a fully-unconfigured one
+        case (None, _) => None
       }
     }
   }
