@@ -114,6 +114,24 @@ class ChangelogSpec extends SparkSuite {
       Map("g.a" -> 1L, "g.b" -> 1L))
   }
 
+  test("readRange never parses an unterminated (torn) trailing line") {
+    val d = Files.createTempDirectory("graft-torn").toString
+    val f = new java.io.File(d, "graft-bin.000001")
+    def rec(pos: Long): String =
+      s"""{"pos":$pos,"op":"insert","db":"g","table":"t","ts":$pos,"row":{}}"""
+    def append(s: String): Unit = {
+      val w = new java.io.FileWriter(f, true); w.write(s); w.close()
+    }
+    append(rec(1) + "\n")
+    append(rec(2).take(20)) // a writer mid-append: truncated JSON, no newline
+    val it = ChangelogFiles.readRange(f, 1, Long.MaxValue)
+    try assert(it.toSeq.map(_.pos) === Seq(1L)) finally it.close()
+    // completing the line makes it visible — exactly once, correct pos
+    append(rec(2).drop(20) + "\n")
+    val it2 = ChangelogFiles.readRange(f, 1, Long.MaxValue)
+    try assert(it2.toSeq.map(_.pos) === Seq(1L, 2L)) finally it2.close()
+  }
+
   test("readRange close() releases the reader before exhaustion") {
     val f = ChangelogFiles.listFiles(dir).head._2
     val it = ChangelogFiles.readRange(f, 1, 100)
