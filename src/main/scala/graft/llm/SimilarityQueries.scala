@@ -172,10 +172,11 @@ object SimilarityQueries {
     val scored = Tables(s, dir).embeddings
       .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
         cents.zipWithIndex.map { case (c, i) => centroidScore(c).as(s"cs$i") }: _*)
-    // persisted: the probe side and the broadcast query side both
-    // consume the assignment, which costs k centroid dots per vector
-    val b = scored.select($"vec_id", $"embedding", $"norm",
-      cellFromScores(k).as("cell")).persist()
+    // materialized: the probe side and the broadcast query side both
+    // consume the assignment, which costs k centroid dots per vector —
+    // this IS the IVF index table (at scale it lives in files anyway)
+    val b = IndexArtifacts.materialize(s, scored.select($"vec_id",
+      $"embedding", $"norm", cellFromScores(k).as("cell")), "ivf-assign")
     val q = b.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"),
         $"norm".as("qn"), $"cell".as("qcell"))
@@ -199,10 +200,10 @@ object SimilarityQueries {
     val bucket = (0 until numPlanes).map { p =>
       when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    val b = Tables(s, dir).embeddings
+    // both self-join sides re-run the plane dots otherwise
+    val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
       .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-        bucket.as("bucket"))
-      .persist() // both self-join sides re-run the plane dots otherwise
+        bucket.as("bucket")), "lsh-bucket")
     val w = Window.partitionBy(col("x.vec_id"))
       .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
     b.as("x").join(b.as("y"),
