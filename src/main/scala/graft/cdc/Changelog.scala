@@ -182,10 +182,13 @@ object ChangelogFiles {
 
   /** One manifest row: byte length, record count, and (optionally)
     * per-`db.table` record counts of the file — the metadata that lets
-    * per-table map offsets advance without scanning file contents.
+    * per-table map offsets advance without scanning file contents —
+    * plus (optionally) the file's mutation-start positions (`bounds`),
+    * written at roll/close time by cell-per-record WAL writers so
+    * grouping-mode batch alignment never has to scan a completed file.
     */
   final case class ManifestEntry(length: Long, count: Long,
-      tables: Map[String, Long])
+      tables: Map[String, Long], bounds: Seq[Long] = Nil)
 
   private final case class ManifestState(len: Long, mtime: Long,
       entries: Map[String, ManifestEntry])
@@ -194,9 +197,12 @@ object ChangelogFiles {
   /** Per-table count cache for live files: `len` is the CONSUMED prefix
     * (position just past the last complete line scanned), so a partial
     * trailing line under concurrent append is re-read next time, never
-    * double- or under-counted.
+    * double- or under-counted. `mtime` guards the pure-hit path like
+    * [[CountState]]: a file rewritten to the same byte length must not
+    * return stale counts.
     */
-  private final case class TableCountState(len: Long, counts: Map[String, Long])
+  private final case class TableCountState(len: Long, mtime: Long,
+      counts: Map[String, Long])
   private val tableCountCache = new ConcurrentHashMap[String, TableCountState]()
 
   def listFiles(dir: String, prefix: String = DefaultPrefix): Seq[(Long, File)] = {
@@ -256,6 +262,7 @@ object ChangelogFiles {
       require(p.nextToken() == JsonToken.START_OBJECT)
       var l = -1L; var c = -1L
       val tabs = mutable.LinkedHashMap.empty[String, Long]
+      val bounds = mutable.ArrayBuffer.empty[Long]
       while (p.nextToken() != JsonToken.END_OBJECT) {
         val k = p.currentName(); p.nextToken()
         k match {
@@ -266,10 +273,13 @@ object ChangelogFiles {
             while (p.nextToken() != JsonToken.END_OBJECT) {
               val t = p.currentName(); p.nextToken(); tabs += t -> p.getLongValue
             }
+          case "bounds" =>
+            require(p.currentToken() == JsonToken.START_ARRAY)
+            while (p.nextToken() != JsonToken.END_ARRAY) bounds += p.getLongValue
           case _ => p.skipChildren()
         }
       }
-      m += name -> ManifestEntry(l, c, tabs.toMap)
+      m += name -> ManifestEntry(l, c, tabs.toMap, bounds.toSeq)
     }
     p.close()
     manifestCache.put(dir, ManifestState(len, mtime, m.toMap))
@@ -284,10 +294,13 @@ object ChangelogFiles {
 
   /** Write `manifest.json` for a directory of generated files — shared
     * by the fixture generators. Per-table counts ride along so map
-    * offsets can advance tables independently without content scans.
+    * offsets can advance tables independently without content scans;
+    * mutation-start `bounds` (when the writer tracks them) let
+    * grouping-mode alignment stay metadata-only on completed files.
     */
   def writeManifest(dir: File,
-      entries: Iterable[(String, (File, Long, Map[String, Long]))]): Unit = {
+      entries: Iterable[(String, (File, Long, Map[String, Long]))],
+      bounds: Map[String, Seq[Long]] = Map.empty): Unit = {
     val sw = new java.io.StringWriter()
     val g = new JsonFactory().createGenerator(sw)
     g.writeStartObject()
@@ -298,6 +311,11 @@ object ChangelogFiles {
       g.writeObjectFieldStart("tables")
       tables.toSeq.sortBy(_._1).foreach { case (t, n) => g.writeNumberField(t, n) }
       g.writeEndObject()
+      bounds.get(name).filter(_.nonEmpty).foreach { bs =>
+        g.writeArrayFieldStart("bounds")
+        bs.foreach(g.writeNumber)
+        g.writeEndArray()
+      }
       g.writeEndObject()
     }
     g.writeEndObject()
@@ -312,7 +330,7 @@ object ChangelogFiles {
     val prev = countCache.get(path)
     if (prev != null && prev.len == len && prev.mtime == mtime) return prev.count
     val fromManifest = manifest(f.getParent).get(f.getName)
-      .collect { case ManifestEntry(l, c, _) if l == len => c }
+      .collect { case ManifestEntry(l, c, _, _) if l == len => c }
     val count = fromManifest.getOrElse {
       if (prev != null && len > prev.len) prev.count + countNewlines(f, prev.len, len)
       else countNewlines(f, 0L, len)
@@ -330,12 +348,12 @@ object ChangelogFiles {
     */
   def tableCounts(f: File): Map[String, Long] = {
     val path = f.getAbsolutePath
-    val len = f.length()
+    val len = f.length(); val mtime = f.lastModified()
     val prev = tableCountCache.get(path)
-    if (prev != null && prev.len == len) return prev.counts
+    if (prev != null && prev.len == len && prev.mtime == mtime) return prev.counts
     manifest(f.getParent).get(f.getName) match {
-      case Some(ManifestEntry(l, _, tabs)) if l == len && tabs.nonEmpty =>
-        tableCountCache.put(path, TableCountState(len, tabs))
+      case Some(ManifestEntry(l, _, tabs, _)) if l == len && tabs.nonEmpty =>
+        tableCountCache.put(path, TableCountState(len, mtime, tabs))
         tabs
       case _ =>
         val from = if (prev != null && len > prev.len) prev.len else 0L
@@ -344,7 +362,7 @@ object ChangelogFiles {
         val merged = inc.foldLeft(base) { case (acc, (t, n)) =>
           acc.updated(t, acc.getOrElse(t, 0L) + n)
         }
-        tableCountCache.put(path, TableCountState(consumed, merged))
+        tableCountCache.put(path, TableCountState(consumed, mtime, merged))
         merged
     }
   }
@@ -466,6 +484,23 @@ object ChangelogFiles {
     acc.toMap
   }
 
+  /** Record count in [from, until) across a directory's files — the
+    * BACKLOG of one WAL region / legacy stream, from cached metadata
+    * only (manifest counts + incremental tail count).
+    */
+  def countBetween(dir: String, from: BinlogOffset, until: BinlogOffset,
+      prefix: String = DefaultPrefix): Long = {
+    if (until.packed <= from.packed) return 0L
+    listFiles(dir, prefix).iterator
+      .filter { case (id, _) => id >= from.fileId && id <= until.fileId }
+      .map { case (id, f) =>
+        val n = recordCount(f)
+        val lo = if (id == from.fileId) from.pos else 1L
+        val hi = if (id == until.fileId) math.min(until.pos, n + 1) else n + 1
+        math.max(0L, hi - lo)
+      }.sum
+  }
+
   /** Offset of the first record (inclusive): (firstFileId, 1); (0, 1)
     * for an empty dir.
     */
@@ -575,5 +610,45 @@ object ChangelogFiles {
       val k = p.currentName(); p.nextToken(); m += k -> p.getValueAsString
     }
     m.toMap
+  }
+}
+
+/** Backlog-aware admission-budget allocation shared by the map-offset
+  * sources: instead of splitting `maxRows` evenly across ALL tracked
+  * keys (which throttles one active table among N idle ones to 1/N of
+  * the configured rate), budget is granted only against BACKLOG, with
+  * unused shares rolling over to keys that still have one — the same
+  * iterative refill Kafka-style rate allocation uses.
+  */
+object AdmissionBudget {
+
+  /** Grant per key, `0 <= grant(k) <= backlog(k)`, `Σ grants <= budget`.
+    * Deterministic: keys are processed in the given (sorted) order, so
+    * when the budget cannot cover even one record per backlogged key,
+    * the earliest keys win — and every granted key gets at least 1, so
+    * an over-subscribed trigger still progresses.
+    */
+  def allocate(keys: Seq[String], backlog: String => Long,
+      budget: Long): Map[String, Long] = {
+    val granted = mutable.LinkedHashMap(keys.map(_ -> 0L): _*)
+    var remaining = math.max(0L, budget)
+    var active = keys.filter(backlog(_) > 0)
+    while (remaining > 0 && active.nonEmpty) {
+      val share = math.max(1L, remaining / active.size)
+      val still = mutable.ArrayBuffer.empty[String]
+      val it = active.iterator
+      while (it.hasNext && remaining > 0) {
+        val k = it.next()
+        val need = backlog(k) - granted(k)
+        val g = math.min(need, math.min(share, remaining))
+        granted(k) += g
+        remaining -= g
+        if (granted(k) < backlog(k)) still += k
+      }
+      // keys the inner loop never reached (budget ran dry) are dropped:
+      // the loop exits on remaining == 0
+      active = still.toSeq
+    }
+    granted.toMap
   }
 }

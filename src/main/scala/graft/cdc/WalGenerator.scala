@@ -38,12 +38,19 @@ object WalGenerator {
       var out: BufferedWriter = _
       val counts = scala.collection.mutable
         .LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
+      // per-file mutation-start positions (raw-cell mode): recorded at
+      // write time so grouping-mode batch alignment on completed files
+      // is manifest-metadata-only (no read-path scan)
+      val fileBounds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+      var bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
       var current: File = _
       def roll(): Unit = {
         if (out != null) {
           out.close()
           counts += current.getName ->
             (current, posInFile, Map(s"wal.$region" -> posInFile))
+          if (cellPerRecord) fileBounds += current.getName -> bounds.toSeq
+          bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
         }
         current = new File(dir, f"$prefix.$fileId%06d")
         out = new BufferedWriter(new OutputStreamWriter(
@@ -72,6 +79,7 @@ object WalGenerator {
           if (posInFile > 0 && posInFile + cells.size > recordsPerFile) {
             fileId += 1; roll(); posInFile = 0
           }
+          bounds += posInFile + 1 // first cell of this mutation
           cells.foreach { case (q, v) =>
             emit(op, r.getLong(4), Map("rowkey" -> rowkey, q -> v))
           }
@@ -81,7 +89,8 @@ object WalGenerator {
         out.close()
         counts += current.getName ->
           (current, posInFile, Map(s"wal.$region" -> posInFile))
-        ChangelogFiles.writeManifest(dir, counts)
+        if (cellPerRecord) fileBounds += current.getName -> bounds.toSeq
+        ChangelogFiles.writeManifest(dir, counts, fileBounds.toMap)
       }
     }
 

@@ -103,6 +103,14 @@ final case class BinlogSourceConf(
     failOnDataLoss: Boolean,
     pruneCommitted: Boolean,
     offsetsByTable: Boolean,
+    /** Explicit opt-in for resuming a legacy single-long checkpoint in
+      * map-offset mode. The upgrade changes the envelope `offset` field
+      * from packed-global to table-local values, so any downstream
+      * state keyed on the old offsets (per-key monotonic dedup
+      * high-water marks) MUST be reset — silently upgrading would make
+      * that state drop every new event as a "duplicate".
+      */
+    upgradeLegacyCheckpoint: Boolean,
     /** `binlog.field.decode.<col>` / `binlog.field.decode.*` charset
       * options, keyed exactly as [[graft.cdc.TypeKernels.decodeBytes]]
       * expects (reference SchemaTool.scala:43-50).
@@ -149,6 +157,8 @@ object BinlogSourceConf {
         Option(options.get("pruneCommitted")).exists(_.toBoolean),
       offsetsByTable =
         Option(options.get("offsetsByTable")).forall(_.toBoolean),
+      upgradeLegacyCheckpoint =
+        Option(options.get("upgradeLegacyCheckpoint")).exists(_.toBoolean),
       fieldDecode = options.asCaseSensitiveMap().asScala.toMap
         .filter(_._1.toLowerCase.startsWith("binlog.field.decode."))
         .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
@@ -235,11 +245,26 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
     }
 
   /** Upgrade path: a legacy single-long checkpoint read under map-offset
-    * mode converts via the global→table-local index mapping.
+    * mode converts via the global→table-local index mapping — but ONLY
+    * with the explicit `upgradeLegacyCheckpoint` opt-in. The upgrade is
+    * offset-exact for the source itself, yet it switches the envelope
+    * `offset` field from packed-global (huge) to table-local (small)
+    * values mid-stream; downstream per-key monotonic dedup state keyed
+    * on the old high-water marks would then silently drop every new
+    * event. Refusing by default turns that silent loss into an
+    * actionable error.
     */
   private def asTableOffsets(o: Offset): Map[String, Long] = o match {
     case m: BinlogTableOffsets => m.tables
     case s: BinlogSourceOffset =>
+      if (!conf.upgradeLegacyCheckpoint) throw new IllegalStateException(
+        "this checkpoint was written with a legacy single-long offset but the " +
+          "source now runs with offsetsByTable=true (the default). Resuming " +
+          "would change the envelope `offset` field from packed-global to " +
+          "table-local values, breaking any downstream state keyed on the old " +
+          "offsets. Either set offsetsByTable=false to stay in the legacy " +
+          "offset space, or opt in with upgradeLegacyCheckpoint=true AND reset " +
+          "downstream offset-keyed dedup state")
       ChangelogFiles.tableCountsBefore(conf.dir, s.offset, conf.prefix)
         .filter { case (k, _) => conf.tableKeyMatches(k) }
   }
@@ -252,8 +277,9 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
   /** Per-table independent advance (map-offset mode): under a row cap,
-    * the budget splits evenly across tables (min 1) — a stalled/slow
-    * table can neither stall the others nor starve itself. Mirrors
+    * the budget is allocated against BACKLOG ([[AdmissionBudget]]) — a
+    * stalled/slow table can neither stall the others nor starve itself,
+    * and idle tables never dilute the rate of active ones. Mirrors
     * WalMicroBatchStream.latestOffset region handling.
     */
   /** A map-offset checkpoint cannot be downgraded to the single-long
@@ -286,15 +312,22 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
       // tables discovered now ∪ tables already tracked (a table going
       // quiet must not drop its checkpointed offset)
       val keys = (totals.keys ++ startMap.keys).toSeq.distinct.sorted
-      val perTableCap = limit match {
+      val bounds = keys.map { t =>
+        val from = startMap.getOrElse(t, 0L) // new table: all records are new
+        t -> (from, math.max(totals.getOrElse(t, 0L), from))
+      }.toMap
+      // budget allocation is backlog-aware: idle tables consume none of
+      // it, so one active table among N quiet ones gets the full rate
+      // (not 1/N of it) — unused shares roll over until spent
+      val grants = limit match {
         case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-          Some(math.max(1L, r.maxRows() / math.max(1, keys.size)))
-        case _ => None
+          AdmissionBudget.allocate(keys,
+            t => { val (from, total) = bounds(t); total - from }, r.maxRows())
+        case _ => keys.map(t => t -> (bounds(t)._2 - bounds(t)._1)).toMap
       }
       BinlogTableOffsets(keys.map { t =>
-        val from = startMap.getOrElse(t, 0L) // new table: all records are new
-        val total = math.max(totals.getOrElse(t, 0L), from)
-        t -> perTableCap.map(c => math.min(total, from + c)).getOrElse(total)
+        val (from, _) = bounds(t)
+        t -> (from + grants(t))
       }.toMap)
     }
 

@@ -175,11 +175,17 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     * reader folds within a batch only, so a split would emit two
     * partial mutations (and a downstream upsert would apply a partial
     * row image). Snaps the end DOWN to the nearest mutation boundary;
-    * at the live tail (no later file yet), the trailing mutation is
-    * DEFERRED entirely, because its completeness cannot be known while
-    * the writer may still be appending cells — it is served as soon as
-    * any later record or file appears. Driver cost: one pass over the
-    * end file's records per trigger, grouping mode only.
+    * at the LIVE tail (no later file, no current manifest entry), the
+    * trailing mutation is DEFERRED entirely, because its completeness
+    * cannot be known while the writer may still be appending cells — it
+    * is served as soon as any later record or file appears, or the
+    * manifest declares the file complete (a finished/archived WAL whose
+    * writer closed it must not withhold its last mutation forever).
+    *
+    * Metadata-only per trigger: boundaries come from
+    * [[MutationBoundaries]] — the manifest `bounds` field for completed
+    * files, an appended-bytes-only incremental parse for the live tail.
+    * No record range is ever re-read from the batch start.
     */
   private def mutationAlignedEnd(regionDir: String, from: BinlogOffset,
       end: BinlogOffset): BinlogOffset = {
@@ -187,81 +193,79 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     if (end.packed <= from.packed) return end // idle/caught-up: nothing to align
     val files = ChangelogFiles.listFiles(regionDir, conf.prefix)
     val f = files.find(_._1 == end.fileId).map(_._2).getOrElse(return end)
-    val n = ChangelogFiles.recordCount(f)
-    val atEof = end.pos > n
+    val (n, bounds) = MutationBoundaries.of(regionDir, f)
     val laterFileExists = files.exists(_._1 > end.fileId)
-    if (atEof && laterFileExists) return end // file rolled: complete
-    def keyOf(r: ChangelogRecord) = (r.row.get("rowkey"), r.op, r.tsMillis)
-    // `from` is itself a mutation boundary (by induction over prior
-    // snapped ends), so the scan starts there when it is in this file —
-    // the driver pass is bounded by the batch's records, not the file
-    val scanStart =
-      if (from.fileId == end.fileId && from.pos >= 1 && from.pos <= n) from.pos
-      else 1L
-    val lastIncluded = math.min(end.pos - 1, n)
-    if (lastIncluded < scanStart) return end
-    var curStart = scanStart
-    var prev: Option[(Option[EnvelopeValue], String, Long)] = None
-    var includedStart = scanStart
-    var includedKey: Option[(Option[EnvelopeValue], String, Long)] = None
-    var excludedKey: Option[(Option[EnvelopeValue], String, Long)] = None
-    // at the live-tail EOF the byte after the last COMPLETE line may be
-    // a torn line — never read pos n+1 there (splits is unconditional)
-    val scanUntil = if (atEof) lastIncluded + 1 else lastIncluded + 2
-    val it = ChangelogFiles.readRange(f, scanStart, scanUntil)
-    try it.foreach { r =>
-      val k = Some(keyOf(r))
-      if (prev != k) curStart = r.pos
-      prev = k
-      if (r.pos == lastIncluded) { includedStart = curStart; includedKey = k }
-      if (r.pos == lastIncluded + 1) excludedKey = k
-    } finally it.close()
-    val splits =
-      if (atEof) true // trailing mutation may still be growing: defer
-      else excludedKey.isDefined && excludedKey == includedKey
-    if (!splits) return end
-    val down = BinlogOffset(end.fileId, includedStart)
-    if (down.packed > from.packed) return down
+    // completeness proof: a later file (writers never split a mutation
+    // across a roll) or a manifest entry matching the file's length
+    // (the writer recorded it at close)
+    val fileComplete = laterFileExists ||
+      ChangelogFiles.manifest(regionDir).get(f.getName).exists(_.length == f.length)
+    val atEof = end.pos > n
+    if (atEof && fileComplete) return end
+    if (atEof) {
+      // live tail: defer the possibly-growing trailing mutation; the
+      // caller maxes with `from`, so "no progress" is a clean stall
+      return bounds.lastOption
+        .map(BinlogOffset(end.fileId, _)).getOrElse(end)
+    }
+    // mid-file end: complete iff the first excluded record starts a new
+    // mutation
+    if (MutationBoundaries.contains(bounds, end.pos)) return end
+    // snap DOWN to the start of the mutation containing the last
+    // included record
+    val downPos = MutationBoundaries.largestAtOrBelow(bounds, end.pos - 1)
+    if (downPos > 0) {
+      val down = BinlogOffset(end.fileId, downPos)
+      if (down.packed > from.packed) return down
+    }
     // snapping down would make no progress: the mutation is LARGER than
     // the admission budget. Extend UP to its end instead (soft cap
-    // overrun bounded by one mutation) — except at the live tail, where
-    // completeness is unknowable and the defer stands until more data.
-    if (atEof) return down
-    // short-circuits at the first key change — never drains the file
-    val fw = ChangelogFiles.readRange(f, lastIncluded + 1, n + 1)
-    val boundary =
-      try fw.find(r => Some(keyOf(r)) != includedKey).map(_.pos).getOrElse(-1L)
-      finally fw.close()
-    if (boundary > 0) BinlogOffset(end.fileId, boundary)
-    else if (laterFileExists) BinlogOffset(end.fileId, n + 1) // completes at file end
-    else down // runs to the live EOF: defer
+    // overrun bounded by one mutation) — unless it runs to a live EOF,
+    // where completeness is unknowable and the defer stands.
+    val upPos = MutationBoundaries.smallestAbove(bounds, end.pos)
+    if (upPos > 0) BinlogOffset(end.fileId, upPos)
+    else if (fileComplete) BinlogOffset(end.fileId, n + 1)
+    else BinlogOffset(end.fileId, math.max(downPos, 1L)) // defer at live tail
   }
 
-  /** Per-region independent advance. Under a row cap, the budget splits
-    * evenly across regions (min 1) — a stalled/slow region can neither
-    * stall the others nor starve itself.
+  /** Per-region independent advance. Under a row cap, the budget is
+    * allocated against BACKLOG ([[AdmissionBudget.allocate]]): idle
+    * regions consume none of it, a stalled/slow region can neither
+    * stall the others nor starve itself, and one active region among N
+    * quiet ones gets the full configured rate.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[WalOffset].regions
     // regions discovered now ∪ regions already tracked (a region dir
     // disappearing must not drop its checkpointed offset)
     val regions = (WalDataSource.listRegions(conf.dir) ++ startMap.keys).distinct.sorted
-    val perRegionCap = limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        Some(math.max(1L, r.maxRows() / math.max(1, regions.size)))
+    val froms = regions.map { r =>
+      r -> startMap.get(r)
+        .map(BinlogOffset.unpack)
+        .getOrElse(ChangelogFiles.earliestOffset(regionDir(r), conf.prefix)) // new region: from its start (HWDS new-region -1 analog)
+    }.toMap
+    val latests = regions.map { r =>
+      r -> ChangelogFiles.latestOffset(regionDir(r), conf.prefix)
+    }.toMap
+    val grants = limit match {
+      case l: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        Some(AdmissionBudget.allocate(regions,
+          r => ChangelogFiles.countBetween(regionDir(r), froms(r), latests(r),
+            conf.prefix),
+          l.maxRows()))
       case _ => None
     }
     WalOffset(regions.map { r =>
       val dir = regionDir(r)
-      val from = startMap.get(r)
-        .map(BinlogOffset.unpack)
-        .getOrElse(ChangelogFiles.earliestOffset(dir, conf.prefix)) // new region: from its start (HWDS new-region -1 analog)
-      val latest = ChangelogFiles.latestOffset(dir, conf.prefix)
-      val end = perRegionCap match {
-        case Some(cap) =>
-          val capped = ChangelogFiles.advance(dir, from, cap, conf.prefix)
-          if (capped < latest) capped else latest
-        case None => latest
+      val from = froms(r)
+      val end = grants match {
+        case Some(g) =>
+          if (g(r) <= 0) from
+          else {
+            val capped = ChangelogFiles.advance(dir, from, g(r), conf.prefix)
+            if (capped < latests(r)) capped else latests(r)
+          }
+        case None => latests(r)
       }
       r -> math.max(mutationAlignedEnd(dir, from, end).packed, from.packed)
     }.toMap)
@@ -329,6 +333,25 @@ object WalPartitioning {
             s"region $region: start offset $startOff points at or before purged " +
               s"WAL data (existing files: ${files.map(_._1).mkString(",")}) — unread " +
               "data was lost (set failOnDataLoss=false to ignore)")
+        }
+      }
+      // grouping mode assumes batch starts are mutation boundaries (the
+      // aligned ends guarantee it for checkpoints this source wrote). A
+      // mid-mutation start — a user-configured offset, or a checkpoint
+      // written with groupRawCells OFF then resumed with it ON — would
+      // make the reader emit a partial leading row image; REFUSE it
+      // rather than silently corrupt (toggling grouping on an existing
+      // checkpoint requires re-aligning the offset first).
+      if (conf.groupRawCells && endOff.packed > startOff.packed && startOff.pos > 1) {
+        files.find(_._1 == startOff.fileId).foreach { case (_, f) =>
+          val (n, bounds) = MutationBoundaries.of(regionDir, f)
+          val aligned = startOff.pos > n ||
+            MutationBoundaries.contains(bounds, startOff.pos)
+          if (!aligned) throw new IllegalStateException(
+            s"region $region: start offset $startOff is not a mutation boundary — " +
+              "groupRawCells must resume from an aligned checkpoint or a " +
+              "boundary/start-of-file startingOffsets (was this checkpoint " +
+              "written without groupRawCells?)")
         }
       }
       if (endOff.packed == startOff.packed) Seq.empty

@@ -139,4 +139,37 @@ class ChangelogSpec extends SparkSuite {
     it.close()   // must not throw; double-close safe
     it.close()
   }
+
+  test("AdmissionBudget: idle keys never dilute active ones; shares roll over") {
+    // one active table among three idle ones gets the WHOLE budget
+    assert(AdmissionBudget.allocate(Seq("a", "b", "c", "d"),
+      Map("a" -> 0L, "b" -> 100L, "c" -> 0L, "d" -> 0L), 40L) ===
+      Map("a" -> 0L, "b" -> 40L, "c" -> 0L, "d" -> 0L))
+    // a small backlog's unused share rolls over to the big one
+    assert(AdmissionBudget.allocate(Seq("a", "b"),
+      Map("a" -> 3L, "b" -> 100L), 40L) === Map("a" -> 3L, "b" -> 37L))
+    // even split when everyone has deep backlog
+    assert(AdmissionBudget.allocate(Seq("a", "b"),
+      Map("a" -> 100L, "b" -> 100L), 40L) === Map("a" -> 20L, "b" -> 20L))
+    // grants never exceed the budget or any backlog
+    assert(AdmissionBudget.allocate(Seq("a", "b"),
+      Map("a" -> 5L, "b" -> 7L), 100L) === Map("a" -> 5L, "b" -> 7L))
+    // over-subscribed (budget < #backlogged keys): earliest keys win,
+    // each granted key still progresses by >= 1
+    assert(AdmissionBudget.allocate(Seq("a", "b", "c"),
+      Map("a" -> 9L, "b" -> 9L, "c" -> 9L), 2L) ===
+      Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    // zero budget / no keys are clean no-ops
+    assert(AdmissionBudget.allocate(Seq("a"), Map("a" -> 9L), 0L) === Map("a" -> 0L))
+    assert(AdmissionBudget.allocate(Nil, Map.empty[String, Long], 10L) === Map.empty)
+  }
+
+  test("countBetween sums record counts across files from metadata") {
+    assert(ChangelogFiles.countBetween(dir,
+      BinlogOffset(1, 1), ChangelogFiles.latestOffset(dir)) === 1000L)
+    assert(ChangelogFiles.countBetween(dir,
+      BinlogOffset(1, 251), BinlogOffset(2, 51)) === 100L)
+    assert(ChangelogFiles.countBetween(dir,
+      BinlogOffset(2, 1), BinlogOffset(2, 1)) === 0L)
+  }
 }

@@ -276,6 +276,66 @@ class BinlogSourceSpec extends SparkSuite {
     assert(fEnd.tables === Map("shop.users" -> 2L))
   }
 
+  test("map-offset budget is backlog-aware: idle tables never dilute active ones") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.binlog._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val d = Files.createTempDirectory("budget").toString
+    def rec(pos: Long, table: String, id: Long) = ChangelogRecord.write(
+      ChangelogRecord(pos, "insert", "shop", table, id,
+        Map("id" -> EnvelopeValue.VLong(id)))) + "\n"
+    // 2 records for each of 3 quiet tables, then 30 more for "hot"
+    val quiet = for (t <- Seq("a", "b", "c"); i <- 1L to 2L) yield rec(i, t, i)
+    val hot = (1L to 30L).map(i => rec(i, "hot", i))
+    java.nio.file.Files.write(new java.io.File(d, "graft-bin.000001").toPath,
+      (quiet ++ hot).mkString.getBytes("UTF-8"))
+    val conf = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map("path" -> d).asJava))
+    val stream = new BinlogMicroBatchStream(conf)
+    // consume everything except hot's last 20: only "hot" has backlog
+    val caughtUp = BinlogTableOffsets(Map(
+      "shop.a" -> 2L, "shop.b" -> 2L, "shop.c" -> 2L, "shop.hot" -> 10L))
+    val end = stream.latestOffset(caughtUp, ReadLimit.maxRows(8))
+      .asInstanceOf[BinlogTableOffsets]
+    // the whole 8-row budget goes to the one backlogged table (the old
+    // even split would have granted it only 8/4 = 2)
+    assert(end.tables === Map(
+      "shop.a" -> 2L, "shop.b" -> 2L, "shop.c" -> 2L, "shop.hot" -> 18L))
+  }
+
+  test("map-offset mode refuses a legacy checkpoint without explicit opt-in") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.binlog._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val d = Files.createTempDirectory("legacy-upg").toString
+    def rec(pos: Long, table: String, id: Long) = ChangelogRecord.write(
+      ChangelogRecord(pos, "insert", "shop", table, id,
+        Map("id" -> EnvelopeValue.VLong(id)))) + "\n"
+    java.nio.file.Files.write(new java.io.File(d, "graft-bin.000001").toPath,
+      (1L to 6L).map(i => rec(i, if (i % 2 == 0) "users" else "orders", i))
+        .mkString.getBytes("UTF-8"))
+    val conf = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map("path" -> d).asJava))
+    val stream = new BinlogMicroBatchStream(conf)
+    val legacy = BinlogSourceOffset(BinlogOffset(1, 4).packed)
+    // default: refused with an actionable message — the upgrade changes
+    // envelope offset semantics and would break downstream dedup state
+    val ex = intercept[IllegalStateException] {
+      stream.latestOffset(legacy, ReadLimit.allAvailable())
+    }
+    assert(ex.getMessage.contains("offsetsByTable=false"))
+    assert(ex.getMessage.contains("upgradeLegacyCheckpoint=true"))
+    // with the opt-in: exact global->table-local conversion (records
+    // 1-3 consumed: 2 orders, 1 users)
+    val upConf = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> d, "upgradeLegacyCheckpoint" -> "true").asJava))
+    val upStream = new BinlogMicroBatchStream(upConf)
+    val end = upStream.latestOffset(legacy, ReadLimit.allAvailable())
+      .asInstanceOf[BinlogTableOffsets]
+    assert(end.tables === Map("shop.orders" -> 3L, "shop.users" -> 3L))
+  }
+
   test("per-table map offsets: large in-range files chunk into bounded partitions") {
     import scala.jdk.CollectionConverters._
     import graft.sources.binlog._
