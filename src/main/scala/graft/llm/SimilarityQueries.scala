@@ -158,28 +158,40 @@ object SimilarityQueries {
     * same collect + reassign shape), collected to the driver and
     * embedded as exact literals. Every vector is assigned to its
     * nearest cell (argmin L2 via one dot per centroid — a zero-shuffle
-    * projection), queries probe their own cell and rank candidates by
-    * exact cosine. The 100 TB shape: assignment is an embarrassingly
-    * parallel scan, the probe is a cell equi-join (bucketed, never
-    * all-pairs), and at scale you raise `numCentroids` to keep cells
-    * bounded.
+    * projection), queries probe their `nprobe` highest-scoring cells
+    * (multi-probe: boundary vectors near a cell edge recover the
+    * neighbors a single-cell probe loses) and rank candidates by exact
+    * cosine. The 100 TB shape: assignment is an embarrassingly parallel
+    * scan, the probe stays a cell EQUI-join (the probe list explodes to
+    * (query, cell) rows — never a containment predicate that would
+    * break the hash join), and at scale you raise `numCentroids` to
+    * keep cells bounded and `nprobe` to buy recall with linearly more
+    * candidates.
     */
-  def embedIvf(numCentroids: Int = NumCentroids): QFn = { (s, dir) =>
+  def embedIvf(numCentroids: Int = NumCentroids, nprobe: Int = 1): QFn = { (s, dir) =>
     import s.implicits._
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = sampleCentroids(s, dir, numCentroids)
     require(cents.nonEmpty, "embeddings contain no centroid-sample rows")
     val k = cents.size
-    val scored = Tables(s, dir).embeddings
-      .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
+    val np = math.min(nprobe, k)
+    def withScores(df: DataFrame): DataFrame =
+      df.select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
         cents.zipWithIndex.map { case (c, i) => centroidScore(c).as(s"cs$i") }: _*)
-    // materialized: the probe side and the broadcast query side both
-    // consume the assignment, which costs k centroid dots per vector —
-    // this IS the IVF index table (at scale it lives in files anyway)
-    val b = IndexArtifacts.materialize(s, scored.select($"vec_id",
-      $"embedding", $"norm", cellFromScores(k).as("cell")), "ivf-assign")
-    val q = b.filter($"vec_id" < NumQueries)
+    // materialized: the IVF index table — every vector's nearest cell
+    // (at scale it lives in files anyway)
+    val b = IndexArtifacts.materialize(s, withScores(Tables(s, dir).embeddings)
+      .select($"vec_id", $"embedding", $"norm", cellFromScores(k).as("cell")),
+      "ivf-assign")
+    // query side: re-score only the bounded query set and keep its
+    // nprobe best cells, ranked (score desc, cell asc) — for nprobe=1
+    // this equals the cellFromScores assignment (same tie-break)
+    val ranked = sort_array(array((0 until k).map(i =>
+      struct(col(s"cs$i").as("s"), lit(-i).as("ni"))): _*), asc = false)
+    val q = withScores(Tables(s, dir).embeddings.filter($"vec_id" < NumQueries))
       .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-        $"norm".as("qn"), $"cell".as("qcell"))
+        $"norm".as("qn"),
+        explode(transform(slice(ranked, 1, np), x => -x("ni"))).as("qcell"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos_sim".desc, $"vec_id".asc)
     b.join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"query_id")

@@ -261,6 +261,46 @@ object CdcStream {
       }
     }
 
+  /** Key-predicate read path — the read-side half of the
+    * partition-scoped MERGE: scan ONLY the buckets that can contain the
+    * given key tuples. Because rows are hash-bucketed by
+    * `pmod(hash(idCols), numBuckets)`, the candidate bucket of an
+    * equality lookup DERIVES from the key itself — exact pruning,
+    * strictly sharper than per-bucket min/max stats could be (under mod
+    * partitioning every bucket spans the full key range). `keys` is the
+    * bounded lookup set carrying exactly the `idCols` columns; its
+    * bucket ids are computed with the SAME Catalyst hash expression the
+    * writer bucketed with (collected — one int per lookup key), and
+    * matching rows are selected with a broadcast semi-join over the
+    * pruned scan. A point lookup on a 16-bucket replica reads one
+    * bucket's files, not 16.
+    *
+    * None when no version was ever committed or the replica is empty;
+    * the pre-bucket flat layout falls back to a full scan + semi-join.
+    */
+  def readReplicaForKeys(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, idCols: Seq[String], keys: DataFrame): Option[DataFrame] =
+    currentVersion(replicaDir).flatMap { case (_, name) =>
+      readManifest(replicaDir, name) match {
+        case Some(m) if m.buckets.nonEmpty =>
+          val bucketOf = pmod(hash(idCols.map(keys(_)): _*), lit(m.numBuckets))
+          val candidate = keys.select(bucketOf.as("__bucket")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val paths = m.buckets.collect {
+            case (k, p) if candidate(k) => s"$replicaDir/$p"
+          }.toSeq.sorted
+          val base =
+            if (paths.nonEmpty) spark.read.parquet(paths: _*)
+            else spark.read.parquet( // schema only: no candidate bucket exists
+              m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).limit(0)
+          Some(base.join(broadcast(keys), idCols, "left_semi"))
+        case Some(_) => None // committed but empty
+        case None => // pre-bucket flat layout: no pruning metadata
+          Some(spark.read.parquet(s"$replicaDir/$name")
+            .join(broadcast(keys), idCols, "left_semi"))
+      }
+    }
+
   /** Apply one CDC micro-batch to the bucketed versioned parquet
     * replica (idCols upsert + delete) — `foreachBatch` body reproducing
     * the reference's downstream partition-scoped `MERGE` pattern

@@ -290,6 +290,47 @@ class LlmOpsSpec extends SparkSuite {
     assert(cells.forall(c => c >= 0 && c < SimilarityQueries.NumCentroids))
   }
 
+  test("IVF multi-probe (nprobe) recovers recall lost at cell boundaries") {
+    import graft.SparkSuite.spark.implicits._
+    // ground truth: exact top-IvfTopK neighbors per query (brute force)
+    val exact = SimilarityQueries.defs("llm_embed_topk")(spark, sfDir)
+      .filter($"rank" <= SimilarityQueries.IvfTopK)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = SimilarityQueries.embedIvf(nprobe = nprobe)(spark, sfDir)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    val rAll = recall(SimilarityQueries.NumCentroids)
+    // probing more cells can only add candidates: recall is monotone,
+    // and probing EVERY cell is exhaustive (recall 1.0 by construction)
+    assert(r3 >= r1, s"nprobe=3 recall $r3 < nprobe=1 recall $r1")
+    assert(rAll === 1.0, s"nprobe=k must be exhaustive, got $rAll")
+    assert(r3 > r1, s"nprobe=3 recall should beat single-probe on the " +
+      s"fixture (r1=$r1, r3=$r3) — boundary queries exist by construction")
+    // nprobe=1 equals the llm_embed_ivf default (same tie-break)
+    val np1 = SimilarityQueries.embedIvf(nprobe = 1)(spark, sfDir).collect()
+    val dflt = SimilarityQueries.defs("llm_embed_ivf")(spark, sfDir).collect()
+    assert(np1.toSeq === dflt.toSeq)
+  }
+
+  test("query defs own their caches: no CacheManager entries survive any call") {
+    // library-consumer contract: invoking a def (even repeatedly, even
+    // the index-heavy ones) outside Bench/Verify must leave the session
+    // CacheManager empty — index tables are file-backed materializations
+    // ([[IndexArtifacts]]), never dangling persist() entries
+    val heavy = Seq("llm_minhash_lsh", "llm_simhash", "llm_ngram_jaccard",
+      "llm_vector_neardup", "llm_dedup_clusters", "llm_split_leakage_safe",
+      "llm_corpus_filter", "llm_embed_ivf", "llm_embed_lsh_ann")
+    for (_ <- 1 to 2; name <- heavy) {
+      LlmQueries.defs(name)(spark, sfDir).count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left cache entries behind")
+    }
+  }
+
   test("vector_dot returns NULL on ragged arrays, matching the zip_with fold") {
     import graft.SparkSuite.spark.implicits._
     val rows = Seq(

@@ -243,6 +243,51 @@ class CdcStreamingSpec extends SparkSuite {
     assert(fin === Map(u1 -> 10L, u3 -> 15L))
   }
 
+  test("replica key lookup prunes to candidate buckets (read-side MERGE half)") {
+    val dir = Files.createTempDirectory("replica-lookup").toString + "/r"
+    def apply(rows: (Long, String, Long)*): Unit =
+      CdcStream.applyBatchToReplica(dir, rows.toDF("user_id", "op", "event_id"),
+        idCols = Seq("user_id"), orderCols = Seq(col("event_id")))
+    def bucketOf(u: Long): Int = spark.range(1)
+      .select(pmod(hash(lit(u)), lit(CdcStream.DefaultReplicaBuckets)))
+      .first().getInt(0)
+    // three users in three distinct buckets
+    val u1 = 1L
+    val u2 = (2L to 60L).find(u => bucketOf(u) != bucketOf(u1)).get
+    val u3 = ((u2 + 1) to 120L)
+      .find(u => bucketOf(u) != bucketOf(u1) && bucketOf(u) != bucketOf(u2)).get
+    apply((u1, "insert", 10L), (u2, "insert", 11L), (u3, "insert", 12L))
+
+    def bucketsRead(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.flatMap(_.split("/").find(_.startsWith("__bucket="))).toSet
+
+    // point lookup: exactly one bucket's files are scanned
+    val one = CdcStream.readReplicaForKeys(spark, dir, Seq("user_id"),
+      Seq(u2).toDF("user_id")).get
+    assert(one.select("user_id", "event_id").as[(Long, Long)].collect().toSeq ===
+      Seq((u2, 11L)))
+    assert(bucketsRead(one) === Set(s"__bucket=${bucketOf(u2)}"))
+
+    // two keys in two buckets: two buckets scanned, third untouched
+    val two = CdcStream.readReplicaForKeys(spark, dir, Seq("user_id"),
+      Seq(u1, u3).toDF("user_id")).get
+    assert(two.select("user_id").as[Long].collect().sorted.toSeq === Seq(u1, u3))
+    assert(bucketsRead(two) ===
+      Set(s"__bucket=${bucketOf(u1)}", s"__bucket=${bucketOf(u3)}"))
+
+    // a key hashing to a bucket with no files yet: empty result, and
+    // nothing but footer reads (schema) happen
+    val miss = (u3 + 1 to 500L)
+      .find(u => !Set(bucketOf(u1), bucketOf(u2), bucketOf(u3)).contains(bucketOf(u)))
+      .get
+    val none = CdcStream.readReplicaForKeys(spark, dir, Seq("user_id"),
+      Seq(miss).toDF("user_id")).get
+    assert(none.count() === 0L)
+
+    // full read still sees everything (pruning is opt-in by API)
+    assert(CdcStream.readReplica(spark, dir).get.count() === 3L)
+  }
+
   test("streaming event-time window twin matches batch q19 (ST9)") {
     val dir = freshChangelog()
     val stream = spark.readStream.format("graft-binlog").option("path", dir).load()
