@@ -85,7 +85,7 @@ object DedupQueries {
     * hash) per doc — the LSH "index", tiny next to the corpus at any
     * scale.
     */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+  private[llm] def minhashBands(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
       .withColumn("h", col("h0") % P)
     val sig = tok.groupBy(col("doc_id")).agg(
@@ -155,9 +155,28 @@ object DedupQueries {
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
       .filter(jaccard($"sa", $"sb") >= 0.3)
       .select($"doc_a", $"doc_b")
-    val adj = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .persist()
+    val (labels, release) = propagateMinLabels(
+      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+    labels.write.parquet(out)
+    release()
+    bands.unpersist()
+    docs.unpersist()
+  }
+
+  /** Distributed MIN-LABEL PROPAGATION over a symmetric edge table
+    * `(src, dst)` → `(doc_id, label)` per vertex, label = min doc_id of
+    * its connected component. One bucketed equi-join + partial agg per
+    * iteration; iterations bounded by component diameter; one action
+    * per iteration (the convergence flag rides in the next-generation
+    * projection). Returns the labels (reading a persisted generation)
+    * plus a release() the caller MUST invoke after consuming them —
+    * shared by the batch builder and the incremental maintainer.
+    */
+  private[llm] def propagateMinLabels(adjIn: DataFrame): (DataFrame, () => Unit) = {
+    val s = adjIn.sparkSession
+    import s.implicits._
+    val adj = adjIn.persist()
     // `gen` tracks the PERSISTED handle of the current generation (a
     // derived select's unpersist would be a no-op on the parent cache)
     var gen = adj.select($"src".as("doc_id")).distinct()
@@ -182,11 +201,8 @@ object DedupQueries {
       labels = next.select($"doc_id", $"label") // reads the cached next
       converged = changed == 0
     }
-    labels.write.parquet(out)
-    gen.unpersist()
-    adj.unpersist()
-    bands.unpersist()
-    docs.unpersist()
+    val genFinal = gen
+    (labels, () => { genFinal.unpersist(); adj.unpersist(); () })
   }
 
   /** Shared reachability pipeline of the cluster oracles: near-dup

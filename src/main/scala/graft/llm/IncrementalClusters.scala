@@ -1,0 +1,121 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CdcStream
+import TextOps._
+
+/** Incremental near-dup cluster maintenance — the streaming twin of the
+  * batch label pipeline ([[DedupQueries]]): a micro-batch of NEW
+  * documents updates the cluster labels without recomputing the graph.
+  *
+  * State under `stateDir` (the LSH index as persisted tables — the
+  * continuous-ingestion shape of the batch pipeline's artifacts):
+  *
+  *  - `shingles/`, `bands/`: APPEND-ONLY parquet — each batch adds only
+  *    its own docs' rows;
+  *  - `labels/`: the `(doc_id, label)` table, upserted through the
+  *    bucket-scoped versioned replica store
+  *    ([[CdcStream.applyBatchToReplica]]) — label changes are a MERGE,
+  *    so only touched buckets rewrite and the flip is atomic.
+  *
+  * Per batch: new docs' bands join the persisted band index (plus the
+  * batch's own bands) for candidates touching a new doc — pairs wholly
+  * inside the old corpus were found by earlier batches, so coverage
+  * over the union corpus is complete. Exact-Jaccard verification uses
+  * the persisted shingle table. Label propagation then runs ONLY over
+  * the affected subgraph: new verified edges plus, for every existing
+  * component they touch, its members' star edges `(member, label)` —
+  * the representative already encodes old connectivity, so merged
+  * components relabel correctly without replaying their original edges.
+  * Untouched components are never read, let alone recomputed: per-batch
+  * cost scales with the batch's neighborhood, not the corpus.
+  */
+object IncrementalClusters {
+
+  private def tbl(stateDir: String, name: String): String = s"$stateDir/$name"
+
+  private def readOrEmpty(s: SparkSession, path: String,
+      schemaOf: DataFrame): DataFrame =
+    if (Files.exists(Paths.get(path))) s.read.parquet(path)
+    else schemaOf.limit(0)
+
+  /** Current labels: `(doc_id, label)` for every doc in a near-dup
+    * cluster (same contract as the batch pipeline). Empty before the
+    * first batch.
+    */
+  def labels(s: SparkSession, stateDir: String): DataFrame = {
+    import s.implicits._
+    CdcStream.readReplica(s, tbl(stateDir, "labels"))
+      .map(_.select($"doc_id", $"label"))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "label"))
+  }
+
+  /** Apply one micro-batch of new documents `(doc_id, text)` —
+    * `foreachBatch` body. Doc ids must be new (re-ingesting an id is a
+    * different operation: the old shingles would have to be retired).
+    */
+  def update(s: SparkSession, stateDir: String, docs: DataFrame): Unit = {
+    import s.implicits._
+    val newSh = IndexArtifacts.materialize(s,
+      docs.select($"doc_id", hashedShingles($"text").as("sh"))
+        .filter(size($"sh") > 0), "inc-shingles")
+    if (newSh.isEmpty) return
+    val newBands = IndexArtifacts.materialize(s,
+      DedupQueries.minhashBands(newSh), "inc-bands")
+
+    val oldSh = readOrEmpty(s, tbl(stateDir, "shingles"), newSh)
+    val oldBands = readOrEmpty(s, tbl(stateDir, "bands"), newBands)
+    val allBands = oldBands.unionByName(newBands)
+
+    // candidates with at least one NEW endpoint: new × (old ∪ new) band
+    // equi-join, normalized to doc_a < doc_b
+    val cand = newBands.as("bx").join(allBands.as("by"),
+        col("bx.band") === col("by.band") && col("bx.bh") === col("by.bh") &&
+          col("bx.doc_id") =!= col("by.doc_id"))
+      .select(least(col("bx.doc_id"), col("by.doc_id")).as("doc_a"),
+        greatest(col("bx.doc_id"), col("by.doc_id")).as("doc_b"))
+      .distinct()
+    val allSh = oldSh.unionByName(newSh)
+    val pairs = IndexArtifacts.materialize(s, cand
+      .join(allSh.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
+      .join(allSh.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
+      .filter(jaccard($"sa", $"sb") >= 0.3)
+      .select($"doc_a", $"doc_b"), "inc-pairs")
+
+    if (!pairs.isEmpty) {
+      val oldLabels = labels(s, stateDir)
+      // components the new edges touch: every member contributes a star
+      // edge to its representative, so old connectivity is preserved
+      // without the original pair edges
+      val endpoints = pairs
+        .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      val touched = oldLabels.join(broadcast(endpoints), "doc_id")
+        .select($"label").distinct()
+      val affected = oldLabels.join(broadcast(touched), "label")
+        .select($"doc_id", $"label")
+      val star = affected.filter($"doc_id" =!= $"label")
+        .select($"doc_id".as("src"), $"label".as("dst"))
+      val newEdges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      val adj = newEdges
+        .unionByName(newEdges.select($"dst".as("src"), $"src".as("dst")))
+        .unionByName(star)
+        .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
+      val (propagated, release) = DedupQueries.propagateMinLabels(adj)
+      // MERGE the label changes: only affected docs' buckets rewrite
+      CdcStream.applyBatchToReplica(tbl(stateDir, "labels"),
+        propagated.select($"doc_id", $"label", lit("update").as("op")),
+        idCols = Seq("doc_id"), orderCols = Seq(col("label")))
+      release()
+    }
+
+    // index appends LAST: a crash before this point replays the batch
+    // against the old index (labels upsert is idempotent); shingle rows
+    // for already-indexed docs must not duplicate, hence new-ids only
+    newSh.write.mode("append").parquet(tbl(stateDir, "shingles"))
+    newBands.write.mode("append").parquet(tbl(stateDir, "bands"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Incremental near-dup cluster maintenance: batch-2 near-dups of
+  * batch-1 docs join their cluster WITHOUT recomputing the graph, two
+  * existing components merge through a bridge doc, and feeding the
+  * fixture corpus in chunks reproduces the batch pipeline's labels
+  * exactly.
+  */
+class IncrementalClustersSpec extends SparkSuite {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  // Deterministic merge fixture (fixed md5-derived hashes, so band
+  // collisions are stable): P and Q share NOTHING (no candidate, J=0);
+  // the bridge R = P's block-B + Q's block-C has band collisions with
+  // BOTH and Jaccard 0.459 to each.
+  private def words(p: String, n: Int) = (0 until n).map(i => s"${p}4w$i")
+  private val textP = (words("a", 5) ++ words("b", 35)).mkString(" ")
+  private val textQ = (words("c", 35) ++ words("d", 5)).mkString(" ")
+  private val textR = (words("b", 35) ++ words("c", 35)).mkString(" ")
+
+  test("streaming: batch-2 near-dups join batch-1 clusters; bridges merge components") {
+    val state = Files.createTempDirectory("inc-clusters").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalClusters.update(spark, state, batch)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // batch 1: two independent 2-doc families + one unique doc
+      mem.addData((10L, textP), (11L, textP), (20L, textQ), (21L, textQ),
+        (30L, "totally unrelated words that match nothing else at all"))
+      q.processAllAvailable()
+      val l1 = IncrementalClusters.labels(spark, state)
+        .as[(Long, Long)].collect().toMap
+      assert(l1 === Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+      // batch 2: the bridge — near-dup of BOTH families. Its edges touch
+      // two existing components; star edges relabel every member to the
+      // global min without replaying batch-1's pairs
+      mem.addData((40L, textR))
+      q.processAllAvailable()
+      val l2 = IncrementalClusters.labels(spark, state)
+        .as[(Long, Long)].collect().toMap
+      assert(l2 === Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L,
+        40L -> 10L))
+    } finally q.stop()
+  }
+
+  test("chunked incremental ingestion reproduces the batch pipeline's labels") {
+    val state = Files.createTempDirectory("inc-equiv").toString
+    val docs = graft.Tables(spark, sfDir).documents.select($"doc_id", $"text")
+    // three uneven chunks; planted near-dup pairs are scattered across
+    // doc ids, so many pairs straddle a chunk boundary (new-vs-old path)
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 380L), (380L, 10000L))) {
+      IncrementalClusters.update(spark, state,
+        docs.filter($"doc_id" >= lo && $"doc_id" < hi))
+    }
+    val inc = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toSet
+    val batch = DedupQueries.defs("llm_dedup_clusters")(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    assert(inc === batch)
+  }
+
+  test("update with no matching docs leaves labels untouched") {
+    val state = Files.createTempDirectory("inc-noop").toString
+    IncrementalClusters.update(spark, state,
+      Seq((1L, textP), (2L, textP)).toDF("doc_id", "text"))
+    val before = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toSet
+    assert(before === Set((1L, 1L), (2L, 1L)))
+    // a batch with nothing similar (and one shingle-less doc)
+    IncrementalClusters.update(spark, state,
+      Seq((5L, "absolutely different content everywhere"), (6L, "x"))
+        .toDF("doc_id", "text"))
+    val after = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toSet
+    assert(after === before)
+  }
+}
