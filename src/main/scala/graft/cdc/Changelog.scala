@@ -489,9 +489,16 @@ object ChangelogFiles {
     * only (manifest counts + incremental tail count).
     */
   def countBetween(dir: String, from: BinlogOffset, until: BinlogOffset,
-      prefix: String = DefaultPrefix): Long = {
+      prefix: String = DefaultPrefix): Long =
+    countBetweenOf(listFiles(dir, prefix), from, until)
+
+  /** [[countBetween]] over an explicit (id-sorted) file list — for
+    * sources whose log spans several directories (live + archive).
+    */
+  def countBetweenOf(files: Seq[(Long, File)], from: BinlogOffset,
+      until: BinlogOffset): Long = {
     if (until.packed <= from.packed) return 0L
-    listFiles(dir, prefix).iterator
+    files.iterator
       .filter { case (id, _) => id >= from.fileId && id <= until.fileId }
       .map { case (id, f) =>
         val n = recordCount(f)
@@ -501,35 +508,25 @@ object ChangelogFiles {
       }.sum
   }
 
-  /** Offset of the first record (inclusive): (firstFileId, 1); (0, 1)
-    * for an empty dir.
-    */
-  def earliestOffset(dir: String, prefix: String = DefaultPrefix): BinlogOffset = {
-    val fs = listFiles(dir, prefix)
-    if (fs.isEmpty) BinlogOffset(0, 1) else BinlogOffset(fs.head._1, 1)
-  }
+  /** [[earliestOffset]] over an explicit file list. */
+  def earliestOffsetOf(files: Seq[(Long, File)]): BinlogOffset =
+    if (files.isEmpty) BinlogOffset(0, 1) else BinlogOffset(files.head._1, 1)
 
-  /** Exclusive end offset: one past the last record of the last file. */
-  def latestOffset(dir: String, prefix: String = DefaultPrefix): BinlogOffset = {
-    val fs = listFiles(dir, prefix)
-    if (fs.isEmpty) BinlogOffset(0, 1)
+  /** [[latestOffset]] over an explicit file list. */
+  def latestOffsetOf(files: Seq[(Long, File)]): BinlogOffset =
+    if (files.isEmpty) BinlogOffset(0, 1)
     else {
-      val (id, f) = fs.last
+      val (id, f) = files.last
       BinlogOffset(id, recordCount(f) + 1)
     }
-  }
 
-  /** Advance `start` by at most `maxRecords` records (admission control
-    * for maxEventsPerTrigger — the reference has no per-trigger cap,
-    * its getOffset always returns latest; SURVEY.md §4 back-pressure row).
-    */
-  def advance(dir: String, start: BinlogOffset, maxRecords: Long,
-      prefix: String = DefaultPrefix): BinlogOffset = {
+  /** [[advance]] over an explicit file list. */
+  def advanceOf(files: Seq[(Long, File)], start: BinlogOffset,
+      maxRecords: Long): BinlogOffset = {
     require(maxRecords > 0)
     var remaining = maxRecords
-    val fs = listFiles(dir, prefix).dropWhile(_._1 < start.fileId)
     var end = start
-    for ((id, f) <- fs if remaining > 0) {
+    for ((id, f) <- files.dropWhile(_._1 < start.fileId) if remaining > 0) {
       val n = recordCount(f)
       val from = if (id == start.fileId) start.pos else 1L
       val avail = math.max(0L, n - from + 1)
@@ -539,6 +536,24 @@ object ChangelogFiles {
     }
     end
   }
+
+  /** Offset of the first record (inclusive): (firstFileId, 1); (0, 1)
+    * for an empty dir.
+    */
+  def earliestOffset(dir: String, prefix: String = DefaultPrefix): BinlogOffset =
+    earliestOffsetOf(listFiles(dir, prefix))
+
+  /** Exclusive end offset: one past the last record of the last file. */
+  def latestOffset(dir: String, prefix: String = DefaultPrefix): BinlogOffset =
+    latestOffsetOf(listFiles(dir, prefix))
+
+  /** Advance `start` by at most `maxRecords` records (admission control
+    * for maxEventsPerTrigger — the reference has no per-trigger cap,
+    * its getOffset always returns latest; SURVEY.md §4 back-pressure row).
+    */
+  def advance(dir: String, start: BinlogOffset, maxRecords: Long,
+      prefix: String = DefaultPrefix): BinlogOffset =
+    advanceOf(listFiles(dir, prefix), start, maxRecords)
 
   /** Iterator over changelog records that exposes `close()` so an
     * abandoned/cancelled task can release the file handle early

@@ -85,30 +85,10 @@ object TextAnalysisQueries {
     },
 
     // --- per-source corpus length statistics (exact deciles) ------------
-    // Exact rank-selected percentiles, NOT approx_percentile: the value
-    // at rank ceil(p·n/100) under the deterministic (n_tokens, doc_id)
-    // total order — identical integer rank arithmetic in both engines,
-    // so the oracle is bit-exact. Scale shape: one window per source
-    // partition + one groupBy; a skewed giant source is the only risk
-    // and would shard with a two-level rank (documented knob).
     "llm_corpus_stats" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables(s, dir).documents
-        .select($"source", $"doc_id", size(tokens($"text")).as("n_tokens"))
-      val r = t
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"source").orderBy($"n_tokens", $"doc_id")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
-      def dec(p: Int) =
-        max(when($"rk" === expr(s"(n * $p + 99) div 100"), $"n_tokens"))
-      r.groupBy($"source").agg(
-        max($"n").as("n_docs"),
-        sum($"n_tokens").as("total_tokens"),
-        dec(10).as("p10_tokens"),
-        dec(50).as("p50_tokens"),
-        dec(90).as("p90_tokens"))
-        .orderBy($"source")
+      corpusStats(Tables(s, dir).documents
+        .select($"source", size(tokens($"text")).as("n_tokens")))
     },
 
     // --- greedy sequence packing (training-batch assembly) --------------
@@ -150,6 +130,46 @@ object TextAnalysisQueries {
         .orderBy($"doc_id")
     }
   )
+
+  /** Per-source exact token-length deciles over `(source, n_tokens)`
+    * rows, by TWO-LEVEL rank selection — the skew-proof shape:
+    *
+    *  1. histogram: `groupBy(source, n_tokens)` value counts — partial
+    *     aggregation absorbs any row skew map-side, so a giant source
+    *     never lands in one task (the single-window formulation's
+    *     failure mode at 100 TB);
+    *  2. rank-select over the per-source DISTINCT-VALUE table (bounded
+    *     by max document length, tiny): the value at rank
+    *     `ceil(p·n/100)` of the (n_tokens, doc_id) total order is the
+    *     value whose cumulative count range covers that rank — doc_id
+    *     only tie-breaks WITHIN a value, so histogram selection is
+    *     exactly the row-rank result (the DuckDB oracle keeps the
+    *     single-window formulation, proving value equivalence).
+    *
+    * Exact percentiles, NOT approx_percentile: identical integer rank
+    * arithmetic in both engines, bit-exact oracle.
+    */
+  private[llm] def corpusStats(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = rows.groupBy($"source", $"n_tokens").agg(count(lit(1)).as("c"))
+    val r = hist
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"n_tokens")))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"source")))
+    def dec(p: Int) = {
+      val target = expr(s"(n * $p + 99) div 100")
+      max(when(target > $"cum" - $"c" && target <= $"cum", $"n_tokens"))
+    }
+    r.groupBy($"source").agg(
+      max($"n").as("n_docs"),
+      sum($"c" * $"n_tokens").as("total_tokens"),
+      dec(10).as("p10_tokens"),
+      dec(50).as("p50_tokens"),
+      dec(90).as("p90_tokens"))
+      .orderBy($"source")
+  }
 
   // ------------------------------------------------------------- oracles
 

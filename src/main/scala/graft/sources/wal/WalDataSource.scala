@@ -32,7 +32,10 @@ import graft.cdc._
   *    (hbase AbstractEventWriter.java:39 embeds null);
   *  - planInputPartitions emits one partition set PER REGION
   *    (reference HWDS:248 runs one partition per region; we further
-  *    chunk large ranges for reader parallelism).
+  *    chunk large ranges for reader parallelism);
+  *  - rotated files moved to `<root>/oldWALs/<region>/` keep serving
+  *    with offsets intact — the reference polls live WAL dirs AND the
+  *    `oldWALs/` archive the same way (HBaseWALClient.scala:47-151).
   */
 class WalDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-wal"
@@ -51,11 +54,39 @@ class WalDataSource extends TableProvider with DataSourceRegister {
 object WalDataSource {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
 
-  /** Region sub-dirs under the WAL root, sorted for determinism (W2). */
+  /** Archive sub-dir for rotated logs — the `oldWALs/` analog
+    * (reference HBaseWALClient.scala:47-151 polls BOTH the live
+    * `WALs/<regionserver>/` dirs and `oldWALs/`): a rolled file moved to
+    * `<root>/oldWALs/<region>/` keeps serving with its offsets intact.
+    */
+  val ArchiveSubDir = "oldWALs"
+
+  /** Region sub-dirs under the WAL root (live ∪ archived), sorted for
+    * determinism (W2). A region whose files were ALL archived still
+    * lists — its records remain addressable.
+    */
   def listRegions(dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def subDirs(d: String): Seq[String] = {
+      val f = new java.io.File(d)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSeq
+    }
+    (subDirs(dir).filterNot(_ == ArchiveSubDir) ++
+      subDirs(s"$dir/$ArchiveSubDir")).distinct.sorted
+  }
+
+  /** One region's log files across the live dir and the archive,
+    * id-sorted; on an id present in both (mid-move race), the LIVE copy
+    * wins. The region's manifest stays in the live dir.
+    */
+  def regionFiles(root: String, region: String,
+      prefix: String): Seq[(Long, java.io.File)] = {
+    val live = ChangelogFiles.listFiles(s"$root/$region", prefix)
+    val liveIds = live.map(_._1).toSet
+    val archived = ChangelogFiles
+      .listFiles(s"$root/$ArchiveSubDir/$region", prefix)
+      .filterNot { case (id, _) => liveIds.contains(id) }
+    (live ++ archived).sortBy(_._1)
   }
 }
 
@@ -157,10 +188,12 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def regionDir(r: String): String = s"${conf.dir}/$r"
+  private def files(r: String): Seq[(Long, java.io.File)] =
+    WalDataSource.regionFiles(conf.dir, r, conf.prefix)
 
   override def initialOffset(): Offset =
     WalOffset(WalDataSource.listRegions(conf.dir).map { r =>
-      r -> ChangelogFiles.earliestOffset(regionDir(r), conf.prefix).packed
+      r -> ChangelogFiles.earliestOffsetOf(files(r)).packed
     }.toMap)
 
   override def getDefaultReadLimit: ReadLimit =
@@ -187,11 +220,12 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     * files, an appended-bytes-only incremental parse for the live tail.
     * No record range is ever re-read from the batch start.
     */
-  private def mutationAlignedEnd(regionDir: String, from: BinlogOffset,
+  private def mutationAlignedEnd(region: String, from: BinlogOffset,
       end: BinlogOffset): BinlogOffset = {
     if (!conf.groupRawCells || end.pos <= 1) return end
     if (end.packed <= from.packed) return end // idle/caught-up: nothing to align
-    val files = ChangelogFiles.listFiles(regionDir, conf.prefix)
+    val regionDir = this.regionDir(region) // manifest home (live dir)
+    val files = this.files(region)
     val f = files.find(_._1 == end.fileId).map(_._2).getOrElse(return end)
     val (n, bounds) = MutationBoundaries.of(regionDir, f)
     val laterFileExists = files.exists(_._1 > end.fileId)
@@ -239,35 +273,34 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     // regions discovered now ∪ regions already tracked (a region dir
     // disappearing must not drop its checkpointed offset)
     val regions = (WalDataSource.listRegions(conf.dir) ++ startMap.keys).distinct.sorted
+    val regionFs = regions.map(r => r -> files(r)).toMap
     val froms = regions.map { r =>
       r -> startMap.get(r)
         .map(BinlogOffset.unpack)
-        .getOrElse(ChangelogFiles.earliestOffset(regionDir(r), conf.prefix)) // new region: from its start (HWDS new-region -1 analog)
+        .getOrElse(ChangelogFiles.earliestOffsetOf(regionFs(r))) // new region: from its start (HWDS new-region -1 analog)
     }.toMap
     val latests = regions.map { r =>
-      r -> ChangelogFiles.latestOffset(regionDir(r), conf.prefix)
+      r -> ChangelogFiles.latestOffsetOf(regionFs(r))
     }.toMap
     val grants = limit match {
       case l: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         Some(AdmissionBudget.allocate(regions,
-          r => ChangelogFiles.countBetween(regionDir(r), froms(r), latests(r),
-            conf.prefix),
+          r => ChangelogFiles.countBetweenOf(regionFs(r), froms(r), latests(r)),
           l.maxRows()))
       case _ => None
     }
     WalOffset(regions.map { r =>
-      val dir = regionDir(r)
       val from = froms(r)
       val end = grants match {
         case Some(g) =>
           if (g(r) <= 0) from
           else {
-            val capped = ChangelogFiles.advance(dir, from, g(r), conf.prefix)
+            val capped = ChangelogFiles.advanceOf(regionFs(r), from, g(r))
             if (capped < latests(r)) capped else latests(r)
           }
         case None => latests(r)
       }
-      r -> math.max(mutationAlignedEnd(dir, from, end).packed, from.packed)
+      r -> math.max(mutationAlignedEnd(r, from, end).packed, from.packed)
     }.toMap)
   }
 
@@ -286,10 +319,12 @@ final class WalMicroBatchStream(conf: WalSourceConf)
 final class WalBatch(conf: WalSourceConf) extends Batch {
   private def full: (WalOffset, WalOffset) = {
     val regions = WalDataSource.listRegions(conf.dir)
+    val fs = regions.map(r =>
+      r -> WalDataSource.regionFiles(conf.dir, r, conf.prefix)).toMap
     (WalOffset(regions.map(r =>
-       r -> ChangelogFiles.earliestOffset(s"${conf.dir}/$r", conf.prefix).packed).toMap),
+       r -> ChangelogFiles.earliestOffsetOf(fs(r)).packed).toMap),
      WalOffset(regions.map(r =>
-       r -> ChangelogFiles.latestOffset(s"${conf.dir}/$r", conf.prefix).packed).toMap))
+       r -> ChangelogFiles.latestOffsetOf(fs(r)).packed).toMap))
   }
   override def planInputPartitions(): Array[InputPartition] = {
     val (s, e) = full
@@ -305,14 +340,14 @@ object WalPartitioning {
     */
   def plan(conf: WalSourceConf, start: WalOffset, end: WalOffset): Array[InputPartition] = {
     end.regions.toSeq.sortBy(_._1).flatMap { case (region, endPacked) =>
-      val regionDir = s"${conf.dir}/$region"
+      val regionDir = s"${conf.dir}/$region" // manifest home (live dir)
+      val files = WalDataSource.regionFiles(conf.dir, region, conf.prefix)
       val startOff = start.regions.get(region)
         .map(BinlogOffset.unpack)
-        .getOrElse(ChangelogFiles.earliestOffset(regionDir, conf.prefix))
+        .getOrElse(ChangelogFiles.earliestOffsetOf(files))
       val endOff = BinlogOffset.unpack(endPacked)
       require(endOff.packed >= startOff.packed,
         s"region $region: end $endOff < start $startOff — data may have been missed")
-      val files = ChangelogFiles.listFiles(regionDir, conf.prefix)
       // per-region data-loss check, mirroring the binlog path: a purged
       // file (manifest entry, no file) at/after the region's start
       // offset with records the reader had not consumed means loss —

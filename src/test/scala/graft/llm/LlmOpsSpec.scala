@@ -331,6 +331,32 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("corpus_stats two-level rank matches direct row-rank under heavy source skew") {
+    import graft.SparkSuite.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one giant source (50k rows, heavy value repetition) among tiny
+    // ones — the histogram path must reproduce the row-rank result
+    val rows = ((1 to 50000).map(i => ("giant", i.toLong, (i * i) % 97 + 5)) ++
+      (1 to 7).map(i => ("smalla", i.toLong, i * 10)) ++
+      Seq(("one", 1L, 42))).toDF("source", "doc_id", "n_tokens")
+    val got = TextAnalysisQueries.corpusStats(rows.select($"source", $"n_tokens"))
+      .collect().map(r => r.toSeq).toSeq
+    // reference: the single-window row-rank formulation (the oracle's)
+    val ref = rows
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_tokens", $"doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .groupBy($"source").agg(
+        max($"n").as("n_docs"),
+        sum($"n_tokens").cast("long").as("total_tokens"),
+        max(when($"rk" === expr("(n * 10 + 99) div 100"), $"n_tokens")).as("p10_tokens"),
+        max(when($"rk" === expr("(n * 50 + 99) div 100"), $"n_tokens")).as("p50_tokens"),
+        max(when($"rk" === expr("(n * 90 + 99) div 100"), $"n_tokens")).as("p90_tokens"))
+      .orderBy($"source")
+      .collect().map(r => r.toSeq).toSeq
+    assert(got === ref)
+  }
+
   test("vector_dot returns NULL on ragged arrays, matching the zip_with fold") {
     import graft.SparkSuite.spark.implicits._
     val rows = Seq(

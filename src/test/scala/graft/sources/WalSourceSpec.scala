@@ -371,6 +371,70 @@ class WalSourceSpec extends SparkSuite {
     }
   }
 
+  test("oldWALs archive: rotated files keep serving with offsets intact") {
+    val root = java.nio.file.Files.createTempDirectory("wal-archive").toString
+    val rd = new java.io.File(root, "region-a"); rd.mkdirs()
+    def rec(pos: Long, id: Long) = ChangelogRecord.write(
+      ChangelogRecord(pos, "put", "wal", "region-a", 1000 + id,
+        Map("rowkey" -> EnvelopeValue.VString(s"r$id"),
+          "d:v" -> EnvelopeValue.VString(id.toString)))) + "\n"
+    def writeFile(fid: Long, recs: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(rd, f"graft-bin.$fid%06d").toPath,
+        recs.mkString.getBytes("UTF-8"))
+    writeFile(1, (1L to 3L).map(i => rec(i, i)))
+    writeFile(2, (1L to 2L).map(i => rec(i, 3 + i)))
+
+    val ck = java.nio.file.Files.createTempDirectory("ck-arch").toString
+    val out = java.nio.file.Files.createTempDirectory("arch-out").toString + "/rows"
+    def run(): Seq[(String, Long)] = {
+      val q = spark.readStream.format("graft-wal").option("path", root)
+        .load().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).select("value").as[String].collect().toSeq
+        .map(EnvelopeCodec.parse)
+        .map(e => (e.row("rowkey").asInstanceOf[EnvelopeValue.VString].v,
+          e.offset))
+    }
+    assert(run().map(_._1).sorted === (1L to 5L).map(i => s"r$i").sorted)
+
+    // rotate BOTH consumed files into the archive, append a new live one
+    val arch = new java.io.File(root, s"${WalDataSource.ArchiveSubDir}/region-a")
+    arch.mkdirs()
+    for (fid <- Seq(1L, 2L)) {
+      val name = f"graft-bin.$fid%06d"
+      java.nio.file.Files.move(new java.io.File(rd, name).toPath,
+        new java.io.File(arch, name).toPath)
+    }
+    writeFile(3, (1L to 2L).map(i => rec(i, 5 + i)))
+
+    // the same checkpoint resumes cleanly: only the new records arrive,
+    // offsets keep ascending across the archive boundary
+    val all = run()
+    assert(all.map(_._1).sorted === (1L to 7L).map(i => s"r$i").sorted)
+    assert(all.map(_._2).distinct.length === 7) // no offset collisions
+
+    // a FRESH read of the mixed live/archived layout serves everything:
+    // archived records keep their original (fileId, pos) offsets
+    val batch = spark.read.format("graft-wal").option("path", root)
+      .load().select("value").as[String].collect().map(EnvelopeCodec.parse)
+    assert(batch.length === 7)
+    assert(batch.map(_.offset).toSet === all.map(_._2).toSet)
+    assert(batch.map(_.offset).min === BinlogOffset(1, 1).packed)
+
+    // a region living ONLY in the archive still lists and serves
+    for (f <- rd.listFiles()) f.delete()
+    rd.delete()
+    assert(WalDataSource.listRegions(root) === Seq("region-a"))
+    val archOnly = spark.read.format("graft-wal").option("path", root)
+      .load().count()
+    assert(archOnly === 5L)
+  }
+
   test("plan emits at least one partition per non-empty region") {
     import graft.sources.wal.{WalPartitioning, WalSourceConf, WalInputPartition}
     import scala.jdk.CollectionConverters._
