@@ -367,13 +367,18 @@ object ChangelogFiles {
     }
   }
 
-  /** Scan [from, until) for complete lines, counting records per
-    * `db.table`; returns (counts, position past the last complete line).
-    * STREAMS through a fixed 64 KB buffer — the region can be the whole
-    * unmanifested file, and buffering it at once would break both the
-    * 2 GB array limit and the driver-memory contract (SCALING.md).
+  /** Stream the COMPLETE lines of byte range [from, until) through a
+    * fixed 64 KB buffer, invoking `onLine` for EVERY newline-terminated
+    * line (blank lines surface as empty strings — one line = one pos);
+    * returns the byte position just past the last complete line. The
+    * torn trailing tail is never surfaced. THE shared driver-side
+    * metadata scanner (per-table counts, mutation boundaries): the
+    * range can be a whole unmanifested file, and buffering it at once
+    * would break both the 2 GB array limit and the driver-memory
+    * contract (SCALING.md).
     */
-  private def scanTableCounts(f: File, from: Long, until: Long): (Map[String, Long], Long) = {
+  def forEachCompleteLine(f: File, from: Long, until: Long)(
+      onLine: String => Unit): Long = {
     val in = new FileInputStream(f)
     try {
       var skipped = 0L
@@ -382,10 +387,9 @@ object ChangelogFiles {
         if (s <= 0) throw new java.io.IOException(s"cannot skip to $from in $f")
         skipped += s
       }
-      val counts = mutable.HashMap.empty[String, Long]
       val buf = new Array[Byte](64 * 1024)
       val line = new java.io.ByteArrayOutputStream(256)
-      var pos = from          // absolute position of the next unread byte
+      var pos = from          // absolute position of the current buffer start
       var consumed = from     // position just past the last complete line
       var remaining = until - from
       var n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
@@ -394,13 +398,9 @@ object ChangelogFiles {
         while (i < n) {
           val b = buf(i)
           if (b == '\n') {
-            if (line.size() > 0) {
-              val r = ChangelogRecord.parse(
-                new String(line.toByteArray, StandardCharsets.UTF_8))
-              val k = s"${r.db}.${r.table}"
-              counts.put(k, counts.getOrElse(k, 0L) + 1)
-              line.reset()
-            }
+            onLine(if (line.size() == 0) ""
+                   else new String(line.toByteArray, StandardCharsets.UTF_8))
+            line.reset()
             consumed = pos + i + 1
           } else line.write(b)
           i += 1
@@ -410,8 +410,23 @@ object ChangelogFiles {
         n = if (remaining > 0)
           in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt) else 0
       }
-      (counts.toMap, consumed)
+      consumed
     } finally in.close()
+  }
+
+  /** Per-`db.table` record counts over the complete lines of
+    * [from, until); returns (counts, consumed prefix).
+    */
+  private def scanTableCounts(f: File, from: Long, until: Long): (Map[String, Long], Long) = {
+    val counts = mutable.HashMap.empty[String, Long]
+    val consumed = forEachCompleteLine(f, from, until) { line =>
+      if (line.nonEmpty) {
+        val r = ChangelogRecord.parse(line)
+        val k = s"${r.db}.${r.table}"
+        counts.put(k, counts.getOrElse(k, 0L) + 1)
+      }
+    }
+    (counts.toMap, consumed)
   }
 
   /** Every file the log has EVER known (live ∪ manifest, the latter

@@ -40,9 +40,14 @@ object WalGenerator {
         .LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
       // per-file mutation-start positions (raw-cell mode): recorded at
       // write time so grouping-mode batch alignment on completed files
-      // is manifest-metadata-only (no read-path scan)
+      // is manifest-metadata-only (no read-path scan). A bound is
+      // recorded only when the (op, rowkey, ts) KEY differs from the
+      // previous mutation's — the read-path fold (and the scan-path
+      // boundary index) merge adjacent same-key mutations, so a
+      // per-mutation bound would be a phantom the scanner never derives
       val fileBounds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
       var bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lastKey: (String, String, Long) = null
       var current: File = _
       def roll(): Unit = {
         if (out != null) {
@@ -52,6 +57,7 @@ object WalGenerator {
           if (cellPerRecord) fileBounds += current.getName -> bounds.toSeq
           bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
         }
+        lastKey = null // first record of a file is always a boundary
         current = new File(dir, f"$prefix.$fileId%06d")
         out = new BufferedWriter(new OutputStreamWriter(
           new FileOutputStream(current), StandardCharsets.UTF_8))
@@ -79,7 +85,9 @@ object WalGenerator {
           if (posInFile > 0 && posInFile + cells.size > recordsPerFile) {
             fileId += 1; roll(); posInFile = 0
           }
-          bounds += posInFile + 1 // first cell of this mutation
+          val key = (op, rowkey.v, r.getLong(4))
+          if (key != lastKey) bounds += posInFile + 1 // first cell of a NEW key
+          lastKey = key
           cells.foreach { case (q, v) =>
             emit(op, r.getLong(4), Map("rowkey" -> rowkey, q -> v))
           }

@@ -138,7 +138,8 @@ object DedupQueries {
     * The DuckDB oracles share the label CTE textually the same way.
     */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    IndexArtifacts.cached(s, dir, "cluster-labels")(buildClusterLabels(s, dir, _))
+    IndexArtifacts.cached(s, dir, "cluster-labels",
+      inputs = Seq(s"$dir/documents.parquet"))(buildClusterLabels(s, dir, _))
 
   /** One-shot builder behind [[clusterLabels]]: runs the full pipeline,
     * writes the `(doc_id, label)` table to `out`, and releases every

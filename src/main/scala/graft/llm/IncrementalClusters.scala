@@ -55,16 +55,36 @@ object IncrementalClusters {
   }
 
   /** Apply one micro-batch of new documents `(doc_id, text)` —
-    * `foreachBatch` body. Doc ids must be new (re-ingesting an id is a
-    * different operation: the old shingles would have to be retired).
+    * `foreachBatch` body. IDEMPOTENT under micro-batch replay: docs
+    * whose ids are already in the shingle index are filtered out before
+    * anything is computed or appended, so a batch redelivered after a
+    * crash (appends done, checkpoint commit lost) is a no-op rather
+    * than a permanent duplication of index rows. (Re-ingesting a
+    * CHANGED doc under an existing id is a different operation — the
+    * old shingles would have to be retired first.)
     */
   def update(s: SparkSession, stateDir: String, docs: DataFrame): Unit = {
     import s.implicits._
-    val newSh = IndexArtifacts.materialize(s,
-      docs.select($"doc_id", hashedShingles($"text").as("sh"))
-        .filter(size($"sh") > 0), "inc-shingles")
-    if (newSh.isEmpty) return
-    val newBands = IndexArtifacts.materialize(s,
+    val incoming = docs.select($"doc_id", hashedShingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val oldShPath = tbl(stateDir, "shingles")
+    val deduped =
+      if (!Files.exists(Paths.get(oldShPath))) incoming
+      else incoming.join(s.read.parquet(oldShPath).select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+    // per-batch artifacts are deleted before returning: a long-lived
+    // stream must not grow temp disk with every trigger
+    val (newSh, dropSh) = IndexArtifacts.materializeOwned(s, deduped, "inc-shingles")
+    try {
+      if (newSh.isEmpty) return
+      updateWith(s, stateDir, newSh)
+    } finally dropSh()
+  }
+
+  private def updateWith(s: SparkSession, stateDir: String,
+      newSh: DataFrame): Unit = {
+    import s.implicits._
+    val (newBands, dropBands) = IndexArtifacts.materializeOwned(s,
       DedupQueries.minhashBands(newSh), "inc-bands")
 
     val oldSh = readOrEmpty(s, tbl(stateDir, "shingles"), newSh)
@@ -80,12 +100,18 @@ object IncrementalClusters {
         greatest(col("bx.doc_id"), col("by.doc_id")).as("doc_b"))
       .distinct()
     val allSh = oldSh.unionByName(newSh)
-    val pairs = IndexArtifacts.materialize(s, cand
+    val (pairs, dropPairs) = IndexArtifacts.materializeOwned(s, cand
       .join(allSh.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
       .join(allSh.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
       .filter(jaccard($"sa", $"sb") >= 0.3)
       .select($"doc_a", $"doc_b"), "inc-pairs")
+    try updateLabelsAndIndex(s, stateDir, newSh, newBands, pairs)
+    finally { dropPairs(); dropBands() }
+  }
 
+  private def updateLabelsAndIndex(s: SparkSession, stateDir: String,
+      newSh: DataFrame, newBands: DataFrame, pairs: DataFrame): Unit = {
+    import s.implicits._
     if (!pairs.isEmpty) {
       val oldLabels = labels(s, stateDir)
       // components the new edges touch: every member contributes a star
@@ -113,9 +139,14 @@ object IncrementalClusters {
     }
 
     // index appends LAST: a crash before this point replays the batch
-    // against the old index (labels upsert is idempotent); shingle rows
-    // for already-indexed docs must not duplicate, hence new-ids only
-    newSh.write.mode("append").parquet(tbl(stateDir, "shingles"))
+    // against the old index (the labels upsert is idempotent), and a
+    // replay after a completed append is screened out by the
+    // already-indexed-ids filter in update(). BANDS append first: the
+    // shingle table is the replay screen, so a crash between the two
+    // appends re-runs the batch and at worst duplicates band rows
+    // (harmless — candidates are distinct()); the reverse order would
+    // silently lose the bands of screened-out docs.
     newBands.write.mode("append").parquet(tbl(stateDir, "bands"))
+    newSh.write.mode("append").parquet(tbl(stateDir, "shingles"))
   }
 }

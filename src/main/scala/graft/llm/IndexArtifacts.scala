@@ -48,27 +48,59 @@ object IndexArtifacts {
 
   /** Write `df` once as a parquet index table owned by this call and
     * return a fresh scan of it. Each invocation pays its own build —
-    * no cross-invocation reuse, no CacheManager entry.
+    * no cross-invocation reuse, no CacheManager entry. Files live until
+    * JVM exit; call sites that can bound the artifact's lifetime (a
+    * per-micro-batch state update in a long-lived stream) should use
+    * [[materializeOwned]] instead so disk is reclaimed per batch.
     */
-  def materialize(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val p = tempRoot.resolve(s"$tag-${counter.incrementAndGet()}").toString
-    df.write.parquet(p)
-    s.read.parquet(p)
+  def materialize(s: SparkSession, df: DataFrame, tag: String): DataFrame =
+    materializeOwned(s, df, tag)._1
+
+  /** [[materialize]] plus a deleter: invoke it once every consumer of
+    * the returned scan has run its actions.
+    */
+  def materializeOwned(s: SparkSession, df: DataFrame,
+      tag: String): (DataFrame, () => Unit) = {
+    val p = tempRoot.resolve(s"$tag-${counter.incrementAndGet()}")
+    df.write.parquet(p.toString)
+    (s.read.parquet(p.toString), () => deleteRecursively(p.toFile))
   }
 
   // artifact key -> parquet path, and tag -> cumulative build seconds
   private val keyed = new ConcurrentHashMap[String, String]()
   private val built = new ConcurrentHashMap[String, Double]()
 
-  /** Build-once artifact keyed by (tag, canonical corpus dir): the
-    * first caller runs `build` (which must write parquet to the path it
-    * is given and release any caches it took); every later caller for
-    * the same corpus reads the existing files. `computeIfAbsent`
-    * serializes concurrent first-builds of the same key.
+  /** Stat-based fingerprint of the artifact's INPUT files — part of the
+    * cache key, so a corpus regenerated or appended at the same path
+    * within one JVM rebuilds instead of serving stale labels (the same
+    * (length, mtime) freshness rule the changelog metadata caches use).
     */
-  def cached(s: SparkSession, dir: String, tag: String)(
-      build: String => Unit): DataFrame = {
-    val key = tag + ":" + new java.io.File(dir).getCanonicalPath
+  private def fingerprint(paths: Seq[String]): String = {
+    val sb = new StringBuilder
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      else if (f.exists())
+        sb.append(f.getName).append(':').append(f.length()).append(':')
+          .append(f.lastModified()).append(';')
+    paths.foreach(p => walk(new java.io.File(p)))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Build-once artifact keyed by (tag, canonical corpus dir, input
+    * fingerprint): the first caller runs `build` (which must write
+    * parquet to the path it is given and release any caches it took);
+    * every later caller for the same corpus STATE reads the existing
+    * files. `inputs` are the source files/dirs whose (length, mtime)
+    * invalidate the artifact; they default to the corpus dir itself.
+    * `computeIfAbsent` serializes concurrent first-builds of a key.
+    */
+  def cached(s: SparkSession, dir: String, tag: String,
+      inputs: Seq[String] = Nil)(build: String => Unit): DataFrame = {
+    val ins = if (inputs.nonEmpty) inputs else Seq(dir)
+    val key = tag + ":" + new java.io.File(dir).getCanonicalPath +
+      ":" + fingerprint(ins)
     val path = keyed.computeIfAbsent(key, _ => {
       val out = tempRoot.resolve(s"$tag-${counter.incrementAndGet()}").toString
       val t0 = System.nanoTime()

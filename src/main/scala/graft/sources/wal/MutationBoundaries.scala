@@ -1,7 +1,6 @@
 package graft.sources.wal
 
-import java.io.{File, FileInputStream}
-import java.nio.charset.StandardCharsets
+import java.io.File
 import java.util.concurrent.ConcurrentHashMap
 
 import graft.cdc.{ChangelogFiles, ChangelogRecord, EnvelopeValue}
@@ -59,7 +58,11 @@ object MutationBoundaries {
       else if (prev0.lastKey.isEmpty && prev0.lines > 0) null // manifest-loaded, grew
       else prev0
     if (prev == null) {
-      ChangelogFiles.manifest(dir).get(f.getName) match {
+      // manifest home: the live region dir, or (for an archived file
+      // whose manifest moved with it) the file's own directory
+      val entry = ChangelogFiles.manifest(dir).get(f.getName)
+        .orElse(ChangelogFiles.manifest(f.getParent).get(f.getName))
+      entry match {
         case Some(e) if e.length == len && e.bounds.nonEmpty =>
           val st = State(len, mtime, e.count, None, e.bounds.toVector)
           cache.put(path, st)
@@ -98,51 +101,24 @@ object MutationBoundaries {
     largestAtOrBelow(bounds, pos) == pos
 
   /** Parse complete lines in [from, until), extending (lines, lastKey,
-    * bounds). Fixed-buffer streaming; the torn tail stays unconsumed.
+    * bounds) — built on the shared fixed-buffer line scanner
+    * ([[ChangelogFiles.forEachCompleteLine]]); the torn tail stays
+    * unconsumed.
     */
   private def scan(f: File, from: Long, until: Long, mtime: Long,
       lines0: Long, lastKey0: Option[MutKey], bounds0: Vector[Long]): State = {
-    val in = new FileInputStream(f)
-    try {
-      var skipped = 0L
-      while (skipped < from) {
-        val s = in.skip(from - skipped)
-        if (s <= 0) throw new java.io.IOException(s"cannot skip to $from in $f")
-        skipped += s
+    var lines = lines0
+    var lastKey = lastKey0
+    var bounds = bounds0
+    val consumed = ChangelogFiles.forEachCompleteLine(f, from, until) { line =>
+      lines += 1
+      if (line.nonEmpty) {
+        val r = ChangelogRecord.parse(line)
+        val k = Some(MutKey(r.row.get("rowkey"), r.op, r.tsMillis))
+        if (k != lastKey) bounds = bounds :+ lines
+        lastKey = k
       }
-      var lines = lines0
-      var lastKey = lastKey0
-      var bounds = bounds0
-      val buf = new Array[Byte](64 * 1024)
-      val line = new java.io.ByteArrayOutputStream(256)
-      var pos = from
-      var consumed = from
-      var remaining = until - from
-      var n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
-      while (n > 0 && remaining > 0) {
-        var i = 0
-        while (i < n) {
-          val b = buf(i)
-          if (b == '\n') {
-            lines += 1
-            if (line.size() > 0) {
-              val r = ChangelogRecord.parse(
-                new String(line.toByteArray, StandardCharsets.UTF_8))
-              val k = Some(MutKey(r.row.get("rowkey"), r.op, r.tsMillis))
-              if (k != lastKey) bounds = bounds :+ lines
-              lastKey = k
-              line.reset()
-            }
-            consumed = pos + i + 1
-          } else line.write(b)
-          i += 1
-        }
-        pos += n
-        remaining -= n
-        n = if (remaining > 0)
-          in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt) else 0
-      }
-      State(consumed, mtime, lines, lastKey, bounds)
-    } finally in.close()
+    }
+    State(consumed, mtime, lines, lastKey, bounds)
   }
 }

@@ -88,6 +88,31 @@ object WalDataSource {
       .filterNot { case (id, _) => liveIds.contains(id) }
     (live ++ archived).sortBy(_._1)
   }
+
+  /** True when `f` lives under `<root>/oldWALs/<region>/` — files are
+    * only moved there AFTER rotation, so residence in the archive is
+    * itself a completeness proof for grouping-mode alignment.
+    */
+  def isArchived(f: java.io.File): Boolean =
+    Option(f.getParentFile).flatMap(r => Option(r.getParentFile))
+      .exists(_.getName == ArchiveSubDir)
+
+  /** The other location a WAL file can legally be: live ↔ archived.
+    * Used to tolerate a file moving between the driver's listing (or
+    * partition planning) and the open — the mid-move race.
+    */
+  def twinPath(path: String): String = {
+    val f = new java.io.File(path)
+    val region = f.getParentFile
+    val parent = if (region == null) null else region.getParentFile
+    if (region == null || parent == null) path
+    else if (parent.getName == ArchiveSubDir) // archived → live
+      new java.io.File(
+        new java.io.File(parent.getParentFile, region.getName), f.getName).getPath
+    else // live → archived
+      new java.io.File(new java.io.File(
+        new java.io.File(parent, ArchiveSubDir), region.getName), f.getName).getPath
+  }
 }
 
 final class WalTable(options: CaseInsensitiveStringMap)
@@ -230,10 +255,15 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     val (n, bounds) = MutationBoundaries.of(regionDir, f)
     val laterFileExists = files.exists(_._1 > end.fileId)
     // completeness proof: a later file (writers never split a mutation
-    // across a roll) or a manifest entry matching the file's length
-    // (the writer recorded it at close)
-    val fileComplete = laterFileExists ||
-      ChangelogFiles.manifest(regionDir).get(f.getName).exists(_.length == f.length)
+    // across a roll), a manifest entry matching the file's length (the
+    // writer recorded it at close — checked in the live dir AND next to
+    // the file, in case the archiver moved the manifest along), or
+    // residence in the archive itself (files only move there after
+    // rotation) — without the last two, a fully-archived region whose
+    // live dir was cleaned up would defer its final mutation forever
+    val fileComplete = laterFileExists || WalDataSource.isArchived(f) ||
+      ChangelogFiles.manifest(regionDir).get(f.getName).exists(_.length == f.length) ||
+      ChangelogFiles.manifest(f.getParent).get(f.getName).exists(_.length == f.length)
     val atEof = end.pos > n
     if (atEof && fileComplete) return end
     if (atEof) {
@@ -268,7 +298,16 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     * stall the others nor starve itself, and one active region among N
     * quiet ones gets the full configured rate.
     */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    // one retry on a file vanishing mid-computation (moved to the
+    // archive between listing and open): the re-attempt re-lists and
+    // finds it at its new home; a second miss is a genuine loss
+    try latestOffsetAttempt(start, limit)
+    catch { case _: java.io.FileNotFoundException =>
+      latestOffsetAttempt(start, limit)
+    }
+
+  private def latestOffsetAttempt(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[WalOffset].regions
     // regions discovered now ∪ regions already tracked (a region dir
     // disappearing must not drop its checkpointed offset)
@@ -284,9 +323,11 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     }.toMap
     val grants = limit match {
       case l: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        Some(AdmissionBudget.allocate(regions,
-          r => ChangelogFiles.countBetweenOf(regionFs(r), froms(r), latests(r)),
-          l.maxRows()))
+        // backlog precomputed ONCE per region: allocate() re-reads its
+        // backlog function every refill round
+        val backlog = regions.map(r =>
+          r -> ChangelogFiles.countBetweenOf(regionFs(r), froms(r), latests(r))).toMap
+        Some(AdmissionBudget.allocate(regions, backlog, l.maxRows()))
       case _ => None
     }
     WalOffset(regions.map { r =>
@@ -338,7 +379,14 @@ object WalPartitioning {
   /** One partition set per region (reference HWDS:248), each region's
     * [start, end) range further chunked by maxRecordsPerPartition.
     */
-  def plan(conf: WalSourceConf, start: WalOffset, end: WalOffset): Array[InputPartition] = {
+  def plan(conf: WalSourceConf, start: WalOffset, end: WalOffset): Array[InputPartition] =
+    // one retry on a file vanishing mid-plan (archived between listing
+    // and stat): the re-attempt re-lists each region
+    try planAttempt(conf, start, end)
+    catch { case _: java.io.FileNotFoundException => planAttempt(conf, start, end) }
+
+  private def planAttempt(conf: WalSourceConf, start: WalOffset,
+      end: WalOffset): Array[InputPartition] = {
     end.regions.toSeq.sortBy(_._1).flatMap { case (region, endPacked) =>
       val regionDir = s"${conf.dir}/$region" // manifest home (live dir)
       val files = WalDataSource.regionFiles(conf.dir, region, conf.prefix)
@@ -419,8 +467,17 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WalInputPartition]
     new PartitionReader[InternalRow] {
-      private val raw = ChangelogFiles
-        .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
+      // the file may have been archived (or restored) between planning
+      // and execution — fall back to its twin location before failing
+      private val file = {
+        val f = new java.io.File(p.filePath)
+        if (f.exists()) f
+        else {
+          val twin = new java.io.File(WalDataSource.twinPath(p.filePath))
+          if (twin.exists()) twin else f // let the original error surface
+        }
+      }
+      private val raw = ChangelogFiles.readRange(file, p.fromPos, p.untilPos)
       private val cells = raw.filter(r => r.op == "put" || r.op == "delete")
       // T5 read-path cell grouping: fold consecutive records that share
       // (rowkey, op, timestamp) into ONE mutation, merging their cells —

@@ -283,17 +283,30 @@ object CdcStream {
     currentVersion(replicaDir).flatMap { case (_, name) =>
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty =>
-          val bucketOf = pmod(hash(idCols.map(keys(_)): _*), lit(m.numBuckets))
-          val candidate = keys.select(bucketOf.as("__bucket")).distinct()
+          val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
+          // Catalyst hash() is TYPE-sensitive (hash(5) != hash(5L)): the
+          // lookup keys must be cast to the replica's column types
+          // before bucket derivation, or a type-skewed caller would be
+          // pruned to the WRONG bucket and silently get no rows (the
+          // semi-join alone would have coerced and matched)
+          val replicaTypes = spark.read.parquet(allPaths: _*).schema
+            .fields.map(f => f.name -> f.dataType).toMap
+          val typedKeys = keys.select(idCols.map { c =>
+            val t = replicaTypes.getOrElse(c, throw new IllegalArgumentException(
+              s"readReplicaForKeys: idCol $c not in replica schema " +
+                replicaTypes.keys.mkString("[", ",", "]")))
+            keys(c).cast(t).as(c)
+          }: _*)
+          val bucketOf = pmod(hash(idCols.map(typedKeys(_)): _*), lit(m.numBuckets))
+          val candidate = typedKeys.select(bucketOf.as("__bucket")).distinct()
             .collect().map(_.getInt(0)).toSet
           val paths = m.buckets.collect {
             case (k, p) if candidate(k) => s"$replicaDir/$p"
           }.toSeq.sorted
           val base =
             if (paths.nonEmpty) spark.read.parquet(paths: _*)
-            else spark.read.parquet( // schema only: no candidate bucket exists
-              m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).limit(0)
-          Some(base.join(broadcast(keys), idCols, "left_semi"))
+            else spark.read.parquet(allPaths: _*).limit(0) // schema only
+          Some(base.join(broadcast(typedKeys), idCols, "left_semi"))
         case Some(_) => None // committed but empty
         case None => // pre-bucket flat layout: no pruning metadata
           Some(spark.read.parquet(s"$replicaDir/$name")

@@ -72,6 +72,22 @@ class IncrementalClustersSpec extends SparkSuite {
     assert(inc === batch)
   }
 
+  test("replayed micro-batches are no-ops (idempotent index appends)") {
+    val state = Files.createTempDirectory("inc-replay").toString
+    val batch = Seq((1L, textP), (2L, textP)).toDF("doc_id", "text")
+    IncrementalClusters.update(spark, state, batch)
+    val shinglesOnce = spark.read.parquet(s"$state/shingles").count()
+    val labelsOnce = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toSet
+    // crash-replay: the same batch is redelivered — nothing changes
+    IncrementalClusters.update(spark, state, batch)
+    assert(spark.read.parquet(s"$state/shingles").count() === shinglesOnce)
+    assert(spark.read.parquet(s"$state/bands").count() ===
+      shinglesOnce * TextOps.Bands)
+    assert(IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toSet === labelsOnce)
+  }
+
   test("update with no matching docs leaves labels untouched") {
     val state = Files.createTempDirectory("inc-noop").toString
     IncrementalClusters.update(spark, state,

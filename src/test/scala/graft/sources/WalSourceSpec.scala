@@ -435,6 +435,46 @@ class WalSourceSpec extends SparkSuite {
     assert(archOnly === 5L)
   }
 
+  test("generator bounds merge adjacent same-key mutations like the read fold") {
+    import graft.SparkSuite.spark.implicits._
+    // two events with the SAME (user_id, event_type, ts): the reader's
+    // fold merges them into one mutation, so the manifest must NOT
+    // record a phantom boundary between them
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1000))
+    val ev = Seq(
+      (1L, 7L, "click", 0.5, null.asInstanceOf[String], ts),
+      (2L, 7L, "click", 0.7, null.asInstanceOf[String], ts), // same key
+      (3L, 7L, "error", 0.9, null.asInstanceOf[String], ts)) // error → delete: op change
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val d = java.nio.file.Files.createTempDirectory("wal-samekey").toString
+    WalGenerator.generate(ev, d, numRegions = 1, recordsPerFile = 100,
+      cellPerRecord = true)
+    val rd = s"$d/region-000"
+    val f = ChangelogFiles.listFiles(rd).head._2
+    val manifestBounds = ChangelogFiles.manifest(rd)(f.getName).bounds
+    // content scan (manifest-less copy) must agree exactly
+    val scanDir = java.nio.file.Files.createTempDirectory("wal-samekey-scan")
+    val copied = new java.io.File(scanDir.toFile, f.getName)
+    java.nio.file.Files.copy(f.toPath, copied.toPath)
+    val (_, scanned) =
+      graft.sources.wal.MutationBoundaries.of(scanDir.toString, copied)
+    assert(manifestBounds.toVector === scanned)
+    // 9 cells, 2 mutations after the same-key merge: bounds 1 and 7
+    assert(scanned === Vector(1L, 7L))
+    // and the grouped read serves 2 mutations
+    val out = spark.read.format("graft-wal").option("path", d)
+      .option("groupRawCells", "true").load().count()
+    assert(out === 2L)
+  }
+
+  test("twinPath maps live and archived locations onto each other") {
+    import graft.sources.wal.WalDataSource.{twinPath, ArchiveSubDir}
+    assert(twinPath("/w/region-1/graft-bin.000001") ===
+      s"/w/$ArchiveSubDir/region-1/graft-bin.000001")
+    assert(twinPath(s"/w/$ArchiveSubDir/region-1/graft-bin.000001") ===
+      "/w/region-1/graft-bin.000001")
+  }
+
   test("plan emits at least one partition per non-empty region") {
     import graft.sources.wal.{WalPartitioning, WalSourceConf, WalInputPartition}
     import scala.jdk.CollectionConverters._

@@ -286,6 +286,14 @@ class CdcStreamingSpec extends SparkSuite {
 
     // full read still sees everything (pruning is opt-in by API)
     assert(CdcStream.readReplica(spark, dir).get.count() === 3L)
+
+    // type-skewed lookup keys (Int vs the replica's Long) are cast
+    // BEFORE bucket derivation — Catalyst hash() is type-sensitive, so
+    // without the cast the pruning would aim at the wrong bucket and
+    // silently return nothing
+    val intKeyed = CdcStream.readReplicaForKeys(spark, dir, Seq("user_id"),
+      Seq(u2.toInt).toDF("user_id")).get
+    assert(intKeyed.select("event_id").as[Long].collect().toSeq === Seq(11L))
   }
 
   test("streaming event-time window twin matches batch q19 (ST9)") {
