@@ -452,6 +452,26 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // --- incremental cluster maintenance (batch-checkable form) ---------
+    // The streaming twin ([[IncrementalClusters]]) driven as a batch
+    // query: the corpus feeds a COLD state dir in two micro-batches, so
+    // batch-2 docs join/merge batch-1 clusters through the persisted
+    // band index alone. Final labels provably equal the one-shot batch
+    // pipeline (candidate coverage over the union corpus is complete —
+    // see IncrementalClusters' scaladoc), so the oracle is the same
+    // recursive-CTE closure as llm_dedup_clusters.
+    "llm_cluster_inc" -> { (s, dir) =>
+      import s.implicits._
+      val state = IndexArtifacts.tempDir("cluster-inc-state")
+      val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+      IncrementalClusters.update(s, state, docs.filter($"doc_id" % 3 =!= 0))
+      IncrementalClusters.update(s, state, docs.filter($"doc_id" % 3 === 0))
+      IncrementalClusters.labels(s, state)
+        .select($"doc_id", $"label".as("cluster_id"),
+          ($"doc_id" === $"label").as("keep"))
+        .orderBy($"doc_id")
+    },
+
     // --- n-gram (trigram) Jaccard near-dedup ----------------------------
     // TRIGRAM shingles (vs the bigram llm_minhash_lsh): trigram Jaccard
     // between unrelated fixture docs maxes ~0.04 (bigram noise reaches
@@ -561,6 +581,12 @@ object DedupQueries {
     // reachability via a recursive CTE — min over the transitive
     // closure equals the label-propagation fixpoint
     "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $clusterLabelsSql
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+         |FROM labels ORDER BY 1""".stripMargin,
+
+    // incremental ingestion converges to the same fixpoint — same oracle
+    "llm_cluster_inc" ->
       s"""WITH RECURSIVE $clusterLabelsSql
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
          |FROM labels ORDER BY 1""".stripMargin,

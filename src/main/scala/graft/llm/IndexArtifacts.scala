@@ -56,6 +56,14 @@ object IndexArtifacts {
   def materialize(s: SparkSession, df: DataFrame, tag: String): DataFrame =
     materializeOwned(s, df, tag)._1
 
+  /** A fresh directory under the JVM-lifetime temp root — for query
+    * definitions that need scratch state (a per-invocation replica or
+    * cluster-state dir) living until the returned DataFrame has been
+    * consumed; removed by the shutdown hook.
+    */
+  def tempDir(tag: String): String =
+    tempRoot.resolve(s"$tag-${counter.incrementAndGet()}").toString
+
   /** [[materialize]] plus a deleter: invoke it once every consumer of
     * the returned scan has run its actions.
     */

@@ -148,6 +148,9 @@ object SimilarityQueries {
     // --- IVF-style cell-probed ANN --------------------------------------
     "llm_embed_ivf" -> embedIvf(),
 
+    // --- IVF multi-probe: top-2 cells per query (boundary recall) -------
+    "llm_embed_ivf_probe2" -> embedIvf(nprobe = 2),
+
     // --- random-hyperplane LSH bucketed ANN -----------------------------
     "llm_embed_lsh_ann" -> embedLshAnn()
   )
@@ -303,6 +306,45 @@ object SimilarityQueries {
          |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn,
          |    cell AS qcell
          |  FROM b WHERE vec_id < $NumQueries),
+         |p AS (
+         |  SELECT q.query_id, b.cell AS cell, b.vec_id AS neighbor_id,
+         |    ${dotSql("q.qe", "b.embedding")} / (q.qn * b.norm) AS cos_sim
+         |  FROM b JOIN q ON b.cell = q.qcell AND b.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, cell, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM p)
+         |SELECT query_id, CAST(rk AS INT) AS rank, cell, neighbor_id, cos_sim
+         |FROM r WHERE rk <= $IvfTopK ORDER BY 1, 2""".stripMargin,
+
+    // multi-probe twin: queries probe their TOP-2 cells (rank over the
+    // same centroid scores, lowest index on ties); each corpus vector
+    // still lives in exactly one cell, so no candidate can duplicate
+    "llm_embed_ivf_probe2" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+         |    embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % $CentroidStride = $CentroidPhase
+         |        ORDER BY vec_id LIMIT $NumCentroids)),
+         |e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.norm, c.centroid_id,
+         |    ${dotSql("e.embedding", "c.ce")} - $centHalfNorm2Sql AS score
+         |  FROM e CROSS JOIN cent c),
+         |b AS (
+         |  SELECT vec_id, embedding, norm, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn,
+         |    centroid_id AS qcell
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score DESC, centroid_id ASC) AS crk
+         |    FROM scored WHERE vec_id < $NumQueries) WHERE crk <= 2),
          |p AS (
          |  SELECT q.query_id, b.cell AS cell, b.vec_id AS neighbor_id,
          |    ${dotSql("q.qe", "b.embedding")} / (q.qn * b.norm) AS cos_sim

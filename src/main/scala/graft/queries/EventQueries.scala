@@ -136,6 +136,36 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: replica build + bucket-pruned key lookup -------------------
+    // End-to-end MERGE surface: the events changelog applies to the
+    // bucket-scoped versioned replica store in TWO time-split
+    // micro-batches (the later batch's per-key net op wins, exactly the
+    // streaming foreachBatch shape), then a bounded key set reads back
+    // through readReplicaForKeys — candidate buckets derive from the
+    // keys, so the lookup scans only their buckets' files. The oracle
+    // is the plain global latest-state query filtered to the key set.
+    "cdc_replica_lookup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-lookup")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      // time-split: both halves ordered, so the second apply's net is
+      // each key's global last op (rows in one millisecond never split)
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val orderCols = Seq(col("ts"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols)
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), orderCols)
+      val keys = ev.filter($"user_id" % 3 === 1).select($"user_id").distinct()
+      CdcStream.readReplicaForKeys(s, replica, Seq("user_id"), keys).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: packed-offset arithmetic round-trip ------------------------
     "cdc_offset_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -239,6 +269,16 @@ object EventQueries {
          |    count(*) OVER (PARTITION BY user_id) AS n_ops
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "cdc_replica_lookup" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND user_id % 3 = 1
+         |ORDER BY user_id""".stripMargin,
 
     "cdc_offset_roundtrip" ->
       """SELECT event_id, file_id, pos,
