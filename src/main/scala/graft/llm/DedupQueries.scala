@@ -459,7 +459,12 @@ object DedupQueries {
     // band index alone. Final labels provably equal the one-shot batch
     // pipeline (candidate coverage over the union corpus is complete —
     // see IncrementalClusters' scaladoc), so the oracle is the same
-    // recursive-CTE closure as llm_dedup_clusters.
+    // recursive-CTE closure as llm_dedup_clusters. Bench note: wall
+    // time is FIXED per-micro-batch multi-job scheduling latency ×2
+    // batches (materialize + candidate join + propagation rounds +
+    // replica MERGE ≈ a dozen driver-scheduled jobs each, at any sf) —
+    // at scale the per-batch cost rides the batch's neighborhood, not
+    // the corpus.
     "llm_cluster_inc" -> { (s, dir) =>
       import s.implicits._
       val state = IndexArtifacts.tempDir("cluster-inc-state")
