@@ -12,9 +12,11 @@ object LlmQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     DedupQueries.defs ++ TextAnalysisQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++
+      ContaminationQueries.defs
 
   val oracles: Map[String, String] =
     DedupQueries.oracles ++ TextAnalysisQueries.oracles ++
-      SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
+      ContaminationQueries.oracles
 }

@@ -114,6 +114,36 @@ object TextAnalysisQueries {
         .orderBy($"source", $"bin")
     },
 
+    // --- temperature-weighted domain mixing -----------------------------
+    // Per-source sampling weights for corpus mixing: the uniform share
+    // (proportional to token count) and a sqrt-temperature share
+    // (∝ tokens^0.5 — the standard "flatten the source distribution"
+    // reweighting that upsamples small high-quality sources). All
+    // cross-row arithmetic is INTEGER (token sums, floor(sqrt) weights,
+    // ppm floor-division), so results are order-independent and
+    // bit-exact in both engines; the only double is the final
+    // boost ratio of two exact ints. Note: ppm shares multiply token
+    // counts by 10^6 — exact up to ~9·10^12 tokens per source in int64;
+    // beyond that, pre-scale the counts (same floor-division shape).
+    // Scale: one partial-agg groupBy over sources + a 1-row broadcast.
+    "llm_domain_mix" -> { (s, dir) =>
+      import s.implicits._
+      val perSource = Tables(s, dir).documents
+        .select($"source", subwordCost($"text").as("n_subwords"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_subwords").as("total_tokens"))
+        .withColumn("w", floor(sqrt($"total_tokens".cast("double"))))
+      val totals = perSource.agg(
+        sum($"total_tokens").as("sum_tokens"), sum($"w").as("sum_w"))
+      perSource.crossJoin(broadcast(totals))
+        .select($"source", $"n_docs", $"total_tokens", $"w",
+          expr("total_tokens * 1000000 div sum_tokens").as("share_ppm"),
+          expr("w * 1000000 div sum_w").as("temp_share_ppm"))
+        .withColumn("boost",
+          $"temp_share_ppm".cast("double") / $"share_ppm")
+        .orderBy($"source")
+    },
+
     // --- rolling-hash document fingerprint ------------------------------
     "llm_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -253,6 +283,26 @@ object TextAnalysisQueries {
          |  count(*) AS n_docs,
          |  CAST(sum(n_subwords) AS BIGINT) AS bin_tokens
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(sc) AS BIGINT) AS total_tokens
+         |  FROM (SELECT source, $subwordCostSql AS sc FROM documents)
+         |  GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS w
+         |  FROM t),
+         |s AS (
+         |  SELECT CAST(sum(total_tokens) AS BIGINT) AS sum_tokens,
+         |    CAST(sum(w) AS BIGINT) AS sum_w
+         |  FROM w)
+         |SELECT source, n_docs, total_tokens, w,
+         |  CAST(total_tokens * 1000000 // sum_tokens AS BIGINT) AS share_ppm,
+         |  CAST(w * 1000000 // sum_w AS BIGINT) AS temp_share_ppm,
+         |  CAST(w * 1000000 // sum_w AS DOUBLE)
+         |    / (total_tokens * 1000000 // sum_tokens) AS boost
+         |FROM w, s ORDER BY source""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,

@@ -68,6 +68,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("llm_decontaminate: eval gram set broadcasts; corpus is never shuffled by gram") {
+    val p = plan("llm_decontaminate")
+    // the benchmark gram set is the broadcast build side of the hit join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_span_dedup: gram frequency is a partial+final aggregate, no cartesian") {
+    val p = plan("llm_span_dedup")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
+    for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("SortMergeJoin"), s"$q plans an unexpected shuffle join")
+    }
+  }
+
   test("llm_embed_topk: the only nested loop is the bounded broadcast query set") {
     // brute-force baseline: query side must be the broadcast build side
     val p = plan("llm_embed_topk")
