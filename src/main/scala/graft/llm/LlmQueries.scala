@@ -13,10 +13,10 @@ object LlmQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     DedupQueries.defs ++ TextAnalysisQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      ContaminationQueries.defs
+      ContaminationQueries.defs ++ RetrievalQueries.defs
 
   val oracles: Map[String, String] =
     DedupQueries.oracles ++ TextAnalysisQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
-      ContaminationQueries.oracles
+      ContaminationQueries.oracles ++ RetrievalQueries.oracles
 }

@@ -1,0 +1,191 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Corpus-frequency retrieval operators over the `documents` fixture:
+  * inverted-index BM25 top-k keyword search and document-frequency
+  * boilerplate detection.
+  *
+  * Both are built on the INVERTED-INDEX shape — explode tokens/shingles
+  * into a postings stream, aggregate per term (map-side partial agg),
+  * join the tiny high-level artifact (query terms, boilerplate set)
+  * back by broadcast — which is the 100 TB scale path for text
+  * retrieval: the postings table is the index, every heavy step is a
+  * linear scan or a keyed partial aggregation, and nothing ever
+  * all-pairs or collects data rows to the driver.
+  *
+  * Engine-portable float discipline (same rules as [[TextOps]] /
+  * [[SimilarityQueries]]): every emitted double is built from EXACT
+  * int64 arithmetic with at most one division per factor and a
+  * SEQUENTIAL term-ordered fold for sums, so Spark and the DuckDB
+  * oracle produce bit-identical values. BM25's idf is therefore the
+  * RATIONAL Robertson–Sparck-Jones form `(N - df + 0.5) / (df + 0.5)`
+  * WITHOUT the log: `ln` is not an IEEE-exact op (Java `Math.log` is
+  * only 1-ulp-accurate, so cross-engine bit parity is not guaranteed),
+  * while the rational form is two exact ints and one division.
+  * Per-term ranking is unchanged (ln is monotone); multi-term score
+  * sums can order differently than log-BM25 in principle, and a
+  * production deployment that doesn't need cross-engine bit parity
+  * swaps `ln(1 + …)` back in one line.
+  */
+object RetrievalQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Fixed BM25 query — a bounded term set, broadcast-joined against
+    * the postings. k1 = 1.2, b = 0.75 are folded into exact integer
+    * coefficients below (×10 to clear the decimals).
+    */
+  val QueryTerms: Seq[String] = Seq("merge", "stream", "vector")
+  val Bm25TopK = 15
+
+  /** Boilerplate df threshold as an exact ratio: a distinct bigram
+    * shingle is boilerplate when df >= 8% of the corpus (25·df >= 2·N —
+    * integer compare, no float). The flagged set is bounded by
+    * avg-shingles-per-doc / 0.08 regardless of corpus size, hence
+    * always broadcastable.
+    */
+  val BoilerDfNum = 2
+  val BoilerDfDen = 25
+
+  val defs: Map[String, QFn] = Map(
+
+    // --- BM25 top-k keyword retrieval (inverted-index shape) ------------
+    // tf/df/dl are exact int64 postings aggregates; the per-(doc,term)
+    // score is (idf_num/idf_den) * (tf_num/tf_den) — two divisions and
+    // a multiply over exact ints — and the per-doc score folds the
+    // term scores in TERM-SORTED order, so both engines accumulate the
+    // identical IEEE sequence. With k1=1.2, b=0.75 (×10·S to clear
+    // decimals and the avgdl = S/N division):
+    //   tfnorm = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+    "llm_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+      // corpus stats: two bounded scalars (the same place avgdl lives
+      // in any BM25 engine); ONE metadata-light agg job
+      val stats = docs.agg(count(lit(1)).cast("long"), sum($"dl")).head()
+      val n = stats.getLong(0)
+      val sumDl = stats.getLong(1)
+      val postings = docs
+        .select($"doc_id", $"dl", explode($"toks").as("term"))
+        .filter($"term".isin(QueryTerms: _*))
+      val tf = postings.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
+      // df per query term — tiny (|QueryTerms| rows), broadcast back
+      val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val idf = (lit(2L * n + 1L) - lit(2L) * $"df").cast("double") /
+        (lit(2L) * $"df" + lit(1L)).cast("double")
+      val tfnorm = (lit(22L) * $"tf" * lit(sumDl)).cast("double") /
+        (lit(10L) * $"tf" * lit(sumDl) + lit(3L * sumDl) +
+          lit(9L) * $"dl" * lit(n)).cast("double")
+      val scored = tf.join(broadcast(dfT), "term")
+        .withColumn("sc", idf * tfnorm)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+          aggregate(transform(sort_array(collect_list(struct($"term", $"sc"))),
+            x => x("sc")), lit(0.0), (acc, x) => acc + x).as("score"))
+      // TakeOrderedAndProject top-k, then rank over the k survivors only
+      val top = scored.orderBy($"score".desc, $"doc_id".asc).limit(Bm25TopK)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)))
+        .select($"rank", $"doc_id", $"n_terms", $"score")
+        .orderBy($"rank")
+    },
+
+    // --- corpus boilerplate detection (document-frequency filter) -------
+    // The boilerplate-removal primitive of web-scale curation: distinct
+    // shingles explode into a postings stream, df is a keyed partial
+    // agg, the flagged set (bounded by construction) broadcast-joins
+    // back, and each doc reports how much of it is boilerplate.
+    "llm_boilerplate" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id", hashedShingles($"text").as("sh"))
+      val n = sh.count()
+      val ex = sh.select($"doc_id", explode($"sh").as("h"))
+      val boiler = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" * BoilerDfDen >= lit(BoilerDfNum) * lit(n))
+        .select($"h")
+      val perDoc = ex.join(broadcast(boiler), "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+      sh.select($"doc_id", size($"sh").cast("long").as("n_shingles"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+          when($"n_shingles" === 0, lit(0.0))
+            .otherwise(coalesce($"n_boiler", lit(0L)).cast("double") /
+              $"n_shingles".cast("double")).as("boiler_ratio"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_bm25_topk" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |dd AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s
+         |  FROM dd),
+         |p AS (
+         |  SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+         |  FROM p WHERE term IN ($terms) GROUP BY 1, 2),
+         |dft AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    (CAST(2 * stats.n + 1 - 2 * dft.df AS DOUBLE) /
+         |     CAST(2 * dft.df + 1 AS DOUBLE)) *
+         |    (CAST(22 * tf.tf * stats.s AS DOUBLE) /
+         |     CAST(10 * tf.tf * stats.s + 3 * stats.s + 9 * tf.dl * stats.n
+         |          AS DOUBLE)) AS sc
+         |  FROM tf JOIN dft USING (term) CROSS JOIN stats),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(sc ORDER BY term)), (acc, x) -> acc + x) AS score
+         |  FROM sc GROUP BY doc_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+         |  FROM agg)
+         |SELECT CAST(rk AS INT) AS rank, doc_id, n_terms, score
+         |FROM r WHERE rk <= $Bm25TopK ORDER BY rank""".stripMargin
+    },
+
+    "llm_boilerplate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${hashedShinglesSql("t")} AS sh FROM d),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh),
+         |ex AS (
+         |  SELECT doc_id, unnest(sh) AS h FROM sh),
+         |boiler AS (
+         |  SELECT h FROM (SELECT h, count(*) AS df FROM ex GROUP BY 1), n
+         |  WHERE df * $BoilerDfDen >= $BoilerDfNum * n.n),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+         |  FROM ex JOIN boiler USING (h) GROUP BY 1)
+         |SELECT sh.doc_id, CAST(len(sh.sh) AS BIGINT) AS n_shingles,
+         |  COALESCE(pd.n_boiler, 0) AS n_boiler,
+         |  CASE WHEN len(sh.sh) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(pd.n_boiler, 0) AS DOUBLE) /
+         |            CAST(len(sh.sh) AS DOUBLE) END AS boiler_ratio
+         |FROM sh LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

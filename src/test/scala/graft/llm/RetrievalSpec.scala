@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the retrieval operators — the properties the
+  * DuckDB oracle (which only re-computes the same definition) cannot
+  * vouch for: ranking invariants, and an independent string-path
+  * recomputation of the boilerplate counts.
+  */
+class RetrievalSpec extends SparkSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("bm25: ranks are dense, scores positive and non-increasing") {
+    val rows = RetrievalQueries.defs("llm_bm25_topk")(spark, sfDir)
+      .orderBy(col("rank")).collect()
+    assert(rows.length == RetrievalQueries.Bm25TopK)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall { r =>
+      val n = r.getAs[Int]("n_terms")
+      n >= 1 && n <= RetrievalQueries.QueryTerms.size
+    })
+  }
+
+  test("bm25: every returned doc actually contains a query term") {
+    import graft.SparkSuite.spark.implicits._
+    val top = RetrievalQueries.defs("llm_bm25_topk")(spark, sfDir)
+      .select($"doc_id")
+    val without = top.join(docs, "doc_id")
+      .filter(!RetrievalQueries.QueryTerms
+        .map(t => array_contains(split(lower($"text"), " "), t))
+        .reduce(_ || _))
+    assert(without.count() == 0)
+  }
+
+  test("bm25: more query-term occurrences outrank fewer at comparable length") {
+    import graft.SparkSuite.spark.implicits._
+    // the top-1 doc must be within the top docs by raw query-term count
+    // per token (BM25 with near-uniform df is tf/dl-driven)
+    val top1 = RetrievalQueries.defs("llm_bm25_topk")(spark, sfDir)
+      .orderBy($"rank").limit(1).collect().head.getAs[Long]("doc_id")
+    val byDensity = docs.select($"doc_id",
+        (aggregate(transform(split(lower($"text"), " "),
+          t => when(t.isin(RetrievalQueries.QueryTerms: _*), 1).otherwise(0)),
+          lit(0), (a, x) => a + x).cast("double") /
+          size(split(lower($"text"), " "))).as("density"))
+      .orderBy($"density".desc).limit(5)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(byDensity.contains(top1),
+      s"top-1 doc $top1 not among top-5 by term density ${byDensity.toSeq}")
+  }
+
+  test("boilerplate: counts match an independent string-path recomputation") {
+    import graft.SparkSuite.spark.implicits._
+    val out = RetrievalQueries.defs("llm_boilerplate")(spark, sfDir)
+    // independent path: STRING shingles (not the native hashed-long
+    // expression), same df threshold
+    val sh = docs.select($"doc_id", TextOps.bigramShingles($"text").as("sh"))
+    val n = sh.count()
+    val ex = sh.select($"doc_id", explode(array_distinct($"sh")).as("g"))
+    val boiler = ex.groupBy($"g").count()
+      .filter($"count" * RetrievalQueries.BoilerDfDen >=
+        lit(RetrievalQueries.BoilerDfNum) * lit(n))
+    val expect = ex.join(boiler.select($"g"), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("exp_boiler"))
+    val joined = out.join(expect, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_boiler", coalesce($"exp_boiler", lit(0L)).as("e"))
+    assert(joined.filter($"n_boiler" =!= $"e").count() == 0)
+    // threshold is meaningful on the fixture: some but not all flagged
+    val flagged = out.filter($"n_boiler" > 0).count()
+    assert(flagged > 0 && flagged < out.count())
+  }
+
+  test("boilerplate: ratio stays in [0,1] and respects n_boiler <= n_shingles") {
+    import graft.SparkSuite.spark.implicits._
+    val out = RetrievalQueries.defs("llm_boilerplate")(spark, sfDir)
+    assert(out.filter($"n_boiler" > $"n_shingles").count() == 0)
+    assert(out.filter($"boiler_ratio" < 0.0 || $"boiler_ratio" > 1.0).count() == 0)
+  }
+}

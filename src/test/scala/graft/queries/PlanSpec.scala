@@ -89,6 +89,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("llm_bm25_topk: top-k is TakeOrderedAndProject; df joins broadcast; no cartesian") {
+    val p = plan("llm_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_boilerplate: df is a partial+final aggregate; flagged set broadcasts") {
+    val p = plan("llm_boilerplate")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_embed_topk: the only nested loop is the bounded broadcast query set") {
     // brute-force baseline: query side must be the broadcast build side
     val p = plan("llm_embed_topk")
