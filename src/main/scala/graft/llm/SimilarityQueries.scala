@@ -124,6 +124,21 @@ object SimilarityQueries {
       when(col("cs0") === mx, 0)) { (acc, c) => acc.when(col(s"cs$c") === mx, c) }
   }
 
+  /** SQ8 quantization scale: `q_i = floor(x_i · 200)` — fixture values
+    * lie in (−0.6, 0.6), so codes lie in (−120, 120): int8 range, and
+    * `floor` (unlike `round` or int casts, whose half-way/truncation
+    * rules differ between engines) is IEEE-exact in both. At 100 TB the
+    * scale comes from a bounded min/max scan instead of a constant.
+    */
+  val Sq8Scale = 200
+  /** Quantized-scan candidates per query before the exact rerank. */
+  val Sq8Candidates: Int = 3 * TopK
+
+  /** Semantic-dedup cosine threshold (the fixture's cross-pair cosines
+    * top out near 0.51, so 0.35 flags a meaningful-but-small set).
+    */
+  val SemDedupTau = 0.35
+
   val defs: Map[String, QFn] = Map(
 
     // --- brute-force cosine top-k (exact ANN baseline) ------------------
@@ -152,7 +167,77 @@ object SimilarityQueries {
     "llm_embed_ivf_probe2" -> embedIvf(nprobe = 2),
 
     // --- random-hyperplane LSH bucketed ANN -----------------------------
-    "llm_embed_lsh_ann" -> embedLshAnn()
+    "llm_embed_lsh_ann" -> embedLshAnn(),
+
+    // --- scalar-quantized (int8) scan + exact rerank ---------------------
+    // The memory-bandwidth scale path for brute-force ANN: the scan
+    // side reads 64 int8 codes instead of 64 floats (4× less traffic;
+    // SIMD int dot), candidates come from the EXACT-INTEGER quantized
+    // dot (total order, no float drift), and only the top
+    // `Sq8Candidates` per query pay the exact float cosine. Recall loss
+    // is bounded by quantization error; the rerank restores exact
+    // ordering among survivors.
+    "llm_embed_sq8" -> { (s, dir) =>
+      import s.implicits._
+      // widen to double BEFORE the scale multiply: a float multiply
+      // could round differently than the oracle's double multiply and
+      // flip a floor at an integer boundary
+      val qvec = transform($"embedding",
+        x => floor(x.cast("double") * lit(Sq8Scale.toDouble)).cast("long"))
+      // the SQ8 code table IS the index — materialized once, scanned by
+      // every query (at scale it lives in files; 4× smaller than floats)
+      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
+          qvec.as("qv")), "sq8-codes")
+      val q = b.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"norm".as("qn"), $"qv".as("qqv"))
+      val qdot = aggregate(zip_with($"qqv", $"qv", (a, c) => a * c),
+        lit(0L), (acc, x) => acc + x)
+      val wq = Window.partitionBy($"query_id")
+        .orderBy($"qdot".desc, $"vec_id".asc)
+      val cand = b.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("qdot", qdot)
+        .withColumn("crk", row_number().over(wq))
+        .filter($"crk" <= Sq8Candidates)
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      cand.withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+          $"qdot", $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // --- semantic dedup (cluster-scoped embedding near-dup pruning) ------
+    // The SemDeDup shape: a coarse quantizer (the IVF cells) partitions
+    // the corpus, near-dup pairs are searched WITHIN cells only — a
+    // cell equi-join, never all-pairs — and each near-dup group keeps
+    // its lowest-id member. At 100 TB you raise numCentroids so cells
+    // stay bounded; the within-cell join cost is Σ|cell|², controlled
+    // by the quantizer, not the corpus.
+    "llm_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val cents = sampleCentroids(s, dir, NumCentroids)
+      val k = cents.size
+      val b = IndexArtifacts.materialize(s,
+        Tables(s, dir).embeddings
+          .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
+            cents.zipWithIndex.map { case (c, i) => centroidScore(c).as(s"cs$i") }: _*)
+          .select($"vec_id", $"embedding", $"norm", cellFromScores(k).as("cell")),
+        "semdedup-assign")
+      val pruned = b.as("x").join(b.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .filter(dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.norm") * col("y.norm")) >= SemDedupTau)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      b.select($"vec_id", $"cell")
+        .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"p".isNull.as("keep"))
+        .orderBy($"vec_id")
+    }
   )
 
   /** IVF cell-probed ANN with a configurable, DATA-DERIVED coarse
@@ -374,6 +459,63 @@ object SimilarityQueries {
          |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
          |  FROM p)
          |SELECT vec_id, bucket, neighbor_id, cos_sim
-         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "llm_embed_sq8" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $normSql AS norm,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * CAST($Sq8Scale AS DOUBLE)) AS BIGINT))
+         |      AS qv
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn, qv AS qqv
+         |  FROM b WHERE vec_id < $NumQueries),
+         |c AS (
+         |  SELECT q.query_id, q.qe, q.qn, b.vec_id, b.embedding, b.norm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, ${Dim + 1}), k -> q.qqv[k] * b.qv[k])),
+         |      (acc, x) -> acc + x) AS qdot
+         |  FROM b, q WHERE b.vec_id <> q.query_id),
+         |cand AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY qdot DESC, vec_id ASC) AS crk
+         |    FROM c) WHERE crk <= $Sq8Candidates),
+         |r AS (
+         |  SELECT query_id, vec_id AS neighbor_id, qdot,
+         |    ${dotSql("qe", "embedding")} / (qn * norm) AS cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY ${dotSql("qe", "embedding")} / (qn * norm) DESC,
+         |                                vec_id ASC) AS rk
+         |  FROM cand)
+         |SELECT query_id, CAST(rk AS INT) AS rank, neighbor_id, qdot, cos_sim
+         |FROM r WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
+
+    "llm_semantic_dedup" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+         |    embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % $CentroidStride = $CentroidPhase
+         |        ORDER BY vec_id LIMIT $NumCentroids)),
+         |e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.norm, c.centroid_id,
+         |    ${dotSql("e.embedding", "c.ce")} - $centHalfNorm2Sql AS score
+         |  FROM e CROSS JOIN cent c),
+         |b AS (
+         |  SELECT vec_id, embedding, norm, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |pr AS (
+         |  SELECT DISTINCT y.vec_id AS vec_id
+         |  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm)
+         |        >= $SemDedupTau)
+         |SELECT b.vec_id, b.cell, (pr.vec_id IS NULL) AS keep
+         |FROM b LEFT JOIN pr ON b.vec_id = pr.vec_id
+         |ORDER BY b.vec_id""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the round-6 similarity operators: SQ8 recall
+  * against the exact brute-force baseline, and an independent
+  * brute-force verification of the semantic-dedup keep/prune decisions.
+  */
+class QuantizedAnnSpec extends SparkSuite {
+
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def cosMap(): Map[(Long, Long), Double] = {
+    val v = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (for (a <- v.keys; b <- v.keys if a != b)
+      yield (a, b) -> cos(v(a), v(b))).toMap
+  }
+
+  test("sq8: quantized-scan candidates + exact rerank recover the exact top-k") {
+    import graft.SparkSuite.spark.implicits._
+    val exact = SimilarityQueries.defs("llm_embed_topk")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val sq8 = SimilarityQueries.defs("llm_embed_sq8")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(sq8.keySet == exact.keySet)
+    // 200-level quantization on 64 dims keeps the true top-k inside the
+    // 3k-candidate set essentially always; require >= 90% overall recall
+    val (hit, total) = exact.foldLeft((0, 0)) { case ((h, t), (q, ids)) =>
+      (h + ids.intersect(sq8(q)).size, t + ids.size)
+    }
+    assert(hit.toDouble / total >= 0.9, s"sq8 recall $hit/$total")
+  }
+
+  test("sq8: ranks are dense and cos_sim is non-increasing per query") {
+    val rows = SimilarityQueries.defs("llm_embed_sq8")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("semantic dedup: prune decisions match brute-force within-cell cosine") {
+    val out = SimilarityQueries.defs("llm_semantic_dedup")(spark, sfDir).collect()
+    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val cos = cosMap()
+    val tau = SimilarityQueries.SemDedupTau
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val hasEarlierNeighbor = cellOf.exists { case (other, c) =>
+        other < id && c == cellOf(id) && cos((other, id)) >= tau
+      }
+      assert(r.getAs[Boolean]("keep") == !hasEarlierNeighbor,
+        s"vec $id keep=${r.getAs[Boolean]("keep")} but earlier-neighbor=$hasEarlierNeighbor")
+    }
+    // the threshold flags a meaningful, strict subset on the fixture
+    val pruned = out.count(!_.getAs[Boolean]("keep"))
+    assert(pruned > 0 && pruned < out.length, s"pruned=$pruned")
+  }
+}

@@ -109,4 +109,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(p.contains("BroadcastExchange"))
   }
+
+  test("llm_embed_sq8: quantized scan joins only the broadcast query set") {
+    val p = plan("llm_embed_sq8")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("llm_semantic_dedup: within-cell pairing is a cell equi-join, no cartesian") {
+    val p = plan("llm_semantic_dedup")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("cell#")),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
