@@ -36,6 +36,22 @@ object TextAnalysisQueries {
   /** Shared with the corpus-curation composite in [[DedupQueries]]. */
   val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Training-chunk assembly: window/stride in whitespace tokens. A doc
+    * shorter than the window yields exactly one chunk; otherwise chunks
+    * start every `ChunkStride` tokens and the LAST start is the first
+    * one whose window reaches the end of the doc — no chunk is ever
+    * fully contained in its predecessor.
+    */
+  val ChunkWindow = 40
+  val ChunkStride = 32
+
+  /** PII patterns — deliberately RE2-compatible (no backrefs, no
+    * lookaround) so Spark's Java regex and DuckDB's RE2 match the same
+    * spans.
+    */
+  val EmailPattern = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhonePattern = "555-[0-9]{4}"
+
   val defs: Map[String, QFn] = Map(
 
     // --- per-document quality statistics --------------------------------
@@ -157,6 +173,66 @@ object TextAnalysisQueries {
                  |            i -> ascii(substr(text, i, 1))),
                  |  0L, (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin)
             .as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+
+    // --- stride-windowed token chunking (training-chunk assembly) -------
+    // Split each doc into ChunkWindow-token chunks every ChunkStride
+    // tokens (8-token overlap) — the chunking step a pretraining /
+    // RAG-indexing pipeline runs between curation and packing. Pure
+    // per-row explode: an embarrassingly parallel scan, rows only fan
+    // out by ~n_tokens/stride. The last chunk start is
+    // 1 + stride·ceil((n − window)/stride), so every token lands in
+    // at least one chunk and no chunk is a subset of its predecessor.
+    "llm_doc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", tokens($"text").as("toks"))
+        .withColumn("n", size($"toks"))
+        .withColumn("start", explode(expr(
+          s"""sequence(1,
+             |  1 + $ChunkStride *
+             |    ((greatest(n - $ChunkWindow, 0) + ${ChunkStride - 1})
+             |     div $ChunkStride),
+             |  $ChunkStride)""".stripMargin)))
+        .select($"doc_id",
+          expr(s"(start - 1) div $ChunkStride").cast("int").as("chunk_idx"),
+          $"start".cast("int").as("chunk_start"),
+          least(lit(ChunkWindow), $"n" - $"start" + 1).cast("int")
+            .as("n_chunk_tokens"),
+          hash32(array_join(slice($"toks", $"start", lit(ChunkWindow)), " "))
+            .as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // --- PII detection + redaction ---------------------------------------
+    // The scrub step of a curation pipeline: count and redact
+    // email/phone spans with RE2-safe patterns. The fixture corpus
+    // carries no PII, so a deterministic doc_id-derived contact suffix
+    // is appended first (the plumbing under test is the detect/redact
+    // scan itself, which is pure per-row regex work — no shuffle).
+    "llm_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val suffix =
+        when($"doc_id" % 5 === 1,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com now")))
+        .when($"doc_id" % 5 === 2,
+          concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" today")))
+        .when($"doc_id" % 5 === 3,
+          concat(lit(" mail a"), $"doc_id", lit("@b.org or 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))
+      val redacted = regexp_replace(
+        regexp_replace($"t2", lit(EmailPattern), lit("[EMAIL]")),
+        lit(PhonePattern), lit("[PHONE]"))
+      Tables(s, dir).documents
+        .select($"doc_id", concat($"text", suffix).as("t2"))
+        .select($"doc_id",
+          size(regexp_extract_all($"t2", lit(EmailPattern), lit(0))).as("n_emails"),
+          size(regexp_extract_all($"t2", lit(PhonePattern), lit(0))).as("n_phones"),
+          hash32(redacted).as("clean_hash"),
+          length(redacted).as("clean_len"))
         .orderBy($"doc_id")
     }
   )
@@ -312,6 +388,53 @@ object TextAnalysisQueries {
         |                     i -> ord(substr(text, i, 1)))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_doc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM d),
+         |st AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(1,
+         |      2 + $ChunkStride *
+         |        ((greatest(n - $ChunkWindow, 0) + ${ChunkStride - 1})
+         |         // $ChunkStride),
+         |      $ChunkStride)) AS start
+         |  FROM n)
+         |SELECT doc_id,
+         |  CAST((start - 1) // $ChunkStride AS INT) AS chunk_idx,
+         |  CAST(start AS INT) AS chunk_start,
+         |  CAST(least($ChunkWindow, n - start + 1) AS INT) AS n_chunk_tokens,
+         |  ${hash32Sql(s"array_to_string(toks[start:start+${ChunkWindow - 1}], ' ')")}
+         |    AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "llm_pii_scrub" -> {
+      // the Scala literal's single backslash passes through the DuckDB
+      // single-quoted string unprocessed — same regex both engines
+      val email = EmailPattern
+      val phone = PhonePattern
+      s"""WITH t AS (
+         |  SELECT doc_id, text ||
+         |    CASE
+         |      WHEN doc_id % 5 = 1 THEN ' contact user' || doc_id || '@example.com now'
+         |      WHEN doc_id % 5 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |      WHEN doc_id % 5 = 3 THEN ' mail a' || doc_id || '@b.org or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END AS t2
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, t2,
+         |    regexp_replace(regexp_replace(t2, '$email', '[EMAIL]', 'g'),
+         |                   '$phone', '[PHONE]', 'g') AS clean
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, '$phone')) AS INT) AS n_phones,
+         |  ${hash32Sql("clean")} AS clean_hash,
+         |  CAST(length(clean) AS INT) AS clean_len
+         |FROM r ORDER BY doc_id""".stripMargin
+    }
   )
 }
