@@ -166,6 +166,65 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: compaction of the replica store ----------------------------
+    // Three time-split micro-batches leave the manifest referencing
+    // buckets across several version dirs (any bucket the last batch
+    // didn't touch is carried over); compactReplica consolidates every
+    // carried-over or multi-file bucket into one fresh version (one
+    // job, hash-routed by bucket id) WITHOUT changing content — the
+    // oracle is the same global latest-state the un-compacted replica
+    // serves. The maintenance operation every CDC sink needs at scale:
+    // update skew otherwise pins ever more version dirs and small
+    // files alive.
+    "cdc_replica_compact" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-compact")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val cuts = Seq(mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+      val orderCols = Seq(col("ts"), col("event_id"))
+      val parts = Seq(
+        ev.filter(unix_millis($"ts") < cuts(0)),
+        ev.filter(unix_millis($"ts") >= cuts(0) &&
+          unix_millis($"ts") < cuts(1)),
+        ev.filter(unix_millis($"ts") >= cuts(1)))
+      parts.foreach(b =>
+        CdcStream.applyBatchToReplica(replica, b, Seq("user_id"), orderCols))
+      CdcStream.compactReplica(s, replica)
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
+    // --- cdc: snapshot (time-travel) read of a previous version ----------
+    // Two time-split batches commit v1 then v2; reading AT v1 returns
+    // exactly the post-batch-1 state — the versioned-pointer layout's
+    // read-side dividend (what Delta calls time travel), and the GC
+    // grace window that protects in-flight readers is what keeps the
+    // previous version readable.
+    "cdc_replica_snapshot" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-snapshot")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val orderCols = Seq(col("ts"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols)
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), orderCols)
+      CdcStream.readReplicaAt(s, replica, 1).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: packed-offset arithmetic round-trip ------------------------
     "cdc_offset_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -278,6 +337,35 @@ object EventQueries {
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' AND user_id % 3 = 1
+         |ORDER BY user_id""".stripMargin,
+
+    "cdc_replica_compact" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
+
+    // the snapshot at v1 is the latest state over the FIRST HALF only
+    // (same midpoint integer arithmetic as the Spark-side time split)
+    "cdc_replica_snapshot" ->
+      s"""WITH mm AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |h AS (
+         |  SELECT * FROM events, mm
+         |  WHERE epoch_ms(CAST(ts AS TIMESTAMP)) < mn + (mx - mn) // 2)
+         |SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM h)
+         |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
 
     "cdc_offset_roundtrip" ->

@@ -314,6 +314,113 @@ object CdcStream {
       }
     }
 
+  /** Read a SPECIFIC committed version — the time-travel read. A
+    * version stays readable while any bucket of the current or
+    * previous manifest still references its directory (carried-over
+    * buckets keep old version dirs alive indefinitely; fully-rewritten
+    * ones survive exactly one GC grace window, so the PREVIOUS version
+    * is always readable). None when the version was GC'd, never
+    * committed, or is committed-but-empty.
+    */
+  def readReplicaAt(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, version: Long): Option[DataFrame] = {
+    val name = f"v$version%09d"
+    if (!new java.io.File(replicaDir, name).isDirectory) None
+    else readManifest(replicaDir, name) match {
+      case Some(m) if m.buckets.nonEmpty =>
+        // a referenced older version dir may itself have been GC'd only
+        // if nothing points at it — verify the files are still present
+        val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
+        if (paths.forall(p => new java.io.File(p).exists()))
+          Some(spark.read.parquet(paths: _*))
+        else None
+      case Some(_) => None // committed but empty
+      case None => Some(spark.read.parquet(s"$replicaDir/$name"))
+    }
+  }
+
+  /** Committed versions whose manifests are still on disk (newest
+    * last) — the time-travel surface [[readReplicaAt]] serves.
+    */
+  def replicaVersions(replicaDir: String): Seq[Long] =
+    Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}"))
+      .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
+
+  /** Compact the live replica: rewrite into one fresh version every
+    * bucket that is either MULTI-FILE (more than `targetFilesPerBucket`
+    * parquet files — small-file read amplification) or CARRIED OVER
+    * from an older version dir (version sprawl: a bucket untouched for
+    * N batches pins its N-batches-old version directory alive, so the
+    * version-dir count — and the GC floor — grows with update skew).
+    * One job — rows hash-route by bucket id, so each bucket lands in
+    * one task and one output file. Content-identical to the
+    * pre-compaction replica; after the flip the manifest references a
+    * single version dir and everything older becomes GC-able as soon
+    * as the previous-version reader grace expires. Cost is
+    * O(rewritten buckets), not O(versions).
+    */
+  def compactReplica(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, targetFilesPerBucket: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cur = currentVersion(replicaDir)
+    if (cur.isEmpty) return
+    val (v, name) = cur.get
+    val prev = readManifest(replicaDir, name)
+    if (prev.isEmpty) return // pre-bucket flat layout: migrated by the next merge
+    val m = prev.get
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val fragmented = m.buckets.filter { case (_, p) =>
+      !p.startsWith(s"$name/") ||
+        parquetFiles(s"$replicaDir/$p") > targetFilesPerBucket
+    }
+    if (fragmented.isEmpty) return
+    val nextName = f"v${v + 1}%09d"
+    fragmented.toSeq.sortBy(_._1)
+      .map { case (k, p) =>
+        spark.read.parquet(s"$replicaDir/$p").withColumn("__bucket", lit(k)) }
+      .reduce(_ unionByName _)
+      .repartition(fragmented.size, org.apache.spark.sql.functions.col("__bucket"))
+      .write.partitionBy("__bucket").parquet(s"$replicaDir/$nextName/data")
+    val newBuckets = m.buckets ++ fragmented.keys
+      .map(k => k -> s"$nextName/data/__bucket=$k")
+    publishVersion(replicaDir, nextName,
+      ReplicaManifest(m.numBuckets, newBuckets), prev, cur.map(_._2))
+  }
+
+  /** Write the manifest for `nextName`, atomically flip CURRENT to it,
+    * and GC version dirs referenced by NEITHER the new manifest NOR the
+    * previous one (a concurrent reader that resolved CURRENT just
+    * before the flip is still scanning the previous version's buckets).
+    * Best effort; failure leaves garbage, not loss.
+    */
+  private def publishVersion(replicaDir: String, nextName: String,
+      next: ReplicaManifest, prev: Option[ReplicaManifest],
+      curName: Option[String]): Unit = {
+    writeManifest(replicaDir, nextName, next)
+    val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
+    java.nio.file.Files.write(tmpPtr,
+      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def refs(m: Option[ReplicaManifest]): Set[String] =
+      m.map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
+    val retain = refs(Some(next)) ++ refs(prev) + nextName + curName.getOrElse("")
+    Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !retain.contains(f.getName))
+      .foreach { old =>
+        def delete(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+          f.delete()
+        }
+        delete(old)
+      }
+  }
+
   /** Apply one CDC micro-batch to the bucketed versioned parquet
     * replica (idCols upsert + delete) — `foreachBatch` body reproducing
     * the reference's downstream partition-scoped `MERGE` pattern
@@ -377,33 +484,7 @@ object CdcStream {
       .map(_.getName.stripPrefix("__bucket=").toInt)
     val newBuckets = (prevBuckets -- touched) ++
       written.map(k => k -> s"$nextName/data/__bucket=$k")
-    writeManifest(replicaDir, nextName, ReplicaManifest(nb, newBuckets))
-
-    // publish: write pointer aside, atomically move over CURRENT
-    val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
-    java.nio.file.Files.write(tmpPtr,
-      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-
-    // GC version dirs referenced by NEITHER the new manifest NOR the
-    // previous one (a concurrent reader that resolved CURRENT just
-    // before the flip is still scanning the previous version's
-    // buckets). Best effort; failure leaves garbage, not loss.
-    def refs(m: Option[ReplicaManifest]): Set[String] =
-      m.map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
-    val retain = refs(Some(ReplicaManifest(nb, newBuckets))) ++ refs(prev) +
-      nextName + cur.map(_._2).getOrElse("")
-    Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        !retain.contains(f.getName))
-      .foreach { old =>
-        def delete(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
-          f.delete()
-        }
-        delete(old)
-      }
+    publishVersion(replicaDir, nextName, ReplicaManifest(nb, newBuckets),
+      prev, cur.map(_._2))
   }
 }

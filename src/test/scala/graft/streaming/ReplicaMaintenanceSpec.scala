@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Compaction and time-travel behavior of the bucketed versioned
+  * replica store: content preservation, file-count reduction, no-op
+  * detection, version listing, and previous-version readability.
+  */
+class ReplicaMaintenanceSpec extends SparkSuite {
+
+  import graft.SparkSuite.spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("replica-maint").toString
+
+  private def batch(rows: Seq[(Long, String, String)]) =
+    rows.toDF("id", "v", "op")
+
+  private def bucketFileCounts(replicaDir: String): Map[String, Int] = {
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replicaDir, "CURRENT")).trim
+    Option(new java.io.File(s"$replicaDir/$cur/data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles().count(f =>
+        f.isFile && f.getName.endsWith(".parquet"))).toMap
+  }
+
+  private def content(replicaDir: String): Seq[(Long, String)] =
+    CdcStream.readReplica(spark, replicaDir).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  private def manifestVersionDirs(replicaDir: String): Set[String] = {
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replicaDir, "CURRENT")).trim
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replicaDir, cur, "manifest.json"))
+    "v[0-9]{9}".r.findAllIn(json).toSet
+  }
+
+  test("compaction consolidates carried-over buckets into one version, content-identical") {
+    val dir = freshDir()
+    // each batch touches a DIFFERENT key subset, so later manifests
+    // carry over earlier versions' untouched buckets — version sprawl
+    (0 until 3).foreach { b =>
+      CdcStream.applyBatchToReplica(dir,
+        batch((0L until 16L).map(i => (b * 100L + i, s"b$b-$i", "update"))),
+        idCols = Seq("id"), orderCols = Seq(col("v")))
+    }
+    val before = content(dir)
+    val dirsBefore = manifestVersionDirs(dir)
+    assert(dirsBefore.size > 2,
+      s"fixture failed to spread buckets across version dirs: $dirsBefore")
+    val curBefore = CdcStream.replicaVersions(dir).max
+    CdcStream.compactReplica(spark, dir)
+    assert(content(dir) == before)
+    // stale buckets moved to the new version; buckets already in the
+    // compact-time current version carry over by reference (rewriting
+    // them would be wasted IO) — so the manifest references at most
+    // {new, previous-current}, and every older dir is unpinned
+    val dirsAfter = manifestVersionDirs(dir)
+    assert(dirsAfter.subsetOf(Set(f"v${curBefore + 1}%09d", f"v$curBefore%09d")),
+      dirsAfter.toString)
+    val after = bucketFileCounts(dir)
+    assert(after.nonEmpty && after.values.forall(_ == 1), after.toString)
+  }
+
+  test("compaction is a no-op on an already-compact replica") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"), (2L, "b", "update"))).coalesce(1),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    CdcStream.compactReplica(spark, dir) // first compact may rewrite
+    val v = CdcStream.replicaVersions(dir).max
+    CdcStream.compactReplica(spark, dir)
+    assert(CdcStream.replicaVersions(dir).max == v,
+      "no-op compaction must not commit a new version")
+  }
+
+  test("time travel: the previous version reads back its exact state") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "v1", "update"), (2L, "v1", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((2L, "v2", "update"), (3L, "v2", "update"),
+        (1L, "", "delete"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    assert(CdcStream.replicaVersions(dir) == Seq(1L, 2L))
+    val snap = CdcStream.readReplicaAt(spark, dir, 1).get
+      .select($"id", $"v").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    assert(snap == Seq((1L, "v1"), (2L, "v1")))
+    assert(content(dir) == Seq((2L, "v2"), (3L, "v2")))
+    // a never-committed version is None, not an error
+    assert(CdcStream.readReplicaAt(spark, dir, 99).isEmpty)
+  }
+}
