@@ -55,6 +55,32 @@ object RetrievalQueries {
 
   val defs: Map[String, QFn] = Map(
 
+    // --- mean-inverse-token-frequency rarity scoring ---------------------
+    // The unigram-LM quality-scoring shape without the log (ln is not
+    // IEEE-exact cross-engine): a doc's score is the mean over its
+    // tokens of T/freq(token) — high = rare vocabulary, low = stock
+    // phrasing. Corpus term frequencies are one keyed partial agg (the
+    // unigram "model"); the join-back is a term equi-join; the per-doc
+    // sum folds ratios in term-sorted order (duplicate terms carry
+    // identical ratios, so the fold is total-order deterministic).
+    "llm_rarity_score" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", explode(tokens($"text")).as("term"))
+      val freq = toks.groupBy($"term").agg(count(lit(1)).as("freq"))
+      val t = freq.agg(sum($"freq")).head().getLong(0) // corpus token count
+      val scored = toks.join(freq, "term")
+        .withColumn("ratio",
+          lit(t).cast("double") / $"freq".cast("double"))
+      scored.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          aggregate(transform(sort_array(collect_list(struct($"term", $"ratio"))),
+            x => x("ratio")), lit(0.0), (acc, x) => acc + x).as("rarity_sum"))
+        .withColumn("rarity_mean",
+          $"rarity_sum" / $"n_tokens".cast("double"))
+        .orderBy($"doc_id")
+    },
+
     // --- BM25 top-k keyword retrieval (inverted-index shape) ------------
     // tf/df/dl are exact int64 postings aggregates; the per-(doc,term)
     // score is (idf_num/idf_den) * (tf_num/tf_den) — two divisions and
@@ -129,6 +155,26 @@ object RetrievalQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+
+    "llm_rarity_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |tk AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d),
+         |f AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+         |t AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM f),
+         |sc AS (
+         |  SELECT tk.doc_id, tk.term,
+         |    CAST(t.t AS DOUBLE) / CAST(f.freq AS DOUBLE) AS ratio
+         |  FROM tk JOIN f USING (term) CROSS JOIN t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(ratio ORDER BY term)), (acc, x) -> acc + x) AS rarity_sum,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(ratio ORDER BY term)), (acc, x) -> acc + x)
+         |    / CAST(count(*) AS DOUBLE) AS rarity_mean
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_bm25_topk" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")

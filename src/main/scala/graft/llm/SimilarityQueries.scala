@@ -139,6 +139,9 @@ object SimilarityQueries {
     */
   val SemDedupTau = 0.35
 
+  /** Reciprocal-rank-fusion smoothing constant (the standard k=60). */
+  val RrfK = 60
+
   val defs: Map[String, QFn] = Map(
 
     // --- brute-force cosine top-k (exact ANN baseline) ------------------
@@ -237,6 +240,52 @@ object SimilarityQueries {
         .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
         .select($"vec_id", $"cell", $"p".isNull.as("keep"))
         .orderBy($"vec_id")
+    },
+
+    // --- hybrid retrieval: reciprocal-rank fusion ------------------------
+    // Fuse two retrieval systems' per-query top-k lists (here: exact
+    // cosine and the int8 quantized dot — in production, BM25 + dense)
+    // by RRF: score = Σ 1/(k + rank). Rank inputs are exact ints, each
+    // term is ONE division, and the two terms add in fixed written
+    // order — bit-exact cross-engine. The scale shape: fusion only ever
+    // touches the bounded top-k lists (a (query, doc) equi-join), never
+    // the corpus — whatever produced the lists did the heavy lifting.
+    "llm_hybrid_rrf" -> { (s, dir) =>
+      import s.implicits._
+      val base = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
+          transform($"embedding",
+            x => floor(x.cast("double") * lit(Sq8Scale.toDouble)).cast("long"))
+            .as("qv")), "rrf-base")
+      val q = base.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"norm".as("qn"), $"qv".as("qqv"))
+      val scored = base.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
+        .withColumn("qdot", aggregate(zip_with($"qqv", $"qv", (a, c) => a * c),
+          lit(0L), (acc, x) => acc + x))
+      val wc = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      val wq = Window.partitionBy($"query_id")
+        .orderBy($"qdot".desc, $"vec_id".asc)
+      val ranked = scored
+        .withColumn("r_cos", row_number().over(wc))
+        .withColumn("r_q", row_number().over(wq))
+      val topC = ranked.filter($"r_cos" <= TopK)
+        .select($"query_id", $"vec_id", $"r_cos")
+      val topQ = ranked.filter($"r_q" <= TopK)
+        .select($"query_id", $"vec_id", $"r_q")
+      val fused = topC.join(topQ, Seq("query_id", "vec_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfK) + $"r_cos").cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"r_q").cast("double"), lit(0.0)))
+      val wf = Window.partitionBy($"query_id")
+        .orderBy($"rrf".desc, $"vec_id".asc)
+      fused.withColumn("rank", row_number().over(wf))
+        .filter($"rank" <= TopK)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+          $"r_cos", $"r_q", $"rrf")
+        .orderBy($"query_id", $"rank")
     }
   )
 
@@ -491,6 +540,51 @@ object SimilarityQueries {
          |  FROM cand)
          |SELECT query_id, CAST(rk AS INT) AS rank, neighbor_id, qdot, cos_sim
          |FROM r WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
+
+    "llm_hybrid_rrf" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $normSql AS norm,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * CAST($Sq8Scale AS DOUBLE)) AS BIGINT))
+         |      AS qv
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn, qv AS qqv
+         |  FROM b WHERE vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT q.query_id, b.vec_id,
+         |    ${dotSql("q.qe", "b.embedding")} / (q.qn * b.norm) AS cos_sim,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, ${Dim + 1}), k -> q.qqv[k] * b.qv[k])),
+         |      (acc, x) -> acc + x) AS qdot
+         |  FROM b, q WHERE b.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id ASC) AS r_cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY qdot DESC, vec_id ASC) AS r_q
+         |  FROM sc),
+         |tc AS (SELECT query_id, vec_id, CAST(r_cos AS INT) AS r_cos
+         |       FROM r WHERE r_cos <= $TopK),
+         |tq AS (SELECT query_id, vec_id, CAST(r_q AS INT) AS r_q
+         |       FROM r WHERE r_q <= $TopK),
+         |f AS (
+         |  SELECT coalesce(tc.query_id, tq.query_id) AS query_id,
+         |    coalesce(tc.vec_id, tq.vec_id) AS vec_id, tc.r_cos, tq.r_q,
+         |    coalesce(CAST(1.0 AS DOUBLE) / CAST($RrfK + tc.r_cos AS DOUBLE),
+         |             CAST(0.0 AS DOUBLE)) +
+         |    coalesce(CAST(1.0 AS DOUBLE) / CAST($RrfK + tq.r_q AS DOUBLE),
+         |             CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM tc FULL OUTER JOIN tq
+         |    ON tc.query_id = tq.query_id AND tc.vec_id = tq.vec_id)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id AS neighbor_id,
+         |  r_cos, r_q, rrf
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf DESC, vec_id ASC) AS rk
+         |  FROM f)
+         |WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
 
     "llm_semantic_dedup" ->
       s"""WITH cent AS (

@@ -53,6 +53,28 @@ class QuantizedAnnSpec extends SparkSuite {
     }
   }
 
+  test("rrf: scores recompute exactly from the member ranks and ranks are dense") {
+    val k = SimilarityQueries.RrfK
+    val rows = SimilarityQueries.defs("llm_hybrid_rrf")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+    }
+    rows.foreach { r =>
+      def term(f: String): Double =
+        if (r.isNullAt(r.fieldIndex(f))) 0.0
+        else 1.0 / (k + r.getAs[Int](f)).toDouble
+      assert(r.getAs[Double]("rrf") == term("r_cos") + term("r_q"))
+      // a fused member must come from at least one system's top-k
+      assert(!r.isNullAt(r.fieldIndex("r_cos")) || !r.isNullAt(r.fieldIndex("r_q")))
+    }
+    // a doc ranked top by BOTH systems must be fused rank 1
+    rows.filter(r => !r.isNullAt(r.fieldIndex("r_cos")) &&
+        !r.isNullAt(r.fieldIndex("r_q")) &&
+        r.getAs[Int]("r_cos") == 1 && r.getAs[Int]("r_q") == 1)
+      .foreach(r => assert(r.getAs[Int]("rank") == 1))
+  }
+
   test("semantic dedup: prune decisions match brute-force within-cell cosine") {
     val out = SimilarityQueries.defs("llm_semantic_dedup")(spark, sfDir).collect()
     val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap

@@ -75,6 +75,26 @@ class RetrievalSpec extends SparkSuite {
     assert(flagged > 0 && flagged < out.count())
   }
 
+  test("rarity: values match an exact driver-side recomputation") {
+    import graft.SparkSuite.spark.implicits._
+    val texts = docs.select($"doc_id", lower($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val freq = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val t = freq.values.sum
+    val out = RetrievalQueries.defs("llm_rarity_score")(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"rarity_mean").collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val toks = texts(r.getLong(0))
+      assert(r.getLong(1) == toks.size)
+      // same term-sorted sequential fold → bit-identical double
+      val sum = toks.sorted.foldLeft(0.0)((acc, w) =>
+        acc + t.toDouble / freq(w).toDouble)
+      assert(r.getDouble(2) == sum / toks.size.toDouble,
+        s"doc ${r.getLong(0)}: ${r.getDouble(2)} vs ${sum / toks.size}")
+    }
+  }
+
   test("boilerplate: ratio stays in [0,1] and respects n_boiler <= n_shingles") {
     import graft.SparkSuite.spark.implicits._
     val out = RetrievalQueries.defs("llm_boilerplate")(spark, sfDir)

@@ -116,6 +116,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("llm_rarity_score: frequency join-back is keyed, aggregates are partial+final") {
+    val p = plan("llm_rarity_score")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_hybrid_rrf: fusion joins bounded top-k lists only, no cartesian") {
+    val p = plan("llm_hybrid_rrf")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("llm_semantic_dedup: within-cell pairing is a cell equi-join, no cartesian") {
     val p = plan("llm_semantic_dedup")
     assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("cell#")),
