@@ -191,6 +191,16 @@ object CdcStream {
   private val Pointer = "CURRENT"
   val DefaultReplicaBuckets = 16
 
+  /** Thrown when a commit loses the optimistic-concurrency race: another
+    * writer committed a version with the same number first. The loser's
+    * staging data is cleaned up; retry by re-running the batch against
+    * the new current version.
+    */
+  final class ConcurrentReplicaWriteException(message: String)
+    extends RuntimeException(message)
+
+  private val stagingCounter = new java.util.concurrent.atomic.AtomicLong()
+
   private final case class ReplicaManifest(numBuckets: Int, buckets: Map[Int, String])
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
@@ -218,8 +228,7 @@ object CdcStream {
     Some(ReplicaManifest(nb, buckets.toMap))
   }
 
-  private def writeManifest(replicaDir: String, version: String,
-      m: ReplicaManifest): Unit = {
+  private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
     val sw = new java.io.StringWriter()
     val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
     g.writeStartObject()
@@ -229,8 +238,8 @@ object CdcStream {
     g.writeEndObject()
     g.writeEndObject()
     g.close()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(replicaDir, version, "manifest.json"),
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("manifest.json"),
       sw.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -254,7 +263,9 @@ object CdcStream {
     currentVersion(replicaDir).flatMap { case (_, name) =>
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty =>
-          Some(spark.read.parquet(
+          // merge footer schemas: buckets written at different versions
+          // may differ after additive schema evolution
+          Some(spark.read.option("mergeSchema", "true").parquet(
             m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*))
         case Some(_) => None // committed but empty
         case None => Some(spark.read.parquet(s"$replicaDir/$name"))
@@ -289,8 +300,10 @@ object CdcStream {
           // before bucket derivation, or a type-skewed caller would be
           // pruned to the WRONG bucket and silently get no rows (the
           // semi-join alone would have coerced and matched)
-          val replicaTypes = spark.read.parquet(allPaths: _*).schema
-            .fields.map(f => f.name -> f.dataType).toMap
+          val fullSchema = spark.read.option("mergeSchema", "true")
+            .parquet(allPaths: _*).schema
+          val replicaTypes =
+            fullSchema.fields.map(f => f.name -> f.dataType).toMap
           val typedKeys = keys.select(idCols.map { c =>
             val t = replicaTypes.getOrElse(c, throw new IllegalArgumentException(
               s"readReplicaForKeys: idCol $c not in replica schema " +
@@ -303,9 +316,20 @@ object CdcStream {
           val paths = m.buckets.collect {
             case (k, p) if candidate(k) => s"$replicaDir/$p"
           }.toSeq.sorted
-          val base =
-            if (paths.nonEmpty) spark.read.parquet(paths: _*)
-            else spark.read.parquet(allPaths: _*).limit(0) // schema only
+          val pruned =
+            if (paths.nonEmpty)
+              spark.read.option("mergeSchema", "true").parquet(paths: _*)
+            else spark.read.option("mergeSchema", "true")
+              .parquet(allPaths: _*).limit(0) // schema only
+          // project to the FULL replica schema: after additive schema
+          // evolution a pruned bucket may predate a column — the lookup
+          // must still present it (as NULL), exactly like the full read
+          val have = pruned.columns.toSet
+          val base = pruned.select(fullSchema.fields.map { f =>
+            if (have(f.name)) pruned(f.name)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }.toSeq: _*)
           Some(base.join(broadcast(typedKeys), idCols, "left_semi"))
         case Some(_) => None // committed but empty
         case None => // pre-bucket flat layout: no pruning metadata
@@ -332,7 +356,7 @@ object CdcStream {
         // if nothing points at it — verify the files are still present
         val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
         if (paths.forall(p => new java.io.File(p).exists()))
-          Some(spark.read.parquet(paths: _*))
+          Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
         else None
       case Some(_) => None // committed but empty
       case None => Some(spark.read.parquet(s"$replicaDir/$name"))
@@ -378,47 +402,143 @@ object CdcStream {
     }
     if (fragmented.isEmpty) return
     val nextName = f"v${v + 1}%09d"
+    val staging = newStagingDir(replicaDir)
     fragmented.toSeq.sortBy(_._1)
       .map { case (k, p) =>
         spark.read.parquet(s"$replicaDir/$p").withColumn("__bucket", lit(k)) }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .repartition(fragmented.size, org.apache.spark.sql.functions.col("__bucket"))
-      .write.partitionBy("__bucket").parquet(s"$replicaDir/$nextName/data")
+      .write.partitionBy("__bucket").parquet(s"$staging/data")
     val newBuckets = m.buckets ++ fragmented.keys
       .map(k => k -> s"$nextName/data/__bucket=$k")
-    publishVersion(replicaDir, nextName,
+    publishVersion(replicaDir, staging, nextName,
       ReplicaManifest(m.numBuckets, newBuckets), prev, cur.map(_._2))
   }
 
-  /** Write the manifest for `nextName`, atomically flip CURRENT to it,
-    * and GC version dirs referenced by NEITHER the new manifest NOR the
-    * previous one (a concurrent reader that resolved CURRENT just
-    * before the flip is still scanning the previous version's buckets).
-    * Best effort; failure leaves garbage, not loss.
+  /** A fresh staging directory under `replicaDir` for a writer to
+    * assemble its version in. Hidden from readers (only `v*` dirs are
+    * version-visible) and GC'd when stale (a crashed writer's debris).
     */
-  private def publishVersion(replicaDir: String, nextName: String,
-      next: ReplicaManifest, prev: Option[ReplicaManifest],
+  private def newStagingDir(replicaDir: String): String = {
+    val p = java.nio.file.Paths.get(replicaDir,
+      s".staging-${System.nanoTime()}-${stagingCounter.incrementAndGet()}")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Commit the version assembled in `stagingDir` as `nextName` —
+    * OPTIMISTIC CONCURRENCY, Delta-commit style:
+    *
+    *  1. the manifest is written INTO the staging dir, so the directory
+    *     is complete before it becomes visible;
+    *  2. the staging dir atomically RENAMES to `<replicaDir>/<nextName>`
+    *     — version numbers are dense, so two writers based on the same
+    *     current version race for the same name and the filesystem
+    *     admits exactly one. The loser's staging is deleted and
+    *     [[ConcurrentReplicaWriteException]] thrown (retry = re-run the
+    *     batch against the new current);
+    *  3. an existing `nextName` that is neither current nor referenced
+    *     by the current manifest is a CRASHED writer's complete-but-
+    *     unpublished orphan (crash between rename and pointer flip) —
+    *     it is deleted and the rename retried once;
+    *  3b. the flip is a guarded COMPARE-AND-SWAP: under a writer-only
+    *     lock file, CURRENT must still equal the version this commit
+    *     was based on — the rename alone cannot catch a competitor that
+    *     advanced several versions and whose GC freed this writer's
+    *     target name (a blind flip would move CURRENT backward);
+    *  4. the CURRENT pointer flips atomically; then version dirs
+    *     referenced by NEITHER the new manifest NOR the previous one
+    *     are GC'd (a concurrent reader that resolved CURRENT just
+    *     before the flip is still scanning the previous version's
+    *     buckets — one version of grace). Best effort; failure leaves
+    *     garbage, not loss. Stale staging debris older than an hour is
+    *     swept opportunistically.
+    */
+  private def publishVersion(replicaDir: String, stagingDir: String,
+      nextName: String, next: ReplicaManifest, prev: Option[ReplicaManifest],
       curName: Option[String]): Unit = {
-    writeManifest(replicaDir, nextName, next)
-    val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
-    java.nio.file.Files.write(tmpPtr,
-      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    writeManifestTo(java.nio.file.Paths.get(stagingDir), next)
+    val target = java.nio.file.Paths.get(replicaDir, nextName)
+    def rename(): Boolean =
+      try {
+        java.nio.file.Files.move(java.nio.file.Paths.get(stagingDir), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.nio.file.FileSystemException => false }
+    if (!rename()) {
+      // `nextName` exists: a live competitor's commit, or a crashed
+      // writer's unpublished orphan (not current, not referenced)
+      val liveRefs = currentVersion(replicaDir).map { case (_, n) =>
+        readManifest(replicaDir, n)
+          .map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet)
+          .getOrElse(Set.empty) + n
+      }.getOrElse(Set.empty[String])
+      val orphan = !liveRefs.contains(nextName)
+      if (orphan) deleteRecursively(target.toFile)
+      if (orphan && rename()) ()
+      else {
+        deleteRecursively(new java.io.File(stagingDir))
+        throw new ConcurrentReplicaWriteException(
+          s"replica $replicaDir: version $nextName was committed by a " +
+            "concurrent writer; re-run this batch against the new current version")
+      }
+    }
+    // The rename alone is NOT a sufficient lock: a competitor that
+    // advanced CURRENT several versions (and whose GC freed this
+    // writer's target name) would let the rename succeed and the blind
+    // flip would move CURRENT BACKWARD, clobbering its commits. So the
+    // flip is a guarded compare-and-swap: under a writer-only lock
+    // file (stale-broken after 60 s — a crashed writer must not wedge
+    // the replica), CURRENT must still equal the version this batch
+    // was BASED on. On a real metastore this check-and-flip is one CAS.
+    val lock = java.nio.file.Paths.get(replicaDir, ".commit-lock")
+    def acquire(): Boolean =
+      try { java.nio.file.Files.createFile(lock); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.currentTimeMillis() - lock.toFile.lastModified > 60000L) {
+            lock.toFile.delete()
+            try { java.nio.file.Files.createFile(lock); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          } else false
+      }
+    def conflict(msg: String): Nothing = {
+      deleteRecursively(target.toFile)
+      throw new ConcurrentReplicaWriteException(
+        s"replica $replicaDir: $msg; re-run this batch against the new " +
+          "current version")
+    }
+    if (!acquire()) conflict("another writer is mid-commit")
+    try {
+      val nowCur = currentVersion(replicaDir).map(_._2)
+      if (nowCur != curName)
+        conflict(s"based on ${curName.getOrElse("<empty>")} but current " +
+          s"is now ${nowCur.getOrElse("<empty>")}")
+      val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
+      java.nio.file.Files.write(tmpPtr,
+        nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally lock.toFile.delete()
     def refs(m: Option[ReplicaManifest]): Set[String] =
       m.map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
     val retain = refs(Some(next)) ++ refs(prev) + nextName + curName.getOrElse("")
+    val now = System.currentTimeMillis()
     Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        !retain.contains(f.getName))
-      .foreach { old =>
-        def delete(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
-          f.delete()
-        }
-        delete(old)
+      .filter { f =>
+        f.isDirectory &&
+          ((f.getName.startsWith("v") && !retain.contains(f.getName)) ||
+            (f.getName.startsWith(".staging-") &&
+              now - f.lastModified() > 3600L * 1000))
       }
+      .foreach(deleteRecursively)
   }
 
   /** Apply one CDC micro-batch to the bucketed versioned parquet
@@ -466,25 +586,33 @@ object CdcStream {
     val base = legacyFlat match {
       case Some(flat) => spark.read.parquet(flat)
       case None if touchedPaths.isEmpty => upserts.limit(0)
-      case None => spark.read.parquet(touchedPaths: _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(touchedPaths: _*)
     }
+    // ADDITIVE SCHEMA EVOLUTION: a batch introducing a new column
+    // widens the replica (carried-over rows read back NULL for it); a
+    // batch missing a replica column null-fills it. Readers merge
+    // footer schemas across buckets written at different versions.
     val merged = base.join(broadcast(keys), idCols, "left_anti")
-      .unionByName(upserts)
+      .unionByName(upserts, allowMissingColumns = true)
 
     val nextV = cur.map(_._1 + 1).getOrElse(1L)
     val nextName = f"v$nextV%09d"
+    // assemble in a private staging dir; the rename in publishVersion
+    // is the commit point (and the optimistic-concurrency lock)
+    val staging = newStagingDir(replicaDir)
     merged.withColumn("__bucket", bucketOf)
       .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$replicaDir/$nextName/data")
+      .parquet(s"$staging/data")
 
     // buckets actually written (a delete can empty one entirely)
-    val written = Option(new java.io.File(s"$replicaDir/$nextName/data").listFiles())
+    val written = Option(new java.io.File(s"$staging/data").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
       .map(_.getName.stripPrefix("__bucket=").toInt)
     val newBuckets = (prevBuckets -- touched) ++
       written.map(k => k -> s"$nextName/data/__bucket=$k")
-    publishVersion(replicaDir, nextName, ReplicaManifest(nb, newBuckets),
-      prev, cur.map(_._2))
+    publishVersion(replicaDir, staging, nextName,
+      ReplicaManifest(nb, newBuckets), prev, cur.map(_._2))
   }
 }

@@ -79,6 +79,78 @@ class ReplicaMaintenanceSpec extends SparkSuite {
       "no-op compaction must not commit a new version")
   }
 
+  test("optimistic concurrency: the slower of two same-base writers gets a conflict") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "base", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    // a batch whose EVALUATION commits a competing version first: the
+    // side effect fires from an executor task during the outer write,
+    // after the outer writer has already chosen its version number
+    val competing = udf { (id: Long) =>
+      CdcStream.applyBatchToReplica(dir,
+        batch(Seq((9L, "sneak", "update"))).coalesce(1),
+        idCols = Seq("id"), orderCols = Seq(col("v")))
+      id
+    }
+    val trojan = batch(Seq((2L, "outer", "update")))
+      .withColumn("id", competing(col("id")))
+    intercept[CdcStream.ConcurrentReplicaWriteException] {
+      CdcStream.applyBatchToReplica(dir, trojan,
+        idCols = Seq("id"), orderCols = Seq(col("v")))
+    }
+    // the winner's commit is intact; the loser left no version behind
+    assert(content(dir) == Seq((1L, "base"), (9L, "sneak")))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".staging-")),
+      "loser staging dir must be cleaned up")
+  }
+
+  test("orphan recovery: a crashed writer's unpublished version is replaced") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    // simulate a crash between rename and pointer flip: a complete v2
+    // exists but CURRENT still points at v1
+    val v1 = new java.io.File(dir, "v000000001")
+    val orphan = new java.io.File(dir, "v000000002")
+    def copy(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => copy(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copy(v1, orphan)
+    // the next writer claims v2 for itself: deletes the orphan, commits
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((2L, "b", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    assert(content(dir) == Seq((1L, "a"), (2L, "b")))
+    assert(CdcStream.replicaVersions(dir).max == 2L)
+  }
+
+  test("additive schema evolution: a new column widens the replica, old rows read NULL") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"), (2L, "b", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    // second batch carries an extra column and touches only id=2
+    CdcStream.applyBatchToReplica(dir,
+      Seq((2L, "b2", "fresh", "update")).toDF("id", "v", "extra", "op"),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    val out = CdcStream.readReplica(spark, dir).get
+      .select($"id", $"v", $"extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "a", None), (2L, "b2", Some("fresh"))))
+    // the key-pruned read path sees the merged schema too
+    val look = CdcStream.readReplicaForKeys(spark, dir, Seq("id"),
+      Seq(1L).toDF("id")).get.select($"id", $"extra").collect()
+    assert(look.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None)))
+  }
+
   test("time travel: the previous version reads back its exact state") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
