@@ -125,6 +125,40 @@ object RetrievalQueries {
         .orderBy($"rank")
     },
 
+    // --- collocation / phrase mining (PMI-shaped lift, rational form) ---
+    // The phrase-vocabulary primitive of tokenizer and n-gram-LM prep:
+    // adjacent-token bigram counts vs their parts' unigram counts.
+    // lift = N·c(ab) / (c(a)·c(b)) is PMI without the log (ln is not
+    // IEEE-exact cross-engine; ranking per pair is unchanged). Scale
+    // shape: two postings streams (unigram + bigram) aggregated
+    // map-side; the join-back is keyed on the term (vocab-sized, NOT
+    // corpus-sized); top-k plans as TakeOrderedAndProject. The exact
+    // int64 products stay in range as long as N·c(ab) < 2^63 — at
+    // larger corpora pre-scale the counts (llm_domain_mix's trick).
+    "llm_collocations" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.select(tokens($"text").as("t"))
+      val uni = d.select(explode($"t").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cw"))
+      val pairs = d.filter(size($"t") >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(t) - 2),
+            |  i -> struct(element_at(t, i + 1) AS a,
+            |              element_at(t, i + 2) AS b))""".stripMargin)).as("p"))
+        .select($"p.a", $"p.b")
+      val big = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("n_pair"))
+      val tot = big.agg(sum($"n_pair").as("n_total"))
+      big.join(uni.select($"w".as("a"), $"cw".as("n_a")), "a")
+        .join(uni.select($"w".as("b"), $"cw".as("n_b")), "b")
+        .crossJoin(broadcast(tot))
+        .filter($"n_pair" >= 5)
+        .withColumn("lift", ($"n_total" * $"n_pair").cast("double") /
+          ($"n_a" * $"n_b").cast("double"))
+        .select($"a", $"b", $"n_pair", $"n_a", $"n_b", $"lift")
+        .orderBy($"n_pair".desc, $"a", $"b")
+        .limit(50)
+    },
+
     // --- corpus boilerplate detection (document-frequency filter) -------
     // The boilerplate-removal primitive of web-scale curation: distinct
     // shingles explode into a postings stream, df is a keyed partial
@@ -211,6 +245,27 @@ object RetrievalQueries {
          |SELECT CAST(rk AS INT) AS rank, doc_id, n_terms, score
          |FROM r WHERE rk <= $Bm25TopK ORDER BY rank""".stripMargin
     },
+
+    "llm_collocations" ->
+      s"""WITH d AS (
+         |  SELECT $toksSql AS t FROM documents),
+         |uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+         |p AS (
+         |  SELECT s.p.a AS a, s.p.b AS b FROM
+         |    (SELECT unnest([{'a': t[i], 'b': t[i+1]}
+         |                    for i in range(1, len(t))]) AS p
+         |     FROM d WHERE len(t) >= 2) s),
+         |big AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair FROM p GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM big)
+         |SELECT a, b, n_pair, ua.cw AS n_a, ub.cw AS n_b,
+         |  CAST(n_total * n_pair AS DOUBLE) / CAST(ua.cw * ub.cw AS DOUBLE) AS lift
+         |FROM big JOIN uni ua ON ua.w = big.a JOIN uni ub ON ub.w = big.b
+         |CROSS JOIN tot
+         |WHERE n_pair >= 5
+         |ORDER BY n_pair DESC, a, b LIMIT 50""".stripMargin,
 
     "llm_boilerplate" ->
       s"""WITH d AS (

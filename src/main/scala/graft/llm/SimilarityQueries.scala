@@ -47,6 +47,7 @@ object SimilarityQueries {
 
   val NumCentroids = 8
   val IvfTopK = 3
+  val KmeansK = 8
 
   /** Deterministic centroid sample selector: `vec_id % CentroidStride
     * == CentroidPhase`, lowest vec_ids first — the k-means|| init
@@ -286,6 +287,67 @@ object SimilarityQueries {
         .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
           $"r_cos", $"r_q", $"rrf")
         .orderBy($"query_id", $"rank")
+    },
+
+    // --- k-means clustering (2 Lloyd iterations, deterministic) ----------
+    // The embedding-clustering primitive behind corpus topic maps and
+    // cluster-balanced sampling — and the refinement loop the IVF
+    // quantizer's scaladoc promises: assign → recenter → reassign.
+    // Distances use the IDENTICAL expansion in both engines
+    // (d² = v·v − 2·v·c + c·c, each dot a sequential left-fold), so
+    // assignments and SSE are bit-exact. Centroids live on the driver
+    // between iterations (k·Dim doubles — where every distributed
+    // k-means keeps them); assignment is a zero-shuffle broadcast-
+    // literal projection. The recenter mean folds members in vec_id
+    // order for cross-engine determinism; at 100 TB you swap that for
+    // plain per-dimension partial-agg sums (order-free float sums —
+    // same algorithm, statistically identical centroids) and keep
+    // everything else.
+    "llm_embed_kmeans" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val seeds: Seq[(Int, Seq[Double])] = emb.filter($"vec_id" < KmeansK)
+        .orderBy($"vec_id").select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+        val k = cents.size
+        val base = emb.withColumn("dvv", dot($"v", $"v"))
+        val withD = cents.zipWithIndex.foldLeft(base) { case (df, ((_, c), i)) =>
+          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+          df.withColumn(s"d$i",
+            $"dvv" - lit(2.0) * dot($"v", array(c.map(lit): _*)) + lit(cc))
+        }
+        val mn = least((0 until k).map(i => col(s"d$i")): _*)
+        // first position attaining the min == ORDER BY (d2, cell id)
+        // because cents arrive in ascending cell-id order
+        val pos = (1 until k).foldLeft(when(col("d0") === mn, 0)) {
+          (a, i) => a.when(col(s"d$i") === mn, i)
+        }
+        withD.withColumn("pos", pos)
+          .withColumn("cell",
+            element_at(array(cents.map(x => lit(x._1)): _*), col("pos") + 1))
+          .withColumn("d2",
+            element_at(array((0 until k).map(i => col(s"d$i")): _*), col("pos") + 1))
+          .select($"vec_id", $"v", $"cell", $"d2")
+      }
+      val zero = s"transform(sequence(1, $Dim), i -> 0D)"
+      val cents2: Seq[(Int, Seq[Double])] = assign(seeds)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct($"vec_id", $"v"))).as("m"))
+        .withColumn("cv", expr(
+          s"""transform(aggregate(transform(m, x -> x.v), $zero,
+             |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
+             |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
+        .select($"cell", $"cv").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      assign(cents2)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          expr("""aggregate(transform(sort_array(collect_list(struct(vec_id, d2))),
+                |  x -> x.d2), 0D, (acc, x) -> acc + x)""".stripMargin).as("sse"))
+        .orderBy($"cell")
     }
   )
 
@@ -610,6 +672,52 @@ object SimilarityQueries {
          |        >= $SemDedupTau)
          |SELECT b.vec_id, b.cell, (pr.vec_id IS NULL) AS keep
          |FROM b LEFT JOIN pr ON b.vec_id = pr.vec_id
-         |ORDER BY b.vec_id""".stripMargin
+         |ORDER BY b.vec_id""".stripMargin,
+
+    // two unrolled Lloyd iterations; distances use the same
+    // d² = v·v − 2·v·c + c·c expansion (each dot an identical
+    // sequential fold) as the Spark side, so every assignment,
+    // centroid and SSE bit matches
+    "llm_embed_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS dvv FROM e),
+         |c0 AS (
+         |  SELECT CAST(vec_id AS INT) AS c, v AS cv, ${dotSql("v", "v")} AS cc
+         |  FROM e WHERE vec_id < $KmeansK),
+         |a1p AS (
+         |  SELECT ev.vec_id, ev.v, c0.c,
+         |    ev.dvv - 2.0 * ${dotSql("ev.v", "c0.cv")} + c0.cc AS d2
+         |  FROM ev CROSS JOIN c0),
+         |a1 AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY d2, c) AS rn
+         |    FROM a1p) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT c, count(*) AS n,
+         |    list_reduce(
+         |      list_prepend([CAST(0.0 AS DOUBLE) for i in range(0, $Dim)],
+         |        list(v ORDER BY vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${Dim + 1}),
+         |                                 i -> acc[i] + x[i])) AS sv
+         |  FROM a1 GROUP BY c),
+         |c2 AS (
+         |  SELECT c, list_transform(sv, x -> x / CAST(n AS DOUBLE)) AS cv
+         |  FROM c1),
+         |c2c AS (SELECT c, cv, ${dotSql("cv", "cv")} AS cc FROM c2),
+         |a2p AS (
+         |  SELECT ev.vec_id, t.c,
+         |    ev.dvv - 2.0 * ${dotSql("ev.v", "t.cv")} + t.cc AS d2
+         |  FROM ev CROSS JOIN c2c t),
+         |a2 AS (
+         |  SELECT vec_id, c, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY d2, c) AS rn
+         |    FROM a2p) WHERE rn = 1)
+         |SELECT c AS cell, CAST(count(*) AS BIGINT) AS n_members,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(d2 ORDER BY vec_id)), (acc, x) -> acc + x) AS sse
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -160,6 +160,34 @@ object TextAnalysisQueries {
         .orderBy($"source")
     },
 
+    // --- temperature-resampled source mixing -----------------------------
+    // EXECUTES the mixing plan llm_domain_mix only reports: per-source
+    // sampling quotas follow the temperature-T=2 distribution
+    // (w ∝ √n_docs), the corpus-wide target is half the corpus, and the
+    // per-doc keep decision is the same deterministic md5 hash the
+    // stratified sampler uses — reproducible across runs and engines.
+    // ALL arithmetic is exact int64 (floor-div quotas, ppm rates,
+    // integer hash compare): no float drift anywhere. Scale: one
+    // partial-agg groupBy over sources, a source-count-bounded
+    // broadcast of the rate table, one corpus scan for the decision.
+    "llm_mix_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"source")
+      val per = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt($"n_docs".cast("double"))))
+      val tot = per.agg(sum($"n_docs").as("n_total"), sum($"w").as("sum_w"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("quota", expr("(n_total div 2) * w div sum_w"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("quota * 1000000 div n_docs")))
+        .select($"source", $"n_docs", $"quota", $"rate_ppm")
+      docs.join(broadcast(rates), "source")
+        .groupBy($"source", $"n_docs", $"quota", $"rate_ppm")
+        .agg(sum(when(hash32(concat(lit("mix:"), $"doc_id".cast("string")))
+            % 1000000 < $"rate_ppm", 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy($"source")
+    },
+
     // --- rolling-hash document fingerprint ------------------------------
     "llm_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -379,6 +407,30 @@ object TextAnalysisQueries {
          |  CAST(w * 1000000 // sum_w AS DOUBLE)
          |    / (total_tokens * 1000000 // sum_tokens) AS boost
          |FROM w, s ORDER BY source""".stripMargin,
+
+    "llm_mix_sample" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+         |  FROM per),
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |    CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+         |r AS (
+         |  SELECT source, n_docs,
+         |    CAST((n_total // 2) * w // sum_w AS BIGINT) AS quota,
+         |    CAST(least(1000000,
+         |      ((n_total // 2) * w // sum_w) * 1000000 // n_docs) AS BIGINT)
+         |      AS rate_ppm
+         |  FROM w, tot)
+         |SELECT r.source, r.n_docs, r.quota, r.rate_ppm,
+         |  CAST(sum(CASE WHEN
+         |    ${hash32Sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+         |      < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents d JOIN r ON d.source = r.source
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,

@@ -239,6 +239,39 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
+    // --- q24: interval (range) join via time-bucket equi-join ------------
+    // For each click, count the SAME user's errors in (t, t+10 min].
+    // A bare range-predicate join plans as a nested loop — quadratic
+    // per user and a non-starter at scale. Bucketing by the window
+    // width turns it into an EQUI-join: an error at t1 can only match
+    // clicks whose bucket is its own or the previous one, so the error
+    // side replicates exactly ×2 and the shuffle key (user_id, bucket)
+    // stays uniform; the exact (t0, t0+W] bounds re-check after the
+    // join. Zero-match clicks survive via the left join; integer `div`
+    // bucketing is engine-exact. PlanSpec asserts no nested loop.
+    "q24_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val W = 600000L // 10 min in ms == the bucket width
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id",
+          unix_millis($"ts").as("t0"))
+        .withColumn("bkt", expr(s"t0 div $W"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id".as("e_user"), unix_millis($"ts").as("t1"))
+        .withColumn("bkt",
+          explode(array(expr(s"t1 div $W"), expr(s"t1 div $W - 1"))))
+      clicks.join(errors,
+          clicks("user_id") === errors("e_user") &&
+            clicks("bkt") === errors("bkt") &&
+            errors("t1") > clicks("t0") &&
+            errors("t1") <= clicks("t0") + W,
+          "left")
+        .groupBy($"click_id", $"user_id")
+        .agg(count($"t1").as("n_errors"))
+        .orderBy($"click_id")
+    },
+
     // --- cdc: JSON envelope encode → decode → aggregate ------------------
     "cdc_envelope_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -313,6 +346,21 @@ object EventQueries {
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
          |  FROM events)
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // the oracle states the range join directly; the Spark plan's
+    // bucket replication is provably the same relation
+    "q24_interval_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.click_id, c.user_id, CAST(count(e.t1) AS BIGINT) AS n_errors
+        |FROM c LEFT JOIN e
+        |  ON e.user_id = c.user_id AND e.t1 > c.t0 AND e.t1 <= c.t0 + 600000
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "cdc_latest_state" ->
       s"""SELECT user_id, event_id AS last_event_id, event_type AS last_type,
