@@ -601,7 +601,15 @@ object CdcStream {
     // assemble in a private staging dir; the rename in publishVersion
     // is the commit point (and the optimistic-concurrency lock)
     val staging = newStagingDir(replicaDir)
+    // hash-route rows to their bucket's writer: one task and ONE output
+    // file per touched bucket, instead of every shuffle partition
+    // spraying a small file into every bucket dir (up to partitions×
+    // buckets files per batch — exactly the fragmentation compactReplica
+    // exists to undo)
+    val writeBuckets = // flat-layout migration rewrites ALL buckets
+      if (legacyFlat.isDefined) nb else math.max(touched.size, 1)
     merged.withColumn("__bucket", bucketOf)
+      .repartition(writeBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$staging/data")
 
