@@ -1,0 +1,116 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Independent driver-side twins for the mining/mixing/clustering
+  * operators — each test recomputes the operator's full result with
+  * plain Scala over the collected sf0.001 fixture (a different code
+  * path from both the Spark query and its DuckDB oracle) and demands
+  * bit-exact agreement. Feasible only because the test fixture is
+  * small; the operators themselves never collect data rows.
+  */
+class MiningOpsSpec extends SparkSuite {
+
+  test("collocations: counts and lift match a driver-side recount; top-k is honest") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val toks = t.toLowerCase.split(" ", -1)
+      toks.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      if (toks.length >= 2) toks.sliding(2).foreach { p =>
+        val k = (p(0), p(1)); big(k) = big.getOrElse(k, 0L) + 1L
+      }
+    }
+    val nTotal = big.values.sum
+    val got = RetrievalQueries.defs("llm_collocations")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == big((a, b)), s"n_pair($a,$b)")
+      assert(r.getLong(3) == uni(a) && r.getLong(4) == uni(b), s"unigrams($a,$b)")
+      assert(r.getDouble(5) ==
+        (nTotal * big((a, b))).toDouble / (uni(a) * uni(b)).toDouble,
+        s"lift($a,$b)")
+    }
+    // ORDER BY n_pair DESC LIMIT 50 honesty: every eligible pair
+    // strictly above the smallest returned count must be in the result
+    val minReturned = got.map(_.getLong(2)).min
+    assert(big.values.count(c => c >= 5 && c > minReturned) ==
+      got.count(_.getLong(2) > minReturned))
+  }
+
+  test("mix_sample: quotas, rates, and sampled counts match a driver-side recomputation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2)
+    val nTotal = docs.length.toLong
+    val per = bySource.map { case (src, ds) =>
+      (src, ds.length.toLong,
+        math.floor(math.sqrt(ds.length.toDouble)).toLong)
+    }
+    val sumW = per.map(_._3).sum
+    def md5mod(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(8), 16) % 1000000L
+    }
+    val expected = per.map { case (src, n, w) =>
+      val quota = (nTotal / 2L) * w / sumW
+      val rate = math.min(1000000L, quota * 1000000L / n)
+      val sampled =
+        bySource(src).count { case (id, _) => md5mod(s"mix:$id") < rate }
+      (src, n, quota, rate, sampled.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysisQueries.defs("llm_mix_sample")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the mix is a genuine subsample: strictly below every source's size
+    assert(got.forall { case (_, n, quota, _, sampled) =>
+      sampled <= n && quota <= n })
+  }
+
+  test("kmeans: a driver-side Lloyd twin reproduces members and sse bit-exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def assign(cents: Seq[(Int, Array[Double])]) = emb.map { case (id, v) =>
+      // same expansion and tie-break as the query: d² = v·v − 2 v·c + c·c,
+      // first centroid (ascending cell id) attaining the min wins
+      val dvv = dot(v, v)
+      val ds = cents.map { case (_, c) => dvv - 2.0 * dot(v, c) + dot(c, c) }
+      val mn = ds.min
+      val pos = ds.indexWhere(_ == mn)
+      (id, v, cents(pos)._1, ds(pos))
+    }
+    val seeds = emb.filter(_._1 < SimilarityQueries.KmeansK)
+      .map { case (id, v) => (id.toInt, v) }.toSeq
+    val cents2 = assign(seeds).groupBy(_._3).toSeq.map { case (cell, ms) =>
+      val sorted = ms.sortBy(_._1)
+      val sum = new Array[Double](SimilarityQueries.Dim)
+      sorted.foreach { m =>
+        var i = 0; while (i < sum.length) { sum(i) += m._2(i); i += 1 }
+      }
+      (cell, sum.map(_ / sorted.size.toDouble))
+    }.sortBy(_._1)
+    val expected = assign(cents2).groupBy(_._3).map { case (cell, ms) =>
+      (cell, ms.size.toLong,
+        ms.sortBy(_._1).foldLeft(0.0)((acc, m) => acc + m._4))
+    }.toSeq.sortBy(_._1)
+    val got = SimilarityQueries.defs("llm_embed_kmeans")(spark, sfDir)
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == emb.length.toLong)
+  }
+}

@@ -128,6 +128,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q24: the interval join is a bucketed equi-join, never a nested loop") {
+    val p = plan("q24_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("llm_collocations: postings aggregates are partial+final; top-k is TakeOrderedAndProject") {
+    val p = plan("llm_collocations")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("llm_mix_sample: the rate table broadcasts; the corpus is never shuffle-joined") {
+    val p = plan("llm_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("llm_embed_kmeans: assignment is join-free (broadcast-literal projection)") {
+    val p = plan("llm_embed_kmeans")
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
   test("llm_semantic_dedup: within-cell pairing is a cell equi-join, no cartesian") {
     val p = plan("llm_semantic_dedup")
     assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("cell#")),
