@@ -105,18 +105,27 @@ object IndexArtifacts {
     * `computeIfAbsent` serializes concurrent first-builds of a key.
     */
   def cached(s: SparkSession, dir: String, tag: String,
-      inputs: Seq[String] = Nil)(build: String => Unit): DataFrame = {
+      inputs: Seq[String] = Nil)(build: String => Unit): DataFrame =
+    s.read.parquet(cachedPath(dir, tag, inputs)(build))
+
+  /** [[cached]] without the parquet read — for build-once artifacts
+    * that are not a single parquet table (e.g. the co-located-join
+    * bucketed tables, which register in the session catalog). Returns
+    * the artifact's root path; the first caller for a corpus state runs
+    * `build`, later callers get the existing path.
+    */
+  def cachedPath(dir: String, tag: String,
+      inputs: Seq[String] = Nil)(build: String => Unit): String = {
     val ins = if (inputs.nonEmpty) inputs else Seq(dir)
     val key = tag + ":" + new java.io.File(dir).getCanonicalPath +
       ":" + fingerprint(ins)
-    val path = keyed.computeIfAbsent(key, _ => {
+    keyed.computeIfAbsent(key, _ => {
       val out = tempRoot.resolve(s"$tag-${counter.incrementAndGet()}").toString
       val t0 = System.nanoTime()
       build(out)
       built.merge(tag, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
       out
     })
-    s.read.parquet(path)
   }
 
   /** Seconds spent building keyed artifacts, per tag — surfaced by

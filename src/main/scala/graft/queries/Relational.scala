@@ -260,6 +260,29 @@ object Relational {
         .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
         .select($"c_custkey", $"c_name", $"o_orderkey", $"sum_qty")
         .orderBy($"o_orderkey")
+    },
+
+    // --- q25: co-located join over pre-bucketed tables -------------------
+    // The storage-layout answer to the fact⋈fact shuffle: both sides
+    // are written hash-bucketed (and per-file sorted) by the join key
+    // with the same bucket count ([[graft.operators.BucketedTables]]),
+    // so the sort-merge join reads bucket i against bucket i and plans
+    // ZERO exchange on either side — the only shuffle left is the
+    // final status aggregate. The merge hint pins the co-located SMJ
+    // (a broadcast would also skip the exchange, but only because the
+    // bench-scale orders side is small — bucketing is what survives
+    // when both sides are 100 TB facts). PlanSpec asserts the plan.
+    "q25_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      val (ln, on) = graft.operators.BucketedTables.ensure(s, dir)
+      val l = s.table(ln)
+      val o = s.table(on)
+      l.hint("merge").join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("revenue_cents"))
+        .orderBy($"o_orderstatus")
     }
   )
 
@@ -407,6 +430,14 @@ object Relational {
         |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) big
         |  ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the bucketed layout is invisible to the relation: the oracle is
+    // the plain join
+    "q25_bucketed_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+         |  CAST(sum(${centsSql(rev)}) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

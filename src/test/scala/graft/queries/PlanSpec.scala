@@ -128,6 +128,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q25: pre-bucketed co-located join plans no exchange on either join side") {
+    val p = plan("q25_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    // both scans carry the catalog bucketing …
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p.take(2000))
+    // … so the ONLY hash exchange is the final status aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("q24: the interval join is a bucketed equi-join, never a nested loop") {
     val p = plan("q24_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
