@@ -159,6 +159,35 @@ object RetrievalQueries {
         .limit(50)
     },
 
+    // --- cross-corpus n-gram novelty scoring -----------------------------
+    // The diversity signal of incremental curation: what fraction of a
+    // doc's distinct shingles appear HERE FIRST (doc_id standing in for
+    // ingestion order)? Fully-novel docs score 1.0; a doc stitched from
+    // already-seen text scores near 0 — the complement of boilerplate's
+    // corpus-wide view, per document. Scale shape: one postings
+    // explode, min(doc_id) per shingle as a keyed partial agg, and a
+    // join-back keyed on the shingle hash — vocabulary-sized
+    // aggregation state, never a corpus×corpus join.
+    "llm_ngram_novelty" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id", hashedShingles($"text").as("sh"))
+      val ex = sh.select($"doc_id", explode($"sh").as("h"))
+      val firstSeen = ex.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+      val perDoc = ex.join(firstSeen, "h")
+        .groupBy($"doc_id")
+        .agg(sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_novel"))
+      sh.select($"doc_id", size($"sh").cast("long").as("n_shingles"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"n_novel", lit(0L)).as("n_novel"),
+          when($"n_shingles" === 0, lit(0.0))
+            .otherwise(coalesce($"n_novel", lit(0L)).cast("double") /
+              $"n_shingles".cast("double")).as("novelty"))
+        .orderBy($"doc_id")
+    },
+
     // --- corpus boilerplate detection (document-frequency filter) -------
     // The boilerplate-removal primitive of web-scale curation: distinct
     // shingles explode into a postings stream, df is a keyed partial
@@ -266,6 +295,27 @@ object RetrievalQueries {
          |CROSS JOIN tot
          |WHERE n_pair >= 5
          |ORDER BY n_pair DESC, a, b LIMIT 50""".stripMargin,
+
+    "llm_ngram_novelty" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${hashedShinglesSql("t")} AS sh FROM d),
+         |ex AS (
+         |  SELECT doc_id, unnest(sh) AS h FROM sh),
+         |fs AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM ex JOIN fs USING (h) GROUP BY 1)
+         |SELECT sh.doc_id, CAST(len(sh.sh) AS BIGINT) AS n_shingles,
+         |  COALESCE(pd.n_novel, 0) AS n_novel,
+         |  CASE WHEN len(sh.sh) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(pd.n_novel, 0) AS DOUBLE) /
+         |            CAST(len(sh.sh) AS DOUBLE) END AS novelty
+         |FROM sh LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "llm_boilerplate" ->
       s"""WITH d AS (

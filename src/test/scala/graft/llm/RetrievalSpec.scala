@@ -101,4 +101,24 @@ class RetrievalSpec extends SparkSuite {
     assert(out.filter($"n_boiler" > $"n_shingles").count() == 0)
     assert(out.filter($"boiler_ratio" < 0.0 || $"boiler_ratio" > 1.0).count() == 0)
   }
+
+  test("novelty: each distinct shingle is novel exactly once; the first doc scores 1.0") {
+    import graft.SparkSuite.spark.implicits._
+    val out = RetrievalQueries.defs("llm_ngram_novelty")(spark, sfDir)
+      .orderBy($"doc_id").collect()
+    assert(out.length == docs.count())
+    // every corpus-distinct shingle is counted novel in exactly one doc
+    val distinctShingles = docs
+      .select(explode(graft.llm.TextOps.hashedShingles($"text")).as("h"))
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("n_novel")).sum == distinctShingles)
+    // the earliest doc with any shingles saw all of them first
+    val first = out.find(_.getAs[Long]("n_shingles") > 0).get
+    assert(first.getAs[Double]("novelty") == 1.0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+    }
+  }
 }

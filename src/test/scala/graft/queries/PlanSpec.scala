@@ -96,6 +96,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_ngram_novelty: first-seen is a partial+final aggregate keyed on the shingle") {
+    val p = plan("llm_ngram_novelty")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_boilerplate: df is a partial+final aggregate; flagged set broadcasts") {
     val p = plan("llm_boilerplate")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
