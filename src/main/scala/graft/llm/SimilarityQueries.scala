@@ -135,6 +135,20 @@ object SimilarityQueries {
   /** Quantized-scan candidates per query before the exact rerank. */
   val Sq8Candidates: Int = 3 * TopK
 
+  /** int8-code column `floor(x·scale)` per dimension — the ONE
+    * quantizer both SQ8 consumers (`llm_embed_sq8`, `llm_hybrid_rrf`)
+    * share, widened to double BEFORE the multiply so a float product
+    * cannot round differently than the oracle's double multiply and
+    * flip a floor at an integer boundary. [[sq8Sql]] is the DuckDB
+    * twin; keep the pair in lockstep.
+    */
+  private def sq8Codes(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * lit(Sq8Scale.toDouble)).cast("long"))
+
+  private def sq8Sql(e: String): String =
+    s"""list_transform($e,
+       |      x -> CAST(floor(x::DOUBLE * CAST($Sq8Scale AS DOUBLE)) AS BIGINT))""".stripMargin
+
   /** Semantic-dedup cosine threshold (the fixture's cross-pair cosines
     * top out near 0.51, so 0.35 flags a meaningful-but-small set).
     */
@@ -183,16 +197,11 @@ object SimilarityQueries {
     // ordering among survivors.
     "llm_embed_sq8" -> { (s, dir) =>
       import s.implicits._
-      // widen to double BEFORE the scale multiply: a float multiply
-      // could round differently than the oracle's double multiply and
-      // flip a floor at an integer boundary
-      val qvec = transform($"embedding",
-        x => floor(x.cast("double") * lit(Sq8Scale.toDouble)).cast("long"))
       // the SQ8 code table IS the index — materialized once, scanned by
       // every query (at scale it lives in files; 4× smaller than floats)
       val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
         .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-          qvec.as("qv")), "sq8-codes")
+          sq8Codes($"embedding").as("qv")), "sq8-codes")
       val q = b.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"), $"qv".as("qqv"))
@@ -255,9 +264,7 @@ object SimilarityQueries {
       import s.implicits._
       val base = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
         .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-          transform($"embedding",
-            x => floor(x.cast("double") * lit(Sq8Scale.toDouble)).cast("long"))
-            .as("qv")), "rrf-base")
+          sq8Codes($"embedding").as("qv")), "rrf-base")
       val q = base.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"), $"qv".as("qqv"))
@@ -575,8 +582,7 @@ object SimilarityQueries {
     "llm_embed_sq8" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, $normSql AS norm,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(x::DOUBLE * CAST($Sq8Scale AS DOUBLE)) AS BIGINT))
+         |    ${sq8Sql("embedding")}
          |      AS qv
          |  FROM embeddings),
          |q AS (
@@ -606,8 +612,7 @@ object SimilarityQueries {
     "llm_hybrid_rrf" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, $normSql AS norm,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(x::DOUBLE * CAST($Sq8Scale AS DOUBLE)) AS BIGINT))
+         |    ${sq8Sql("embedding")}
          |      AS qv
          |  FROM embeddings),
          |q AS (

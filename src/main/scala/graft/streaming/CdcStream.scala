@@ -201,7 +201,8 @@ object CdcStream {
 
   private val stagingCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  private final case class ReplicaManifest(numBuckets: Int, buckets: Map[Int, String])
+  private final case class ReplicaManifest(numBuckets: Int,
+      buckets: Map[Int, String], schemaJson: Option[String] = None)
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
     val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
@@ -211,11 +212,13 @@ object CdcStream {
       .createParser(new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8))
     var nb = DefaultReplicaBuckets
+    var schemaJson: Option[String] = None
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     require(p.nextToken() == JsonToken.START_OBJECT)
     while (p.nextToken() != JsonToken.END_OBJECT) {
       p.currentName() match {
         case "numBuckets" => p.nextToken(); nb = p.getIntValue
+        case "schema" => p.nextToken(); schemaJson = Some(p.getText)
         case "buckets" =>
           p.nextToken()
           while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -225,7 +228,7 @@ object CdcStream {
       }
     }
     p.close()
-    Some(ReplicaManifest(nb, buckets.toMap))
+    Some(ReplicaManifest(nb, buckets.toMap, schemaJson))
   }
 
   private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
@@ -233,6 +236,7 @@ object CdcStream {
     val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
     g.writeStartObject()
     g.writeNumberField("numBuckets", m.numBuckets)
+    m.schemaJson.foreach(g.writeStringField("schema", _))
     g.writeObjectFieldStart("buckets")
     m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => g.writeStringField(k.toString, v) }
     g.writeEndObject()
@@ -299,9 +303,17 @@ object CdcStream {
           // lookup keys must be cast to the replica's column types
           // before bucket derivation, or a type-skewed caller would be
           // pruned to the WRONG bucket and silently get no rows (the
-          // semi-join alone would have coerced and matched)
-          val fullSchema = spark.read.option("mergeSchema", "true")
-            .parquet(allPaths: _*).schema
+          // semi-join alone would have coerced and matched). The union
+          // schema comes from the MANIFEST (recorded at write time) —
+          // a footer-merge over every bucket file here would cost a
+          // full-index metadata scan per lookup, the exact amplification
+          // the pruned path exists to avoid. Pre-schema manifests fall
+          // back to that merge once (their next write upgrades them).
+          val fullSchema = m.schemaJson
+            .map(org.apache.spark.sql.types.DataType.fromJson(_)
+              .asInstanceOf[StructType])
+            .getOrElse(spark.read.option("mergeSchema", "true")
+              .parquet(allPaths: _*).schema)
           val replicaTypes =
             fullSchema.fields.map(f => f.name -> f.dataType).toMap
           val typedKeys = keys.select(idCols.map { c =>
@@ -319,8 +331,8 @@ object CdcStream {
           val pruned =
             if (paths.nonEmpty)
               spark.read.option("mergeSchema", "true").parquet(paths: _*)
-            else spark.read.option("mergeSchema", "true")
-              .parquet(allPaths: _*).limit(0) // schema only
+            else spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
           // project to the FULL replica schema: after additive schema
           // evolution a pruned bucket may predate a column — the lookup
           // must still present it (as NULL), exactly like the full read
@@ -411,8 +423,10 @@ object CdcStream {
       .write.partitionBy("__bucket").parquet(s"$staging/data")
     val newBuckets = m.buckets ++ fragmented.keys
       .map(k => k -> s"$nextName/data/__bucket=$k")
+    // content-identical rewrite: the union schema carries over
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(m.numBuckets, newBuckets), prev, cur.map(_._2))
+      ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson), prev,
+      cur.map(_._2))
   }
 
   /** A fresh staging directory under `replicaDir` for a writer to
@@ -433,70 +447,46 @@ object CdcStream {
   }
 
   /** Commit the version assembled in `stagingDir` as `nextName` —
-    * OPTIMISTIC CONCURRENCY, Delta-commit style:
+    * OPTIMISTIC CONCURRENCY, Delta-commit style. The whole commit
+    * (validate → claim name → flip pointer) runs under a writer-only
+    * lock file, and contains ONLY fast metadata operations — the data
+    * write happened into the staging dir before this was called:
     *
     *  1. the manifest is written INTO the staging dir, so the directory
     *     is complete before it becomes visible;
-    *  2. the staging dir atomically RENAMES to `<replicaDir>/<nextName>`
-    *     — version numbers are dense, so two writers based on the same
-    *     current version race for the same name and the filesystem
-    *     admits exactly one. The loser's staging is deleted and
-    *     [[ConcurrentReplicaWriteException]] thrown (retry = re-run the
-    *     batch against the new current);
-    *  3. an existing `nextName` that is neither current nor referenced
-    *     by the current manifest is a CRASHED writer's complete-but-
-    *     unpublished orphan (crash between rename and pointer flip) —
-    *     it is deleted and the rename retried once;
-    *  3b. the flip is a guarded COMPARE-AND-SWAP: under a writer-only
-    *     lock file, CURRENT must still equal the version this commit
-    *     was based on — the rename alone cannot catch a competitor that
-    *     advanced several versions and whose GC freed this writer's
-    *     target name (a blind flip would move CURRENT backward);
-    *  4. the CURRENT pointer flips atomically; then version dirs
+    *  2. under the lock, the COMPARE-AND-SWAP check runs FIRST:
+    *     CURRENT must still equal the version this commit was based
+    *     on. A competitor that committed since — whether or not its
+    *     version dir is visible yet — fails this check, and the loser
+    *     deletes only its OWN staging (never a directory another
+    *     writer renamed). On a real metastore this check-and-flip is
+    *     one CAS;
+    *  3. if the target name already exists while CURRENT is unchanged,
+    *     it can only be a CRASHED writer's complete-but-unpublished
+    *     orphan (died between rename and flip, holding no lock —
+    *     live commits are serialized by the lock, so a mid-commit
+    *     competitor is never mistaken for an orphan): delete it and
+    *     claim the name;
+    *  4. the staging dir atomically RENAMES to the target and the
+    *     CURRENT pointer flips atomically; then version dirs
     *     referenced by NEITHER the new manifest NOR the previous one
     *     are GC'd (a concurrent reader that resolved CURRENT just
     *     before the flip is still scanning the previous version's
     *     buckets — one version of grace). Best effort; failure leaves
-    *     garbage, not loss. Stale staging debris older than an hour is
-    *     swept opportunistically.
+    *     garbage, not loss. Stale staging debris is swept by DEEP
+    *     newest-mtime (a slow writer streaming files into a staging
+    *     subtree keeps it alive; the root dir's own mtime would go
+    *     stale mid-write).
+    *
+    * The lock file is stale-broken after 60 s — far above the
+    * metadata-only critical section, so only a crashed writer's lock
+    * is ever broken.
     */
   private def publishVersion(replicaDir: String, stagingDir: String,
       nextName: String, next: ReplicaManifest, prev: Option[ReplicaManifest],
       curName: Option[String]): Unit = {
     writeManifestTo(java.nio.file.Paths.get(stagingDir), next)
     val target = java.nio.file.Paths.get(replicaDir, nextName)
-    def rename(): Boolean =
-      try {
-        java.nio.file.Files.move(java.nio.file.Paths.get(stagingDir), target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        true
-      } catch { case _: java.nio.file.FileSystemException => false }
-    if (!rename()) {
-      // `nextName` exists: a live competitor's commit, or a crashed
-      // writer's unpublished orphan (not current, not referenced)
-      val liveRefs = currentVersion(replicaDir).map { case (_, n) =>
-        readManifest(replicaDir, n)
-          .map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet)
-          .getOrElse(Set.empty) + n
-      }.getOrElse(Set.empty[String])
-      val orphan = !liveRefs.contains(nextName)
-      if (orphan) deleteRecursively(target.toFile)
-      if (orphan && rename()) ()
-      else {
-        deleteRecursively(new java.io.File(stagingDir))
-        throw new ConcurrentReplicaWriteException(
-          s"replica $replicaDir: version $nextName was committed by a " +
-            "concurrent writer; re-run this batch against the new current version")
-      }
-    }
-    // The rename alone is NOT a sufficient lock: a competitor that
-    // advanced CURRENT several versions (and whose GC freed this
-    // writer's target name) would let the rename succeed and the blind
-    // flip would move CURRENT BACKWARD, clobbering its commits. So the
-    // flip is a guarded compare-and-swap: under a writer-only lock
-    // file (stale-broken after 60 s — a crashed writer must not wedge
-    // the replica), CURRENT must still equal the version this batch
-    // was BASED on. On a real metastore this check-and-flip is one CAS.
     val lock = java.nio.file.Paths.get(replicaDir, ".commit-lock")
     def acquire(): Boolean =
       try { java.nio.file.Files.createFile(lock); true }
@@ -508,8 +498,10 @@ object CdcStream {
             catch { case _: java.nio.file.FileAlreadyExistsException => false }
           } else false
       }
+    // a losing writer deletes ONLY its own staging — never the target
+    // name, which past this point may belong to a competitor
     def conflict(msg: String): Nothing = {
-      deleteRecursively(target.toFile)
+      deleteRecursively(new java.io.File(stagingDir))
       throw new ConcurrentReplicaWriteException(
         s"replica $replicaDir: $msg; re-run this batch against the new " +
           "current version")
@@ -520,6 +512,15 @@ object CdcStream {
       if (nowCur != curName)
         conflict(s"based on ${curName.getOrElse("<empty>")} but current " +
           s"is now ${nowCur.getOrElse("<empty>")}")
+      // CURRENT is unchanged and commits serialize under the lock, so
+      // an existing target is a crashed writer's unpublished orphan
+      if (java.nio.file.Files.exists(target)) deleteRecursively(target.toFile)
+      try java.nio.file.Files.move(java.nio.file.Paths.get(stagingDir), target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          conflict(s"could not claim version dir $nextName (${e.getMessage})")
+      }
       val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
       java.nio.file.Files.write(tmpPtr,
         nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -531,12 +532,15 @@ object CdcStream {
       m.map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
     val retain = refs(Some(next)) ++ refs(prev) + nextName + curName.getOrElse("")
     val now = System.currentTimeMillis()
+    def newestMtime(f: java.io.File): Long =
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(f.lastModified())((m, c) => math.max(m, newestMtime(c)))
     Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
       .filter { f =>
         f.isDirectory &&
           ((f.getName.startsWith("v") && !retain.contains(f.getName)) ||
             (f.getName.startsWith(".staging-") &&
-              now - f.lastModified() > 3600L * 1000))
+              now - newestMtime(f) > 3600L * 1000))
       }
       .foreach(deleteRecursively)
   }
@@ -595,6 +599,23 @@ object CdcStream {
     // footer schemas across buckets written at different versions.
     val merged = base.join(broadcast(keys), idCols, "left_anti")
       .unionByName(upserts, allowMissingColumns = true)
+    // the manifest records the replica's UNION schema so the pruned
+    // lookup path never needs a footer-merge over every bucket file.
+    // `merged` only covers touched buckets, so widen the previous
+    // union (upgrading a pre-schema manifest with one footer-merge over
+    // its buckets — a one-time write-side cost)
+    val prevSchema: Option[StructType] = prev.flatMap { m =>
+      m.schemaJson.map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[StructType])
+        .orElse(if (m.buckets.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true").parquet(
+          m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).schema))
+    }
+    val unionSchema = prevSchema match {
+      case Some(ps) => StructType(ps.fields ++
+        merged.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+      case None => merged.schema
+    }
 
     val nextV = cur.map(_._1 + 1).getOrElse(1L)
     val nextName = f"v$nextV%09d"
@@ -621,6 +642,7 @@ object CdcStream {
     val newBuckets = (prevBuckets -- touched) ++
       written.map(k => k -> s"$nextName/data/__bucket=$k")
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(nb, newBuckets), prev, cur.map(_._2))
+      ReplicaManifest(nb, newBuckets, Some(unionSchema.json)), prev,
+      cur.map(_._2))
   }
 }
