@@ -44,6 +44,9 @@ object RetrievalQueries {
   val QueryTerms: Seq[String] = Seq("merge", "stream", "vector")
   val Bm25TopK = 15
 
+  /** Keywords per source emitted by `llm_tfidf_keywords`. */
+  val TfidfTopK = 3
+
   /** Boilerplate df threshold as an exact ratio: a distinct bigram
     * shingle is boilerplate when df >= 8% of the corpus (25·df >= 2·N —
     * integer compare, no float). The flagged set is bounded by
@@ -188,6 +191,35 @@ object RetrievalQueries {
         .orderBy($"doc_id")
     },
 
+    // --- per-source tf-idf keyword extraction ----------------------------
+    // The topic-labeling primitive of corpus cards and domain audits:
+    // each source's top-3 terms by tf·idf, with the same exact-rational
+    // Robertson–Sparck-Jones idf the BM25 operator uses (df here =
+    // number of SOURCES containing the term, so ubiquitous words are
+    // discounted without a log). Scale shape: postings explode →
+    // (source, term) partial agg; per-term df is a second keyed partial
+    // agg over the (source, term) table (vocab-sized, not corpus-
+    // sized); top-3 per source plans as WindowGroupLimit. The source
+    // count is one bounded aggregate (|sources| rows).
+    "llm_tfidf_keywords" -> { (s, dir) =>
+      import s.implicits._
+      val tf = Tables(s, dir).documents
+        .select($"source", explode(tokens($"text")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      val n = tf.select($"source").distinct().count()
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"score".desc, $"term".asc)
+      tf.join(df, "term")
+        .withColumn("score", $"tf".cast("double") *
+          (((lit(n) - $"df").cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5))))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TfidfTopK)
+        .select($"source", $"rank", $"term", $"tf", $"df", $"score")
+        .orderBy($"source", $"rank")
+    },
+
     // --- corpus boilerplate detection (document-frequency filter) -------
     // The boilerplate-removal primitive of web-scale curation: distinct
     // shingles explode into a postings stream, df is a keyed partial
@@ -295,6 +327,27 @@ object RetrievalQueries {
          |CROSS JOIN tot
          |WHERE n_pair >= 5
          |ORDER BY n_pair DESC, a, b LIMIT 50""".stripMargin,
+
+    "llm_tfidf_keywords" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest($toksSql) AS term FROM documents),
+         |tf AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n FROM tf),
+         |df AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.source, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) *
+         |      ((CAST(n.n - df.df AS DOUBLE) + 0.5) /
+         |       (CAST(df.df AS DOUBLE) + 0.5)) AS score
+         |  FROM tf JOIN df USING (term), n),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT source, CAST(rank AS INT) AS rank, term, tf, df, score
+         |FROM r WHERE rank <= $TfidfTopK ORDER BY source, rank""".stripMargin,
 
     "llm_ngram_novelty" ->
       s"""WITH d AS (

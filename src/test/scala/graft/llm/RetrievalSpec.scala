@@ -102,6 +102,32 @@ class RetrievalSpec extends SparkSuite {
     assert(out.filter($"boiler_ratio" < 0.0 || $"boiler_ratio" > 1.0).count() == 0)
   }
 
+  test("tfidf keywords: a driver-side recomputation reproduces ranks and scores") {
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tf = scala.collection.mutable.Map.empty[(String, String), Long]
+    rows.foreach { case (src, t) =>
+      t.toLowerCase.split(" ", -1).foreach { w =>
+        tf((src, w)) = tf.getOrElse((src, w), 0L) + 1L
+      }
+    }
+    val n = tf.keys.map(_._1).toSet.size.toLong
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val expected = tf.toSeq.groupBy(_._1._1).toSeq.flatMap { case (src, ts) =>
+      ts.map { case ((_, w), c) =>
+          (w, c, df(w),
+            c.toDouble * (((n - df(w)).toDouble + 0.5) / (df(w).toDouble + 0.5)))
+        }
+        .sortWith((a, b) => a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+        .take(RetrievalQueries.TfidfTopK)
+        .zipWithIndex.map { case ((w, c, d, s), i) => (src, i + 1, w, c, d, s) }
+    }.sortBy(x => (x._1, x._2))
+    val got = RetrievalQueries.defs("llm_tfidf_keywords")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
   test("novelty: each distinct shingle is novel exactly once; the first doc scores 1.0") {
     import graft.SparkSuite.spark.implicits._
     val out = RetrievalQueries.defs("llm_ngram_novelty")(spark, sfDir)

@@ -96,6 +96,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_tfidf_keywords: postings aggregates are partial+final; top-3 uses WindowGroupLimit") {
+    val p = plan("llm_tfidf_keywords")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_ngram_novelty: first-seen is a partial+final aggregate keyed on the shingle") {
     val p = plan("llm_ngram_novelty")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
