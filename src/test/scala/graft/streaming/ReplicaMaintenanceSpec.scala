@@ -151,6 +151,34 @@ class ReplicaMaintenanceSpec extends SparkSuite {
       Seq((1L, None)))
   }
 
+  test("manifest records the union schema; evolution widens it") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    def manifestJson(): String = {
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "CURRENT")).trim
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, cur, "manifest.json"))
+    }
+    // the union schema is persisted, so key-pruned lookups never need
+    // a footer-merge over every bucket file
+    assert(manifestJson().contains("\"schema\""))
+    // column names appear inside the escaped schema JSON string
+    assert(manifestJson().contains("\\\"id\\\"") &&
+      manifestJson().contains("\\\"v\\\""))
+    assert(!manifestJson().contains("extra"))
+    // an evolving batch touching ONE key widens the recorded union
+    CdcStream.applyBatchToReplica(dir,
+      Seq((1L, "a2", "x", "update")).toDF("id", "v", "extra", "op"),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    assert(manifestJson().contains("extra"))
+    // compaction carries the union schema through unchanged
+    CdcStream.compactReplica(spark, dir)
+    assert(manifestJson().contains("extra"))
+  }
+
   test("time travel: the previous version reads back its exact state") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
