@@ -203,7 +203,11 @@ object RetrievalQueries {
     // count is one bounded aggregate (|sources| rows).
     "llm_tfidf_keywords" -> { (s, dir) =>
       import s.implicits._
+      // NULL sources are excluded up front: Spark's distinct() counts
+      // the null group but SQL's count(DISTINCT) doesn't, and a
+      // diverging n would break bit parity for EVERY row
       val tf = Tables(s, dir).documents
+        .filter($"source".isNotNull)
         .select($"source", explode(tokens($"text")).as("term"))
         .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
       val n = tf.select($"source").distinct().count()
@@ -330,7 +334,8 @@ object RetrievalQueries {
 
     "llm_tfidf_keywords" ->
       s"""WITH tk AS (
-         |  SELECT source, unnest($toksSql) AS term FROM documents),
+         |  SELECT source, unnest($toksSql) AS term FROM documents
+         |  WHERE source IS NOT NULL),
          |tf AS (
          |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
          |  FROM tk GROUP BY 1, 2),

@@ -191,6 +191,13 @@ object CdcStream {
   private val Pointer = "CURRENT"
   val DefaultReplicaBuckets = 16
 
+  /** The union schema a manifest records (absent on pre-schema
+    * manifests) — the ONE parse both the write path and the pruned
+    * read path share.
+    */
+  private def manifestSchema(m: ReplicaManifest): Option[StructType] =
+    m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+
   /** Thrown when a commit loses the optimistic-concurrency race: another
     * writer committed a version with the same number first. The loser's
     * staging data is cleaned up; retry by re-running the batch against
@@ -309,9 +316,7 @@ object CdcStream {
           // full-index metadata scan per lookup, the exact amplification
           // the pruned path exists to avoid. Pre-schema manifests fall
           // back to that merge once (their next write upgrades them).
-          val fullSchema = m.schemaJson
-            .map(org.apache.spark.sql.types.DataType.fromJson(_)
-              .asInstanceOf[StructType])
+          val fullSchema = manifestSchema(m)
             .getOrElse(spark.read.option("mergeSchema", "true")
               .parquet(allPaths: _*).schema)
           val replicaTypes =
@@ -465,8 +470,8 @@ object CdcStream {
     *     it can only be a CRASHED writer's complete-but-unpublished
     *     orphan (died between rename and flip, holding no lock —
     *     live commits are serialized by the lock, so a mid-commit
-    *     competitor is never mistaken for an orphan): delete it and
-    *     claim the name;
+    *     competitor is never mistaken for an orphan): rename it aside
+    *     and claim the name (the aside dir is deleted after release);
     *  4. the staging dir atomically RENAMES to the target and the
     *     CURRENT pointer flips atomically; then version dirs
     *     referenced by NEITHER the new manifest NOR the previous one
@@ -480,23 +485,44 @@ object CdcStream {
     *
     * The lock file is stale-broken after 60 s — far above the
     * metadata-only critical section, so only a crashed writer's lock
-    * is ever broken.
+    * is ever broken. The break is ITSELF race-free: the breaker
+    * atomically RENAMES the observed stale lock aside (exactly one
+    * breaker wins the rename; losers retry against the fresh lock),
+    * each lock carries an owner token so release never deletes a
+    * successor's lock, and data-sized deletions (an orphan's version
+    * dir) happen OUTSIDE the lock — inside it the orphan is renamed
+    * aside, a metadata op. Post-flip GC only considers version numbers
+    * at or below this commit's, so a competitor's newer commit can
+    * never be swept by a stale retain set.
     */
   private def publishVersion(replicaDir: String, stagingDir: String,
       nextName: String, next: ReplicaManifest, prev: Option[ReplicaManifest],
       curName: Option[String]): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.StandardCopyOption.ATOMIC_MOVE
     writeManifestTo(java.nio.file.Paths.get(stagingDir), next)
     val target = java.nio.file.Paths.get(replicaDir, nextName)
     val lock = java.nio.file.Paths.get(replicaDir, ".commit-lock")
+    val ownerToken = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        java.nio.file.Files.write(lock, ownerToken.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     def acquire(): Boolean =
-      try { java.nio.file.Files.createFile(lock); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          if (System.currentTimeMillis() - lock.toFile.lastModified > 60000L) {
-            lock.toFile.delete()
-            try { java.nio.file.Files.createFile(lock); true }
-            catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          } else false
+      tryCreate() || {
+        if (System.currentTimeMillis() - lock.toFile.lastModified > 60000L) {
+          // atomic aside-rename: of N concurrent breakers exactly one
+          // wins; the rest fail the move and retry the fresh lock
+          val aside = java.nio.file.Paths.get(replicaDir,
+            s".commit-lock-broken-${System.nanoTime()}")
+          try {
+            java.nio.file.Files.move(lock, aside, ATOMIC_MOVE)
+            java.nio.file.Files.deleteIfExists(aside)
+          } catch { case _: java.io.IOException => () }
+          tryCreate()
+        } else false
       }
     // a losing writer deletes ONLY its own staging — never the target
     // name, which past this point may belong to a competitor
@@ -507,40 +533,71 @@ object CdcStream {
           "current version")
     }
     if (!acquire()) conflict("another writer is mid-commit")
+    // data-sized deletions deferred to after the lock is released
+    var orphanAside: Option[java.nio.file.Path] = None
     try {
       val nowCur = currentVersion(replicaDir).map(_._2)
       if (nowCur != curName)
         conflict(s"based on ${curName.getOrElse("<empty>")} but current " +
           s"is now ${nowCur.getOrElse("<empty>")}")
       // CURRENT is unchanged and commits serialize under the lock, so
-      // an existing target is a crashed writer's unpublished orphan
-      if (java.nio.file.Files.exists(target)) deleteRecursively(target.toFile)
+      // an existing target is a crashed writer's unpublished orphan.
+      // Rename it aside (metadata-only — the recursive delete of a
+      // data-sized dir must not run while holding the lock) and delete
+      // it after release.
+      if (java.nio.file.Files.exists(target)) {
+        val aside = java.nio.file.Paths.get(replicaDir,
+          s".gc-${System.nanoTime()}")
+        try {
+          java.nio.file.Files.move(target, aside, ATOMIC_MOVE)
+          orphanAside = Some(aside)
+        } catch { case _: java.io.IOException => () }
+      }
       try java.nio.file.Files.move(java.nio.file.Paths.get(stagingDir), target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ATOMIC_MOVE)
       catch {
         case e: java.nio.file.FileSystemException =>
           conflict(s"could not claim version dir $nextName (${e.getMessage})")
       }
       val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
-      java.nio.file.Files.write(tmpPtr,
-        nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(tmpPtr, nextName.getBytes(UTF_8))
       java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally lock.toFile.delete()
+    } finally {
+      // release only OUR lock: if it went stale (>60 s — impossible for
+      // this metadata-only section short of a machine-level stall) and
+      // a successor broke it, the token no longer matches and the
+      // successor's lock is left alone
+      try {
+        if (new String(java.nio.file.Files.readAllBytes(lock), UTF_8) == ownerToken)
+          java.nio.file.Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+    }
+    orphanAside.foreach(p => deleteRecursively(p.toFile))
     def refs(m: Option[ReplicaManifest]): Set[String] =
       m.map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
     val retain = refs(Some(next)) ++ refs(prev) + nextName + curName.getOrElse("")
+    val myV = nextName.stripPrefix("v").toLong
     val now = System.currentTimeMillis()
     def newestMtime(f: java.io.File): Long =
       Option(f.listFiles()).getOrElse(Array.empty)
         .foldLeft(f.lastModified())((m, c) => math.max(m, newestMtime(c)))
     Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
       .filter { f =>
-        f.isDirectory &&
-          ((f.getName.startsWith("v") && !retain.contains(f.getName)) ||
-            (f.getName.startsWith(".staging-") &&
-              now - newestMtime(f) > 3600L * 1000))
+        def stale = now - newestMtime(f) > 3600L * 1000
+        f.isDirectory && {
+          // the retain set was computed from THIS commit's view — a
+          // competitor may have committed a NEWER version since the
+          // flip, so only versions at or below ours are GC candidates
+          (f.getName.matches("v[0-9]{9}") &&
+            f.getName.stripPrefix("v").toLong <= myV &&
+            !retain.contains(f.getName)) ||
+            // crashed writers' debris: staging subtrees and aside-
+            // renamed orphans, both by deep newest-mtime age
+            ((f.getName.startsWith(".staging-") ||
+              f.getName.startsWith(".gc-")) && stale)
+        }
       }
       .foreach(deleteRecursively)
   }
@@ -583,6 +640,11 @@ object CdcStream {
     // buckets touched by this batch — bounded by nb, driver-side
     val touched = keys.select(bucketOf.as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
+    // a net-empty batch commits nothing: bumping the version would only
+    // churn the manifest, and recording the batch's DataFrame columns
+    // in the union schema would advertise columns no parquet file
+    // carries (the pruned and full read paths must agree)
+    if (touched.isEmpty) return
     val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
     val touchedPaths = prevBuckets.collect {
       case (k, p) if touched(k) => s"$replicaDir/$p"
@@ -605,8 +667,7 @@ object CdcStream {
     // union (upgrading a pre-schema manifest with one footer-merge over
     // its buckets — a one-time write-side cost)
     val prevSchema: Option[StructType] = prev.flatMap { m =>
-      m.schemaJson.map(org.apache.spark.sql.types.DataType.fromJson(_)
-          .asInstanceOf[StructType])
+      manifestSchema(m)
         .orElse(if (m.buckets.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(
           m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).schema))
