@@ -151,6 +151,41 @@ class ReplicaMaintenanceSpec extends SparkSuite {
       Seq((1L, None)))
   }
 
+  test("concurrent writers: losers retry, no committed batch is lost, CURRENT never dangles") {
+    val dir = freshDir()
+    val writers = 4
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (0 until writers).map { w =>
+      Future {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          assert(attempts <= 40, s"writer $w starved")
+          try {
+            CdcStream.applyBatchToReplica(dir,
+              batch(Seq((w.toLong, s"w$w", "update"))).coalesce(1),
+              idCols = Seq("id"), orderCols = Seq(col("v")))
+            done = true
+          } catch {
+            case _: CdcStream.ConcurrentReplicaWriteException => () // retry
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 180.seconds)
+    // every writer's committed batch survives every other commit
+    assert(content(dir) == (0 until writers).map(w => (w.toLong, s"w$w")))
+    // the pointer resolves, and no loser left staging or lock debris
+    assert(CdcStream.readReplica(spark, dir).isDefined)
+    val leftover = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".staging-") ||
+        f.getName.startsWith(".gc-") || f.getName == ".commit-lock")
+    assert(leftover.isEmpty, leftover.map(_.getName).mkString(","))
+  }
+
   test("manifest records the union schema; evolution widens it") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
