@@ -80,6 +80,9 @@ object Multimodal {
 
   val FrameSize = 64
 
+  /** Frames sampled per record by the `llm_frame_sample` schedule. */
+  val SampleK = 4
+
   /** Build a deterministic media table from the `documents` fixture:
     * payload = UTF-8 bytes of the text (a stand-in for real image
     * bytes), metadata derived from it. Real pipelines read

@@ -15,7 +15,7 @@ object MultimodalQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  import Multimodal.FrameSize
+  import Multimodal.{FrameSize, SampleK}
 
   val defs: Map[String, QFn] = Map(
 
@@ -35,6 +35,32 @@ object MultimodalQueries {
         .select($"doc_id", $"n_bytes", $"n_frames", $"checksum",
           $"first_frame_md5", $"mid_frame_md5")
         .orderBy($"doc_id")
+    },
+
+    // --- deterministic k-frame sampling -----------------------------------
+    // The frame-sample schedule of video/audio feature extraction:
+    // SampleK indices spread evenly across [0, n_frames) — always
+    // including the first and last frame — with each sampled frame
+    // hashed. idx_j = j·(n_frames−1) div (SampleK−1) is pure integer
+    // arithmetic (identical div in both engines); duplicates collapse
+    // when a record has fewer frames than SampleK. Pure per-row explode
+    // (≤ SampleK rows/record, no shuffle): the schedule an executor-
+    // side codec would then seek to, computed relationally.
+    "llm_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"text",
+          length(encode($"text", "UTF-8")).as("n_bytes"))
+        .withColumn("n_frames",
+          expr(s"(n_bytes + ${FrameSize - 1}) div $FrameSize"))
+        .withColumn("frame_idx", explode(array_distinct(expr(
+          s"""transform(sequence(0, ${SampleK - 1}),
+             |  j -> (j * (n_frames - 1)) div ${SampleK - 1})""".stripMargin))))
+        .withColumn("frame_md5",
+          md5(expr(s"substr(text, CAST(frame_idx * $FrameSize + 1 AS INT), $FrameSize)")))
+        .select($"doc_id", $"n_frames", $"frame_idx".cast("long").as("frame_idx"),
+          $"frame_md5")
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 
@@ -52,6 +78,23 @@ object MultimodalQueries {
          |      // $FrameSize AS n_frames,
          |    md5(text) AS checksum
          |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_frame_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    (CAST(octet_length(encode(text)) AS BIGINT) + ${FrameSize - 1})
+         |      // $FrameSize AS n_frames
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_frames,
+         |    unnest(list_distinct(list_transform(range(0, $SampleK),
+         |      j -> (j * (n_frames - 1)) // ${SampleK - 1}))) AS frame_idx,
+         |    text
+         |  FROM b)
+         |SELECT doc_id, n_frames, frame_idx,
+         |  md5(substr(text, CAST(frame_idx * $FrameSize + 1 AS INT), $FrameSize))
+         |    AS frame_md5
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

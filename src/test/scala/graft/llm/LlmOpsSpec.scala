@@ -265,6 +265,21 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: the k-frame schedule spans first to last frame, strictly increasing") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = MultimodalQueries.defs("llm_frame_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (doc, fs) =>
+      val nFrames = fs.head._2
+      val idxs = fs.map(_._3).toSeq
+      assert(idxs == idxs.sorted && idxs.distinct == idxs, s"doc $doc")
+      assert(idxs.head == 0L && idxs.last == nFrames - 1, s"doc $doc")
+      assert(idxs.size <= Multimodal.SampleK &&
+        idxs.size == math.min(Multimodal.SampleK, nFrames), s"doc $doc")
+    }
+  }
+
   test("multimodal: resize truncates payload and keeps metadata consistent") {
     val media = Multimodal.fromDocuments(spark, docs.limit(10))
     val resized = Multimodal.resize(media, maxBytes = 50).collect()
