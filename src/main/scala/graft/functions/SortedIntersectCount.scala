@@ -124,6 +124,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vector_dot takes exactly 2 arguments")
         VectorDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("vector_dot_long"),
+      new ExpressionInfo(classOf[VectorDotLong].getName, "vector_dot_long"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vector_dot_long takes exactly 2 arguments")
+        VectorDotLong(children.head, children(1))
       }))
 
   def register(spark: SparkSession): Unit =

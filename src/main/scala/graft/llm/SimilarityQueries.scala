@@ -83,6 +83,16 @@ object SimilarityQueries {
 
   private def norm(c: Column): Column = sqrt(dot(c, c))
 
+  /** Exact int64 dot over two long arrays (the quantized-dot kernel) —
+    * native codegen'd loop, value bit-identical to the
+    * `aggregate(zip_with(...))` fold and the DuckDB `list_reduce` twin.
+    */
+  private def dotLong(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorDotLong(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   private def planeDot(p: Int): Column =
     dot(col("embedding"), array((0 until Dim).map(d => lit(planeCompVal(p, d))): _*))
 
@@ -205,8 +215,7 @@ object SimilarityQueries {
       val q = b.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"), $"qv".as("qqv"))
-      val qdot = aggregate(zip_with($"qqv", $"qv", (a, c) => a * c),
-        lit(0L), (acc, x) => acc + x)
+      val qdot = dotLong($"qqv", $"qv")
       val wq = Window.partitionBy($"query_id")
         .orderBy($"qdot".desc, $"vec_id".asc)
       val cand = b.join(broadcast(q), $"vec_id" =!= $"query_id")
@@ -270,8 +279,7 @@ object SimilarityQueries {
           $"norm".as("qn"), $"qv".as("qqv"))
       val scored = base.join(broadcast(q), $"vec_id" =!= $"query_id")
         .withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
-        .withColumn("qdot", aggregate(zip_with($"qqv", $"qv", (a, c) => a * c),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("qdot", dotLong($"qqv", $"qv"))
       val wc = Window.partitionBy($"query_id")
         .orderBy($"cos_sim".desc, $"vec_id".asc)
       val wq = Window.partitionBy($"query_id")

@@ -390,6 +390,38 @@ class LlmOpsSpec extends SparkSuite {
     assert(df.filter(col("fast").isNull).count() === 1)
   }
 
+  test("vector_dot_long matches the fold on corpus code vectors and NULLs on ragged") {
+    import graft.SparkSuite.spark.implicits._
+    // real SQ8 code vectors: quantize the fixture embeddings both ways
+    val codes = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(200.0)).cast("long")).as("qv"))
+    val paired = codes.as("x").join(codes.as("y"),
+        col("x.vec_id") === col("y.vec_id") + 1)
+      .select(col("x.qv").as("a"), col("y.qv").as("b"))
+    val cmp = paired
+      .withColumn("fast", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.VectorDotLong(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("a")),
+          org.apache.spark.sql.GraftColumnBridge.expression(col("b")))))
+      .withColumn("ref", aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(not(col("fast") <=> col("ref"))).count() === 0)
+    // ragged and empty inputs
+    val edge = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(1L, 2L), Array(4L, 5L, 6L)),
+      (Array.empty[Long], Array.empty[Long])).toDF("a", "b")
+      .withColumn("fast", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.VectorDotLong(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("a")),
+          org.apache.spark.sql.GraftColumnBridge.expression(col("b")))))
+      .collect()
+    assert(edge(0).getLong(2) == 32L && edge(1).isNullAt(2) &&
+      edge(2).getLong(2) == 0L)
+  }
+
   test("sorted_intersect_count matches array_intersect on random sorted arrays") {
     import graft.SparkSuite.spark.implicits._
     graft.functions.GraftFunctions.register(spark)
