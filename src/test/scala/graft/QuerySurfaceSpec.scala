@@ -30,6 +30,14 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query carries an oracle — none silently skips the correctness gate") {
+    // a query without an oracle only gets the driver's weak rows-only
+    // check; the whole surface is intentionally oracle-complete, so a
+    // new operator missing its oracleSql entry is a bug, not a choice
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+  }
+
   test("q1 is deterministic across two executions") {
     val name = "q1_pricing_summary"
     val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
