@@ -320,51 +320,91 @@ object SimilarityQueries {
     // everything else.
     "llm_embed_kmeans" -> { (s, dir) =>
       import s.implicits._
-      val emb = Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val seeds: Seq[(Int, Seq[Double])] = emb.filter($"vec_id" < KmeansK)
-        .orderBy($"vec_id").select($"vec_id", $"v").collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
-      def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-        val k = cents.size
-        val base = emb.withColumn("dvv", dot($"v", $"v"))
-        val withD = cents.zipWithIndex.foldLeft(base) { case (df, ((_, c), i)) =>
-          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
-          df.withColumn(s"d$i",
-            $"dvv" - lit(2.0) * dot($"v", array(c.map(lit): _*)) + lit(cc))
-        }
-        val mn = least((0 until k).map(i => col(s"d$i")): _*)
-        // first position attaining the min == ORDER BY (d2, cell id)
-        // because cents arrive in ascending cell-id order
-        val pos = (1 until k).foldLeft(when(col("d0") === mn, 0)) {
-          (a, i) => a.when(col(s"d$i") === mn, i)
-        }
-        withD.withColumn("pos", pos)
-          .withColumn("cell",
-            element_at(array(cents.map(x => lit(x._1)): _*), col("pos") + 1))
-          .withColumn("d2",
-            element_at(array((0 until k).map(i => col(s"d$i")): _*), col("pos") + 1))
-          .select($"vec_id", $"v", $"cell", $"d2")
-      }
-      val zero = s"transform(sequence(1, $Dim), i -> 0D)"
-      val cents2: Seq[(Int, Seq[Double])] = assign(seeds)
-        .groupBy($"cell")
-        .agg(count(lit(1)).as("n"),
-          sort_array(collect_list(struct($"vec_id", $"v"))).as("m"))
-        .withColumn("cv", expr(
-          s"""transform(aggregate(transform(m, x -> x.v), $zero,
-             |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
-             |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
-        .select($"cell", $"cv").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      assign(cents2)
+      kmeansAssigned(s, dir)
         .groupBy($"cell")
         .agg(count(lit(1)).as("n_members"),
           expr("""aggregate(transform(sort_array(collect_list(struct(vec_id, d2))),
                 |  x -> x.d2), 0D, (acc, x) -> acc + x)""".stripMargin).as("sse"))
         .orderBy($"cell")
+    },
+
+    // --- cluster-balanced sampling ----------------------------------------
+    // The data-mixing twin of llm_mix_sample keyed by a LEARNED
+    // partition instead of source metadata: every k-means cell gets an
+    // equal share of the half-corpus target (the cluster-balancing
+    // recipe that keeps dominant topics from swamping a training mix),
+    // with the same exact int64 quota arithmetic and deterministic md5
+    // keep decision. One cells-sized broadcast rate table + one
+    // assignment scan beyond the clustering itself.
+    "llm_cluster_balanced_sample" -> { (s, dir) =>
+      import s.implicits._
+      val assigned = kmeansAssigned(s, dir).select($"vec_id", $"cell")
+      val per = assigned.groupBy($"cell").agg(count(lit(1)).as("n_members"))
+      val tot = per.agg(sum($"n_members").as("n_total"),
+        count(lit(1)).as("n_cells"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("quota", expr("(n_total div 2) div n_cells"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("quota * 1000000 div n_members")))
+        .select($"cell", $"n_members", $"quota", $"rate_ppm")
+      assigned.join(broadcast(rates), "cell")
+        .groupBy($"cell", $"n_members", $"quota", $"rate_ppm")
+        .agg(sum(when(
+          TextOps.hash32(concat(lit("cbs:"), $"vec_id".cast("string")))
+            % 1000000 < $"rate_ppm", 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy($"cell")
     }
   )
+
+  /** Final per-vector assignment of the 2-iteration deterministic
+    * Lloyd run — `(vec_id, v, cell, d2)` — shared by `llm_embed_kmeans`
+    * (aggregates to per-cell SSE) and `llm_cluster_balanced_sample`
+    * (samples evenly across cells). Centroids live on the driver
+    * between iterations; each assignment is a zero-shuffle
+    * broadcast-literal projection (see the kmeans def's scaladoc for
+    * the bit-parity discipline).
+    */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val seeds: Seq[(Int, Seq[Double])] = emb.filter($"vec_id" < KmeansK)
+      .orderBy($"vec_id").select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val k = cents.size
+      val base = emb.withColumn("dvv", dot($"v", $"v"))
+      val withD = cents.zipWithIndex.foldLeft(base) { case (df, ((_, c), i)) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        df.withColumn(s"d$i",
+          $"dvv" - lit(2.0) * dot($"v", array(c.map(lit): _*)) + lit(cc))
+      }
+      val mn = least((0 until k).map(i => col(s"d$i")): _*)
+      // first position attaining the min == ORDER BY (d2, cell id)
+      // because cents arrive in ascending cell-id order
+      val pos = (1 until k).foldLeft(when(col("d0") === mn, 0)) {
+        (a, i) => a.when(col(s"d$i") === mn, i)
+      }
+      withD.withColumn("pos", pos)
+        .withColumn("cell",
+          element_at(array(cents.map(x => lit(x._1)): _*), col("pos") + 1))
+        .withColumn("d2",
+          element_at(array((0 until k).map(i => col(s"d$i")): _*), col("pos") + 1))
+        .select($"vec_id", $"v", $"cell", $"d2")
+    }
+    val zero = s"transform(sequence(1, $Dim), i -> 0D)"
+    val cents2: Seq[(Int, Seq[Double])] = assign(seeds)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct($"vec_id", $"v"))).as("m"))
+      .withColumn("cv", expr(
+        s"""transform(aggregate(transform(m, x -> x.v), $zero,
+           |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
+           |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
+      .select($"cell", $"cv").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assign(cents2)
+  }
 
   /** IVF cell-probed ANN with a configurable, DATA-DERIVED coarse
     * quantizer: centroids are a deterministic sample of the corpus
@@ -692,45 +732,73 @@ object SimilarityQueries {
     // sequential fold) as the Spark side, so every assignment,
     // centroid and SSE bit matches
     "llm_embed_kmeans" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS dvv FROM e),
-         |c0 AS (
-         |  SELECT CAST(vec_id AS INT) AS c, v AS cv, ${dotSql("v", "v")} AS cc
-         |  FROM e WHERE vec_id < $KmeansK),
-         |a1p AS (
-         |  SELECT ev.vec_id, ev.v, c0.c,
-         |    ev.dvv - 2.0 * ${dotSql("ev.v", "c0.cv")} + c0.cc AS d2
-         |  FROM ev CROSS JOIN c0),
-         |a1 AS (
-         |  SELECT vec_id, v, c FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY d2, c) AS rn
-         |    FROM a1p) WHERE rn = 1),
-         |c1 AS (
-         |  SELECT c, count(*) AS n,
-         |    list_reduce(
-         |      list_prepend([CAST(0.0 AS DOUBLE) for i in range(0, $Dim)],
-         |        list(v ORDER BY vec_id)),
-         |      (acc, x) -> list_transform(range(1, ${Dim + 1}),
-         |                                 i -> acc[i] + x[i])) AS sv
-         |  FROM a1 GROUP BY c),
-         |c2 AS (
-         |  SELECT c, list_transform(sv, x -> x / CAST(n AS DOUBLE)) AS cv
-         |  FROM c1),
-         |c2c AS (SELECT c, cv, ${dotSql("cv", "cv")} AS cc FROM c2),
-         |a2p AS (
-         |  SELECT ev.vec_id, t.c,
-         |    ev.dvv - 2.0 * ${dotSql("ev.v", "t.cv")} + t.cc AS d2
-         |  FROM ev CROSS JOIN c2c t),
-         |a2 AS (
-         |  SELECT vec_id, c, d2 FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY d2, c) AS rn
-         |    FROM a2p) WHERE rn = 1)
+      s"""WITH $kmeansAssignSql
          |SELECT c AS cell, CAST(count(*) AS BIGINT) AS n_members,
          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list(d2 ORDER BY vec_id)), (acc, x) -> acc + x) AS sse
-         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_cluster_balanced_sample" ->
+      s"""WITH $kmeansAssignSql,
+         |per AS (
+         |  SELECT c AS cell, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM a2 GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_members) AS BIGINT) AS n_total,
+         |    CAST(count(*) AS BIGINT) AS n_cells FROM per),
+         |rates AS (
+         |  SELECT cell, n_members,
+         |    (n_total // 2) // n_cells AS quota,
+         |    least(CAST(1000000 AS BIGINT),
+         |      ((n_total // 2) // n_cells) * 1000000 // n_members) AS rate_ppm
+         |  FROM per, tot)
+         |SELECT r.cell, r.n_members, r.quota, r.rate_ppm,
+         |  CAST(sum(CASE WHEN
+         |    ${TextOps.hash32Sql(s"'cbs:' || CAST(a2.vec_id AS VARCHAR)")}
+         |      % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM a2 JOIN rates r ON a2.c = r.cell
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
   )
+
+  /** Shared CTE chain of the 2-iteration Lloyd oracle — per-vector
+    * final assignment in `a2 (vec_id, c, d2)`; the DuckDB twin of
+    * [[kmeansAssigned]]. Keep the pair in lockstep.
+    */
+  private def kmeansAssignSql: String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS dvv FROM e),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS c, v AS cv, ${dotSql("v", "v")} AS cc
+       |  FROM e WHERE vec_id < $KmeansK),
+       |a1p AS (
+       |  SELECT ev.vec_id, ev.v, c0.c,
+       |    ev.dvv - 2.0 * ${dotSql("ev.v", "c0.cv")} + c0.cc AS d2
+       |  FROM ev CROSS JOIN c0),
+       |a1 AS (
+       |  SELECT vec_id, v, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2, c) AS rn
+       |    FROM a1p) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT c, count(*) AS n,
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE) for i in range(0, $Dim)],
+       |        list(v ORDER BY vec_id)),
+       |      (acc, x) -> list_transform(range(1, ${Dim + 1}),
+       |                                 i -> acc[i] + x[i])) AS sv
+       |  FROM a1 GROUP BY c),
+       |c2 AS (
+       |  SELECT c, list_transform(sv, x -> x / CAST(n AS DOUBLE)) AS cv
+       |  FROM c1),
+       |c2c AS (SELECT c, cv, ${dotSql("cv", "cv")} AS cc FROM c2),
+       |a2p AS (
+       |  SELECT ev.vec_id, t.c,
+       |    ev.dvv - 2.0 * ${dotSql("ev.v", "t.cv")} + t.cc AS d2
+       |  FROM ev CROSS JOIN c2c t),
+       |a2 AS (
+       |  SELECT vec_id, c, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2, c) AS rn
+       |    FROM a2p) WHERE rn = 1)""".stripMargin
 }

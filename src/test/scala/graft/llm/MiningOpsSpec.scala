@@ -74,7 +74,11 @@ class MiningOpsSpec extends SparkSuite {
       sampled <= n && quota <= n })
   }
 
-  test("kmeans: a driver-side Lloyd twin reproduces members and sse bit-exactly") {
+  /** Driver-side 2-iteration Lloyd twin: `(vec_id, v, cell, d2)` with
+    * the query's exact expansion and tie-break — shared by the kmeans
+    * and cluster-balanced-sample tests.
+    */
+  private lazy val lloydAssigned: Seq[(Long, Array[Double], Int, Double)] = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .collect()
@@ -103,7 +107,11 @@ class MiningOpsSpec extends SparkSuite {
       }
       (cell, sum.map(_ / sorted.size.toDouble))
     }.sortBy(_._1)
-    val expected = assign(cents2).groupBy(_._3).map { case (cell, ms) =>
+    assign(cents2).toSeq
+  }
+
+  test("kmeans: a driver-side Lloyd twin reproduces members and sse bit-exactly") {
+    val expected = lloydAssigned.groupBy(_._3).map { case (cell, ms) =>
       (cell, ms.size.toLong,
         ms.sortBy(_._1).foldLeft(0.0)((acc, m) => acc + m._4))
     }.toSeq.sortBy(_._1)
@@ -111,6 +119,30 @@ class MiningOpsSpec extends SparkSuite {
       .orderBy(col("cell")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == expected)
-    assert(got.map(_._2).sum == emb.length.toLong)
+    assert(got.map(_._2).sum == lloydAssigned.size.toLong)
+  }
+
+  test("cluster-balanced sample: quotas and kept counts match the Lloyd twin") {
+    def md5mod(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(8), 16) % 1000000L
+    }
+    val byCell = lloydAssigned.groupBy(_._3)
+    val nTotal = lloydAssigned.size.toLong
+    val nCells = byCell.size.toLong
+    val quota = (nTotal / 2L) / nCells
+    val expected = byCell.toSeq.map { case (cell, ms) =>
+      val n = ms.size.toLong
+      val rate = math.min(1000000L, quota * 1000000L / n)
+      val kept = ms.count { case (id, _, _, _) => md5mod(s"cbs:$id") < rate }
+      (cell, n, quota, rate, kept.toLong)
+    }.sortBy(_._1)
+    val got = SimilarityQueries.defs("llm_cluster_balanced_sample")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // every cell contributes, none exceeds its population
+    assert(got.forall { case (_, n, _, _, kept) => kept <= n })
   }
 }

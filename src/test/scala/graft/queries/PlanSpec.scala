@@ -174,6 +174,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(1500))
   }
 
+  test("llm_cluster_balanced_sample: rate table broadcasts; no shuffle join on vectors") {
+    val p = plan("llm_cluster_balanced_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("llm_semantic_dedup: within-cell pairing is a cell equi-join, no cartesian") {
     val p = plan("llm_semantic_dedup")
     assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("cell#")),
