@@ -357,14 +357,28 @@ object SimilarityQueries {
   )
 
   /** Final per-vector assignment of the 2-iteration deterministic
-    * Lloyd run — `(vec_id, v, cell, d2)` — shared by `llm_embed_kmeans`
+    * Lloyd run — `(vec_id, cell, d2)` — shared by `llm_embed_kmeans`
     * (aggregates to per-cell SSE) and `llm_cluster_balanced_sample`
-    * (samples evenly across cells). Centroids live on the driver
-    * between iterations; each assignment is a zero-shuffle
-    * broadcast-literal projection (see the kmeans def's scaladoc for
-    * the bit-parity discipline).
+    * (samples evenly across cells). A BUILD-ONCE corpus artifact
+    * (same policy as the cluster-label table): clustering an
+    * embedding corpus is something a pipeline does once and joins
+    * everywhere, not once per consuming query — Bench reports the
+    * build seconds in its `artifacts` field.
     */
-  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame =
+    IndexArtifacts.cached(s, dir, "kmeans-cells",
+      inputs = Seq(s"$dir/embeddings.parquet")) { out =>
+      buildKmeansAssigned(s, dir)
+        .select(col("vec_id"), col("cell"), col("d2"))
+        .write.parquet(out)
+    }
+
+  /** One 2-iteration Lloyd run: centroids live on the driver between
+    * iterations; each assignment is a zero-shuffle broadcast-literal
+    * projection (see the kmeans def's scaladoc for the bit-parity
+    * discipline).
+    */
+  private def buildKmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir).embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
