@@ -173,6 +173,23 @@ object Relational {
         .orderBy($"returnflag", $"linestatus")
     },
 
+    // --- q26: full cube (all grouping sets) ------------------------------
+    // Completes the grouping-sets family q11's rollup started: cube
+    // emits every subset of the grouping keys, including the
+    // cross-dimension margins a rollup omits. Catalyst expands to one
+    // Expand + partial+final aggregate — no extra scans per set.
+    "q26_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_rows", $"sum_qty")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
     // --- q12: distinct over a join --------------------------------------
     "q12_distinct_pairs" -> { (s, dir) =>
       import s.implicits._
@@ -374,6 +391,13 @@ object Relational {
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
         |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
 
     "q12_distinct_pairs" ->
