@@ -392,6 +392,11 @@ class LlmOpsSpec extends SparkSuite {
 
   test("vector_dot_long matches the fold on corpus code vectors and NULLs on ragged") {
     import graft.SparkSuite.spark.implicits._
+    def dotLong(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.VectorDotLong(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     // real SQ8 code vectors: quantize the fixture embeddings both ways
     val codes = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x =>
@@ -400,10 +405,7 @@ class LlmOpsSpec extends SparkSuite {
         col("x.vec_id") === col("y.vec_id") + 1)
       .select(col("x.qv").as("a"), col("y.qv").as("b"))
     val cmp = paired
-      .withColumn("fast", org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.VectorDotLong(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("a")),
-          org.apache.spark.sql.GraftColumnBridge.expression(col("b")))))
+      .withColumn("fast", dotLong(col("a"), col("b")))
       .withColumn("ref", aggregate(zip_with(col("a"), col("b"),
         (x, y) => x * y), lit(0L), (acc, v) => acc + v))
     assert(cmp.count() > 0)
@@ -413,10 +415,7 @@ class LlmOpsSpec extends SparkSuite {
       (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
       (Array(1L, 2L), Array(4L, 5L, 6L)),
       (Array.empty[Long], Array.empty[Long])).toDF("a", "b")
-      .withColumn("fast", org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.VectorDotLong(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("a")),
-          org.apache.spark.sql.GraftColumnBridge.expression(col("b")))))
+      .withColumn("fast", dotLong(col("a"), col("b")))
       .collect()
     assert(edge(0).getLong(2) == 32L && edge(1).isNullAt(2) &&
       edge(2).getLong(2) == 0L)

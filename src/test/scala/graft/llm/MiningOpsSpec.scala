@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 class MiningOpsSpec extends SparkSuite {
 
+  /** Driver-side twin of TextOps.hash32(md5) % 1e6 — the deterministic
+    * keep decision shared by the sampling operators under test.
+    */
+  private def md5mod(sv: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(8), 16) % 1000000L
+  }
+
   test("collocations: counts and lift match a driver-side recount; top-k is honest") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text").collect().map(_.getString(0))
@@ -53,11 +62,6 @@ class MiningOpsSpec extends SparkSuite {
         math.floor(math.sqrt(ds.length.toDouble)).toLong)
     }
     val sumW = per.map(_._3).sum
-    def md5mod(sv: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(d.take(8), 16) % 1000000L
-    }
     val expected = per.map { case (src, n, w) =>
       val quota = (nTotal / 2L) * w / sumW
       val rate = math.min(1000000L, quota * 1000000L / n)
@@ -123,11 +127,6 @@ class MiningOpsSpec extends SparkSuite {
   }
 
   test("cluster-balanced sample: quotas and kept counts match the Lloyd twin") {
-    def md5mod(sv: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(d.take(8), 16) % 1000000L
-    }
     val byCell = lloydAssigned.groupBy(_._3)
     val nTotal = lloydAssigned.size.toLong
     val nCells = byCell.size.toLong
