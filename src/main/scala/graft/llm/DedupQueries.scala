@@ -383,6 +383,19 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // --- dedup report: duplicate-family size histogram -------------------
+    // The audit summary every dedup run ships with: how many families
+    // of each size the corpus contains (family = connected near-dup
+    // cluster). Two partial-agg groupBys over the shared label
+    // artifact — the report is free once the labels exist.
+    "llm_dedup_stats" -> { (s, dir) =>
+      import s.implicits._
+      clusterLabels(s, dir)
+        .groupBy($"label").agg(count(lit(1)).as("family_size"))
+        .groupBy($"family_size").agg(count(lit(1)).as("n_families"))
+        .orderBy($"family_size")
+    },
+
     // --- deterministic stratified sampling (data mixing) ----------------
     // Per-(source, lang) stratum subsample at a fixed rate, selected by
     // an md5-derived hash of the doc id — reproducible across runs and
@@ -589,6 +602,14 @@ object DedupQueries {
       s"""WITH RECURSIVE $clusterLabelsSql
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
          |FROM labels ORDER BY 1""".stripMargin,
+
+    "llm_dedup_stats" ->
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |fam AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS family_size
+         |  FROM labels GROUP BY 1)
+         |SELECT family_size, CAST(count(*) AS BIGINT) AS n_families
+         |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // incremental ingestion converges to the same fixpoint — same oracle
     "llm_cluster_inc" ->

@@ -190,6 +190,28 @@ object Relational {
         .orderBy($"returnflag", $"linestatus")
     },
 
+    // --- q27: sliding-frame window (4-row moving sum/average) -----------
+    // The bounded-frame shape the running-total query (q10, unbounded
+    // frame) doesn't cover: ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    // per supplier in ship order. The average is one IEEE division of
+    // two exact ints (frame sum of cents / frame row count) — bitwise
+    // reproducible; the frame ordering key is a total order.
+    "q27_moving_avg" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(-3, 0)
+      Tables(s, dir).lineitem
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
+          cents($"l_extendedprice").as("price_cents"))
+        .withColumn("mov_cents", sum($"price_cents").over(w))
+        .withColumn("mov_avg",
+          $"mov_cents".cast("double") / count(lit(1)).over(w).cast("double"))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"price_cents", $"mov_cents", $"mov_avg")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
     // --- q12: distinct over a join --------------------------------------
     "q12_distinct_pairs" -> { (s, dir) =>
       import s.implicits._
@@ -399,6 +421,19 @@ object Relational {
         |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q27_moving_avg" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, price_cents,
+         |  CAST(sum(price_cents) OVER w AS BIGINT) AS mov_cents,
+         |  CAST(sum(price_cents) OVER w AS DOUBLE) /
+         |    CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         |        ${centsSql("l_extendedprice")} AS price_cents
+         |      FROM lineitem)
+         |WINDOW w AS (PARTITION BY l_suppkey
+         |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q12_distinct_pairs" ->
       """SELECT DISTINCT c_mktsegment, o_orderpriority
