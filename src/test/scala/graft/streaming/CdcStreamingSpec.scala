@@ -324,6 +324,37 @@ class CdcStreamingSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("watermark drops late events: a closed window's append output is final (ST9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (event_id, ts_ms)
+    val agg = in.toDS().toDF("event_id", "ts_ms")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("w"), $"n")
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    val h = 3600L * 1000
+    // batch 1: two on-time events in hour-0 plus one far ahead — the
+    // watermark advances well past hour-0's close
+    in.addData((1L, 10 * 60 * 1000L), (2L, 20 * 60 * 1000L), (3L, 3 * h))
+    q.processAllAvailable()
+    // batch 2: a LATE hour-0 event, now behind the watermark — dropped
+    in.addData((4L, 30 * 60 * 1000L))
+    q.processAllAvailable()
+    // batch 3: advance far enough to close every still-open window
+    in.addData((5L, 6 * h))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_drop").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) == 2L,
+      "hour-0 must close with only the on-time events — the late one dropped")
+    assert(out.values.forall(_ <= 2L))
+  }
+
   test("stream-stream watermarked join: purchases enrich with same-user signups") {
     val dir = freshChangelog()
     def parsedStream() = CdcStream.parsed(
