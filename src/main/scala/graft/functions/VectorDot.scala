@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * the similarity queries fold 64-dim vectors several times per row.
   * This is a primitive loop with whole-stage codegen.
   *
-  * Ragged inputs return NULL — the same result as the fold formulation
-  * (`zip_with` null-pads the shorter array, poisoning the sum to NULL),
-  * so malformed embeddings surface instead of silently truncating.
+  * Ragged inputs and NULL elements return NULL — the same result as
+  * the fold formulation (`zip_with` null-pads the shorter array, and a
+  * null element's product poisons the sum to NULL), so malformed
+  * embeddings surface instead of silently truncating.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -58,6 +59,9 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element poisons the sum, exactly like the fold's null
+      // product (getFloat/getDouble on a null slot would read 0)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += get(a, at, i) * get(b, bt, i)
       i += 1
     }
@@ -79,9 +83,10 @@ case class VectorDot(left: Expression, right: Expression)
          |  final int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ${getter(elemType(left).get, a, i)} * ${getter(elemType(right).get, b, i)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

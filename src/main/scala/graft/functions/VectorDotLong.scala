@@ -21,9 +21,10 @@ import org.apache.spark.sql.types._
   * the whole candidate stage. This compiles to a primitive loop
   * inside whole-stage codegen.
   *
-  * Ragged inputs return NULL (same as the fold formulation, where
-  * `zip_with` null-pads and poisons the sum) so malformed code
-  * vectors surface instead of silently truncating.
+  * Ragged inputs and NULL elements return NULL (same as the fold
+  * formulation, where `zip_with` null-pads — or a null element's
+  * product — poisons the sum) so malformed code vectors surface
+  * instead of silently truncating.
   */
 case class VectorDotLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,6 +53,9 @@ case class VectorDotLong(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // a null element poisons the sum, exactly like the fold's
+      // null product (getLong on a null slot would silently read 0)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
@@ -69,9 +73,10 @@ case class VectorDotLong(left: Expression, right: Expression)
          |  final int $n = $a.numElements();
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -42,10 +42,13 @@ object MultimodalQueries {
     // SampleK indices spread evenly across [0, n_frames) — always
     // including the first and last frame — with each sampled frame
     // hashed. idx_j = j·(n_frames−1) div (SampleK−1) is pure integer
-    // arithmetic (identical div in both engines); duplicates collapse
-    // when a record has fewer frames than SampleK. Pure per-row explode
-    // (≤ SampleK rows/record, no shuffle): the schedule an executor-
-    // side codec would then seek to, computed relationally.
+    // arithmetic — NON-NEGATIVE thanks to the n_frames > 0 guard, so
+    // Spark's truncating div and DuckDB's flooring // agree (they
+    // differ on negatives); duplicates collapse when a record has
+    // fewer frames than SampleK, and a zero-frame (empty) record
+    // emits no samples at all. Pure per-row explode (≤ SampleK
+    // rows/record, no shuffle): the schedule an executor-side codec
+    // would then seek to, computed relationally.
     "llm_frame_sample" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -53,6 +56,7 @@ object MultimodalQueries {
           length(encode($"text", "UTF-8")).as("n_bytes"))
         .withColumn("n_frames",
           expr(s"(n_bytes + ${FrameSize - 1}) div $FrameSize"))
+        .filter($"n_frames" > 0)
         .withColumn("frame_idx", explode(array_distinct(expr(
           s"""transform(sequence(0, ${SampleK - 1}),
              |  j -> (j * (n_frames - 1)) div ${SampleK - 1})""".stripMargin))))
@@ -91,7 +95,9 @@ object MultimodalQueries {
          |    unnest(list_distinct(list_transform(range(0, $SampleK),
          |      j -> (j * (n_frames - 1)) // ${SampleK - 1}))) AS frame_idx,
          |    text
-         |  FROM b)
+         |  -- zero-frame records emit no samples (the guard keeps the
+         |  -- index arithmetic non-negative, where div and // agree)
+         |  FROM b WHERE n_frames > 0)
          |SELECT doc_id, n_frames, frame_idx,
          |  md5(substr(text, CAST(frame_idx * $FrameSize + 1 AS INT), $FrameSize))
          |    AS frame_md5

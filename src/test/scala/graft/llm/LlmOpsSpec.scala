@@ -392,11 +392,9 @@ class LlmOpsSpec extends SparkSuite {
 
   test("vector_dot_long matches the fold on corpus code vectors and NULLs on ragged") {
     import graft.SparkSuite.spark.implicits._
-    def dotLong(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.VectorDotLong(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    // through the REGISTERED SQL function, so the registry entry itself
+    // is exercised (same route the sorted_intersect_count test takes)
+    graft.functions.GraftFunctions.register(spark)
     // real SQ8 code vectors: quantize the fixture embeddings both ways
     val codes = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x =>
@@ -405,20 +403,25 @@ class LlmOpsSpec extends SparkSuite {
         col("x.vec_id") === col("y.vec_id") + 1)
       .select(col("x.qv").as("a"), col("y.qv").as("b"))
     val cmp = paired
-      .withColumn("fast", dotLong(col("a"), col("b")))
+      .withColumn("fast", expr("vector_dot_long(a, b)"))
       .withColumn("ref", aggregate(zip_with(col("a"), col("b"),
         (x, y) => x * y), lit(0L), (acc, v) => acc + v))
     assert(cmp.count() > 0)
     assert(cmp.filter(not(col("fast") <=> col("ref"))).count() === 0)
-    // ragged and empty inputs
+    // ragged, empty, and null-element inputs (null element poisons the
+    // sum to NULL, matching the fold's null product)
     val edge = Seq(
       (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
       (Array(1L, 2L), Array(4L, 5L, 6L)),
-      (Array.empty[Long], Array.empty[Long])).toDF("a", "b")
-      .withColumn("fast", dotLong(col("a"), col("b")))
+      (Array.empty[Long], Array.empty[Long]))
+      .toDF("a", "b")
+      .union(Seq(1).toDF("x").select(
+        expr("array(1L, CAST(NULL AS BIGINT))").as("a"),
+        expr("array(1L, 2L)").as("b")))
+      .withColumn("fast", expr("vector_dot_long(a, b)"))
       .collect()
     assert(edge(0).getLong(2) == 32L && edge(1).isNullAt(2) &&
-      edge(2).getLong(2) == 0L)
+      edge(2).getLong(2) == 0L && edge(3).isNullAt(2))
   }
 
   test("sorted_intersect_count matches array_intersect on random sorted arrays") {
