@@ -45,6 +45,12 @@ object TextAnalysisQueries {
   val ChunkWindow = 40
   val ChunkStride = 32
 
+  /** Winnowing fingerprint parameters: k-token grams, window of W
+    * consecutive gram hashes (guarantee threshold = W + K − 1 tokens).
+    */
+  val WinnowK = 4
+  val WinnowW = 5
+
   /** PII patterns — deliberately RE2-compatible (no backrefs, no
     * lookaround) so Spark's Java regex and DuckDB's RE2 match the same
     * spans.
@@ -189,6 +195,42 @@ object TextAnalysisQueries {
     },
 
     // --- rolling-hash document fingerprint ------------------------------
+    // --- winnowing fingerprints (MOSS selection scheme) ------------------
+    // The document-fingerprint standard for plagiarism/overlap
+    // detection: hash every k-token gram POSITIONALLY, slide a window
+    // of WinnowW consecutive gram hashes, keep each window's minimum,
+    // dedupe. Guarantees every WinnowW-gram stretch contributes a
+    // fingerprint, so any sufficiently long shared passage between two
+    // docs shares a fingerprint — while storing ~1/W of the grams.
+    // Per-row expression work only (O(len·W) per doc); the emitted
+    // summary (count + order-free exact-int sum + min/max) is
+    // array-order-independent, so engine-side distinct ordering
+    // differences cannot break parity.
+    "llm_winnow_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val K = WinnowK
+      val W = WinnowW
+      Tables(s, dir).documents
+        .select($"doc_id", tokens($"text").as("t"))
+        .withColumn("ph", when(size($"t") >= K, expr(
+          s"""transform(sequence(1, size(t) - ${K - 1}),
+             |  i -> CAST(conv(substring(md5(
+             |         array_join(slice(t, i, $K), ' ')), 1, 8), 16, 10)
+             |       AS BIGINT))""".stripMargin))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+        .withColumn("wins",
+          when(size($"ph") >= W, expr(
+            s"""transform(sequence(1, size(ph) - ${W - 1}),
+               |  j -> array_min(slice(ph, j, $W)))""".stripMargin))
+            .when(size($"ph") > 0, array(array_min($"ph")))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+        .withColumn("fps", array_distinct($"wins"))
+        .select($"doc_id", size($"fps").cast("long").as("n_fps"),
+          expr("aggregate(fps, 0L, (acc, x) -> acc + x)").as("fp_sum"),
+          array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+        .orderBy($"doc_id")
+    },
+
     "llm_fingerprint" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -431,6 +473,32 @@ object TextAnalysisQueries {
          |      < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents d JOIN r ON d.source = r.source
          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    "llm_winnow_fingerprint" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= $WinnowK THEN
+         |      list_transform(range(1, len(t) - ${WinnowK - 1} + 1),
+         |        i -> ${hash32Sql(
+                 s"array_to_string(t[i:i+${WinnowK - 1}], ' ')")})
+         |    ELSE [] END AS ph
+         |  FROM d),
+         |w AS (
+         |  SELECT doc_id, CASE
+         |    WHEN len(ph) >= $WinnowW THEN
+         |      list_transform(range(1, len(ph) - ${WinnowW - 1} + 1),
+         |        j -> list_min(ph[j:j+${WinnowW - 1}]))
+         |    WHEN len(ph) > 0 THEN [list_min(ph)]
+         |    ELSE [] END AS wins
+         |  FROM p),
+         |f AS (SELECT doc_id, list_distinct(wins) AS fps FROM w)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+         |    (acc, x) -> acc + x) AS BIGINT) AS fp_sum,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,

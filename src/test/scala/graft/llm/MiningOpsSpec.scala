@@ -114,6 +114,37 @@ class MiningOpsSpec extends SparkSuite {
     assign(cents2).toSeq
   }
 
+  test("winnowing: a driver-side twin reproduces fingerprint counts, sums, and bounds") {
+    def h32(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(8), 16)
+    }
+    val K = TextAnalysisQueries.WinnowK
+    val W = TextAnalysisQueries.WinnowW
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1)
+        val ph = toks.sliding(K).filter(_.length == K)
+          .map(g => h32(g.mkString(" "))).toVector
+        val wins =
+          if (ph.size >= W) ph.sliding(W).map(_.min).toVector
+          else if (ph.nonEmpty) Vector(ph.min)
+          else Vector.empty[Long]
+        val fps = wins.distinct
+        (r.getLong(0), fps.size.toLong, fps.sum,
+          fps.minOption, fps.maxOption)
+      }.sortBy(_._1).toSeq
+    val got = TextAnalysisQueries.defs("llm_winnow_fingerprint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expected)
+    // density: winnowing keeps roughly 1/W of the grams but at least one
+    assert(got.forall { case (_, n, _, _, _) => n >= 1 })
+  }
+
   test("kmeans: a driver-side Lloyd twin reproduces members and sse bit-exactly") {
     val expected = lloydAssigned.groupBy(_._3).map { case (cell, ms) =>
       (cell, ms.size.toLong,
