@@ -174,6 +174,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(1500))
   }
 
+  test("llm_winnow_fingerprint: a pure per-row scan — no join, no aggregate exchange") {
+    val p = plan("llm_winnow_fingerprint")
+    assert(!p.contains("Join"), p.take(1500))
+    // the only exchange is the gate-only trailing sort
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
   test("llm_cluster_balanced_sample: rate table broadcasts; no shuffle join on vectors") {
     val p = plan("llm_cluster_balanced_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
