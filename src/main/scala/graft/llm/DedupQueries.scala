@@ -383,6 +383,33 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // --- per-source dataset-card report ----------------------------------
+    // The one-row-per-source summary a curation pipeline ships with its
+    // output: volume (docs, whitespace tokens), near-dup exposure (docs
+    // in a dup family, non-canonical docs), and the duplicate ratio —
+    // all exact ints plus ONE division. Composes the shared label
+    // artifact with a token-count scan: one groupBy each, joined on the
+    // bounded source key.
+    "llm_source_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"source", size(tokens($"text")).as("n_toks"))
+      val dups = docs.select($"doc_id", $"source")
+        .join(clusterLabels(s, dir), Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(sum(when($"label".isNotNull, 1L).otherwise(0L)).as("n_in_family"),
+          sum(when($"label".isNotNull && $"label" =!= $"doc_id", 1L)
+            .otherwise(0L)).as("n_dup"))
+      docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").cast("long").as("n_tokens"))
+        .join(dups, Seq("source"))
+        .withColumn("dup_ratio", $"n_dup".cast("double") / $"n_docs".cast("double"))
+        .select($"source", $"n_docs", $"n_tokens", $"n_in_family",
+          $"n_dup", $"dup_ratio")
+        .orderBy($"source")
+    },
+
     // --- dedup report: duplicate-family size histogram -------------------
     // The audit summary every dedup run ships with: how many families
     // of each size the corpus contains (family = connected near-dup
@@ -602,6 +629,31 @@ object DedupQueries {
       s"""WITH RECURSIVE $clusterLabelsSql
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
          |FROM labels ORDER BY 1""".stripMargin,
+
+    "llm_source_report" ->
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |doc_toks AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${graft.llm.TextOps.toksSql}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |vol AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |  FROM doc_toks GROUP BY 1),
+         |dup AS (
+         |  SELECT d.source,
+         |    CAST(sum(CASE WHEN l.cluster_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in_family,
+         |    CAST(sum(CASE WHEN l.cluster_id IS NOT NULL
+         |      AND l.cluster_id <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup
+         |  FROM doc_toks d LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |  GROUP BY 1)
+         |SELECT vol.source, vol.n_docs, vol.n_tokens,
+         |  dup.n_in_family, dup.n_dup,
+         |  CAST(dup.n_dup AS DOUBLE) / CAST(vol.n_docs AS DOUBLE) AS dup_ratio
+         |FROM vol JOIN dup USING (source)
+         |ORDER BY source""".stripMargin,
 
     "llm_dedup_stats" ->
       s"""WITH RECURSIVE $clusterLabelsSql,
