@@ -47,11 +47,28 @@ object BucketedTables {
     val (ln, on) =
       (name("graft_bkt_lineitem", path), name("graft_bkt_orders", path))
     // the files exist but this session has never seen the tables (new
-    // session on a warm JVM cache): re-register by rebuilding
-    if (!s.catalog.tableExists(ln) || !s.catalog.tableExists(on))
-      build(s, dir, path)
+    // session on a warm JVM cache): re-register with bucket-spec DDL
+    // over the EXISTING files — never a data rewrite (a rewrite would
+    // clobber files a live session's registered tables are scanning),
+    // and serialized so concurrent late-registering sessions/threads
+    // don't interleave the check with the create
+    registerLock.synchronized {
+      register(s, ln, s"$path/lineitem", "l_orderkey")
+      register(s, on, s"$path/orders", "o_orderkey")
+    }
     (ln, on)
   }
+
+  private val registerLock = new Object
+
+  private def register(s: SparkSession, table: String, loc: String,
+      key: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val schema = s.read.parquet(loc).schema.toDDL
+      s.sql(s"CREATE TABLE IF NOT EXISTS $table ($schema) USING parquet " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS " +
+        s"LOCATION '$loc'")
+    }
 
   private def build(s: SparkSession, dir: String, out: String): Unit = {
     val t = Tables(s, dir)

@@ -208,6 +208,13 @@ object CdcStream {
 
   private val stagingCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Test seam: runs between the stale-lock staleness/token read and
+    * the aside-rename in `publishVersion`'s lock break, so specs can
+    * interleave a competing break-and-reacquire inside the window the
+    * verification step exists to defuse. No-op in production.
+    */
+  private[streaming] var lockBreakTestHook: () => Unit = () => ()
+
   private final case class ReplicaManifest(numBuckets: Int,
       buckets: Map[Int, String], schemaJson: Option[String] = None)
 
@@ -513,15 +520,57 @@ object CdcStream {
     def acquire(): Boolean =
       tryCreate() || {
         if (System.currentTimeMillis() - lock.toFile.lastModified > 60000L) {
-          // atomic aside-rename: of N concurrent breakers exactly one
-          // wins; the rest fail the move and retry the fresh lock
+          // Read the observed-stale lock's identity BEFORE breaking:
+          // the staleness check races against a concurrent
+          // break-and-reacquire, so by the time our aside-rename lands
+          // the path may hold a successor's LIVE lock. The rename is
+          // atomic (of N breakers exactly one wins; losers fail the
+          // move and retry the fresh lock), and it preserves both the
+          // file's content and its mtime — so AFTER the move we verify
+          // we moved what we measured: same owner token AND still a
+          // stale mtime (a live lock is created fresh, so a
+          // stale-mtime aside file is provably a crashed writer's).
+          val staleToken =
+            try Some(new String(java.nio.file.Files.readAllBytes(lock), UTF_8))
+            catch { case _: java.io.IOException => None }
+          CdcStream.lockBreakTestHook()
           val aside = java.nio.file.Paths.get(replicaDir,
             s".commit-lock-broken-${System.nanoTime()}")
-          try {
-            java.nio.file.Files.move(lock, aside, ATOMIC_MOVE)
-            java.nio.file.Files.deleteIfExists(aside)
-          } catch { case _: java.io.IOException => () }
-          tryCreate()
+          // token unreadable = the owner released between our checks:
+          // the path is (momentarily) free, so just try a fresh create
+          staleToken.isEmpty && tryCreate() || staleToken.nonEmpty && {
+            try {
+              java.nio.file.Files.move(lock, aside, ATOMIC_MOVE)
+              val movedToken =
+                new String(java.nio.file.Files.readAllBytes(aside), UTF_8)
+              val movedStale =
+                System.currentTimeMillis() - aside.toFile.lastModified > 60000L
+              if (staleToken.contains(movedToken) && movedStale) {
+                java.nio.file.Files.deleteIfExists(aside)
+                tryCreate()
+              } else {
+                // we stole a successor's live lock: hand it back. We
+                // hold the aside file exclusively, but a third writer
+                // may transiently claim the now-free path; its
+                // critical section is sub-second metadata work, so
+                // retry the restore briefly rather than leave two
+                // writers believing they are serialized. If the
+                // restore cannot land, abort the acquire (conflict);
+                // the aside file ages into the stale-debris sweep and
+                // the displaced owner's token-guarded release never
+                // touches a stranger's lock.
+                var restored = false
+                var tries = 0
+                while (!restored && tries < 200) {
+                  restored =
+                    try { java.nio.file.Files.move(aside, lock, ATOMIC_MOVE); true }
+                    catch { case _: java.io.IOException => false }
+                  if (!restored) { tries += 1; Thread.sleep(10) }
+                }
+                false
+              }
+            } catch { case _: java.io.IOException => false }
+          }
         } else false
       }
     // a losing writer deletes ONLY its own staging — never the target
@@ -586,7 +635,7 @@ object CdcStream {
     Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
       .filter { f =>
         def stale = now - newestMtime(f) > 3600L * 1000
-        f.isDirectory && {
+        (f.isDirectory && {
           // the retain set was computed from THIS commit's view — a
           // competitor may have committed a NEWER version since the
           // flip, so only versions at or below ours are GC candidates
@@ -597,7 +646,13 @@ object CdcStream {
             // renamed orphans, both by deep newest-mtime age
             ((f.getName.startsWith(".staging-") ||
               f.getName.startsWith(".gc-")) && stale)
-        }
+        }) ||
+          // a breaker that crashed between aside-rename and delete
+          // leaks its .commit-lock-broken-* FILE; a live break resolves
+          // in milliseconds and a stolen live lock parked aside has a
+          // fresh mtime, so the hour-old sweep only ever collects
+          // crashed-breaker debris
+          (f.isFile && f.getName.startsWith(".commit-lock-broken-") && stale)
       }
       .foreach(deleteRecursively)
   }
@@ -672,9 +727,29 @@ object CdcStream {
         else Some(spark.read.option("mergeSchema", "true").parquet(
           m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).schema))
     }
+    // SCHEMA EVOLUTION IS ADDITIVE-ONLY, and this is where the contract
+    // is ENFORCED, not assumed: `unionByName` silently widens a batch
+    // column against the touched buckets (int⋈long → long), but the
+    // UNTOUCHED buckets still hold the narrow type — and Spark's parquet
+    // footer-merge refuses int-vs-long, so admitting the write would
+    // leave the full-scan read path broken and the manifest schema lying
+    // to the pruned path (whose key casts would then hash to the wrong
+    // bucket). Reject loudly instead of corrupting.
     val unionSchema = prevSchema match {
-      case Some(ps) => StructType(ps.fields ++
-        merged.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+      case Some(ps) =>
+        merged.schema.fields.foreach { f =>
+          ps.fields.find(_.name == f.name).foreach { pf =>
+            if (!org.apache.spark.sql.GraftColumnBridge
+                .sameTypeIgnoreNullability(pf.dataType, f.dataType))
+              throw new IllegalArgumentException(
+                s"replica $replicaDir: batch changes column '${f.name}' from " +
+                  s"${pf.dataType.catalogString} to ${f.dataType.catalogString}; " +
+                  "replica schema evolution is additive-only (new columns), " +
+                  "never type changes")
+          }
+        }
+        StructType(ps.fields ++
+          merged.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
       case None => merged.schema
     }
 

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `DataType.sameType` (equality modulo nullability) is
+    * `private[spark]`; the replica store's schema-evolution guard needs
+    * it to compare manifest field types without tripping on nullable
+    * drift inside nested structs.
+    */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 }

@@ -214,6 +214,97 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     assert(manifestJson().contains("extra"))
   }
 
+  test("a genuinely stale commit lock is broken and the commit proceeds") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    val lock = new java.io.File(dir, ".commit-lock")
+    java.nio.file.Files.writeString(lock.toPath, "crashed-writer-token")
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((2L, "b", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    assert(content(dir) == Seq((1L, "a"), (2L, "b")))
+    assert(!lock.exists(), "broken stale lock must not survive the commit")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".commit-lock-broken-")),
+      "a clean break leaves no aside debris")
+  }
+
+  test("lock break verifies its victim: a live lock replacing the stale one survives") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    val lock = new java.io.File(dir, ".commit-lock")
+    // a crashed writer's stale lock...
+    java.nio.file.Files.writeString(lock.toPath, "crashed-writer-token")
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+    // ...that a COMPETING breaker breaks and re-acquires exactly inside
+    // our breaker's staleness-check → aside-rename window
+    CdcStream.lockBreakTestHook = () => {
+      java.nio.file.Files.delete(lock.toPath)
+      java.nio.file.Files.writeString(lock.toPath, "live-competitor-token")
+    }
+    try {
+      intercept[CdcStream.ConcurrentReplicaWriteException] {
+        CdcStream.applyBatchToReplica(dir,
+          batch(Seq((2L, "b", "update"))),
+          idCols = Seq("id"), orderCols = Seq(col("v")))
+      }
+    } finally CdcStream.lockBreakTestHook = () => ()
+    // the competitor's live lock was handed back untouched, and the
+    // displaced-lock aside file did not leak
+    assert(java.nio.file.Files.readString(lock.toPath) == "live-competitor-token",
+      "the live successor's lock must survive the aborted break")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".commit-lock-broken-")))
+    // the loser's batch is absent; the replica is still consistent
+    assert(content(dir) == Seq((1L, "a")))
+  }
+
+  test("a crashed breaker's leaked broken-lock file is swept by a later commit") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    val leaked = new java.io.File(dir, ".commit-lock-broken-12345")
+    java.nio.file.Files.writeString(leaked.toPath, "crashed-breaker-victim")
+    assert(leaked.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000))
+    // a FRESH aside file (a break in flight, or a stolen live lock
+    // mid-restore) must NOT be swept
+    val fresh = new java.io.File(dir, ".commit-lock-broken-67890")
+    java.nio.file.Files.writeString(fresh.toPath, "in-flight")
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((2L, "b", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    assert(!leaked.exists(), "hour-old broken-lock debris must be collected")
+    assert(fresh.exists(), "a fresh aside file must be left alone")
+    fresh.delete()
+  }
+
+  test("schema evolution rejects type changes instead of corrupting the replica") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      Seq((1L, "a", 1, "update")).toDF("id", "v", "n", "op"),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    // int → bigint would be silently widened by unionByName for the
+    // touched buckets while untouched buckets keep int files — a state
+    // Spark's parquet footer-merge then refuses to read. Reject loudly.
+    val ex = intercept[IllegalArgumentException] {
+      CdcStream.applyBatchToReplica(dir,
+        Seq((1L, "a2", 2L, "update")).toDF("id", "v", "n", "op"),
+        idCols = Seq("id"), orderCols = Seq(col("v")))
+    }
+    assert(ex.getMessage.contains("'n'") && ex.getMessage.contains("additive"))
+    // the rejected batch left no trace: same version, same content
+    assert(CdcStream.replicaVersions(dir) == Seq(1L))
+    assert(content(dir) == Seq((1L, "a")))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".staging-")))
+  }
+
   test("time travel: the previous version reads back its exact state") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
