@@ -159,6 +159,15 @@ object SimilarityQueries {
     s"""list_transform($e,
        |      x -> CAST(floor(x::DOUBLE * CAST($Sq8Scale AS DOUBLE)) AS BIGINT))""".stripMargin
 
+  /** Product-quantization geometry: Dim = PqM × PqSubDim subspaces,
+    * PqK centroids per subspace codebook (the sampled-vector subslices,
+    * same deterministic sample as IVF). Codes are PqM small ints per
+    * vector — 4 bytes standing in for 256 bytes of floats.
+    */
+  val PqM = 4
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 8
+
   /** Semantic-dedup cosine threshold (the fixture's cross-pair cosines
     * top out near 0.51, so 0.35 flags a meaningful-but-small set).
     */
@@ -229,6 +238,70 @@ object SimilarityQueries {
         .filter($"rank" <= TopK)
         .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
           $"qdot", $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // --- product-quantization (PQ) compressed ANN -----------------------
+    // The 64-dim vector splits into PqM=4 16-dim subspaces; each
+    // subspace gets an 8-entry codebook (the deterministic sampled
+    // vectors' subslices) and every corpus vector is stored as 4 small
+    // ints — a 64× compression of the scan side. Queries rank by
+    // ASYMMETRIC distance (ADC): exact query subvector vs the
+    // centroid each code names. Ranking by Σ_m d²(q_m, c_code) equals
+    // ranking DESC by Σ_m (q_m·c − ||c||²/2) since q·q is per-query
+    // constant — so the same bit-exact score kernel as IVF/k-means
+    // serves, and the per-query lookup tables (PqM×PqK rows) broadcast.
+    // The plan: one scan to encode (the materialized PQ index), then
+    // PqM broadcast joins against the tables and ONE top-k window —
+    // no shuffle proportional to corpus×corpus, and each per-subspace
+    // partial sum is a single value so the 4-term fold keeps an
+    // explicit IEEE order both engines share.
+    "llm_embed_pq" -> { (s, dir) =>
+      import s.implicits._
+      val cents = sampleCentroids(s, dir, PqK)
+      def subScore(e: Column, m: Int, j: Int): Column = {
+        val cv = cents(j).slice(m * PqSubDim, (m + 1) * PqSubDim)
+        val hn = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2.0
+        dot(slice(e, m * PqSubDim + 1, PqSubDim),
+          array(cv.map(x => lit(x.toDouble)).toSeq: _*)) - lit(hn)
+      }
+      def codeOf(m: Int): Column = {
+        val mx = greatest((0 until PqK).map(j => col(s"s${m}_$j")): _*)
+        (1 until PqK).foldLeft(when(col(s"s${m}_0") === mx, 0)) {
+          (acc, j) => acc.when(col(s"s${m}_$j") === mx, j)
+        }
+      }
+      val emb = Tables(s, dir).embeddings
+      val scored = emb.select($"vec_id" +:
+        (for { m <- 0 until PqM; j <- 0 until PqK }
+          yield subScore($"embedding", m, j).as(s"s${m}_$j")): _*)
+      // the PQ index: PqM codes per vector, materialized once
+      val codes = IndexArtifacts.materialize(s,
+        scored.select($"vec_id" +:
+          (0 until PqM).map(m => codeOf(m).as(s"c$m")): _*),
+        "pq-codes")
+      // per-query ADC lookup tables (PqK rows per subspace per query)
+      val q = emb.filter($"vec_id" < NumQueries)
+      val dts = (0 until PqM).map { m =>
+        q.select($"vec_id".as("query_id"),
+          explode(array((0 until PqK).map(j =>
+            struct(lit(j).as("code"),
+              subScore($"embedding", m, j).as("s"))): _*)).as("e"))
+          .select($"query_id", $"e.code".as(s"c$m"), $"e.s".as(s"s$m"))
+      }
+      val joined = dts.zipWithIndex.foldLeft(codes) { case (df, (dt, m)) =>
+        df.join(broadcast(dt),
+          if (m == 0) Seq(s"c$m") else Seq("query_id", s"c$m"))
+      }
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"adc_score".desc, $"vec_id".asc)
+      joined.filter($"vec_id" =!= $"query_id")
+        .withColumn("adc_score",
+          (1 until PqM).foldLeft(col("s0"))((acc, m) => acc + col(s"s$m")))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+          $"adc_score")
         .orderBy($"query_id", $"rank")
     },
 
@@ -640,6 +713,60 @@ object SimilarityQueries {
          |  FROM p)
          |SELECT vec_id, bucket, neighbor_id, cos_sim
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // PQ oracle: same sampled codebooks, same e·c − ||c||²/2 kernel per
+    // subspace (folds over the identical floats in the identical
+    // order), argmax encoding with the same lowest-j tie-break, ADC
+    // sum folded in explicit m order (each per-m term is a single row,
+    // so max(CASE) extracts it exactly)
+    "llm_embed_pq" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+         |    embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % $CentroidStride = $CentroidPhase
+         |        ORDER BY vec_id LIMIT $PqK)),
+         |cb AS (
+         |  SELECT mm.m, c.j,
+         |    c.ce[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM cents c CROSS JOIN
+         |    (SELECT CAST(unnest(range($PqM)) AS INT) AS m) mm),
+         |cbh AS (
+         |  SELECT m, j, cv,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(cv, x -> x::DOUBLE * x::DOUBLE)),
+         |      (a, b) -> a + b) / 2.0 AS hn
+         |  FROM cb),
+         |sc AS (
+         |  SELECT e.vec_id, cb.m, cb.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        k -> e.embedding[cb.m*$PqSubDim+k]::DOUBLE * cb.cv[k]::DOUBLE)),
+         |      (acc, v) -> acc + v) - cb.hn AS s
+         |  FROM embeddings e CROSS JOIN cbh cb),
+         |enc AS (
+         |  SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |                         ORDER BY s DESC, j ASC) AS rk
+         |    FROM sc) WHERE rk = 1),
+         |adc AS (
+         |  SELECT d.vec_id AS query_id, e.vec_id,
+         |    ((max(CASE WHEN e.m = 0 THEN d.s END)
+         |      + max(CASE WHEN e.m = 1 THEN d.s END))
+         |      + max(CASE WHEN e.m = 2 THEN d.s END))
+         |      + max(CASE WHEN e.m = 3 THEN d.s END) AS adc_score
+         |  FROM enc e JOIN sc d
+         |    ON d.m = e.m AND d.j = e.code AND d.vec_id < $NumQueries
+         |  WHERE e.vec_id <> d.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id AS neighbor_id,
+         |  adc_score
+         |FROM (SELECT query_id, vec_id, adc_score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY adc_score DESC, vec_id ASC) AS rk
+         |      FROM adc)
+         |WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
 
     "llm_embed_sq8" ->
       s"""WITH b AS (

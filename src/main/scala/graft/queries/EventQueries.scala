@@ -225,6 +225,29 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: SCD2 history table from the changelog ----------------------
+    // The OTHER standard CDC materialization next to latest-state
+    // upsert: every non-delete change becomes a version row valid
+    // [its ts, next change's ts), the open version has valid_to NULL,
+    // and a trailing delete closes the key's history without emitting
+    // a row. One ascending per-key window over the changelog — same
+    // shuffle shape as cdc_latest_state, linear at any scale; the
+    // validity interval derives from lead() BEFORE deletes are
+    // filtered, so a delete's timestamp still bounds its predecessor.
+    "cdc_scd2_history" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables(s, dir).events
+        .withColumn("op", opCol($"event_type"))
+        .withColumn("valid_from_ms", unix_millis($"ts"))
+        .withColumn("valid_to_ms", lead($"valid_from_ms", 1).over(w))
+        .filter($"op" =!= "delete")
+        .select($"user_id", $"event_id", cents($"value").as("value_cents"),
+          $"valid_from_ms", $"valid_to_ms",
+          $"valid_to_ms".isNull.as("is_current"))
+        .orderBy($"user_id", $"valid_from_ms", $"event_id")
+    },
+
     // --- cdc: packed-offset arithmetic round-trip ------------------------
     "cdc_offset_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -415,6 +438,19 @@ object EventQueries {
          |  FROM h)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    "cdc_scd2_history" ->
+      s"""SELECT user_id, event_id, value_cents, valid_from_ms, valid_to_ms,
+         |  valid_to_ms IS NULL AS is_current
+         |FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    epoch_ms(CAST(ts AS TIMESTAMP)) AS valid_from_ms,
+         |    lead(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ms
+         |  FROM events)
+         |WHERE op <> 'delete'
+         |ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
 
     "cdc_offset_roundtrip" ->
       """SELECT event_id, file_id, pos,

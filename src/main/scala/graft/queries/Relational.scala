@@ -190,6 +190,49 @@ object Relational {
         .orderBy($"returnflag", $"linestatus")
     },
 
+    // --- q28: explicit grouping sets (disjoint margins) ------------------
+    // Completes the family: rollup (q11) gives prefixes, cube (q26)
+    // every subset; GROUPING SETS states exactly the margins wanted —
+    // here the two one-dimension breakdowns, skipping the (flag,
+    // status) cross and the grand total a cube would also pay for.
+    // Catalyst expands to ONE Expand + partial+final aggregate over a
+    // single scan, so at 100 TB asking for two margins costs one pass,
+    // not two queries.
+    "q28_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents($"l_extendedprice")).as("price_cents"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_rows", $"price_cents")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
+    // --- q29: ntile + percent_rank (quantile bucketing) ------------------
+    // Distribution-rank windows the ranking family (q9 row_number, q10
+    // running frame, q27 sliding frame) doesn't cover. Partitioned by
+    // order priority so no global single-task sort exists; ties broken
+    // by orderkey make the order total. percent_rank is ONE IEEE
+    // division of two exact ints — bit-reproducible across engines.
+    "q29_ntile" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderkey", $"o_orderpriority",
+          cents($"o_totalprice").as("price_cents"))
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy($"o_orderpriority")
+            .orderBy($"price_cents", $"o_orderkey")))
+        .withColumn("pct_rank", percent_rank().over(
+          Window.partitionBy($"o_orderpriority")
+            .orderBy($"price_cents", $"o_orderkey")))
+        .orderBy($"o_orderkey")
+    },
+
     // --- q27: sliding-frame window (4-row moving sum/average) -----------
     // The bounded-frame shape the running-total query (q10, unbounded
     // frame) doesn't cover: ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
@@ -421,6 +464,25 @@ object Relational {
         |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q28_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  count(*) AS n_rows,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q29_ntile" ->
+      s"""SELECT o_orderkey, o_orderpriority, price_cents,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |  percent_rank() OVER w AS pct_rank
+         |FROM (SELECT o_orderkey, o_orderpriority,
+         |        ${centsSql("o_totalprice")} AS price_cents FROM orders)
+         |WINDOW w AS (PARTITION BY o_orderpriority
+         |             ORDER BY price_cents, o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
 
     "q27_moving_avg" ->
       s"""SELECT l_suppkey, l_orderkey, l_linenumber, price_cents,
