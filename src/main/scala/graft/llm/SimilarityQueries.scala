@@ -164,9 +164,9 @@ object SimilarityQueries {
     * same deterministic sample as IVF). Codes are PqM small ints per
     * vector — 4 bytes standing in for 256 bytes of floats.
     */
-  val PqM = 4
+  val PqM = 8
   val PqSubDim: Int = Dim / PqM
-  val PqK = 8
+  val PqK = 16
 
   /** Semantic-dedup cosine threshold (the fixture's cross-pair cosines
     * top out near 0.51, so 0.35 flags a meaningful-but-small set).
@@ -258,35 +258,85 @@ object SimilarityQueries {
     // explicit IEEE order both engines share.
     "llm_embed_pq" -> { (s, dir) =>
       import s.implicits._
-      val cents = sampleCentroids(s, dir, PqK)
-      def subScore(e: Column, m: Int, j: Int): Column = {
-        val cv = cents(j).slice(m * PqSubDim, (m + 1) * PqSubDim)
-        val hn = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2.0
+      // cosine-faithful PQ: L2-normalize corpus, queries, AND codebook
+      // first — on the unit sphere d² = 2 − 2·cos, so ADC's L2 ranking
+      // IS the cosine ranking up to quantization error. Without this
+      // the code ranks by raw L2, a different metric than the exact
+      // baseline. Normalization is one sqrt + one divide per element,
+      // each a single correctly-rounded IEEE op both engines share.
+      def normalized(v: Array[Float]): Array[Double] = {
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        v.map(_.toDouble / n)
+      }
+      val init = sampleCentroids(s, dir, PqK).map(normalized)
+      val K = init.size
+      // codebook 0: the sampled vectors' subslices (k-means init)
+      val cb0 = IndexedSeq.tabulate(PqM)(m =>
+        init.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)).toIndexedSeq)
+      def subScore(cb: IndexedSeq[IndexedSeq[Array[Double]]], e: Column,
+          m: Int, j: Int): Column = {
+        val cv = cb(m)(j)
+        val hn = cv.foldLeft(0.0)((a, x) => a + x * x) / 2.0
         dot(slice(e, m * PqSubDim + 1, PqSubDim),
-          array(cv.map(x => lit(x.toDouble)).toSeq: _*)) - lit(hn)
+          array(cv.map(lit).toIndexedSeq: _*)) - lit(hn)
       }
       def codeOf(m: Int): Column = {
-        val mx = greatest((0 until PqK).map(j => col(s"s${m}_$j")): _*)
-        (1 until PqK).foldLeft(when(col(s"s${m}_0") === mx, 0)) {
+        val mx = greatest((0 until K).map(j => col(s"s${m}_$j")): _*)
+        (1 until K).foldLeft(when(col(s"s${m}_0") === mx, 0)) {
           (acc, j) => acc.when(col(s"s${m}_$j") === mx, j)
         }
       }
+      def encode(cb: IndexedSeq[IndexedSeq[Array[Double]]],
+          df: DataFrame): DataFrame =
+        df.select(Seq($"vec_id", $"embedding") ++
+          (for { m <- 0 until PqM; j <- 0 until K }
+            yield subScore(cb, $"embedding", m, j).as(s"s${m}_$j")): _*)
+          .select(Seq($"vec_id", $"embedding") ++
+            (0 until PqM).map(m => codeOf(m).as(s"c$m")): _*)
       val emb = Tables(s, dir).embeddings
-      val scored = emb.select($"vec_id" +:
-        (for { m <- 0 until PqM; j <- 0 until PqK }
-          yield subScore($"embedding", m, j).as(s"s${m}_$j")): _*)
+        .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+        .select($"vec_id",
+          transform($"embedding", x => x.cast("double") / $"nrm")
+            .as("embedding"))
+      // ONE deterministic Lloyd refinement per subspace: assign against
+      // the init codebook, recompute each entry as its members' mean —
+      // summed in ascending vec_id order with a sequential element fold
+      // so the mean's bits reproduce anywhere — and keep the init entry
+      // where a code attracted no members. Centroids live on the
+      // driver (PqM×PqK small vectors) between iterations, exactly the
+      // k-means shape; the assignment itself is a zero-shuffle scan.
+      val memb = encode(cb0, emb)
+        .select($"vec_id", explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), col(s"c$m").as("code"),
+            slice($"embedding", m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
+          .as("x"))
+        .select($"vec_id", $"x.m".as("m"), $"x.code".as("code"),
+          $"x.sub".as("sub"))
+      val zero = s"transform(sequence(1, $PqSubDim), i -> 0D)"
+      val refined = memb.groupBy($"m", $"code")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct($"vec_id", $"sub"))).as("mem"))
+        .withColumn("cv", expr(
+          s"""transform(aggregate(transform(mem, x -> x.sub), $zero,
+             |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
+             |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
+        .select($"m", $"code", $"cv").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      val cb1 = IndexedSeq.tabulate(PqM)(m => IndexedSeq.tabulate(K)(j =>
+        refined.getOrElse((m, j), cb0(m)(j))))
       // the PQ index: PqM codes per vector, materialized once
       val codes = IndexArtifacts.materialize(s,
-        scored.select($"vec_id" +:
-          (0 until PqM).map(m => codeOf(m).as(s"c$m")): _*),
+        encode(cb1, emb).select($"vec_id" +:
+          (0 until PqM).map(m => col(s"c$m")): _*),
         "pq-codes")
       // per-query ADC lookup tables (PqK rows per subspace per query)
       val q = emb.filter($"vec_id" < NumQueries)
       val dts = (0 until PqM).map { m =>
         q.select($"vec_id".as("query_id"),
-          explode(array((0 until PqK).map(j =>
+          explode(array((0 until K).map(j =>
             struct(lit(j).as("code"),
-              subScore($"embedding", m, j).as("s"))): _*)).as("e"))
+              subScore(cb1, $"embedding", m, j).as("s"))): _*)).as("e"))
           .select($"query_id", $"e.code".as(s"c$m"), $"e.s".as(s"s$m"))
       }
       val joined = dts.zipWithIndex.foldLeft(codes) { case (df, (dt, m)) =>
@@ -726,24 +776,70 @@ object SimilarityQueries {
          |  FROM (SELECT vec_id, embedding FROM embeddings
          |        WHERE vec_id % $CentroidStride = $CentroidPhase
          |        ORDER BY vec_id LIMIT $PqK)),
-         |cb AS (
+         |cn AS (
+         |  SELECT j, list_transform(ce, x -> x::DOUBLE /
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(ce, y -> y::DOUBLE * y::DOUBLE)),
+         |      (a, b) -> a + b))) AS ce
+         |  FROM cents),
+         |en AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)),
+         |      (a, b) -> a + b))) AS embedding
+         |  FROM embeddings),
+         |cb0 AS (
          |  SELECT mm.m, c.j,
          |    c.ce[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS cv
-         |  FROM cents c CROSS JOIN
+         |  FROM cn c CROSS JOIN
          |    (SELECT CAST(unnest(range($PqM)) AS INT) AS m) mm),
+         |cbh0 AS (
+         |  SELECT m, j, cv,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(cv, x -> x * x)),
+         |      (a, b) -> a + b) / 2.0 AS hn
+         |  FROM cb0),
+         |sc0 AS (
+         |  SELECT e.vec_id, cb.m, cb.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        k -> e.embedding[cb.m*$PqSubDim+k] * cb.cv[k])),
+         |      (acc, v) -> acc + v) - cb.hn AS s
+         |  FROM en e CROSS JOIN cbh0 cb),
+         |enc0 AS (
+         |  SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |                         ORDER BY s DESC, j ASC) AS rk
+         |    FROM sc0) WHERE rk = 1),
+         |mem AS (
+         |  SELECT n0.m, n0.code, count(*) AS n,
+         |    list_reduce(
+         |      list_prepend([CAST(0.0 AS DOUBLE) for i in range(0, $PqSubDim)],
+         |        list(e.embedding[n0.m*$PqSubDim+1 : n0.m*$PqSubDim+$PqSubDim]
+         |             ORDER BY n0.vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${PqSubDim + 1}),
+         |                                 i -> acc[i] + x[i])) AS sv
+         |  FROM enc0 n0 JOIN en e ON e.vec_id = n0.vec_id
+         |  GROUP BY 1, 2),
+         |cb1 AS (
+         |  SELECT b.m, b.j,
+         |    coalesce(list_transform(mem.sv, x -> x / CAST(mem.n AS DOUBLE)),
+         |      b.cv) AS cv
+         |  FROM cb0 b LEFT JOIN mem ON mem.m = b.m AND mem.code = b.j),
          |cbh AS (
          |  SELECT m, j, cv,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(cv, x -> x::DOUBLE * x::DOUBLE)),
+         |      list_transform(cv, x -> x * x)),
          |      (a, b) -> a + b) / 2.0 AS hn
-         |  FROM cb),
+         |  FROM cb1),
          |sc AS (
          |  SELECT e.vec_id, cb.m, cb.j,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, ${PqSubDim + 1}),
-         |        k -> e.embedding[cb.m*$PqSubDim+k]::DOUBLE * cb.cv[k]::DOUBLE)),
+         |        k -> e.embedding[cb.m*$PqSubDim+k] * cb.cv[k])),
          |      (acc, v) -> acc + v) - cb.hn AS s
-         |  FROM embeddings e CROSS JOIN cbh cb),
+         |  FROM en e CROSS JOIN cbh cb),
          |enc AS (
          |  SELECT vec_id, m, j AS code FROM (
          |    SELECT vec_id, m, j,
@@ -752,10 +848,9 @@ object SimilarityQueries {
          |    FROM sc) WHERE rk = 1),
          |adc AS (
          |  SELECT d.vec_id AS query_id, e.vec_id,
-         |    ((max(CASE WHEN e.m = 0 THEN d.s END)
-         |      + max(CASE WHEN e.m = 1 THEN d.s END))
-         |      + max(CASE WHEN e.m = 2 THEN d.s END))
-         |      + max(CASE WHEN e.m = 3 THEN d.s END) AS adc_score
+         |    ${(1 until PqM).foldLeft("max(CASE WHEN e.m = 0 THEN d.s END)")(
+               (acc, m) => s"($acc + max(CASE WHEN e.m = $m THEN d.s END))")}
+         |      AS adc_score
          |  FROM enc e JOIN sc d
          |    ON d.m = e.m AND d.j = e.code AND d.vec_id < $NumQueries
          |  WHERE e.vec_id <> d.vec_id

@@ -53,6 +53,40 @@ class QuantizedAnnSpec extends SparkSuite {
     }
   }
 
+  test("pq: ADC ranking recovers a meaningful share of the exact top-k") {
+    // at sf0.001 the deterministic centroid sample yields only 3
+    // codebook entries — a degenerate quantizer; measure recall where
+    // the full 4×8 codebook exists
+    val dir = "/root/testdata/sf0.01"
+    val exact = SimilarityQueries.defs("llm_embed_topk")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val pq = SimilarityQueries.defs("llm_embed_pq")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    // a 4×8 sampled (non-learned) codebook is a coarse quantizer; the
+    // floor catches a broken kernel (recall ~ random = TopK/corpus
+    // = 2%), not certifies retrieval quality
+    val (hit, total) = exact.foldLeft((0, 0)) { case ((h, t), (q, ids)) =>
+      (h + ids.intersect(pq(q)).size, t + ids.size)
+    }
+    assert(hit.toDouble / total >= 0.25, s"pq recall $hit/$total")
+  }
+
+  test("pq: ranks are dense and adc_score is non-increasing per query") {
+    val rows = SimilarityQueries.defs("llm_embed_pq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val sc = sorted.map(_.getAs[Double]("adc_score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("rrf: scores recompute exactly from the member ranks and ranks are dense") {
     val k = SimilarityQueries.RrfK
     val rows = SimilarityQueries.defs("llm_hybrid_rrf")(spark, sfDir).collect()

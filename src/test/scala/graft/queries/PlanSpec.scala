@@ -150,6 +150,35 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("q28: grouping sets are one Expand + partial+final aggregate over a single scan") {
+    val p = plan("q28_grouping_sets")
+    assert(p.contains("Expand"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q29: quantile windows shuffle once on the partition key, no global sort") {
+    val p = plan("q29_ntile")
+    // one hash exchange for the priority-partitioned windows; the only
+    // rangepartitioning is the harness-imposed trailing orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("cdc_scd2_history: one per-key window shuffle serves lead, filter, and flag") {
+    val p = plan("cdc_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("llm_embed_pq: ADC lookups are broadcast joins; no shuffle joins, no cartesian") {
+    val p = plan("llm_embed_pq")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == graft.llm.SimilarityQueries.PqM,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("q24: the interval join is a bucketed equi-join, never a nested loop") {
     val p = plan("q24_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
