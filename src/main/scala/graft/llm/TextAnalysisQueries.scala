@@ -58,6 +58,13 @@ object TextAnalysisQueries {
   val EmailPattern = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   val PhonePattern = "555-[0-9]{4}"
 
+  /** Quality-model constants: the stopword term peaks at 30% stopword
+    * density (natural prose), and the keep threshold sits near the
+    * fixture's 10th score percentile — a real gate, not a rubber stamp.
+    */
+  val QualityStopTargetPpm = 300000L
+  val QualityKeepThreshold = 2200000L
+
   val defs: Map[String, QFn] = Map(
 
     // --- per-document quality statistics --------------------------------
@@ -74,6 +81,35 @@ object TextAnalysisQueries {
         .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
         .withColumn("avg_token_len",
           ($"n_chars" - $"n_tokens" + 1).cast("double") / $"n_tokens")
+        .orderBy($"doc_id")
+    },
+
+    // --- model-based quality scoring (linear classifier shape) ----------
+    // The fasttext-style quality-classifier SHAPE the big pipeline
+    // papers gate on: per-doc features → fixed-weight linear score →
+    // threshold keep. Features and weights stay exact int64 (ppm
+    // ratios via integer division, a banded stopword term peaking at
+    // 30%, a capped length term), so the score is bit-identical in
+    // both engines with zero float ops — swapping in LEARNED weights
+    // changes the constants, not the plan: one per-row scan.
+    "llm_quality_model" -> { (s, dir) =>
+      import s.implicits._
+      val t = tokens($"text")
+      Tables(s, dir).documents
+        .select($"doc_id",
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_distinct"),
+          size(filter(t, c => c.isin(stopwords.map(lit): _*)))
+            .cast("long").as("n_stop"))
+        .withColumn("ttr_ppm", expr("(1000000 * n_distinct) div n_tokens"))
+        .withColumn("stop_ppm", expr("(1000000 * n_stop) div n_tokens"))
+        .withColumn("quality_score",
+          lit(2L) * $"ttr_ppm" +
+            (lit(1000000L) - abs($"stop_ppm" - lit(QualityStopTargetPpm))) +
+            least($"n_tokens", lit(100L)) * lit(10000L))
+        .select($"doc_id", $"n_tokens", $"ttr_ppm", $"stop_ppm",
+          $"quality_score",
+          ($"quality_score" >= QualityKeepThreshold).as("keep"))
         .orderBy($"doc_id")
     },
 
@@ -377,6 +413,27 @@ object TextAnalysisQueries {
          |    CAST(len(list_distinct(t)) AS INT) AS n_distinct,
          |    CAST(len(list_filter(t, c -> c IN ($stopListSql))) AS INT) AS n_stop
          |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_model" ->
+      s"""SELECT doc_id, n_tokens, ttr_ppm, stop_ppm, quality_score,
+         |  quality_score >= $QualityKeepThreshold AS keep
+         |FROM (
+         |  SELECT doc_id, n_tokens, ttr_ppm, stop_ppm,
+         |    2 * ttr_ppm
+         |      + (1000000 - abs(stop_ppm - $QualityStopTargetPpm))
+         |      + least(n_tokens, 100) * 10000 AS quality_score
+         |  FROM (
+         |    SELECT doc_id, n_tokens,
+         |      (1000000 * n_distinct) // n_tokens AS ttr_ppm,
+         |      (1000000 * n_stop) // n_tokens AS stop_ppm
+         |    FROM (
+         |      SELECT doc_id,
+         |        CAST(len(t) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |        CAST(len(list_filter(t, c -> c IN ($stopListSql))) AS BIGINT)
+         |          AS n_stop
+         |      FROM (SELECT doc_id, $toksSql AS t FROM documents))))
          |ORDER BY doc_id""".stripMargin,
 
     "llm_lang_id" ->

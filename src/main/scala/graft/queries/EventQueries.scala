@@ -225,6 +225,23 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- q30: semi-structured JSON property extraction -------------------
+    // The events table carries a JSON `props` payload (the reference's
+    // whole data model is JSON envelopes); extract a typed field with
+    // the engine's JSON path primitive and aggregate on it. Stays a
+    // single scan + partial+final aggregate — the extraction is
+    // per-row expression work, never a UDF.
+    "q30_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"k").as("sum_k"),
+          max($"k").as("max_k"),
+          sum(when($"k" >= 50, 1L).otherwise(0L)).as("n_high"))
+        .orderBy($"event_type")
+    },
+
     // --- cdc: SCD2 history table from the changelog ----------------------
     // The OTHER standard CDC materialization next to latest-state
     // upsert: every non-delete change becomes a version row valid
@@ -438,6 +455,15 @@ object EventQueries {
          |  FROM h)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    "q30_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "cdc_scd2_history" ->
       s"""SELECT user_id, event_id, value_cents, valid_from_ms, valid_to_ms,

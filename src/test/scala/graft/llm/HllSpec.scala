@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog aggregator: accuracy vs exact distinct, exact
+  * determinism under repartitioning (merge is elementwise max —
+  * order-free), and duplicate insensitivity.
+  */
+class HllSpec extends SparkSuite {
+
+  import graft.SparkSuite.spark.implicits._
+
+  private def tokenHashes = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+      .select(xxhash64($"t").as("h"))
+  }
+
+  test("hll: estimate lands within 5% of the exact distinct count") {
+    val exact = tokenHashes.distinct().count()
+    val est = tokenHashes.as[Long].select(new HllAggregator().toColumn)
+      .head()
+    val err = math.abs(est - exact).toDouble / exact
+    assert(err <= 0.05, s"exact=$exact est=$est err=$err")
+  }
+
+  test("hll: the estimate is bit-identical under any partitioning and under duplication") {
+    val one = tokenHashes.coalesce(1).as[Long]
+      .select(new HllAggregator().toColumn).head()
+    val many = tokenHashes.repartition(13).as[Long]
+      .select(new HllAggregator().toColumn).head()
+    assert(one == many, "register max-merge must be order-free")
+    val dup = tokenHashes.union(tokenHashes).as[Long]
+      .select(new HllAggregator().toColumn).head()
+    assert(dup == one, "duplicates must not move the sketch")
+  }
+
+  test("hll: small groups fall into linear counting and stay near-exact") {
+    val small = spark.range(0, 200).select(xxhash64($"id").as("h")).as[Long]
+    val est = small.select(new HllAggregator().toColumn).head()
+    assert(math.abs(est - 200L) <= 6, s"est=$est")
+  }
+}

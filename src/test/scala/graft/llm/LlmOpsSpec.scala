@@ -447,4 +447,21 @@ class LlmOpsSpec extends SparkSuite {
     val langs = TextAnalysisQueries.langMarkers.map(_._1).toSet
     assert(out.forall(r => langs.contains(r.getAs[String]("predicted"))))
   }
+
+  test("quality model: the gate actually splits, and scores recompute from features") {
+    val out = TextAnalysisQueries.defs("llm_quality_model")(spark, sfDir).collect()
+    assert(out.length == docs.count())
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length,
+      s"threshold must reject some and keep some: $kept/${out.length}")
+    out.foreach { r =>
+      val expected = 2L * r.getAs[Long]("ttr_ppm") +
+        (1000000L - math.abs(r.getAs[Long]("stop_ppm") -
+          TextAnalysisQueries.QualityStopTargetPpm)) +
+        math.min(r.getAs[Long]("n_tokens"), 100L) * 10000L
+      assert(r.getAs[Long]("quality_score") == expected)
+      assert(r.getAs[Boolean]("keep") ==
+        (expected >= TextAnalysisQueries.QualityKeepThreshold))
+    }
+  }
 }

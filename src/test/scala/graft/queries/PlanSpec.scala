@@ -179,6 +179,19 @@ class PlanSpec extends SparkSuite {
       p.take(3000))
   }
 
+  test("q30: JSON extraction is expression work feeding one partial+final aggregate") {
+    val p = plan("q30_json_extract")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("Join"))
+  }
+
+  test("llm_quality_model: a pure per-row scan — no join, no aggregate exchange") {
+    val p = plan("llm_quality_model")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("q24: the interval join is a bucketed equi-join, never a nested loop") {
     val p = plan("q24_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
