@@ -265,6 +265,84 @@ object EventQueries {
         .orderBy($"user_id", $"valid_from_ms", $"event_id")
     },
 
+    // --- q31: join-key skew diagnosis (heavy-hitter report) --------------
+    // The profiling step that decides WHEN to salt (q23) or
+    // AQE-split: per candidate join key, the top heavy hitters with
+    // their absolute count and parts-per-million share of the table.
+    // One partial+final count aggregate + a TakeOrderedAndProject
+    // top-k; the total row count rides a scalar subquery (broadcast,
+    // one row). At 100 TB this is the cheap scan you run BEFORE the
+    // expensive join, and the ppm share maps directly to "largest
+    // task / average task" imbalance.
+    "q31_skew_report" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val total = ev.select(count(lit(1)).as("total"))
+      ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(total))
+        .select($"user_id", $"n_rows",
+          expr("(1000000 * n_rows) div total").as("share_ppm"))
+        .orderBy($"n_rows".desc, $"user_id".asc)
+        .limit(10)
+    },
+
+    // --- cdc: incremental view maintenance (IVM) of a downstream agg -----
+    // THE reason CDC pipelines exist: keep a pre-aggregated view
+    // current with O(changed keys) work instead of rescanning the
+    // base table. The view here is per-segment (sum of latest value,
+    // count of live keys). Batch 1 builds the view; batch 2 applies
+    // as a RETRACTION delta — for every key the batch touches,
+    // subtract its old contribution (the before-image the binlog
+    // carries / the replica serves) and add its new one; a delete
+    // only retracts. The maintained view must equal the direct
+    // aggregate over all events — which is exactly what the oracle
+    // computes. At 100 TB the delta join touches changed keys only;
+    // the view update is |segments|-sized.
+    "cdc_ivm_agg" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"),
+          pmod($"user_id", lit(8L)).as("segment"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("segment"), col("op"),
+            col("value_cents"))
+      }
+      // batch-1 state: per-key latest (live keys contribute)
+      val state1 = latest(ev.filter(unix_millis($"ts") < cut))
+      val view1 = state1.filter($"op" =!= "delete")
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_keys"), sum($"value_cents").as("sum_cents"))
+      // batch-2 net change per key, joined to its OLD contribution
+      val net2 = latest(ev.filter(unix_millis($"ts") >= cut))
+        .select($"user_id", $"segment", $"op".as("new_op"),
+          $"value_cents".as("new_cents"))
+      val old = state1.filter($"op" =!= "delete")
+        .select($"user_id", $"value_cents".as("old_cents"))
+      val delta = net2.join(old, Seq("user_id"), "left")
+        .groupBy($"segment")
+        .agg(
+          sum(when($"new_op" =!= "delete", 1L).otherwise(0L) -
+            when($"old_cents".isNotNull, 1L).otherwise(0L)).as("d_keys"),
+          sum(when($"new_op" =!= "delete", $"new_cents").otherwise(0L) -
+            coalesce($"old_cents", lit(0L))).as("d_cents"))
+      // apply the delta: the view update is |segments|-sized
+      view1.join(delta, Seq("segment"), "full_outer")
+        .select($"segment",
+          (coalesce($"n_keys", lit(0L)) + coalesce($"d_keys", lit(0L)))
+            .as("n_keys"),
+          (coalesce($"sum_cents", lit(0L)) + coalesce($"d_cents", lit(0L)))
+            .as("sum_cents"))
+        .filter($"n_keys" > 0)
+        .orderBy($"segment")
+    },
+
     // --- cdc: packed-offset arithmetic round-trip ------------------------
     "cdc_offset_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -455,6 +533,27 @@ object EventQueries {
          |  FROM h)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    "q31_skew_report" ->
+      """SELECT user_id, n_rows, (1000000 * n_rows) // total AS share_ppm
+        |FROM (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+        |     (SELECT count(*) AS total FROM events)
+        |ORDER BY n_rows DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    // the maintained view must equal the direct latest-state aggregate
+    // over ALL events — the IVM correctness statement itself
+    "cdc_ivm_agg" ->
+      s"""SELECT user_id % 8 AS segment, count(*) AS n_keys,
+         |  CAST(sum(value_cents) AS BIGINT) AS sum_cents
+         |FROM (
+         |  SELECT user_id, value_cents, op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM (SELECT user_id, event_id, ts,
+         |          ${centsSql("value")} AS value_cents, $opSql AS op
+         |        FROM events))
+         |WHERE rn = 1 AND op <> 'delete'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q30_json_extract" ->
       """SELECT event_type, count(*) AS n_events,

@@ -46,6 +46,29 @@ class HistoryWindowSpec extends SparkSuite {
     }
   }
 
+  test("ivm: the incrementally maintained view equals a from-scratch rebuild") {
+    // the oracle already pins this against DuckDB; this pins the
+    // WITHIN-SPARK equivalence at a different scale factor, so the
+    // retraction-delta algebra can't overfit one fixture
+    import graft.SparkSuite.spark.implicits._
+    val maintained = SparkEntry.queries("cdc_ivm_agg")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = graft.Tables(spark, sfDir).events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val rebuilt = ev
+      .withColumn("op", graft.cdc.OpMapping.col($"event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "delete")
+      .select(pmod($"user_id", lit(8L)).as("segment"),
+        Q.cents($"value").as("cents"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+      .orderBy($"segment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(maintained == rebuilt, s"$maintained vs $rebuilt")
+  }
+
   test("q28: grouping sets emit exactly the two requested margins, nothing more") {
     import graft.SparkSuite.spark.implicits._
     val rows = SparkEntry.queries("q28_grouping_sets")(spark, sfDir).collect()

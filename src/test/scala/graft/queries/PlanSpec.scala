@@ -192,6 +192,22 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("q31: the skew report is one partial+final count agg + broadcast total + top-k") {
+    val p = plan("q31_skew_report")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cdc_ivm_agg: the delta join is keyed; no shuffle wider than the key join") {
+    val p = plan("cdc_ivm_agg")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // per-key windows + keyed joins + segment-sized aggregates only
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q24: the interval join is a bucketed equi-join, never a nested loop") {
     val p = plan("q24_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
