@@ -781,4 +781,105 @@ object CdcStream {
       ReplicaManifest(nb, newBuckets, Some(unionSchema.json)), prev,
       cur.map(_._2))
   }
+
+  // ------------------------------------------- incremental view (IVM)
+
+  /** Streaming materialized-view maintenance — the `foreachBatch` body
+    * that keeps a downstream per-group aggregate (live-key count + sum
+    * of `valueCol`) current with O(changed keys) work per micro-batch:
+    *
+    *  1. the batch nets to one op per key ([[lastOpPerKey]]);
+    *  2. each touched key's OLD contribution comes from the replica via
+    *     the BUCKET-PRUNED lookup ([[readReplicaForKeys]] — the batch's
+    *     key set derives the buckets, so state reads scale with the
+    *     batch, not the corpus);
+    *  3. the view merges `new − old` retraction deltas — a
+    *     |groups|-sized full-outer join;
+    *  4. the batch applies to the replica ([[applyBatchToReplica]]),
+    *     advancing the per-key state for the next delta.
+    *
+    * Exactly-once under micro-batch REPLAY: the view version dir
+    * records `batchId`, and a batch at or below the recorded id is
+    * skipped (the replica apply is keyed-idempotent, so re-running it
+    * is harmless). The view swap is a tmp-write + ATOMIC_MOVE pointer
+    * flip — foreachBatch serializes writers, so no commit lock is
+    * needed here. `segment` is any expression over the batch/replica
+    * columns (it must name the same columns in both).
+    *
+    * Returns the updated view (segment, n_keys, sum_cents).
+    */
+  def maintainAggView(
+      viewDir: String, replicaDir: String, batch: DataFrame, batchId: Long,
+      idCols: Seq[String], orderCols: Seq[Column], segment: Column,
+      valueCol: String, opCol: String = "op",
+      numBuckets: Int = DefaultReplicaBuckets): DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
+    val spark = batch.sparkSession
+    new java.io.File(viewDir).mkdirs()
+    val ptr = java.nio.file.Paths.get(viewDir, Pointer)
+    val curName: Option[String] =
+      if (java.nio.file.Files.exists(ptr))
+        Some(new String(java.nio.file.Files.readAllBytes(ptr), UTF_8).trim)
+      else None
+    def readView(name: String): DataFrame =
+      spark.read.parquet(s"$viewDir/$name/data")
+    val lastBatch: Long = curName.map { n =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(viewDir, n, "batch")), UTF_8).trim.toLong
+    }.getOrElse(-1L)
+    if (batchId <= lastBatch) return readView(curName.get) // replayed batch
+    val net = lastOpPerKey(batch, idCols, orderCols)
+    val keys = net.select(idCols.map(col): _*).distinct()
+    def contrib(df: DataFrame): DataFrame =
+      df.select(segment.as("segment"), col(valueCol).cast("long").as("v"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    // OLD contributions: live rows for exactly the touched keys —
+    // bucket-pruned, so the state read is batch-sized
+    val oldC = readReplicaForKeys(spark, replicaDir, idCols, keys)
+      .map(contrib)
+    val newC = contrib(net.filter(col(opCol) =!= "delete"))
+    val delta = oldC match {
+      case None => newC.select(col("segment"), col("n").as("d_n"),
+        col("s").as("d_s"))
+      case Some(o) => newC.join(o.select(col("segment"),
+          col("n").as("n_old"), col("s").as("s_old")), Seq("segment"),
+          "full_outer")
+        .select(col("segment"),
+          (coalesce(col("n"), lit(0L)) - coalesce(col("n_old"), lit(0L)))
+            .as("d_n"),
+          (coalesce(col("s"), lit(0L)) - coalesce(col("s_old"), lit(0L)))
+            .as("d_s"))
+    }
+    val prevView = curName.map(readView)
+    val updated = prevView match {
+      case None => delta.select(col("segment"), col("d_n").as("n_keys"),
+        col("d_s").as("sum_cents"))
+      case Some(v) => v.join(delta, Seq("segment"), "full_outer")
+        .select(col("segment"),
+          (coalesce(col("n_keys"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_keys"),
+          (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("d_s"), lit(0L)))
+            .as("sum_cents"))
+    }
+    val result = updated.filter(col("n_keys") > 0)
+    val nextName = f"v${curName.map(_.stripPrefix("v").toLong + 1).getOrElse(1L)}%09d"
+    result.write.parquet(s"$viewDir/$nextName/data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(viewDir, nextName, "batch"),
+      batchId.toString.getBytes(UTF_8))
+    val tmp = java.nio.file.Paths.get(viewDir, Pointer + ".tmp")
+    java.nio.file.Files.write(tmp, nextName.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp, ptr, ATOMIC_MOVE, REPLACE_EXISTING)
+    // advance the per-key state; a replayed apply nets idempotent
+    applyBatchToReplica(replicaDir, batch, idCols, orderCols, opCol,
+      numBuckets)
+    // previous view versions: keep one for in-flight readers, GC older
+    Option(new java.io.File(viewDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}") &&
+        f.getName < curName.getOrElse(nextName))
+      .foreach(deleteRecursively)
+    readView(nextName)
+  }
 }

@@ -129,6 +129,57 @@ class CdcStreamingSpec extends SparkSuite {
     assert(CdcStream.readReplica(spark, s"$root2/shop/users").isEmpty)
   }
 
+  test("maintainAggView: the streaming view tracks deltas and survives batch replay") {
+    import graft.SparkSuite.spark.implicits._
+    import java.nio.file.Files
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val viewDir = Files.createTempDirectory("ivm-view").toString
+    val replicaDir = Files.createTempDirectory("ivm-replica").toString
+    val in = MemoryStream[(Long, Long, Long, String)] // (user, event, cents, op)
+    val q = in.toDF().toDF("user_id", "event_id", "cents", "op")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        CdcStream.maintainAggView(viewDir, replicaDir, batch, id,
+          idCols = Seq("user_id"), orderCols = Seq(col("event_id")),
+          segment = pmod(col("user_id"), lit(2L)), valueCol = "cents")
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    def view(): Map[Long, (Long, Long)] = {
+      val cur = Files.readString(
+        java.nio.file.Paths.get(viewDir, "CURRENT")).trim
+      graft.SparkSuite.spark.read.parquet(s"$viewDir/$cur/data").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    try {
+      // batch 1: four live keys
+      in.addData((1L, 1L, 10L, "insert"), (2L, 2L, 20L, "insert"),
+        (3L, 3L, 30L, "insert"), (4L, 4L, 40L, "insert"))
+      q.processAllAvailable()
+      assert(view() == Map(0L -> (2L, 60L), 1L -> (2L, 40L)))
+      // batch 2: update key 1 (10→15), delete key 2, insert key 5 —
+      // the view moves by the retraction delta only
+      in.addData((1L, 5L, 15L, "update"), (2L, 6L, 0L, "delete"),
+        (5L, 7L, 50L, "insert"))
+      q.processAllAvailable()
+      assert(view() == Map(0L -> (1L, 40L), 1L -> (3L, 95L)))
+    } finally q.stop()
+    // replaying an already-applied batch id must not double-apply
+    val before = view()
+    val replay = Seq((1L, 5L, 15L, "update"), (2L, 6L, 0L, "delete"),
+      (5L, 7L, 50L, "insert")).toDF("user_id", "event_id", "cents", "op")
+    CdcStream.maintainAggView(viewDir, replicaDir, replay, batchId = 0L,
+      idCols = Seq("user_id"), orderCols = Seq(col("event_id")),
+      segment = pmod(col("user_id"), lit(2L)), valueCol = "cents")
+    assert(view() == before, "replayed batch must be a no-op")
+    // the replica state agrees with the view
+    val live = CdcStream.readReplica(graft.SparkSuite.spark, replicaDir).get
+      .select($"user_id", $"cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == Map(1L -> 15L, 3L -> 30L, 4L -> 40L, 5L -> 50L))
+  }
+
   test("dedupMonotonic: re-served overlapping ranges yield exactly-once output") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedOffsetEvent]
