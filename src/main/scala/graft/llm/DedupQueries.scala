@@ -268,6 +268,40 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // --- LSH quality audit: banding recall/precision vs exact truth ------
+    // Every production dedup pipeline needs to KNOW its LSH miss rate,
+    // not assume it: ground truth is the exact all-pairs Jaccard over
+    // a bounded audit scope, compared against the band-collision
+    // candidates. The all-pairs join is the POINT of the audit and is
+    // the deliberate, bounded exception to the no-all-pairs rule — at
+    // 100 TB the audit scope is a deterministic sample (broadcast
+    // side), never the corpus; the fixture corpus is already
+    // sample-sized. Output: one row of counts + ppm recall (truth
+    // pairs the bands caught) and ppm precision (candidates that are
+    // true pairs — the verify stage's workload efficiency).
+    "llm_dedup_eval" -> { (s, dir) =>
+      import s.implicits._
+      val docs = shingled(s, dir)
+      val truth = IndexArtifacts.materialize(s,
+        broadcast(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")))
+          .join(broadcast(docs.select($"doc_id".as("doc_b"), $"sh".as("sb"))),
+            col("doc_a") < col("doc_b"))
+          .filter(jaccard($"sa", $"sb") >= 0.3)
+          .select($"doc_a", $"doc_b"),
+        "eval-truth")
+      val bands = IndexArtifacts.materialize(s, minhashBands(docs),
+        "eval-bands")
+      val cand = IndexArtifacts.materialize(s,
+        bandCandidates(bands, Seq("band", "bh")), "eval-cand")
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select($"n_true", $"n_cand", $"n_hit",
+          expr("(1000000 * n_hit) div n_true").as("recall_ppm"),
+          expr("(1000000 * n_hit) div n_cand").as("precision_ppm"))
+    },
+
     // --- SimHash near-dedup (banded Hamming) ----------------------------
     "llm_simhash" -> { (s, dir) =>
       import s.implicits._
@@ -602,6 +636,31 @@ object DedupQueries {
          |  JOIN docs db ON db.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.3
          |ORDER BY 1, 2""".stripMargin,
+
+    "llm_dedup_eval" ->
+      s"""WITH docs AS ($shingledSql),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.3),
+         |tok AS (
+         |  SELECT doc_id, tok % $P AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
+         |$minhashSigSql,
+         |bands AS (
+         |  $minhashBandsSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |h AS (
+         |  SELECT count(*) AS n_hit FROM truth t
+         |  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |SELECT n_true, n_cand, n_hit,
+         |  (1000000 * n_hit) // n_true AS recall_ppm,
+         |  (1000000 * n_hit) // n_cand AS precision_ppm
+         |FROM (SELECT count(*) AS n_true FROM truth),
+         |     (SELECT count(*) AS n_cand FROM cand), h""".stripMargin,
 
     "llm_simhash" ->
       s"""WITH docs AS ($shingledSql),

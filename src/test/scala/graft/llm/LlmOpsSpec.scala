@@ -448,6 +448,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.forall(r => langs.contains(r.getAs[String]("predicted"))))
   }
 
+  test("dedup eval: the audit row is internally consistent and hit-bounded") {
+    val r = DedupQueries.defs("llm_dedup_eval")(spark, sfDir).head()
+    val (nTrue, nCand, nHit) =
+      (r.getAs[Long]("n_true"), r.getAs[Long]("n_cand"), r.getAs[Long]("n_hit"))
+    assert(nTrue > 0 && nCand > 0, s"degenerate audit: true=$nTrue cand=$nCand")
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(r.getAs[Long]("recall_ppm") == 1000000L * nHit / nTrue)
+    assert(r.getAs[Long]("precision_ppm") == 1000000L * nHit / nCand)
+  }
+
   test("quality model: the gate actually splits, and scores recompute from features") {
     val out = TextAnalysisQueries.defs("llm_quality_model")(spark, sfDir).collect()
     assert(out.length == docs.count())
