@@ -233,6 +233,36 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // --- q32: Z-order (space-filling-curve) layout keys ------------------
+    // The multi-dimensional clustering layout (Delta's OPTIMIZE
+    // ZORDER): interleaving the bits of two dimension keys makes any
+    // aligned run of 2^(2k) consecutive z-values cover a 2^k × 2^k
+    // TILE — so files written in z order carry tight min/max bounds on
+    // BOTH dimensions and scan pruning works for either predicate,
+    // where a single-column sort leaves the second dimension unbounded
+    // (span ~ full domain) in every file. The query emits the
+    // per-"file" bounding boxes a z-ordered write would produce; the
+    // spec asserts the 31-wide tile guarantee on both dims. Pure
+    // integer bit arithmetic — identical in both engines — and one
+    // partial+final aggregate.
+    "q32_zorder" -> { (s, dir) =>
+      import s.implicits._
+      val a = pmod($"l_partkey", lit(256L))
+      val b = pmod($"l_orderkey", lit(256L))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables(s, dir).lineitem
+        .select(a.as("a"), b.as("b"), z.as("z"))
+        .withColumn("file_id", expr("z div 1024"))
+        .groupBy($"file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"a").as("a_min"), max($"a").as("a_max"),
+          min($"b").as("b_min"), max($"b").as("b_max"))
+        .orderBy($"file_id")
+    },
+
     // --- q27: sliding-frame window (4-row moving sum/average) -----------
     // The bounded-frame shape the running-total query (q10, unbounded
     // frame) doesn't cover: ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
@@ -483,6 +513,19 @@ object Relational {
          |WINDOW w AS (PARTITION BY o_orderpriority
          |             ORDER BY price_cents, o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q32_zorder" -> {
+      val zExpr = (0 until 8).map { i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""SELECT z // 1024 AS file_id, count(*) AS n_rows,
+         |  min(a) AS a_min, max(a) AS a_max,
+         |  min(b) AS b_min, max(b) AS b_max
+         |FROM (SELECT a, b, $zExpr AS z
+         |      FROM (SELECT l_partkey % 256 AS a, l_orderkey % 256 AS b
+         |            FROM lineitem))
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q27_moving_avg" ->
       s"""SELECT l_suppkey, l_orderkey, l_linenumber, price_cents,

@@ -81,6 +81,28 @@ class HistoryWindowSpec extends SparkSuite {
     assert(rows.length == nFlags + nStatus)
   }
 
+  test("q32: every z-order file is a 32x32 tile — BOTH dims bounded, unlike a 1-D sort") {
+    val rows = SparkEntry.queries("q32_zorder")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // 1024 consecutive z-values = a 2^5 × 2^5 tile: both dimension
+      // spans are ≤ 31 in every file — the pruning guarantee
+      assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") <= 31, r.toString)
+      assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") <= 31, r.toString)
+    }
+    // contrast: bucketing the SAME rows by dim a alone leaves dim b
+    // unbounded (full 0..255 span) in the very first bucket
+    import graft.SparkSuite.spark.implicits._
+    val naive = graft.Tables(spark, sfDir).lineitem
+      .select(pmod($"l_partkey", lit(256L)).as("a"),
+        pmod($"l_orderkey", lit(256L)).as("b"))
+      .withColumn("file_id", expr("a div 4"))
+      .groupBy($"file_id")
+      .agg((max($"b") - min($"b")).as("b_span"))
+      .agg(max($"b_span")).head().getLong(0)
+    assert(naive > 200, s"fixture too sparse to demonstrate: $naive")
+  }
+
   test("q29: quartiles are balanced within each priority and pct_rank spans [0,1]") {
     val rows = SparkEntry.queries("q29_ntile")(spark, sfDir).collect()
     rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (_, rs) =>
