@@ -882,4 +882,100 @@ object CdcStream {
       .foreach(deleteRecursively)
     readView(nextName)
   }
+
+  // ------------------------------------------------- streaming SCD2
+
+  /** Streaming SCD2 history maintenance — the `foreachBatch` body that
+    * builds a type-2 history table from a CDC stream, matching the
+    * batch `cdc_scd2_history` semantics exactly: every non-delete
+    * change is a version valid `[its valid_from, next change's
+    * valid_from)`, the newest version stays OPEN, and a delete closes
+    * the key's history without emitting a version.
+    *
+    * Layout: closed versions append to `historyDir/batch=<id>/`
+    * (mode=overwrite per batch partition ⇒ micro-batch REPLAY is
+    * idempotent), while each key's OPEN version lives in the bucketed
+    * replica at `currentDir` (so closing it on the key's next change
+    * is a bucket-pruned lookup, not a history scan — state IO scales
+    * with the batch). Per batch:
+    *
+    *  1. within-batch version chaining via one per-key lead() window;
+    *  2. versions superseded INSIDE the batch close immediately;
+    *  3. each touched key's previous open version (replica lookup)
+    *     closes at the key's FIRST change in this batch;
+    *  4. the replica advances by the batch's net op per key — the new
+    *     open version upserts, a trailing delete removes the key.
+    *
+    * `validFrom` must be a monotone function of the `orderCols`
+    * ordering (e.g. unix_millis(ts) under (ts, event_id)). Read the
+    * full history back with [[readScd2]].
+    */
+  def maintainScd2(historyDir: String, currentDir: String, batch: DataFrame,
+      batchId: Long, idCols: Seq[String], orderCols: Seq[Column],
+      validFrom: Column, opCol: String = "op",
+      numBuckets: Int = DefaultReplicaBuckets): Unit = {
+    val spark = batch.sparkSession
+    // exactly-once under replay: a batch at or below the recorded id
+    // already closed the previous open versions AND advanced the
+    // replica — re-running it would close the post-batch state at a
+    // pre-batch timestamp. The marker is written LAST, so a crash
+    // between the history write and the replica apply replays cleanly
+    // (the history partition overwrite is deterministic).
+    new java.io.File(historyDir).mkdirs()
+    val marker = java.nio.file.Paths.get(historyDir, "_last_batch")
+    val lastApplied =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    if (batchId <= lastApplied) return
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(orderCols.map(_.asc): _*)
+    val b = batch.withColumn("valid_from", validFrom)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    // a version row = every batch column except the op, plus interval
+    val dataCols = batch.columns.filterNot(_ == opCol).toSeq
+    def versionCols(df: DataFrame): DataFrame =
+      df.select((dataCols.map(col) :+ col("valid_from") :+
+        col("valid_to")): _*)
+    val closedInBatch = versionCols(
+      b.filter(col("valid_to").isNotNull && col(opCol) =!= "delete"))
+    // close the key's PREVIOUS open version at its first change here
+    val firstChange = b.groupBy(idCols.map(col): _*)
+      .agg(min(col("valid_from")).as("__close_at"))
+    val closedPrev = readReplicaForKeys(spark, currentDir, idCols,
+        firstChange.select(idCols.map(col): _*))
+      .map(open => versionCols(open.join(firstChange, idCols)
+        .withColumn("valid_to", col("__close_at"))))
+    val history = closedPrev.fold(closedInBatch)(p =>
+      closedInBatch.unionByName(p, allowMissingColumns = true))
+    history.write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
+    // advance the open-version state (net op per key; deletes remove)
+    applyBatchToReplica(currentDir, b.drop("valid_to"), idCols, orderCols,
+      opCol, numBuckets)
+    val tmp = java.nio.file.Paths.get(historyDir, "_last_batch.tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The full SCD2 history: closed versions from `historyDir` plus the
+    * open versions (valid_to NULL, is_current true) from the current
+    * replica. None before the first batch.
+    */
+  def readScd2(spark: org.apache.spark.sql.SparkSession, historyDir: String,
+      currentDir: String): Option[DataFrame] =
+    readReplica(spark, currentDir).map { open =>
+      val openV = open.withColumn("valid_to", lit(null).cast("long"))
+      val closed =
+        if (Option(new java.io.File(historyDir).listFiles())
+            .exists(_.exists(_.getName.startsWith("batch="))))
+          Some(spark.read.parquet(historyDir).drop("batch"))
+        else None
+      val all = closed.fold(openV)(c =>
+        c.unionByName(openV, allowMissingColumns = true))
+      all.withColumn("is_current", col("valid_to").isNull)
+    }
 }

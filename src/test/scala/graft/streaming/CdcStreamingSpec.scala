@@ -180,6 +180,48 @@ class CdcStreamingSpec extends SparkSuite {
     assert(live == Map(1L -> 15L, 3L -> 30L, 4L -> 40L, 5L -> 50L))
   }
 
+  test("maintainScd2: streaming history equals the batch SCD2 semantics, replay-safe") {
+    import graft.SparkSuite.spark.implicits._
+    import java.nio.file.Files
+    val historyDir = Files.createTempDirectory("scd2-hist").toString
+    val currentDir = Files.createTempDirectory("scd2-cur").toString
+    val ev = Tables(spark, sfDir).events
+      .select($"user_id", $"event_id", $"ts",
+        graft.queries.Q.cents($"value").as("value_cents"),
+        graft.cdc.OpMapping.col($"event_type").as("op"))
+    val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val parts = Seq(ev.filter(unix_millis($"ts") < cut),
+      ev.filter(unix_millis($"ts") >= cut))
+    def apply(i: Int): Unit =
+      CdcStream.maintainScd2(historyDir, currentDir, parts(i), i,
+        idCols = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")),
+        validFrom = unix_millis(col("ts")))
+    apply(0); apply(1)
+    type V = (Long, Long, Long, Long, Option[Long], Boolean)
+    def snapshot(): Seq[V] =
+      CdcStream.readScd2(spark, historyDir, currentDir).get
+        .select($"user_id", $"event_id", $"value_cents",
+          $"valid_from", $"valid_to", $"is_current")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+          r.getBoolean(5)))
+        .toSeq.sortBy(t => (t._1, t._4, t._2))
+    val got = snapshot()
+    val want = graft.SparkEntry.queries("cdc_scd2_history")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("valid_from_ms"),
+        Option(r.getAs[java.lang.Long]("valid_to_ms")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+      .toSeq.sortBy(t => (t._1, t._4, t._2))
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    assert(got == want)
+    // replaying an applied batch must not corrupt closed history
+    apply(1)
+    assert(snapshot() == got, "replay must be a no-op")
+  }
+
   test("dedupMonotonic: re-served overlapping ranges yield exactly-once output") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedOffsetEvent]
