@@ -355,6 +355,29 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rank")
     },
 
+    // --- ANN recall evaluation (IVF vs exact ground truth) ---------------
+    // The similarity-side twin of llm_dedup_eval: ANN recall is a
+    // TUNING decision (numCentroids/nprobe trade candidates for
+    // recall), so it must be measured. Per query: |IVF top-k ∩ exact
+    // top-k| / k in ppm. The exact side is the bounded broadcast
+    // brute-force baseline — at 100 TB you evaluate on a query SAMPLE,
+    // which is precisely what the bounded query set is.
+    "llm_ann_eval" -> { (s, dir) =>
+      import s.implicits._
+      val exact = defs("llm_embed_topk")(s, dir)
+        .filter($"rank" <= IvfTopK)
+        .select($"query_id", $"neighbor_id")
+      val ivf = embedIvf()(s, dir)
+        .select($"query_id", $"neighbor_id")
+        .withColumn("hit", lit(1L))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .select($"query_id", $"n_hit",
+          expr(s"(1000000 * n_hit) div $IvfTopK").as("recall_ppm"))
+        .orderBy($"query_id")
+    },
+
     // --- semantic dedup (cluster-scoped embedding near-dup pruning) ------
     // The SemDeDup shape: a coarse quantizer (the IVF cells) partitions
     // the corpus, near-dup pairs are searched WITHIN cells only — a
@@ -744,6 +767,50 @@ object SimilarityQueries {
          |  FROM p)
          |SELECT query_id, CAST(rk AS INT) AS rank, cell, neighbor_id, cos_sim
          |FROM r WHERE rk <= $IvfTopK ORDER BY 1, 2""".stripMargin,
+
+    "llm_ann_eval" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+         |    embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % $CentroidStride = $CentroidPhase
+         |        ORDER BY vec_id LIMIT $NumCentroids)),
+         |e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.norm, c.centroid_id,
+         |    ${dotSql("e.embedding", "c.ce")} - $centHalfNorm2Sql AS score
+         |  FROM e CROSS JOIN cent c),
+         |b AS (
+         |  SELECT vec_id, embedding, norm, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn,
+         |    cell AS qcell
+         |  FROM b WHERE vec_id < $NumQueries),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotSql("q.qe", "e.embedding")} / (q.qn * e.norm)
+         |          DESC, e.vec_id ASC) AS rk
+         |    FROM e, q WHERE e.vec_id <> q.query_id)
+         |  WHERE rk <= $IvfTopK),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotSql("q.qe", "b.embedding")} / (q.qn * b.norm)
+         |          DESC, b.vec_id ASC) AS rk
+         |    FROM b JOIN q ON b.cell = q.qcell AND b.vec_id <> q.query_id)
+         |  WHERE rk <= $IvfTopK)
+         |SELECT ex.query_id,
+         |  CAST(count(iv.neighbor_id) AS BIGINT) AS n_hit,
+         |  (1000000 * count(iv.neighbor_id)) // $IvfTopK AS recall_ppm
+         |FROM exact ex LEFT JOIN ivf iv
+         |  ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_embed_lsh_ann" ->
       s"""WITH b AS (

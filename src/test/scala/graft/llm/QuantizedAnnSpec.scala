@@ -87,6 +87,26 @@ class QuantizedAnnSpec extends SparkSuite {
     }
   }
 
+  test("ann eval: recall rows recompute from the underlying operators") {
+    val rows = SimilarityQueries.defs("llm_ann_eval")(spark, sfDir).collect()
+    val k = SimilarityQueries.IvfTopK
+    assert(rows.nonEmpty)
+    val exact = SimilarityQueries.defs("llm_embed_topk")(spark, sfDir)
+      .filter(col("rank") <= k).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val ivf = SimilarityQueries.defs("llm_embed_ivf")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = exact(q).intersect(ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getAs[Long]("n_hit") == hits, s"query $q")
+      assert(r.getAs[Long]("recall_ppm") == 1000000L * hits / k)
+    }
+  }
+
   test("rrf: scores recompute exactly from the member ranks and ranks are dense") {
     val k = SimilarityQueries.RrfK
     val rows = SimilarityQueries.defs("llm_hybrid_rrf")(spark, sfDir).collect()
