@@ -162,7 +162,10 @@ object SimilarityQueries {
   /** Product-quantization geometry: Dim = PqM × PqSubDim subspaces,
     * PqK centroids per subspace codebook (the sampled-vector subslices,
     * same deterministic sample as IVF). Codes are PqM small ints per
-    * vector — 4 bytes standing in for 256 bytes of floats.
+    * vector — 8 small codes standing in for 256 bytes of floats
+    * (int8 storage: 32× less scan IO). Init codebooks are the sampled
+    * vectors' subslices; one deterministic Lloyd refinement learns the
+    * final entries.
     */
   val PqM = 8
   val PqSubDim: Int = Dim / PqM
@@ -242,10 +245,10 @@ object SimilarityQueries {
     },
 
     // --- product-quantization (PQ) compressed ANN -----------------------
-    // The 64-dim vector splits into PqM=4 16-dim subspaces; each
-    // subspace gets an 8-entry codebook (the deterministic sampled
-    // vectors' subslices) and every corpus vector is stored as 4 small
-    // ints — a 64× compression of the scan side. Queries rank by
+    // The 64-dim vector splits into PqM=8 8-dim subspaces; each
+    // subspace gets a PqK=16-entry codebook (sampled-subslice init +
+    // one deterministic Lloyd refinement) and every corpus vector is
+    // stored as 8 small ints — a 32× compression of the scan side. Queries rank by
     // ASYMMETRIC distance (ADC): exact query subvector vs the
     // centroid each code names. Ranking by Σ_m d²(q_m, c_code) equals
     // ranking DESC by Σ_m (q_m·c − ||c||²/2) since q·q is per-query

@@ -554,17 +554,25 @@ object CdcStream {
                 // may transiently claim the now-free path; its
                 // critical section is sub-second metadata work, so
                 // retry the restore briefly rather than leave two
-                // writers believing they are serialized. If the
-                // restore cannot land, abort the acquire (conflict);
-                // the aside file ages into the stale-debris sweep and
-                // the displaced owner's token-guarded release never
-                // touches a stranger's lock.
+                // writers believing they are serialized. The restore
+                // publishes via a HARD LINK, not a rename: link(2)
+                // FAILS atomically if the path is taken (rename(2)
+                // would silently REPLACE a third writer's fresh
+                // lock), so a claimed path is waited out, never
+                // clobbered. If the restore cannot land, abort the
+                // acquire (conflict); the aside file ages into the
+                // stale-debris sweep and the displaced owner's
+                // token-guarded release never touches a stranger's
+                // lock.
                 var restored = false
                 var tries = 0
                 while (!restored && tries < 200) {
                   restored =
-                    try { java.nio.file.Files.move(aside, lock, ATOMIC_MOVE); true }
-                    catch { case _: java.io.IOException => false }
+                    try {
+                      java.nio.file.Files.createLink(lock, aside)
+                      java.nio.file.Files.deleteIfExists(aside)
+                      true
+                    } catch { case _: java.io.IOException => false }
                   if (!restored) { tries += 1; Thread.sleep(10) }
                 }
                 false
@@ -829,52 +837,70 @@ object CdcStream {
         java.nio.file.Paths.get(viewDir, n, "batch")), UTF_8).trim.toLong
     }.getOrElse(-1L)
     if (batchId <= lastBatch) return readView(curName.get) // replayed batch
-    val net = lastOpPerKey(batch, idCols, orderCols)
-    val keys = net.select(idCols.map(col): _*).distinct()
-    def contrib(df: DataFrame): DataFrame =
-      df.select(segment.as("segment"), col(valueCol).cast("long").as("v"))
-        .groupBy(col("segment"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-    // OLD contributions: live rows for exactly the touched keys —
-    // bucket-pruned, so the state read is batch-sized
-    val oldC = readReplicaForKeys(spark, replicaDir, idCols, keys)
-      .map(contrib)
-    val newC = contrib(net.filter(col(opCol) =!= "delete"))
-    val delta = oldC match {
-      case None => newC.select(col("segment"), col("n").as("d_n"),
-        col("s").as("d_s"))
-      case Some(o) => newC.join(o.select(col("segment"),
-          col("n").as("n_old"), col("s").as("s_old")), Seq("segment"),
-          "full_outer")
-        .select(col("segment"),
-          (coalesce(col("n"), lit(0L)) - coalesce(col("n_old"), lit(0L)))
-            .as("d_n"),
-          (coalesce(col("s"), lit(0L)) - coalesce(col("s_old"), lit(0L)))
-            .as("d_s"))
-    }
-    val prevView = curName.map(readView)
-    val updated = prevView match {
-      case None => delta.select(col("segment"), col("d_n").as("n_keys"),
-        col("d_s").as("sum_cents"))
-      case Some(v) => v.join(delta, Seq("segment"), "full_outer")
-        .select(col("segment"),
-          (coalesce(col("n_keys"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-            .as("n_keys"),
-          (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("d_s"), lit(0L)))
-            .as("sum_cents"))
-    }
-    val result = updated.filter(col("n_keys") > 0)
     val nextName = f"v${curName.map(_.stripPrefix("v").toLong + 1).getOrElse(1L)}%09d"
-    result.write.parquet(s"$viewDir/$nextName/data")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(viewDir, nextName, "batch"),
-      batchId.toString.getBytes(UTF_8))
-    val tmp = java.nio.file.Paths.get(viewDir, Pointer + ".tmp")
-    java.nio.file.Files.write(tmp, nextName.getBytes(UTF_8))
-    java.nio.file.Files.move(tmp, ptr, ATOMIC_MOVE, REPLACE_EXISTING)
+    // CRASH-SAFE ORDER — the delta only makes sense against the
+    // PRE-batch replica, so the pending view version (data, then its
+    // `batch` completeness marker) is written BEFORE the replica
+    // advances, and the pointer flips only AFTER. Replay windows:
+    //  - before the marker: recompute from the unchanged replica and
+    //    overwrite the partial pending dir;
+    //  - after the marker, before/through the replica apply: the
+    //    pending version is already correct — skip the recompute
+    //    (a post-apply recompute would double-count the delta),
+    //    re-apply the batch (keyed-idempotent), and flip;
+    //  - after the flip: the batchId guard above no-ops the replay.
+    val pendingBatch = java.nio.file.Paths.get(viewDir, nextName, "batch")
+    val pendingComplete = java.nio.file.Files.exists(pendingBatch) &&
+      new String(java.nio.file.Files.readAllBytes(pendingBatch), UTF_8)
+        .trim.toLong == batchId
+    if (!pendingComplete) {
+      val net = lastOpPerKey(batch, idCols, orderCols)
+      val keys = net.select(idCols.map(col): _*).distinct()
+      def contrib(df: DataFrame): DataFrame =
+        df.select(segment.as("segment"), col(valueCol).cast("long").as("v"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      // OLD contributions: live rows for exactly the touched keys —
+      // bucket-pruned, so the state read is batch-sized
+      val oldC = readReplicaForKeys(spark, replicaDir, idCols, keys)
+        .map(contrib)
+      val newC = contrib(net.filter(col(opCol) =!= "delete"))
+      val delta = oldC match {
+        case None => newC.select(col("segment"), col("n").as("d_n"),
+          col("s").as("d_s"))
+        case Some(o) => newC.join(o.select(col("segment"),
+            col("n").as("n_old"), col("s").as("s_old")), Seq("segment"),
+            "full_outer")
+          .select(col("segment"),
+            (coalesce(col("n"), lit(0L)) - coalesce(col("n_old"), lit(0L)))
+              .as("d_n"),
+            (coalesce(col("s"), lit(0L)) - coalesce(col("s_old"), lit(0L)))
+              .as("d_s"))
+      }
+      val prevView = curName.map(readView)
+      val updated = prevView match {
+        case None => delta.select(col("segment"), col("d_n").as("n_keys"),
+          col("d_s").as("sum_cents"))
+        case Some(v) => v.join(delta, Seq("segment"), "full_outer")
+          .select(col("segment"),
+            (coalesce(col("n_keys"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n_keys"),
+            (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("d_s"), lit(0L)))
+              .as("sum_cents"))
+      }
+      updated.filter(col("n_keys") > 0)
+        .write.mode("overwrite").parquet(s"$viewDir/$nextName/data")
+      val btmp = java.nio.file.Paths.get(viewDir, nextName, "batch.tmp")
+      java.nio.file.Files.write(btmp, batchId.toString.getBytes(UTF_8))
+      java.nio.file.Files.move(btmp, pendingBatch, ATOMIC_MOVE,
+        REPLACE_EXISTING)
+    }
     // advance the per-key state; a replayed apply nets idempotent
     applyBatchToReplica(replicaDir, batch, idCols, orderCols, opCol,
       numBuckets)
+    val tmp = java.nio.file.Paths.get(viewDir, Pointer + ".tmp")
+    java.nio.file.Files.write(tmp, nextName.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp, ptr, ATOMIC_MOVE, REPLACE_EXISTING)
     // previous view versions: keep one for in-flight readers, GC older
     Option(new java.io.File(viewDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}") &&
@@ -918,9 +944,10 @@ object CdcStream {
     // exactly-once under replay: a batch at or below the recorded id
     // already closed the previous open versions AND advanced the
     // replica — re-running it would close the post-batch state at a
-    // pre-batch timestamp. The marker is written LAST, so a crash
-    // between the history write and the replica apply replays cleanly
-    // (the history partition overwrite is deterministic).
+    // pre-batch timestamp. The `_last_batch` marker is written LAST;
+    // replays inside the batch use the history partition's own
+    // `_complete` marker (below) to decide whether the closure rows
+    // may be recomputed (replica not yet advanced) or must be kept.
     new java.io.File(historyDir).mkdirs()
     val marker = java.nio.file.Paths.get(historyDir, "_last_batch")
     val lastApplied =
@@ -933,23 +960,33 @@ object CdcStream {
       .orderBy(orderCols.map(_.asc): _*)
     val b = batch.withColumn("valid_from", validFrom)
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-    // a version row = every batch column except the op, plus interval
-    val dataCols = batch.columns.filterNot(_ == opCol).toSeq
-    def versionCols(df: DataFrame): DataFrame =
-      df.select((dataCols.map(col) :+ col("valid_from") :+
-        col("valid_to")): _*)
-    val closedInBatch = versionCols(
-      b.filter(col("valid_to").isNotNull && col(opCol) =!= "delete"))
-    // close the key's PREVIOUS open version at its first change here
-    val firstChange = b.groupBy(idCols.map(col): _*)
-      .agg(min(col("valid_from")).as("__close_at"))
-    val closedPrev = readReplicaForKeys(spark, currentDir, idCols,
-        firstChange.select(idCols.map(col): _*))
-      .map(open => versionCols(open.join(firstChange, idCols)
-        .withColumn("valid_to", col("__close_at"))))
-    val history = closedPrev.fold(closedInBatch)(p =>
-      closedInBatch.unionByName(p, allowMissingColumns = true))
-    history.write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
+    // the history partition computes against the PRE-batch replica, so
+    // it is written (with a `_complete` marker, LAST) before the
+    // replica advances; a replay that finds the marker skips the
+    // recompute — recomputing after the apply would close the
+    // POST-batch open versions at pre-batch timestamps
+    val partMarker = java.nio.file.Paths.get(
+      s"$historyDir/batch=$batchId", "_complete")
+    if (!java.nio.file.Files.exists(partMarker)) {
+      // a version row = every batch column except the op, plus interval
+      val dataCols = batch.columns.filterNot(_ == opCol).toSeq
+      def versionCols(df: DataFrame): DataFrame =
+        df.select((dataCols.map(col) :+ col("valid_from") :+
+          col("valid_to")): _*)
+      val closedInBatch = versionCols(
+        b.filter(col("valid_to").isNotNull && col(opCol) =!= "delete"))
+      // close the key's PREVIOUS open version at its first change here
+      val firstChange = b.groupBy(idCols.map(col): _*)
+        .agg(min(col("valid_from")).as("__close_at"))
+      val closedPrev = readReplicaForKeys(spark, currentDir, idCols,
+          firstChange.select(idCols.map(col): _*))
+        .map(open => versionCols(open.join(firstChange, idCols)
+          .withColumn("valid_to", col("__close_at"))))
+      val history = closedPrev.fold(closedInBatch)(p =>
+        closedInBatch.unionByName(p, allowMissingColumns = true))
+      history.write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
+      java.nio.file.Files.write(partMarker, Array.emptyByteArray)
+    }
     // advance the open-version state (net op per key; deletes remove)
     applyBatchToReplica(currentDir, b.drop("valid_to"), idCols, orderCols,
       opCol, numBuckets)
@@ -963,19 +1000,23 @@ object CdcStream {
 
   /** The full SCD2 history: closed versions from `historyDir` plus the
     * open versions (valid_to NULL, is_current true) from the current
-    * replica. None before the first batch.
+    * replica. None only before the FIRST batch — a replica whose every
+    * key was deleted still returns the closed history (all rows
+    * is_current = false), not None.
     */
   def readScd2(spark: org.apache.spark.sql.SparkSession, historyDir: String,
-      currentDir: String): Option[DataFrame] =
-    readReplica(spark, currentDir).map { open =>
-      val openV = open.withColumn("valid_to", lit(null).cast("long"))
-      val closed =
-        if (Option(new java.io.File(historyDir).listFiles())
-            .exists(_.exists(_.getName.startsWith("batch="))))
-          Some(spark.read.parquet(historyDir).drop("batch"))
-        else None
-      val all = closed.fold(openV)(c =>
-        c.unionByName(openV, allowMissingColumns = true))
-      all.withColumn("is_current", col("valid_to").isNull)
+      currentDir: String): Option[DataFrame] = {
+    val openV = readReplica(spark, currentDir)
+      .map(_.withColumn("valid_to", lit(null).cast("long")))
+    val closed =
+      if (Option(new java.io.File(historyDir).listFiles())
+          .exists(_.exists(_.getName.startsWith("batch="))))
+        Some(spark.read.parquet(historyDir).drop("batch"))
+      else None
+    val all = (closed, openV) match {
+      case (Some(c), Some(o)) => Some(c.unionByName(o, allowMissingColumns = true))
+      case (c, o) => c.orElse(o)
     }
+    all.map(_.withColumn("is_current", col("valid_to").isNull))
+  }
 }

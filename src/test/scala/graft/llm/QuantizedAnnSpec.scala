@@ -56,7 +56,7 @@ class QuantizedAnnSpec extends SparkSuite {
   test("pq: ADC ranking recovers a meaningful share of the exact top-k") {
     // at sf0.001 the deterministic centroid sample yields only 3
     // codebook entries — a degenerate quantizer; measure recall where
-    // the full 4×8 codebook exists
+    // the full 8-subspace × 16-entry codebook exists
     val dir = "/root/testdata/sf0.01"
     val exact = SimilarityQueries.defs("llm_embed_topk")(spark, dir)
       .collect()
@@ -67,9 +67,10 @@ class QuantizedAnnSpec extends SparkSuite {
       .groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
     assert(pq.keySet == exact.keySet)
-    // a 4×8 sampled (non-learned) codebook is a coarse quantizer; the
-    // floor catches a broken kernel (recall ~ random = TopK/corpus
-    // = 2%), not certifies retrieval quality
+    // an 8×16 Lloyd-refined codebook is still a coarse quantizer on
+    // near-random fixture vectors; the floor catches a broken kernel
+    // (recall ~ random = TopK/corpus = 2%), not certifies retrieval
+    // quality
     val (hit, total) = exact.foldLeft((0, 0)) { case ((h, t), (q, ids)) =>
       (h + ids.intersect(pq(q)).size, t + ids.size)
     }

@@ -173,6 +173,25 @@ class CdcStreamingSpec extends SparkSuite {
       idCols = Seq("user_id"), orderCols = Seq(col("event_id")),
       segment = pmod(col("user_id"), lit(2L)), valueCol = "cents")
     assert(view() == before, "replayed batch must be a no-op")
+    // crash window: replica already advanced but the pointer never
+    // flipped (the batchId guard doesn't fire). The pending version's
+    // completeness marker must make the replay SKIP the recompute —
+    // recomputing the delta against the post-apply replica would
+    // double-count it — and just re-apply + flip.
+    val cur = Files.readString(java.nio.file.Paths.get(viewDir, "CURRENT"))
+      .trim
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(viewDir, "CURRENT"), "v000000001")
+    val replayed = CdcStream.maintainAggView(viewDir, replicaDir, replay,
+      batchId = 1L, idCols = Seq("user_id"),
+      orderCols = Seq(col("event_id")),
+      segment = pmod(col("user_id"), lit(2L)), valueCol = "cents")
+    assert(Files.readString(
+      java.nio.file.Paths.get(viewDir, "CURRENT")).trim == cur)
+    assert(view() == before,
+      "mid-batch crash replay must not double-count the delta")
+    assert(replayed.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == before)
     // the replica state agrees with the view
     val live = CdcStream.readReplica(graft.SparkSuite.spark, replicaDir).get
       .select($"user_id", $"cents").collect()
@@ -220,6 +239,15 @@ class CdcStreamingSpec extends SparkSuite {
     // replaying an applied batch must not corrupt closed history
     apply(1)
     assert(snapshot() == got, "replay must be a no-op")
+    // crash window: replica advanced but _last_batch never written.
+    // The partition's _complete marker must keep the replay from
+    // recomputing closures against the POST-apply replica (which
+    // would close batch-1's own versions at batch-1 timestamps and
+    // lose batch-0's closures)
+    Files.delete(java.nio.file.Paths.get(historyDir, "_last_batch"))
+    apply(1)
+    assert(snapshot() == got,
+      "mid-batch crash replay must preserve closed history")
   }
 
   test("dedupMonotonic: re-served overlapping ranges yield exactly-once output") {
