@@ -49,6 +49,9 @@ object SimilarityQueries {
   val IvfTopK = 3
   val KmeansK = 8
 
+  /** Edges per node in the kNN graph (`llm_knn_graph`). */
+  val KnnK = 3
+
   /** Deterministic centroid sample selector: `vec_id % CentroidStride
     * == CentroidPhase`, lowest vec_ids first — the k-means|| init
     * stand-in. Both engines select the SAME rows, so the centroid
@@ -208,6 +211,44 @@ object SimilarityQueries {
 
     // --- random-hyperplane LSH bucketed ANN -----------------------------
     "llm_embed_lsh_ann" -> embedLshAnn(),
+
+    // --- kNN graph construction (bucketed edges + mutual marking) -------
+    // The graph every graph-based curation step starts from (SemDeDup
+    // clustering, label propagation, connectivity audits): top-KnnK
+    // cosine edges per node among same-LSH-bucket candidates, plus a
+    // MUTUAL flag (is the reverse edge also in the neighbor's top-k) —
+    // mutual-kNN is the standard edge filter before community
+    // detection, because one-way edges are mostly hub noise. The
+    // candidate set is the bucket equi-join (never all-pairs); the
+    // edge table materializes ONCE and the mutual flag is a self-join
+    // on the reversed key — at 100 TB that is a keyed shuffle of the
+    // edge table (n·k rows), not of the corpus.
+    "llm_knn_graph" -> { (s, dir) =>
+      import s.implicits._
+      val bucket = (0 until NumPlanes).map { p =>
+        when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
+          bucket.as("bucket")), "knn-bucket")
+      val w = Window.partitionBy(col("x.vec_id"))
+        .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
+      val edges = IndexArtifacts.materialize(s, b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("cos_sim",
+          dot(col("x.embedding"), col("y.embedding")) /
+            (col("x.norm") * col("y.norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select(col("x.vec_id").as("src"), col("rank"),
+          col("y.vec_id").as("dst"), col("cos_sim")), "knn-edges")
+      val rev = edges.select($"src".as("rsrc"), $"dst".as("rdst"))
+      edges.join(rev, $"src" === $"rdst" && $"dst" === $"rsrc", "left")
+        .select($"src", $"rank", $"dst", $"cos_sim",
+          $"rsrc".isNotNull.cast("int").as("mutual"))
+        .orderBy($"src", $"rank")
+    },
 
     // --- scalar-quantized (int8) scan + exact rerank ---------------------
     // The memory-bandwidth scale path for brute-force ANN: the scan
@@ -833,6 +874,32 @@ object SimilarityQueries {
          |  FROM p)
          |SELECT vec_id, bucket, neighbor_id, cos_sim
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // kNN-graph oracle: identical buckets, identical fold dot; the
+    // mutual flag is the same reversed-key self-join over the edge CTE
+    "llm_knn_graph" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $normSql AS norm,
+         |    $bucketSql AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst,
+         |    ${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm) AS cos_sim
+         |  FROM b x JOIN b y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT src, dst, cos_sim,
+         |    row_number() OVER (PARTITION BY src
+         |                       ORDER BY cos_sim DESC, dst ASC) AS rk
+         |  FROM p),
+         |ed AS (
+         |  SELECT src, CAST(rk AS INT) AS rank, dst, cos_sim
+         |  FROM r WHERE rk <= $KnnK)
+         |SELECT ed.src, ed.rank, ed.dst, ed.cos_sim,
+         |  CAST(m.src IS NOT NULL AS INT) AS mutual
+         |FROM ed LEFT JOIN (SELECT src, dst FROM ed) m
+         |  ON ed.src = m.dst AND ed.dst = m.src
+         |ORDER BY 1, 2""".stripMargin,
 
     // PQ oracle: same sampled codebooks, same e·c − ||c||²/2 kernel per
     // subspace (folds over the identical floats in the identical

@@ -412,6 +412,35 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), max($"ts_ms").as("max_ts_ms"),
           sum(cents($"r.value")).as("value_cents"))
         .orderBy($"op")
+    },
+
+    // --- q35: gaps-and-islands (maximal same-type runs per user) ---------
+    // The classic run-detection composition the window family still
+    // lacked: a change flag from lag(), a running sum of flags to
+    // number each island, then one aggregate per island. Two windows
+    // over the SAME (user_id; ts, event_id) sort — Catalyst plans one
+    // shuffle + one sort and evaluates both frames in a single Window
+    // node, so at 100 TB this is a single keyed repartition no matter
+    // how long the event history is. All outputs exact ints.
+    "q35_islands" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts", $"event_type",
+          cents($"value").as("v"))
+        .withColumn("brk",
+          when(lag($"event_type", 1).over(w).isNull ||
+            lag($"event_type", 1).over(w) =!= $"event_type", 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"island")
+        .agg(min($"event_type").as("event_type"),
+          count(lit(1)).as("n_events"),
+          min(unix_millis($"ts")).as("start_ms"),
+          max(unix_millis($"ts")).as("end_ms"),
+          sum($"v").as("value_cents"))
+        .orderBy($"user_id", $"island")
     }
   )
 
@@ -590,6 +619,27 @@ object EventQueries {
       s"""SELECT $opSql AS op, count(*) AS n,
          |  max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ts_ms,
          |  CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_islands" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         |    ${centsSql("value")} AS v
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, ts, event_type, v,
+         |    CASE WHEN lag(event_type) OVER w IS NULL
+         |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |i AS (
+         |  SELECT user_id, event_id, ts, event_type, v,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+         |  FROM m)
+         |SELECT user_id, island, min(event_type) AS event_type,
+         |  count(*) AS n_events,
+         |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+         |  CAST(sum(v) AS BIGINT) AS value_cents
+         |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

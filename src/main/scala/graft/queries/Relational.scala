@@ -395,6 +395,91 @@ object Relational {
           sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
             .as("revenue_cents"))
         .orderBy($"o_orderstatus")
+    },
+
+    // --- q33: exact continuous percentiles (distributed quantile_cont) --
+    // Distributed exact quantiles without a value buffer: rank each row
+    // inside its group (ONE sort shuffle), pick the two bracketing
+    // order statistics per requested fraction with conditional
+    // aggregation, and interpolate with the SAME IEEE expression the
+    // oracle runs. The built-in percentile() / quantile_cont() pair
+    // interpolates with engine-specific operation orders (Spark folds
+    // lo·(1−f)+hi·f, DuckDB lo+(hi−lo)·f), so the manual form is what
+    // hash-matches — and it is also the shape that scales: no per-group
+    // collect, just a window rank plus one partial+final aggregate. At
+    // 100 TB the exact rank swaps for approx_percentile and the plan
+    // shape (scan → rank → agg) is unchanged.
+    "q33_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      val pcts = Seq(25, 50, 75, 90)
+      def pos(p: Int, n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (lit(p.toDouble) / lit(100.0)) * (n - 1).cast("double")
+      val ranked = Tables(s, dir).orders
+        .select($"o_orderpriority".as("grp"), cents($"o_totalprice").as("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"grp").orderBy($"v")))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy($"grp")))
+      val brackets = pcts.flatMap { p =>
+        Seq(
+          max(when($"rn" === floor(pos(p, $"nn")) + 1, $"v")).as(s"lo$p"),
+          max(when($"rn" === ceil(pos(p, $"nn")) + 1, $"v")).as(s"hi$p"))
+      }
+      val quantiles = pcts.map { p =>
+        val ps = pos(p, $"n_rows")
+        (col(s"lo$p").cast("double") +
+          (col(s"hi$p").cast("double") - col(s"lo$p").cast("double")) *
+            (ps - floor(ps).cast("double"))).as(s"p$p")
+      }
+      ranked.groupBy($"grp")
+        .agg(max($"nn").as("n_rows"), brackets: _*)
+        .select(($"grp" +: $"n_rows" +: quantiles): _*)
+        .orderBy($"grp")
+    },
+
+    // --- q34: log2-bucketed value histogram ------------------------------
+    // The power-of-two histogram every profiler wants: bucket = bit
+    // width of the integer cents value — pure integer/string ops
+    // (length of the binary rendering), no float log2 whose boundary
+    // rounding could differ between engines. One partial+final
+    // aggregate over a scan; at 100 TB this is a map-side-combined
+    // pass with ~60 output rows.
+    "q34_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select(cents($"o_totalprice").as("v"))
+        .withColumn("bits", length(bin($"v")))
+        .groupBy($"bits")
+        .agg(count(lit(1)).as("n_orders"),
+          min($"v").as("min_cents"), max($"v").as("max_cents"),
+          sum($"v").as("sum_cents"))
+        .withColumn("bucket_lo", expr("shiftleft(CAST(1 AS BIGINT), bits - 1)"))
+        .select($"bits", $"bucket_lo", $"n_orders",
+          $"min_cents", $"max_cents", $"sum_cents")
+        .orderBy($"bits")
+    },
+
+    // --- q36: correlated LATERAL top-k join ------------------------------
+    // The lateral-join operator surface: a correlated subquery with its
+    // own ORDER BY + LIMIT per outer row ("top 2 orders per customer"),
+    // written as SQL LATERAL in BOTH engines. Catalyst decorrelates the
+    // limit into a partitioned rank — the same distributed shape as the
+    // explicit window in q9 — so no per-customer nested-loop ever runs;
+    // the operator is the SYNTAX surface plus the decorrelation rule,
+    // and the plan stays a shuffle-once ranked join at any scale.
+    "q36_lateral_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("graft_q36_customer")
+      t.orders.createOrReplaceTempView("graft_q36_orders")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, totalprice_cents
+          |FROM graft_q36_customer,
+          |  LATERAL (SELECT o_orderkey,
+          |             CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+          |           FROM graft_q36_orders
+          |           WHERE o_custkey = c_custkey
+          |           ORDER BY totalprice_cents DESC, o_orderkey ASC
+          |           LIMIT 2)
+          |ORDER BY c_custkey, totalprice_cents DESC, o_orderkey""".stripMargin)
     }
   )
 
@@ -595,6 +680,59 @@ object Relational {
         |  ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q33_percentiles" -> {
+      val pcts = Seq(25, 50, 75, 90)
+      def posSql(p: Int, n: String) =
+        s"(CAST($p AS DOUBLE) / CAST(100 AS DOUBLE)) * CAST($n - 1 AS DOUBLE)"
+      val brackets = pcts.map { p =>
+        s"""  max(CASE WHEN rn = CAST(floor(${posSql(p, "nn")}) AS BIGINT) + 1
+           |        THEN v END) AS lo$p,
+           |  max(CASE WHEN rn = CAST(ceil(${posSql(p, "nn")}) AS BIGINT) + 1
+           |        THEN v END) AS hi$p""".stripMargin
+      }.mkString(",\n")
+      val quantiles = pcts.map { p =>
+        val ps = posSql(p, "n_rows")
+        s"""  CAST(lo$p AS DOUBLE) + (CAST(hi$p AS DOUBLE) - CAST(lo$p AS DOUBLE))
+           |    * ($ps - floor($ps)) AS p$p""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS grp, ${centsSql("o_totalprice")} AS v
+         |  FROM orders),
+         |ranked AS (
+         |  SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS nn
+         |  FROM base),
+         |a AS (
+         |  SELECT grp, max(nn) AS n_rows,
+         |$brackets
+         |  FROM ranked GROUP BY grp)
+         |SELECT grp, n_rows,
+         |$quantiles
+         |FROM a ORDER BY grp""".stripMargin
+    },
+
+    "q34_histogram" ->
+      s"""SELECT CAST(bits AS INT) AS bits,
+         |  (CAST(1 AS BIGINT) << CAST(bits - 1 AS INT)) AS bucket_lo,
+         |  count(*) AS n_orders,
+         |  min(v) AS min_cents, max(v) AS max_cents,
+         |  CAST(sum(v) AS BIGINT) AS sum_cents
+         |FROM (SELECT v, length(bin(v)) AS bits
+         |      FROM (SELECT ${centsSql("o_totalprice")} AS v FROM orders))
+         |GROUP BY bits ORDER BY 1""".stripMargin,
+
+    "q36_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, totalprice_cents
+        |FROM customer,
+        |  LATERAL (SELECT o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        |           FROM orders
+        |           WHERE o_custkey = c_custkey
+        |           ORDER BY totalprice_cents DESC, o_orderkey ASC
+        |           LIMIT 2)
+        |ORDER BY c_custkey, totalprice_cents DESC, o_orderkey""".stripMargin,
 
     // the bucketed layout is invisible to the relation: the oracle is
     // the plain join

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavior invariants for the distribution/run-analysis additions:
+  * exact continuous percentiles, the log2 histogram, gaps-and-islands,
+  * the correlated LATERAL top-k join, and the kNN graph.
+  */
+class AnalyticsOpsSpec extends SparkSuite {
+
+  test("q33: percentiles are ordered, bracketed by min/max, and median-checked") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q33_percentiles")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(p25, p50, p75, p90) =
+        Seq("p25", "p50", "p75", "p90").map(r.getAs[Double])
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90,
+        s"${r.getAs[String]("grp")}: $p25 $p50 $p75 $p90")
+    }
+    // independent exact median for one group (driver-side sort of the
+    // raw values — small by construction at test SF)
+    val grp = rows.head.getAs[String]("grp")
+    val vs = Tables(spark, sfDir).orders
+      .filter($"o_orderpriority" === grp)
+      .select(Q.cents($"o_totalprice").as("v")).as[Long].collect().sorted
+    val pos = 0.5 * (vs.length - 1)
+    val lo = vs(math.floor(pos).toInt).toDouble
+    val hi = vs(math.ceil(pos).toInt).toDouble
+    val expected = lo + (hi - lo) * (pos - math.floor(pos))
+    assert(rows.find(_.getAs[String]("grp") == grp).get
+      .getAs[Double]("p50") == expected)
+  }
+
+  test("q34: buckets partition the rows and bound their values by powers of two") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q34_histogram")(spark, sfDir).collect()
+    val total = Tables(spark, sfDir).orders.count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+    rows.foreach { r =>
+      val bits = r.getAs[Int]("bits")
+      val lo = 1L << (bits - 1)
+      assert(r.getAs[Long]("bucket_lo") == lo)
+      assert(r.getAs[Long]("min_cents") >= lo)
+      assert(r.getAs[Long]("max_cents") < lo * 2)
+    }
+  }
+
+  test("q35: islands cover every event, alternate types, and never overlap") {
+    val rows = SparkEntry.queries("q35_islands")(spark, sfDir).collect()
+    val total = Tables(spark, sfDir).events.count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("island"))
+      // island ids are consecutive from 1 (a running sum of break flags)
+      assert(sorted.map(_.getAs[Long]("island")).toSeq ==
+        (1L to sorted.length).toSeq, s"user $u")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"),
+            s"user $u: adjacent islands share a type")
+          assert(a.getAs[Long]("end_ms") <= b.getAs[Long]("start_ms"),
+            s"user $u: islands overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q36: the LATERAL result equals the explicit window top-2") {
+    import graft.SparkSuite.spark.implicits._
+    val lateral = SparkEntry.queries("q36_lateral_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val t = Tables(spark, sfDir)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(Q.cents($"o_totalprice").desc, $"o_orderkey".asc)
+    val windowed = t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"o_orderkey",
+        Q.cents($"o_totalprice").as("totalprice_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lateral.toSet == windowed.toSet)
+    assert(lateral.size == windowed.size)
+  }
+
+  test("knn graph: ranks are dense, scores descend, and mutual means reverse edge") {
+    val rows = SparkEntry.queries("llm_knn_graph")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val edges = rows.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    rows.groupBy(_.getAs[Long]("src")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= graft.llm.SimilarityQueries.KnnK)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length).toSeq, s"src $src: ranks not dense")
+      assert(sorted.map(_.getAs[Double]("cos_sim")).toSeq
+        .sliding(2).forall { case Seq(a, b) => a >= b; case _ => true },
+        s"src $src: scores not descending")
+    }
+    rows.foreach { r =>
+      val expected = edges.contains(
+        (r.getAs[Long]("dst"), r.getAs[Long]("src")))
+      assert(r.getAs[Int]("mutual") == (if (expected) 1 else 0),
+        s"edge ${r.getAs[Long]("src")}→${r.getAs[Long]("dst")}")
+    }
+  }
+}

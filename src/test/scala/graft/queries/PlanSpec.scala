@@ -251,4 +251,42 @@ class PlanSpec extends SparkSuite {
       p.take(1500))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q33: both rank windows and the bracket aggregate share ONE group shuffle") {
+    val p = plan("q33_percentiles")
+    // rn + nn windows and the groupBy(grp) all reuse hashpartitioning(grp)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q34: the histogram is one partial+final aggregate over a single scan") {
+    val p = plan("q34_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("Join"))
+  }
+
+  test("q35: the island windows and aggregate share ONE per-user shuffle") {
+    val p = plan("q35_islands")
+    // lag + running-sum windows partition by user_id; the
+    // (user_id, island) aggregate is satisfied by the same partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q36: the correlated LATERAL limit decorrelates to a rank, never a nested loop") {
+    val p = plan("q36_lateral_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("llm_knn_graph: mutual flag joins the materialized edge table, no cartesian") {
+    // the bucket-keyed candidate join runs inside the edge-table
+    // materialization; the returned plan joins that n·k-row artifact
+    // against its own reversal on the full (src,dst) key
+    val p = plan("llm_knn_graph")
+    assert(p.contains("knn-edges"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
