@@ -580,6 +580,37 @@ object DedupQueries {
             (size(col("x.sh")) + size(col("y.sh")) - $"n_common")).as("jaccard"))
         .filter($"jaccard" >= 0.1)
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // --- asymmetric containment near-dedup -------------------------------
+    // The subset-duplication detector Jaccard under-weights: containment
+    // C(A→B) = |A∩B| / |A| is ~1 when doc A is embedded inside a much
+    // larger doc B even though Jaccard ≈ |A|/|B| is tiny — the common
+    // shape of quote-expansion and boilerplate-wrapped reposts in a
+    // training corpus. Same banded candidates and codegen'd two-pointer
+    // intersect as the Jaccard verify; both directions emitted, gated
+    // on the larger one. KNOWN LSH bias, stated not hidden: MinHash
+    // bands recall by JACCARD, so a high-containment/low-Jaccard pair
+    // needs |A|≈|B| or extra band rows to surface — at 100 TB a
+    // containment-complete pipeline adds a suffix/winnow fingerprint
+    // index (llm_winnow_fingerprint is that index here).
+    "llm_containment" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val d = IndexArtifacts.materialize(s, shingled(s, dir), "bigram-shingled")
+      val bands = IndexArtifacts.materialize(s, minhashBands(d), "minhash-bands")
+      val cand = bandCandidates(bands, Seq("band", "bh"))
+      cand
+        .join(d.as("x"), col("x.doc_id") === cand("doc_a"))
+        .join(d.as("y"), col("y.doc_id") === cand("doc_b"))
+        .withColumn("n_common", expr("sorted_intersect_count(x.sh, y.sh)"))
+        .select($"doc_a", $"doc_b", $"n_common",
+          ($"n_common".cast("double") / size(col("x.sh")).cast("double"))
+            .as("cont_a"),
+          ($"n_common".cast("double") / size(col("y.sh")).cast("double"))
+            .as("cont_b"))
+        .filter(greatest($"cont_a", $"cont_b") >= 0.3)
+        .orderBy($"doc_a", $"doc_b")
     }
   )
 
@@ -832,6 +863,31 @@ object DedupQueries {
          |  JOIN d x ON x.doc_id = cand.doc_a
          |  JOIN d y ON y.doc_id = cand.doc_b)
          |WHERE jaccard >= 0.1
+         |ORDER BY 1, 2""".stripMargin,
+
+    "llm_containment" ->
+      s"""WITH d AS ($shingledSql),
+         |tok AS (
+         |  SELECT doc_id, tok % $P AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM d)),
+         |$minhashSigSql,
+         |bands AS (
+         |  $minhashBandsSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT * FROM (
+         |  SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS INT) AS n_common,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / CAST(len(x.sh) AS DOUBLE) AS cont_a,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / CAST(len(y.sh) AS DOUBLE) AS cont_b
+         |  FROM cand
+         |  JOIN d x ON x.doc_id = cand.doc_a
+         |  JOIN d y ON y.doc_id = cand.doc_b)
+         |WHERE greatest(cont_a, cont_b) >= 0.3
          |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -441,6 +441,30 @@ object EventQueries {
           max(unix_millis($"ts")).as("end_ms"),
           sum($"v").as("value_cents"))
         .orderBy($"user_id", $"island")
+    },
+
+    // --- q37: trailing-interval RANGE window ------------------------------
+    // The VALUE-bounded frame the ROWS family (q10 unbounded, q27
+    // 4-row) can't express: per event, how many events / how much
+    // value this user produced in the trailing hour — frame membership
+    // decided by the ORDER-KEY DISTANCE (sec within 3600), not a row
+    // count. RANGE frames make ties well-defined (peers share one
+    // frame), so the output is deterministic even at equal timestamps.
+    // Same single per-user shuffle as every window here; the frame scan
+    // is the streaming-window analog you'd run in batch backfill.
+    "q37_trailing_hour" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"sec")
+        .rangeBetween(-3600, 0)
+      Tables(s, dir).events
+        .select($"user_id", $"event_id",
+          expr("unix_millis(ts) div 1000").as("sec"),
+          cents($"value").as("v"))
+        .withColumn("n_trailing", count(lit(1)).over(w))
+        .withColumn("cents_trailing", sum($"v").over(w))
+        .select($"user_id", $"event_id", $"sec",
+          $"n_trailing", $"cents_trailing")
+        .orderBy($"user_id", $"sec", $"event_id")
     }
   )
 
@@ -640,6 +664,18 @@ object EventQueries {
          |  count(*) AS n_events,
          |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
          |  CAST(sum(v) AS BIGINT) AS value_cents
-         |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q37_trailing_hour" ->
+      s"""SELECT user_id, event_id, sec,
+         |  count(*) OVER w AS n_trailing,
+         |  CAST(sum(v) OVER w AS BIGINT) AS cents_trailing
+         |FROM (SELECT user_id, event_id,
+         |        epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+         |        ${centsSql("value")} AS v
+         |      FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, sec, event_id""".stripMargin
   )
 }

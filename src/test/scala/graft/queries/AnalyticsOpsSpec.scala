@@ -86,6 +86,43 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(lateral.size == windowed.size)
   }
 
+  test("q37: trailing-hour counts match a brute-force recompute for one user") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q37_trailing_hour")(spark, sfDir).collect()
+    val total = Tables(spark, sfDir).events.count()
+    assert(rows.length == total)
+    assert(rows.forall(_.getAs[Long]("n_trailing") >= 1L))
+    val user = rows.head.getAs[Long]("user_id")
+    val evs = rows.filter(_.getAs[Long]("user_id") == user)
+      .map(r => (r.getAs[Long]("sec"), r.getAs[Long]("n_trailing")))
+    val secs = Tables(spark, sfDir).events
+      .filter($"user_id" === user)
+      .select(expr("unix_millis(ts) div 1000")).as[Long].collect()
+    evs.foreach { case (sec, n) =>
+      val expected = secs.count(s2 => s2 >= sec - 3600 && s2 <= sec)
+      assert(n == expected, s"user $user sec $sec: $n != $expected")
+    }
+  }
+
+  test("containment: ratios reproduce from shingle sizes and dominate Jaccard") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("llm_containment")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sizes = graft.Tables(spark, sfDir).documents
+      .select($"doc_id", size(graft.llm.TextOps.hashedShingles($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val nc = r.getAs[Int]("n_common")
+      assert(r.getAs[Double]("cont_a") == nc.toDouble / sizes(a))
+      assert(r.getAs[Double]("cont_b") == nc.toDouble / sizes(b))
+      assert(math.max(r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")) >= 0.3)
+      // containment >= jaccard for every pair, by definition
+      val jac = nc.toDouble / (sizes(a) + sizes(b) - nc)
+      assert(r.getAs[Double]("cont_a") >= jac && r.getAs[Double]("cont_b") >= jac)
+    }
+  }
+
   test("knn graph: ranks are dense, scores descend, and mutual means reverse edge") {
     val rows = SparkEntry.queries("llm_knn_graph")(spark, sfDir).collect()
     assert(rows.nonEmpty)

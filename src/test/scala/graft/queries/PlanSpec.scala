@@ -50,7 +50,7 @@ class PlanSpec extends SparkSuite {
     // every near-dup operator must generate candidates via a banded
     // bucket equi-join instead
     for (q <- Seq("llm_minhash_lsh", "llm_ngram_jaccard",
-        "llm_vector_neardup", "llm_simhash")) {
+        "llm_vector_neardup", "llm_simhash", "llm_containment")) {
       val p = plan(q)
       assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("band#")),
         s"$q: candidate join not keyed on a band bucket\n${p.take(1500)}")
@@ -60,7 +60,7 @@ class PlanSpec extends SparkSuite {
   test("dedup and similarity operators never plan a cartesian product") {
     for (q <- Seq("llm_minhash_lsh", "llm_simhash", "llm_ngram_jaccard",
         "llm_embed_lsh_ann", "llm_embed_ivf", "llm_vector_neardup",
-        "llm_exact_dedup")) {
+        "llm_exact_dedup", "llm_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -264,6 +264,12 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
     assert(!p.contains("Join"))
+  }
+
+  test("q37: the RANGE-frame window shuffles once on the user key") {
+    val p = plan("q37_trailing_hour")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q35: the island windows and aggregate share ONE per-user shuffle") {
