@@ -117,6 +117,14 @@ object DedupQueries {
     */
   val VDim = 32
 
+  /** Absolute audit-scope bound for `llm_dedup_eval`: the exact
+    * all-pairs ground truth covers docs with `doc_id < AuditScope`
+    * only (≤ ~500k pairs) — a deterministic sample whose cost is
+    * CONSTANT in corpus size, which is what makes an all-pairs audit
+    * admissible at any scale.
+    */
+  val AuditScope = 1000L
+
   /** Connected-component label per doc appearing in a near-dup pair
     * (MinHash-banded candidates, exact Jaccard >= 0.3 verify), by
     * distributed MIN-LABEL PROPAGATION: every vertex starts labeled
@@ -271,22 +279,31 @@ object DedupQueries {
     // --- LSH quality audit: banding recall/precision vs exact truth ------
     // Every production dedup pipeline needs to KNOW its LSH miss rate,
     // not assume it: ground truth is the exact all-pairs Jaccard over
-    // a bounded audit scope, compared against the band-collision
-    // candidates. The all-pairs join is the POINT of the audit and is
-    // the deliberate, bounded exception to the no-all-pairs rule — at
-    // 100 TB the audit scope is a deterministic sample (broadcast
-    // side), never the corpus; the fixture corpus is already
-    // sample-sized. Output: one row of counts + ppm recall (truth
-    // pairs the bands caught) and ppm precision (candidates that are
-    // true pairs — the verify stage's workload efficiency).
+    // a BOUNDED audit scope, compared against the band-collision
+    // candidates over that same scope. The all-pairs join is the POINT
+    // of the audit and is the deliberate exception to the no-all-pairs
+    // rule — bounded ABSOLUTELY (`AuditScope` docs by deterministic
+    // id predicate, ~500k pairs), so the audit costs the same at sf0.1
+    // as at 100 TB; the per-pair verify is the codegen'd two-pointer
+    // intersect, and the streamed side is repartitioned so the audit
+    // parallelizes instead of running as one broadcast-loop task.
+    // Output: one row of counts + ppm recall (truth pairs the bands
+    // caught) and ppm precision (candidates that are true pairs — the
+    // verify stage's workload efficiency).
     "llm_dedup_eval" -> { (s, dir) =>
       import s.implicits._
-      val docs = shingled(s, dir)
+      graft.functions.GraftFunctions.register(s)
+      val docs = IndexArtifacts.materialize(s,
+        shingled(s, dir).filter($"doc_id" < AuditScope), "eval-scope")
+      val streamSide = docs.select($"doc_id".as("doc_a"), $"sh".as("sa"))
+        .repartition(s.sparkContext.defaultParallelism)
       val truth = IndexArtifacts.materialize(s,
-        broadcast(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")))
+        streamSide
           .join(broadcast(docs.select($"doc_id".as("doc_b"), $"sh".as("sb"))),
             col("doc_a") < col("doc_b"))
-          .filter(jaccard($"sa", $"sb") >= 0.3)
+          .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
+          .filter(($"nc".cast("double") /
+            (size($"sa") + size($"sb") - $"nc").cast("double")) >= 0.3)
           .select($"doc_a", $"doc_b"),
         "eval-truth")
       val bands = IndexArtifacts.materialize(s, minhashBands(docs),
@@ -669,7 +686,8 @@ object DedupQueries {
          |ORDER BY 1, 2""".stripMargin,
 
     "llm_dedup_eval" ->
-      s"""WITH docs AS ($shingledSql),
+      s"""WITH docs AS (
+         |  SELECT * FROM ($shingledSql) WHERE doc_id < $AuditScope),
          |truth AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
