@@ -52,6 +52,17 @@ object SimilarityQueries {
   /** Edges per node in the kNN graph (`llm_knn_graph`). */
   val KnnK = 3
 
+  /** Matryoshka prefix dims: candidates rank by the dot over the first
+    * `MatPrefix` of `Dim` dimensions (2× less scan traffic), exact
+    * full-dim cosine reranks the survivors. Half the dims — these
+    * fixtures are NOT Matryoshka-trained, so the prefix carries only
+    * its proportional share of the signal; trained nested embeddings
+    * front-load information and would support a far shorter prefix at
+    * the same recall (the constant is the tuning knob).
+    */
+  val MatPrefix = 32
+  val MatCandidates: Int = 3 * TopK
+
   /** Deterministic centroid sample selector: `vec_id % CentroidStride
     * == CentroidPhase`, lowest vec_ids first — the k-means|| init
     * stand-in. Both engines select the SAME rows, so the centroid
@@ -282,6 +293,39 @@ object SimilarityQueries {
         .filter($"rank" <= TopK)
         .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
           $"qdot", $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // --- Matryoshka (prefix-dimension) progressive ANN -------------------
+    // The truncated-dimension retrieval trick of nested ("Matryoshka")
+    // embeddings: rank candidates by the dot over the FIRST MatPrefix
+    // dims only — a 4× cheaper scan that at 100 TB means reading a
+    // 4×-narrower column (store the prefix as its own column and the
+    // scan prunes to it) — then pay the exact full-dim cosine for the
+    // MatCandidates survivors. Same two-stage shape as the SQ8 path,
+    // compressing DIMENSIONS instead of precision; both fold doubles
+    // sequentially so candidate order is bit-stable cross-engine.
+    "llm_embed_matryoshka" -> { (s, dir) =>
+      import s.implicits._
+      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
+          slice($"embedding", 1, MatPrefix).as("pre")), "mat-prefix")
+      val q = b.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"norm".as("qn"), $"pre".as("qpre"))
+      val wq = Window.partitionBy($"query_id")
+        .orderBy($"pdot".desc, $"vec_id".asc)
+      val cand = b.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("pdot", dot($"qpre", $"pre"))
+        .withColumn("crk", row_number().over(wq))
+        .filter($"crk" <= MatCandidates)
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      cand.withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+          $"pdot", $"cos_sim")
         .orderBy($"query_id", $"rank")
     },
 
@@ -701,6 +745,14 @@ object SimilarityQueries {
        |  list_transform(range(1, ${Dim + 1}), k -> $a[k]::DOUBLE * $b[k]::DOUBLE)),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  /** [[dotSql]] over only the first `n` dims — the Matryoshka prefix
+    * dot; same sequential left-fold.
+    */
+  private def dotPrefixSql(a: String, b: String, n: Int) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, ${n + 1}), k -> $a[k]::DOUBLE * $b[k]::DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
   private def planeDotSql(p: Int): String = {
     val arr = (0 until Dim).map(planeComp(p, _)).mkString(", ")
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -874,6 +926,33 @@ object SimilarityQueries {
          |  FROM p)
          |SELECT vec_id, bucket, neighbor_id, cos_sim
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // Matryoshka oracle: identical prefix fold for the candidate rank,
+    // identical full fold + division for the rerank
+    "llm_embed_matryoshka" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn
+         |  FROM e WHERE vec_id < $NumQueries),
+         |p AS (
+         |  SELECT q.query_id, e.vec_id, e.embedding, e.norm, q.qe, q.qn,
+         |    ${dotPrefixSql("q.qe", "e.embedding", MatPrefix)} AS pdot
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |c AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY pdot DESC, vec_id ASC) AS crk
+         |    FROM p) WHERE crk <= $MatCandidates),
+         |r AS (
+         |  SELECT query_id, vec_id AS neighbor_id, pdot,
+         |    ${dotSql("qe", "embedding")} / (qn * norm) AS cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY ${dotSql("qe", "embedding")} / (qn * norm) DESC,
+         |                                vec_id ASC) AS rk
+         |  FROM c)
+         |SELECT query_id, CAST(rk AS INT) AS rank, neighbor_id, pdot, cos_sim
+         |FROM r WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
 
     // kNN-graph oracle: identical buckets, identical fold dot; the
     // mutual flag is the same reversed-key self-join over the edge CTE

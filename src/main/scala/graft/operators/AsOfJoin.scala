@@ -38,6 +38,28 @@ object AsOfJoin {
       .filter(leftPred)
   }
 
+  /** Forward self as-of: the mirror of [[lastAtOrBefore]] — for each
+    * row matching `leftPred`, attach `valueCol` from the EARLIEST row
+    * matching `rightPred` with the same `key` at-or-after it. Same
+    * one-shuffle carry-forward plan, frame reversed; the standard
+    * "time-to-next-event" / label-attribution lookup.
+    */
+  def firstAtOrAfter(
+      df: DataFrame,
+      key: Column,
+      time: Column,
+      tiebreak: Column,
+      leftPred: Column,
+      rightPred: Column,
+      valueCol: Column,
+      asName: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(time, tiebreak)
+      .rowsBetween(0, Window.unboundedFollowing)
+    df.withColumn(asName,
+        first(when(rightPred, valueCol), ignoreNulls = true).over(w))
+      .filter(leftPred)
+  }
+
   /** Two-table as-of: for each left row, attach the chosen right-side
     * columns from the latest right row sharing `keyCols` with
     * rightTime <= leftTime. On equal times the right row is visible to

@@ -90,6 +90,24 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
+    // --- q38: forward as-of join (next purchase at-or-after each click) --
+    // The mirror of q22: per click, the NEXT purchase — the
+    // time-to-conversion / label-attribution lookup every
+    // click-attribution pipeline runs. Same union + carry plan with
+    // the frame reversed (first over CURRENT ROW..UNBOUNDED
+    // FOLLOWING), still one keyed shuffle, linear in |L|+|R|.
+    "q38_asof_next_purchase" -> { (s, dir) =>
+      import s.implicits._
+      AsOfJoin.firstAtOrAfter(
+          Tables(s, dir).events,
+          key = $"user_id", time = $"ts", tiebreak = $"event_id",
+          leftPred = $"event_type" === "click",
+          rightPred = $"event_type" === "purchase",
+          valueCol = $"event_id", asName = "next_purchase_id")
+        .select($"event_id", $"user_id", $"next_purchase_id")
+        .orderBy($"event_id")
+    },
+
     // --- q23: salted join (hot-key mitigation, identical result) --------
     // The fact side gets a deterministic salt shard and the dim side is
     // replicated ×SaltN, so the shuffle key becomes (user_id, salt): a
@@ -517,6 +535,15 @@ object EventQueries {
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
          |  FROM events)
          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q38_asof_next_purchase" ->
+      """SELECT event_id, user_id, next_purchase_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
+        |  FROM events)
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     // the oracle states the range join directly; the Spark plan's
     // bucket replication is provably the same relation

@@ -43,6 +43,28 @@ class QuantizedAnnSpec extends SparkSuite {
     assert(hit.toDouble / total >= 0.9, s"sq8 recall $hit/$total")
   }
 
+  test("matryoshka: prefix-dim candidates + exact rerank recover most of the top-k") {
+    // at sf0.001 the corpus is 50 vectors and the 30-candidate set is
+    // most of it — measure where candidate selection actually selects
+    val dir = "/root/testdata/sf0.01"
+    val exact = SimilarityQueries.defs("llm_embed_topk")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val mat = SimilarityQueries.defs("llm_embed_matryoshka")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(mat.keySet == exact.keySet)
+    // these fixtures are not Matryoshka-trained, so the half-dim
+    // prefix carries only ~half the signal; the rerank still has to
+    // beat chance (TopK/corpus = 2%) by a wide margin
+    val (hit, total) = exact.foldLeft((0, 0)) { case ((h, t), (q, ids)) =>
+      (h + ids.intersect(mat(q)).size, t + ids.size)
+    }
+    assert(hit.toDouble / total >= 0.5, s"matryoshka recall $hit/$total")
+  }
+
   test("sq8: ranks are dense and cos_sim is non-increasing per query") {
     val rows = SimilarityQueries.defs("llm_embed_sq8")(spark, sfDir).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>

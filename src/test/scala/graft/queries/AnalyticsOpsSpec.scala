@@ -123,6 +123,28 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
   }
 
+  test("q38: the forward as-of matches a brute-force next-purchase scan") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q38_asof_next_purchase")(spark, sfDir).collect()
+    val ev = Tables(spark, sfDir).events
+      .select($"user_id", $"event_id", $"ts".cast("long").as("t"), $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks = ev.count(_._4 == "click")
+    assert(rows.length == clicks)
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val (u, id) = (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))
+      val me = byUser(u).find(_._2 == id).get
+      val expected = byUser(u)
+        .filter(e => e._4 == "purchase" &&
+          (e._3 > me._3 || (e._3 == me._3 && e._2 >= me._2)))
+        .sortBy(e => (e._3, e._2)).headOption.map(_._2)
+      assert(Option(r.getAs[java.lang.Long]("next_purchase_id"))
+        .map(_.toLong) == expected, s"user $u click $id")
+    }
+  }
+
   test("knn graph: ranks are dense, scores descend, and mutual means reverse edge") {
     val rows = SparkEntry.queries("llm_knn_graph")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -266,6 +266,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"))
   }
 
+  test("q38: the forward as-of is one carry window, no join at all") {
+    val p = plan("q38_asof_next_purchase")
+    assert(!p.contains("Join"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("llm_embed_matryoshka: both stages join only the broadcast query set") {
+    val p = plan("llm_embed_matryoshka")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q37: the RANGE-frame window shuffles once on the user key") {
     val p = plan("q37_trailing_hour")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
