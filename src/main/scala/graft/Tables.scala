@@ -50,5 +50,8 @@ object Tables {
     // write micros (not INT96) so the DuckDB oracle reads plain timestamps
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // native function + optimizer-rule injection (static conf read at
+    // session creation; harmless if the session pre-exists)
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 }

@@ -155,14 +155,20 @@ object DedupQueries {
     */
   private def buildClusterLabels(s: SparkSession, dir: String, out: String): Unit = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     // one corpus scan + shingle pass feeds the band index and both
     // verify-join sides
     val docs = shingled(s, dir).persist()
     val bands = minhashBands(docs).persist()
+    // union-shaped two-pointer verify: same rational as
+    // array_intersect/array_union but codegen'd, and the injected
+    // JaccardLengthFilter rule prepends the O(1) size bounds
     val pairs = bandCandidates(bands, Seq("band", "bh"))
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
-      .filter(jaccard($"sa", $"sb") >= 0.3)
+      .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
+      .filter(($"nc".cast("double") /
+        (size($"sa") + size($"sb") - $"nc").cast("double")) >= 0.3)
       .select($"doc_a", $"doc_b")
     val (labels, release) = propagateMinLabels(
       pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
@@ -262,6 +268,7 @@ object DedupQueries {
     // --- MinHash-LSH banded near-dedup ----------------------------------
     "llm_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val docs = shingled(s, dir)
       // materialized: the LSH index consumed by both candidate-join
       // sides — an index table, owned by this call
@@ -270,7 +277,9 @@ object DedupQueries {
       cand
         .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
         .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
-        .withColumn("jaccard", jaccard($"sa", $"sb"))
+        .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
+        .withColumn("jaccard", $"nc".cast("double") /
+          (size($"sa") + size($"sb") - $"nc").cast("double"))
         .filter($"jaccard" >= 0.3)
         .select($"doc_a", $"doc_b", $"jaccard")
         .orderBy($"doc_a", $"doc_b")

@@ -100,10 +100,13 @@ object IncrementalClusters {
         greatest(col("bx.doc_id"), col("by.doc_id")).as("doc_b"))
       .distinct()
     val allSh = oldSh.unionByName(newSh)
+    graft.functions.GraftFunctions.register(s)
     val (pairs, dropPairs) = IndexArtifacts.materializeOwned(s, cand
       .join(allSh.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
       .join(allSh.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
-      .filter(jaccard($"sa", $"sb") >= 0.3)
+      .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
+      .filter(($"nc".cast("double") /
+        (size($"sa") + size($"sb") - $"nc").cast("double")) >= 0.3)
       .select($"doc_a", $"doc_b"), "inc-pairs")
     try updateLabelsAndIndex(s, stateDir, newSh, newBands, pairs)
     finally { dropPairs(); dropBands() }

@@ -103,6 +103,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_ngram_jaccard: the optimizer injects the AllPairs length filter") {
+    // the injected JaccardLengthFilter rule prepends the size bounds to
+    // the verify predicate, so pairs failing the O(1) size test never
+    // run the two-pointer intersect
+    val opt = SparkEntry.queries("llm_ngram_jaccard")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("0.1 * cast(size("), opt.take(2000))
+  }
+
   test("llm_ngram_novelty: first-seen is a partial+final aggregate keyed on the shingle") {
     val p = plan("llm_ngram_novelty")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
