@@ -85,14 +85,27 @@ object DedupQueries {
     * hash) per doc — the LSH "index", tiny next to the corpus at any
     * scale.
     */
-  private[llm] def minhashBands(docs: DataFrame): DataFrame = {
+  private[llm] def minhashBands(docs: DataFrame): DataFrame =
+    bandsFromSig(minhashSig(docs))
+
+  /** The 16-permutation MinHash signature `(doc_id, m0..m15)` — the
+    * sketch both the band index and the estimator audit
+    * (`llm_minhash_est`) derive from.
+    */
+  private[llm] def minhashSig(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
       .withColumn("h", col("h0") % P)
-    val sig = tok.groupBy(col("doc_id")).agg(
+    tok.groupBy(col("doc_id")).agg(
       min((lit(perms(0)._1) * col("h") + lit(perms(0)._2)) % P).as("m0"),
       perms.zipWithIndex.tail.map { case ((a, b), i) =>
         min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
       }: _*)
+  }
+
+  /** Band table from a pre-computed signature — lets a caller that
+    * materialized the signature build bands without recomputing it.
+    */
+  private[llm] def bandsFromSig(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { k =>
       val cols = (0 until RowsPerBand)
         .map(r => col(s"m${k * RowsPerBand + r}").cast("string"))
@@ -608,6 +621,41 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // --- MinHash estimator accuracy audit --------------------------------
+    // The companion of llm_dedup_eval: that one measures the BANDING's
+    // recall, this one measures the SKETCH's error — per banded
+    // candidate pair, the signature-agreement estimate (matching
+    // components / NumHashes, the unbiased MinHash Jaccard estimator)
+    // next to the exact two-pointer Jaccard. The audit that tells you
+    // whether 16 permutations suffice BEFORE you trust sketch-only
+    // dedup at full scale; at 100 TB it rides the same bounded
+    // candidate set as the verify stage — signature columns are 16
+    // longs/doc, the estimate is expression work.
+    "llm_minhash_est" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = IndexArtifacts.materialize(s, shingled(s, dir), "est-shingled")
+      val sig = IndexArtifacts.materialize(s, minhashSig(docs), "est-sig")
+      val cand = bandCandidates(bandsFromSig(sig), Seq("band", "bh"))
+      val sigA = sig.select(($"doc_id".as("doc_a") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"a$i"))): _*)
+      val sigB = sig.select(($"doc_id".as("doc_b") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"b$i"))): _*)
+      val nEq = (0 until NumHashes).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      cand
+        .join(sigA, "doc_a").join(sigB, "doc_b")
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
+        .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
+        .select($"doc_a", $"doc_b",
+          nEq.as("n_eq"),
+          (nEq.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"),
+          ($"nc".cast("double") /
+            (size($"sa") + size($"sb") - $"nc").cast("double")).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // --- asymmetric containment near-dedup -------------------------------
     // The subset-duplication detector Jaccard under-weights: containment
     // C(A→B) = |A∩B| / |A| is ~1 when doc A is embedded inside a much
@@ -891,6 +939,35 @@ object DedupQueries {
          |  JOIN d y ON y.doc_id = cand.doc_b)
          |WHERE jaccard >= 0.1
          |ORDER BY 1, 2""".stripMargin,
+
+    "llm_minhash_est" -> {
+      val eqSum = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS ($shingledSql),
+         |tok AS (
+         |  SELECT doc_id, tok % $P AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM d)),
+         |$minhashSigSql,
+         |bands AS (
+         |  $minhashBandsSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT cand.doc_a, cand.doc_b, ($eqSum) AS n_eq
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b)
+         |SELECT e.doc_a, e.doc_b, CAST(e.n_eq AS INT) AS n_eq,
+         |  CAST(e.n_eq AS DOUBLE) / CAST($NumHashes AS DOUBLE) AS est_jaccard,
+         |  ${jaccardSql("x.sh", "y.sh")} AS jaccard
+         |FROM est e
+         |JOIN d x ON x.doc_id = e.doc_a
+         |JOIN d y ON y.doc_id = e.doc_b
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     "llm_containment" ->
       s"""WITH d AS ($shingledSql),

@@ -104,6 +104,21 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
   }
 
+  test("minhash est: banded pairs agree on >= one band's components; estimate is n_eq/16") {
+    val rows = SparkEntry.queries("llm_minhash_est")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nEq = r.getAs[Int]("n_eq")
+      // a shared band means that band's RowsPerBand components all match
+      assert(nEq >= graft.llm.TextOps.RowsPerBand && nEq <= graft.llm.TextOps.NumHashes,
+        s"${r.getAs[Long]("doc_a")}-${r.getAs[Long]("doc_b")}: n_eq=$nEq")
+      assert(r.getAs[Double]("est_jaccard") ==
+        nEq.toDouble / graft.llm.TextOps.NumHashes)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("containment: ratios reproduce from shingle sizes and dominate Jaccard") {
     import graft.SparkSuite.spark.implicits._
     val rows = SparkEntry.queries("llm_containment")(spark, sfDir).collect()
