@@ -115,7 +115,7 @@ object SimilarityQueries {
     * live between iterations). Embedded as exact literals, the
     * per-vector assignment stays a zero-shuffle projection.
     */
-  private def sampleCentroids(s: SparkSession, dir: String,
+  private[graft] def sampleCentroids(s: SparkSession, dir: String,
       numCentroids: Int): Seq[Array[Float]] = {
     import s.implicits._
     Tables(s, dir).embeddings
@@ -133,7 +133,7 @@ object SimilarityQueries {
     * left-fold both engines compute (`0.0 + x0² + x1² + …` then / 2),
     * over the identical float values, so scores are bit-equal.
     */
-  private def centroidScore(cent: Array[Float]): Column = {
+  private[graft] def centroidScore(cent: Array[Float]): Column = {
     val halfNorm = cent.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2.0
     dot(col("embedding"), array(cent.map(x => lit(x.toDouble)).toSeq: _*)) -
       lit(halfNorm)
@@ -143,7 +143,7 @@ object SimilarityQueries {
     * with deterministic lowest-index tie-break (same greatest+CASE
     * shape as the oracle).
     */
-  private def cellFromScores(k: Int): Column = {
+  private[graft] def cellFromScores(k: Int): Column = {
     val mx = greatest((0 until k).map(c => col(s"cs$c")): _*)
     (1 until k).foldLeft(
       when(col("cs0") === mx, 0)) { (acc, c) => acc.when(col(s"cs$c") === mx, c) }
