@@ -19,6 +19,10 @@ import TextOps._
   *    span-level signal behind exact-substring dedup ("Deduplicating
   *    Training Data Makes Language Models Better"-style), where
   *    document-level near-dup misses partially-copied text.
+  *  - maximal duplicated token run: per-document longest contiguous
+  *    span whose every positioned 6-gram occurs in another document —
+  *    the exact-substring-dedup cut variable (fraction tells you HOW
+  *    MUCH is duplicated; this tells you WHERE and HOW CONTIGUOUS).
   *  - intra-document repetition: duplicate-bigram and top-bigram
   *    fractions (Gopher-style repetition quality gates).
   *
@@ -53,6 +57,19 @@ object ContaminationQueries {
     * exact-substring dedup scale.
     */
   val SpanN = 8
+
+  /** Positioned-gram size for maximal-run detection (6 consecutive
+    * words): short enough that a long copied span covers many
+    * consecutive positions, long enough that noise collisions are
+    * negligible.
+    */
+  val DupSpanN = 6
+
+  /** A duplicated span is "trim-worthy" at >= this many TOKENS — the
+    * substring-dedup cut threshold (a 6-gram run of r positions spans
+    * r + 5 tokens).
+    */
+  val MinDupSpan = 12
 
   val defs: Map[String, QFn] = Map(
 
@@ -104,6 +121,63 @@ object ContaminationQueries {
         .select($"doc_id", $"n_grams",
           coalesce($"n_dup", lit(0L)).as("n_dup"))
         .withColumn("dup_frac", $"n_dup".cast("double") / $"n_grams")
+        .orderBy($"doc_id")
+    },
+
+    // --- maximal duplicated token run (substring-dedup spans) -----------
+    // The decision variable of exact-substring dedup (Lee et al.-style):
+    // per doc, the LONGEST contiguous token span whose every 6-gram
+    // also occurs in another document. llm_span_dedup reports the
+    // duplicated FRACTION; this reports the duplicated GEOMETRY — a doc
+    // with one long verbatim-copied block and a doc with scattered
+    // single-gram hits have the same fraction but opposite trim
+    // decisions. Positioned (non-distinct) grams → cross-doc df >= 2
+    // filter → per-doc gaps-and-islands over the surviving positions.
+    // Scale: the gram-df agg is a partial-agg groupBy on uniform 64-bit
+    // hashes; the islands window shuffles only DUPLICATED positions by
+    // doc_id (a small fraction of the corpus). Never all-pairs.
+    "llm_dup_spans" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = tokens($"text")
+      // positioned grams: (pos, hash of the 6-word window at pos)
+      val posGrams = transform(sequence(lit(1), size(t) - (DupSpanN - 1)),
+        i => struct((i - 1).cast("int").as("pos"),
+          hash32(concat_ws(" ",
+            (0 until DupSpanN).map(k => element_at(t, i + k)): _*)).as("g")))
+      val grams = Tables(s, dir).documents
+        .filter(size(t) >= DupSpanN)
+        .select($"doc_id", explode(posGrams).as("pg"))
+        .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
+      // duplicated = the gram occurs in >= 2 DISTINCT docs (a gram
+      // repeated inside one doc is llm_doc_repetition's signal, not
+      // cross-doc duplication)
+      val dupg = grams.groupBy($"g")
+        .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
+        .select($"g")
+      // islands: consecutive duplicated positions share (pos - rank)
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val runs = grams.join(dupg, "g")
+        .withColumn("grp", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"grp")
+        .agg(count(lit(1)).as("run_len"))
+      val summ = runs.groupBy($"doc_id").agg(
+        max($"run_len").as("max_run"),
+        sum(when($"run_len" + (DupSpanN - 1) >= MinDupSpan, 1L)
+          .otherwise(0L)).as("n_long_runs"),
+        sum($"run_len").as("n_dup_pos"))
+      Tables(s, dir).documents
+        .filter(size(t) >= DupSpanN)
+        .select($"doc_id", (size(t) - (DupSpanN - 1)).as("n_pos"))
+        .join(summ, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_pos",
+          coalesce(($"max_run" + (DupSpanN - 1)).cast("int"), lit(0))
+            .as("max_dup_span"),
+          coalesce($"n_long_runs", lit(0L)).as("n_long_runs"),
+          (coalesce($"n_dup_pos", lit(0L)).cast("double") / $"n_pos")
+            .as("dup_pos_frac"),
+          (coalesce($"max_run" + (DupSpanN - 1), lit(0L)) >= MinDupSpan)
+            .as("would_trim"))
         .orderBy($"doc_id")
     },
 
@@ -178,6 +252,44 @@ object ContaminationQueries {
          |  CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / len(d.sh) AS dup_frac
          |FROM d LEFT JOIN dup ON dup.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_dup_spans" -> {
+      val gramElem = (0 until DupSpanN)
+        .map(k => if (k == 0) "t[i]" else s"t[i+$k]").mkString(" || ' ' || ")
+      val tail = DupSpanN - 1 // tokens a run adds beyond its positions
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |pg AS (
+         |  SELECT doc_id,
+         |    unnest([{'pos': i - 1, 'g': ${hash32Sql(gramElem)}}
+         |            for i in range(1, len(t) - ${DupSpanN - 2})]) AS u
+         |  FROM toks WHERE len(t) >= $DupSpanN),
+         |p AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM pg),
+         |dupg AS (SELECT g FROM p GROUP BY g
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |runs AS (
+         |  SELECT doc_id, count(*) AS run_len
+         |  FROM (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |            AS grp
+         |        FROM p JOIN dupg USING (g))
+         |  GROUP BY doc_id, grp),
+         |summ AS (
+         |  SELECT doc_id, max(run_len) AS max_run,
+         |    CAST(sum(CASE WHEN run_len + $tail >= $MinDupSpan
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_long_runs,
+         |    CAST(sum(run_len) AS BIGINT) AS n_dup_pos
+         |  FROM runs GROUP BY doc_id),
+         |base AS (SELECT doc_id, CAST(len(t) - $tail AS INT) AS n_pos
+         |         FROM toks WHERE len(t) >= $DupSpanN)
+         |SELECT b.doc_id, b.n_pos,
+         |  CAST(coalesce(s.max_run + $tail, 0) AS INT) AS max_dup_span,
+         |  CAST(coalesce(s.n_long_runs, 0) AS BIGINT) AS n_long_runs,
+         |  CAST(coalesce(s.n_dup_pos, 0) AS DOUBLE) / b.n_pos AS dup_pos_frac,
+         |  coalesce(s.max_run + $tail, 0) >= $MinDupSpan AS would_trim
+         |FROM base b LEFT JOIN summ s USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    },
 
     "llm_doc_repetition" ->
       s"""WITH b AS (

@@ -47,6 +47,35 @@ class ContaminationSpec extends SparkSuite {
     assert(fracs.forall(f => f >= 0.0 && f <= 1.0))
   }
 
+  test("dup-spans: run geometry is consistent and near-dup docs carry runs") {
+    import graft.SparkSuite.spark.implicits._
+    import ContaminationQueries.{DupSpanN, MinDupSpan}
+    val rows = ContaminationQueries.defs("llm_dup_spans")(spark, sfDir)
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val span = r.getAs[Int]("max_dup_span")
+      val nPos = r.getAs[Int]("n_pos")
+      val frac = r.getAs[Double]("dup_pos_frac")
+      // a non-zero span covers at least one full gram and fits the doc
+      assert(span == 0 || (span >= DupSpanN && span <= nPos + DupSpanN - 1))
+      assert(frac >= 0.0 && frac <= 1.0)
+      // the three trim signals agree by construction
+      assert(r.getAs[Boolean]("would_trim") == (span >= MinDupSpan))
+      assert((r.getAs[Long]("n_long_runs") > 0) == (span >= MinDupSpan))
+    }
+    // whole-document near-dups are near-verbatim copies — the span
+    // detector must see contiguous duplicated text on every one
+    val clustered = DedupQueries.defs("llm_dedup_clusters")(spark, sfDir)
+      .select($"doc_id").as[Long].collect()
+    val spanById = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("max_dup_span")).toMap
+    assert(clustered.nonEmpty)
+    assert(clustered.forall(id => spanById.getOrElse(id, 0) > 0))
+    // and the fixture contains at least one trim-worthy block
+    assert(rows.exists(_.getAs[Boolean]("would_trim")))
+  }
+
   test("doc-repetition: fractions are consistent and a synthetic loop doc maxes out") {
     import graft.SparkSuite.spark.implicits._
     val rows = ContaminationQueries.defs("llm_doc_repetition")(spark, sfDir)

@@ -81,6 +81,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_dup_spans: positioned-gram df aggregates partially; islands window; no cartesian") {
+    val p = plan("llm_dup_spans")
+    // gram df is a partial+final aggregate over the explode fan-out
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    // gaps-and-islands runs as a window over only the duplicated positions
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
     for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
       val p = plan(q)
