@@ -13,10 +13,12 @@ object LlmQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     DedupQueries.defs ++ TextAnalysisQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      ContaminationQueries.defs ++ RetrievalQueries.defs
+      ContaminationQueries.defs ++ RetrievalQueries.defs ++
+      SketchQueries.defs
 
   val oracles: Map[String, String] =
     DedupQueries.oracles ++ TextAnalysisQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
-      ContaminationQueries.oracles ++ RetrievalQueries.oracles
+      ContaminationQueries.oracles ++ RetrievalQueries.oracles ++
+      SketchQueries.oracles
 }

@@ -1,0 +1,187 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Frequency-sketch and weighted-sampling operators over the
+  * `documents` fixture:
+  *
+  *  - Count-Min sketch heavy-hitter estimation + error audit: the
+  *    mergeable, fixed-size frequency sketch every 100 TB term-stats
+  *    job wants instead of a full `groupBy(term)` — the sketch is
+  *    D×W counters no matter the corpus size, so it always fits in a
+  *    broadcast — measured here against the exact counts so the
+  *    (D, W) sizing decision is data-driven, the same audit shape as
+  *    `llm_dedup_eval` / `llm_minhash_est`.
+  *  - Deterministic weighted reservoir sampling (Efraimidis–Spirakis
+  *    A-ES): one-pass weighted without-replacement sampling as a
+  *    top-k over per-row keys u^(1/w) — no global state, no
+  *    sequential reservoir, embarrassingly parallel.
+  *
+  * Engine-portable float discipline: weights are restricted to powers
+  * of two so u^(1/w) is a chain of `sqrt` applications — IEEE 754
+  * REQUIRES sqrt to be correctly rounded (unlike pow/ln, which are
+  * only ~1-ulp in libm), so Spark and DuckDB produce bit-identical
+  * sample keys. The uniform u itself is an exact md5-derived integer
+  * scaled by 2^-32 (a power-of-two scale, also exact).
+  */
+object SketchQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Count-Min sketch depth (independent hash rows). */
+  val CmsDepth = 4
+
+  /** Count-Min sketch width (buckets per row; power of two). With the
+    * fixture's ~30k token occurrences, W=256 gives a visible-but-small
+    * overestimate — the audit's point is to MEASURE it.
+    */
+  val CmsWidth = 256
+
+  /** Heavy hitters audited against the sketch. */
+  val CmsTopK = 20
+
+  /** Weighted-sample size. */
+  val WrsK = 100
+
+  /** Per-row (r, bucket) probe pairs for a term column — the D sketch
+    * coordinates of one term. Shared by the build (over the token
+    * stream) and the probe (over the audited heavy hitters).
+    */
+  private def cmsCoords(term: org.apache.spark.sql.Column) =
+    array((0 until CmsDepth).map { r =>
+      struct(lit(r).as("r"),
+        (hash32(concat(lit(s"cms$r:"), term)) % CmsWidth).as("bucket"))
+    }: _*)
+
+  /** DuckDB twin of [[cmsCoords]] for one row index `r` over term
+    * expression `e`.
+    */
+  private def cmsBucketSql(r: String, e: String): String =
+    s"${hash32Sql(s"'cms' || CAST($r AS VARCHAR) || ':' || $e")} % $CmsWidth"
+
+  /** Power-of-two sampling weight by document length: longer documents
+    * carry proportionally more training tokens, so a token-budget
+    * sampler upweights them. Powers of two keep the A-ES key exact
+    * (see class doc).
+    */
+  private def wrsWeight(nTokens: org.apache.spark.sql.Column) =
+    when(nTokens >= 200, 8L).when(nTokens >= 100, 4L)
+      .when(nTokens >= 50, 2L).otherwise(1L)
+
+  val defs: Map[String, QFn] = Map(
+
+    // --- Count-Min sketch heavy hitters + error audit -------------------
+    // Build: token stream → D (row, bucket) coordinates per occurrence
+    // → ONE partial+final count aggregate with at most D×W output rows
+    // (a constant: 1024 cells here) — the sketch stays broadcastable at
+    // any corpus size, which is exactly why it replaces groupBy(term)
+    // at 100 TB. Probe: the exact top-K terms (the audit truth) look up
+    // min over their D counters via a broadcast join against the
+    // sketch. CMS guarantees est >= exact (one-sided error); the audit
+    // emits the realized overestimate per heavy hitter.
+    "llm_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val posts = Tables(s, dir).documents
+        .select(explode(tokens($"text")).as("term"))
+      val sketch = posts
+        .select(explode(cmsCoords($"term")).as("rb"))
+        .groupBy($"rb.r".as("r"), $"rb.bucket".as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val top = posts.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"term").limit(CmsTopK)
+      top
+        .select($"term", $"exact_cnt", explode(cmsCoords($"term")).as("rb"))
+        .select($"term", $"exact_cnt",
+          $"rb.r".as("r"), $"rb.bucket".as("bucket"))
+        .join(broadcast(sketch), Seq("r", "bucket"))
+        .groupBy($"term", $"exact_cnt")
+        .agg(min($"c").as("cms_est"))
+        .select($"term", $"exact_cnt", $"cms_est",
+          ($"cms_est" - $"exact_cnt").as("overest"),
+          (($"cms_est" - $"exact_cnt").cast("double") / $"exact_cnt")
+            .as("err_frac"))
+        .orderBy($"term")
+    },
+
+    // --- deterministic weighted reservoir sample (A-ES) -----------------
+    // Efraimidis–Spirakis: each row draws key = u^(1/w); the k largest
+    // keys are a weighted without-replacement sample. One corpus scan +
+    // one top-k (TakeOrderedAndProject — no global sort); the keys need
+    // no coordination, so the operator parallelizes trivially and
+    // composes with any upstream filter. Weights are powers of two and
+    // u is an exact 2^-32-scaled md5 integer, so the key is a chain of
+    // correctly-rounded sqrts — bit-identical in both engines.
+    "llm_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      val u = (hash32(concat(lit("wrs:"), $"doc_id".cast("string"))) + 1L)
+        .cast("double") / lit(4294967296.0)
+      val w = wrsWeight(size(tokens($"text")))
+      Tables(s, dir).documents
+        .select($"doc_id", w.as("weight"), u.as("u"))
+        .withColumn("sample_key",
+          when($"weight" === 8L, sqrt(sqrt(sqrt($"u"))))
+            .when($"weight" === 4L, sqrt(sqrt($"u")))
+            .when($"weight" === 2L, sqrt($"u"))
+            .otherwise($"u"))
+        .orderBy($"sample_key".desc, $"doc_id").limit(WrsK)
+        .select($"doc_id", $"weight", $"sample_key")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_heavy_hitters" -> {
+      val buildBuckets = (0 until CmsDepth).map { r =>
+        s"{'r': $r, 'bucket': ${cmsBucketSql(r.toString, "term")}}"
+      }.mkString(",\n            ")
+      s"""WITH posts AS (
+         |  SELECT unnest($toksSql) AS term FROM documents),
+         |coords AS (
+         |  SELECT unnest([$buildBuckets]) AS rb FROM posts),
+         |sketch AS (
+         |  SELECT rb.r AS r, rb.bucket AS bucket, count(*) AS c
+         |  FROM coords GROUP BY 1, 2),
+         |top AS (
+         |  SELECT term, count(*) AS exact_cnt FROM posts
+         |  GROUP BY term ORDER BY exact_cnt DESC, term LIMIT $CmsTopK),
+         |probe AS (
+         |  SELECT t.term, t.exact_cnt, g.r AS r,
+         |    ${cmsBucketSql("g.r", "t.term")} AS bucket
+         |  FROM top t, range(0, $CmsDepth) g(r)),
+         |est AS (
+         |  SELECT p.term, p.exact_cnt, min(s.c) AS cms_est
+         |  FROM probe p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+         |  GROUP BY 1, 2)
+         |SELECT term, exact_cnt, cms_est,
+         |  cms_est - exact_cnt AS overest,
+         |  CAST(cms_est - exact_cnt AS DOUBLE) / exact_cnt AS err_frac
+         |FROM est ORDER BY term""".stripMargin
+    },
+
+    "llm_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) >= 200 THEN CAST(8 AS BIGINT)
+         |         WHEN len($toksSql) >= 100 THEN CAST(4 AS BIGINT)
+         |         WHEN len($toksSql) >= 50 THEN CAST(2 AS BIGINT)
+         |         ELSE CAST(1 AS BIGINT) END AS weight,
+         |    CAST(${hash32Sql("'wrs:' || CAST(doc_id AS VARCHAR)")} + 1
+         |         AS DOUBLE) / 4294967296.0 AS u
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, weight,
+         |    CASE weight WHEN 8 THEN sqrt(sqrt(sqrt(u)))
+         |                WHEN 4 THEN sqrt(sqrt(u))
+         |                WHEN 2 THEN sqrt(u)
+         |                ELSE u END AS sample_key
+         |  FROM d)
+         |SELECT doc_id, weight, sample_key
+         |FROM (SELECT * FROM keyed
+         |      ORDER BY sample_key DESC, doc_id LIMIT $WrsK)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft.llm
+
+import graft.SparkSuite
+
+/** Behavior specs for the frequency-sketch and weighted-sampling
+  * operators ([[SketchQueries]]).
+  */
+class SketchSpec extends SparkSuite {
+
+  test("heavy hitters: CMS one-sided error holds and the audit is complete") {
+    val rows = SketchQueries.defs("llm_heavy_hitters")(spark, sfDir).collect()
+    assert(rows.length == SketchQueries.CmsTopK)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      // the defining CMS guarantee: never an underestimate
+      assert(est >= exact, s"${r.getAs[String]("term")}: est $est < exact $exact")
+      assert(r.getAs[Long]("overest") == est - exact)
+    }
+    // D=4, W=256 must resolve the fixture's heavy hitters with small
+    // relative error — the sizing the audit exists to validate
+    val maxErr = rows.map(_.getAs[Double]("err_frac")).max
+    assert(maxErr < 0.5, s"max err_frac $maxErr — sketch too small")
+  }
+
+  test("heavy hitters: a wider sketch never increases the estimate") {
+    import graft.SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import TextOps._
+    // rebuild the estimate at W and 4W for one known-heavy term; CMS
+    // estimates are monotone non-increasing in width (fewer collisions)
+    val posts = graft.Tables(spark, sfDir).documents
+      .select(explode(tokens($"text")).as("term"))
+    val heavy = posts.groupBy($"term").count()
+      .orderBy($"count".desc, $"term").limit(1)
+      .collect().head.getString(0)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def est(width: Int): Long =
+      (0 until SketchQueries.CmsDepth).map { r =>
+        posts.filter(
+          hash32(concat(lit(s"cms$r:"), $"term")) % width ===
+            lit(h32(s"cms$r:$heavy") % width))
+          .count()
+      }.min
+    assert(est(4 * SketchQueries.CmsWidth) <= est(SketchQueries.CmsWidth))
+  }
+
+  test("weighted sample: exact size, deterministic, and weight-biased") {
+    val df = SketchQueries.defs("llm_weighted_sample")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == SketchQueries.WrsK)
+    // deterministic: a second evaluation is identical
+    val again = SketchQueries.defs("llm_weighted_sample")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // keys are valid probabilities
+    rows.foreach { r =>
+      val k = r.getAs[Double]("sample_key")
+      assert(k > 0.0 && k <= 1.0)
+      assert(Set(1L, 2L, 4L, 8L).contains(r.getAs[Long]("weight")))
+    }
+    // A-ES must over-represent heavy rows relative to their corpus
+    // share: mean sampled weight strictly exceeds mean corpus weight
+    import graft.SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import TextOps._
+    val corpus = graft.Tables(spark, sfDir).documents
+      .select(when(size(tokens($"text")) >= 200, 8L)
+        .when(size(tokens($"text")) >= 100, 4L)
+        .when(size(tokens($"text")) >= 50, 2L).otherwise(1L).as("w"))
+      .agg(avg($"w")).head.getDouble(0)
+    val sampled = rows.map(_.getAs[Long]("weight")).sum.toDouble / rows.length
+    assert(sampled > corpus,
+      s"sampled mean weight $sampled not above corpus mean $corpus")
+  }
+}

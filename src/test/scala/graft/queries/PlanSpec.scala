@@ -90,6 +90,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_heavy_hitters: sketch probe is a broadcast join; no cartesian") {
+    val p = plan("llm_heavy_hitters")
+    // the D×W sketch joins the bounded heavy-hitter probes by broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // sketch build + exact counts are partial+final aggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_weighted_sample: A-ES top-k is TakeOrdered, never a global sort") {
+    val p = plan("llm_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
     for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
       val p = plan(q)
