@@ -480,6 +480,37 @@ object Relational {
           |           ORDER BY totalprice_cents DESC, o_orderkey ASC
           |           LIMIT 2)
           |ORDER BY c_custkey, totalprice_cents DESC, o_orderkey""".stripMargin)
+    },
+
+    // --- q39: bloom-filter runtime join pruning --------------------------
+    // Catalyst's InjectRuntimeFilter: a selective predicate on one join
+    // side builds a bloom filter (bloom_filter_agg) that is pushed as a
+    // might_contain() pre-filter onto the OTHER side's scan, so fact
+    // rows that cannot join are dropped BEFORE the shuffle — at 100 TB
+    // this is the difference between shuffling the whole fact table and
+    // shuffling the ~matching fraction. The child session pins the
+    // feature on at test scale (the application-side scan threshold
+    // defaults to 10 GB — production-sized; our fixture is below it)
+    // and disables auto-broadcast so the shuffle-join path under test is
+    // the one a 100 TB orders table would actually take. Plan-asserted:
+    // might_contain sits on the lineitem scan.
+    "q39_bloom_join" -> { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      import s2.implicits._
+      val t = Tables(s2, dir)
+      val urgent = t.orders
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0)
+        .select($"o_orderkey")
+      t.lineitem.join(urgent, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("revenue_cents"))
+        .orderBy($"l_returnflag")
     }
   )
 
@@ -733,6 +764,15 @@ object Relational {
         |           ORDER BY totalprice_cents DESC, o_orderkey ASC
         |           LIMIT 2)
         |ORDER BY c_custkey, totalprice_cents DESC, o_orderkey""".stripMargin,
+
+    // the runtime bloom filter is invisible to the relation: the
+    // oracle is the plain join
+    "q39_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  CAST(sum(${centsSql(rev)}) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the bucketed layout is invisible to the relation: the oracle is
     // the plain join

@@ -180,4 +180,24 @@ class AnalyticsOpsSpec extends SparkSuite {
         s"edge ${r.getAs[Long]("src")}→${r.getAs[Long]("dst")}")
     }
   }
+
+  test("q39: the bloom-pruned join returns exactly the unpruned result") {
+    import graft.SparkSuite.spark.implicits._
+    val pruned = SparkEntry.queries("q39_bloom_join")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    // same relation in the parent session with runtime filters off —
+    // might_contain's false positives only ever pass EXTRA rows to the
+    // join, which drops them, so the results must be identical
+    val t = Tables(spark, sfDir)
+    val plain = t.lineitem
+      .join(t.orders.filter($"o_orderpriority" === "1-URGENT" &&
+        $"o_totalprice" > 150000.0).select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(Q.cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned == plain)
+  }
 }

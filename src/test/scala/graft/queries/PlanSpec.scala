@@ -106,6 +106,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q39: the runtime bloom filter prunes the fact scan before the shuffle") {
+    val p = plan("q39_bloom_join")
+    // the selective orders side builds the filter...
+    assert(p.contains("bloom_filter_agg"), p.take(2000))
+    // ...and the lineitem scan consumes it before shuffling
+    val might = p.indexOf("might_contain")
+    assert(might >= 0, p.take(2000))
+    assert(p.indexOf("lineitem.parquet", might) >= 0, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
     for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
       val p = plan(q)
