@@ -40,6 +40,19 @@ object DedupQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** PageRank fixed-point scale: scores are integers in units of
+    * 1e-6 rank mass, so damping and degree division stay exact int64
+    * arithmetic (identical in both engines — no float summation
+    * order to disagree on).
+    */
+  val PrScale = 1000000L
+
+  /** Unrolled PageRank iterations — enough to separate hubs from
+    * leaves on diameter-small dup families; at 100 TB this is a knob,
+    * each extra iteration costing one edge join + partial agg.
+    */
+  val PrIters = 3
+
   /** documents ∪ a planted duplicate set: the first 20 docs re-appear
     * upper-cased under doc_id+10000, so exact dedup has real work to do
     * (the raw corpus is duplicate-free). Mirrored verbatim in the
@@ -168,6 +181,27 @@ object DedupQueries {
     */
   private def buildClusterLabels(s: SparkSession, dir: String, out: String): Unit = {
     import s.implicits._
+    val pairs = dupPairs(s, dir)
+    val (labels, release) = propagateMinLabels(
+      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+    labels.write.parquet(out)
+    release()
+  }
+
+  /** Verified near-dup pairs `(doc_a, doc_b)` (doc_a < doc_b, Jaccard
+    * >= 0.3) as a build-once artifact — the EDGE TABLE of the near-dup
+    * graph, shared by the cluster-label builder and the graph
+    * analytics (`llm_dup_pagerank`). A real pipeline materializes the
+    * candidate-verify output once; every graph consumer afterwards
+    * reads edges, never re-runs the LSH pipeline.
+    */
+  private[llm] def dupPairs(s: SparkSession, dir: String): DataFrame =
+    IndexArtifacts.cached(s, dir, "dup-pairs",
+      inputs = Seq(s"$dir/documents.parquet"))(buildDupPairs(s, dir, _))
+
+  private def buildDupPairs(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
     graft.functions.GraftFunctions.register(s)
     // one corpus scan + shingle pass feeds the band index and both
     // verify-join sides
@@ -176,18 +210,14 @@ object DedupQueries {
     // union-shaped two-pointer verify: same rational as
     // array_intersect/array_union but codegen'd, and the injected
     // JaccardLengthFilter rule prepends the O(1) size bounds
-    val pairs = bandCandidates(bands, Seq("band", "bh"))
+    bandCandidates(bands, Seq("band", "bh"))
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
       .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
       .filter(($"nc".cast("double") /
         (size($"sa") + size($"sb") - $"nc").cast("double")) >= 0.3)
       .select($"doc_a", $"doc_b")
-    val (labels, release) = propagateMinLabels(
-      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-    labels.write.parquet(out)
-    release()
+      .write.parquet(out)
     bands.unpersist()
     docs.unpersist()
   }
@@ -237,7 +267,11 @@ object DedupQueries {
     * pairs → symmetric edges → recursive-CTE transitive closure →
     * min-label per doc (equals the propagation fixpoint).
     */
-  private def clusterLabelsSql: String =
+  /** Oracle twin of [[dupPairs]] + the symmetric `edges` CTE — the
+    * shared prefix of every dup-graph oracle (cluster closure,
+    * PageRank).
+    */
+  private def dupEdgesSql: String =
     s"""docs AS ($shingledSql),
        |tok AS (
        |  SELECT doc_id, tok % $P AS h
@@ -257,7 +291,10 @@ object DedupQueries {
        |  WHERE ${jaccardSql("da.sh", "db.sh")} >= 0.3),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |  UNION SELECT doc_b, doc_a FROM pairs)""".stripMargin
+
+  private def clusterLabelsSql: String =
+    s"""$dupEdgesSql,
        |reach(src, dst) AS (
        |  SELECT a, b FROM edges
        |  UNION SELECT a, a FROM edges
@@ -453,6 +490,40 @@ object DedupQueries {
       clusterLabels(s, dir)
         .select($"doc_id", $"label".as("cluster_id"),
           ($"doc_id" === $"label").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // --- PageRank centrality over the near-dup graph ---------------------
+    // Which document in a duplicate family is the REPRESENTATIVE? The
+    // min-id rule (llm_dedup_clusters) is arbitrary; PageRank over the
+    // near-dup edges ranks docs by how centrally duplicated they are —
+    // a hub copied by many variants outranks a leaf variant, so
+    // "keep the most central" becomes a principled canonical-selection
+    // policy. Shape: each of the PrIters unrolled iterations is one
+    // edge-table join + keyed partial agg — the edge table (the shared
+    // dup-pairs artifact) is what shuffles, never the corpus. All
+    // arithmetic is exact int64 (score DIV degree contributions,
+    // damping as (15·S + 85·Σ) DIV 100), so both engines agree bitwise
+    // with no float-order concerns.
+    "llm_dup_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = dupPairs(s, dir)
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      var score = deg.select($"src".as("doc_id"), lit(PrScale).as("score"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(deg, "src")
+          .join(score.withColumnRenamed("doc_id", "src"), "src")
+          .select($"dst", expr("score div deg").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("contrib"))
+        score = contrib.select($"dst".as("doc_id"),
+          expr(s"(15 * ${PrScale}L + 85 * contrib) div 100").as("score"))
+      }
+      deg.select($"src".as("doc_id"), $"deg")
+        .join(score, "doc_id")
+        .select($"doc_id", $"deg", $"score".as("pagerank"))
         .orderBy($"doc_id")
     },
 
@@ -794,6 +865,32 @@ object DedupQueries {
       s"""WITH RECURSIVE $clusterLabelsSql
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
          |FROM labels ORDER BY 1""".stripMargin,
+
+    // same verified-pair pipeline, then PrIters unrolled exact-integer
+    // power iterations — mirrors the Spark recurrence literally
+    "llm_dup_pagerank" -> {
+      val iters = (1 to PrIters).map { i =>
+        s"""c$i AS (
+           |  SELECT e.b AS doc_id,
+           |    CAST(sum(s.score // d.deg) AS BIGINT) AS contrib
+           |  FROM edges e
+           |  JOIN deg d ON d.doc_id = e.a
+           |  JOIN s${i - 1} s ON s.doc_id = e.a
+           |  GROUP BY e.b),
+           |s$i AS (
+           |  SELECT doc_id, (15 * $PrScale + 85 * contrib) // 100 AS score
+           |  FROM c$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $dupEdgesSql,
+         |deg AS (
+         |  SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY a),
+         |s0 AS (
+         |  SELECT doc_id, CAST($PrScale AS BIGINT) AS score FROM deg),
+         |$iters
+         |SELECT d.doc_id, d.deg, s.score AS pagerank
+         |FROM deg d JOIN s$PrIters s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "llm_source_report" ->
       s"""WITH RECURSIVE $clusterLabelsSql,

@@ -175,4 +175,35 @@ class MiningOpsSpec extends SparkSuite {
     // every cell contributes, none exceeds its population
     assert(got.forall { case (_, n, _, _, kept) => kept <= n })
   }
+
+  test("dup pagerank: a driver-side integer power-iteration twin matches exactly") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = DedupQueries.defs("llm_dup_pagerank")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent recompute from the verified pair list (bounded at
+    // test SF): the SAME exact-integer recurrence, driver-side
+    val pairs = DedupQueries.defs("llm_minhash_lsh")(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSeq
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val S = DedupQueries.PrScale
+    var score = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to DedupQueries.PrIters) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => score(u) / deg(u) }.sum
+      }
+      score = contrib.map { case (v, c) => v -> (15 * S + 85 * c) / 100 }
+    }
+    assert(rows.length == score.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("deg") == deg(id), s"deg($id)")
+      assert(r.getAs[Long]("pagerank") == score(id), s"pr($id)")
+    }
+    // rank mass is conserved up to integer-floor loss: never above the
+    // uniform total, never below the damping floor
+    val total = rows.map(_.getAs[Long]("pagerank")).sum
+    assert(total <= S * rows.length)
+    assert(total >= 15 * S / 100 * rows.length)
+  }
 }

@@ -117,6 +117,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_dup_pagerank: iterations join the materialized edge artifact, no cartesian") {
+    val p = plan("llm_dup_pagerank")
+    // the LSH pipeline is NOT in this plan — the dup-pairs artifact is
+    assert(p.contains("dup-pairs"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
     for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
       val p = plan(q)
