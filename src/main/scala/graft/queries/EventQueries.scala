@@ -243,6 +243,42 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: Merkle-style replica anti-entropy audit ---------------------
+    // The divergence check every replicated store runs: shard the key
+    // space deterministically (user_id % 16 — engine-portable, unlike
+    // the physical murmur buckets), and per shard aggregate a digest
+    // of the replica's content (row count, key sum, md5-derived
+    // row-hash sum — all exact int64, order-free). The Spark side
+    // computes the digests FROM THE REPLICA FILES the merge layer
+    // wrote; the oracle computes them from the raw changelog — any
+    // upsert/merge bug surfaces as a shard digest mismatch. At 100 TB
+    // the comparison costs two scans + a 16-row compare, and only
+    // mismatched shards need row-level drill-down (the Merkle
+    // anti-entropy pattern, two levels deep).
+    "cdc_replica_audit" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-audit")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val orderCols = Seq(col("ts"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols)
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), orderCols)
+      CdcStream.readReplica(s, replica).get
+        .withColumn("rh", graft.llm.TextOps.hash32(concat_ws(":",
+          $"user_id", $"event_id", $"value_cents")))
+        .groupBy(($"user_id" % 16L).as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"user_id").as("key_sum"),
+          sum($"rh").as("digest_sum"))
+        .orderBy($"shard")
+    },
+
     // --- q30: semi-structured JSON property extraction -------------------
     // The events table carries a JSON `props` payload (the reference's
     // whole data model is JSON envelopes); extract a typed field with
@@ -613,6 +649,26 @@ object EventQueries {
          |  FROM h)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    // the replica's shard digests must equal the changelog's — computed
+    // here straight from events (the replica never exists oracle-side)
+    "cdc_replica_audit" -> {
+      val rh = graft.llm.TextOps.hash32Sql(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)" +
+          " || ':' || CAST(value_cents AS VARCHAR)")
+      s"""WITH latest AS (
+         |  SELECT user_id, event_id, value_cents FROM (
+         |    SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |      $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT user_id % 16 AS shard, count(*) AS n_rows,
+         |  CAST(sum(user_id) AS BIGINT) AS key_sum,
+         |  CAST(sum($rh) AS BIGINT) AS digest_sum
+         |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q31_skew_report" ->
       """SELECT user_id, n_rows, (1000000 * n_rows) // total AS share_ppm

@@ -323,4 +323,34 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     // a never-committed version is None, not an error
     assert(CdcStream.readReplicaAt(spark, dir, 99).isEmpty)
   }
+
+  test("anti-entropy audit: replica digests equal the changelog's; tampering surfaces") {
+    import graft.queries.EventQueries
+    def digests(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.withColumn("rh", graft.llm.TextOps.hash32(concat_ws(":",
+          $"user_id", $"event_id", $"value_cents")))
+        .groupBy(($"user_id" % 16L).as("shard"))
+        .agg(count(lit(1)).as("n"), sum($"user_id").as("ks"), sum($"rh").as("ds"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+    // the audit query (replica-side digests) vs the same digests over
+    // the direct latest-state query — must agree shard for shard
+    val audit = EventQueries.defs("cdc_replica_audit")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    val truth = EventQueries.defs("cdc_apply_changelog")(spark, sfDir)
+      .select($"user_id", $"value_cents")
+      .join(EventQueries.defs("cdc_latest_state")(spark, sfDir)
+        .select($"user_id", $"last_event_id".as("event_id")), "user_id")
+    assert(audit == digests(truth))
+    // sensitivity: corrupt ONE row's value — exactly that row's shard
+    // must change its digest, every other shard must not
+    val minKey = truth.agg(min($"user_id")).head.getLong(0)
+    val tampered = digests(truth.withColumn("value_cents",
+      when($"user_id" === minKey, $"value_cents" + 1L)
+        .otherwise($"value_cents")))
+    val diff = audit.zip(tampered).filter { case (a, b) => a != b }
+    assert(diff.size == 1)
+    assert(diff.head._1._1 == minKey % 16)
+  }
 }
