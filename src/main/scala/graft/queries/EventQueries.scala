@@ -519,6 +519,31 @@ object EventQueries {
         .select($"user_id", $"event_id", $"sec",
           $"n_trailing", $"cents_trailing")
         .orderBy($"user_id", $"sec", $"event_id")
+    },
+
+    // --- q40: per-key exponential moving average (sequential fold) -------
+    // The time-series smoother whose recurrence (acc/2 + x/2) cannot be
+    // a built-in window aggregate: EWMA depends on EVERY prior value
+    // with geometrically decaying weight. Shape: one groupBy shuffle,
+    // then a per-key ordered fold over the collected (bounded per-key
+    // cardinality) event list. alpha = 1/2 keeps each step a
+    // power-of-two scale + one correctly-rounded IEEE add, and the fold
+    // order is a total order (ts, event_id) — both engines execute the
+    // identical op sequence, so the result is bit-identical. The closed
+    // form Σ x_i·2^i / 2^n would overflow long before it vectorized;
+    // the fold is the honest formulation.
+    "q40_ewma" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select($"user_id", unix_millis($"ts").as("t"), $"event_id",
+          cents($"value").cast("double").as("v"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            sort_array(collect_list(struct($"t", $"event_id", $"v"))),
+            lit(0.0),
+            (acc, e) => acc / 2 + e.getField("v") / 2).as("ewma_cents"))
+        .orderBy($"user_id")
     }
   )
 
@@ -759,6 +784,17 @@ object EventQueries {
          |      FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY sec
          |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-         |ORDER BY user_id, sec, event_id""".stripMargin
+         |ORDER BY user_id, sec, event_id""".stripMargin,
+
+    // identical sequential fold over the identical (t, event_id) total
+    // order — alpha=1/2 halving is exact scaling, adds are IEEE
+    // correctly rounded in both engines
+    "q40_ewma" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(CAST(${centsSql("value")} AS DOUBLE)
+         |         ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)),
+         |    (acc, x) -> acc/2 + x/2) AS ewma_cents
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -200,4 +200,24 @@ class AnalyticsOpsSpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(pruned == plain)
   }
+
+  test("q40: a driver-side sequential EWMA twin matches bit-for-bit") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q40_ewma")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = Tables(spark, sfDir).events
+      .select($"user_id", unix_millis($"ts"), $"event_id",
+        Q.cents($"value").cast("double"))
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("user_id")
+      val xs = byUser(id).sortBy(e => (e._2, e._3)).map(_._4)
+      val expected = xs.foldLeft(0.0)((acc, x) => acc / 2 + x / 2)
+      assert(r.getAs[Long]("n_events") == xs.length)
+      // bit-for-bit: same op sequence, same IEEE rounding
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("ewma_cents")) ==
+        java.lang.Double.doubleToLongBits(expected), s"user $id")
+    }
+  }
 }

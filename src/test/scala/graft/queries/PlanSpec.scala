@@ -124,6 +124,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q40: the EWMA fold costs exactly one group shuffle and no join") {
+    val p = plan("q40_ewma")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
   test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
     for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
       val p = plan(q)
