@@ -190,6 +190,123 @@ object SimilarityQueries {
     */
   val SemDedupTau = 0.35
 
+  // ------------------------------------------------- shared PQ pipeline
+  // Cosine-faithful PQ: L2-normalize corpus, queries, AND codebook
+  // first — on the unit sphere d² = 2 − 2·cos, so ADC's L2 ranking IS
+  // the cosine ranking up to quantization error. Normalization is one
+  // sqrt + one divide per element, each a single correctly-rounded
+  // IEEE op both engines share. Shared by `llm_embed_pq` (flat scan)
+  // and `llm_embed_ivfpq` (cell-pruned scan).
+
+  /** L2-normalized copy of a float vector. */
+  private def normalizedArr(v: Array[Float]): Array[Double] = {
+    val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    v.map(_.toDouble / n)
+  }
+
+  /** The corpus, L2-normalized to doubles. */
+  private def normalizedEmb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double") / $"nrm")
+          .as("embedding"))
+  }
+
+  /** [[centroidScore]] for an already-normalized double centroid. */
+  private def centroidScoreD(cent: Array[Double]): Column = {
+    val halfNorm = cent.foldLeft(0.0)((a, x) => a + x * x) / 2.0
+    dot(col("embedding"), array(cent.map(lit).toIndexedSeq: _*)) -
+      lit(halfNorm)
+  }
+
+  /** ADC partial score of subspace m against codebook entry j:
+    * `q_m·c − ||c||²/2` (argmax ⇔ nearest entry, same kernel as IVF).
+    */
+  private def pqSubScore(cb: IndexedSeq[IndexedSeq[Array[Double]]],
+      e: Column, m: Int, j: Int): Column = {
+    val cv = cb(m)(j)
+    val hn = cv.foldLeft(0.0)((a, x) => a + x * x) / 2.0
+    dot(slice(e, m * PqSubDim + 1, PqSubDim),
+      array(cv.map(lit).toIndexedSeq: _*)) - lit(hn)
+  }
+
+  private def pqCodeOf(m: Int, k: Int): Column = {
+    val mx = greatest((0 until k).map(j => col(s"s${m}_$j")): _*)
+    (1 until k).foldLeft(when(col(s"s${m}_0") === mx, 0)) {
+      (acc, j) => acc.when(col(s"s${m}_$j") === mx, j)
+    }
+  }
+
+  /** Encode each vector as PqM nearest-entry codes (keeps `embedding`
+    * for downstream consumers to slice or score).
+    */
+  private def pqEncode(cb: IndexedSeq[IndexedSeq[Array[Double]]],
+      df: DataFrame): DataFrame = {
+    val k = cb.head.size
+    df.select(Seq(col("vec_id"), col("embedding")) ++
+      (for { m <- 0 until PqM; j <- 0 until k }
+        yield pqSubScore(cb, col("embedding"), m, j).as(s"s${m}_$j")): _*)
+      .select(Seq(col("vec_id"), col("embedding")) ++
+        (0 until PqM).map(m => pqCodeOf(m, k).as(s"c$m")): _*)
+  }
+
+  /** Learned codebooks: sampled-subslice init + ONE deterministic
+    * Lloyd refinement per subspace — assign against the init codebook,
+    * recompute each entry as its members' mean (summed in ascending
+    * vec_id order with a sequential element fold so the mean's bits
+    * reproduce anywhere), keep the init entry where a code attracted
+    * no members. Centroids live on the driver (PqM×PqK small vectors)
+    * between iterations, exactly the k-means shape; the assignment
+    * itself is a zero-shuffle scan.
+    */
+  private def pqCodebook(s: SparkSession, dir: String,
+      emb: DataFrame): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    import s.implicits._
+    val init = sampleCentroids(s, dir, PqK).map(normalizedArr)
+    val K = init.size
+    val cb0 = IndexedSeq.tabulate(PqM)(m =>
+      init.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)).toIndexedSeq)
+    val memb = pqEncode(cb0, emb)
+      .select($"vec_id", explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), col(s"c$m").as("code"),
+          slice($"embedding", m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
+        .as("x"))
+      .select($"vec_id", $"x.m".as("m"), $"x.code".as("code"),
+        $"x.sub".as("sub"))
+    val zero = s"transform(sequence(1, $PqSubDim), i -> 0D)"
+    val refined = memb.groupBy($"m", $"code")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct($"vec_id", $"sub"))).as("mem"))
+      .withColumn("cv", expr(
+        s"""transform(aggregate(transform(mem, x -> x.sub), $zero,
+           |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
+           |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
+      .select($"m", $"code", $"cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    IndexedSeq.tabulate(PqM)(m => IndexedSeq.tabulate(K)(j =>
+      refined.getOrElse((m, j), cb0(m)(j))))
+  }
+
+  /** Per-query ADC lookup tables: for each subspace m, (query_id,
+    * c{m}, s{m}) with PqK rows per query — always broadcastable.
+    */
+  private def pqQueryTables(cb: IndexedSeq[IndexedSeq[Array[Double]]],
+      emb: DataFrame): Seq[DataFrame] = {
+    val k = cb.head.size
+    val q = emb.filter(col("vec_id") < NumQueries)
+    (0 until PqM).map { m =>
+      q.select(col("vec_id").as("query_id"),
+        explode(array((0 until k).map(j =>
+          struct(lit(j).as("code"),
+            pqSubScore(cb, col("embedding"), m, j).as("s"))): _*)).as("e"))
+        .select(col("query_id"), col("e.code").as(s"c$m"),
+          col("e.s").as(s"s$m"))
+    }
+  }
+
   /** Reciprocal-rank-fusion smoothing constant (the standard k=60). */
   val RrfK = 60
 
@@ -346,87 +463,14 @@ object SimilarityQueries {
     // explicit IEEE order both engines share.
     "llm_embed_pq" -> { (s, dir) =>
       import s.implicits._
-      // cosine-faithful PQ: L2-normalize corpus, queries, AND codebook
-      // first — on the unit sphere d² = 2 − 2·cos, so ADC's L2 ranking
-      // IS the cosine ranking up to quantization error. Without this
-      // the code ranks by raw L2, a different metric than the exact
-      // baseline. Normalization is one sqrt + one divide per element,
-      // each a single correctly-rounded IEEE op both engines share.
-      def normalized(v: Array[Float]): Array[Double] = {
-        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-        v.map(_.toDouble / n)
-      }
-      val init = sampleCentroids(s, dir, PqK).map(normalized)
-      val K = init.size
-      // codebook 0: the sampled vectors' subslices (k-means init)
-      val cb0 = IndexedSeq.tabulate(PqM)(m =>
-        init.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)).toIndexedSeq)
-      def subScore(cb: IndexedSeq[IndexedSeq[Array[Double]]], e: Column,
-          m: Int, j: Int): Column = {
-        val cv = cb(m)(j)
-        val hn = cv.foldLeft(0.0)((a, x) => a + x * x) / 2.0
-        dot(slice(e, m * PqSubDim + 1, PqSubDim),
-          array(cv.map(lit).toIndexedSeq: _*)) - lit(hn)
-      }
-      def codeOf(m: Int): Column = {
-        val mx = greatest((0 until K).map(j => col(s"s${m}_$j")): _*)
-        (1 until K).foldLeft(when(col(s"s${m}_0") === mx, 0)) {
-          (acc, j) => acc.when(col(s"s${m}_$j") === mx, j)
-        }
-      }
-      def encode(cb: IndexedSeq[IndexedSeq[Array[Double]]],
-          df: DataFrame): DataFrame =
-        df.select(Seq($"vec_id", $"embedding") ++
-          (for { m <- 0 until PqM; j <- 0 until K }
-            yield subScore(cb, $"embedding", m, j).as(s"s${m}_$j")): _*)
-          .select(Seq($"vec_id", $"embedding") ++
-            (0 until PqM).map(m => codeOf(m).as(s"c$m")): _*)
-      val emb = Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-        .select($"vec_id",
-          transform($"embedding", x => x.cast("double") / $"nrm")
-            .as("embedding"))
-      // ONE deterministic Lloyd refinement per subspace: assign against
-      // the init codebook, recompute each entry as its members' mean —
-      // summed in ascending vec_id order with a sequential element fold
-      // so the mean's bits reproduce anywhere — and keep the init entry
-      // where a code attracted no members. Centroids live on the
-      // driver (PqM×PqK small vectors) between iterations, exactly the
-      // k-means shape; the assignment itself is a zero-shuffle scan.
-      val memb = encode(cb0, emb)
-        .select($"vec_id", explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("m"), col(s"c$m").as("code"),
-            slice($"embedding", m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
-          .as("x"))
-        .select($"vec_id", $"x.m".as("m"), $"x.code".as("code"),
-          $"x.sub".as("sub"))
-      val zero = s"transform(sequence(1, $PqSubDim), i -> 0D)"
-      val refined = memb.groupBy($"m", $"code")
-        .agg(count(lit(1)).as("n"),
-          sort_array(collect_list(struct($"vec_id", $"sub"))).as("mem"))
-        .withColumn("cv", expr(
-          s"""transform(aggregate(transform(mem, x -> x.sub), $zero,
-             |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
-             |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
-        .select($"m", $"code", $"cv").collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-        .toMap
-      val cb1 = IndexedSeq.tabulate(PqM)(m => IndexedSeq.tabulate(K)(j =>
-        refined.getOrElse((m, j), cb0(m)(j))))
+      val emb = normalizedEmb(s, dir)
+      val cb1 = pqCodebook(s, dir, emb)
       // the PQ index: PqM codes per vector, materialized once
       val codes = IndexArtifacts.materialize(s,
-        encode(cb1, emb).select($"vec_id" +:
+        pqEncode(cb1, emb).select($"vec_id" +:
           (0 until PqM).map(m => col(s"c$m")): _*),
         "pq-codes")
-      // per-query ADC lookup tables (PqK rows per subspace per query)
-      val q = emb.filter($"vec_id" < NumQueries)
-      val dts = (0 until PqM).map { m =>
-        q.select($"vec_id".as("query_id"),
-          explode(array((0 until K).map(j =>
-            struct(lit(j).as("code"),
-              subScore(cb1, $"embedding", m, j).as("s"))): _*)).as("e"))
-          .select($"query_id", $"e.code".as(s"c$m"), $"e.s".as(s"s$m"))
-      }
+      val dts = pqQueryTables(cb1, emb)
       val joined = dts.zipWithIndex.foldLeft(codes) { case (df, (dt, m)) =>
         df.join(broadcast(dt),
           if (m == 0) Seq(s"c$m") else Seq("query_id", s"c$m"))
@@ -439,6 +483,59 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= TopK)
         .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+          $"adc_score")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // --- IVF-PQ: cell-pruned scan over the compressed code list ---------
+    // THE production ANN composition (what FAISS calls IVFPQ): IVF
+    // cells bound WHICH vectors a query scores, PQ codes bound the
+    // BYTES each scored vector costs. The index row is (cell, 8 codes);
+    // a query probes its top-2 cells and ADC-scores only those cells'
+    // code lists via the same broadcast lookup tables as llm_embed_pq
+    // — at 100 TB the scan is |probed cells| × code-list bytes, with
+    // neither term proportional to the corpus. Same normalized space
+    // and bit-exact score kernel as PQ; the cell assignment reuses the
+    // IVF argmax over normalized centroids.
+    "llm_embed_ivfpq" -> { (s, dir) =>
+      import s.implicits._
+      val emb = normalizedEmb(s, dir)
+      val cb1 = pqCodebook(s, dir, emb)
+      val cents = sampleCentroids(s, dir, NumCentroids).map(normalizedArr)
+      val k = cents.size
+      val np = math.min(2, k)
+      def withScores(df: DataFrame): DataFrame =
+        df.select(df.columns.map(col) ++
+          cents.zipWithIndex.map { case (c, i) =>
+            centroidScoreD(c).as(s"cs$i") }: _*)
+      // the IVF-PQ index: (vec_id, cell, c0..c7) — cell-partitionable,
+      // 8 small ints of payload per vector
+      val index = IndexArtifacts.materialize(s,
+        withScores(pqEncode(cb1, emb))
+          .withColumn("cell", cellFromScores(k))
+          .select($"vec_id" +: $"cell" +:
+            (0 until PqM).map(m => col(s"c$m")): _*),
+        "ivfpq-index")
+      // query side: nprobe best cells, ranked (score desc, cell asc)
+      val ranked = sort_array(array((0 until k).map(i =>
+        struct(col(s"cs$i").as("s"), lit(-i).as("ni"))): _*), asc = false)
+      val qprobe = withScores(emb.filter($"vec_id" < NumQueries))
+        .select($"vec_id".as("query_id"),
+          explode(transform(slice(ranked, 1, np), x => -x("ni"))).as("qcell"))
+      val cand = index.join(broadcast(qprobe),
+        $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
+      val joined = pqQueryTables(cb1, emb).zipWithIndex
+        .foldLeft(cand) { case (df, (dt, m)) =>
+          df.join(broadcast(dt), Seq("query_id", s"c$m"))
+        }
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"adc_score".desc, $"vec_id".asc)
+      joined
+        .withColumn("adc_score",
+          (1 until PqM).foldLeft(col("s0"))((acc, m) => acc + col(s"s$m")))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .select($"query_id", $"rank", $"cell", $"vec_id".as("neighbor_id"),
           $"adc_score")
         .orderBy($"query_id", $"rank")
     },
@@ -772,6 +869,98 @@ object SimilarityQueries {
       |  list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE)),
       |  (a, b) -> a + b) / 2.0)""".stripMargin
 
+  /** Shared PQ oracle CTE chain (normalize → init codebooks → assign →
+    * Lloyd refine → final codebooks → subspace scores `sc` → codes
+    * `enc`) — the DuckDB twin of [[pqCodebook]] + [[pqEncode]], used by
+    * both the flat (`llm_embed_pq`) and cell-pruned (`llm_embed_ivfpq`)
+    * ADC oracles.
+    */
+  private val pqCtesSql: String =
+    s"""cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+       |    embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % $CentroidStride = $CentroidPhase
+       |        ORDER BY vec_id LIMIT $PqK)),
+       |cn AS (
+       |  SELECT j, list_transform(ce, x -> x::DOUBLE /
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(ce, y -> y::DOUBLE * y::DOUBLE)),
+       |      (a, b) -> a + b))) AS ce
+       |  FROM cents),
+       |en AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)),
+       |      (a, b) -> a + b))) AS embedding
+       |  FROM embeddings),
+       |cb0 AS (
+       |  SELECT mm.m, c.j,
+       |    c.ce[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS cv
+       |  FROM cn c CROSS JOIN
+       |    (SELECT CAST(unnest(range($PqM)) AS INT) AS m) mm),
+       |cbh0 AS (
+       |  SELECT m, j, cv,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(cv, x -> x * x)),
+       |      (a, b) -> a + b) / 2.0 AS hn
+       |  FROM cb0),
+       |sc0 AS (
+       |  SELECT e.vec_id, cb.m, cb.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, ${PqSubDim + 1}),
+       |        k -> e.embedding[cb.m*$PqSubDim+k] * cb.cv[k])),
+       |      (acc, v) -> acc + v) - cb.hn AS s
+       |  FROM en e CROSS JOIN cbh0 cb),
+       |enc0 AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |                         ORDER BY s DESC, j ASC) AS rk
+       |    FROM sc0) WHERE rk = 1),
+       |mem AS (
+       |  SELECT n0.m, n0.code, count(*) AS n,
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE) for i in range(0, $PqSubDim)],
+       |        list(e.embedding[n0.m*$PqSubDim+1 : n0.m*$PqSubDim+$PqSubDim]
+       |             ORDER BY n0.vec_id)),
+       |      (acc, x) -> list_transform(range(1, ${PqSubDim + 1}),
+       |                                 i -> acc[i] + x[i])) AS sv
+       |  FROM enc0 n0 JOIN en e ON e.vec_id = n0.vec_id
+       |  GROUP BY 1, 2),
+       |cb1 AS (
+       |  SELECT b.m, b.j,
+       |    coalesce(list_transform(mem.sv, x -> x / CAST(mem.n AS DOUBLE)),
+       |      b.cv) AS cv
+       |  FROM cb0 b LEFT JOIN mem ON mem.m = b.m AND mem.code = b.j),
+       |cbh AS (
+       |  SELECT m, j, cv,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(cv, x -> x * x)),
+       |      (a, b) -> a + b) / 2.0 AS hn
+       |  FROM cb1),
+       |sc AS (
+       |  SELECT e.vec_id, cb.m, cb.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, ${PqSubDim + 1}),
+       |        k -> e.embedding[cb.m*$PqSubDim+k] * cb.cv[k])),
+       |      (acc, v) -> acc + v) - cb.hn AS s
+       |  FROM en e CROSS JOIN cbh cb),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |                         ORDER BY s DESC, j ASC) AS rk
+       |    FROM sc) WHERE rk = 1)""".stripMargin
+
+  /** The ADC score as PqM per-subspace max-CASE partial sums, folded
+    * in explicit ascending-m order (the IEEE order the Spark fold
+    * uses).
+    */
+  private val adcSumSql: String =
+    (1 until PqM).foldLeft("max(CASE WHEN e.m = 0 THEN d.s END)")(
+      (acc, m) => s"($acc + max(CASE WHEN e.m = $m THEN d.s END))")
+
   val oracles: Map[String, String] = Map(
 
     "llm_embed_topk" ->
@@ -986,87 +1175,9 @@ object SimilarityQueries {
     // sum folded in explicit m order (each per-m term is a single row,
     // so max(CASE) extracts it exactly)
     "llm_embed_pq" ->
-      s"""WITH cents AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
-         |    embedding AS ce
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        WHERE vec_id % $CentroidStride = $CentroidPhase
-         |        ORDER BY vec_id LIMIT $PqK)),
-         |cn AS (
-         |  SELECT j, list_transform(ce, x -> x::DOUBLE /
-         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(ce, y -> y::DOUBLE * y::DOUBLE)),
-         |      (a, b) -> a + b))) AS ce
-         |  FROM cents),
-         |en AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
-         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)),
-         |      (a, b) -> a + b))) AS embedding
-         |  FROM embeddings),
-         |cb0 AS (
-         |  SELECT mm.m, c.j,
-         |    c.ce[mm.m*$PqSubDim+1 : mm.m*$PqSubDim+$PqSubDim] AS cv
-         |  FROM cn c CROSS JOIN
-         |    (SELECT CAST(unnest(range($PqM)) AS INT) AS m) mm),
-         |cbh0 AS (
-         |  SELECT m, j, cv,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(cv, x -> x * x)),
-         |      (a, b) -> a + b) / 2.0 AS hn
-         |  FROM cb0),
-         |sc0 AS (
-         |  SELECT e.vec_id, cb.m, cb.j,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, ${PqSubDim + 1}),
-         |        k -> e.embedding[cb.m*$PqSubDim+k] * cb.cv[k])),
-         |      (acc, v) -> acc + v) - cb.hn AS s
-         |  FROM en e CROSS JOIN cbh0 cb),
-         |enc0 AS (
-         |  SELECT vec_id, m, j AS code FROM (
-         |    SELECT vec_id, m, j,
-         |      row_number() OVER (PARTITION BY vec_id, m
-         |                         ORDER BY s DESC, j ASC) AS rk
-         |    FROM sc0) WHERE rk = 1),
-         |mem AS (
-         |  SELECT n0.m, n0.code, count(*) AS n,
-         |    list_reduce(
-         |      list_prepend([CAST(0.0 AS DOUBLE) for i in range(0, $PqSubDim)],
-         |        list(e.embedding[n0.m*$PqSubDim+1 : n0.m*$PqSubDim+$PqSubDim]
-         |             ORDER BY n0.vec_id)),
-         |      (acc, x) -> list_transform(range(1, ${PqSubDim + 1}),
-         |                                 i -> acc[i] + x[i])) AS sv
-         |  FROM enc0 n0 JOIN en e ON e.vec_id = n0.vec_id
-         |  GROUP BY 1, 2),
-         |cb1 AS (
-         |  SELECT b.m, b.j,
-         |    coalesce(list_transform(mem.sv, x -> x / CAST(mem.n AS DOUBLE)),
-         |      b.cv) AS cv
-         |  FROM cb0 b LEFT JOIN mem ON mem.m = b.m AND mem.code = b.j),
-         |cbh AS (
-         |  SELECT m, j, cv,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(cv, x -> x * x)),
-         |      (a, b) -> a + b) / 2.0 AS hn
-         |  FROM cb1),
-         |sc AS (
-         |  SELECT e.vec_id, cb.m, cb.j,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, ${PqSubDim + 1}),
-         |        k -> e.embedding[cb.m*$PqSubDim+k] * cb.cv[k])),
-         |      (acc, v) -> acc + v) - cb.hn AS s
-         |  FROM en e CROSS JOIN cbh cb),
-         |enc AS (
-         |  SELECT vec_id, m, j AS code FROM (
-         |    SELECT vec_id, m, j,
-         |      row_number() OVER (PARTITION BY vec_id, m
-         |                         ORDER BY s DESC, j ASC) AS rk
-         |    FROM sc) WHERE rk = 1),
+      s"""WITH $pqCtesSql,
          |adc AS (
-         |  SELECT d.vec_id AS query_id, e.vec_id,
-         |    ${(1 until PqM).foldLeft("max(CASE WHEN e.m = 0 THEN d.s END)")(
-               (acc, m) => s"($acc + max(CASE WHEN e.m = $m THEN d.s END))")}
-         |      AS adc_score
+         |  SELECT d.vec_id AS query_id, e.vec_id, $adcSumSql AS adc_score
          |  FROM enc e JOIN sc d
          |    ON d.m = e.m AND d.j = e.code AND d.vec_id < $NumQueries
          |  WHERE e.vec_id <> d.vec_id
@@ -1078,6 +1189,61 @@ object SimilarityQueries {
          |                           ORDER BY adc_score DESC, vec_id ASC) AS rk
          |      FROM adc)
          |WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
+
+    // the PQ chain plus normalized-space IVF cells: the ADC join is
+    // RESTRICTED to code rows whose cell is among the query's probed
+    // top-2 cells
+    "llm_embed_ivfpq" ->
+      s"""WITH $pqCtesSql,
+         |centi AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS centroid_id,
+         |    embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % $CentroidStride = $CentroidPhase
+         |        ORDER BY vec_id LIMIT $NumCentroids)),
+         |cni AS (
+         |  SELECT centroid_id, list_transform(ce, x -> x::DOUBLE /
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(ce, y -> y::DOUBLE * y::DOUBLE)),
+         |      (a, b) -> a + b))) AS ce
+         |  FROM centi),
+         |csc AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${dotSql("e.embedding", "c.ce")} -
+         |    (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |       list_transform(c.ce, x -> x * x)),
+         |       (a, b) -> a + b) / 2.0) AS score
+         |  FROM en e CROSS JOIN cni c),
+         |cellb AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM csc) WHERE rk = 1),
+         |qp AS (
+         |  SELECT vec_id AS query_id, centroid_id AS qcell FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM csc WHERE vec_id < $NumQueries) WHERE rk <= 2),
+         |adc AS (
+         |  SELECT d.vec_id AS query_id, e.vec_id, cb.cell AS cell,
+         |    $adcSumSql AS adc_score
+         |  FROM enc e
+         |  JOIN sc d ON d.m = e.m AND d.j = e.code
+         |    AND d.vec_id < $NumQueries
+         |  JOIN cellb cb ON cb.vec_id = e.vec_id
+         |  JOIN qp ON qp.query_id = d.vec_id AND qp.qcell = cb.cell
+         |  WHERE e.vec_id <> d.vec_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT query_id, CAST(rk AS INT) AS rank, cell,
+         |  vec_id AS neighbor_id, adc_score
+         |FROM (SELECT query_id, vec_id, cell, adc_score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY adc_score DESC, vec_id ASC) AS rk
+         |      FROM adc)
+         |WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
+
 
     "llm_embed_sq8" ->
       s"""WITH b AS (

@@ -169,4 +169,44 @@ class QuantizedAnnSpec extends SparkSuite {
     val pruned = out.count(!_.getAs[Boolean]("keep"))
     assert(pruned > 0 && pruned < out.length, s"pruned=$pruned")
   }
+
+  test("ivfpq: cell pruning agrees with flat PQ scores and keeps useful recall") {
+    val dir = "/root/testdata/sf0.01"
+    val ivfpq = SimilarityQueries.defs("llm_embed_ivfpq")(spark, dir).collect()
+    assert(ivfpq.nonEmpty)
+    // ranks dense, scores non-increasing
+    ivfpq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val sc = sorted.map(_.getAs[Double]("adc_score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+    // the ADC kernel is THE SAME as flat PQ: any (query, neighbor)
+    // pair both operators rank must carry a bit-identical score
+    val flat = SimilarityQueries.defs("llm_embed_pq")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("adc_score")).toMap
+    val shared = ivfpq.flatMap { r =>
+      flat.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .map(s => (r.getAs[Double]("adc_score"), s))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) ==
+        java.lang.Double.doubleToLongBits(b))
+    }
+    // cell pruning costs recall vs flat PQ but must stay far above
+    // random (TopK/corpus = 2%): the probe keeps the query's own
+    // neighborhood cells
+    val exact = SimilarityQueries.defs("llm_embed_topk")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val got = ivfpq.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val (hit, total) = exact.foldLeft((0, 0)) { case ((h, t), (q, ids)) =>
+      (h + ids.intersect(got.getOrElse(q, Set.empty)).size, t + ids.size)
+    }
+    assert(hit.toDouble / total >= 0.15, s"ivfpq recall $hit/$total")
+  }
 }

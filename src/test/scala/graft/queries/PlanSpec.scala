@@ -130,6 +130,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(1500))
   }
 
+  test("llm_embed_ivfpq: probe joins the materialized code index by broadcast only") {
+    val p = plan("llm_embed_ivfpq")
+    assert(p.contains("ivfpq-index"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
     for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
       val p = plan(q)
