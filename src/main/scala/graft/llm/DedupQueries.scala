@@ -527,6 +527,28 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // --- repetition-aware loss weighting ---------------------------------
+    // The soft alternative to dropping duplicates: keep every copy but
+    // weight each document by 1/family_size so a duplicate family
+    // contributes ONE document's worth of gradient in aggregate
+    // (near-dup-aware example weighting). Exact integer ppm weights
+    // (1e6 DIV family_size); singleton docs weigh exactly 1e6. Rides
+    // the shared label artifact: one |families| partial agg + one
+    // left join — free once labels exist, and at 100 TB the weight
+    // column ships with the corpus instead of a destructive drop.
+    "llm_dup_weights" -> { (s, dir) =>
+      import s.implicits._
+      val sizes = clusterLabels(s, dir)
+        .groupBy($"label").agg(count(lit(1)).as("family_size"))
+      Tables(s, dir).documents.select($"doc_id")
+        .join(clusterLabels(s, dir), Seq("doc_id"), "left")
+        .join(sizes, Seq("label"), "left")
+        .select($"doc_id",
+          coalesce($"family_size", lit(1L)).as("family_size"),
+          expr("1000000L div coalesce(family_size, 1L)").as("weight_ppm"))
+        .orderBy($"doc_id")
+    },
+
     // --- per-source dataset-card report ----------------------------------
     // The one-row-per-source summary a curation pipeline ships with its
     // output: volume (docs, whitespace tokens), near-dup exposure (docs
@@ -891,6 +913,19 @@ object DedupQueries {
          |FROM deg d JOIN s$PrIters s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "llm_dup_weights" ->
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |sizes AS (
+         |  SELECT cluster_id, count(*) AS family_size
+         |  FROM labels GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(s.family_size, 1) AS family_size,
+         |  1000000 // coalesce(s.family_size, 1) AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |LEFT JOIN sizes s ON s.cluster_id = l.cluster_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "llm_source_report" ->
       s"""WITH RECURSIVE $clusterLabelsSql,

@@ -206,4 +206,31 @@ class MiningOpsSpec extends SparkSuite {
     assert(total <= S * rows.length)
     assert(total >= 15 * S / 100 * rows.length)
   }
+
+  test("dup weights: a family contributes one document's worth of ppm mass") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = DedupQueries.defs("llm_dup_weights")(spark, sfDir).collect()
+    val nDocs = graft.Tables(spark, sfDir).documents.count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val fs = r.getAs[Long]("family_size")
+      val w = r.getAs[Long]("weight_ppm")
+      assert(fs >= 1 && w == 1000000L / fs)
+    }
+    // singletons carry full weight; every family's total weight is 1e6
+    // up to the integer-floor loss (< family_size ppm)
+    assert(rows.filter(_.getAs[Long]("family_size") == 1L)
+      .forall(_.getAs[Long]("weight_ppm") == 1000000L))
+    val clustered = DedupQueries.defs("llm_dedup_clusters")(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(clustered.nonEmpty)
+    rows.filter(r => clustered.contains(r.getAs[Long]("doc_id")))
+      .groupBy(r => clustered(r.getAs[Long]("doc_id")))
+      .foreach { case (_, fam) =>
+        val fs = fam.head.getAs[Long]("family_size")
+        assert(fam.length == fs)
+        val tot = fam.map(_.getAs[Long]("weight_ppm")).sum
+        assert(tot <= 1000000L && tot > 1000000L - fs)
+      }
+  }
 }
