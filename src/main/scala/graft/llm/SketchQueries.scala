@@ -51,7 +51,7 @@ object SketchQueries {
     * coordinates of one term. Shared by the build (over the token
     * stream) and the probe (over the audited heavy hitters).
     */
-  private def cmsCoords(term: org.apache.spark.sql.Column) =
+  private[graft] def cmsCoords(term: org.apache.spark.sql.Column) =
     array((0 until CmsDepth).map { r =>
       struct(lit(r).as("r"),
         (hash32(concat(lit(s"cms$r:"), term)) % CmsWidth).as("bucket"))

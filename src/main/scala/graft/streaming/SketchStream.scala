@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.SketchQueries
+
+/** Streaming Count-Min sketch maintenance — the frequency-stats twin
+  * of the CDC replica / streaming IVF index: each micro-batch of terms
+  * folds into its own D×W counter table, and the live sketch is the
+  * SUM of all committed batch tables (Count-Min merge = cell-wise add,
+  * which is why the sketch streams for free while an exact
+  * `groupBy(term)` would need ever-growing state).
+  *
+  * Layout: `sketchDir/batch=<id>/part-*.parquet` (rows `(r, bucket,
+  * c)`), with a `_complete` marker written LAST per batch — a replayed
+  * or crashed batch either skips (marker present) or rewrites its own
+  * partition, the same exactly-once contract as [[AnnIndexStream]] and
+  * the replica store.
+  *
+  * Scale shape: per batch ONE partial+final aggregate with at most
+  * D×W output rows (a constant — 1024 cells here — at any batch
+  * size); the merge read is a sum over |batches| constant-size
+  * tables; estimation joins the bounded term set against the merged
+  * sketch. Nothing grows with the corpus but the number of batch
+  * dirs — folding those into one table is a versioned-pointer
+  * maintenance job (the replica's compaction protocol), not a naive
+  * rewrite-then-delete, which could double-count under a crash.
+  */
+object SketchStream {
+
+  /** One micro-batch's counter table: `(r, bucket, c)` over a `term`
+    * column — the same md5-derived coordinates as the batch operator
+    * (`llm_heavy_hitters`), so streamed and batch-built sketches are
+    * bit-identical.
+    */
+  def sketchOf(batch: DataFrame): DataFrame =
+    batch.select(explode(SketchQueries.cmsCoords(col("term"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Apply one micro-batch of terms to the sketch. Idempotent per
+    * batchId.
+    */
+  def maintainCms(sketchDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    new java.io.File(sketchDir).mkdirs()
+    val partDir = s"$sketchDir/batch=$batchId"
+    val marker = java.nio.file.Paths.get(partDir, "_complete")
+    if (java.nio.file.Files.exists(marker)) return
+    sketchOf(batch).write.mode("overwrite").parquet(partDir)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    ()
+  }
+
+  private def completedBatches(sketchDir: String): Array[Long] =
+    Option(new java.io.File(sketchDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        java.nio.file.Files.exists(f.toPath.resolve("_complete")))
+      .map(_.getName.stripPrefix("batch=").toLong)
+
+  /** The live merged sketch: cell-wise sum over all COMPLETED batch
+    * tables (crashed half-written dirs are excluded by the marker).
+    */
+  def readSketch(s: SparkSession, sketchDir: String): DataFrame = {
+    val completed = completedBatches(sketchDir)
+    s.read.option("basePath", sketchDir).parquet(sketchDir)
+      .filter(col("batch").isin(completed.toIndexedSeq: _*))
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Point-estimate a bounded term set against the merged sketch:
+    * `min` over each term's D counters (the CMS estimator; one-sided
+    * error, never an underestimate).
+    */
+  def estimate(s: SparkSession, sketchDir: String,
+      terms: DataFrame): DataFrame =
+    terms.select(col("term"),
+      explode(SketchQueries.cmsCoords(col("term"))).as("rb"))
+      .select(col("term"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(readSketch(s, sketchDir)), Seq("r", "bucket"))
+      .groupBy(col("term"))
+      .agg(min(col("c")).as("cms_est"))
+
+}
