@@ -511,6 +511,27 @@ object Relational {
           sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
             .as("revenue_cents"))
         .orderBy($"l_returnflag")
+    },
+
+    // --- q41: unpivot / melt (wide → long) -------------------------------
+    // The inverse of q21's pivot: per-group metric COLUMNS become
+    // (metric, value) ROWS via the stack generator — the melt every
+    // metrics pipeline ships into long-format stores. stack is
+    // per-row generator work on the already-aggregated (bounded)
+    // table: zero additional shuffle beyond the aggregate's own, and
+    // the same shape at any scale because the wide table is
+    // |groups| rows.
+    "q41_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents($"o_totalprice")).as("sum_cents"),
+          max(cents($"o_totalprice")).as("max_cents"))
+        .select($"o_orderpriority", expr(
+          """stack(3, 'n_orders', n_orders, 'sum_cents', sum_cents,
+            |         'max_cents', max_cents) AS (metric, value)""".stripMargin))
+        .orderBy($"o_orderpriority", $"metric")
     }
   )
 
@@ -773,6 +794,22 @@ object Relational {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the melt as an explicit UNION ALL (the relational meaning of
+    // stack, engine-neutral)
+    "q41_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT o_orderpriority, count(*) AS n_orders,
+         |    CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |    max(${centsSql("o_totalprice")}) AS max_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderpriority, metric, value FROM (
+         |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+         |  UNION ALL
+         |  SELECT o_orderpriority, 'sum_cents', sum_cents FROM a
+         |  UNION ALL
+         |  SELECT o_orderpriority, 'max_cents', max_cents FROM a)
+         |ORDER BY 1, 2""".stripMargin,
 
     // the bucketed layout is invisible to the relation: the oracle is
     // the plain join

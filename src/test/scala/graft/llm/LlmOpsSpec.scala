@@ -474,4 +474,44 @@ class LlmOpsSpec extends SparkSuite {
         (expected >= TextAnalysisQueries.QualityKeepThreshold))
     }
   }
+
+  test("media simhash: pairs are canonical and thresholded on the fixture") {
+    val rows = MultimodalQueries.defs("llm_media_simhash")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 6)
+    }
+  }
+
+  test("media simhash: verbatim payloads always collide; mostly-shared frames " +
+    "pair at low hamming; unrelated payloads do not pair") {
+    import graft.SparkSuite.spark.implicits._
+    // synthetic payloads (fixtures carry no byte-identical docs): 40
+    // frames of deterministic ASCII. doc 2 = doc 1 verbatim (identical
+    // frames → identical signature → hamming 0, collides in EVERY
+    // band — coverage is guaranteed, not probabilistic). doc 3 shares
+    // 36/40 frames with doc 1 (in-place edit, no length change — the
+    // regime fixed-offset framing is designed for). doc 4 is unrelated.
+    val rnd = new scala.util.Random(42)
+    def chunk(n: Int): String =
+      Array.fill(n * 64)((33 + rnd.nextInt(94)).toChar).mkString
+    val base = chunk(40)
+    val edited = chunk(4) + base.substring(4 * 64)
+    val other = chunk(40)
+    val dir = java.nio.file.Files.createTempDirectory("media-simhash").toString
+    Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("synthetic").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = MultimodalQueries.defs("llm_media_simhash")(spark, dir).collect()
+    val byPair = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      r.getAs[Int]("hamming")).toMap
+    assert(byPair.get((1L, 2L)).contains(0), s"verbatim pair missing: $byPair")
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) <= 6,
+      s"mostly-shared-frame pair missing: $byPair")
+    assert(!byPair.contains((1L, 4L)) && !byPair.contains((2L, 4L)),
+      s"unrelated payloads paired: $byPair")
+  }
 }

@@ -137,6 +137,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_media_simhash: banded self-join over the materialized signature table") {
+    val p = plan("llm_media_simhash")
+    assert(p.contains("media-simhash-bands"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q41: the melt is generator work over the aggregated table, one exchange") {
+    val p = plan("q41_unpivot")
+    assert(p.contains("Generate"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("llm_doc_repetition and llm_domain_mix plan no join wider than a broadcast") {
     for (q <- Seq("llm_doc_repetition", "llm_domain_mix")) {
       val p = plan(q)
