@@ -527,6 +527,58 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // --- triangle count / local clustering coefficient -------------------
+    // How CLIQUE-LIKE is each duplicate neighborhood? A doc whose
+    // near-dup neighbors are also near-dups of EACH OTHER (high local
+    // clustering coefficient) sits inside a tight copy family; a doc
+    // bridging otherwise-unrelated neighbors (low cc despite high
+    // degree) is a template/boilerplate hub — a different curation
+    // action (strip the template) than a copy family (pick one).
+    // Shape: the standard degree-oriented enumeration — orient every
+    // edge from its lexicographically smaller ((deg, id)) endpoint, so
+    // every vertex's out-degree is bounded by O(sqrt(|E|)) regardless
+    // of hubs; wedges are a self-equi-join of the oriented edge table
+    // on the source vertex, closed by a semi-join back against
+    // oriented edges. Each triangle {x<y<z by (deg,id)} is produced
+    // exactly once, at its minimum vertex. Only the (bounded) edge
+    // table shuffles, never the corpus, and the orientation is exactly
+    // what keeps a 10M-degree hub from exploding the wedge join at
+    // 100 TB. All counts exact int64; cc_ppm = 2·tri·1e6 DIV deg(deg−1).
+    "llm_dup_triangles" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = dupPairs(s, dir)
+      val deg = pairs.select($"doc_a".as("doc_id"))
+        .union(pairs.select($"doc_b".as("doc_id")))
+        .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
+      // orient: u = smaller (deg, id) endpoint; carry the head's key
+      // so the wedge join can order its two heads without a re-join
+      val oriented = pairs
+        .join(deg.select($"doc_id".as("doc_a"), $"deg".as("da")), "doc_a")
+        .join(deg.select($"doc_id".as("doc_b"), $"deg".as("db")), "doc_b")
+        .select(when($"da" < $"db" || ($"da" === $"db" && $"doc_a" < $"doc_b"),
+            struct($"doc_a".as("u"), $"doc_b".as("v"), $"db".as("dv")))
+          .otherwise(
+            struct($"doc_b".as("u"), $"doc_a".as("v"), $"da".as("dv"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") &&
+            (col("e1.dv") < col("e2.dv") ||
+              (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      val triangles = wedges.join(
+        oriented.select($"u".as("y"), $"v".as("z")), Seq("y", "z"), "left_semi")
+      val triCounts = triangles
+        .select(explode(array($"x", $"y", $"z")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_tri"))
+      deg.join(triCounts, Seq("doc_id"), "left")
+        .select($"doc_id", $"deg",
+          coalesce($"n_tri", lit(0L)).as("n_tri"),
+          when($"deg" >= 2,
+            expr("2 * coalesce(n_tri, 0L) * 1000000L div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("cc_ppm"))
+        .orderBy($"doc_id")
+    },
+
     // --- repetition-aware loss weighting ---------------------------------
     // The soft alternative to dropping duplicates: keep every copy but
     // weight each document by 1/family_size so a duplicate family
@@ -913,6 +965,30 @@ object DedupQueries {
          |FROM deg d JOIN s$PrIters s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // canonical a<b<c enumeration over the id-ordered pair table —
+    // the triangle SET is orientation-invariant, so the simple oracle
+    // matches the degree-oriented Spark enumeration exactly
+    "llm_dup_triangles" ->
+      s"""WITH $dupEdgesSql,
+         |deg AS (
+         |  SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY a),
+         |tri AS (
+         |  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+         |  FROM pairs p1
+         |  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         |  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+         |tv AS (
+         |  SELECT unnest([a, b, c]) AS doc_id FROM tri),
+         |tc AS (
+         |  SELECT doc_id, count(*) AS n_tri FROM tv GROUP BY 1)
+         |SELECT d.doc_id, d.deg,
+         |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN d.deg >= 2
+         |    THEN (2 * coalesce(tc.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS cc_ppm
+         |FROM deg d LEFT JOIN tc ON tc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "llm_dup_weights" ->
       s"""WITH RECURSIVE $clusterLabelsSql,

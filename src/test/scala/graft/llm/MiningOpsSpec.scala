@@ -207,6 +207,38 @@ class MiningOpsSpec extends SparkSuite {
     assert(total >= 15 * S / 100 * rows.length)
   }
 
+  test("dup triangles: a driver-side brute-force recount matches exactly") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = DedupQueries.defs("llm_dup_triangles")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent recompute from the verified pair list (bounded at
+    // test SF): canonical a<b<c enumeration, orientation-free
+    val pairs = DedupQueries.defs("llm_minhash_lsh")(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val nbrs = (pairs ++ pairs.map(_.swap)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerDoc = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    var nTri = 0L
+    for ((a, b) <- pairs; c <- nbrs(b) if c > b && pairs.contains((a, c))) {
+      nTri += 1
+      Seq(a, b, c).foreach(v => triPerDoc(v) += 1)
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val deg = r.getAs[Long]("deg")
+      val cc = r.getAs[Long]("cc_ppm")
+      assert(r.getAs[Long]("deg") == nbrs(id).size.toLong, s"deg($id)")
+      assert(r.getAs[Long]("n_tri") == triPerDoc(id), s"tri($id)")
+      assert(cc >= 0 && cc <= 1000000L)
+      if (deg >= 2)
+        assert(cc == 2 * triPerDoc(id) * 1000000L / (deg * (deg - 1)))
+      else assert(cc == 0L)
+    }
+    // every triangle contributes to exactly three vertices
+    assert(rows.map(_.getAs[Long]("n_tri")).sum == 3 * nTri)
+  }
+
   test("dup weights: a family contributes one document's worth of ppm mass") {
     import graft.SparkSuite.spark.implicits._
     val rows = DedupQueries.defs("llm_dup_weights")(spark, sfDir).collect()

@@ -137,6 +137,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_dup_triangles: wedge join reads the edge artifact, no cartesian") {
+    val p = plan("llm_dup_triangles")
+    // the LSH pipeline is NOT in this plan — the dup-pairs artifact is
+    assert(p.contains("dup-pairs"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("llm_media_simhash: banded self-join over the materialized signature table") {
     val p = plan("llm_media_simhash")
     assert(p.contains("media-simhash-bands"), p.take(1500))
