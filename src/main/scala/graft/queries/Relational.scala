@@ -532,6 +532,42 @@ object Relational {
           """stack(3, 'n_orders', n_orders, 'sum_cents', sum_cents,
             |         'max_cents', max_cents) AS (metric, value)""".stripMargin))
         .orderBy($"o_orderpriority", $"metric")
+    },
+
+    // --- q42: robust (median/MAD) outlier detection ----------------------
+    // The data-quality monitor every ingest pipeline runs: per group,
+    // flag values whose deviation from the MEDIAN exceeds 3× the
+    // median absolute deviation — robust statistics a single corrupt
+    // batch cannot drag around (unlike mean/stddev). Entirely integer:
+    // the (lower) median is the order statistic at rank (n+1) div 2,
+    // picked by a window rank — never a float quantile — and MAD is
+    // the same rank over |v − med|. Every window and the final agg
+    // partition on the SAME group key, so the whole query is one
+    // exchange plus per-partition sorts; at 100 TB the exact ranks
+    // swap for approx_percentile with the same plan shape.
+    "q42_mad_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val wG = Window.partitionBy($"grp")
+      val ranked = Tables(s, dir).orders
+        .select($"o_orderpriority".as("grp"), cents($"o_totalprice").as("v"))
+        .withColumn("nn", count(lit(1)).over(wG))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"grp").orderBy($"v")))
+        .withColumn("med",
+          max(when($"rn" === expr("(nn + 1L) div 2"), $"v")).over(wG))
+        .withColumn("dev", abs($"v" - $"med"))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy($"grp").orderBy($"dev")))
+        .withColumn("mad",
+          max(when($"rn2" === expr("(nn + 1L) div 2"), $"dev")).over(wG))
+      ranked.groupBy($"grp")
+        .agg(max($"nn").as("n_rows"),
+          max($"med").as("med_cents"),
+          max($"mad").as("mad_cents"),
+          sum(when($"dev" > lit(3L) * $"mad", 1L).otherwise(0L))
+            .as("n_outliers"),
+          max($"dev").as("max_dev_cents"))
+        .orderBy($"grp")
     }
   )
 
@@ -810,6 +846,36 @@ object Relational {
          |  UNION ALL
          |  SELECT o_orderpriority, 'max_cents', max_cents FROM a)
          |ORDER BY 1, 2""".stripMargin,
+
+    // identical rank-picked lower median / MAD, window for window
+    "q42_mad_outliers" ->
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS grp,
+         |    ${centsSql("o_totalprice")} AS v
+         |  FROM orders),
+         |r1 AS (
+         |  SELECT grp, v,
+         |    count(*) OVER (PARTITION BY grp) AS nn,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+         |  FROM base),
+         |r2 AS (
+         |  SELECT *, max(CASE WHEN rn = (nn + 1) // 2 THEN v END)
+         |      OVER (PARTITION BY grp) AS med
+         |  FROM r1),
+         |r3 AS (
+         |  SELECT *, abs(v - med) AS dev,
+         |    row_number() OVER (PARTITION BY grp ORDER BY abs(v - med)) AS rn2
+         |  FROM r2),
+         |r4 AS (
+         |  SELECT *, max(CASE WHEN rn2 = (nn + 1) // 2 THEN dev END)
+         |      OVER (PARTITION BY grp) AS mad
+         |  FROM r3)
+         |SELECT grp, CAST(max(nn) AS BIGINT) AS n_rows,
+         |  max(med) AS med_cents, max(mad) AS mad_cents,
+         |  CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  max(dev) AS max_dev_cents
+         |FROM r4 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the bucketed layout is invisible to the relation: the oracle is
     // the plain join

@@ -34,6 +34,28 @@ class AnalyticsOpsSpec extends SparkSuite {
       .getAs[Double]("p50") == expected)
   }
 
+  test("q42: a driver-side median/MAD recompute matches every group exactly") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q42_mad_outliers")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byGrp = Tables(spark, sfDir).orders
+      .select($"o_orderpriority".as("grp"), Q.cents($"o_totalprice").as("v"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(rows.length == byGrp.size)
+    rows.foreach { r =>
+      val vs = byGrp(r.getAs[String]("grp")).map(_._2).sorted
+      val n = vs.length
+      val med = vs(((n + 1) / 2 - 1).toInt)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val mad = devs(((n + 1) / 2 - 1).toInt)
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("med_cents") == med)
+      assert(r.getAs[Long]("mad_cents") == mad)
+      assert(r.getAs[Long]("n_outliers") == devs.count(_ > 3 * mad))
+      assert(r.getAs[Long]("max_dev_cents") == devs.last)
+    }
+  }
+
   test("q34: buckets partition the rows and bound their values by powers of two") {
     import graft.SparkSuite.spark.implicits._
     val rows = SparkEntry.queries("q34_histogram")(spark, sfDir).collect()

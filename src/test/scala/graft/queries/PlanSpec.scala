@@ -343,6 +343,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q42: every window pass and the final aggregate share ONE group shuffle") {
+    val p = plan("q42_mad_outliers")
+    // nn/rn/med/rn2/mad windows and the groupBy(grp) all reuse
+    // hashpartitioning(grp); no join anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("q34: the histogram is one partial+final aggregate over a single scan") {
     val p = plan("q34_histogram")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
