@@ -340,8 +340,38 @@ object TextAnalysisQueries {
           hash32(redacted).as("clean_hash"),
           length(redacted).as("clean_len"))
         .orderBy($"doc_id")
+    },
+
+    // --- BPE merge-candidate pair statistics ------------------------------
+    // The first iteration of BPE/WordPiece vocabulary induction at
+    // corpus scale: count adjacent symbol (character) pairs inside
+    // words, weighted by word frequency — the statistic argmaxed to
+    // pick each merge. The scale trick is aggregating the CORPUS into
+    // its vocabulary first (distinct words + frequencies, a keyed
+    // partial agg that absorbs the token stream map-side); the pair
+    // explode then runs over the vastly smaller vocab table and each
+    // pair count is one more keyed partial agg. Top-k is
+    // TakeOrderedAndProject — no global sort. Iterating BPE re-runs
+    // this with the chosen merge applied to the vocab table only —
+    // the corpus is never re-scanned.
+    "llm_bpe_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val vocab = Tables(s, dir).documents
+        .select(explode(tokens($"text")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+      vocab.filter(length($"w") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"pair")
+        .limit(BpeTopK)
     }
   )
+
+  /** Merge candidates reported by `llm_bpe_pairs`. */
+  val BpeTopK = 50
 
   /** Per-source exact token-length deciles over `(source, n_tokens)`
     * rows, by TWO-LEVEL rank selection — the skew-proof shape:
@@ -612,6 +642,22 @@ object TextAnalysisQueries {
          |  ${hash32Sql("clean")} AS clean_hash,
          |  CAST(length(clean) AS INT) AS clean_len
          |FROM r ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // vocabulary first, then the weighted pair expansion — mirrors the
+    // Spark aggregation order exactly
+    "llm_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT unnest($toksSql) AS w FROM documents),
+         |wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM w WHERE len(w) > 0 GROUP BY 1),
+         |p AS (
+         |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair,
+         |    freq
+         |  FROM wf WHERE len(w) >= 2)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+         |FROM p GROUP BY 1
+         |ORDER BY 2 DESC, 1 LIMIT $BpeTopK""".stripMargin
   )
 }

@@ -475,6 +475,27 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("bpe pairs: a driver-side recount of weighted pair frequencies matches") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = TextAnalysisQueries.defs("llm_bpe_pairs")(spark, sfDir).collect()
+    assert(rows.length == TextAnalysisQueries.BpeTopK)
+    // independent recompute: vocab frequencies, then weighted adjacent
+    // character pairs (split -1 keeps interior empties like the engines)
+    val words = graft.Tables(spark, sfDir).documents
+      .select($"text").as[String].collect()
+      .flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+    val freq = words.groupBy(identity).view.mapValues(_.length.toLong)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, f) <- freq; i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) += f
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextAnalysisQueries.BpeTopK)
+    val got = rows.map(r =>
+      (r.getAs[String]("pair"), r.getAs[Long]("n_occurrences"))).toSeq
+    assert(got == expected)
+  }
+
   test("media simhash: pairs are canonical and thresholded on the fixture") {
     val rows = MultimodalQueries.defs("llm_media_simhash")(spark, sfDir).collect()
     rows.foreach { r =>

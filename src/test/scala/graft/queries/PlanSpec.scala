@@ -137,6 +137,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("llm_bpe_pairs: two keyed aggregates, top-k without a global sort") {
+    val p = plan("llm_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
   test("llm_dup_triangles: wedge join reads the edge artifact, no cartesian") {
     val p = plan("llm_dup_triangles")
     // the LSH pipeline is NOT in this plan — the dup-pairs artifact is
