@@ -47,6 +47,15 @@ object RetrievalQueries {
   /** Keywords per source emitted by `llm_tfidf_keywords`. */
   val TfidfTopK = 3
 
+  /** Support threshold for `llm_token_pairs` as an exact ppm ratio:
+    * a token is FREQUENT when it appears in >= 10% of docs
+    * (df·1e6 >= n_docs·SupportPpm — integer compare, no float), which
+    * bounds the frequent vocabulary by 1/support regardless of corpus
+    * size. Pairs reported: top [[TokenPairsTopK]].
+    */
+  val SupportPpm = 100000L
+  val TokenPairsTopK = 50
+
   /** Boilerplate df threshold as an exact ratio: a distinct bigram
     * shingle is boilerplate when df >= 8% of the corpus (25·df >= 2·N —
     * integer compare, no float). The flagged set is bounded by
@@ -160,6 +169,50 @@ object RetrievalQueries {
         .select($"a", $"b", $"n_pair", $"n_a", $"n_b", $"lift")
         .orderBy($"n_pair".desc, $"a", $"b")
         .limit(50)
+    },
+
+    // --- support-pruned token co-occurrence (market-basket lift) ---------
+    // Which tokens travel TOGETHER across documents? The Apriori
+    // insight makes this tractable at any scale: a pair can only be
+    // frequent if both parts are, so each doc's token set is first
+    // restricted to the frequent vocabulary (bounded by 1/support —
+    // a BROADCAST join, the downward-closure prune) and the quadratic
+    // pair expansion runs over those short survivor lists only. The
+    // raw quadratic-in-doc-length expansion this avoids is the
+    // classic market-basket scale failure. lift_ppm =
+    // n_ab·N·1e6 DIV (df_a·df_b) is exact int64 (pre-scale counts at
+    // corpora where N² > 2^63/1e6, as llm_domain_mix does); lift ≫ 1e6
+    // means the pair co-occurs far above independence — boilerplate
+    // phrases, topic markers, template fingerprints.
+    "llm_token_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val dt = docs.select($"doc_id",
+          explode(array_distinct(tokens($"text"))).as("tok"))
+        .filter(length($"tok") > 0)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfs = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val freq = dfs.crossJoin(broadcast(nDocs))
+        .filter($"df" * lit(1000000L) >= $"n_docs" * lit(SupportPpm))
+      val ft = dt.join(broadcast(freq.select($"tok")), "tok")
+        .groupBy($"doc_id").agg(sort_array(collect_list($"tok")).as("ft"))
+        .filter(size($"ft") >= 2)
+      val pairCounts = ft.select(explode(expr(
+          """flatten(transform(sequence(1, size(ft) - 1),
+            |  i -> transform(sequence(i + 1, size(ft)),
+            |    j -> struct(element_at(ft, i) AS a,
+            |                element_at(ft, j) AS b))))""".stripMargin)).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+      pairCounts
+        .join(broadcast(freq.select($"tok".as("a"), $"df".as("df_a"))), "a")
+        .join(broadcast(freq.select($"tok".as("b"), $"df".as("df_b"))), "b")
+        .crossJoin(broadcast(nDocs))
+        .select($"a".as("token_a"), $"b".as("token_b"), $"n_ab",
+          $"df_a", $"df_b",
+          expr("n_ab * n_docs * 1000000L div (df_a * df_b)").as("lift_ppm"))
+        .orderBy($"n_ab".desc, $"token_a", $"token_b")
+        .limit(TokenPairsTopK)
     },
 
     // --- cross-corpus n-gram novelty scoring -----------------------------
@@ -331,6 +384,35 @@ object RetrievalQueries {
          |CROSS JOIN tot
          |WHERE n_pair >= 5
          |ORDER BY n_pair DESC, a, b LIMIT 50""".stripMargin,
+
+    // the oracle takes the direct quadratic pair join over the
+    // frequent-restricted postings — set-identical to the Spark
+    // survivor-list expansion
+    "llm_token_pairs" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents),
+         |dtf AS (SELECT doc_id, tok FROM dt WHERE len(tok) > 0),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |df AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dtf GROUP BY 1),
+         |freq AS (
+         |  SELECT tok, df FROM df, n
+         |  WHERE df * 1000000 >= n_docs * $SupportPpm),
+         |p AS (
+         |  SELECT x.tok AS a, y.tok AS b
+         |  FROM dtf x JOIN dtf y
+         |    ON x.doc_id = y.doc_id AND x.tok < y.tok
+         |  JOIN freq fx ON fx.tok = x.tok
+         |  JOIN freq fy ON fy.tok = y.tok),
+         |pc AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM p GROUP BY 1, 2)
+         |SELECT pc.a AS token_a, pc.b AS token_b, pc.n_ab,
+         |  fa.df AS df_a, fb.df AS df_b,
+         |  (pc.n_ab * n.n_docs * 1000000) // (fa.df * fb.df) AS lift_ppm
+         |FROM pc JOIN freq fa ON fa.tok = pc.a
+         |JOIN freq fb ON fb.tok = pc.b, n
+         |ORDER BY pc.n_ab DESC, 1, 2 LIMIT $TokenPairsTopK""".stripMargin,
 
     "llm_tfidf_keywords" ->
       s"""WITH tk AS (

@@ -475,6 +475,37 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("token pairs: the Apriori prune and exact integer lift recompute") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = RetrievalQueries.defs("llm_token_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables(spark, sfDir).documents
+      .select($"text").as[String].collect()
+    val n = docs.length.toLong
+    val docToks = docs.map(
+      _.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSet)
+    val df = docToks.flatMap(_.toSeq).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val freq = df.filter { case (_, d) =>
+      d * 1000000L >= n * RetrievalQueries.SupportPpm }
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for (ts <- docToks) {
+      val f = ts.filter(freq.contains).toSeq.sorted
+      for (i <- f.indices; j <- i + 1 until f.length)
+        counts((f(i), f(j))) += 1
+    }
+    val expected = counts.toSeq.map { case ((a, b), c) =>
+      (a, b, c, freq(a), freq(b), c * n * 1000000L / (freq(a) * freq(b)))
+    }.sortBy { case (a, b, c, _, _, _) => (-c, a, b) }
+      .take(RetrievalQueries.TokenPairsTopK)
+    val got = rows.map(r => (r.getAs[String]("token_a"),
+      r.getAs[String]("token_b"), r.getAs[Long]("n_ab"),
+      r.getAs[Long]("df_a"), r.getAs[Long]("df_b"),
+      r.getAs[Long]("lift_ppm"))).toSeq
+    assert(got == expected)
+  }
+
   test("bpe pairs: a driver-side recount of weighted pair frequencies matches") {
     import graft.SparkSuite.spark.implicits._
     val rows = TextAnalysisQueries.defs("llm_bpe_pairs")(spark, sfDir).collect()
