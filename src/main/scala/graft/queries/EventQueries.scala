@@ -108,6 +108,42 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
+    // --- q43: ordered conversion funnel ----------------------------------
+    // The product-analytics staple: how many users performed
+    // view → click → purchase IN ORDER (each step strictly after the
+    // previous one, not merely "did all three")? Sequencing is pure
+    // conditional window aggregation — t1 = first view, t2 = first
+    // click AFTER t1, t3 = first purchase AFTER t2 — so every step
+    // and the per-user rollup share ONE hashpartitioning(user_id)
+    // exchange; the cross-user summary is a single partial+final agg
+    // to 3 rows. No self-joins (the naive k-step formulation is k−1
+    // corpus self-joins), no state machine, and the same plan at any
+    // user count. Conversion rates are exact integer ppm.
+    "q43_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val wU = Window.partitionBy($"user_id")
+      val staged = Tables(s, dir).events
+        .withColumn("t1",
+          min(when($"event_type" === "view", $"ts")).over(wU))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(wU))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(wU))
+      val perUser = staged.groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+      val counts = perUser.agg(
+        sum(when($"t1".isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when($"t2".isNotNull, 1L).otherwise(0L)).as("n2"),
+        sum(when($"t3".isNotNull, 1L).otherwise(0L)).as("n3"))
+      counts.select(expr(
+          """stack(3,
+            |  1, 'view', n1, 1000000L,
+            |  2, 'click', n2, CASE WHEN n1 > 0 THEN n2 * 1000000L div n1 ELSE 0L END,
+            |  3, 'purchase', n3, CASE WHEN n2 > 0 THEN n3 * 1000000L div n2 ELSE 0L END)
+            |AS (step, event_type, n_users, conv_ppm)""".stripMargin))
+        .orderBy($"step")
+    },
+
     // --- q23: salted join (hot-key mitigation, identical result) --------
     // The fact side gets a deterministic salt shard and the dim side is
     // replicated ×SaltN, so the shuffle key becomes (user_id, salt): a
@@ -586,6 +622,40 @@ object EventQueries {
          |  CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical window staging: first view, first click after it,
+    // first purchase after that; counts as an explicit UNION ALL melt
+    "q43_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |pu AS (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM s3 GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM pu)
+        |SELECT step, event_type, n_users, conv_ppm FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+        |    CAST(1000000 AS BIGINT) AS conv_ppm FROM c
+        |  UNION ALL SELECT 2, 'click', n2,
+        |    CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END FROM c
+        |  UNION ALL SELECT 3, 'purchase', n3,
+        |    CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END FROM c)
+        |ORDER BY step""".stripMargin,
 
     "q22_asof_last_click" ->
       s"""SELECT event_id, user_id, value_cents, last_click_id FROM (

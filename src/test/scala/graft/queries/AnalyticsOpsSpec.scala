@@ -56,6 +56,35 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
   }
 
+  test("q43: a driver-side funnel replay matches counts and strict ordering") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q43_funnel")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("step") ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("conv_ppm"))).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    // independent per-user replay of the strict view→click→purchase chain
+    val evs = Tables(spark, sfDir).events
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_type")
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    evs.values.foreach { es =>
+      val t1 = es.collect { case (_, t, "view") => t }.minOption
+      val t2 = t1.flatMap(a =>
+        es.collect { case (_, t, "click") if t > a => t }.minOption)
+      val t3 = t2.flatMap(b =>
+        es.collect { case (_, t, "purchase") if t > b => t }.minOption)
+      if (t1.isDefined) n1 += 1
+      if (t2.isDefined) n2 += 1
+      if (t3.isDefined) n3 += 1
+    }
+    assert(rows(1) == (("view", n1, 1000000L)))
+    assert(rows(2) == (("click", n2, n2 * 1000000L / n1)))
+    assert(rows(3) == (("purchase", n3, n3 * 1000000L / n2)))
+    // the funnel is monotone by construction
+    assert(n1 >= n2 && n2 >= n3 && n3 > 0)
+  }
+
   test("q34: buckets partition the rows and bound their values by powers of two") {
     import graft.SparkSuite.spark.implicits._
     val rows = SparkEntry.queries("q34_histogram")(spark, sfDir).collect()

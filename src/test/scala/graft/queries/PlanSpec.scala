@@ -366,6 +366,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("q43: all three funnel stages and the rollup share ONE user shuffle") {
+    val p = plan("q43_funnel")
+    // the k-step funnel plans zero self-joins; stack melts the summary
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
   test("q34: the histogram is one partial+final aggregate over a single scan") {
     val p = plan("q34_histogram")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
