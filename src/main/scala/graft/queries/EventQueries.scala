@@ -144,6 +144,36 @@ object EventQueries {
         .orderBy($"step")
     },
 
+    // --- q44: weekly cohort retention matrix -----------------------------
+    // The other product-analytics staple next to q43's funnel: bucket
+    // users by the week of their FIRST activity (their cohort), then
+    // for each later week count how many are still active —
+    // the (cohort, offset) retention matrix. Shape: distinct
+    // (user, week) first (a keyed partial agg that collapses any
+    // per-user event skew map-side), cohort = min(week) per user on
+    // the SAME user-keyed exchange, then a (cohort, offset) agg whose
+    // output is |weeks|² rows — trivially small at any user count.
+    // The k=0 diagonal IS the cohort size, so retention_ppm needs no
+    // extra pass. Week arithmetic is Monday-aligned date_trunc in
+    // both engines; offsets are exact integer day-diffs DIV 7.
+    "q44_cohort_retention" -> { (s, dir) =>
+      import s.implicits._
+      val uw = Tables(s, dir).events
+        .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+        .distinct()
+      val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cw"))
+      val act = uw.join(cohort, "user_id")
+        .select($"cw", expr("datediff(wk, cw) div 7").cast("long").as("k"))
+        .groupBy($"cw", $"k").agg(count(lit(1)).as("n_active"))
+      val sizes = act.filter($"k" === 0)
+        .select($"cw", $"n_active".as("n_cohort"))
+      act.join(broadcast(sizes), "cw")
+        .select($"cw".cast("string").as("cohort_week"),
+          $"k".as("week_offset"), $"n_active", $"n_cohort",
+          expr("n_active * 1000000L div n_cohort").as("retention_ppm"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+
     // --- q23: salted join (hot-key mitigation, identical result) --------
     // The fact side gets a deterministic salt shard and the dim side is
     // replicated ×SaltN, so the shuffle key becomes (user_id, salt): a
@@ -622,6 +652,26 @@ object EventQueries {
          |  CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+        |a AS (
+        |  SELECT cw, date_diff('day', cw, wk) // 7 AS k
+        |  FROM uw JOIN c USING (user_id)),
+        |g AS (
+        |  SELECT cw, CAST(k AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM a GROUP BY 1, 2),
+        |s AS (SELECT cw, n_active AS n_cohort FROM g WHERE k = 0)
+        |SELECT CAST(g.cw AS VARCHAR) AS cohort_week, g.k AS week_offset,
+        |  g.n_active, s.n_cohort,
+        |  g.n_active * 1000000 // s.n_cohort AS retention_ppm
+        |FROM g JOIN s ON s.cw = g.cw
+        |ORDER BY 1, 2""".stripMargin,
 
     // identical window staging: first view, first click after it,
     // first purchase after that; counts as an explicit UNION ALL melt

@@ -85,6 +85,29 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(n1 >= n2 && n2 >= n3 && n3 > 0)
   }
 
+  test("q44: a driver-side cohort replay matches the retention matrix") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q44_cohort_retention")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val uw = Tables(spark, sfDir).events
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    val cohort = uw.groupBy(_._1).view.mapValues(_.map(_._2).minBy(_.getTime))
+    val cells = uw.groupBy { case (u, w) =>
+      (cohort(u).toString, (w.getTime - cohort(u).getTime) / (7 * 86400000L))
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("cohort_week"), r.getAs[Long]("week_offset"))
+      val nCohort = cells((key._1, 0L))
+      assert(r.getAs[Long]("n_active") == cells(key), s"$key")
+      assert(r.getAs[Long]("n_cohort") == nCohort, s"$key")
+      assert(r.getAs[Long]("retention_ppm") == cells(key) * 1000000L / nCohort)
+      // retention can never exceed the diagonal
+      assert(cells(key) <= nCohort)
+    }
+  }
+
   test("q34: buckets partition the rows and bound their values by powers of two") {
     import graft.SparkSuite.spark.implicits._
     val rows = SparkEntry.queries("q34_histogram")(spark, sfDir).collect()

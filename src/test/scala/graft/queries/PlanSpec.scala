@@ -374,6 +374,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), p.take(2000))
   }
 
+  test("q44: cohort sizes broadcast; all shuffles are post-dedup user-week scale") {
+    val p = plan("q44_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
   test("q34: the histogram is one partial+final aggregate over a single scan") {
     val p = plan("q34_histogram")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
