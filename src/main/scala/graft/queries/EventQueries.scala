@@ -587,6 +587,59 @@ object EventQueries {
         .orderBy($"user_id", $"sec", $"event_id")
     },
 
+    // --- cdc: temporal (event-time) state lookup --------------------------
+    // The SCD2-consistent read every CDC consumer eventually asks for:
+    // "what did this user's record look like WHEN the purchase
+    // happened?" Because the probe events ride the SAME keyed timeline
+    // as the changelog (every event IS a change — OpMapping), the
+    // general as-of join (q22/q38's union + carry) degenerates to ONE
+    // window: the immediately preceding change per (user; ts, event_id)
+    // is the version valid at the probe's timestamp, and a preceding
+    // DELETE means the record did not exist — the tombstone semantics a
+    // plain as-of value-carry gets wrong. One hashpartitioning(user)
+    // exchange, zero joins (plan-asserted); for probes from a DIFFERENT
+    // table the same plan shape survives as union-then-window.
+    "cdc_temporal_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables(s, dir).events
+        .withColumn("op", opCol($"event_type"))
+        .withColumn("p_op", lag($"op", 1).over(w))
+        .withColumn("p_id", lag($"event_id", 1).over(w))
+        .withColumn("p_cents", lag(cents($"value"), 1).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("had_record", $"p_op".isNotNull && $"p_op" =!= "delete")
+        .select($"event_id", $"user_id", $"had_record",
+          when($"had_record", $"p_id").as("version_event_id"),
+          when($"had_record", $"p_cents").as("value_cents_at_ts"))
+        .orderBy($"event_id")
+    },
+
+    // --- q45: event-type transition matrix (first-order Markov) ----------
+    // The path-analysis staple next to q43's funnel: counts of adjacent
+    // (from → to) event-type transitions per user timeline, with each
+    // row's share of its from-type's outgoing edges in exact integer
+    // ppm. lag() turns the sequence into pairs on ONE
+    // hashpartitioning(user) exchange; the (from, to) aggregate is
+    // ≤ |types|² rows, so the share window is free. At 100 TB the pair
+    // stream never materializes outside the window task — same single
+    // exchange, any history length.
+    "q45_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables(s, dir).events
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("from_type", lag($"event_type", 1).over(w))
+        .filter($"from_type".isNotNull)
+        .groupBy($"from_type", $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("tot",
+          sum($"n_trans").over(Window.partitionBy($"from_type")))
+        .select($"from_type", $"to_type", $"n_trans",
+          expr("n_trans * 1000000L div tot").as("p_ppm"))
+        .orderBy($"from_type", $"to_type")
+    },
+
     // --- q40: per-key exponential moving average (sequential fold) -------
     // The time-series smoother whose recurrence (acc/2 + x/2) cannot be
     // a built-in window aggregate: EWMA depends on EVERY prior value
@@ -905,6 +958,41 @@ object EventQueries {
          |WINDOW w AS (PARTITION BY user_id ORDER BY sec
          |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, sec, event_id""".stripMargin,
+
+    // the version valid at each purchase = the immediately preceding
+    // change on the same keyed timeline; a preceding delete tombstones
+    "cdc_temporal_lookup" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |    ${centsSql("value")} AS cents, $opSql AS op
+         |  FROM events),
+         |p AS (
+         |  SELECT event_id, user_id, event_type,
+         |    lag(op) OVER w AS p_op,
+         |    lag(event_id) OVER w AS p_id,
+         |    lag(cents) OVER w AS p_cents
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id,
+         |  (p_op IS NOT NULL AND p_op <> 'delete') AS had_record,
+         |  CASE WHEN p_op IS NOT NULL AND p_op <> 'delete'
+         |       THEN p_id END AS version_event_id,
+         |  CASE WHEN p_op IS NOT NULL AND p_op <> 'delete'
+         |       THEN p_cents END AS value_cents_at_ts
+         |FROM p WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q45_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |g AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans * 1000000 //
+        |    (sum(n_trans) OVER (PARTITION BY from_type)) AS BIGINT) AS p_ppm
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
 
     // identical sequential fold over the identical (t, event_id) total
     // order — alpha=1/2 halving is exact scaling, adds are IEEE

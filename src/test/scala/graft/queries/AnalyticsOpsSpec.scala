@@ -275,6 +275,67 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(pruned == plain)
   }
 
+  test("cdc_temporal_lookup: a driver replay matches, incl. tombstones") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("cdc_temporal_lookup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = Tables(spark, sfDir).events
+      .select($"user_id", unix_millis($"ts"), $"event_id", $"event_type",
+        Q.cents($"value"))
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    var sawTombstone = false
+    var sawFirstEvent = false
+    rows.foreach { r =>
+      val (id, user) = (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"))
+      val tl = byUser(user)
+      val i = tl.indexWhere(_._3 == id)
+      assert(tl(i)._4 == "purchase")
+      if (i == 0) {
+        sawFirstEvent = true
+        assert(!r.getAs[Boolean]("had_record"), s"event $id: no prior change")
+        assert(r.isNullAt(r.fieldIndex("version_event_id")))
+      } else {
+        val prev = tl(i - 1)
+        if (prev._4 == "error") { // delete op — record absent at probe time
+          sawTombstone = true
+          assert(!r.getAs[Boolean]("had_record"), s"event $id: tombstoned")
+          assert(r.isNullAt(r.fieldIndex("value_cents_at_ts")))
+        } else {
+          assert(r.getAs[Boolean]("had_record"), s"event $id")
+          assert(r.getAs[Long]("version_event_id") == prev._3)
+          assert(r.getAs[Long]("value_cents_at_ts") == prev._5)
+        }
+      }
+    }
+    assert(sawTombstone, "fixture never exercised the delete tombstone path")
+    assert(sawFirstEvent || rows.forall(_.getAs[Boolean]("had_record")))
+  }
+
+  test("q45: a driver recount of adjacent transitions matches counts and ppm") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SparkEntry.queries("q45_transitions")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = Tables(spark, sfDir).events
+      .select($"user_id", unix_millis($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).values
+      .flatMap { tl =>
+        val s = tl.sortBy(e => (e._2, e._3))
+        s.zip(s.drop(1)).map { case (a, b) => (a._4, b._4) }
+      }
+      .groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val outTotals = pairs.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == pairs.values.sum)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      assert(r.getAs[Long]("n_trans") == pairs(k), s"$k")
+      assert(r.getAs[Long]("p_ppm") ==
+        pairs(k) * 1000000L / outTotals(k._1), s"$k ppm")
+    }
+  }
+
   test("q40: a driver-side sequential EWMA twin matches bit-for-bit") {
     import graft.SparkSuite.spark.implicits._
     val rows = SparkEntry.queries("q40_ewma")(spark, sfDir).collect()

@@ -394,6 +394,19 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("cdc_temporal_lookup: the temporal read is one carry window, no join") {
+    val p = plan("cdc_temporal_lookup")
+    assert(!p.contains("Join"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q45: the transition pairs never shuffle beyond user + tiny-agg keys") {
+    val p = plan("q45_transitions")
+    // user window + (from,to) agg + |types|-row share window — no join
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(2000))
+  }
+
   test("llm_embed_matryoshka: both stages join only the broadcast query set") {
     val p = plan("llm_embed_matryoshka")
     assert(p.contains("BroadcastExchange"), p.take(1500))
