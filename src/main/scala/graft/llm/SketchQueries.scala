@@ -47,6 +47,9 @@ object SketchQueries {
   /** Weighted-sample size. */
   val WrsK = 100
 
+  /** KMV (bottom-k minimum hash values) sketch size per source. */
+  val KmvK = 64
+
   /** Per-row (r, bucket) probe pairs for a term column — the D sketch
     * coordinates of one term. Shared by the build (over the token
     * stream) and the probe (over the audited heavy hitters).
@@ -107,6 +110,73 @@ object SketchQueries {
         .orderBy($"term")
     },
 
+    // --- KMV bottom-k sketches + cross-source vocabulary overlap ---------
+    // The set-operation sketch CMS can't provide: per source, the K
+    // smallest distinct token hashes are an order-free, mergeable
+    // summary of the whole vocabulary (bottom-k of a hash set is the
+    // same under ANY partitioning — no float, no order sensitivity).
+    // Pairwise source overlap then costs |sources|·K rows instead of a
+    // vocab×vocab join: merge two sketches, keep the K smallest of the
+    // union M, and estimate Jaccard as |M ∩ A ∩ B| / |M| (the standard
+    // KMV estimator). The bottom-k itself is a rank window that plans
+    // as WindowGroupLimit — a bounded per-partition heap, never a full
+    // per-source sort. Like llm_dedup_eval / llm_minhash_est, the query
+    // ALSO computes the exact vocab Jaccard (one token-keyed equi-join
+    // — the linear audit you can still afford at fixture scale) and
+    // emits the realized estimator error per pair; at 100 TB you keep
+    // the sketch half (constant size) and drop the audit half.
+    "llm_kmv_overlap" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // the per-source hashed vocabulary (distinct (source, h))
+      val v = IndexArtifacts.materialize(s,
+        Tables(s, dir).documents
+          .select($"source", explode(tokens($"text")).as("tok"))
+          .select($"source", hash32($"tok").as("h"))
+          .distinct(), "kmv-vocab")
+      val wS = Window.partitionBy($"source").orderBy($"h".asc)
+      val sk = v.withColumn("rn", row_number().over(wS))
+        .filter($"rn" <= KmvK).select($"source", $"h")
+      val srcs = sk.select($"source").distinct()
+      val pairs = srcs.as("a").join(srcs.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      // union the pair's two sketches, flagging membership per side
+      val ea = pairs.join(sk, $"source" === $"src_a")
+        .select($"src_a", $"src_b", $"h",
+          lit(1L).as("ina"), lit(0L).as("inb"))
+      val eb = pairs.join(sk, $"source" === $"src_b")
+        .select($"src_a", $"src_b", $"h",
+          lit(0L).as("ina"), lit(1L).as("inb"))
+      val u = ea.union(eb).groupBy($"src_a", $"src_b", $"h")
+        .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+      val wP = Window.partitionBy($"src_a", $"src_b").orderBy($"h".asc)
+      val est = u.withColumn("rn", row_number().over(wP))
+        .filter($"rn" <= KmvK)
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("m_size"), sum($"ina" * $"inb").as("n_shared"))
+      // exact truth (the audit side): vocab sizes + token-keyed join
+      val counts = v.groupBy($"source").agg(count(lit(1)).as("n"))
+      val ex = v.as("x").join(v.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(counts.select($"source".as("src_a"), $"n".as("n_a"))),
+          Seq("src_a"))
+        .join(broadcast(counts.select($"source".as("src_b"), $"n".as("n_b"))),
+          Seq("src_b"))
+        .join(ex, Seq("src_a", "src_b"), "left")
+        .join(est, Seq("src_a", "src_b"))
+        .withColumn("n_common", coalesce($"n_common", lit(0L)))
+        .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common",
+          expr("n_common * 1000000L div (n_a + n_b - n_common)")
+            .as("jacc_exact_ppm"),
+          expr("n_shared * 1000000L div m_size").as("jacc_est_ppm"))
+        .withColumn("err_ppm", abs($"jacc_est_ppm" - $"jacc_exact_ppm"))
+        .orderBy($"src_a", $"src_b")
+    },
+
     // --- deterministic weighted reservoir sample (A-ES) -----------------
     // Efraimidis–Spirakis: each row draws key = u^(1/w); the k largest
     // keys are a weighted without-replacement sample. One corpus scan +
@@ -161,6 +231,58 @@ object SketchQueries {
          |  CAST(cms_est - exact_cnt AS DOUBLE) / exact_cnt AS err_frac
          |FROM est ORDER BY term""".stripMargin
     },
+
+    "llm_kmv_overlap" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT source, ${hash32Sql("tok")} AS h
+         |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+         |sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM v) WHERE rn <= $KmvK),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |u AS (
+         |  SELECT src_a, src_b, h, max(ina) AS ina, max(inb) AS inb FROM (
+         |    SELECT p.src_a, p.src_b, s.h, 1 AS ina, 0 AS inb
+         |    FROM pairs p JOIN sk s ON s.source = p.src_a
+         |    UNION ALL
+         |    SELECT p.src_a, p.src_b, s.h, 0 AS ina, 1 AS inb
+         |    FROM pairs p JOIN sk s ON s.source = p.src_b)
+         |  GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT src_a, src_b, ina, inb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+         |      ORDER BY h) AS rn FROM u) WHERE rn <= $KmvK),
+         |est AS (
+         |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS m_size,
+         |    CAST(sum(ina * inb) AS BIGINT) AS n_shared
+         |  FROM m GROUP BY 1, 2),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         |ex AS (
+         |  SELECT x.source AS src_a, y.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM v x JOIN v y ON x.h = y.h AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, ca.n AS n_a, cb.n AS n_b,
+         |  COALESCE(ex.n_common, 0) AS n_common,
+         |  CAST(COALESCE(ex.n_common, 0) * 1000000 //
+         |    (ca.n + cb.n - COALESCE(ex.n_common, 0)) AS BIGINT)
+         |    AS jacc_exact_ppm,
+         |  CAST(est.n_shared * 1000000 // est.m_size AS BIGINT)
+         |    AS jacc_est_ppm,
+         |  CAST(abs(est.n_shared * 1000000 // est.m_size -
+         |    COALESCE(ex.n_common, 0) * 1000000 //
+         |    (ca.n + cb.n - COALESCE(ex.n_common, 0))) AS BIGINT) AS err_ppm
+         |FROM pairs p
+         |JOIN c ca ON ca.source = p.src_a
+         |JOIN c cb ON cb.source = p.src_b
+         |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+         |JOIN est ON est.src_a = p.src_a AND est.src_b = p.src_b
+         |ORDER BY 1, 2""".stripMargin,
 
     "llm_weighted_sample" ->
       s"""WITH d AS (

@@ -50,6 +50,66 @@ class SketchSpec extends SparkSuite {
     assert(est(4 * SketchQueries.CmsWidth) <= est(SketchQueries.CmsWidth))
   }
 
+  test("kmv overlap: a driver-side sketch recompute matches every pair") {
+    import graft.SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import TextOps._
+    val rows = SketchQueries.defs("llm_kmv_overlap")(spark, sfDir).collect()
+    val K = SketchQueries.KmvK
+    // per-source hashed vocabularies, recomputed independently
+    val vocab: Map[String, Set[Long]] = graft.Tables(spark, sfDir).documents
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .select($"source", hash32($"tok").as("h")).distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sketches = vocab.view.mapValues(_.toSeq.sorted.take(K)).toMap
+    val nPairs = vocab.size * (vocab.size - 1) / 2
+    assert(rows.length == nPairs, s"${rows.length} of $nPairs pairs")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b)
+      val (va, vb) = (vocab(a), vocab(b))
+      val nCommon = (va intersect vb).size.toLong
+      assert(r.getAs[Long]("n_a") == va.size && r.getAs[Long]("n_b") == vb.size)
+      assert(r.getAs[Long]("n_common") == nCommon, s"($a,$b)")
+      assert(r.getAs[Long]("jacc_exact_ppm") ==
+        nCommon * 1000000L / (va.size + vb.size - nCommon))
+      // the estimator, replayed from the two bottom-k sketches
+      val (sa, sb) = (sketches(a).toSet, sketches(b).toSet)
+      val merged = (sa union sb).toSeq.sorted.take(K)
+      val shared = merged.count(h => sa.contains(h) && sb.contains(h)).toLong
+      assert(r.getAs[Long]("jacc_est_ppm") ==
+        shared * 1000000L / merged.size, s"($a,$b) estimator")
+      assert(r.getAs[Long]("err_ppm") ==
+        math.abs(r.getAs[Long]("jacc_est_ppm") -
+          r.getAs[Long]("jacc_exact_ppm")))
+    }
+    // K=64 must actually resolve the fixture's overlap structure: the
+    // estimator is useful, not noise — every pair within ~3σ ≈ 19%
+    val maxErr = rows.map(_.getAs[Long]("err_ppm")).max
+    assert(maxErr <= 190000L, s"max estimator error $maxErr ppm")
+  }
+
+  test("kmv sketch: order-free and mergeable (bottom-k of union of sketches)") {
+    import graft.SparkSuite.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import TextOps._
+    val K = SketchQueries.KmvK
+    // one source's vocab, split arbitrarily: merging the halves'
+    // sketches gives the whole's sketch — the property that makes KMV
+    // partition-safe AND streaming-mergeable
+    val hs = graft.Tables(spark, sfDir).documents
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .select($"source", hash32($"tok").as("h")).distinct()
+      .as[(String, Long)].collect()
+    val src = hs.head._1
+    val all = hs.filter(_._1 == src).map(_._2).toSet
+    val (h1, h2) = all.partition(_ % 3 == 0)
+    def bottomK(s: Set[Long]) = s.toSeq.sorted.take(K)
+    val merged = bottomK((bottomK(h1) ++ bottomK(h2)).toSet)
+    assert(merged == bottomK(all))
+  }
+
   test("weighted sample: exact size, deterministic, and weight-biased") {
     val df = SketchQueries.defs("llm_weighted_sample")(spark, sfDir)
     val rows = df.collect()

@@ -407,6 +407,14 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(2000))
   }
 
+  test("llm_kmv_overlap: bottom-k ranks use WindowGroupLimit; no cartesian") {
+    val p = plan("llm_kmv_overlap")
+    // the per-source and per-pair bottom-k must be bounded heaps, not
+    // full sorts of the vocabulary
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("llm_embed_matryoshka: both stages join only the broadcast query set") {
     val p = plan("llm_embed_matryoshka")
     assert(p.contains("BroadcastExchange"), p.take(1500))
