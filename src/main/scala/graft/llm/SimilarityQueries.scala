@@ -684,6 +684,43 @@ object SimilarityQueries {
           TextOps.hash32(concat(lit("cbs:"), $"vec_id".cast("string")))
             % 1000000 < $"rate_ppm", 1L).otherwise(0L)).as("n_sampled"))
         .orderBy($"cell")
+    },
+
+    // --- per-cluster medoid selection (coreset / representative docs) ----
+    // After clustering, every curation pipeline wants the cluster's
+    // REPRESENTATIVE member (the medoid — the actual vector minimizing
+    // total distance to its cellmates) for topic labeling, coreset
+    // construction, or dedup canonical picks. The naive formulation is
+    // a within-cell ALL-PAIRS join (Σ|cell|² — the shape this repo
+    // bans); the fix is the algebraic identity
+    //   Σ_b d²(a,b) = n·(a·a) − 2·a·Σb + Σ(b·b)
+    // which needs only per-cell moment aggregates (Σb element-wise,
+    // Σ(b·b), n) — ONE cell-keyed partial agg producing |cells| rows
+    // (always broadcastable), one scan to score every member against
+    // its cell's moments, and a per-cell top-1. Distances use the
+    // shared SQ8 integer quantizer so every sum is exact int64 —
+    // order-free under any partitioning, bit-equal to the oracle.
+    "llm_cluster_medoids" -> { (s, dir) =>
+      import s.implicits._
+      val m = kmeansAssigned(s, dir).select($"vec_id", $"cell")
+        .join(Tables(s, dir).embeddings
+          .select($"vec_id", sq8Codes($"embedding").as("qv")), "vec_id")
+        .withColumn("qq", dotLong($"qv", $"qv"))
+      val moments = m.groupBy($"cell").agg(
+        count(lit(1)).as("n_members"),
+        sum($"qq").as("sqq"),
+        expr(s"""aggregate(collect_list(qv), array_repeat(0L, $Dim),
+                |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q))""".stripMargin)
+          .as("sv"))
+      val w = Window.partitionBy($"cell").orderBy($"s_d2".asc, $"vec_id".asc)
+      m.join(broadcast(moments), "cell")
+        .withColumn("s_d2",
+          $"n_members" * $"qq" - lit(2L) * dotLong($"qv", $"sv") + $"sqq")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"cell", $"n_members", $"vec_id".as("medoid_vec_id"),
+          $"s_d2".as("sum_d2"))
+        .orderBy($"cell")
     }
   )
 
@@ -840,6 +877,14 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String) =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |  list_transform(range(1, ${Dim + 1}), k -> $a[k]::DOUBLE * $b[k]::DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Exact int64 dot over two BIGINT-list expressions — the DuckDB twin
+    * of [[dotLong]] (same fold the SQ8/PQ oracles inline).
+    */
+  private def dotLongSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, ${Dim + 1}), k -> $a[k] * $b[k])),
        |  (acc, v) -> acc + v)""".stripMargin
 
   /** [[dotSql]] over only the first `n` dims — the Matryoshka prefix
@@ -1375,7 +1420,38 @@ object SimilarityQueries {
          |    ${TextOps.hash32Sql(s"'cbs:' || CAST(a2.vec_id AS VARCHAR)")}
          |      % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM a2 JOIN rates r ON a2.c = r.cell
-         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    // same moment identity as the Spark side: Σ_b d²(a,b) =
+    // n·(a·a) − 2·a·Σb + Σ(b·b), all exact int64 over SQ8 codes
+    "llm_cluster_medoids" ->
+      s"""WITH $kmeansAssignSql,
+         |qv AS (
+         |  SELECT vec_id, ${sq8Sql("embedding")} AS qv
+         |  FROM embeddings),
+         |mem AS (
+         |  SELECT a2.vec_id, a2.c AS cell, qv.qv,
+         |    ${dotLongSql("qv.qv", "qv.qv")} AS qq
+         |  FROM a2 JOIN qv ON qv.vec_id = a2.vec_id),
+         |mom AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(qq) AS BIGINT) AS sqq,
+         |    list_reduce(
+         |      list_prepend([CAST(0 AS BIGINT) for i in range(0, $Dim)],
+         |        list(qv ORDER BY vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${Dim + 1}),
+         |                                 i -> acc[i] + x[i])) AS sv
+         |  FROM mem GROUP BY cell),
+         |scored AS (
+         |  SELECT m.cell, o.n_members, m.vec_id,
+         |    o.n_members * m.qq - 2 * ${dotLongSql("m.qv", "o.sv")} + o.sqq
+         |      AS s_d2
+         |  FROM mem m JOIN mom o ON o.cell = m.cell)
+         |SELECT cell, n_members, vec_id AS medoid_vec_id,
+         |  CAST(s_d2 AS BIGINT) AS sum_d2
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cell
+         |        ORDER BY s_d2, vec_id) AS rn FROM scored)
+         |WHERE rn = 1 ORDER BY cell""".stripMargin
   )
 
   /** Shared CTE chain of the 2-iteration Lloyd oracle — per-vector

@@ -24,6 +24,42 @@ class QuantizedAnnSpec extends SparkSuite {
       yield (a, b) -> cos(v(a), v(b))).toMap
   }
 
+  test("medoids: a brute-force within-cell all-pairs recompute matches") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SimilarityQueries.defs("llm_cluster_medoids")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent truth: quantize, assign via the published kmeans
+    // query's cell output, then literal Σ_b d²(a,b) per member
+    val cellOf = SimilarityQueries.defs("llm_embed_kmeans")(spark, sfDir)
+      .select($"cell").as[Int].collect() // just to touch the artifact
+    val assigned = graft.llm.IndexArtifacts
+      .cached(spark, sfDir, "kmeans-cells",
+        inputs = Seq(s"$sfDir/embeddings.parquet"))(_ =>
+        fail("kmeans-cells artifact must already exist"))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    val qv = embs.select($"vec_id",
+        transform($"embedding", x =>
+          floor(x.cast("double") * lit(200.0)).cast("long")).as("q"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, q) => id -> q.toArray }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byCell = assigned.groupBy(_._2)
+    assert(rows.length == byCell.size)
+    rows.foreach { r =>
+      val members = byCell(r.getAs[Int]("cell")).map(_._1)
+      assert(r.getAs[Long]("n_members") == members.length)
+      val best = members.map(a =>
+          (members.map(b => d2(qv(a), qv(b))).sum, a))
+        .minBy(identity)
+      assert(r.getAs[Long]("medoid_vec_id") == best._2,
+        s"cell ${r.getAs[Int]("cell")}")
+      assert(r.getAs[Long]("sum_d2") == best._1)
+    }
+    assert(cellOf.nonEmpty)
+  }
+
   test("sq8: quantized-scan candidates + exact rerank recover the exact top-k") {
     import graft.SparkSuite.spark.implicits._
     val exact = SimilarityQueries.defs("llm_embed_topk")(spark, sfDir)

@@ -407,6 +407,14 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(2000))
   }
 
+  test("llm_cluster_medoids: moment identity — no within-cell pair join") {
+    val p = plan("llm_cluster_medoids")
+    // the all-pairs formulation would self-join on cell; the moment
+    // rewrite joins each member only to its cell's broadcast moments
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("llm_kmv_overlap: bottom-k ranks use WindowGroupLimit; no cartesian") {
     val p = plan("llm_kmv_overlap")
     // the per-source and per-pair bottom-k must be bounded heaps, not
