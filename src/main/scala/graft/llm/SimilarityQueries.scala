@@ -378,6 +378,72 @@ object SimilarityQueries {
         .orderBy($"src", $"rank")
     },
 
+    // --- supervised hard-negative mining (contrastive training pairs) ---
+    // Embedding-model training (contrastive / metric learning) wants,
+    // per anchor, the most-similar examples of a DIFFERENT class — the
+    // hard negatives that actually move the loss (random negatives are
+    // trivially separated). Identical scan shape to llm_embed_topk
+    // (bounded anchor set broadcast against one corpus scan) with the
+    // class-disagreement predicate applied BEFORE ranking, so the
+    // top-k window never spends slots on positives. At 100 TB the
+    // anchor set stays bounded and the scan side swaps for any ANN
+    // index here (IVF/PQ/LSH) unchanged.
+    "llm_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select($"vec_id", $"label", $"embedding", norm($"embedding").as("norm"))
+      val q = emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"label".as("q_label"),
+          $"embedding".as("qe"), $"norm".as("qn"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      emb.join(broadcast(q),
+          $"vec_id" =!= $"query_id" && $"label" =!= $"q_label")
+        .withColumn("cos_sim", dot($"qe", $"embedding") / ($"qn" * $"norm"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .select($"query_id", $"q_label", $"rank",
+          $"vec_id".as("negative_id"), $"label".as("neg_label"), $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // --- leave-one-out 1-NN label agreement (embedding quality eval) -----
+    // The supervised twin of llm_ann_eval: per class, how often does a
+    // vector's nearest neighbor (among same-LSH-bucket candidates —
+    // the same bounded candidate policy as llm_knn_graph, never
+    // all-pairs) carry the SAME label? 1-NN agreement is the standard
+    // quick probe of embedding quality before training on it; per-label
+    // rows expose the classes the embedding confuses. One bucket
+    // equi-join + a rank-1 window + a |labels|-row aggregate.
+    "llm_knn_label_eval" -> { (s, dir) =>
+      import s.implicits._
+      val bucket = (0 until NumPlanes).map { p =>
+        when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+        .select($"vec_id", $"label", $"embedding",
+          norm($"embedding").as("norm"), bucket.as("bucket")), "labeleval-bucket")
+      val w = Window.partitionBy(col("x.vec_id"))
+        .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("cos_sim",
+          dot(col("x.embedding"), col("y.embedding")) /
+            (col("x.norm") * col("y.norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("x.label").as("label"),
+          col("y.label").as("nn_label"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when($"label" === $"nn_label", 1L).otherwise(0L))
+            .as("n_correct"))
+        .select($"label", $"n_eval", $"n_correct",
+          expr("n_correct * 1000000L div n_eval").as("acc_ppm"))
+        .orderBy($"label")
+    },
+
     // --- scalar-quantized (int8) scan + exact rerank ---------------------
     // The memory-bandwidth scale path for brute-force ANN: the scan
     // side reads 64 int8 codes instead of 64 floats (4× less traffic;
@@ -1289,6 +1355,49 @@ object SimilarityQueries {
          |      FROM adc)
          |WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin,
 
+
+    "llm_hard_negatives" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, $normSql AS norm
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, label AS q_label,
+         |    embedding AS qe, norm AS qn
+         |  FROM b WHERE vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT q.query_id, q.q_label, b.vec_id, b.label,
+         |    ${dotSql("q.qe", "b.embedding")} / (q.qn * b.norm) AS cos_sim
+         |  FROM b, q
+         |  WHERE b.vec_id <> q.query_id AND b.label <> q.q_label)
+         |SELECT query_id, q_label, CAST(rk AS INT) AS rank,
+         |  vec_id AS negative_id, label AS neg_label, cos_sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM sc)
+         |WHERE rk <= $TopK ORDER BY 1, 3""".stripMargin,
+
+    "llm_knn_label_eval" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, $normSql AS norm,
+         |    $bucketSql AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT x.vec_id AS src, x.label AS label, y.label AS nn_label,
+         |    ${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm)
+         |      AS cos_sim,
+         |    y.vec_id AS dst
+         |  FROM b x JOIN b y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |nn AS (
+         |  SELECT label, nn_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos_sim DESC, dst ASC) AS rk FROM p)
+         |  WHERE rk = 1)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN label = nn_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN label = nn_label THEN 1 ELSE 0 END) * 1000000 //
+         |    count(*) AS BIGINT) AS acc_ppm
+         |FROM nn GROUP BY label ORDER BY label""".stripMargin,
 
     "llm_embed_sq8" ->
       s"""WITH b AS (

@@ -24,6 +24,61 @@ class QuantizedAnnSpec extends SparkSuite {
       yield (a, b) -> cos(v(a), v(b))).toMap
   }
 
+  test("hard negatives: exact driver recompute; every negative crosses class") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = SimilarityQueries.defs("llm_hard_negatives")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val labels = embs.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val cos = cosMap()
+    val k = SimilarityQueries.TopK
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == SimilarityQueries.NumQueries)
+    byQ.foreach { case (qid, rs) =>
+      rs.foreach { r =>
+        assert(r.getAs[Int]("neg_label") != r.getAs[Int]("q_label"),
+          s"query $qid rank ${r.getAs[Int]("rank")}: same-class negative")
+      }
+      val expected = labels.keys
+        .filter(v => v != qid && labels(v) != labels(qid))
+        .toSeq.map(v => (v, cos((qid, v))))
+        .sortBy { case (v, c) => (-c, v) }.take(k).map(_._1)
+      assert(rs.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("negative_id")).toSeq == expected, s"query $qid")
+    }
+  }
+
+  test("knn label eval: consistent with the knn graph's rank-1 edges") {
+    import graft.SparkSuite.spark.implicits._
+    val eval = SimilarityQueries.defs("llm_knn_label_eval")(spark, sfDir)
+      .collect()
+    assert(eval.nonEmpty)
+    val labels = embs.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    // independent path: the published kNN graph's rank-1 edges carry
+    // the same bucketed-1-NN decision
+    val nn1 = SimilarityQueries.defs("llm_knn_graph")(spark, sfDir)
+      .filter($"rank" === 1)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    val expected = nn1.groupBy(e => labels(e._1)).view.mapValues { es =>
+      (es.length.toLong, es.count(e => labels(e._1) == labels(e._2)).toLong)
+    }.toMap
+    assert(eval.length == expected.size)
+    eval.foreach { r =>
+      val (nEval, nCorrect) = expected(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_eval") == nEval)
+      assert(r.getAs[Long]("n_correct") == nCorrect)
+      assert(r.getAs[Long]("acc_ppm") == nCorrect * 1000000L / nEval)
+    }
+    // the synthetic labels carry no geometric structure (agreement sits
+    // AT the 1/|labels| chance floor — which is exactly what this eval
+    // exists to expose); only sanity-bound the rate here
+    val tot = expected.values.map(_._1).sum
+    val cor = expected.values.map(_._2).sum
+    assert(cor >= 0 && cor <= tot)
+  }
+
   test("medoids: a brute-force within-cell all-pairs recompute matches") {
     import graft.SparkSuite.spark.implicits._
     val rows = SimilarityQueries.defs("llm_cluster_medoids")(spark, sfDir)

@@ -407,6 +407,19 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(2000))
   }
 
+  test("llm_hard_negatives: the anchor set broadcasts; no all-pairs") {
+    val p = plan("llm_hard_negatives")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("llm_knn_label_eval: candidates stay a bucket equi-join") {
+    val p = plan("llm_knn_label_eval")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("llm_cluster_medoids: moment identity — no within-cell pair join") {
     val p = plan("llm_cluster_medoids")
     // the all-pairs formulation would self-join on cell; the moment
