@@ -84,4 +84,72 @@ object SketchStream {
       .groupBy(col("term"))
       .agg(min(col("c")).as("cms_est"))
 
+  // -------------------------------------------------- KMV (bottom-k) twin
+  // The distinct-vocabulary sketch next to CMS's frequency sketch:
+  // bottom-k minimum hash values per source. KMV merge = bottom-k of
+  // the UNION of sketches (proved in SketchSpec), so each micro-batch
+  // contributes its own ≤ |sources|·K-row table and the live sketch is
+  // a rank window over the committed batches — constant-size state at
+  // any corpus size, same `_complete`-marker-last replay contract as
+  // the CMS path.
+
+  /** One micro-batch's bottom-k table `(source, h)` over `(source,
+    * term)` rows — the same md5-derived hash as the batch operator
+    * (`llm_kmv_overlap`), so streamed and batch-built sketches are
+    * bit-identical.
+    */
+  def kmvOf(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h").asc)
+    batch.select(col("source"), graft.llm.TextOps.hash32(col("term")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SketchQueries.KmvK)
+      .select(col("source"), col("h"))
+  }
+
+  /** Apply one micro-batch of `(source, term)` rows to the KMV sketch.
+    * Idempotent per batchId.
+    */
+  def maintainKmv(sketchDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    new java.io.File(sketchDir).mkdirs()
+    val partDir = s"$sketchDir/batch=$batchId"
+    val marker = java.nio.file.Paths.get(partDir, "_complete")
+    if (java.nio.file.Files.exists(marker)) return
+    kmvOf(batch).write.mode("overwrite").parquet(partDir)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    ()
+  }
+
+  /** The live merged KMV sketch: bottom-k per source over the union of
+    * all COMPLETED batch sketches (KMV mergeability; crashed dirs are
+    * excluded by the marker).
+    */
+  def readKmv(s: SparkSession, sketchDir: String): DataFrame = {
+    val completed = completedBatches(sketchDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h").asc)
+    s.read.option("basePath", sketchDir).parquet(sketchDir)
+      .filter(col("batch").isin(completed.toIndexedSeq: _*))
+      .select(col("source"), col("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SketchQueries.KmvK)
+      .select(col("source"), col("h"))
+  }
+
+  /** Per-source distinct-vocabulary estimate from the merged sketch:
+    * the KMV cardinality estimator `(K−1)·2^32 / h_K` once the sketch
+    * is full; below K distinct hashes the sketch IS the set and the
+    * count is exact. All-integer arithmetic, deterministic.
+    */
+  def estimateDistinct(s: SparkSession, sketchDir: String): DataFrame =
+    readKmv(s, sketchDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("h_k"))
+      .select(col("source"), col("n_sketch"),
+        when(col("n_sketch") < SketchQueries.KmvK, col("n_sketch"))
+          .otherwise(expr(
+            s"(${SketchQueries.KmvK} - 1) * 4294967296L div h_k"))
+          .as("distinct_est"))
 }

@@ -50,6 +50,59 @@ class SketchStreamSpec extends SparkSuite {
       sketchRows(SketchStream.sketchOf(terms)))
   }
 
+  test("kmv: streamed batches merge to the one-shot sketch; replay no-op") {
+    val dir = freshDir()
+    val st = graft.Tables(spark, sfDir).documents
+      .select($"doc_id", $"source",
+        explode(TextOps.tokens($"text")).as("term"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"source", $"h").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    SketchStream.maintainKmv(dir, st.filter($"doc_id" % 2 === 0), 0L)
+    SketchStream.maintainKmv(dir, st.filter($"doc_id" % 2 === 1), 1L)
+    val streamed = rows(SketchStream.readKmv(spark, dir))
+    // KMV mergeability: bottom-k of the sketch union == one-shot build
+    assert(streamed == rows(SketchStream.kmvOf(st)))
+    // replay of a committed batch changes nothing
+    SketchStream.maintainKmv(dir, st.filter($"doc_id" % 2 === 0), 0L)
+    assert(rows(SketchStream.readKmv(spark, dir)) == streamed)
+    // a crashed half-written batch is excluded, then rewritten cleanly
+    SketchStream.kmvOf(st.limit(0))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    assert(rows(SketchStream.readKmv(spark, dir)) == streamed)
+    SketchStream.maintainKmv(dir, st.limit(0), 2L)
+    assert(rows(SketchStream.readKmv(spark, dir)) == streamed)
+  }
+
+  test("kmv: the distinct estimate matches a driver replay of the estimator") {
+    val dir = freshDir()
+    val st = graft.Tables(spark, sfDir).documents
+      .select($"doc_id", $"source",
+        explode(TextOps.tokens($"text")).as("term"))
+    SketchStream.maintainKmv(dir, st.filter($"doc_id" % 3 === 0), 0L)
+    SketchStream.maintainKmv(dir, st.filter($"doc_id" % 3 =!= 0), 1L)
+    val K = graft.llm.SketchQueries.KmvK
+    val hs = st.select($"source", TextOps.hash32($"term").as("h")).distinct()
+      .as[(String, Long)].collect().groupBy(_._1)
+    val est = SketchStream.estimateDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.map(_._1).toSet == hs.keySet)
+    est.foreach { case (src, nSketch, dEst) =>
+      val sorted = hs(src).map(_._2).sorted
+      val exact = sorted.length.toLong
+      if (exact < K) {
+        assert(nSketch == exact && dEst == exact, src)
+      } else {
+        assert(nSketch == K.toLong, src)
+        val hK = sorted(K - 1)
+        assert(dEst == (K - 1).toLong * 4294967296L / hK, src)
+        // the estimator must be in the right ballpark of the truth
+        assert(dEst > exact / 3 && dEst < exact * 3,
+          s"$src: est $dEst vs exact $exact")
+      }
+    }
+  }
+
   test("estimates from the streamed sketch equal the batch operator's") {
     val dir = freshDir()
     SketchStream.maintainCms(dir, terms.filter($"doc_id" % 3 === 0), 0L)
