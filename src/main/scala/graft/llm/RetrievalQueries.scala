@@ -93,6 +93,41 @@ object RetrievalQueries {
         .orderBy($"doc_id")
     },
 
+    // --- bigram-LM fluency scoring (the perplexity-filter shape) ---------
+    // The ORDER-SENSITIVE quality score unigram rarity cannot see: a
+    // CCNet-style language-model filter scores each doc by how typical
+    // its token TRANSITIONS are under the corpus bigram model —
+    // P(w2|w1) = c(w1,w2) / Σ_x c(w1,x) in exact integer ppm (the log
+    // of real perplexity is not IEEE-exact cross-engine; the mean
+    // transition probability ranks the same tail). Shuffled or
+    // machine-mangled text keeps its unigram profile but craters here.
+    // Shape: bigram counts + prefix totals are vocab-bounded partial
+    // aggs (the "model"); the doc side joins its bigram occurrences
+    // back on the (w1, w2) key — a vocab-keyed equi-join, linear in
+    // the token stream at any corpus size.
+    "llm_bigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      val docPairs = Tables(s, dir).documents
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS w1,
+            |              element_at(t, i + 1) AS w2))""".stripMargin)).as("p"))
+        .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      val big = docPairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bg"))
+      val pref = big.groupBy($"w1").agg(sum($"c_bg").as("c_pref"))
+      val probs = big.join(pref, "w1")
+        .select($"w1", $"w2", expr("c_bg * 1000000L div c_pref").as("p_ppm"))
+      docPairs.join(probs, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"p_ppm").as("sum_p"),
+          min($"p_ppm").as("min_p_ppm"))
+        .select($"doc_id", $"n_bigrams",
+          expr("sum_p div n_bigrams").as("mean_p_ppm"), $"min_p_ppm")
+        .orderBy($"doc_id")
+    },
+
     // --- BM25 top-k keyword retrieval (inverted-index shape) ------------
     // tf/df/dl are exact int64 postings aggregates; the per-(doc,term)
     // score is (idf_num/idf_den) * (tf_num/tf_den) — two divisions and
@@ -327,6 +362,29 @@ object RetrievalQueries {
          |    list(ratio ORDER BY term)), (acc, x) -> acc + x)
          |    / CAST(count(*) AS DOUBLE) AS rarity_mean
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_bigram_lm" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |dp AS (
+         |  SELECT doc_id,
+         |    unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))])
+         |      AS p
+         |  FROM tk WHERE len(t) >= 2),
+         |d2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp),
+         |bg AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+         |  FROM d2 GROUP BY 1, 2),
+         |pf AS (
+         |  SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pref FROM bg GROUP BY 1),
+         |pr AS (
+         |  SELECT bg.w1, bg.w2, c_bg * 1000000 // c_pref AS p_ppm
+         |  FROM bg JOIN pf ON pf.w1 = bg.w1)
+         |SELECT d2.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm,
+         |  CAST(min(p_ppm) AS BIGINT) AS min_p_ppm
+         |FROM d2 JOIN pr ON pr.w1 = d2.w1 AND pr.w2 = d2.w2
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_bm25_topk" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")

@@ -26,6 +26,33 @@ class RetrievalSpec extends SparkSuite {
     })
   }
 
+  test("bigram lm: a driver-side model rebuild scores every doc identically") {
+    import graft.SparkSuite.spark.implicits._
+    val rows = RetrievalQueries.defs("llm_bigram_lm")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val toks = docs.select($"doc_id", lower($"text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val pairs = toks.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(p => (id, p))
+    }
+    val cBg = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cPref = pairs.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val pPpm = cBg.map { case (p, c) => p -> c * 1000000L / cPref(p._1) }
+    val expected = pairs.groupBy(_._1).view.mapValues { ps =>
+      val vs = ps.map(p => pPpm(p._2))
+      (vs.size.toLong, vs.sum / vs.size, vs.min)
+    }.toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, mean, mn) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(r.getAs[Long]("mean_p_ppm") == mean,
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("min_p_ppm") == mn)
+      assert(mn <= mean && mean <= 1000000L)
+    }
+  }
+
   test("bm25: every returned doc actually contains a query term") {
     import graft.SparkSuite.spark.implicits._
     val top = RetrievalQueries.defs("llm_bm25_topk")(spark, sfDir)
