@@ -110,6 +110,39 @@ object SketchQueries {
         .orderBy($"term")
     },
 
+    // --- CMS join-cardinality estimation (optimizer-statistics audit) ----
+    // The classic sketch application INSIDE a query engine: estimate
+    // |R ⋈_k S| without running the join, from each side's Count-Min
+    // sketch over the join key — est_r = Σ_w cR[r,w]·cS[r,w] per hash
+    // row, estimate = min_r (the CMS inner product; an overestimate,
+    // never under, since colliding keys only ADD cross terms). This is
+    // the statistic a cost-based planner wants before picking
+    // broadcast-vs-shuffle or deciding to salt (q23/q31), at the cost
+    // of two linear scans folding into two constant-size (D×W) tables
+    // whose "join" is D×W broadcast rows. The query audits the
+    // estimate against the exact join count — at 100 TB you keep the
+    // sketches and drop the audit join.
+    "llm_join_size_est" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def sketch(df: DataFrame, key: org.apache.spark.sql.Column) =
+        df.select(explode(cmsCoords(key.cast("string"))).as("rb"))
+          .groupBy($"rb.r".as("r"), $"rb.bucket".as("bucket"))
+          .agg(count(lit(1)).as("c"))
+      val cE = sketch(t.events, $"user_id")
+      val cC = sketch(t.customer, $"c_custkey")
+      val est = cE.join(cC.select($"r", $"bucket", $"c".as("c2")),
+          Seq("r", "bucket"))
+        .groupBy($"r").agg(sum($"c" * $"c2").as("est_r"))
+        .agg(min($"est_r").as("cms_est"))
+      val exact = t.events.join(t.customer, $"user_id" === $"c_custkey")
+        .agg(count(lit(1)).as("exact_n"))
+      exact.crossJoin(est)
+        .select($"exact_n", $"cms_est",
+          ($"cms_est" - $"exact_n").as("overest"),
+          expr("(cms_est - exact_n) * 1000000L div exact_n").as("err_ppm"))
+    },
+
     // --- KMV bottom-k sketches + cross-source vocabulary overlap ---------
     // The set-operation sketch CMS can't provide: per source, the K
     // smallest distinct token hashes are an order-free, mergeable
@@ -230,6 +263,35 @@ object SketchQueries {
          |  cms_est - exact_cnt AS overest,
          |  CAST(cms_est - exact_cnt AS DOUBLE) / exact_cnt AS err_frac
          |FROM est ORDER BY term""".stripMargin
+    },
+
+    "llm_join_size_est" -> {
+      def buckets(e: String) = (0 until CmsDepth).map { r =>
+        s"{'r': $r, 'bucket': ${cmsBucketSql(r.toString, e)}}"
+      }.mkString(",\n            ")
+      s"""WITH ce AS (
+         |  SELECT rb.r AS r, rb.bucket AS bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest([${buckets("CAST(user_id AS VARCHAR)")}]) AS rb
+         |        FROM events)
+         |  GROUP BY 1, 2),
+         |cc AS (
+         |  SELECT rb.r AS r, rb.bucket AS bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest([${buckets("CAST(c_custkey AS VARCHAR)")}]) AS rb
+         |        FROM customer)
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT min(est_r) AS cms_est FROM (
+         |    SELECT ce.r, CAST(sum(ce.c * cc.c) AS BIGINT) AS est_r
+         |    FROM ce JOIN cc ON cc.r = ce.r AND cc.bucket = ce.bucket
+         |    GROUP BY 1)),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM events JOIN customer ON user_id = c_custkey)
+         |SELECT exact_n, cms_est, cms_est - exact_n AS overest,
+         |  CAST((cms_est - exact_n) * 1000000 // exact_n AS BIGINT) AS err_ppm
+         |FROM ex, est""".stripMargin
     },
 
     "llm_kmv_overlap" ->

@@ -50,6 +50,20 @@ class SketchSpec extends SparkSuite {
     assert(est(4 * SketchQueries.CmsWidth) <= est(SketchQueries.CmsWidth))
   }
 
+  test("join-size estimate: one-sided and within CMS error of the exact count") {
+    val r = SketchQueries.defs("llm_join_size_est")(spark, sfDir)
+      .collect().head
+    val exact = r.getAs[Long]("exact_n")
+    val est = r.getAs[Long]("cms_est")
+    assert(exact > 0)
+    // the CMS inner product never underestimates (all cross terms ≥ 0)
+    assert(est >= exact, s"est $est < exact $exact")
+    assert(r.getAs[Long]("overest") == est - exact)
+    // W=256 must resolve the fixture's join size usefully: the whole
+    // point is a planning statistic, not an order-of-magnitude guess
+    assert(est < 2 * exact, s"est $est vs exact $exact — sketch too small")
+  }
+
   test("kmv overlap: a driver-side sketch recompute matches every pair") {
     import graft.SparkSuite.spark.implicits._
     import org.apache.spark.sql.functions._
