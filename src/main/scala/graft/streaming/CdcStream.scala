@@ -362,6 +362,31 @@ object CdcStream {
       }
     }
 
+  /** Stream-side dimension enrichment — the "lookup join" every CDC
+    * consumer runs in `foreachBatch`: left-join a micro-batch's rows
+    * to the replica's CURRENT state for exactly the keys the batch
+    * carries. The batch's distinct key set drives
+    * [[readReplicaForKeys]], so the dimension read scans only the
+    * buckets those keys can live in and the join side broadcasts —
+    * per-batch cost is O(batch keys), never O(replica), no matter how
+    * large the dimension grows. Rows without a live replica record
+    * (never inserted, or deleted) keep NULL dimension columns.
+    */
+  def enrichBatch(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, idCols: Seq[String], batch: DataFrame,
+      dimCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keys = batch.select(idCols.map(col): _*).distinct()
+    readReplicaForKeys(spark, replicaDir, idCols, keys) match {
+      case Some(dim) =>
+        val d = dim.select((idCols ++ dimCols).map(col): _*)
+        batch.join(broadcast(d), idCols, "left")
+      case None => // empty / never-committed replica: all-NULL dims
+        dimCols.foldLeft(batch)((b, c) =>
+          b.withColumn(c, lit(null).cast("string")))
+    }
+  }
+
   /** Read a SPECIFIC committed version — the time-travel read. A
     * version stays readable while any bucket of the current or
     * previous manifest still references its directory (carried-over

@@ -40,6 +40,32 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     "v[0-9]{9}".r.findAllIn(json).toSet
   }
 
+  test("enrichBatch: lookup join serves live state, NULLs absent/deleted keys") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", "update"), (2L, "b", "update"),
+        (3L, "c", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    // key 3 is deleted in a later batch; key 9 never existed
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((2L, "b2", "update"), (3L, "c", "delete"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    val stream = Seq((100L, 1L), (101L, 2L), (102L, 3L), (103L, 9L),
+      (104L, 2L)).toDF("event_id", "id")
+    val out = CdcStream.enrichBatch(spark, dir, Seq("id"), stream, Seq("v"))
+      .select($"event_id", $"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .toSeq.sorted
+    assert(out == Seq(
+      (100L, 1L, Some("a")), (101L, 2L, Some("b2")), (102L, 3L, None),
+      (103L, 9L, None), (104L, 2L, Some("b2"))))
+    // an empty replica enriches to all-NULL dims, same arity
+    val none = CdcStream.enrichBatch(spark, freshDir(), Seq("id"),
+      stream, Seq("v"))
+    assert(none.columns.toSeq == Seq("event_id", "id", "v"))
+    assert(none.collect().forall(_.isNullAt(2)))
+  }
+
   test("compaction consolidates carried-over buckets into one version, content-identical") {
     val dir = freshDir()
     // each batch touches a DIFFERENT key subset, so later manifests
