@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.SourceQueries.defs ++
+      graft.queries.QualityQueries.defs ++
       graft.llm.LlmQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
+      graft.queries.QualityQueries.oracles ++
       graft.llm.LlmQueries.oracles
 }

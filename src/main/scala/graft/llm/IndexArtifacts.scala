@@ -77,6 +77,9 @@ object IndexArtifacts {
   // artifact key -> parquet path, and tag -> cumulative build seconds
   private val keyed = new ConcurrentHashMap[String, String]()
   private val built = new ConcurrentHashMap[String, Double]()
+  // per-key build locks: first-builds of the SAME key serialize, but a
+  // build may itself call cachedPath for a DIFFERENT (nested) artifact
+  private val inFlight = new ConcurrentHashMap[String, Object]()
 
   /** Stat-based fingerprint of the artifact's INPUT files — part of the
     * cache key, so a corpus regenerated or appended at the same path
@@ -119,13 +122,24 @@ object IndexArtifacts {
     val ins = if (inputs.nonEmpty) inputs else Seq(dir)
     val key = tag + ":" + new java.io.File(dir).getCanonicalPath +
       ":" + fingerprint(ins)
-    keyed.computeIfAbsent(key, _ => {
-      val out = tempRoot.resolve(s"$tag-${counter.incrementAndGet()}").toString
-      val t0 = System.nanoTime()
-      build(out)
-      built.merge(tag, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
-      out
-    })
+    // NOT computeIfAbsent(build): an artifact build may itself resolve a
+    // nested artifact (cluster-labels → band index), and a re-entrant
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive
+    // update". The per-key monitor gives the same build-once guarantee
+    // while nested builds of other keys proceed under their own locks.
+    Option(keyed.get(key)).getOrElse {
+      val lock = inFlight.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        Option(keyed.get(key)).getOrElse {
+          val out = tempRoot.resolve(s"$tag-${counter.incrementAndGet()}").toString
+          val t0 = System.nanoTime()
+          build(out)
+          built.merge(tag, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
+          keyed.put(key, out)
+          out
+        }
+      }
+    }
   }
 
   /** Seconds spent building keyed artifacts, per tag — surfaced by

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / auditing operators — the profiling layer every
+  * large-scale pipeline runs before (and after) transformation jobs.
+  * The reference's users keep an analytical replica in sync
+  * (README.md:88-99); these are the audits run against such a replica:
+  * column profiling, referential-integrity checks, and fuzzy record
+  * linkage.
+  *
+  * Scale notes (100 TB):
+  *  - the profiler is ONE scan regardless of column count (a single
+  *    hash-free global aggregate producing all per-column stats, then a
+  *    zero-shuffle `stack` unpivot of the one result row) — never a
+  *    job-per-column loop;
+  *  - FK checks broadcast the true dimension sides and leave
+  *    fact⋈fact anti-joins as shuffles on the join key (the only shape
+  *    that survives when both sides are large); uniqueness checks are
+  *    plain partial+final aggregates;
+  *  - fuzzy linkage NEVER goes all-pairs: candidates come from a
+  *    blocked equi-join on (blocking token, length) with the standard
+  *    ±d length-replication trick — edit distance ≤ d implies
+  *    |len(a)−len(b)| ≤ d, so replicating one side's length key d
+  *    positions up/down keeps the join an equi-join while guaranteeing
+  *    no candidate is missed. The expensive `levenshtein` verify runs
+  *    only on blocked candidates.
+  */
+object QualityQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Lineitem columns profiled by q46 (numeric only: min/max cast to
+    * double is engine-portable; string min/max collation is not).
+    */
+  private val ProfileCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val defs: Map[String, QFn] = Map(
+    // --- q46: one-pass column profiler --------------------------------
+    // All per-column stats (null count, min, max) and the row count in
+    // a SINGLE global aggregate — one scan, one reduce — then the one
+    // result row unpivots via stack() into a row per column. At 100 TB
+    // the naive per-column loop is k full scans; this is always one.
+    "q46_profile" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val aggs = ProfileCols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          min(col(c).cast("double")).as(s"${c}__min"),
+          max(col(c).cast("double")).as(s"${c}__max"))
+      } :+ count(lit(1)).as("__rows")
+      val one = t.lineitem.agg(aggs.head, aggs.tail: _*)
+      val stacked = ProfileCols
+        .map(c => s"'$c', ${c}__nulls, ${c}__min, ${c}__max")
+        .mkString(s"stack(${ProfileCols.size}, ", ", ", ")")
+      one.select(expr(s"$stacked as (col_name, n_nulls, min_v, max_v)"),
+          col("__rows").as("n_rows"))
+        .orderBy("col_name")
+    },
+
+    // --- q47: referential-integrity + uniqueness audit ----------------
+    // One output row per declared constraint: FK orphan counts via
+    // anti-joins (broadcast for bounded dims; shuffle for fact⋈fact)
+    // and primary-key uniqueness via count − distinct. The union of
+    // tiny 1-row aggregates is driver-cheap; each leg is an
+    // independent, fully pushed-down job.
+    "q47_fk_check" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def fk(name: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+        val p = parent.select(col(parentKey))
+        val orphans = child
+          .join(if (bcast) broadcast(p) else p,
+            col(childKey) === col(parentKey), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        val total = child.agg(count(lit(1)).as("n_child"))
+        orphans.crossJoin(total)
+          .select(lit(name).as("check_name"), $"n_child", $"n_violations")
+      }
+      def unique(name: String, tbl: DataFrame, key: String): DataFrame =
+        tbl.agg(count(lit(1)).as("n_child"),
+            (count(lit(1)) - count_distinct(col(key))).as("n_violations"))
+          .select(lit(name).as("check_name"), $"n_child",
+            $"n_violations".cast("long").as("n_violations"))
+      Seq(
+        fk("fk_lineitem_orders", t.lineitem, "l_orderkey",
+          t.orders, "o_orderkey", bcast = false),
+        fk("fk_lineitem_part", t.lineitem, "l_partkey",
+          t.part, "p_partkey", bcast = true),
+        fk("fk_lineitem_supplier", t.lineitem, "l_suppkey",
+          t.supplier, "s_suppkey", bcast = true),
+        fk("fk_orders_customer", t.orders, "o_custkey",
+          t.customer, "c_custkey", bcast = true),
+        unique("pk_orders", t.orders, "o_orderkey"),
+        unique("pk_part", t.part, "p_partkey"),
+        unique("pk_customer", t.customer, "c_custkey"))
+        .reduce(_.unionByName(_))
+        .orderBy("check_name")
+    },
+
+    // --- q48: blocked fuzzy self-join (record linkage) ----------------
+    // Candidate pairs = equi-join on (first name token, length) with
+    // the probe side's length key replicated ±2 (edit distance ≤ 2 ⇒
+    // length gap ≤ 2, so the equi-join provably misses nothing within
+    // a token block); verify = codegen'd levenshtein on candidates
+    // only. Output is the per-block linkage summary.
+    "q48_fuzzy_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val p = t.part.select($"p_partkey", $"p_name",
+        split($"p_name", " ").getItem(0).as("tok"),
+        length($"p_name").as("len"))
+      val probe = p.withColumn("lb",
+        explode(array($"len" - 2, $"len" - 1, $"len", $"len" + 1, $"len" + 2)))
+      val a = probe.select($"p_partkey".as("a_key"), $"p_name".as("a_name"),
+        $"tok".as("a_tok"), $"lb")
+      val b = p.select($"p_partkey".as("b_key"), $"p_name".as("b_name"),
+        $"tok".as("b_tok"), $"len".as("b_len"))
+      a.join(b, $"a_tok" === $"b_tok" && $"lb" === $"b_len" &&
+          $"a_key" < $"b_key")
+        .withColumn("d", levenshtein($"a_name", $"b_name"))
+        .where($"d" <= 2)
+        .groupBy($"a_tok".as("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"d" === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"d" === 1, 1L).otherwise(0L)).as("n_dist1"),
+          sum(when($"d" === 2, 1L).otherwise(0L)).as("n_dist2"))
+        .orderBy("block")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q46_profile" ->
+      ProfileCols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  min(CAST($c AS DOUBLE)) AS min_v,
+           |  max(CAST($c AS DOUBLE)) AS max_v,
+           |  count(*) AS n_rows
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "q47_fk_check" ->
+      """SELECT * FROM (
+        |  SELECT 'fk_lineitem_orders' AS check_name,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |      (SELECT o_orderkey FROM orders)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |      (SELECT p_partkey FROM part))
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier))
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'pk_orders', (SELECT count(*) FROM orders),
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'pk_part', (SELECT count(*) FROM part),
+        |    (SELECT count(*) - count(DISTINCT p_partkey) FROM part)
+        |  UNION ALL
+        |  SELECT 'pk_customer', (SELECT count(*) FROM customer),
+        |    (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        |) ORDER BY check_name""".stripMargin,
+
+    "q48_fuzzy_join" ->
+      """SELECT split_part(a.p_name, ' ', 1) AS block,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist1,
+        |  CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist2
+        |FROM part a JOIN part b
+        |  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
