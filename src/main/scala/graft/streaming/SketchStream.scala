@@ -138,6 +138,63 @@ object SketchStream {
       .select(col("source"), col("h"))
   }
 
+  // ---------------------------------------- streaming top-k twin
+  // A CMS answers POINT queries; it cannot enumerate the heavy terms.
+  // The streaming top-k therefore pairs the CMS with a bounded
+  // CANDIDATE set: each micro-batch contributes its batch-local exact
+  // top-M terms, and the live top-k is the CMS estimate over the
+  // union of all candidates. A term in the true global top-k is
+  // locally heavy in at least one batch unless its mass is spread
+  // thinner than rank M in every batch — M > k is the guard knob (the
+  // SpaceSaving trade made mergeable). State: M rows per batch plus
+  // the constant-size CMS — nothing grows with the term universe.
+
+  /** Batch-local candidate budget (M). */
+  val TopKCandidatesPerBatch = 64
+
+  /** One micro-batch's candidate table: its exact top-M terms.
+    * `orderBy.limit` is TakeOrdered — per-partition top-M then a
+    * driver-side merge of M-row heaps, never a global sort.
+    */
+  def topkCandidatesOf(batch: DataFrame): DataFrame =
+    batch.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(TopKCandidatesPerBatch)
+      .select(col("term"))
+
+  /** Apply one micro-batch of terms to the top-k state (CMS counters +
+    * candidate set). Idempotent per batchId: both sub-states carry the
+    * marker-last contract, and a replay rewrites its own partitions.
+    */
+  def maintainTopK(sketchDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    maintainCms(s"$sketchDir/cms", batch, batchId)
+    val candDir = s"$sketchDir/cand"
+    new java.io.File(candDir).mkdirs()
+    val partDir = s"$candDir/batch=$batchId"
+    val marker = java.nio.file.Paths.get(partDir, "_complete")
+    if (java.nio.file.Files.exists(marker)) return
+    topkCandidatesOf(batch).write.mode("overwrite").parquet(partDir)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    ()
+  }
+
+  /** The live top-k: CMS-estimate every candidate seen so far, keep
+    * the k largest. The candidate union is ≤ M·|batches| rows
+    * (deduplicated), the sketch join is a broadcast of a constant-size
+    * table, and the final top-k is again TakeOrdered.
+    */
+  def readTopK(s: SparkSession, sketchDir: String, k: Int): DataFrame = {
+    val completed = completedBatches(s"$sketchDir/cand")
+    val cands = s.read.option("basePath", s"$sketchDir/cand")
+      .parquet(s"$sketchDir/cand")
+      .filter(col("batch").isin(completed.toIndexedSeq: _*))
+      .select(col("term")).distinct()
+    estimate(s, s"$sketchDir/cms", cands)
+      .orderBy(col("cms_est").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Per-source distinct-vocabulary estimate from the merged sketch:
     * the KMV cardinality estimator `(K−1)·2^32 / h_K` once the sketch
     * is full; below K distinct hashes the sketch IS the set and the

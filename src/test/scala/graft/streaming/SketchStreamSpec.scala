@@ -50,6 +50,32 @@ class SketchStreamSpec extends SparkSuite {
       sketchRows(SketchStream.sketchOf(terms)))
   }
 
+  test("streaming top-k: recalls the exact global heavy hitters, never underestimates") {
+    val dir = freshDir()
+    (0L to 2L).foreach { b =>
+      SketchStream.maintainTopK(dir, terms.filter($"doc_id" % 3 === b), b)
+    }
+    val topk = SketchStream.readTopK(spark, dir, 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = terms.groupBy($"term").count()
+      .orderBy($"count".desc, $"term").limit(10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // recall: every exact top-10 term surfaces in the streamed top-20
+    exact.foreach { case (t, c) =>
+      assert(topk.contains(t), s"true heavy hitter '$t' missing from top-k")
+      assert(topk(t) >= c, s"'$t': CMS estimate ${topk(t)} < exact $c")
+    }
+  }
+
+  test("streaming top-k: replaying a batch is a no-op") {
+    val dir = freshDir()
+    SketchStream.maintainTopK(dir, terms.filter($"doc_id" % 2 === 0), 0L)
+    SketchStream.maintainTopK(dir, terms.filter($"doc_id" % 2 === 1), 1L)
+    val before = SketchStream.readTopK(spark, dir, 15).collect().toSeq
+    SketchStream.maintainTopK(dir, terms.filter($"doc_id" % 2 === 0), 0L)
+    assert(SketchStream.readTopK(spark, dir, 15).collect().toSeq == before)
+  }
+
   test("kmv: streamed batches merge to the one-shot sketch; replay no-op") {
     val dir = freshDir()
     val st = graft.Tables(spark, sfDir).documents
