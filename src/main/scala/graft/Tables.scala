@@ -25,6 +25,12 @@ final case class Tables(spark: SparkSession, dir: String) {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Fixture regenerated with isAdjustedToUTC=false micros; with the
+        // session tz pinned to UTC this cast is value-identical to what the
+        // DuckDB oracle computes from the same file.
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
@@ -47,6 +53,9 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     // events.ts is TIMESTAMP(NANOS) parquet — read as long, convert above.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // fixture timestamps may carry isAdjustedToUTC=false; read them as
+    // plain TIMESTAMP (session tz is UTC) so unix_millis & co. resolve
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     // write micros (not INT96) so the DuckDB oracle reads plain timestamps
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone" -> "UTC",
