@@ -222,19 +222,61 @@ object DedupQueries {
     docs.unpersist()
   }
 
-  /** Distributed MIN-LABEL PROPAGATION over a symmetric edge table
+  /** Edge-count bound under which connected components run as a
+    * driver-side union-find instead of the distributed propagation
+    * loop. 4M symmetric edges ≈ 64 MB collected — bounded, and the
+    * dup-graph edge table is already the VERIFIED pair set (tiny
+    * relative to the corpus: it is the near-dup rate × corpus, not the
+    * corpus itself). The incremental maintainer's per-batch affected
+    * subgraph in particular is almost always far below this.
+    */
+  private val UnionFindEdgeCap = 4L << 20
+
+  /** MIN-LABEL connected components over a symmetric edge table
     * `(src, dst)` → `(doc_id, label)` per vertex, label = min doc_id of
-    * its connected component. One bucketed equi-join + partial agg per
-    * iteration; iterations bounded by component diameter; one action
-    * per iteration (the convergence flag rides in the next-generation
-    * projection). Returns the labels (reading a persisted generation)
-    * plus a release() the caller MUST invoke after consuming them —
-    * shared by the batch builder and the incremental maintainer.
+    * its connected component. Scale-adaptive: an edge table within
+    * [[UnionFindEdgeCap]] collects once and resolves by driver
+    * union-find (exact, one job — the common case: verified near-dup
+    * edges are sparse, and incremental batches touch small
+    * neighborhoods); above the cap, distributed min-label propagation
+    * runs one bucketed equi-join + partial agg per iteration,
+    * iterations bounded by component diameter, one action per
+    * iteration (the convergence flag rides in the next-generation
+    * projection). Both paths produce the identical fixpoint. Returns
+    * the labels plus a release() the caller MUST invoke after
+    * consuming them — shared by the batch builder and the incremental
+    * maintainer.
     */
   private[llm] def propagateMinLabels(adjIn: DataFrame): (DataFrame, () => Unit) = {
     val s = adjIn.sparkSession
     import s.implicits._
     val adj = adjIn.persist()
+    if (adj.count() <= UnionFindEdgeCap) {
+      // Driver union-find with union-by-min-root: attaching the larger
+      // root under the smaller makes every final root the component
+      // MINIMUM — the same fixpoint the propagation loop reaches.
+      val edges = adj.select($"src", $"dst").as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val vertices = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSet
+      val labels = s.createDataset(
+        vertices.toSeq.map(v => (v, find(v)))).toDF("doc_id", "label")
+      return (labels, () => { adj.unpersist(); () })
+    }
     // `gen` tracks the PERSISTED handle of the current generation (a
     // derived select's unpersist would be a no-op on the parent cache)
     var gen = adj.select($"src".as("doc_id")).distinct()

@@ -268,22 +268,29 @@ object SimilarityQueries {
     val K = init.size
     val cb0 = IndexedSeq.tabulate(PqM)(m =>
       init.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)).toIndexedSeq)
-    val memb = pqEncode(cb0, emb)
-      .select($"vec_id", explode(array((0 until PqM).map(m =>
-        struct(lit(m).as("m"), col(s"c$m").as("code"),
-          slice($"embedding", m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
-        .as("x"))
-      .select($"vec_id", $"x.m".as("m"), $"x.code".as("code"),
-        $"x.sub".as("sub"))
-    val zero = s"transform(sequence(1, $PqSubDim), i -> 0D)"
-    val refined = memb.groupBy($"m", $"code")
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(struct($"vec_id", $"sub"))).as("mem"))
-      .withColumn("cv", expr(
-        s"""transform(aggregate(transform(mem, x -> x.sub), $zero,
-           |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
-           |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
-      .select($"m", $"code", $"cv").collect()
+    // TRAIN ONCE, serve many: the refined codebook is a build-once
+    // artifact (like kmeans-cells) — PQ consumers re-read PqM×PqK tiny
+    // rows instead of re-running the corpus-wide Lloyd step per query.
+    val refined = IndexArtifacts.cached(s, dir, "pq-codebook",
+        inputs = Seq(s"$dir/embeddings.parquet")) { out =>
+      val memb = pqEncode(cb0, emb)
+        .select($"vec_id", explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), col(s"c$m").as("code"),
+            slice($"embedding", m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
+          .as("x"))
+        .select($"vec_id", $"x.m".as("m"), $"x.code".as("code"),
+          $"x.sub".as("sub"))
+      val zero = s"transform(sequence(1, $PqSubDim), i -> 0D)"
+      memb.groupBy($"m", $"code")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct($"vec_id", $"sub"))).as("mem"))
+        .withColumn("cv", expr(
+          s"""transform(aggregate(transform(mem, x -> x.sub), $zero,
+             |  (acc, x) -> zip_with(acc, x, (p, q) -> p + q)),
+             |  sv -> sv / CAST(n AS DOUBLE))""".stripMargin))
+        .select($"m", $"code", $"cv")
+        .write.parquet(out)
+    }.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
       .toMap
     IndexedSeq.tabulate(PqM)(m => IndexedSeq.tabulate(K)(j =>
