@@ -22,18 +22,31 @@ import org.apache.spark.sql.types._
   */
 object ChangelogGenerator {
 
+  /** @param driftFromMs when set below `Long.MaxValue`, models an
+    *   `ALTER TABLE ADD COLUMN score BIGINT` landing mid-stream: records
+    *   with `ts_ms >= driftFromMs` carry an extra `score = event_id % 1000`
+    *   field, and `schemas.json` publishes the WIDENED (current) table
+    *   schema — the registry state a reader probes after the DDL
+    *   (SURVEY §1.3: schemas are dynamic, re-read per batch). Earlier
+    *   records simply lack the column; a correct reader surfaces them as
+    *   NULL under the widened schema.
+    */
   def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
       db: String = "graft", table: String = "events",
-      prefix: String = ChangelogFiles.DefaultPrefix): Unit = {
+      prefix: String = ChangelogFiles.DefaultPrefix,
+      driftFromMs: Long = Long.MaxValue): Unit = {
     val dir = new File(outDir)
     dir.mkdirs()
 
-    val schema = StructType(Seq(
+    val baseFields = Seq(
       StructField("event_id", LongType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
-      StructField("props", StringType)))
+      StructField("props", StringType))
+    val schema = StructType(
+      if (driftFromMs == Long.MaxValue) baseFields
+      else baseFields :+ StructField("score", LongType))
 
     // schemas.json — the feed's TABLE_MAP/JDBC-probe equivalent
     val sw = new java.io.StringWriter()
@@ -78,14 +91,19 @@ object ChangelogGenerator {
       posInFile += 1
       val et = r.getString(2)
       val op = OpMapping.op(et)
-      val row = Map[String, EnvelopeValue](
+      val tsMs = r.getLong(5)
+      val base = Map[String, EnvelopeValue](
         "event_id" -> EnvelopeValue.VLong(r.getLong(0)),
         "user_id" -> EnvelopeValue.VLong(r.getLong(1)),
         "event_type" -> EnvelopeValue.VString(et),
         "value" -> EnvelopeValue.VDouble(r.getDouble(3)),
         "props" -> (if (r.isNullAt(4)) EnvelopeValue.VNull
                     else EnvelopeValue.VString(r.getString(4))))
-      val rec = ChangelogRecord(posInFile, op, db, table, r.getLong(5), row)
+      val row =
+        if (tsMs >= driftFromMs)
+          base + ("score" -> EnvelopeValue.VLong(r.getLong(0) % 1000L))
+        else base
+      val rec = ChangelogRecord(posInFile, op, db, table, tsMs, row)
       out.write(ChangelogRecord.write(rec))
       out.write("\n")
     }

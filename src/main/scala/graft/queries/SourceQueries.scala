@@ -66,6 +66,32 @@ object SourceQueries {
       ChangelogGenerator.generate(Tables(s, sfDir).events, out, recordsPerFile = 50000)
     }
 
+  /** Midpoint of the events table's ts range in epoch-ms — the
+    * deterministic "DDL landed here" cut the drift fixture and its
+    * oracle share (same integer arithmetic in both engines).
+    */
+  def driftCutMs(s: SparkSession, sfDir: String): Long = {
+    import org.apache.spark.sql.functions.{max, min, unix_millis}
+    val mm = Tables(s, sfDir).events
+      .agg(min(unix_millis(org.apache.spark.sql.functions.col("ts"))),
+        max(unix_millis(org.apache.spark.sql.functions.col("ts")))).head()
+    mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+  }
+
+  /** DuckDB-side twin of [[driftCutMs]], as a scalar subquery body. */
+  private def driftCutSql: String =
+    """SELECT min(epoch_ms(CAST(ts AS TIMESTAMP)))
+      |  + (max(epoch_ms(CAST(ts AS TIMESTAMP)))
+      |     - min(epoch_ms(CAST(ts AS TIMESTAMP)))) // 2 FROM events""".stripMargin
+
+  def binlogDriftDir(s: SparkSession, sfDir: String): String = {
+    val cut = driftCutMs(s, sfDir)
+    cachedLog(sfDir, "binlog-drift") { out =>
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out,
+        recordsPerFile = 50000, driftFromMs = cut)
+    }
+  }
+
   def walDir(s: SparkSession, sfDir: String): String =
     cachedLog(sfDir, "wal") { out =>
       WalGenerator.generate(Tables(s, sfDir).events, out, NumWalRegions,
@@ -84,6 +110,32 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_events"),
           sum($"event_id").as("sum_event_id"),
           sum($"user_id").as("sum_user_id"))
+        .orderBy($"op")
+    },
+
+    // --- binlog source under mid-stream schema drift ---------------------
+    // ALTER TABLE ADD COLUMN landing mid-changelog (SURVEY §1.3: the
+    // reference's schema is dynamic, embedded per event, registry
+    // re-read per batch): the fixture's later half carries a new
+    // `score` column and schemas.json publishes the WIDENED schema.
+    // Reading through the source + typed expansion must surface
+    // pre-DDL records as NULL score under the widened schema — the
+    // compatible-widening contract every CDC consumer relies on. The
+    // aggregate pins per-op row counts, how many rows carry the new
+    // column, and its exact content sum; the oracle derives all three
+    // from the raw events table with the same midpoint cut.
+    "src_binlog_schema_drift" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogDriftDir(s, dir)).load()
+      val driftedSchema = StructType(eventsRowSchema.fields :+
+        StructField("score", LongType))
+      CdcStream.parsed(df, driftedSchema)
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n_events"),
+          count($"score").as("n_scored"),
+          sum($"score").as("sum_score"),
+          sum($"event_id").as("sum_event_id"))
         .orderBy($"op")
     },
 
@@ -111,6 +163,15 @@ object SourceQueries {
       s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
          |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_schema_drift" ->
+      s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
+         |  count(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) >= ($driftCutSql)
+         |        THEN 1 END) AS n_scored,
+         |  CAST(sum(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) >= ($driftCutSql)
+         |        THEN event_id % 1000 END) AS BIGINT) AS sum_score,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_wal_region_mix" ->
