@@ -48,6 +48,70 @@ class SchemaDriftSpec extends SparkSuite {
     assert(recs.exists(_.tsMillis < cut) && recs.exists(_.tsMillis >= cut))
   }
 
+  test("streaming: registry re-read per batch serves post-DDL batches widened") {
+    import java.io.File
+    // phase 1: a live log of only pre-DDL events, 5-column registry
+    val streamDir = Files.createTempDirectory("graft-drift-stream").toString
+    val ev = Tables(spark, sfDir).events
+    val pre = ev.filter(unix_millis(col("ts")) < cut)
+    val post = ev.filter(unix_millis(col("ts")) >= cut)
+    ChangelogGenerator.generate(pre, streamDir, recordsPerFile = 300)
+    val q = spark.readStream.format("graft-binlog").option("path", streamDir)
+      .load().writeStream.format("memory").queryName("drift_stream")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val phase1 = spark.table("drift_stream").count()
+      assert(phase1 === pre.count())
+      // every served envelope embeds the 5-column registry schema
+      val s1 = spark.table("drift_stream")
+        .select(get_json_object(col("value"), "$.schema").as("sj"))
+        .distinct().collect().map(_.getString(0))
+      assert(s1.nonEmpty && s1.forall(j => !DataType.fromJson(j)
+        .asInstanceOf[StructType].fieldNames.contains("score")))
+
+      // the DDL lands: post-cut events arrive as NEW log files (every
+      // record carrying score) and schemas.json flips to the widened
+      // schema — the next trigger must serve under the NEW registry
+      val tmp = Files.createTempDirectory("graft-drift-post").toString
+      ChangelogGenerator.generate(post, tmp, recordsPerFile = 300,
+        driftFromMs = 0L)
+      val maxId = ChangelogFiles.listFiles(streamDir).map(_._1).max
+      ChangelogFiles.listFiles(tmp).foreach { case (id, f) =>
+        val name = f"${ChangelogFiles.DefaultPrefix}.${maxId + id}%06d"
+        java.nio.file.Files.copy(f.toPath,
+          new File(streamDir, name).toPath)
+      }
+      java.nio.file.Files.copy(new File(tmp, "schemas.json").toPath,
+        new File(streamDir, "schemas.json").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val entries = ChangelogFiles.listFiles(streamDir).map { case (_, f) =>
+        val c = ChangelogFiles.recordCount(f)
+        f.getName -> ((f, c, Map("graft.events" -> c)))
+      }
+      ChangelogFiles.writeManifest(new File(streamDir), entries)
+
+      q.processAllAvailable()
+      val all = spark.table("drift_stream")
+      assert(all.count() === ev.count())
+      // post-DDL batches embed the widened registry schema and carry score
+      val wide = StructType(SourceQueries.eventsRowSchema.fields :+
+        StructField("score", LongType))
+      val typed = CdcStream.parsed(all, wide)
+      assert(typed.filter(col("ts_ms") >= cut && col("score").isNull)
+        .count() === 0)
+      assert(typed.filter(col("ts_ms") < cut && col("score").isNotNull)
+        .count() === 0)
+      val s2 = all.select(get_json_object(col("value"), "$.schema").as("sj"),
+          get_json_object(col("value"), "$.timestamp").cast("long").as("ts_ms"))
+        .filter(col("ts_ms") >= cut)
+        .select("sj").distinct().collect().map(_.getString(0))
+      assert(s2.nonEmpty && s2.forall(j => DataType.fromJson(j)
+        .asInstanceOf[StructType].fieldNames.contains("score")))
+    } finally q.stop()
+  }
+
   test("typed expansion widens pre-DDL records with NULL score") {
     val df = spark.read.format("graft-binlog").option("path", dir).load()
     val wide = StructType(SourceQueries.eventsRowSchema.fields :+
