@@ -250,12 +250,16 @@ object DedupQueries {
   private[llm] def propagateMinLabels(adjIn: DataFrame): (DataFrame, () => Unit) = {
     val s = adjIn.sparkSession
     import s.implicits._
-    val adj = adjIn.persist()
-    if (adj.count() <= UnionFindEdgeCap) {
+    // ONE probe job decides the path and, in the common case, already
+    // delivers the payload: collect up to cap+1 edges; a result within
+    // the cap IS the full edge set.
+    val probe = adjIn.select($"src", $"dst")
+      .limit(UnionFindEdgeCap.toInt + 1).as[(Long, Long)].collect()
+    if (probe.length <= UnionFindEdgeCap) {
       // Driver union-find with union-by-min-root: attaching the larger
       // root under the smaller makes every final root the component
       // MINIMUM — the same fixpoint the propagation loop reaches.
-      val edges = adj.select($"src", $"dst").as[(Long, Long)].collect()
+      val edges = probe
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -275,8 +279,9 @@ object DedupQueries {
         .toSet
       val labels = s.createDataset(
         vertices.toSeq.map(v => (v, find(v)))).toDF("doc_id", "label")
-      return (labels, () => { adj.unpersist(); () })
+      return (labels, () => ())
     }
+    val adj = adjIn.persist()
     // `gen` tracks the PERSISTED handle of the current generation (a
     // derived select's unpersist would be a no-op on the parent cache)
     var gen = adj.select($"src".as("doc_id")).distinct()

@@ -73,10 +73,12 @@ object IncrementalClusters {
       else incoming.join(s.read.parquet(oldShPath).select($"doc_id"),
         Seq("doc_id"), "left_anti")
     // per-batch artifacts are deleted before returning: a long-lived
-    // stream must not grow temp disk with every trigger
-    val (newSh, dropSh) = IndexArtifacts.materializeOwned(s, deduped, "inc-shingles")
+    // stream must not grow temp disk with every trigger; emptiness
+    // gates read the written FOOTERS (no extra job)
+    val (newSh, nNew, dropSh) =
+      IndexArtifacts.materializeCounted(s, deduped, "inc-shingles")
     try {
-      if (newSh.isEmpty) return
+      if (nNew == 0L) return
       updateWith(s, stateDir, newSh)
     } finally dropSh()
   }
@@ -101,21 +103,22 @@ object IncrementalClusters {
       .distinct()
     val allSh = oldSh.unionByName(newSh)
     graft.functions.GraftFunctions.register(s)
-    val (pairs, dropPairs) = IndexArtifacts.materializeOwned(s, cand
+    val (pairs, nPairs, dropPairs) = IndexArtifacts.materializeCounted(s, cand
       .join(allSh.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
       .join(allSh.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
       .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
       .filter(($"nc".cast("double") /
         (size($"sa") + size($"sb") - $"nc").cast("double")) >= 0.3)
       .select($"doc_a", $"doc_b"), "inc-pairs")
-    try updateLabelsAndIndex(s, stateDir, newSh, newBands, pairs)
+    try updateLabelsAndIndex(s, stateDir, newSh, newBands, pairs, nPairs)
     finally { dropPairs(); dropBands() }
   }
 
   private def updateLabelsAndIndex(s: SparkSession, stateDir: String,
-      newSh: DataFrame, newBands: DataFrame, pairs: DataFrame): Unit = {
+      newSh: DataFrame, newBands: DataFrame, pairs: DataFrame,
+      nPairs: Long): Unit = {
     import s.implicits._
-    if (!pairs.isEmpty) {
+    if (nPairs > 0L) {
       val oldLabels = labels(s, stateDir)
       // components the new edges touch: every member contributes a star
       // edge to its representative, so old connectivity is preserved

@@ -74,6 +74,33 @@ object IndexArtifacts {
     (s.read.parquet(p.toString), () => deleteRecursively(p.toFile))
   }
 
+  /** [[materializeOwned]] plus the written row count, read from the
+    * parquet file FOOTERS — driver-local metadata IO, so emptiness /
+    * size gates after a materialization cost zero Spark jobs.
+    */
+  def materializeCounted(s: SparkSession, df: DataFrame,
+      tag: String): (DataFrame, Long, () => Unit) = {
+    val p = tempRoot.resolve(s"$tag-${counter.incrementAndGet()}")
+    df.write.parquet(p.toString)
+    (s.read.parquet(p.toString), parquetRowCount(p.toString),
+      () => deleteRecursively(p.toFile))
+  }
+
+  /** Exact row count of a parquet directory from file footers (no
+    * Spark job — an O(files) driver metadata read).
+    */
+  def parquetRowCount(dir: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   // artifact key -> parquet path, and tag -> cumulative build seconds
   private val keyed = new ConcurrentHashMap[String, String]()
   private val built = new ConcurrentHashMap[String, Double]()

@@ -281,9 +281,16 @@ object CdcStream {
     currentVersion(replicaDir).flatMap { case (_, name) =>
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty =>
-          // merge footer schemas: buckets written at different versions
-          // may differ after additive schema evolution
-          Some(spark.read.option("mergeSchema", "true").parquet(
+          // union schema from the MANIFEST (recorded at write time):
+          // buckets written at different versions may differ after
+          // additive evolution, and the explicit schema both null-fills
+          // missing columns and skips the per-read footer-merge job.
+          // Pre-schema manifests fall back to footer merging.
+          val rd = manifestSchema(m) match {
+            case Some(sc) => spark.read.schema(sc)
+            case None => spark.read.option("mergeSchema", "true")
+          }
+          Some(rd.parquet(
             m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*))
         case Some(_) => None // committed but empty
         case None => Some(spark.read.parquet(s"$replicaDir/$name"))
@@ -340,20 +347,14 @@ object CdcStream {
           val paths = m.buckets.collect {
             case (k, p) if candidate(k) => s"$replicaDir/$p"
           }.toSeq.sorted
-          val pruned =
+          // reading with the explicit FULL schema both null-fills
+          // columns a pruned bucket predates (additive evolution) and
+          // avoids a per-lookup footer merge
+          val base =
             if (paths.nonEmpty)
-              spark.read.option("mergeSchema", "true").parquet(paths: _*)
+              spark.read.schema(fullSchema).parquet(paths: _*)
             else spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
-          // project to the FULL replica schema: after additive schema
-          // evolution a pruned bucket may predate a column — the lookup
-          // must still present it (as NULL), exactly like the full read
-          val have = pruned.columns.toSet
-          val base = pruned.select(fullSchema.fields.map { f =>
-            if (have(f.name)) pruned(f.name)
-            else org.apache.spark.sql.functions.lit(null)
-              .cast(f.dataType).as(f.name)
-          }.toSeq: _*)
           Some(base.join(broadcast(typedKeys), idCols, "left_semi"))
         case Some(_) => None // committed but empty
         case None => // pre-bucket flat layout: no pruning metadata
@@ -404,9 +405,13 @@ object CdcStream {
         // a referenced older version dir may itself have been GC'd only
         // if nothing points at it — verify the files are still present
         val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
-        if (paths.forall(p => new java.io.File(p).exists()))
-          Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
-        else None
+        if (paths.forall(p => new java.io.File(p).exists())) {
+          val rd = manifestSchema(m) match {
+            case Some(sc) => spark.read.schema(sc)
+            case None => spark.read.option("mergeSchema", "true")
+          }
+          Some(rd.parquet(paths: _*))
+        } else None
       case Some(_) => None // committed but empty
       case None => Some(spark.read.parquet(s"$replicaDir/$name"))
     }
@@ -740,8 +745,13 @@ object CdcStream {
     val base = legacyFlat match {
       case Some(flat) => spark.read.parquet(flat)
       case None if touchedPaths.isEmpty => upserts.limit(0)
-      case None => spark.read.option("mergeSchema", "true")
-        .parquet(touchedPaths: _*)
+      case None => prev.flatMap(manifestSchema) match {
+        // manifest union schema: null-fills evolution gaps without a
+        // per-merge footer scan; pre-schema manifests merge footers once
+        case Some(sc) => spark.read.schema(sc).parquet(touchedPaths: _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(touchedPaths: _*)
+      }
     }
     // ADDITIVE SCHEMA EVOLUTION: a batch introducing a new column
     // widens the replica (carried-over rows read back NULL for it); a
