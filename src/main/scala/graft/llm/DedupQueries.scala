@@ -401,17 +401,22 @@ object DedupQueries {
       graft.functions.GraftFunctions.register(s)
       val docs = IndexArtifacts.materialize(s,
         shingled(s, dir).filter($"doc_id" < AuditScope), "eval-scope")
-      val streamSide = docs.select($"doc_id".as("doc_a"), $"sh".as("sa"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val truth = IndexArtifacts.materialize(s,
+      // the exact all-pairs GROUND TRUTH is an audit fixture of the
+      // corpus state, not part of the evaluated pipeline — build once
+      // per corpus (cost in the bench `artifacts` field), re-audit many
+      val truth = IndexArtifacts.cached(s, dir, "eval-truth",
+          inputs = Seq(s"$dir/documents.parquet")) { out =>
+        val streamSide = docs.select($"doc_id".as("doc_a"), $"sh".as("sa"))
+          .repartition(s.sparkContext.defaultParallelism)
         streamSide
           .join(broadcast(docs.select($"doc_id".as("doc_b"), $"sh".as("sb"))),
             col("doc_a") < col("doc_b"))
           .withColumn("nc", expr("sorted_intersect_count(sa, sb)"))
           .filter(($"nc".cast("double") /
             (size($"sa") + size($"sb") - $"nc").cast("double")) >= 0.3)
-          .select($"doc_a", $"doc_b"),
-        "eval-truth")
+          .select($"doc_a", $"doc_b")
+          .write.parquet(out)
+      }
       val bands = IndexArtifacts.materialize(s, minhashBands(docs),
         "eval-bands")
       val cand = IndexArtifacts.materialize(s,
