@@ -463,6 +463,57 @@ object EventQueries {
         .orderBy($"segment")
     },
 
+    // --- cdc: incremental JOIN view maintenance (delta join) -------------
+    // The other half of IVM next to cdc_ivm_agg: a materialized JOIN
+    // view R = E_latest ⋈ orders maintained under deltas on BOTH
+    // sides. Batch 1 builds R1 from the first half of the changelog
+    // and the even-keyed orders; batch 2 applies the classic delta
+    // rule R2 = (R1 − rows of changed users) ∪ (ΔE_net ⋈ O_old) ∪
+    // (E_new ⋈ ΔO) — changed users re-derive against the KNOWN order
+    // state, new orders join the POST-batch E state, and the three
+    // legs are disjoint by construction (unchanged ∪ changed users;
+    // even ∪ odd order keys). E_new itself advances incrementally
+    // (E1 − changed ∪ ΔE live), never from full history. At 100 TB
+    // each leg is one keyed equi-join proportional to the DELTA (plus
+    // the changed users' order neighborhoods), not the view; the
+    // maintained view must equal the direct join over all data —
+    // which is exactly what the oracle computes.
+    "cdc_ivm_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val ev = t.events.select($"user_id", $"event_id", $"ts",
+        cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("op"), col("value_cents"))
+      }
+      val ord = t.orders.select($"o_custkey", $"o_orderkey",
+        cents($"o_totalprice").as("price_cents"))
+      val o1 = ord.filter($"o_orderkey" % 2 === 0)
+      val dO2 = ord.filter($"o_orderkey" % 2 =!= 0)
+      val e1 = latest(ev.filter(unix_millis($"ts") < cut))
+        .filter($"op" =!= "delete")
+      val r1 = e1.join(o1, $"user_id" === $"o_custkey")
+        .select($"user_id", $"o_orderkey", $"value_cents", $"price_cents")
+      // batch-2 deltas: net E change per key, plus the odd-keyed orders
+      val net2 = latest(ev.filter(unix_millis($"ts") >= cut))
+      val changed = net2.select($"user_id")
+      val e2 = e1.join(changed, Seq("user_id"), "left_anti")
+        .unionByName(net2.filter($"op" =!= "delete"))
+      val rKeep = r1.join(changed, Seq("user_id"), "left_anti")
+      val rChanged = net2.filter($"op" =!= "delete")
+        .join(o1, $"user_id" === $"o_custkey")
+        .select($"user_id", $"o_orderkey", $"value_cents", $"price_cents")
+      val rNew = e2.join(dO2, $"user_id" === $"o_custkey")
+        .select($"user_id", $"o_orderkey", $"value_cents", $"price_cents")
+      rKeep.unionByName(rChanged).unionByName(rNew)
+        .orderBy($"user_id", $"o_orderkey")
+    },
+
     // --- cdc: packed-offset arithmetic round-trip ------------------------
     "cdc_offset_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -873,6 +924,23 @@ object EventQueries {
         |FROM (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
         |     (SELECT count(*) AS total FROM events)
         |ORDER BY n_rows DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    // the maintained join view must equal the direct join of the
+    // latest live state with all orders — the IVM correctness
+    // statement for the delta-join rule
+    "cdc_ivm_join" ->
+      s"""SELECT e.user_id, o.o_orderkey, e.value_cents,
+         |  ${centsSql("o.o_totalprice")} AS price_cents
+         |FROM (
+         |  SELECT user_id, value_cents FROM (
+         |    SELECT user_id, ${centsSql("value")} AS value_cents,
+         |      $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND op <> 'delete') e
+         |JOIN orders o ON o.o_custkey = e.user_id
+         |ORDER BY e.user_id, o.o_orderkey""".stripMargin,
 
     // the maintained view must equal the direct latest-state aggregate
     // over ALL events — the IVM correctness statement itself
