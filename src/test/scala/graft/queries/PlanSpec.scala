@@ -471,4 +471,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("knn-edges"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("cdc_ivm_join: every delta leg is a keyed equi-join, no cartesian") {
+    val p = plan("cdc_ivm_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the three legs (kept ∪ changed ∪ new-orders) are a Union of
+    // hash/sort-merge equi-joins
+    assert(p.contains("Union"), p.take(2000))
+    assert("Join".r.findAllIn(p).nonEmpty)
+  }
+
+  test("src_binlog_schema_drift: envelope parse stays a single scan + partial+final agg") {
+    val p = plan("src_binlog_schema_drift")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
