@@ -693,6 +693,29 @@ object DedupQueries {
         .orderBy($"family_size")
     },
 
+    // --- cross-source duplication matrix ---------------------------------
+    // Corpus forensics the per-source exposure report can't answer:
+    // WHICH sources share near-duplicate content with which (mirror
+    // sites, syndication, scraped re-posts)? Verified near-dup pairs
+    // (the shared dup-pairs artifact) join their endpoints' source
+    // labels; the unordered source pair normalizes by name. Scale
+    // shape: the near-dup-rate-sized edge table is what shuffles
+    // (keyed on doc_id), never the corpus; output ≤ |sources|² rows.
+    "llm_dup_sources" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"source")
+      dupPairs(s, dir)
+        .join(docs.select($"doc_id".as("doc_a"), $"source".as("source_a")),
+          "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"source".as("source_b")),
+          "doc_b")
+        .select(least($"source_a", $"source_b").as("src_lo"),
+          greatest($"source_a", $"source_b").as("src_hi"))
+        .groupBy($"src_lo", $"src_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_lo", $"src_hi")
+    },
+
     // --- deterministic stratified sampling (data mixing) ----------------
     // Per-(source, lang) stratum subsample at a fixed rate, selected by
     // an md5-derived hash of the doc id — reproducible across runs and
@@ -1017,6 +1040,19 @@ object DedupQueries {
          |FROM deg d JOIN s$PrIters s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // unordered source pair over the verified pair table — the same
+    // pairs CTE every dup-graph oracle shares
+    "llm_dup_sources" ->
+      s"""WITH $dupEdgesSql,
+         |m AS (
+         |  SELECT least(da.source, db.source) AS src_lo,
+         |         greatest(da.source, db.source) AS src_hi
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT src_lo, src_hi, count(*) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // canonical a<b<c enumeration over the id-ordered pair table —
     // the triangle SET is orientation-invariant, so the simple oracle
