@@ -86,8 +86,11 @@ object IncrementalClusters {
   private def updateWith(s: SparkSession, stateDir: String,
       newSh: DataFrame): Unit = {
     import s.implicits._
-    val (newBands, dropBands) = IndexArtifacts.materializeOwned(s,
-      DedupQueries.minhashBands(newSh), "inc-bands")
+    // NOT materialized: bands are a narrow projection of the already-
+    // materialized shingle table — both consumers (candidate join,
+    // state append) recompute them from that scan for less than a
+    // write+read round-trip at any batch size
+    val newBands = DedupQueries.minhashBands(newSh)
 
     val oldSh = readOrEmpty(s, tbl(stateDir, "shingles"), newSh)
     val oldBands = readOrEmpty(s, tbl(stateDir, "bands"), newBands)
@@ -111,7 +114,7 @@ object IncrementalClusters {
         (size($"sa") + size($"sb") - $"nc").cast("double")) >= 0.3)
       .select($"doc_a", $"doc_b"), "inc-pairs")
     try updateLabelsAndIndex(s, stateDir, newSh, newBands, pairs, nPairs)
-    finally { dropPairs(); dropBands() }
+    finally dropPairs()
   }
 
   private def updateLabelsAndIndex(s: SparkSession, stateDir: String,

@@ -309,6 +309,36 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: additive schema evolution through the MERGE sink -----------
+    // The sink-side twin of src_binlog_schema_drift: batch 2's rows
+    // carry a column batch 1 never had (the post-DDL changelog), the
+    // merge widens the replica's union schema, and the read-back
+    // null-fills rows whose LAST version predates the column — no
+    // rewrite of old buckets, no restart. The oracle derives the same
+    // widened latest-state directly from events (score only when the
+    // key's last change is post-cut).
+    "cdc_replica_evolve" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-evolve")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val orderCols = Seq(col("ts"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols)
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") >= cut)
+          .withColumn("score", pmod($"event_id", lit(1000L))),
+        Seq("user_id"), orderCols)
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"value_cents", $"score")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: Merkle-style replica anti-entropy audit ---------------------
     // The divergence check every replicated store runs: shard the key
     // space deterministically (user_id % 16 — engine-portable, unlike
@@ -857,6 +887,22 @@ object EventQueries {
          |  SELECT *, $opSql AS op,
          |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
          |    count(*) OVER (PARTITION BY user_id) AS n_ops
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+
+    // the replica's widened latest-state: score exists only for keys
+    // whose LAST change is post-cut (the batch that carried the column)
+    "cdc_replica_evolve" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents,
+         |  CASE WHEN ts_ms >= (SELECT min(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |      + (max(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |         - min(epoch_ms(CAST(ts AS TIMESTAMP)))) // 2 FROM events)
+         |    THEN event_id % 1000 END AS score
+         |FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
 
