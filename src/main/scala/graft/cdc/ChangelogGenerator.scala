@@ -30,11 +30,18 @@ object ChangelogGenerator {
     *   (SURVEY §1.3: schemas are dynamic, re-read per batch). Earlier
     *   records simply lack the column; a correct reader surfaces them as
     *   NULL under the widened schema.
+    * @param tableByEventType when true, each record routes to the table
+    *   NAMED BY ITS event_type (`db.click`, `db.purchase`, …) — one
+    *   shared log interleaving several tables, the real binlog shape;
+    *   `schemas.json` registers every routed table and the manifest
+    *   carries per-file PER-TABLE counts so map offsets advance tables
+    *   independently without content scans.
     */
   def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
       db: String = "graft", table: String = "events",
       prefix: String = ChangelogFiles.DefaultPrefix,
-      driftFromMs: Long = Long.MaxValue): Unit = {
+      driftFromMs: Long = Long.MaxValue,
+      tableByEventType: Boolean = false): Unit = {
     val dir = new File(outDir)
     dir.mkdirs()
 
@@ -48,11 +55,16 @@ object ChangelogGenerator {
       if (driftFromMs == Long.MaxValue) baseFields
       else baseFields :+ StructField("score", LongType))
 
+    val tables: Seq[String] =
+      if (!tableByEventType) Seq(table)
+      else events.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+
     // schemas.json — the feed's TABLE_MAP/JDBC-probe equivalent
     val sw = new java.io.StringWriter()
     val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
     g.writeStartObject()
-    g.writeStringField(s"$db.$table", schema.json)
+    tables.foreach(t => g.writeStringField(s"$db.$t", schema.json))
     g.writeEndObject()
     g.close()
     java.nio.file.Files.write(new File(dir, "schemas.json").toPath,
@@ -67,13 +79,14 @@ object ChangelogGenerator {
     var posInFile = 0L
     var out: BufferedWriter = null
     var current: File = null
+    val perTable = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val written =
       scala.collection.mutable.LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
     def roll(): Unit = {
       if (out != null) {
         out.close()
-        written += current.getName ->
-          (current, posInFile, Map(s"$db.$table" -> posInFile))
+        written += current.getName -> (current, posInFile, perTable.toMap)
+        perTable.clear()
       }
       val f = new File(dir, f"$prefix.$fileId%06d")
       current = f
@@ -92,6 +105,8 @@ object ChangelogGenerator {
       val et = r.getString(2)
       val op = OpMapping.op(et)
       val tsMs = r.getLong(5)
+      val recTable = if (tableByEventType) et else table
+      perTable.updateWith(s"$db.$recTable")(c => Some(c.getOrElse(0L) + 1L))
       val base = Map[String, EnvelopeValue](
         "event_id" -> EnvelopeValue.VLong(r.getLong(0)),
         "user_id" -> EnvelopeValue.VLong(r.getLong(1)),
@@ -103,13 +118,12 @@ object ChangelogGenerator {
         if (tsMs >= driftFromMs)
           base + ("score" -> EnvelopeValue.VLong(r.getLong(0) % 1000L))
         else base
-      val rec = ChangelogRecord(posInFile, op, db, table, tsMs, row)
+      val rec = ChangelogRecord(posInFile, op, db, recTable, tsMs, row)
       out.write(ChangelogRecord.write(rec))
       out.write("\n")
     }
     out.close()
-    written += current.getName ->
-      (current, posInFile, Map(s"$db.$table" -> posInFile))
+    written += current.getName -> (current, posInFile, perTable.toMap)
 
     // manifest.json sidecar: per-file (length, count, per-table counts)
     // so the source's per-trigger latestOffset never re-scans completed

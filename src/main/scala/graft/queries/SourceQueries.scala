@@ -92,6 +92,16 @@ object SourceQueries {
     }
   }
 
+  /** One shared log interleaving five tables (records route to the
+    * table named by their event_type) — the real multi-table binlog
+    * shape served with per-table map offsets.
+    */
+  def binlogByTypeDir(s: SparkSession, sfDir: String): String =
+    cachedLog(sfDir, "binlog-bytype") { out =>
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out,
+        recordsPerFile = 50000, tableByEventType = true)
+    }
+
   def walDir(s: SparkSession, sfDir: String): String =
     cachedLog(sfDir, "wal") { out =>
       WalGenerator.generate(Tables(s, sfDir).events, out, NumWalRegions,
@@ -139,6 +149,27 @@ object SourceQueries {
         .orderBy($"op")
     },
 
+    // --- multi-table log + source-side table regex filter (F1) ----------
+    // A single changelog interleaving five tables (routed by
+    // event_type); the source serves each table under its own map
+    // offset, and `tableNamePattern` drops non-matching tables AT THE
+    // SOURCE — filtered tables are never deserialized into envelopes,
+    // the CDC analog of partition pruning. The aggregate pins per-table
+    // row counts + content sums for the two selected tables; the
+    // oracle filters the raw events the same way.
+    "src_binlog_multitable" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogByTypeDir(s, dir))
+        .option("tableNamePattern", "click|purchase").load()
+      CdcStream.parsed(df, eventsRowSchema)
+        .groupBy($"tableName".as("table_name"))
+        .agg(count(lit(1)).as("n_events"),
+          sum($"event_id").as("sum_event_id"),
+          sum(Q.cents($"value")).as("value_cents"))
+        .orderBy($"table_name")
+    },
+
     // --- wal source → per-region put/delete mix with content sums -------
     "src_wal_region_mix" -> { (s, dir) =>
       import s.implicits._
@@ -173,6 +204,13 @@ object SourceQueries {
          |        THEN event_id % 1000 END) AS BIGINT) AS sum_score,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_multitable" ->
+      s"""SELECT event_type AS table_name, count(*) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events WHERE event_type IN ('click', 'purchase')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_wal_region_mix" ->
       s"""SELECT
