@@ -170,6 +170,35 @@ object SourceQueries {
         .orderBy($"table_name")
     },
 
+    // --- multi-table log → {db}/{table} fan-out sink → read-back ---------
+    // The K1b sink under the oracle gate: the interleaved five-table
+    // log fans out through fanOutToReplicas (one bucket-scoped MERGE
+    // per table, net-op semantics), then two tables' replicas read
+    // back and aggregate. The 'error' table's records are deletes of
+    // never-inserted keys, so its replica nets to empty — exactly the
+    // tombstone semantics the oracle's event_type filter mirrors by
+    // exclusion. Scale: driver work is one bounded (db,table) distinct;
+    // each table's merge is its own keyed job.
+    "src_binlog_fanout" -> { (s, dir) =>
+      import s.implicits._
+      val root = graft.llm.IndexArtifacts.tempDir("fanout")
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogByTypeDir(s, dir)).load()
+      val tables = Seq("click", "error", "purchase", "signup", "view")
+      CdcStream.fanOutToReplicas(df, s"$root/{db}/{table}",
+        schemas = tables.map(t => s"graft.$t" -> eventsRowSchema).toMap,
+        idCols = tables.map(t => s"graft.$t" -> Seq("event_id")).toMap)
+      Seq("click", "purchase").map { t =>
+        CdcStream.readReplica(s, s"$root/graft/$t").get
+          .select(lit(t).as("table_name"), $"event_id", $"user_id", $"value")
+      }.reduce(_.unionByName(_))
+        .groupBy($"table_name")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"user_id").as("n_users"),
+          sum(Q.cents($"value")).as("value_cents"))
+        .orderBy($"table_name")
+    },
+
     // --- wal source → per-region put/delete mix with content sums -------
     "src_wal_region_mix" -> { (s, dir) =>
       import s.implicits._
@@ -208,6 +237,13 @@ object SourceQueries {
     "src_binlog_multitable" ->
       s"""SELECT event_type AS table_name, count(*) AS n_events,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events WHERE event_type IN ('click', 'purchase')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_fanout" ->
+      s"""SELECT event_type AS table_name, count(*) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events WHERE event_type IN ('click', 'purchase')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
