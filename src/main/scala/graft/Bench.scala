@@ -69,7 +69,10 @@ object Bench {
     val arts = graft.llm.IndexArtifacts.buildSeconds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"artifacts":$arts,"sf":"$sfDir"}""")
+    // numeric sf parsed from the dir name (sf0.1 -> 0.1); dir rides along
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"artifacts":$arts,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }
 }
