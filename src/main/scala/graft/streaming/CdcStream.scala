@@ -139,17 +139,24 @@ object CdcStream {
       .filter(col("db").isNotNull && col("tbl").isNotNull) // malformed envelopes
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-    present.flatMap { case (db, tbl) =>
+    // per-table merges target DISJOINT replica dirs — schedule them as
+    // concurrent Spark jobs (a fan-out over T tables is T independent
+    // merges; running them serially would leave the cluster idle
+    // between each table's small stages). Bounded pool; result order
+    // stays `present` order.
+    val jobs = present.map { case (db, tbl) =>
       val key = s"$db.$tbl"
       // a table needs BOTH a schema and id columns to materialize;
       // surface config skew instead of a bare NoSuchElementException
       (schemas.get(key), idCols.get(key)) match {
         case (Some(schema), Some(ids)) =>
           val path = pathTemplate.replace("{db}", db).replace("{table}", tbl)
-          applyBatchToReplica(path,
-            parsed(envelopes.filter(dbCol === db && tblCol === tbl), schema),
-            ids, orderCols)
-          Some(path)
+          Some(() => {
+            applyBatchToReplica(path,
+              parsed(envelopes.filter(dbCol === db && tblCol === tbl), schema),
+              ids, orderCols)
+            path
+          })
         case (Some(_), None) => throw new IllegalArgumentException(
           s"fanOutToReplicas: table $key has a schema but no idCols entry")
         // the SCHEMAS map selects which tables materialize: a table with
@@ -158,6 +165,16 @@ object CdcStream {
         case (None, _) => None
       }
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, jobs.count(_.isDefined))))
+    try {
+      val futures = jobs.map(_.map(f => pool.submit(
+        new java.util.concurrent.Callable[String] { def call(): String = f() })))
+      try futures.flatMap(_.map(_.get()))
+      catch { // surface the merge's own exception, not the wrapper
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    } finally pool.shutdown()
   }
 
   /** Reduce a CDC micro-batch to its net effect: the last op per key in
