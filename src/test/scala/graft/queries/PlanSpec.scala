@@ -487,4 +487,16 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("llm_dup_sources: source labels join the edge artifact on doc_id, no cartesian") {
+    val p = plan("llm_dup_sources")
+    assert(p.contains("dup-pairs"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("src_binlog_multitable: per-table agg is partial+final, no cartesian") {
+    val p = plan("src_binlog_multitable")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
