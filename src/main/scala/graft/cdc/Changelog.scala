@@ -30,7 +30,13 @@ final case class ChangelogRecord(
       * `binlog_row_image=full`). The source emits it only under its
       * `includeBeforeImage` option.
       */
-    before: Option[Map[String, EnvelopeValue]] = None)
+    before: Option[Map[String, EnvelopeValue]] = None,
+    /** Transaction id when the log writer groups records into
+      * transactions (MySQL binlog BEGIN…XID; the reference's client
+      * consumes XID events to delimit commits). None = autocommit —
+      * the record is its own transaction.
+      */
+    txn: Option[Long] = None)
 
 object ChangelogRecord {
   private val factory = new JsonFactory()
@@ -77,6 +83,7 @@ object ChangelogRecord {
     g.writeStringField("db", r.db)
     g.writeStringField("table", r.table)
     g.writeNumberField("ts", r.tsMillis)
+    r.txn.foreach(t => g.writeNumberField("txn", t))
     writeRow(g, "row", r.row)
     r.before.foreach(b => writeRow(g, "before", b))
     g.writeEndObject()
@@ -131,6 +138,7 @@ object ChangelogRecord {
     var table: String = null; var ts = 0L
     var row: Map[String, EnvelopeValue] = Map.empty
     var before: Option[Map[String, EnvelopeValue]] = None
+    var txn: Option[Long] = None
     require(p.nextToken() == JsonToken.START_OBJECT, "record must be a JSON object")
     while (p.nextToken() != JsonToken.END_OBJECT) {
       val name = p.currentName()
@@ -141,13 +149,14 @@ object ChangelogRecord {
         case "db"     => db = p.getValueAsString
         case "table"  => table = p.getValueAsString
         case "ts"     => ts = p.getLongValue
+        case "txn"    => txn = Some(p.getLongValue)
         case "row"    => row = parseRow(p)
         case "before" => before = Some(parseRow(p))
         case _ => p.skipChildren()
       }
     }
     p.close()
-    ChangelogRecord(pos, op, db, table, ts, row, before)
+    ChangelogRecord(pos, op, db, table, ts, row, before, txn)
   }
 }
 
@@ -185,10 +194,15 @@ object ChangelogFiles {
     * per-table map offsets advance without scanning file contents —
     * plus (optionally) the file's mutation-start positions (`bounds`),
     * written at roll/close time by cell-per-record WAL writers so
-    * grouping-mode batch alignment never has to scan a completed file.
+    * grouping-mode batch alignment never has to scan a completed file,
+    * and (optionally) the file's transaction-commit positions
+    * (`txnEnds`) — the positions whose record is the LAST of a
+    * transaction, written by transactional log writers so txn-aligned
+    * batch planning stays metadata-only on completed files.
     */
   final case class ManifestEntry(length: Long, count: Long,
-      tables: Map[String, Long], bounds: Seq[Long] = Nil)
+      tables: Map[String, Long], bounds: Seq[Long] = Nil,
+      txnEnds: Seq[Long] = Nil)
 
   private final case class ManifestState(len: Long, mtime: Long,
       entries: Map[String, ManifestEntry])
@@ -263,6 +277,7 @@ object ChangelogFiles {
       var l = -1L; var c = -1L
       val tabs = mutable.LinkedHashMap.empty[String, Long]
       val bounds = mutable.ArrayBuffer.empty[Long]
+      val txnEnds = mutable.ArrayBuffer.empty[Long]
       while (p.nextToken() != JsonToken.END_OBJECT) {
         val k = p.currentName(); p.nextToken()
         k match {
@@ -276,10 +291,13 @@ object ChangelogFiles {
           case "bounds" =>
             require(p.currentToken() == JsonToken.START_ARRAY)
             while (p.nextToken() != JsonToken.END_ARRAY) bounds += p.getLongValue
+          case "txnEnds" =>
+            require(p.currentToken() == JsonToken.START_ARRAY)
+            while (p.nextToken() != JsonToken.END_ARRAY) txnEnds += p.getLongValue
           case _ => p.skipChildren()
         }
       }
-      m += name -> ManifestEntry(l, c, tabs.toMap, bounds.toSeq)
+      m += name -> ManifestEntry(l, c, tabs.toMap, bounds.toSeq, txnEnds.toSeq)
     }
     p.close()
     manifestCache.put(dir, ManifestState(len, mtime, m.toMap))
@@ -300,7 +318,8 @@ object ChangelogFiles {
     */
   def writeManifest(dir: File,
       entries: Iterable[(String, (File, Long, Map[String, Long]))],
-      bounds: Map[String, Seq[Long]] = Map.empty): Unit = {
+      bounds: Map[String, Seq[Long]] = Map.empty,
+      txnEnds: Map[String, Seq[Long]] = Map.empty): Unit = {
     val sw = new java.io.StringWriter()
     val g = new JsonFactory().createGenerator(sw)
     g.writeStartObject()
@@ -314,6 +333,11 @@ object ChangelogFiles {
       bounds.get(name).filter(_.nonEmpty).foreach { bs =>
         g.writeArrayFieldStart("bounds")
         bs.foreach(g.writeNumber)
+        g.writeEndArray()
+      }
+      txnEnds.get(name).filter(_.nonEmpty).foreach { ts =>
+        g.writeArrayFieldStart("txnEnds")
+        ts.foreach(g.writeNumber)
         g.writeEndArray()
       }
       g.writeEndObject()
@@ -330,7 +354,7 @@ object ChangelogFiles {
     val prev = countCache.get(path)
     if (prev != null && prev.len == len && prev.mtime == mtime) return prev.count
     val fromManifest = manifest(f.getParent).get(f.getName)
-      .collect { case ManifestEntry(l, c, _, _) if l == len => c }
+      .collect { case e if e.length == len => e.count }
     val count = fromManifest.getOrElse {
       if (prev != null && len > prev.len) prev.count + countNewlines(f, prev.len, len)
       else countNewlines(f, 0L, len)
@@ -352,7 +376,8 @@ object ChangelogFiles {
     val prev = tableCountCache.get(path)
     if (prev != null && prev.len == len && prev.mtime == mtime) return prev.counts
     manifest(f.getParent).get(f.getName) match {
-      case Some(ManifestEntry(l, _, tabs, _)) if l == len && tabs.nonEmpty =>
+      case Some(e) if e.length == len && e.tables.nonEmpty =>
+        val tabs = e.tables
         tableCountCache.put(path, TableCountState(len, mtime, tabs))
         tabs
       case _ =>

@@ -36,12 +36,22 @@ object ChangelogGenerator {
     *   `schemas.json` registers every routed table and the manifest
     *   carries per-file PER-TABLE counts so map offsets advance tables
     *   independently without content scans.
+    * @param txnSize when > 0, groups consecutive records (log order)
+    *   into transactions of this size: each record carries
+    *   `txn = (globalIndex-1)/txnSize` (the BEGIN…XID grouping of a
+    *   MySQL binlog), files ROTATE ONLY AT COMMIT BOUNDARIES (a file
+    *   due to roll defers until the current txn completes — binlog
+    *   rotation semantics), and the manifest records each file's
+    *   txn-commit positions (`txnEnds`) so txn-aligned batch planning
+    *   is metadata-only. Closing the log commits the final (possibly
+    *   short) transaction.
     */
   def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
       db: String = "graft", table: String = "events",
       prefix: String = ChangelogFiles.DefaultPrefix,
       driftFromMs: Long = Long.MaxValue,
-      tableByEventType: Boolean = false): Unit = {
+      tableByEventType: Boolean = false,
+      txnSize: Long = 0L): Unit = {
     val dir = new File(outDir)
     dir.mkdirs()
 
@@ -77,16 +87,21 @@ object ChangelogGenerator {
 
     var fileId = 1L
     var posInFile = 0L
+    var globalIdx = 0L
     var out: BufferedWriter = null
     var current: File = null
     val perTable = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val fileTxnEnds = scala.collection.mutable.ArrayBuffer.empty[Long]
     val written =
       scala.collection.mutable.LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
+    val allTxnEnds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     def roll(): Unit = {
       if (out != null) {
         out.close()
         written += current.getName -> (current, posInFile, perTable.toMap)
+        if (fileTxnEnds.nonEmpty) allTxnEnds += current.getName -> fileTxnEnds.toSeq
         perTable.clear()
+        fileTxnEnds.clear()
       }
       val f = new File(dir, f"$prefix.$fileId%06d")
       current = f
@@ -98,10 +113,14 @@ object ChangelogGenerator {
     val it = ordered.toLocalIterator()
     while (it.hasNext) {
       val r: Row = it.next()
-      if (posInFile >= recordsPerFile) {
+      // rotate only at a commit boundary: a file due to roll waits for
+      // the current transaction to complete (binlog rotation semantics)
+      val atTxnStart = txnSize <= 0 || globalIdx % txnSize == 0
+      if (posInFile >= recordsPerFile && atTxnStart) {
         fileId += 1; roll(); posInFile = 0 // roll() records the closed file's count
       }
       posInFile += 1
+      globalIdx += 1
       val et = r.getString(2)
       val op = OpMapping.op(et)
       val tsMs = r.getLong(5)
@@ -118,16 +137,23 @@ object ChangelogGenerator {
         if (tsMs >= driftFromMs)
           base + ("score" -> EnvelopeValue.VLong(r.getLong(0) % 1000L))
         else base
-      val rec = ChangelogRecord(posInFile, op, db, recTable, tsMs, row)
+      val txn = if (txnSize > 0) Some((globalIdx - 1) / txnSize) else None
+      val rec = ChangelogRecord(posInFile, op, db, recTable, tsMs, row, txn = txn)
       out.write(ChangelogRecord.write(rec))
       out.write("\n")
+      // record at pos ends its txn when it is the txn's last record or
+      // the log's last record (closing the log commits the tail txn)
+      if (txnSize > 0 && (globalIdx % txnSize == 0 || !it.hasNext))
+        fileTxnEnds += posInFile
     }
     out.close()
     written += current.getName -> (current, posInFile, perTable.toMap)
+    if (fileTxnEnds.nonEmpty) allTxnEnds += current.getName -> fileTxnEnds.toSeq
 
-    // manifest.json sidecar: per-file (length, count, per-table counts)
-    // so the source's per-trigger latestOffset never re-scans completed
-    // files — in either global or per-table offset mode
-    ChangelogFiles.writeManifest(dir, written)
+    // manifest.json sidecar: per-file (length, count, per-table counts,
+    // txn-commit positions) so the source's per-trigger latestOffset
+    // never re-scans completed files — in global, per-table, or
+    // txn-aligned offset mode
+    ChangelogFiles.writeManifest(dir, written, txnEnds = allTxnEnds.toMap)
   }
 }

@@ -33,7 +33,12 @@ final case class CdcEvent(
       * silently DISCARDS it; SURVEY §1.6 keeps it behind the source's
       * `includeBeforeImage` option). None = not captured/not requested.
       */
-    beforeRow: Option[Map[String, EnvelopeValue]] = None)
+    beforeRow: Option[Map[String, EnvelopeValue]] = None,
+    /** Transaction id when the source log groups records into
+      * transactions (MySQL binlog BEGIN…XID). None = autocommit /
+      * non-transactional log; the field is omitted from the JSON.
+      */
+    txnId: Option[Long] = None)
 
 /** A scalar cell value as it appears in the envelope JSON, plus RAW
   * variants a changelog may carry before type-kernel conversion
@@ -106,6 +111,7 @@ object EnvelopeCodec {
     if (e.schemaJson == null) g.writeNullField("schema")
     else g.writeStringField("schema", e.schemaJson)
     if (e.offset > 0L) g.writeNumberField("offset", e.offset)
+    e.txnId.foreach(t => g.writeNumberField("txnId", t))
     g.writeArrayFieldStart("rows")
     writeRowObject(g, e.row)
     g.writeEndArray()
@@ -132,6 +138,7 @@ object EnvelopeCodec {
     var offset = 0L
     var row: Map[String, EnvelopeValue] = Map.empty
     var beforeRow: Option[Map[String, EnvelopeValue]] = None
+    var txnId: Option[Long] = None
 
     def parseRowArray(): Map[String, EnvelopeValue] = {
       require(p.currentToken() == JsonToken.START_ARRAY, "rows must be an array")
@@ -168,12 +175,13 @@ object EnvelopeCodec {
         case "schema"       =>
           schema = if (p.currentToken() == JsonToken.VALUE_NULL) null else p.getValueAsString
         case "offset"       => offset = p.getLongValue
+        case "txnId"        => txnId = Some(p.getLongValue)
         case "rows"         => row = parseRowArray()
         case "beforeRows"   => beforeRow = Some(parseRowArray())
         case _ => p.skipChildren()
       }
     }
     p.close()
-    CdcEvent(eventType, timestamp, db, table, schema, row, offset, beforeRow)
+    CdcEvent(eventType, timestamp, db, table, schema, row, offset, beforeRow, txnId)
   }
 }

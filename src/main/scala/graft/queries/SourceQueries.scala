@@ -108,6 +108,20 @@ object SourceQueries {
         recordsPerFile = 50000)
     }
 
+  /** Transactional changelog: consecutive records group into BEGIN…XID
+    * transactions of this size — shared constant with the oracle's
+    * `(rn-1)/TxnSize` twin.
+    */
+  val TxnSize = 7L
+
+  def binlogTxnDir(s: SparkSession, sfDir: String): String =
+    cachedLog(sfDir, "binlog-txn") { out =>
+      // recordsPerFile not a txn multiple: rolls defer to commit
+      // boundaries (rotate-at-commit), exercising the deferral path
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out,
+        recordsPerFile = 20001, txnSize = TxnSize)
+    }
+
   val defs: Map[String, QFn] = Map(
 
     // --- binlog source → typed expansion → content checksums ------------
@@ -206,6 +220,50 @@ object SourceQueries {
         .orderBy($"table_name")
     },
 
+    // --- txn-aligned streaming: no micro-batch splits a transaction -----
+    // The transactional changelog (BEGIN…XID groups of TxnSize records)
+    // streams under a maxEventsPerTrigger cap chosen to land mid-txn;
+    // txnAligned snaps every batch end to a commit boundary (manifest
+    // txnEnds for completed files — zero content I/O — and an
+    // incremental tail parse for the live one). Each batch records its
+    // batch_id; the per-txn aggregate then PROVES atomic delivery:
+    // n_batches must be exactly 1 for every transaction, which the
+    // oracle pins as a literal — a split txn would surface as 2.
+    "src_binlog_txn_batches" -> { (s, dir) =>
+      import s.implicits._
+      val logDir = binlogTxnDir(s, dir)
+      val total = Tables(s, dir).events.count()
+      // ~6 batches; +3 keeps the cap off txn multiples in general
+      val budget = math.max(1L, total / 6L) + 3L
+      val out = graft.llm.IndexArtifacts.tempDir("txn-batches")
+      val ck = graft.llm.IndexArtifacts.tempDir("txn-batches-ck")
+      val q = s.readStream.format("graft-binlog")
+        .option("path", logDir)
+        .option("offsetsByTable", "false")
+        .option("txnAligned", "true")
+        .option("maxEventsPerTrigger", budget.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("value"), lit(id).as("batch_id"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(
+          get_json_object($"value", "$.txnId").cast("long").as("txn_id"),
+          get_json_object($"value", "$.rows[0].event_id").cast("long").as("event_id"),
+          $"batch_id")
+        .groupBy($"txn_id")
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct($"batch_id").as("n_batches"),
+          sum($"event_id").as("sum_event_id"))
+        .orderBy($"txn_id")
+    },
+
     // --- wal source → per-region put/delete mix with content sums -------
     "src_wal_region_mix" -> { (s, dir) =>
       import s.implicits._
@@ -254,6 +312,17 @@ object SourceQueries {
          |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events WHERE event_type IN ('click', 'purchase')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_txn_batches" ->
+      s"""WITH ordered AS (
+         |  SELECT event_id,
+         |    row_number() OVER (ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS rn
+         |  FROM events)
+         |SELECT CAST((rn - 1) // $TxnSize AS BIGINT) AS txn_id,
+         |  count(*) AS n_records,
+         |  CAST(1 AS BIGINT) AS n_batches,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         |FROM ordered GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_wal_region_mix" ->
       s"""SELECT

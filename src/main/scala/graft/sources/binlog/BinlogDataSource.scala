@@ -120,6 +120,13 @@ final case class BinlogSourceConf(
       * reference silently drops them, UpdateRowsWriter.java:54-57).
       */
     includeBeforeImage: Boolean,
+    /** Never split a committed transaction across micro-batches: batch
+      * end offsets snap to txn-commit boundaries ([[TxnBoundaries]]) —
+      * the BEGIN…XID delivery contract of a MySQL binlog consumer.
+      * Transactions are positions in the GLOBAL log order, so this
+      * requires `offsetsByTable=false`.
+      */
+    txnAligned: Boolean,
     sessionTimeZone: String) extends Serializable {
 
   /** db/table regex filters applied to a `db.table` offset key (split
@@ -140,6 +147,11 @@ object BinlogSourceConf {
   def apply(options: CaseInsensitiveStringMap): BinlogSourceConf = {
     val dir = options.get("path")
     require(dir != null, "option 'path' (changelog directory) is required")
+    require(!Option(options.get("txnAligned")).exists(_.toBoolean) ||
+        !Option(options.get("offsetsByTable")).forall(_.toBoolean),
+      "txnAligned=true requires offsetsByTable=false: transactions are " +
+        "positions in the global log order (a txn may span tables), so " +
+        "batch alignment needs the single packed (fileId, pos) offset space")
     BinlogSourceConf(
       dir = dir,
       prefix = Option(options.get("prefix")).getOrElse(ChangelogFiles.DefaultPrefix),
@@ -164,6 +176,8 @@ object BinlogSourceConf {
         .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
       includeBeforeImage =
         Option(options.get("includeBeforeImage")).exists(_.toBoolean),
+      txnAligned =
+        Option(options.get("txnAligned")).exists(_.toBoolean),
       sessionTimeZone =
         Option(options.get("sessionTimeZone")).getOrElse("UTC"))
   }
@@ -304,7 +318,13 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
           if (capped < latest) capped else latest
         case _ => latest
       }
-      BinlogSourceOffset(math.max(end.packed, startOff.packed))
+      // txn alignment: never end a batch mid-transaction (metadata-only
+      // for completed files, incremental tail parse for the live one)
+      val aligned =
+        if (conf.txnAligned)
+          TxnBoundaries.snap(conf.dir, conf.prefix, startOff, end, latest)
+        else end
+      BinlogSourceOffset(math.max(aligned.packed, startOff.packed))
     } else {
       val startMap = asTableOffsets(start)
       val totals = ChangelogFiles.totalsByTable(conf.dir, conf.prefix)
@@ -578,7 +598,8 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
           conf.sessionTimeZone, conf.fieldDecode))
       else None
     val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
-      schemas.getOrElse(key, null), row, offset = offset, beforeRow = before)
+      schemas.getOrElse(key, null), row, offset = offset, beforeRow = before,
+      txnId = current.txn)
     InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
   }
 
