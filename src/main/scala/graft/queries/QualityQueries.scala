@@ -147,6 +147,62 @@ object QualityQueries {
           sum(when($"d" === 1, $"pairs").otherwise(0L)).as("n_dist1"),
           sum(when($"d" === 2, $"pairs").otherwise(0L)).as("n_dist2"))
         .orderBy("block")
+    },
+
+    // --- q49: hierarchy closure + subtree rollup (pointer doubling) ----
+    // The recursive-hierarchy aggregate SQL engines answer with a
+    // recursive CTE (org charts, category trees, BOM rollups): a
+    // deterministic forest over customers (parent = custkey DIV 10,
+    // keys < 10 are roots) expands to its full ancestor closure, then
+    // every node reports its subtree size/balance, its depth, and its
+    // root. Spark has no recursive CTE; the linear-iteration port runs
+    // one join PER LEVEL (depth jobs — a 20-deep hierarchy at 100 TB is
+    // 20 chained shuffles). This uses POINTER DOUBLING instead:
+    // composing the closure with itself doubles covered path lengths
+    // every round, so ceil(log2(depth)) keyed equi-join rounds cover
+    // the whole closure — 3 rounds where iteration needs 20. Each round
+    // is a plain (anc = node) equi-join + per-(node, anc) dedupe, all
+    // distributed; the closure is |V|·depth rows, never quadratic. The
+    // oracle is DuckDB's actual recursive CTE — two different
+    // algorithms, bit-identical fixpoint.
+    "q49_hierarchy_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir).customer
+        .select($"c_custkey".cast("long").as("k"),
+          Q.cents($"c_acctbal").as("bal"))
+      val base = c.filter($"k" >= 10)
+        .select($"k".as("node"), expr("k DIV 10").as("anc"), lit(1L).as("dist"))
+      // parent drops one decimal digit, so depth <= digits(maxKey) - 1;
+      // doubling covers it in ceil(log2(depth)) rounds (bounded driver
+      // scalar, one tiny agg job)
+      val maxKey = c.agg(max($"k")).head().getLong(0)
+      val maxDepth = math.max(1L, maxKey.toString.length.toLong - 1L)
+      val rounds =
+        if (maxDepth <= 1L) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(maxDepth - 1L)
+      var clos = base
+      for (_ <- 1 to rounds) {
+        val doubled = clos.as("x").join(clos.as("y"),
+            col("x.anc") === col("y.node"))
+          .select(col("x.node").as("node"), col("y.anc").as("anc"),
+            (col("x.dist") + col("y.dist")).as("dist"))
+        // tree paths are unique, so min(dist) is just dedupe of the
+        // overlapping half-splits a doubling round generates
+        clos = clos.unionByName(doubled)
+          .groupBy($"node", $"anc").agg(min($"dist").as("dist"))
+      }
+      val withSelf = clos.unionByName(
+        c.select($"k".as("node"), $"k".as("anc"), lit(0L).as("dist")))
+      val subtree = withSelf
+        .join(c.select($"k".as("node"), $"bal"), "node")
+        .groupBy($"anc")
+        .agg(count(lit(1)).as("n_subtree"), sum($"bal").as("subtree_bal_cents"))
+      val rootDepth = withSelf.groupBy($"node")
+        .agg(max($"dist").as("depth"), max_by($"anc", $"dist").as("root_key"))
+      subtree.join(rootDepth, subtree("anc") === rootDepth("node"))
+        .select($"node".as("c_custkey"), $"n_subtree", $"subtree_bal_cents",
+          $"depth", $"root_key")
+        .orderBy($"c_custkey")
     })
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +259,33 @@ object QualityQueries {
         | AND abs(length(a.p_name) - length(b.p_name)) <= 2
         | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_hierarchy_rollup" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_custkey AS BIGINT) // 10 AS anc, CAST(1 AS BIGINT) AS dist
+        |  FROM customer WHERE c_custkey >= 10
+        |  UNION ALL
+        |  SELECT a.node, a.anc // 10, a.dist + 1 FROM anc a WHERE a.anc >= 10
+        |),
+        |withself AS (
+        |  SELECT node, anc, dist FROM anc
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM customer
+        |),
+        |bal AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |sub AS (
+        |  SELECT w.anc, count(*) AS n_subtree,
+        |    CAST(sum(b.bal) AS BIGINT) AS subtree_bal_cents
+        |  FROM withself w JOIN bal b ON w.node = b.k GROUP BY w.anc),
+        |rd AS (
+        |  SELECT node, CAST(max(dist) AS BIGINT) AS depth,
+        |    arg_max(anc, dist) AS root_key
+        |  FROM withself GROUP BY node)
+        |SELECT s.anc AS c_custkey, s.n_subtree, s.subtree_bal_cents,
+        |  rd.depth, rd.root_key
+        |FROM sub s JOIN rd ON s.anc = rd.node ORDER BY 1""".stripMargin)
 }

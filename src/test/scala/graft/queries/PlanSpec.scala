@@ -499,4 +499,11 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q49: closure doubling rounds are keyed equi-joins, no cartesian") {
+    val p = plan("q49_hierarchy_rollup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // at least one doubling round composed the closure with itself
+    assert(p.contains("Join"), p.take(1000))
+  }
 }
