@@ -716,6 +716,42 @@ object DedupQueries {
         .orderBy($"src_lo", $"src_hi")
     },
 
+    // --- contrastive training triplets off the dedup pipeline -----------
+    // (anchor, positive, hard negative) triplets for training retrieval
+    // /embedding models, mined ENTIRELY from structures the pipeline
+    // already has: the positive is the anchor's min-id verified
+    // near-dup partner (the edge artifact), and the hard negative is a
+    // BANDED CANDIDATE THAT FAILED VERIFICATION and sits in a different
+    // dedup cluster — a document the LSH index found surface-similar
+    // but that is provably not a near-dup, exactly the "hard" part of
+    // a hard negative (cluster membership, not just pair failure,
+    // screens transitive near-dups out). Everything is keyed joins off
+    // the band index + edge artifact — never all-pairs — and the
+    // min-id picks make the triplets deterministic.
+    "llm_contrastive_triplets" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = dupPairs(s, dir)
+      val lab = clusterLabels(s, dir)
+      val sym = pairs.select($"doc_a".as("anchor"), $"doc_b".as("p"))
+        .unionByName(pairs.select($"doc_b".as("anchor"), $"doc_a".as("p")))
+      val pos = sym.groupBy($"anchor").agg(min($"p").as("positive"))
+      val docs = IndexArtifacts.materialize(s, shingled(s, dir), "ct-shingled")
+      val cand = bandCandidates(
+        IndexArtifacts.materialize(s, minhashBands(docs), "ct-bands"),
+        Seq("band", "bh"))
+      val candSym = cand.select($"doc_a".as("anchor"), $"doc_b".as("c"))
+        .unionByName(cand.select($"doc_b".as("anchor"), $"doc_a".as("c")))
+      val neg = candSym
+        .join(lab.select($"doc_id".as("anchor"), $"label".as("la")),
+          Seq("anchor"), "left")
+        .join(lab.select($"doc_id".as("c"), $"label".as("lc")), Seq("c"), "left")
+        .filter(coalesce($"la", $"anchor") =!= coalesce($"lc", $"c"))
+        .groupBy($"anchor").agg(min($"c").as("negative"))
+      pos.join(neg, Seq("anchor"), "left")
+        .select($"anchor", $"positive", $"negative")
+        .orderBy($"anchor")
+    },
+
     // --- deterministic stratified sampling (data mixing) ----------------
     // Per-(source, lang) stratum subsample at a fixed rate, selected by
     // an md5-derived hash of the doc id — reproducible across runs and
@@ -1053,6 +1089,27 @@ object DedupQueries {
          |  JOIN documents db ON db.doc_id = p.doc_b)
          |SELECT src_lo, src_hi, count(*) AS n_pairs
          |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_contrastive_triplets" ->
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |sym AS (
+         |  SELECT doc_a AS anchor, doc_b AS p FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |pos AS (SELECT anchor, min(p) AS positive FROM sym GROUP BY anchor),
+         |candsym AS (
+         |  SELECT doc_a AS anchor, doc_b AS c FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |neg AS (
+         |  SELECT cs.anchor, min(cs.c) AS negative
+         |  FROM candsym cs
+         |  LEFT JOIN labels la ON la.doc_id = cs.anchor
+         |  LEFT JOIN labels lc ON lc.doc_id = cs.c
+         |  WHERE COALESCE(la.cluster_id, cs.anchor)
+         |     <> COALESCE(lc.cluster_id, cs.c)
+         |  GROUP BY cs.anchor)
+         |SELECT p.anchor, p.positive, n.negative
+         |FROM pos p LEFT JOIN neg n ON p.anchor = n.anchor
+         |ORDER BY 1""".stripMargin,
 
     // canonical a<b<c enumeration over the id-ordered pair table —
     // the triangle SET is orientation-invariant, so the simple oracle

@@ -309,6 +309,44 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: version diff of the replica store ---------------------------
+    // What changed between two committed versions — the audit/debug
+    // read every versioned MERGE sink grows ("what did batch 2 do?"):
+    // v1 and v2 read through the same time-travel path the snapshot
+    // query gates, full-outer-joined on the key, classified
+    // added/removed/changed (latest event_id is the change witness —
+    // it moves whenever the key's state does). Unchanged keys drop, so
+    // the output is delta-sized. At scale both sides are bucket-pruned
+    // reads of the SAME store and the join is key-partitioned.
+    "cdc_replica_diff" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-diff")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val orderCols = Seq(col("ts"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols)
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), orderCols)
+      val v1 = CdcStream.readReplicaAt(s, replica, 1).get
+        .select($"user_id", $"event_id".as("old_event_id"))
+      val v2 = CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("new_event_id"))
+      v1.join(v2, Seq("user_id"), "full_outer")
+        .filter($"old_event_id".isNull || $"new_event_id".isNull ||
+          $"old_event_id" =!= $"new_event_id")
+        .withColumn("change_type",
+          when($"old_event_id".isNull, "added")
+            .when($"new_event_id".isNull, "removed")
+            .otherwise("changed"))
+        .select($"user_id", $"change_type", $"old_event_id", $"new_event_id")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: additive schema evolution through the MERGE sink -----------
     // The sink-side twin of src_binlog_schema_drift: batch 2's rows
     // carry a column batch 1 never had (the post-DDL changelog), the
@@ -944,6 +982,36 @@ object EventQueries {
          |  FROM h)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    "cdc_replica_diff" ->
+      s"""WITH mm AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |v1 AS (
+         |  SELECT user_id, event_id FROM (
+         |    SELECT user_id, event_id, $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events, mm
+         |    WHERE epoch_ms(CAST(ts AS TIMESTAMP)) < mn + (mx - mn) // 2)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |v2 AS (
+         |  SELECT user_id, event_id FROM (
+         |    SELECT user_id, event_id, $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+         |  CASE WHEN v1.user_id IS NULL THEN 'added'
+         |       WHEN v2.user_id IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change_type,
+         |  v1.event_id AS old_event_id, v2.event_id AS new_event_id
+         |FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+         |WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+         |   OR v1.event_id <> v2.event_id
+         |ORDER BY 1""".stripMargin,
 
     // the replica's shard digests must equal the changelog's — computed
     // here straight from events (the replica never exists oracle-side)

@@ -61,9 +61,15 @@ object SourceQueries {
     target.toString
   }
 
+  /** Records per file of the plain binlog fixture — shared with the
+    * bootstrap-handoff query's offset arithmetic.
+    */
+  val BinlogRecordsPerFile = 50000L
+
   def binlogDir(s: SparkSession, sfDir: String): String =
     cachedLog(sfDir, "binlog") { out =>
-      ChangelogGenerator.generate(Tables(s, sfDir).events, out, recordsPerFile = 50000)
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out,
+        recordsPerFile = BinlogRecordsPerFile)
     }
 
   /** Midpoint of the events table's ts range in epoch-ms — the
@@ -220,6 +226,63 @@ object SourceQueries {
         .orderBy($"table_name")
     },
 
+    // --- bootstrap full-sync → streaming handoff (S4 → S1 lifecycle) ----
+    // The reference's documented deployment: an initial full-table sync
+    // (JDBC snapshot) and then the binlog stream FROM THE SNAPSHOT'S
+    // POSITION (README bootstrap pattern; binlogIndex/binlogFileOffset
+    // are its option names). Here: the pre-cut latest state applies to
+    // the replica as a snapshot (insert batch, deleted keys absent),
+    // the handoff offset is derived from the snapshot boundary by
+    // offset arithmetic alone, and a REAL readStream resumes at that
+    // (fileId, pos) — no gap, no overlap. The final replica must equal
+    // the one-shot latest state over the whole log, which only holds if
+    // the seek lands exactly between the two halves.
+    "src_binlog_bootstrap_handoff" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.CdcStream
+      val logDir = binlogDir(s, dir)
+      val replica = graft.llm.IndexArtifacts.tempDir("bootstrap-replica")
+      val ev = Tables(s, dir).events
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_millis($"ts").desc, $"event_id".desc)
+      val snap = ev.filter(unix_millis($"ts") < cut)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .filter($"event_type" =!= "error") // last pre-cut op delete => absent
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+          Q.cents($"value").as("value_cents"), lit("insert").as("op"))
+      val orderCols = Seq(col("ts_ms"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica, snap, Seq("user_id"), orderCols)
+      // handoff position: records strictly before the cut, in the
+      // generator's (ts, event_id) log order — pure offset arithmetic
+      val consumed = ev.filter(unix_millis($"ts") < cut).count()
+      val fileId = consumed / BinlogRecordsPerFile + 1
+      val pos = consumed % BinlogRecordsPerFile + 1
+      val q = s.readStream.format("graft-binlog")
+        .option("path", logDir)
+        .option("offsetsByTable", "false")
+        .option("binlogIndex", fileId.toString)
+        .option("binlogFileOffset", pos.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          graft.llm.IndexArtifacts.tempDir("bootstrap-ck"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = CdcStream.parsed(batch, eventsRowSchema)
+            .select($"user_id", $"event_id", $"ts_ms",
+              Q.cents($"value").as("value_cents"), $"op")
+          CdcStream.applyBatchToReplica(replica, b, Seq("user_id"), orderCols)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- txn-aligned streaming: no micro-batch splits a transaction -----
     // The transactional changelog (BEGIN…XID groups of TxnSize records)
     // streams under a maxEventsPerTrigger cap chosen to land mid-txn;
@@ -312,6 +375,17 @@ object SourceQueries {
          |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events WHERE event_type IN ('click', 'purchase')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_bootstrap_handoff" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id,
+         |    ${graft.queries.Q.centsSql("value")} AS value_cents,
+         |    ${graft.cdc.OpMapping.sql} AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
 
     "src_binlog_txn_batches" ->
       s"""WITH ordered AS (

@@ -47,6 +47,18 @@ object TxnBoundaries {
   def of(dir: String, f: File): (Long, IndexedSeq[Long]) = {
     val path = f.getAbsolutePath
     val len = f.length(); val mtime = f.lastModified()
+    // the manifest is AUTHORITATIVE whenever current — checked before
+    // any cache hit, because it can arrive AFTER the file was content-
+    // scanned (writer closes the file, then publishes) and is the only
+    // evidence that the file's final transaction committed. manifest()
+    // is itself mtime-cached, so this is a map lookup per call.
+    ChangelogFiles.manifest(dir).get(f.getName) match {
+      case Some(e) if e.length == len && e.txnEnds.nonEmpty =>
+        val st = State(len, mtime, e.count, None, e.txnEnds.toVector)
+        cache.put(path, st)
+        return (st.lines, st.ends)
+      case _ => ()
+    }
     val prev0 = cache.get(path)
     if (prev0 != null && prev0.consumed == len && prev0.mtime == mtime)
       return (prev0.lines, prev0.ends)
@@ -56,16 +68,6 @@ object TxnBoundaries {
       else if (len == prev0.consumed) null // same length, new mtime: rewrite suspected
       else if (prev0.lastRec.isEmpty && prev0.lines > 0) null // manifest-loaded, grew
       else prev0
-    if (prev == null) {
-      val entry = ChangelogFiles.manifest(dir).get(f.getName)
-      entry match {
-        case Some(e) if e.length == len && e.txnEnds.nonEmpty =>
-          val st = State(len, mtime, e.count, None, e.txnEnds.toVector)
-          cache.put(path, st)
-          return (st.lines, st.ends)
-        case _ => ()
-      }
-    }
     val from = if (prev == null) 0L else prev.consumed
     val st = scan(f, from, len, mtime,
       if (prev == null) 0L else prev.lines,

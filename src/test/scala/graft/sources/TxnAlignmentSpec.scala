@@ -130,6 +130,66 @@ class TxnAlignmentSpec extends SparkSuite {
     assert(messages(err).exists(_.contains("offsetsByTable=false")))
   }
 
+  test("checkpoint restart stays txn-atomic; unproven tail commits wait") {
+    // full txn log (K=7, deferred rolls => file 1 has 308 = 7*44
+    // records), served WITHOUT its manifest so commit evidence must
+    // come from the content rules alone
+    val src = txnLogDir(7)
+    val growDir = Files.createTempDirectory("txn-grow").toString
+    java.nio.file.Files.copy(new File(src, "schemas.json").toPath,
+      new File(growDir, "schemas.json").toPath)
+    val srcFiles = ChangelogFiles.listFiles(src)
+    def copyFile(id: Long): Unit = {
+      val f = srcFiles.find(_._1 == id).get._2
+      java.nio.file.Files.copy(f.toPath, new File(growDir, f.getName).toPath)
+    }
+    copyFile(1)
+
+    val ck = Files.createTempDirectory("txn-ck").toString
+    val out = Files.createTempDirectory("txn-restart-out").toString + "/rows"
+    def run(): Long = {
+      val q = spark.readStream.format("graft-binlog")
+        .option("path", growDir)
+        .option("offsetsByTable", "false")
+        .option("txnAligned", "true")
+        .option("maxEventsPerTrigger", "100")
+        .load().writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("value"), lit(id).as("batch_id"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).count()
+    }
+    // tail file, no manifest: txn 43's commit (records 302..308) has no
+    // successor evidence yet — its records are NOT served
+    assert(run() === 301L)
+
+    // the log grows: file 1 is no longer the tail, so rotate-at-commit
+    // proves its last record committed; a fresh query on the same
+    // checkpoint serves everything except the NEW tail's final txn
+    // (1000 = 7*142 + 6: the 6-record txn 142 still lacks evidence)
+    srcFiles.map(_._1).filter(_ > 1).foreach(copyFile)
+    assert(run() === 994L)
+
+    // the writer publishes its manifest (close/roll records txnEnds):
+    // the tail commit is now proven and the last txn is served
+    java.nio.file.Files.copy(
+      new File(src, ChangelogFiles.ManifestName).toPath,
+      new File(growDir, ChangelogFiles.ManifestName).toPath)
+    assert(run() === 1000L)
+    val rows = spark.read.parquet(out).select(
+      get_json_object($"value", "$.txnId").cast("long").as("txn_id"),
+      get_json_object($"value", "$.rows[0].event_id").cast("long").as("event_id"),
+      $"batch_id")
+    assert(rows.select("event_id").distinct().count() === 1000L)
+    val split = rows.groupBy("txn_id")
+      .agg(countDistinct($"batch_id").as("nb")).filter($"nb" > 1).count()
+    assert(split === 0L, "a txn spanned batches across the restart")
+  }
+
   test("manifest txnEnds serve completed files with zero content I/O") {
     val d = txnLogDir(7)
     val files = ChangelogFiles.listFiles(d)
