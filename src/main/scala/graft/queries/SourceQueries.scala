@@ -327,6 +327,35 @@ object SourceQueries {
         .orderBy($"txn_id")
     },
 
+    // --- wal source → MERGE sink → latest state (HBase replication) ----
+    // The WAL side of the sink story: all regions' put/delete
+    // mutations (parsed from the HBase-shaped envelopes) merge into
+    // ONE keyed replica — the cross-region table view HBase
+    // replication consumers build — and the read-back latest state
+    // must equal the oracle's. Proves the WAL source feeds the same
+    // bucket-scoped MERGE layer the binlog path uses: one keyed job,
+    // deletes as tombstones, region boundaries invisible downstream.
+    "src_wal_replica_state" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("wal-replica")
+      val df = s.read.format("graft-wal")
+        .option("path", walDir(s, dir)).load()
+      val rows = df.select(
+          get_json_object($"value", "$.type").as("wop"),
+          get_json_object($"value", "$.timestamp").cast("long").as("ts_ms"),
+          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("user_id"),
+          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"),
+          get_json_object($"value", "$.rows[0]['d:value']").cast("double").as("v"))
+        .select($"user_id", $"event_id", $"ts_ms", Q.cents($"v").as("value_cents"),
+          when($"wop" === "delete", "delete").otherwise("insert").as("op"))
+      CdcStream.applyBatchToReplica(replica, rows, Seq("user_id"),
+        Seq(col("ts_ms"), col("event_id")))
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- wal source → per-region put/delete mix with content sums -------
     "src_wal_region_mix" -> { (s, dir) =>
       import s.implicits._
@@ -397,6 +426,18 @@ object SourceQueries {
          |  CAST(1 AS BIGINT) AS n_batches,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
          |FROM ordered GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deletes tombstone their key; latest state per rowkey across all
+    // regions == latest state per user over raw events
+    "src_wal_replica_state" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id,
+         |    ${graft.queries.Q.centsSql("value")} AS value_cents, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> 'error'
+         |ORDER BY user_id""".stripMargin,
 
     "src_wal_region_mix" ->
       s"""SELECT

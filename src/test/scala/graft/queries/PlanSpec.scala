@@ -500,6 +500,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("llm_contrastive_triplets: keyed joins off band index + artifacts, no cartesian") {
+    val p = plan("llm_contrastive_triplets")
+    assert(p.contains("dup-pairs"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q49: closure doubling rounds are keyed equi-joins, no cartesian") {
     val p = plan("q49_hierarchy_rollup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
