@@ -45,13 +45,20 @@ object ChangelogGenerator {
     *   txn-commit positions (`txnEnds`) so txn-aligned batch planning
     *   is metadata-only. Closing the log commits the final (possibly
     *   short) transaction.
+    * @param beforeImages when true, models `binlog_row_image=full`
+    *   (FIXTURES §1): each UPDATE record carries the row's previous
+    *   image, maintained per key exactly as a database would — the
+    *   image is the key's last written row, and a delete clears it
+    *   (an update arriving after a delete has no before image, like a
+    *   row re-created by the application).
     */
   def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
       db: String = "graft", table: String = "events",
       prefix: String = ChangelogFiles.DefaultPrefix,
       driftFromMs: Long = Long.MaxValue,
       tableByEventType: Boolean = false,
-      txnSize: Long = 0L): Unit = {
+      txnSize: Long = 0L,
+      beforeImages: Boolean = false): Unit = {
     val dir = new File(outDir)
     dir.mkdirs()
 
@@ -95,6 +102,8 @@ object ChangelogGenerator {
     val written =
       scala.collection.mutable.LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
     val allTxnEnds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    val rowState =
+      scala.collection.mutable.HashMap.empty[Long, Map[String, EnvelopeValue]]
     def roll(): Unit = {
       if (out != null) {
         out.close()
@@ -138,7 +147,17 @@ object ChangelogGenerator {
           base + ("score" -> EnvelopeValue.VLong(r.getLong(0) % 1000L))
         else base
       val txn = if (txnSize > 0) Some((globalIdx - 1) / txnSize) else None
-      val rec = ChangelogRecord(posInFile, op, db, recTable, tsMs, row, txn = txn)
+      // per-key row state for before images: last written image, cleared
+      // by delete — what binlog_row_image=full captures for UPDATEs
+      val before =
+        if (beforeImages && op == "update") rowState.get(r.getLong(1))
+        else None
+      if (beforeImages) {
+        if (op == "delete") rowState.remove(r.getLong(1))
+        else rowState.put(r.getLong(1), row)
+      }
+      val rec = ChangelogRecord(posInFile, op, db, recTable, tsMs, row,
+        before = before, txn = txn)
       out.write(ChangelogRecord.write(rec))
       out.write("\n")
       // record at pos ends its txn when it is the txn's last record or

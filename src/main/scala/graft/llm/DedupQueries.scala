@@ -716,6 +716,28 @@ object DedupQueries {
         .orderBy($"src_lo", $"src_hi")
     },
 
+    // --- LSH band-skew diagnosis (the candidate-explosion guard) --------
+    // The practical LSH killer at 100 TB is a HOT BUCKET: boilerplate
+    // shingle sets collapse thousands of docs into one (band, bh)
+    // bucket and the candidate equi-join goes quadratic INSIDE it
+    // (Σ C(B,2) per bucket). This report prices that risk before it
+    // bites — per band: bucket count, the largest bucket, and the
+    // exact candidate-pair cost the band contributes — the same
+    // measure-then-decide role q31_skew_report plays for joins (the
+    // remedies differ: cap/drop hot buckets as stop-shingles, or shard
+    // them). Two keyed partial aggregates over the band index; the
+    // report is |bands| rows at any corpus size.
+    "llm_band_skew" -> { (s, dir) =>
+      import s.implicits._
+      val bands = minhashBands(shingled(s, dir))
+      bands.groupBy($"band", $"bh").agg(count(lit(1)).as("b"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_buckets"),
+          max($"b").as("max_bucket"),
+          sum(expr("b * (b - 1) DIV 2")).as("candidate_pairs"))
+        .orderBy($"band")
+    },
+
     // --- contrastive training triplets off the dedup pipeline -----------
     // (anchor, positive, hard negative) triplets for training retrieval
     // /embedding models, mined ENTIRELY from structures the pipeline
@@ -1089,6 +1111,19 @@ object DedupQueries {
          |  JOIN documents db ON db.doc_id = p.doc_b)
          |SELECT src_lo, src_hi, count(*) AS n_pairs
          |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_band_skew" ->
+      s"""WITH docs AS ($shingledSql),
+         |tok AS (
+         |  SELECT doc_id, tok % $P AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
+         |$minhashSigSql,
+         |bands AS (
+         |  $minhashBandsSql),
+         |bsz AS (SELECT band, bh, count(*) AS b FROM bands GROUP BY 1, 2)
+         |SELECT band, count(*) AS n_buckets, CAST(max(b) AS BIGINT) AS max_bucket,
+         |  CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidate_pairs
+         |FROM bsz GROUP BY band ORDER BY band""".stripMargin,
 
     "llm_contrastive_triplets" ->
       s"""WITH RECURSIVE $clusterLabelsSql,

@@ -120,6 +120,15 @@ object SourceQueries {
     */
   val TxnSize = 7L
 
+  /** `binlog_row_image=full` fixture: updates carry per-key before
+    * images maintained by the generator's row state.
+    */
+  def binlogBeforeDir(s: SparkSession, sfDir: String): String =
+    cachedLog(sfDir, "binlog-before") { out =>
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out,
+        recordsPerFile = BinlogRecordsPerFile, beforeImages = true)
+    }
+
   def binlogTxnDir(s: SparkSession, sfDir: String): String =
     cachedLog(sfDir, "binlog-txn") { out =>
       // recordsPerFile not a txn multiple: rolls defer to commit
@@ -224,6 +233,36 @@ object SourceQueries {
           countDistinct($"user_id").as("n_users"),
           sum(Q.cents($"value")).as("value_cents"))
         .orderBy($"table_name")
+    },
+
+    // --- update before-images through the source (binlog_row_image=full)
+    // The reference DISCARDS update before-images
+    // (UpdateRowsWriter.java:54-57); this engine keeps them behind
+    // `includeBeforeImage` (SURVEY §1.6) — here the whole path is
+    // oracle-gated: the generator maintains per-key row state (last
+    // written image, cleared by delete), every update's envelope
+    // carries `beforeRows`, and the aggregate pins how many updates
+    // have one plus the exact content sums of the before images. The
+    // oracle reconstructs the same state with a per-user lag: the
+    // before image IS the previous event's row unless that event was
+    // a delete.
+    "src_binlog_before_images" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogBeforeDir(s, dir))
+        .option("includeBeforeImage", "true").load()
+      df.select(
+          get_json_object($"value", "$.type").as("op"),
+          get_json_object($"value", "$.beforeRows[0].event_id").cast("long")
+            .as("before_id"),
+          get_json_object($"value", "$.beforeRows[0].value").cast("double")
+            .as("before_value"))
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n_events"),
+          count($"before_id").as("n_with_before"),
+          sum($"before_id").as("sum_before_id"),
+          sum(Q.cents($"before_value")).as("before_value_cents"))
+        .orderBy($"op")
     },
 
     // --- bootstrap full-sync → streaming handoff (S4 → S1 lifecycle) ----
@@ -404,6 +443,25 @@ object SourceQueries {
          |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events WHERE event_type IN ('click', 'purchase')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_before_images" ->
+      s"""WITH lagged AS (
+         |  SELECT ${graft.cdc.OpMapping.sql} AS op,
+         |    lag(event_id) OVER w AS prev_id,
+         |    lag(event_type) OVER w AS prev_type,
+         |    lag(value) OVER w AS prev_value
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id
+         |               ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id))
+         |SELECT op, count(*) AS n_events,
+         |  count(CASE WHEN op = 'update' AND prev_type <> 'error'
+         |        THEN 1 END) AS n_with_before,
+         |  CAST(sum(CASE WHEN op = 'update' AND prev_type <> 'error'
+         |        THEN prev_id END) AS BIGINT) AS sum_before_id,
+         |  CAST(sum(CASE WHEN op = 'update' AND prev_type <> 'error'
+         |        THEN ${graft.queries.Q.centsSql("prev_value")} END)
+         |    AS BIGINT) AS before_value_cents
+         |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_binlog_bootstrap_handoff" ->
       s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
