@@ -1,5 +1,6 @@
 package graft.llm
 
+import java.io.File
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -65,6 +66,7 @@ object IncrementalClusters {
     */
   def update(s: SparkSession, stateDir: String, docs: DataFrame): Unit = {
     import s.implicits._
+    Seq("shingles", "bands").foreach(recoverSwap(stateDir, _))
     val incoming = docs.select($"doc_id", hashedShingles($"text").as("sh"))
       .filter(size($"sh") > 0)
     val oldShPath = tbl(stateDir, "shingles")
@@ -157,5 +159,66 @@ object IncrementalClusters {
     // silently lose the bands of screened-out docs.
     newBands.write.mode("append").parquet(tbl(stateDir, "bands"))
     newSh.write.mode("append").parquet(tbl(stateDir, "shingles"))
+  }
+
+  // --------------------------------------------------- state compaction
+
+  /** Compact the append-only index tables when they have accumulated
+    * more than `maxFiles` part files — the small-file maintenance every
+    * streaming index needs: a long-lived stream appends one file set
+    * per trigger, and at 100 TB an uncompacted index turns every
+    * candidate join's scan into a file-listing storm. Content-identical
+    * rewrite (consumers treat both tables as sets), sized at ~one
+    * partition per 128 MB.
+    *
+    * Must run from the same single-writer maintenance loop as
+    * [[update]] (no concurrent reader exists there). Crash-safe by
+    * two-phase swap: the compacted copy lands in `<name>.next` (parquet
+    * `_SUCCESS` marks it complete), the live dir moves to
+    * `<name>.trash`, the copy moves in, the trash is deleted; a crash
+    * at any point is healed by [[recoverSwap]] on the next update or
+    * compaction.
+    */
+  def compactState(s: SparkSession, stateDir: String, maxFiles: Int = 8): Unit = {
+    Seq("shingles", "bands").foreach { name =>
+      recoverSwap(stateDir, name)
+      val dir = new File(tbl(stateDir, name))
+      if (dir.exists()) {
+        val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (parts.length > maxFiles) {
+          val bytes = parts.map(_.length()).sum
+          val target = math.max(1, (bytes / (128L << 20)).toInt)
+          val next = new File(tbl(stateDir, name + ".next"))
+          s.read.parquet(dir.toString).coalesce(target)
+            .write.mode("overwrite").parquet(next.toString)
+          val trash = new File(tbl(stateDir, name + ".trash"))
+          Files.move(dir.toPath, trash.toPath)
+          Files.move(next.toPath, dir.toPath)
+          deleteRec(trash)
+        }
+      }
+    }
+  }
+
+  /** Heal an interrupted [[compactState]] swap: a completed `.next`
+    * (parquet `_SUCCESS` present) with no live dir moves in; stale
+    * `.next`/`.trash` leftovers are deleted (the live dir, when
+    * present, is always authoritative).
+    */
+  private def recoverSwap(stateDir: String, name: String): Unit = {
+    val cur = new File(tbl(stateDir, name))
+    val next = new File(tbl(stateDir, name + ".next"))
+    val trash = new File(tbl(stateDir, name + ".trash"))
+    if (!cur.exists() && new File(next, "_SUCCESS").exists())
+      Files.move(next.toPath, cur.toPath)
+    if (cur.exists() && next.exists()) deleteRec(next)
+    if (trash.exists()) deleteRec(trash)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
   }
 }

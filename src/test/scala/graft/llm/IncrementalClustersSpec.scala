@@ -88,6 +88,63 @@ class IncrementalClustersSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet === labelsOnce)
   }
 
+  test("compactState collapses small files without changing content") {
+    val state = Files.createTempDirectory("inc-compact").toString
+    // several tiny batches => several part-file sets per table
+    (0 until 4).foreach { i =>
+      IncrementalClusters.update(spark, state,
+        Seq((i * 10L, textP), (i * 10L + 1, textP)).toDF("doc_id", "text"))
+    }
+    def parts(name: String): Int =
+      Option(new java.io.File(s"$state/$name").listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val shBefore = spark.read.parquet(s"$state/shingles")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bandsBefore = spark.read.parquet(s"$state/bands").count()
+    val labelsBefore = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toSet
+    assert(parts("shingles") > 3 && parts("bands") > 3)
+
+    IncrementalClusters.compactState(spark, state, maxFiles = 3)
+    assert(parts("shingles") <= 3 && parts("bands") <= 3)
+    assert(spark.read.parquet(s"$state/shingles")
+      .select("doc_id").as[Long].collect().sorted.toSeq === shBefore)
+    assert(spark.read.parquet(s"$state/bands").count() === bandsBefore)
+    assert(IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toSet === labelsBefore)
+
+    // the compacted index keeps serving: a near-dup of an indexed doc
+    // still lands in its cluster, and replay screening still works
+    IncrementalClusters.update(spark, state,
+      Seq((100L, textP)).toDF("doc_id", "text"))
+    val labels = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(100L) === labels(0L))
+  }
+
+  test("an interrupted compaction swap heals on the next update") {
+    val state = Files.createTempDirectory("inc-heal").toString
+    IncrementalClusters.update(spark, state,
+      Seq((1L, textP), (2L, textP)).toDF("doc_id", "text"))
+    // simulate a crash AFTER the compacted copy completed and the live
+    // dir moved away, BEFORE the copy moved in: worst-case window
+    val cur = java.nio.file.Paths.get(s"$state/shingles")
+    val next = java.nio.file.Paths.get(s"$state/shingles.next")
+    val rows = spark.read.parquet(cur.toString)
+    rows.coalesce(1).write.parquet(next.toString)
+    val trash = java.nio.file.Paths.get(s"$state/shingles.trash")
+    java.nio.file.Files.move(cur, trash)
+    // next update heals: the completed .next moves in, trash clears
+    IncrementalClusters.update(spark, state,
+      Seq((3L, textP)).toDF("doc_id", "text"))
+    assert(!java.nio.file.Files.exists(next) &&
+      !java.nio.file.Files.exists(trash))
+    val labels = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(3L) === labels(1L))
+  }
+
   test("update with no matching docs leaves labels untouched") {
     val state = Files.createTempDirectory("inc-noop").toString
     IncrementalClusters.update(spark, state,
