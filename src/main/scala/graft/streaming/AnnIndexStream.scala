@@ -58,19 +58,25 @@ object AnnIndexStream {
     ()
   }
 
-  /** Scan of all COMPLETED batches: `(batch, vec_id, embedding, cell)`.
+  /** Scan of all LIVE batches: `(batch, vec_id, embedding, cell)`.
     * Partition-value filtering keeps crashed half-written batch dirs
-    * out without reading them.
+    * out without reading them, and batches folded by [[compactIndex]]
+    * are excluded by their fold's tombstone.
     */
-  def readIndex(s: SparkSession, indexDir: String): DataFrame = {
-    val completed = Option(new java.io.File(indexDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        java.nio.file.Files.exists(f.toPath.resolve("_complete")))
-      .map(_.getName.stripPrefix("batch=").toLong)
-    val df = s.read.option("basePath", indexDir).parquet(indexDir)
-    df.filter(col("batch").isin(completed.toIndexedSeq: _*))
-  }
+  def readIndex(s: SparkSession, indexDir: String): DataFrame =
+    BatchDirState.readLive(s, indexDir)
+
+  /** Fold accumulated batch dirs into one (cell partitioning kept, so
+    * probe-side pruning is unchanged) once more than `maxDirs` exist —
+    * the small-file maintenance of a long-lived index stream, under
+    * [[BatchDirState]]'s tombstone protocol (crash at any point
+    * neither loses nor double-serves a vector).
+    */
+  def compactIndex(s: SparkSession, indexDir: String,
+      maxDirs: Int = 8): Unit =
+    BatchDirState.compact(s, indexDir, maxDirs)(identity) { (df, out) =>
+      df.write.partitionBy("cell").parquet(out)
+    }
 
   /** Top-k cosine neighbors for a bounded query set, reading ONLY the
     * probed cells' partitions: per query the `nprobe` best cells rank

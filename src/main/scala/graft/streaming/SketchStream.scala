@@ -53,23 +53,26 @@ object SketchStream {
     ()
   }
 
-  private def completedBatches(sketchDir: String): Array[Long] =
-    Option(new java.io.File(sketchDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        java.nio.file.Files.exists(f.toPath.resolve("_complete")))
-      .map(_.getName.stripPrefix("batch=").toLong)
-
-  /** The live merged sketch: cell-wise sum over all COMPLETED batch
-    * tables (crashed half-written dirs are excluded by the marker).
+  /** The live merged sketch: cell-wise sum over all LIVE batch tables
+    * (crashed half-written dirs are excluded by the marker, folded
+    * ones by their fold's tombstone).
     */
-  def readSketch(s: SparkSession, sketchDir: String): DataFrame = {
-    val completed = completedBatches(sketchDir)
-    s.read.option("basePath", sketchDir).parquet(sketchDir)
-      .filter(col("batch").isin(completed.toIndexedSeq: _*))
+  def readSketch(s: SparkSession, sketchDir: String): DataFrame =
+    BatchDirState.readLive(s, sketchDir)
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("c")).as("c"))
-  }
+
+  /** Fold accumulated CMS batch tables into one D×W table once more
+    * than `maxDirs` exist — CMS merge IS the cell-wise sum, so the fold
+    * is the same aggregate the read path applies, persisted once.
+    * Tombstone protocol: crash at any point neither loses nor
+    * double-counts a cell.
+    */
+  def compactCms(s: SparkSession, sketchDir: String,
+      maxDirs: Int = 8): Unit =
+    BatchDirState.compact(s, sketchDir, maxDirs) { df =>
+      df.groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+    } { (df, out) => df.write.parquet(out) }
 
   /** Point-estimate a bounded term set against the merged sketch:
     * `min` over each term's D counters (the CMS estimator; one-sided
@@ -122,21 +125,33 @@ object SketchStream {
     ()
   }
 
-  /** The live merged KMV sketch: bottom-k per source over the union of
-    * all COMPLETED batch sketches (KMV mergeability; crashed dirs are
-    * excluded by the marker).
+  /** Bottom-k per source over a union of batch sketches — both the
+    * read-path merge and the compaction fold (KMV mergeability).
     */
-  def readKmv(s: SparkSession, sketchDir: String): DataFrame = {
-    val completed = completedBatches(sketchDir)
+  private def kmvMerge(union: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h").asc)
-    s.read.option("basePath", sketchDir).parquet(sketchDir)
-      .filter(col("batch").isin(completed.toIndexedSeq: _*))
-      .select(col("source"), col("h")).distinct()
+    union.select(col("source"), col("h")).distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= SketchQueries.KmvK)
       .select(col("source"), col("h"))
   }
+
+  /** The live merged KMV sketch: bottom-k per source over the union of
+    * all LIVE batch sketches (KMV mergeability; crashed dirs are
+    * excluded by the marker, folded ones by their fold's tombstone).
+    */
+  def readKmv(s: SparkSession, sketchDir: String): DataFrame =
+    kmvMerge(BatchDirState.readLive(s, sketchDir))
+
+  /** Fold accumulated KMV batch sketches into one |sources|·K table —
+    * the fold is the same bottom-k merge the read path applies.
+    */
+  def compactKmv(s: SparkSession, sketchDir: String,
+      maxDirs: Int = 8): Unit =
+    BatchDirState.compact(s, sketchDir, maxDirs)(kmvMerge) {
+      (df, out) => df.write.parquet(out)
+    }
 
   // ---------------------------------------- streaming top-k twin
   // A CMS answers POINT queries; it cannot enumerate the heavy terms.
@@ -185,14 +200,23 @@ object SketchStream {
     * table, and the final top-k is again TakeOrdered.
     */
   def readTopK(s: SparkSession, sketchDir: String, k: Int): DataFrame = {
-    val completed = completedBatches(s"$sketchDir/cand")
-    val cands = s.read.option("basePath", s"$sketchDir/cand")
-      .parquet(s"$sketchDir/cand")
-      .filter(col("batch").isin(completed.toIndexedSeq: _*))
+    val cands = BatchDirState.readLive(s, s"$sketchDir/cand")
       .select(col("term")).distinct()
     estimate(s, s"$sketchDir/cms", cands)
       .orderBy(col("cms_est").desc, col("term").asc)
       .limit(k)
+  }
+
+  /** Fold both top-k sub-states: the CMS counters cell-wise and the
+    * candidate union deduplicated.
+    */
+  def compactTopK(s: SparkSession, sketchDir: String,
+      maxDirs: Int = 8): Unit = {
+    compactCms(s, s"$sketchDir/cms", maxDirs)
+    BatchDirState.compact(s, s"$sketchDir/cand", maxDirs)(
+      _.select(col("term")).distinct()) {
+      (df, out) => df.write.parquet(out)
+    }
   }
 
   /** Per-source distinct-vocabulary estimate from the merged sketch:

@@ -74,4 +74,30 @@ class AnnIndexStreamSpec extends SparkSuite {
       .find(l => l.contains("PartitionFilters") && l.contains("cell"))
     assert(scanLine.isDefined, plan.take(2000))
   }
+
+  test("compaction folds batch dirs; probes identical; cell pruning kept") {
+    val dir = graft.llm.IndexArtifacts.tempDir("ann-compact")
+    val cents = centroids
+    (0L to 3L).foreach { b =>
+      AnnIndexStream.maintainIvfIndex(dir,
+        embs.filter(col("vec_id") % 4 === b), b, cents)
+    }
+    def probeRows() = AnnIndexStream.probe(spark, dir,
+      embs.filter(col("vec_id") < SimilarityQueries.NumQueries),
+      cents, nprobe = 1, topK = SimilarityQueries.IvfTopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSeq
+    val before = probeRows()
+    AnnIndexStream.compactIndex(spark, dir, maxDirs = 2)
+    assert(BatchDirState.liveBatchIds(dir).length === 1)
+    assert(probeRows() === before)
+    // the folded dir keeps the cell=... partition layout (probe pruning)
+    val foldId = BatchDirState.liveBatchIds(dir).head
+    val cellDirs = Option(
+      new java.io.File(s"$dir/batch=$foldId").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("cell="))
+    assert(cellDirs > 0)
+    // a later micro-batch (fresh id) still applies exactly once
+    AnnIndexStream.maintainIvfIndex(dir, embs.limit(0), 4L, cents)
+    assert(AnnIndexStream.readIndex(spark, dir).count() === embs.count())
+  }
 }

@@ -50,6 +50,50 @@ class SketchStreamSpec extends SparkSuite {
       sketchRows(SketchStream.sketchOf(terms)))
   }
 
+  test("compaction folds batch tables; sketch stays bit-identical; no double count") {
+    val dir = freshDir()
+    (0L to 4L).foreach { b =>
+      SketchStream.maintainCms(dir, terms.filter($"doc_id" % 5 === b), b)
+    }
+    val before = sketchRows(SketchStream.readSketch(spark, dir))
+    SketchStream.compactCms(spark, dir, maxDirs = 3)
+    def batchDirs() = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("batch="))
+    assert(BatchDirState.liveBatchIds(dir).length === 1)
+    assert(sketchRows(SketchStream.readSketch(spark, dir)) == before)
+    // crash window: sources folded (tombstone live) but GC incomplete —
+    // re-create a folded source dir; the reader must still exclude it
+    SketchStream.sketchOf(terms.filter($"doc_id" % 5 === 0))
+      .write.parquet(s"$dir/batch=0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/batch=0", "_complete"),
+      Array.emptyByteArray)
+    assert(sketchRows(SketchStream.readSketch(spark, dir)) == before)
+    // a NEW stream batch (id above all previous) appends normally
+    SketchStream.maintainCms(dir, terms.filter($"doc_id" % 5 === 0), 5L)
+    assert(batchDirs() >= 2)
+    val after = sketchRows(SketchStream.readSketch(spark, dir))
+    assert(after != before) // the new batch counted exactly once
+    val expect = sketchRows(SketchStream.sketchOf(
+      terms.unionAll(terms.filter($"doc_id" % 5 === 0))))
+    assert(after == expect)
+  }
+
+  test("KMV compaction folds to one bottom-k table, estimates unchanged") {
+    val dir = freshDir()
+    val st = graft.Tables(spark, sfDir).documents
+      .select($"source", explode(TextOps.tokens($"text")).as("term"))
+    (0L to 3L).foreach { b =>
+      SketchStream.maintainKmv(dir, st.filter(TextOps.hash32($"term") % 4 === b), b)
+    }
+    val before = SketchStream.estimateDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    SketchStream.compactKmv(spark, dir, maxDirs = 2)
+    assert(BatchDirState.liveBatchIds(dir).length === 1)
+    assert(SketchStream.estimateDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet === before)
+  }
+
   test("streaming top-k: recalls the exact global heavy hitters, never underestimates") {
     val dir = freshDir()
     (0L to 2L).foreach { b =>
