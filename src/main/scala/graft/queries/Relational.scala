@@ -568,6 +568,38 @@ object Relational {
             .as("n_outliers"),
           max($"dev").as("max_dev_cents"))
         .orderBy($"grp")
+    },
+
+    // --- q50: TPC-H Q21 shape — double-correlated EXISTS, decorrelated
+    // "Suppliers who kept orders waiting": per (order, supplier) pairs,
+    // a supplier counts when it shipped late (> 60 days after the
+    // order date), the order had ANOTHER supplier (EXISTS), and no
+    // OTHER supplier was late (NOT EXISTS). The textbook form is two
+    // correlated subqueries per row — a nested-loop trap. Decorrelated
+    // Spark-first: one (order, supplier) aggregate, one per-order
+    // rollup of it, one keyed join back — both EXISTS conditions
+    // become arithmetic on (n_supp, n_late), partial-aggregated
+    // map-side, every step a keyed shuffle on l_orderkey. The oracle
+    // runs the literal EXISTS / NOT EXISTS form — two formulations,
+    // one fixpoint.
+    "q50_waiting_suppliers" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val perOrderSupp = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(when(datediff($"l_shipdate".cast("date"),
+            $"o_orderdate".cast("date")) > 60, 1L).otherwise(0L)).as("late"))
+      val perOrder = perOrderSupp.groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+      perOrderSupp.join(perOrder, "l_orderkey")
+        .filter($"late" === 1L && $"n_supp" >= 2L && $"n_late" === 1L)
+        .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name".as("nation"), $"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
     }
   )
 
@@ -883,6 +915,30 @@ object Relational {
       s"""SELECT o_orderstatus, count(*) AS n_items,
          |  CAST(sum(${centsSql(rev)}) AS BIGINT) AS revenue_cents
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the LITERAL correlated form — the engine's decorrelated plan
+    // must agree with the textbook EXISTS / NOT EXISTS semantics
+    "q50_waiting_suppliers" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                 CAST(l_shipdate AS DATE)) > 60
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name AS nation, s_name, count(*) AS numwait
+        |FROM ls l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.late = 1
+        |  AND EXISTS (SELECT 1 FROM ls l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ls l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.late = 1)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
   )
 }
