@@ -600,6 +600,32 @@ object Relational {
         .agg(count(lit(1)).as("numwait"))
         .orderBy($"numwait".desc, $"s_name")
         .limit(20)
+    },
+
+    // --- q51: TPC-H Q17 shape — per-group correlated scalar aggregate
+    // "Small-quantity line items": keep a line item when its quantity
+    // is below 20% of ITS PART's average quantity. The textbook form
+    // correlates a scalar avg subquery per row; decorrelated, the
+    // per-part aggregate computes once and joins back on the part key.
+    // The 0.2·avg threshold is kept EXACT: qty < 0.2·(sum/cnt) ⇔
+    // 5·qty·cnt < sum in int64 (quantities are integral), so no float
+    // boundary can disagree across engines. Per-brand report keeps the
+    // output bounded.
+    "q51_small_qty_parts" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val li = t.lineitem.select($"l_partkey", $"l_extendedprice",
+        $"l_quantity".cast("long").as("qty"))
+      val perPart = li.groupBy($"l_partkey")
+        .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(perPart, "l_partkey")
+        .filter(lit(5L) * $"qty" * $"cnt" < $"sum_qty")
+        .join(broadcast(t.part.select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents($"l_extendedprice")).as("price_cents"))
+        .orderBy($"p_brand")
     }
   )
 
@@ -939,6 +965,18 @@ object Relational {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.late = 1)
-        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    // the LITERAL correlated scalar-subquery form
+    "q51_small_qty_parts" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents
+         |FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+         |WHERE CAST(l_quantity AS BIGINT) * 5 *
+         |      (SELECT count(*) FROM lineitem l2
+         |       WHERE l2.l_partkey = l1.l_partkey)
+         |    < (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+         |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -512,4 +512,17 @@ class PlanSpec extends SparkSuite {
     // at least one doubling round composed the closure with itself
     assert(p.contains("Join"), p.take(1000))
   }
+
+  test("q50: the EXISTS pair decorrelates to keyed aggregates, dims broadcast") {
+    val p = plan("q50_waiting_suppliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q51: the correlated scalar aggregate decorrelates to one keyed join") {
+    val p = plan("q51_small_qty_parts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
 }
