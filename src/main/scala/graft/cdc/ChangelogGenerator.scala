@@ -51,6 +51,12 @@ object ChangelogGenerator {
     *   image is the key's last written row, and a delete clears it
     *   (an update arriving after a delete has no before image, like a
     *   row re-created by the application).
+    * @param ddlAtDrift when true (requires `driftFromMs`), a DDL
+    *   record — op `ddl`, row `{"sql": "ALTER TABLE …"}` — is written
+    *   in log order immediately before the first drifted record: the
+    *   binlog QUERY event that carries the ALTER TABLE itself. It
+    *   consumes a position like any record (manifest counts agree) and
+    *   is dropped by readers unless they opt in (`includeDdl`).
     */
   def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
       db: String = "graft", table: String = "events",
@@ -58,7 +64,10 @@ object ChangelogGenerator {
       driftFromMs: Long = Long.MaxValue,
       tableByEventType: Boolean = false,
       txnSize: Long = 0L,
-      beforeImages: Boolean = false): Unit = {
+      beforeImages: Boolean = false,
+      ddlAtDrift: Boolean = false): Unit = {
+    require(!ddlAtDrift || driftFromMs < Long.MaxValue,
+      "ddlAtDrift requires driftFromMs")
     val dir = new File(outDir)
     dir.mkdirs()
 
@@ -104,6 +113,7 @@ object ChangelogGenerator {
     val allTxnEnds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     val rowState =
       scala.collection.mutable.HashMap.empty[Long, Map[String, EnvelopeValue]]
+    var ddlWritten = false
     def roll(): Unit = {
       if (out != null) {
         out.close()
@@ -128,12 +138,23 @@ object ChangelogGenerator {
       if (posInFile >= recordsPerFile && atTxnStart) {
         fileId += 1; roll(); posInFile = 0 // roll() records the closed file's count
       }
-      posInFile += 1
-      globalIdx += 1
       val et = r.getString(2)
       val op = OpMapping.op(et)
       val tsMs = r.getLong(5)
       val recTable = if (tableByEventType) et else table
+      // the ALTER TABLE lands in the log right before the first record
+      // that carries the new column — a binlog QUERY event
+      if (ddlAtDrift && !ddlWritten && tsMs >= driftFromMs) {
+        posInFile += 1
+        perTable.updateWith(s"$db.$recTable")(c => Some(c.getOrElse(0L) + 1L))
+        out.write(ChangelogRecord.write(ChangelogRecord(posInFile, "ddl",
+          db, recTable, tsMs, Map("sql" -> EnvelopeValue.VString(
+            s"ALTER TABLE $db.$recTable ADD COLUMN score BIGINT")))))
+        out.write("\n")
+        ddlWritten = true
+      }
+      posInFile += 1
+      globalIdx += 1
       perTable.updateWith(s"$db.$recTable")(c => Some(c.getOrElse(0L) + 1L))
       val base = Map[String, EnvelopeValue](
         "event_id" -> EnvelopeValue.VLong(r.getLong(0)),

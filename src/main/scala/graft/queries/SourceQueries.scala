@@ -102,6 +102,17 @@ object SourceQueries {
     * table named by their event_type) — the real multi-table binlog
     * shape served with per-table map offsets.
     */
+  /** Drift fixture WITH the DDL record itself in the log (a binlog
+    * QUERY event right before the first post-ALTER row).
+    */
+  def binlogDdlDir(s: SparkSession, sfDir: String): String = {
+    val cut = driftCutMs(s, sfDir)
+    cachedLog(sfDir, "binlog-ddl") { out =>
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out,
+        recordsPerFile = 50000, driftFromMs = cut, ddlAtDrift = true)
+    }
+  }
+
   def binlogByTypeDir(s: SparkSession, sfDir: String): String =
     cachedLog(sfDir, "binlog-bytype") { out =>
       ChangelogGenerator.generate(Tables(s, sfDir).events, out,
@@ -174,6 +185,35 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_events"),
           count($"score").as("n_scored"),
           sum($"score").as("sum_score"),
+          sum($"event_id").as("sum_event_id"))
+        .orderBy($"op")
+    },
+
+    // --- DDL events in the stream (binlog QUERY events, opt-in) ---------
+    // The ALTER TABLE that caused the drift is itself a log record;
+    // under `includeDdl` it surfaces as a `type: "ddl"` envelope whose
+    // row carries the statement and whose schema field is the
+    // POST-DDL registry schema — consumers see the schema-change
+    // marker in order, between the last old-schema row and the first
+    // new-schema one. Without the option (every other src_ query) the
+    // record silently consumes its position, the reference's behavior.
+    // The aggregate pins the op mix including exactly one ddl event
+    // and its statement text; the oracle derives row counts from
+    // events and the ddl row as literals.
+    "src_binlog_ddl_stream" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogDdlDir(s, dir))
+        .option("includeDdl", "true").load()
+      df.select(
+          get_json_object($"value", "$.type").as("op"),
+          get_json_object($"value", "$.rows[0].sql").as("sql"),
+          get_json_object($"value", "$.rows[0].event_id").cast("long")
+            .as("event_id"))
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n_events"),
+          count($"sql").as("n_stmts"),
+          min($"sql").as("stmt"),
           sum($"event_id").as("sum_event_id"))
         .orderBy($"op")
     },
@@ -429,6 +469,18 @@ object SourceQueries {
          |        THEN event_id % 1000 END) AS BIGINT) AS sum_score,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_ddl_stream" ->
+      s"""SELECT op, count(*) AS n_events,
+         |  CAST(0 AS BIGINT) AS n_stmts, CAST(NULL AS VARCHAR) AS stmt,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         |FROM (SELECT ${graft.cdc.OpMapping.sql} AS op, event_id FROM events)
+         |GROUP BY op
+         |UNION ALL
+         |SELECT 'ddl', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         |  'ALTER TABLE graft.events ADD COLUMN score BIGINT',
+         |  CAST(NULL AS BIGINT)
+         |ORDER BY op""".stripMargin,
 
     "src_binlog_multitable" ->
       s"""SELECT event_type AS table_name, count(*) AS n_events,

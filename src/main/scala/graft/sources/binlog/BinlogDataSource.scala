@@ -127,6 +127,13 @@ final case class BinlogSourceConf(
       * requires `offsetsByTable=false`.
       */
     txnAligned: Boolean,
+    /** Surface DDL records (binlog QUERY events carrying ALTER TABLE)
+      * as `type: "ddl"` envelopes whose row is the statement and whose
+      * `schema` is the post-DDL registry schema. Default false — the
+      * reference skips QUERY events entirely; row-change consumers
+      * should not see them unless they ask.
+      */
+    includeDdl: Boolean,
     sessionTimeZone: String) extends Serializable {
 
   /** db/table regex filters applied to a `db.table` offset key (split
@@ -178,6 +185,8 @@ object BinlogSourceConf {
         Option(options.get("includeBeforeImage")).exists(_.toBoolean),
       txnAligned =
         Option(options.get("txnAligned")).exists(_.toBoolean),
+      includeDdl =
+        Option(options.get("includeDdl")).exists(_.toBoolean),
       sessionTimeZone =
         Option(options.get("sessionTimeZone")).getOrElse("UTC"))
   }
@@ -606,6 +615,12 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
   private def isCdcOp(op: String): Boolean =
     op == "insert" || op == "update" || op == "delete"
 
+  /** Record ops this scan emits: row changes always; DDL only by
+    * opt-in. Every other op consumes its position silently.
+    */
+  private def emits(op: String): Boolean =
+    isCdcOp(op) || (conf.includeDdl && op == "ddl")
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: BinlogInputPartition =>
@@ -619,7 +634,7 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
           private val it = raw
             .filter { r =>
               dbP.forall(_.matcher(r.db).matches()) &&
-                tblP.forall(_.matcher(r.table).matches()) && isCdcOp(r.op)
+                tblP.forall(_.matcher(r.table).matches()) && emits(r.op)
             }
           private var current: ChangelogRecord = _
 
@@ -660,7 +675,7 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
                   seen.put(k, seen.getOrElse(k, 0L) + 1)
                   if (idx >= lo && idx < hi) {
                     remaining -= 1
-                    if (isCdcOp(r.op)) {
+                    if (emits(r.op)) {
                       current = r; currentIdx = idx; return true
                     }
                   }

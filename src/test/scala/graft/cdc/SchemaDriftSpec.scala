@@ -112,6 +112,40 @@ class SchemaDriftSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("the DDL record surfaces in order, only under includeDdl") {
+    val d = Files.createTempDirectory("graft-ddl").toString
+    ChangelogGenerator.generate(Tables(spark, sfDir).events, d,
+      recordsPerFile = 300, driftFromMs = cut, ddlAtDrift = true)
+    // default read: the DDL record consumes its position silently
+    val plain = spark.read.format("graft-binlog").option("path", d).load()
+    assert(plain.filter(
+      get_json_object(col("value"), "$.type") === "ddl").count() === 0)
+    assert(plain.count() === 1000L)
+    // opted in: exactly one ddl envelope, carrying the statement and
+    // the POST-DDL registry schema, ordered at the drift boundary
+    val df = spark.read.format("graft-binlog").option("path", d)
+      .option("includeDdl", "true").load()
+      .select(
+        get_json_object(col("value"), "$.type").as("op"),
+        get_json_object(col("value"), "$.offset").cast("long").as("off"),
+        get_json_object(col("value"), "$.rows[0].sql").as("sql"),
+        get_json_object(col("value"), "$.schema").as("schemaJson"),
+        get_json_object(col("value"), "$.timestamp").cast("long").as("ts_ms"))
+    assert(df.count() === 1001L)
+    val ddl = df.filter(col("op") === "ddl").collect()
+    assert(ddl.length === 1)
+    val row = ddl.head
+    assert(row.getAs[String]("sql")
+      === "ALTER TABLE graft.events ADD COLUMN score BIGINT")
+    assert(DataType.fromJson(row.getAs[String]("schemaJson"))
+      .asInstanceOf[StructType].fieldNames.contains("score"))
+    // log order: every pre-cut row sits before it, every post-cut after
+    val off = row.getAs[Long]("off")
+    assert(df.filter(col("ts_ms") < cut && col("off") >= off).count() === 0)
+    assert(df.filter(col("op") =!= "ddl" && col("ts_ms") >= cut &&
+      col("off") <= off).count() === 0)
+  }
+
   test("typed expansion widens pre-DDL records with NULL score") {
     val df = spark.read.format("graft-binlog").option("path", dir).load()
     val wide = StructType(SourceQueries.eventsRowSchema.fields :+
