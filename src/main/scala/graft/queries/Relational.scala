@@ -581,18 +581,24 @@ object Relational {
     // become arithmetic on (n_supp, n_late), partial-aggregated
     // map-side, every step a keyed shuffle on l_orderkey. The oracle
     // runs the literal EXISTS / NOT EXISTS form — two formulations,
-    // one fixpoint.
+    // one fixpoint. The per-order rollup is a WINDOW over the
+    // (order, supplier) aggregate, not a self-join: the join's
+    // l_orderkey hash partitioning already clusters both the
+    // (l_orderkey, l_suppkey) aggregate and the window, so the whole
+    // decorrelation rides ONE shuffle pair instead of re-aggregating
+    // the join twice and shuffling the rollup back.
     "q50_waiting_suppliers" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val perOrderSupp = t.lineitem
-        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      val wO = Window.partitionBy($"l_orderkey")
+      t.lineitem
+        .join(t.orders.select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey", $"l_suppkey")
         .agg(max(when(datediff($"l_shipdate".cast("date"),
             $"o_orderdate".cast("date")) > 60, 1L).otherwise(0L)).as("late"))
-      val perOrder = perOrderSupp.groupBy($"l_orderkey")
-        .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
-      perOrderSupp.join(perOrder, "l_orderkey")
+        .withColumn("n_supp", count(lit(1)).over(wO))
+        .withColumn("n_late", sum($"late").over(wO))
         .filter($"late" === 1L && $"n_supp" >= 2L && $"n_late" === 1L)
         .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
         .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
