@@ -730,8 +730,27 @@ object CdcStream {
       opCol: String = "op",
       numBuckets: Int = DefaultReplicaBuckets): Unit = {
     val spark = batch.sparkSession
-    val net = lastOpPerKey(batch, idCols, orderCols)
-    val dataCols = batch.columns.filterNot(_ == opCol)
+    // materialize the per-key net ONCE: the merge below runs several
+    // actions over it (touched-bucket collect, keys broadcast, upsert
+    // union), and each would otherwise recompute the whole batch plan —
+    // which for a streaming micro-batch means re-reading and re-parsing
+    // the source's changelog files per action
+    val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
+      lastOpPerKey(batch, idCols, orderCols), "replica-net")
+    try applyNetToReplica(replicaDir, net, batch.columns, idCols, opCol,
+      numBuckets)
+    finally dropNet()
+  }
+
+  private def applyNetToReplica(
+      replicaDir: String,
+      net: DataFrame,
+      batchCols: Array[String],
+      idCols: Seq[String],
+      opCol: String,
+      numBuckets: Int): Unit = {
+    val spark = net.sparkSession
+    val dataCols = batchCols.filterNot(_ == opCol)
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
     val keys = net.select(idCols.map(col): _*)
 
