@@ -253,17 +253,13 @@ object SourceQueries {
       val root = graft.llm.IndexArtifacts.tempDir("fanout")
       val df = s.read.format("graft-binlog")
         .option("path", binlogByTypeDir(s, dir)).load()
-      // materialize the batch ONCE before fanning out — the per-table
-      // filters then scan a parquet table instead of re-reading and
-      // re-parsing the changelog N-tables times (in a real stream the
-      // micro-batch is already materialized when foreachBatch runs)
-      val (batch, dropBatch) =
-        graft.llm.IndexArtifacts.materializeOwned(s, df, "fanout-batch")
+      // no caller-side materialization needed: fanOutToReplicas routes
+      // the envelopes into a (db, table)-partitioned scratch table in
+      // one pass, so the changelog is read and parsed exactly once
       val tables = Seq("click", "error", "purchase", "signup", "view")
-      try CdcStream.fanOutToReplicas(batch, s"$root/{db}/{table}",
+      CdcStream.fanOutToReplicas(df, s"$root/{db}/{table}",
         schemas = tables.map(t => s"graft.$t" -> eventsRowSchema).toMap,
         idCols = tables.map(t => s"graft.$t" -> Seq("event_id")).toMap)
-      finally dropBatch()
       Seq("click", "purchase").map { t =>
         CdcStream.readReplica(s, s"$root/graft/$t").get
           .select(lit(t).as("table_name"), $"event_id", $"user_id", $"value")

@@ -135,10 +135,44 @@ object CdcStream {
       orderCols: Seq[Column] = Seq(col("offset"))): Seq[String] = {
     val dbCol = get_json_object(col("value"), "$.databaseName")
     val tblCol = get_json_object(col("value"), "$.tableName")
-    val present = envelopes.select(dbCol.as("db"), tblCol.as("tbl"))
-      .filter(col("db").isNotNull && col("tbl").isNotNull) // malformed envelopes
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // ROUTE ONCE: write the raw envelopes into a (db, table)-partitioned
+    // scratch table in ONE pass. Each per-table merge then reads only
+    // its own partition directory (partition pruning), instead of every
+    // merge re-scanning and re-extracting JSON over the WHOLE batch —
+    // at T tables that was T full passes. The present-table set falls
+    // out of the directory listing, replacing a full distinct() scan.
+    val (routedDir, dropRouted) = {
+      val p = graft.llm.IndexArtifacts.tempDir("fanout-routed")
+      envelopes
+        .select(col("value"), dbCol.as("__db"), tblCol.as("__tbl"))
+        .filter(col("__db").isNotNull && col("__tbl").isNotNull) // malformed
+        .write.partitionBy("__db", "__tbl").parquet(p)
+      (p, () => deleteRecursively(new java.io.File(p)))
+    }
+    val spark = envelopes.sparkSession
+    def partitionValues(dir: java.io.File, prefix: String): Seq[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .map(f => java.net.URLDecoder.decode(
+          f.getName.stripPrefix(prefix), "UTF-8")).toSeq
+    val present = (for {
+      db <- partitionValues(new java.io.File(routedDir), "__db=")
+      tbl <- partitionValues(
+        new java.io.File(s"$routedDir/__db=$db"), "__tbl=")
+    } yield (db, tbl)).sorted
+    try fanOutRouted(spark, routedDir, present, pathTemplate, schemas,
+      idCols, orderCols)
+    finally dropRouted()
+  }
+
+  private def fanOutRouted(
+      spark: org.apache.spark.sql.SparkSession,
+      routedDir: String,
+      present: Seq[(String, String)],
+      pathTemplate: String,
+      schemas: Map[String, StructType],
+      idCols: Map[String, Seq[String]],
+      orderCols: Seq[Column]): Seq[String] = {
     // per-table merges target DISJOINT replica dirs — schedule them as
     // concurrent Spark jobs (a fan-out over T tables is T independent
     // merges; running them serially would leave the cluster idle
@@ -152,8 +186,11 @@ object CdcStream {
         case (Some(schema), Some(ids)) =>
           val path = pathTemplate.replace("{db}", db).replace("{table}", tbl)
           Some(() => {
+            // partition-pruned read: only this table's routed files
             applyBatchToReplica(path,
-              parsed(envelopes.filter(dbCol === db && tblCol === tbl), schema),
+              parsed(spark.read.parquet(routedDir)
+                .filter(col("__db") === db && col("__tbl") === tbl)
+                .select(col("value")), schema),
               ids, orderCols)
             path
           })
