@@ -51,6 +51,11 @@ object TextAnalysisQueries {
   val WinnowK = 4
   val WinnowW = 5
 
+  /** Hashed-feature buckets for the DSIR importance model — bounded, so
+    * the per-bucket ratio table always broadcasts.
+    */
+  val DsirBuckets = 1024L
+
   /** PII patterns — deliberately RE2-compatible (no backrefs, no
     * lookaround) so Spark's Java regex and DuckDB's RE2 match the same
     * spans.
@@ -228,6 +233,76 @@ object TextAnalysisQueries {
         .agg(sum(when(hash32(concat(lit("mix:"), $"doc_id".cast("string")))
             % 1000000 < $"rate_ppm", 1L).otherwise(0L)).as("n_sampled"))
         .orderBy($"source")
+    },
+
+    // --- DSIR-style importance weights (target-vs-raw n-gram ratio) ------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS
+    // 2023): score each raw doc by how much its hashed-feature profile
+    // resembles a TARGET distribution vs the RAW corpus. Features are
+    // unigrams hashed into DsirBuckets buckets (the paper's hashed
+    // n-gram model); the target here is the `lang = 'en'` slice. Per
+    // bucket the add-one-smoothed target/raw ratio in exact ppm
+    // replaces the paper's log-ratio (ln is not IEEE-exact across
+    // engines; the per-doc MEAN ratio ranks the same tail), and a doc
+    // is selected when its mean ratio beats the CORPUS mean ratio —
+    // above-average target-likeness, the resampling cutoff, decided by
+    // an exact integer cross-multiplication. Scale: the feature table
+    // is bucket-bounded (1024 rows → broadcast, and the corpus totals
+    // derive from it, not from a second corpus scan); everything else
+    // is one token-stream scan + a per-doc partial agg. The cutoff
+    // cross-product stays int64-exact up to ~10^18 / (10^6·tokens-per-
+    // doc) corpus tokens; past that the compare would move to scaled
+    // integers.
+    "llm_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+        .select($"doc_id", $"lang",
+          pmod(hash32($"term"), lit(DsirBuckets)).as("f"))
+      val feat = toks.groupBy($"f").agg(
+          count(lit(1)).as("rc"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"))
+        .withColumn("ratio_ppm", expr("(tc + 1) * 1000000 div (rc + 1)"))
+      val tot = feat.agg(sum($"rc").as("n_tot"),
+        sum($"rc" * $"ratio_ppm").as("w_tot"))
+      toks.join(broadcast(feat.select($"f", $"ratio_ppm")), "f")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"ratio_ppm").as("weight_sum"))
+        .crossJoin(broadcast(tot))
+        .withColumn("selected", $"weight_sum" * $"n_tot" > $"w_tot" * $"n_tokens")
+        .select($"doc_id", $"n_tokens", $"weight_sum", $"selected")
+        .orderBy($"doc_id")
+    },
+
+    // --- token-budget greedy fill (quality-ordered selection) ------------
+    // The selection step after scoring: each source gets a token budget
+    // (half its tokens), docs fill it in quality order (TTR ppm desc,
+    // doc_id tiebreak) until the cumulative token count crosses the
+    // budget — the curriculum-style "best docs until the budget is
+    // spent" cut every pretraining mix executes. All arithmetic exact
+    // int64; the keep decision is a window cumsum compare. Scale: the
+    // budget table is source-bounded (broadcast); the cumsum is a
+    // per-source window — a skewed giant source shards the same way as
+    // llm_corpus_stats' documented two-level rank.
+    "llm_token_budget_fill" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = tokens($"text")
+      val d = Tables(s, dir).documents.select($"doc_id", $"source",
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_distinct"))
+        .withColumn("score_ppm", expr("n_distinct * 1000000 div n_tokens"))
+      val budget = d.groupBy($"source")
+        .agg(expr("sum(n_tokens) div 2").as("budget"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"score_ppm".desc, $"doc_id")
+      d.join(broadcast(budget), "source")
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .withColumn("kept", $"cum_tokens" <= $"budget")
+        .select($"doc_id", $"source", $"n_tokens", $"score_ppm",
+          $"cum_tokens", $"kept")
+        .orderBy($"doc_id")
     },
 
     // --- rolling-hash document fingerprint ------------------------------
@@ -560,6 +635,47 @@ object TextAnalysisQueries {
          |      < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents d JOIN r ON d.source = r.source
          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    "llm_dsir_weights" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${hash32Sql("term")} % $DsirBuckets AS f
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS term
+         |        FROM documents)),
+         |feat AS (
+         |  SELECT f, CAST(count(*) AS BIGINT) AS rc,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+         |  FROM h GROUP BY 1),
+         |r AS (
+         |  SELECT f, (tc + 1) * 1000000 // (rc + 1) AS ratio_ppm FROM feat),
+         |tot AS (
+         |  SELECT CAST(sum(rc) AS BIGINT) AS n_tot,
+         |    CAST(sum(rc * ratio_ppm) AS BIGINT) AS w_tot FROM r JOIN feat USING (f))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(ratio_ppm) AS BIGINT) AS weight_sum,
+         |  CAST(sum(ratio_ppm) AS BIGINT) * n_tot > w_tot * count(*) AS selected
+         |FROM h JOIN r USING (f), tot
+         |GROUP BY 1, n_tot, w_tot ORDER BY 1""".stripMargin,
+
+    "llm_token_budget_fill" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |sc AS (
+         |  SELECT *, n_distinct * 1000000 // n_tokens AS score_ppm FROM d),
+         |b AS (
+         |  SELECT source, CAST(sum(n_tokens) // 2 AS BIGINT) AS budget
+         |  FROM d GROUP BY 1),
+         |c AS (
+         |  SELECT sc.*, b.budget,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY sc.source
+         |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM sc JOIN b USING (source))
+         |SELECT doc_id, source, n_tokens, CAST(score_ppm AS BIGINT) AS score_ppm,
+         |  cum_tokens, cum_tokens <= budget AS kept
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "llm_winnow_fingerprint" ->
       s"""WITH d AS (

@@ -265,4 +265,78 @@ class MiningOpsSpec extends SparkSuite {
         assert(tot <= 1000000L && tot > 1000000L - fs)
       }
   }
+
+  /** Driver-side twin of TextOps.hash32 (full 32-bit value, no mod). */
+  private def h32(sv: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(8), 16)
+  }
+
+  test("dsir_weights: per-doc weights match a driver recount; en docs select more") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = TextAnalysisQueries.DsirBuckets
+    val feats = docs.flatMap { case (id, lang, text) =>
+      text.toLowerCase.split(" ", -1).map(t => (id, lang, h32(t) % B)) }
+    val rc = feats.groupBy(_._3).map { case (f, xs) => f -> xs.length.toLong }
+    val tc = feats.filter(_._2 == "en").groupBy(_._3)
+      .map { case (f, xs) => f -> xs.length.toLong }
+    val ratio = rc.map { case (f, r) =>
+      f -> (tc.getOrElse(f, 0L) + 1L) * 1000000L / (r + 1L) }
+    val nTot = rc.values.sum
+    val wTot = rc.map { case (f, r) => r * ratio(f) }.sum
+    val expected = feats.groupBy(_._1).map { case (id, xs) =>
+      val ws = xs.map(x => ratio(x._3)).sum
+      (id, xs.length.toLong, ws, ws * nTot > wTot * xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysisQueries.defs("llm_dsir_weights")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == expected)
+    // the importance model must actually discriminate: the selection
+    // rate among en (target) docs exceeds the rate among the rest
+    val byLang = docs.map { case (id, lang, _) => id -> lang }.toMap
+    val (en, other) = got.partition(g => byLang(g._1) == "en")
+    def rate(xs: Seq[(Long, Long, Long, Boolean)]) =
+      xs.count(_._4).toDouble / xs.length
+    assert(en.nonEmpty && other.nonEmpty && rate(en) > rate(other))
+  }
+
+  test("token_budget_fill: kept set is the top-scored prefix within each source's budget") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).toLowerCase.split(" ", -1)
+        (r.getLong(0), r.getString(1), toks.length.toLong,
+          toks.distinct.length.toLong)
+      }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val budget = ds.map(_._3).sum / 2L
+      val scored = ds.map { case (id, _, n, nd) =>
+        (id, n, nd * 1000000L / n) }
+      var cum = 0L
+      scored.sortBy { case (id, _, score) => (-score, id) }.map {
+        case (id, n, score) =>
+          cum += n
+          (id, src, n, score, cum, cum <= budget)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysisQueries.defs("llm_token_budget_fill")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    // budget honesty: every source keeps at least one doc and never
+    // overspends; adding the first excluded doc would overspend
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val kept = rows.filter(_._6)
+      val budget = rows.map(_._3).sum / 2L
+      assert(kept.nonEmpty, src)
+      assert(kept.map(_._3).sum <= budget, src)
+      val excluded = rows.filterNot(_._6)
+      if (excluded.nonEmpty)
+        assert(kept.map(_._3).sum + excluded.minBy(_._5)._3 > budget, src)
+    }
+  }
 }

@@ -326,6 +326,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("llm_dsir_weights: the bucket-bounded ratio table broadcasts, no shuffle join") {
+    val p = plan("llm_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("llm_token_budget_fill: the source budget table broadcasts, no cartesian") {
+    val p = plan("llm_token_budget_fill")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("llm_embed_kmeans: assignment is join-free (broadcast-literal projection)") {
     val p = plan("llm_embed_kmeans")
     assert(!p.contains("Join"), p.take(1500))
