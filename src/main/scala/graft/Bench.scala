@@ -26,6 +26,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // a ~600-execution run accumulates shuffle files and status-store
+      // entries that otherwise linger until the 30-min default periodic
+      // GC — late-alphabet queries were paying earlier queries' garbage
+      .config("spark.cleaner.periodicGC.interval", "45s")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
