@@ -124,23 +124,30 @@ object IncrementalClusters {
       nPairs: Long): Unit = {
     import s.implicits._
     if (nPairs > 0L) {
-      val oldLabels = labels(s, stateDir)
-      // components the new edges touch: every member contributes a star
-      // edge to its representative, so old connectivity is preserved
-      // without the original pair edges
-      val endpoints = pairs
-        .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-      val touched = oldLabels.join(broadcast(endpoints), "doc_id")
-        .select($"label").distinct()
-      val affected = oldLabels.join(broadcast(touched), "label")
-        .select($"doc_id", $"label")
-      val star = affected.filter($"doc_id" =!= $"label")
-        .select($"doc_id".as("src"), $"label".as("dst"))
       val newEdges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      val adj = newEdges
+      val newSym = newEdges
         .unionByName(newEdges.select($"dst".as("src"), $"src".as("dst")))
-        .unionByName(star)
-        .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
+      // FIRST batch (no label store yet): there are no old components
+      // to preserve — skip the star-edge machinery and its broadcast
+      // jobs entirely
+      val adj = if (!Files.exists(Paths.get(tbl(stateDir, "labels")))) newSym
+      else {
+        val oldLabels = labels(s, stateDir)
+        // components the new edges touch: every member contributes a
+        // star edge to its representative, so old connectivity is
+        // preserved without the original pair edges
+        val endpoints = pairs
+          .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+        val touched = oldLabels.join(broadcast(endpoints), "doc_id")
+          .select($"label").distinct()
+        val affected = oldLabels.join(broadcast(touched), "label")
+          .select($"doc_id", $"label")
+        val star = affected.filter($"doc_id" =!= $"label")
+          .select($"doc_id".as("src"), $"label".as("dst"))
+        newSym
+          .unionByName(star)
+          .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
+      }
       val (propagated, release) = DedupQueries.propagateMinLabels(adj)
       // MERGE the label changes: only affected docs' buckets rewrite
       CdcStream.applyBatchToReplica(tbl(stateDir, "labels"),
