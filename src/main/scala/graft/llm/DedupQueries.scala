@@ -83,11 +83,16 @@ object DedupQueries {
       .filter(size($"sh") > 0)
   }
 
-  private val shingledSql =
+  /** [[shingledSql]] over a filtered corpus — shared by the retirement
+    * oracle, whose fixpoint is the closure over the REMAINING docs.
+    */
+  private def shingledSqlWhere(pred: String) =
     s"""SELECT doc_id, sh FROM (
        |    SELECT doc_id, ${hashedShinglesSql("t")} AS sh
-       |    FROM (SELECT doc_id, $toksSql AS t FROM documents))
+       |    FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE $pred))
        |  WHERE len(sh) > 0""".stripMargin
+
+  private val shingledSql = shingledSqlWhere("TRUE")
 
   /** MinHash band table `(doc_id, band, bh)` for a `(doc_id, sh)` input —
     * the shared candidate-generation index of `llm_minhash_lsh` and
@@ -318,8 +323,10 @@ object DedupQueries {
     * shared prefix of every dup-graph oracle (cluster closure,
     * PageRank).
     */
-  private def dupEdgesSql: String =
-    s"""docs AS ($shingledSql),
+  private def dupEdgesSql: String = dupEdgesSqlWhere("TRUE")
+
+  private def dupEdgesSqlWhere(pred: String): String =
+    s"""docs AS (${shingledSqlWhere(pred)}),
        |tok AS (
        |  SELECT doc_id, tok % $P AS h
        |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
@@ -340,8 +347,10 @@ object DedupQueries {
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs)""".stripMargin
 
-  private def clusterLabelsSql: String =
-    s"""$dupEdgesSql,
+  private def clusterLabelsSql: String = clusterLabelsSqlWhere("TRUE")
+
+  private def clusterLabelsSqlWhere(pred: String): String =
+    s"""${dupEdgesSqlWhere(pred)},
        |reach(src, dst) AS (
        |  SELECT a, b FROM edges
        |  UNION SELECT a, a FROM edges
@@ -868,6 +877,30 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // --- incremental cluster maintenance under RETIREMENT ----------------
+    // The forgetting half of the cycle: build the index in two
+    // micro-batches, then retire every doc_id % 7 == 0 (content
+    // changed / takedown). Only components containing a retired doc
+    // recompute, from the persisted edge table; the final labels must
+    // equal a from-scratch closure over the REMAINING corpus — which
+    // is exactly what the oracle computes (the same recursive CTE as
+    // llm_dedup_clusters with the retired docs filtered out of the
+    // corpus). Bridge removals split components; edge-less leftovers
+    // tombstone out of the label store.
+    "llm_cluster_retire" -> { (s, dir) =>
+      import s.implicits._
+      val state = IndexArtifacts.tempDir("cluster-retire-state")
+      val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+      IncrementalClusters.update(s, state, docs.filter($"doc_id" % 3 =!= 0))
+      IncrementalClusters.update(s, state, docs.filter($"doc_id" % 3 === 0))
+      IncrementalClusters.retire(s, state,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      IncrementalClusters.labels(s, state)
+        .select($"doc_id", $"label".as("cluster_id"),
+          ($"doc_id" === $"label").as("keep"))
+        .orderBy($"doc_id")
+    },
+
     // --- n-gram (trigram) Jaccard near-dedup ----------------------------
     // TRIGRAM shingles (vs the bigram llm_minhash_lsh): trigram Jaccard
     // between unrelated fixture docs maxes ~0.04 (bigram noise reaches
@@ -1219,6 +1252,12 @@ object DedupQueries {
     // incremental ingestion converges to the same fixpoint — same oracle
     "llm_cluster_inc" ->
       s"""WITH RECURSIVE $clusterLabelsSql
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+         |FROM labels ORDER BY 1""".stripMargin,
+
+    // retirement fixpoint == from-scratch closure over the remaining docs
+    "llm_cluster_retire" ->
+      s"""WITH RECURSIVE ${clusterLabelsSqlWhere("doc_id % 7 <> 0")}
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
          |FROM labels ORDER BY 1""".stripMargin,
 

@@ -66,7 +66,7 @@ object IncrementalClusters {
     */
   def update(s: SparkSession, stateDir: String, docs: DataFrame): Unit = {
     import s.implicits._
-    Seq("shingles", "bands").foreach(recoverSwap(stateDir, _))
+    Seq("shingles", "bands", "edges").foreach(recoverSwap(stateDir, _))
     val incoming = docs.select($"doc_id", hashedShingles($"text").as("sh"))
       .filter(size($"sh") > 0)
     val oldShPath = tbl(stateDir, "shingles")
@@ -159,13 +159,112 @@ object IncrementalClusters {
     // index appends LAST: a crash before this point replays the batch
     // against the old index (the labels upsert is idempotent), and a
     // replay after a completed append is screened out by the
-    // already-indexed-ids filter in update(). BANDS append first: the
-    // shingle table is the replay screen, so a crash between the two
-    // appends re-runs the batch and at worst duplicates band rows
-    // (harmless — candidates are distinct()); the reverse order would
-    // silently lose the bands of screened-out docs.
+    // already-indexed-ids filter in update(). EDGES then BANDS append
+    // before SHINGLES: the shingle table is the replay screen, so a
+    // crash between the appends re-runs the batch and at worst
+    // duplicates edge/band rows (harmless — candidates are distinct()
+    // and the components fixpoint ignores duplicate edges); the
+    // reverse order would silently lose rows of screened-out docs.
+    if (nPairs > 0L)
+      pairs.write.mode("append").parquet(tbl(stateDir, "edges"))
     newBands.write.mode("append").parquet(tbl(stateDir, "bands"))
     newSh.write.mode("append").parquet(tbl(stateDir, "shingles"))
+  }
+
+  // --------------------------------------------------- document retirement
+
+  /** Retire documents from the index — the other half of the
+    * changed-doc re-ingest cycle [[update]]'s scaladoc calls out: a
+    * doc whose content changed (or must be forgotten — a takedown) is
+    * first retired, then its new content re-ingests as a normal batch
+    * under the same id (the already-indexed screen no longer sees it).
+    *
+    * Semantics: the final labels provably equal a from-scratch build
+    * over the corpus MINUS the retired docs (gated by the
+    * `llm_cluster_retire` oracle). Pair verification is pairwise, so
+    * removing a doc removes exactly its edges; only components that
+    * CONTAINED a retired doc recompute — from the persisted edge
+    * table, restricted to their members — while untouched components
+    * are never read. A bridge doc's removal splits its component; a
+    * member left edge-less drops out of the labels table entirely
+    * (tombstone through the MERGE).
+    *
+    * Crash-safe and idempotent: index rewrites go through the same
+    * two-phase swap as [[compactState]] (healed by recoverSwap), the
+    * label MERGE is keyed, and re-running retire with the same ids is
+    * a no-op on the tables and a fixpoint on the labels — a
+    * maintenance batch replayed after a crash converges. At 100 TB the
+    * table rewrite is the retirement cost; a high-churn deployment
+    * batches retirements at compaction cadence (same single-writer
+    * maintenance loop), which this API supports by taking a SET.
+    */
+  def retire(s: SparkSession, stateDir: String, docIds: DataFrame): Unit = {
+    import s.implicits._
+    Seq("shingles", "bands", "edges").foreach(recoverSwap(stateDir, _))
+    if (!Files.exists(Paths.get(tbl(stateDir, "shingles")))) return
+    val (ret, nRet, dropRet) = IndexArtifacts.materializeCounted(s,
+      docIds.select($"doc_id").distinct(), "retire-ids")
+    try {
+      if (nRet == 0L) return
+      // affected components resolve BEFORE the label store changes
+      val lbl = labels(s, stateDir)
+      val touched = lbl.join(broadcast(ret), "doc_id")
+        .select($"label").distinct()
+      val (mem, nMem, dropMem) = IndexArtifacts.materializeCounted(s,
+        lbl.join(broadcast(touched), "label").select($"doc_id"),
+        "retire-members")
+      try {
+        rewriteExcluding(s, stateDir, "shingles")(
+          _.join(broadcast(ret), Seq("doc_id"), "left_anti"))
+        rewriteExcluding(s, stateDir, "bands")(
+          _.join(broadcast(ret), Seq("doc_id"), "left_anti"))
+        rewriteExcluding(s, stateDir, "edges")(
+          _.join(broadcast(ret.select($"doc_id".as("doc_a"))),
+              Seq("doc_a"), "left_anti")
+            .join(broadcast(ret.select($"doc_id".as("doc_b"))),
+              Seq("doc_b"), "left_anti"))
+        if (nMem > 0L) {
+          // recompute the affected subgraph over the REMAINING edges;
+          // component closure means one-endpoint membership implies both
+          val edges = readOrEmpty(s, tbl(stateDir, "edges"),
+            Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+          val sub = edges.join(broadcast(mem.select($"doc_id".as("doc_a"))),
+            Seq("doc_a"))
+          val sym = sub.select($"doc_a".as("src"), $"doc_b".as("dst"))
+            .unionByName(sub.select($"doc_b".as("src"), $"doc_a".as("dst")))
+          val (lab, release) = DedupQueries.propagateMinLabels(sym)
+          // members absent from the recomputation lost every edge (or
+          // were retired): tombstone them out of the labels table
+          val upserts = lab.select($"doc_id", $"label",
+            lit("update").as("op"))
+          val deletes = mem
+            .join(lab.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .select($"doc_id", lit(null).cast("long").as("label"),
+              lit("delete").as("op"))
+          CdcStream.applyBatchToReplica(tbl(stateDir, "labels"),
+            upserts.unionByName(deletes), idCols = Seq("doc_id"),
+            orderCols = Seq(col("label")))
+          release()
+        }
+      } finally dropMem()
+    } finally dropRet()
+  }
+
+  /** Content-filtering rewrite of one state table through the same
+    * crash-safe two-phase swap as [[compactState]].
+    */
+  private def rewriteExcluding(s: SparkSession, stateDir: String,
+      name: String)(f: DataFrame => DataFrame): Unit = {
+    val cur = new File(tbl(stateDir, name))
+    if (cur.exists()) {
+      val next = new File(tbl(stateDir, name + ".next"))
+      f(s.read.parquet(cur.toString))
+        .write.mode("overwrite").parquet(next.toString)
+      val trash = new File(tbl(stateDir, name + ".trash"))
+      Files.move(cur.toPath, trash.toPath)
+      Files.move(next.toPath, cur.toPath)
+      deleteRec(trash)
+    }
   }
 
   // --------------------------------------------------- state compaction
@@ -187,7 +286,7 @@ object IncrementalClusters {
     * compaction.
     */
   def compactState(s: SparkSession, stateDir: String, maxFiles: Int = 8): Unit = {
-    Seq("shingles", "bands").foreach { name =>
+    Seq("shingles", "bands", "edges").foreach { name =>
       recoverSwap(stateDir, name)
       val dir = new File(tbl(stateDir, name))
       if (dir.exists()) {

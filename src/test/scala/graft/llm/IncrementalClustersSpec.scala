@@ -160,4 +160,54 @@ class IncrementalClustersSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(after === before)
   }
+
+  test("retire: removing a bridge splits its component; leftovers relabel") {
+    val state = Files.createTempDirectory("inc-retire-split").toString
+    // one component {10,11} -P- {40 bridge} -Q- {20,21}
+    IncrementalClusters.update(spark, state,
+      Seq((10L, textP), (11L, textP), (20L, textQ), (21L, textQ),
+        (40L, textR)).toDF("doc_id", "text"))
+    assert(IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toMap.values.toSet === Set(10L))
+    IncrementalClusters.retire(spark, state, Seq(40L).toDF("doc_id"))
+    val split = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toMap
+    assert(split === Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // the index itself forgot the doc: no shingles, bands, or edges
+    assert(spark.read.parquet(s"$state/shingles")
+      .filter($"doc_id" === 40L).count() === 0L)
+    assert(spark.read.parquet(s"$state/bands")
+      .filter($"doc_id" === 40L).count() === 0L)
+    assert(spark.read.parquet(s"$state/edges")
+      .filter($"doc_a" === 40L || $"doc_b" === 40L).count() === 0L)
+  }
+
+  test("retire: a member whose last edge goes drops out of the label store") {
+    val state = Files.createTempDirectory("inc-retire-drop").toString
+    IncrementalClusters.update(spark, state,
+      Seq((1L, textP), (2L, textP)).toDF("doc_id", "text"))
+    IncrementalClusters.retire(spark, state, Seq(1L).toDF("doc_id"))
+    // doc 2 lost its only near-dup: no cluster membership remains
+    assert(IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().isEmpty)
+    // retire is idempotent (crash-replay of the maintenance batch)
+    IncrementalClusters.retire(spark, state, Seq(1L).toDF("doc_id"))
+    assert(IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().isEmpty)
+  }
+
+  test("retire then re-ingest: a changed doc re-enters under the same id") {
+    val state = Files.createTempDirectory("inc-retire-reingest").toString
+    IncrementalClusters.update(spark, state,
+      Seq((1L, textP), (2L, textP), (20L, textQ), (21L, textQ))
+        .toDF("doc_id", "text"))
+    // doc 2's content changes from P-like to Q-like
+    IncrementalClusters.retire(spark, state, Seq(2L).toDF("doc_id"))
+    IncrementalClusters.update(spark, state,
+      Seq((2L, textQ)).toDF("doc_id", "text"))
+    val labels = IncrementalClusters.labels(spark, state)
+      .as[(Long, Long)].collect().toMap
+    // 1 lost its pair; 2 now clusters with the Q family under min id 2
+    assert(labels === Map(2L -> 2L, 20L -> 2L, 21L -> 2L))
+  }
 }
