@@ -632,6 +632,34 @@ object Relational {
         .agg(count(lit(1)).as("n_items"),
           sum(cents($"l_extendedprice")).as("price_cents"))
         .orderBy($"p_brand")
+    },
+
+    // --- q52: TPC-H Q22 shape — scalar-avg threshold + NOT EXISTS
+    // "Sales opportunity": above-average-balance customers who never
+    // ordered, reported per nation. The textbook form is a scalar AVG
+    // subquery plus a correlated NOT EXISTS; decorrelated: the
+    // threshold is ONE bounded aggregate broadcast to every row, and
+    // NOT EXISTS is a left-anti join on the customer key. The
+    // above-average compare is EXACT — bal·n_pos > Σbal in integer
+    // cents — because a float average's last ulp depends on summation
+    // order and would flip boundary customers between engines. Scale:
+    // the anti join is the only shuffle (keyed on c_custkey); orders'
+    // distinct projection partial-aggregates map-side first.
+    "q52_sales_opportunity" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cust = t.customer.select($"c_custkey", $"c_nationkey",
+        cents($"c_acctbal").as("bal_cents"))
+      val thr = cust.filter($"bal_cents" > 0L)
+        .agg(sum($"bal_cents").as("sum_bal"), count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(thr))
+        .filter($"bal_cents" * $"n_pos" > $"sum_bal")
+        .join(t.orders.select($"o_custkey".as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum($"bal_cents").as("total_bal_cents"))
+        .orderBy($"c_nationkey")
     }
   )
 
@@ -983,6 +1011,24 @@ object Relational {
          |       WHERE l2.l_partkey = l1.l_partkey)
          |    < (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
          |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the literal scalar-subquery + NOT EXISTS form of q52
+    "q52_sales_opportunity" ->
+      s"""WITH cust AS (
+         |  SELECT c_custkey, c_nationkey,
+         |    ${centsSql("c_acctbal")} AS bal_cents
+         |  FROM customer),
+         |thr AS (
+         |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_bal,
+         |    CAST(count(*) AS BIGINT) AS n_pos
+         |  FROM cust WHERE bal_cents > 0)
+         |SELECT c_nationkey, count(*) AS n_cust,
+         |  CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+         |FROM cust, thr
+         |WHERE bal_cents * n_pos > sum_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = cust.c_custkey)
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

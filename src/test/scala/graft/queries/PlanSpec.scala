@@ -537,4 +537,10 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
+
+  test("q52: NOT EXISTS decorrelates to a keyed anti join, threshold broadcasts") {
+    val p = plan("q52_sales_opportunity")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
 }
