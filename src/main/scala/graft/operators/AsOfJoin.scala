@@ -60,6 +60,75 @@ object AsOfJoin {
       .filter(leftPred)
   }
 
+  /** Two-table as-of through graft's NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]] — the LogicalPlan → Strategy →
+    * SparkPlan chain, SURVEY §2.9 path (c)): for each left row, attach
+    * `rightVals` from the latest right row sharing `keyCols` with
+    * rightTime <= leftTime (equal visible; pass `struct(ts, tiebreak)`
+    * columns for lexicographic tie rules). One hash-cluster + sort per
+    * side — the sort-merge-join contract — then a single O(|L|+|R|)
+    * merge per partition, no window buffering, no union re-sort.
+    * Registers the planner strategy on the session on first use.
+    *
+    * @param rightVals (rightColumn, outputAlias) pairs to carry over.
+    */
+  def joinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: Column,
+      rightTime: Column,
+      rightVals: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        graft.plans.AsOfJoinStrategy +: spark.experimental.extraStrategies
+    val lPlan = left.queryExecution.analyzed
+    val rBase = right.queryExecution.analyzed
+    def baseAttr(n: String) = rBase.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"asof: no right column '$n'"))
+    // one Project under the right child does double duty: FRESH
+    // expression ids (a SELF as-of would otherwise have both children
+    // sharing attribute ids, which breaks binding in any binary node)
+    // and the payload RENAMES (aliases must live in the Project — the
+    // analyzer's CleanupAliases strips aliases from the expressions of
+    // non-projection operators, so the node itself only ever references
+    // bare attributes)
+    val rFresh = rBase.output.map(a => Alias(a, a.name)())
+    val rPayload = rightVals.map { case (src, as) => Alias(baseAttr(src), as)() }
+    val rPlan: LogicalPlan = Project(rFresh ++ rPayload, rBase)
+    val remap = rBase.output.zip(rFresh.map(_.toAttribute))
+      .map { case (o, n) => o.exprId -> n }.toMap
+    def remapped(e: Expression): Expression = e.transform {
+      case a: AttributeReference => remap.getOrElse(a.exprId, a)
+    }
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asof: no column '$n'"))
+    // time expressions resolve against the child plans via a transient
+    // select (so callers can pass struct(ts, event_id) etc.)
+    def timeExpr(df: DataFrame, c: Column) =
+      df.select(c).queryExecution.analyzed
+        .asInstanceOf[Project]
+        .projectList.head match {
+        case a: Alias => a.child
+        case e => e
+      }
+    val rKeyAttrs = keyCols.map(n =>
+      rFresh.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asof: no right column '$n'"))
+        .toAttribute)
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keyCols.map(attr(lPlan, _)), rKeyAttrs,
+      timeExpr(left, leftTime), remapped(timeExpr(right, rightTime)),
+      rPayload.map(_.toAttribute))
+    GraftColumnBridge.ofRows(spark, node)
+  }
+
   /** Two-table as-of: for each left row, attach the chosen right-side
     * columns from the latest right row sharing `keyCols` with
     * rightTime <= leftTime. On equal times the right row is visible to

@@ -120,6 +120,27 @@ object EventQueries {
         .orderBy($"event_id")
     },
 
+    // --- q53: the NATIVE as-of join (custom LogicalPlan → Strategy →
+    // SparkPlan chain) — same semantics as q22, different executor: two
+    // hash-clustered sorted children and ONE O(|L|+|R|) merge per
+    // partition (graft.plans.AsOfJoinExec), no window buffering, no
+    // union re-sort. The oracle is q22's window formulation: two
+    // implementations, one fixpoint — which is exactly what gates the
+    // custom operator's correctness.
+    "q53_asof_native" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", cents($"value").as("value_cents"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"))
+      AsOfJoin.joinNative(purchases, clicks, Seq("user_id"),
+          struct($"ts", $"event_id"), struct($"ts", $"click_id"),
+          Seq("click_id" -> "last_click_id"))
+        .select($"event_id", $"user_id", $"value_cents", $"last_click_id")
+        .orderBy($"event_id")
+    },
+
     // --- q38: forward as-of join (next purchase at-or-after each click) --
     // The mirror of q22: per click, the NEXT purchase — the
     // time-to-conversion / label-attribution lookup every
@@ -871,6 +892,17 @@ object EventQueries {
         |ORDER BY step""".stripMargin,
 
     "q22_asof_last_click" ->
+      s"""SELECT event_id, user_id, value_cents, last_click_id FROM (
+         |  SELECT event_id, user_id, event_type,
+         |    ${centsSql("value")} AS value_cents,
+         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+         |  FROM events)
+         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // the native operator must reach the same fixpoint as the window form
+    "q53_asof_native" ->
       s"""SELECT event_id, user_id, value_cents, last_click_id FROM (
          |  SELECT event_id, user_id, event_type,
          |    ${centsSql("value")} AS value_cents,

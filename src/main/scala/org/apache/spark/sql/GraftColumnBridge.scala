@@ -18,4 +18,11 @@ object GraftColumnBridge {
     */
   def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
+  /** `Dataset.ofRows` is `private[sql]` — needed to wrap a custom
+    * logical plan node (graft's native as-of join) as a DataFrame.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
