@@ -78,7 +78,8 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTime: Column,
       rightTime: Column,
-      rightVals: Seq[(String, String)]): DataFrame = {
+      rightVals: Seq[(String, String)],
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
@@ -125,7 +126,7 @@ object AsOfJoin {
       lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), rKeyAttrs,
       timeExpr(left, leftTime), remapped(timeExpr(right, rightTime)),
-      rPayload.map(_.toAttribute))
+      rPayload.map(_.toAttribute), forward)
     GraftColumnBridge.ofRows(spark, node)
   }
 

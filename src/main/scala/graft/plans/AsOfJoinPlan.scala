@@ -38,7 +38,8 @@ case class AsOfJoinNode(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightVals: Seq[NamedExpression])
+    rightVals: Seq[NamedExpression],
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -52,8 +53,8 @@ case class AsOfJoinNode(
 /** Planner strategy: one-to-one lowering of [[AsOfJoinNode]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -65,7 +66,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightVals: Seq[NamedExpression])
+    rightVals: Seq[NamedExpression],
+    forward: Boolean)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -113,10 +115,11 @@ case class AsOfJoinExec(
       val lTimeBound = BindReferences.bindReference(lTime, lOut)
       val rTimeBound = BindReferences.bindReference(rTime, rOut)
 
+      val fwd = forward
       new Iterator[InternalRow] {
         private val rBuf = rIter.buffered
-        // last right row's payload (copied) whose (key, time) is
-        // at-or-before the current left row's, plus its key copy for
+        // backward: last right row's payload (copied) whose (key, time)
+        // is at-or-before the current left row's, plus its key copy for
         // validity checks across key changes
         private var candVals: InternalRow = _
         private var candKey: UnsafeRow = _
@@ -127,28 +130,49 @@ case class AsOfJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lT = lTimeBound.eval(lRow)
-          // advance the right side through every row at-or-before the
-          // current left row; each right row is visited exactly once
-          var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val rRow = rBuf.head
-            val rKey = rKeyProj(rRow)
-            val kc = keyOrd.compare(rKey, lKey)
-            if (kc < 0) {
-              rBuf.next() // right key behind every remaining left row
-              ()
-            } else if (kc == 0 &&
-                timeOrd.compare(rTimeBound.eval(rRow), lT) <= 0) {
-              candVals = valProj(rRow).copy()
-              candKey = rKey.copy()
-              rBuf.next()
-              ()
-            } else advancing = false
+          if (fwd) {
+            // FORWARD: skip right rows strictly before the left row;
+            // the first remaining same-key row is the match — peeked,
+            // never consumed (it may also serve later left rows)
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val rRow = rBuf.head
+              val rKey = rKeyProj(rRow)
+              val kc = keyOrd.compare(rKey, lKey)
+              if (kc < 0 ||
+                  (kc == 0 && timeOrd.compare(rTimeBound.eval(rRow), lT) < 0)) {
+                rBuf.next()
+                ()
+              } else advancing = false
+            }
+            numOutputRows += 1
+            if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0)
+              resultProj(joiner(lRow, valProj(rBuf.head)))
+            else resultProj(joiner(lRow, nullVals))
+          } else {
+            // BACKWARD: consume right rows at-or-before the left row;
+            // each right row is visited exactly once
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val rRow = rBuf.head
+              val rKey = rKeyProj(rRow)
+              val kc = keyOrd.compare(rKey, lKey)
+              if (kc < 0) {
+                rBuf.next() // right key behind every remaining left row
+                ()
+              } else if (kc == 0 &&
+                  timeOrd.compare(rTimeBound.eval(rRow), lT) <= 0) {
+                candVals = valProj(rRow).copy()
+                candKey = rKey.copy()
+                rBuf.next()
+                ()
+              } else advancing = false
+            }
+            numOutputRows += 1
+            if (candKey != null && keyOrd.compare(candKey, lKey) == 0)
+              resultProj(joiner(lRow, candVals))
+            else resultProj(joiner(lRow, nullVals))
           }
-          numOutputRows += 1
-          if (candKey != null && keyOrd.compare(candKey, lKey) == 0)
-            resultProj(joiner(lRow, candVals))
-          else resultProj(joiner(lRow, nullVals))
         }
       }
     }

@@ -51,6 +51,43 @@ class AsOfJoinNativeSpec extends SparkSuite {
     assert(native.nonEmpty && native === composed)
   }
 
+  test("forward as-of: earliest at-or-after per key; peek-not-consume merge") {
+    val clicks = Seq((1L, 10L, "c1"), (1L, 12L, "c2"), (1L, 30L, "c3"),
+      (2L, 5L, "c4")).toDF("k", "t", "click")
+    val buys = Seq((1L, 12L, 900L), (1L, 25L, 901L)).toDF("k", "t", "buy")
+    val got = AsOfJoin.joinNative(clicks, buys, Seq("k"),
+        col("t"), col("t"), Seq("buy" -> "buy"), forward = true)
+      .select($"click", $"buy").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // c1@10 -> buy@12; c2@12 -> buy@12 (equal visible, and it must
+    // still serve c1 before it); c3@30 -> none; c4 key 2 -> none
+    assert(got === Map("c1" -> 900L, "c2" -> 900L, "c3" -> -1L, "c4" -> -1L))
+  }
+
+  test("native forward as-of equals firstAtOrAfter on events") {
+    val ev = graft.Tables(spark, sfDir).events
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+    val native = AsOfJoin.joinNative(clicks, purchases, Seq("user_id"),
+        struct($"ts", $"event_id"), struct($"ts", $"purchase_id"),
+        Seq("purchase_id" -> "next_purchase_id"), forward = true)
+      .select($"event_id", $"next_purchase_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val composed = AsOfJoin.firstAtOrAfter(ev,
+        key = $"user_id", time = $"ts", tiebreak = $"event_id",
+        leftPred = $"event_type" === "click",
+        rightPred = $"event_type" === "purchase",
+        valueCol = $"event_id", asName = "next_purchase_id")
+      .select($"event_id", $"next_purchase_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native.nonEmpty && native === composed)
+  }
+
   test("physical plan: one AsOfJoinExec over sort-merge-shaped children") {
     val ev = graft.Tables(spark, sfDir).events
     val l = ev.filter($"event_type" === "purchase")
