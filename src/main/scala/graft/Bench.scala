@@ -67,19 +67,25 @@ object Bench {
       if (times.size < Runs) { failed ::= name; None }
       else Some(name -> times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: sub-ms digits are noise and the full line
+    // must stay small — the driver records only an output TAIL, so a
+    // bloated line loses its head to truncation
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // build-once pipeline artifacts (cluster-label index) are built
     // during warmup and REUSED by timed runs — report their build cost
     // explicitly so the reuse hides nothing
     val arts = graft.llm.IndexArtifacts.buildSeconds.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // numeric sf parsed from the dir name (sf0.1 -> 0.1); dir rides along
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"artifacts":$arts,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    // headline fields REPEAT at the end of the line: the tail survives
+    // truncation, the head may not
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fs,"artifacts":$arts,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"total_sec":${r3(total)}}""")
     spark.stop()
   }
 }
