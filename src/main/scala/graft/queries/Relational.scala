@@ -635,8 +635,10 @@ object Relational {
     },
 
     // --- q52: TPC-H Q22 shape — scalar-avg threshold + NOT EXISTS
-    // "Sales opportunity": above-average-balance customers who never
-    // ordered, reported per nation. The textbook form is a scalar AVG
+    // "Sales opportunity": above-average-balance customers with no
+    // URGENT order, reported per nation (every fixture customer has
+    // SOME order, so Q22's literal "no orders at all" would be
+    // vacuously empty). The textbook form is a scalar AVG
     // subquery plus a correlated NOT EXISTS; decorrelated: the
     // threshold is ONE bounded aggregate broadcast to every row, and
     // NOT EXISTS is a left-anti join on the customer key. The
@@ -654,7 +656,8 @@ object Relational {
         .agg(sum($"bal_cents").as("sum_bal"), count(lit(1)).as("n_pos"))
       cust.crossJoin(broadcast(thr))
         .filter($"bal_cents" * $"n_pos" > $"sum_bal")
-        .join(t.orders.select($"o_custkey".as("c_custkey")).distinct(),
+        .join(t.orders.filter($"o_orderpriority" === "1-URGENT")
+            .select($"o_custkey".as("c_custkey")).distinct(),
           Seq("c_custkey"), "left_anti")
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("n_cust"),
@@ -1028,7 +1031,8 @@ object Relational {
          |FROM cust, thr
          |WHERE bal_cents * n_pos > sum_bal
          |  AND NOT EXISTS (SELECT 1 FROM orders o
-         |                  WHERE o.o_custkey = cust.c_custkey)
+         |                  WHERE o.o_custkey = cust.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
