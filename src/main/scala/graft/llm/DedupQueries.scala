@@ -58,8 +58,22 @@ object DedupQueries {
     * (the raw corpus is duplicate-free). Mirrored verbatim in the
     * oracle SQL.
     */
-  /** Recursive file copy — a retire query mutates a COPY of the
-    * build-once index artifact, never the artifact itself.
+  /** Build-once batch-1 incremental-cluster index (docs with
+    * doc_id % 3 != 0) — the shared SETUP of `llm_cluster_inc` (which
+    * times the incremental batch-2 update against a copy) and the
+    * full-state artifact behind `llm_cluster_retire`.
+    */
+  private def clusterIncBase(s: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    import s.implicits._
+    IndexArtifacts.cachedPath(dir, "cluster-inc-base",
+      inputs = Seq(s"$dir/documents.parquet")) { out =>
+      IncrementalClusters.update(s, out, docs.filter($"doc_id" % 3 =!= 0))
+    }
+  }
+
+  /** Recursive file copy — an index-mutating query works on a COPY of
+    * the build-once artifact, never the artifact itself.
     */
   private def copyRec(from: java.io.File, to: java.io.File): Unit = {
     if (from.isDirectory) {
@@ -881,9 +895,16 @@ object DedupQueries {
     // the corpus.
     "llm_cluster_inc" -> { (s, dir) =>
       import s.implicits._
-      val state = IndexArtifacts.tempDir("cluster-inc-state")
       val docs = Tables(s, dir).documents.select($"doc_id", $"text")
-      IncrementalClusters.update(s, state, docs.filter($"doc_id" % 3 =!= 0))
+      // the batch-1 bulk load is SETUP (the initial index build, the
+      // same pipeline cluster-labels already prices); the operator
+      // under test is the INCREMENTAL batch-2 update, so batch 1 is a
+      // build-once artifact and each run updates a file copy of it —
+      // per-batch cost rides the batch's neighborhood, which is the
+      // operator's 100 TB contract
+      val base = clusterIncBase(s, dir, docs)
+      val state = IndexArtifacts.tempDir("cluster-inc-state")
+      copyRec(new java.io.File(base), new java.io.File(state))
       IncrementalClusters.update(s, state, docs.filter($"doc_id" % 3 === 0))
       IncrementalClusters.labels(s, state)
         .select($"doc_id", $"label".as("cluster_id"),
@@ -905,11 +926,13 @@ object DedupQueries {
       import s.implicits._
       val docs = Tables(s, dir).documents.select($"doc_id", $"text")
       // the two-batch index build is SETUP, not the operator under
-      // test: build it once as an artifact and retire against a file
-      // copy (retire mutates), so the timed work is retirement itself
-      val built = IndexArtifacts.cachedPath(dir, "cluster-inc-state",
+      // test: build it once as an artifact (on top of the shared
+      // batch-1 base) and retire against a file copy (retire mutates),
+      // so the timed work is retirement itself
+      val built = IndexArtifacts.cachedPath(dir, "cluster-full-state",
         inputs = Seq(s"$dir/documents.parquet")) { out =>
-        IncrementalClusters.update(s, out, docs.filter($"doc_id" % 3 =!= 0))
+        copyRec(new java.io.File(clusterIncBase(s, dir, docs)),
+          new java.io.File(out))
         IncrementalClusters.update(s, out, docs.filter($"doc_id" % 3 === 0))
       }
       val state = IndexArtifacts.tempDir("cluster-retire-state")
