@@ -88,6 +88,43 @@ class AsOfJoinNativeSpec extends SparkSuite {
     assert(native.nonEmpty && native === composed)
   }
 
+  test("randomized: native matches a brute-force reference, both directions") {
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 0 until 5) {
+      // duplicate (k, t) pairs on purpose: the struct(t, id) time makes
+      // the order total, and the brute force uses the same rule
+      def rows(n: Int, idBase: Long) = (0 until n).map { i =>
+        (idBase + i, rnd.nextInt(6).toLong, rnd.nextInt(20).toLong)
+      }
+      val lRows = rows(60, 1000L)
+      val rRows = rows(60, 2000L)
+      val l = lRows.toDF("lid", "k", "t")
+      val r = rRows.toDF("rid", "k", "t")
+      val ord = Ordering.Tuple2[Long, Long]
+      def brute(forward: Boolean): Map[Long, Long] = lRows.map {
+        case (lid, k, t) =>
+          val cands = rRows.filter { case (rid, rk, rt) =>
+            rk == k && (if (forward) ord.gteq((rt, rid), (t, lid)) // ids never equal
+              else ord.lteq((rt, rid), (t, lid)))
+          }
+          val pick =
+            if (cands.isEmpty) -1L
+            else if (forward) cands.minBy { case (rid, _, rt) => (rt, rid) }._1
+            else cands.maxBy { case (rid, _, rt) => (rt, rid) }._1
+          lid -> pick
+      }.toMap
+      for (fwd <- Seq(false, true)) {
+        val got = AsOfJoin.joinNative(l, r, Seq("k"),
+            struct(col("t"), col("lid")), struct(col("t"), col("rid")),
+            Seq("rid" -> "match_id"), forward = fwd)
+          .select($"lid", $"match_id").collect()
+          .map(x => x.getLong(0) ->
+            (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+        assert(got === brute(fwd), s"round=$round forward=$fwd")
+      }
+    }
+  }
+
   test("physical plan: one AsOfJoinExec over sort-merge-shaped children") {
     val ev = graft.Tables(spark, sfDir).events
     val l = ev.filter($"event_type" === "purchase")
