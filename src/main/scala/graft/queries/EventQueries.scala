@@ -425,6 +425,62 @@ object EventQueries {
         .orderBy($"shard")
     },
 
+    // --- cdc: cross-table CONSISTENT snapshot (watermark time travel) ----
+    // Two per-table replicas apply their batches independently and at
+    // different paces (clicks is 3 batches ahead, orders lags at 2);
+    // every committed version records the SOURCE WATERMARK it reached.
+    // readConsistentSnapshot picks the minimum of the latest
+    // watermarks as the global consistency point and reads EACH table
+    // as of that point — the fast table serves its matching OLDER
+    // version through watermark time travel, so both tables observe
+    // the same source moment. The oracle is per-table latest-state
+    // over events BEFORE that point — which only matches if the
+    // version selection is exactly right on both tables. Choosing
+    // versions is pure manifest metadata (O(tables), no data read);
+    // the replica builds are the build-once consistent-tables
+    // artifact (the sink is built once, then read).
+    "cdc_consistent_snapshot" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = graft.llm.IndexArtifacts.cachedPath(dir, "consistent-tables",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"),
+            $"event_type")
+        val mm = ev.agg(min($"ms"), max($"ms")).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val cuts = Seq(mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+        val orderCols = Seq(col("ms"), col("event_id"))
+        val x = ev.filter($"event_type".isin("click", "view"))
+          .drop("event_type")
+        val y = ev.filter(!$"event_type".isin("click", "view"))
+          .drop("event_type")
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+          watermark = Some(cuts(0)))
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+          orderCols, watermark = Some(cuts(1)))
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" >= cuts(1)), Seq("user_id"), orderCols,
+          watermark = Some(mx + 1))
+        CdcStream.applyBatchToReplica(s"$out/orders",
+          y.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+          watermark = Some(cuts(0)))
+        CdcStream.applyBatchToReplica(s"$out/orders",
+          y.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+          orderCols, watermark = Some(cuts(1)))
+      }
+      val (_, dfs) = CdcStream.readConsistentSnapshot(s,
+        Seq(s"$root/clicks", s"$root/orders"))
+      Seq("clicks", "orders").zip(dfs).map { case (name, df) =>
+        df.select(lit(name).as("table_name"), $"user_id",
+          $"event_id".as("last_event_id"), $"value_cents")
+      }.reduce(_.unionByName(_))
+        .orderBy($"table_name", $"user_id")
+    },
+
     // --- q30: semi-structured JSON property extraction -------------------
     // The events table carries a JSON `props` payload (the reference's
     // whole data model is JSON envelopes); extract a typed field with
@@ -1035,6 +1091,29 @@ object EventQueries {
          |WHERE v1.user_id IS NULL OR v2.user_id IS NULL
          |   OR v1.event_id <> v2.event_id
          |ORDER BY 1""".stripMargin,
+
+    // the consistency point is the lagging table's watermark (second
+    // thirds cut); both tables' states must be latest-state BEFORE it
+    "cdc_consistent_snapshot" ->
+      s"""WITH b AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |    max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+         |cut AS (SELECT mn + 2 * ((mx - mn) // 3) AS c FROM b),
+         |e AS (
+         |  SELECT CASE WHEN event_type IN ('click', 'view')
+         |           THEN 'clicks' ELSE 'orders' END AS table_name,
+         |    user_id, event_id, event_type,
+         |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         |    ${centsSql("value")} AS value_cents
+         |  FROM events),
+         |r AS (
+         |  SELECT table_name, user_id, event_id, value_cents, event_type,
+         |    row_number() OVER (PARTITION BY table_name, user_id
+         |                       ORDER BY ms DESC, event_id DESC) AS rn
+         |  FROM e, cut WHERE ms < c)
+         |SELECT table_name, user_id, event_id AS last_event_id, value_cents
+         |FROM r WHERE rn = 1 AND event_type <> 'error'
+         |ORDER BY 1, 2""".stripMargin,
 
     // the replica's shard digests must equal the changelog's — computed
     // here straight from events (the replica never exists oracle-side)

@@ -270,7 +270,8 @@ object CdcStream {
   private[streaming] var lockBreakTestHook: () => Unit = () => ()
 
   private final case class ReplicaManifest(numBuckets: Int,
-      buckets: Map[Int, String], schemaJson: Option[String] = None)
+      buckets: Map[Int, String], schemaJson: Option[String] = None,
+      watermark: Option[Long] = None)
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
     val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
@@ -281,12 +282,14 @@ object CdcStream {
         java.nio.charset.StandardCharsets.UTF_8))
     var nb = DefaultReplicaBuckets
     var schemaJson: Option[String] = None
+    var watermark: Option[Long] = None
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     require(p.nextToken() == JsonToken.START_OBJECT)
     while (p.nextToken() != JsonToken.END_OBJECT) {
       p.currentName() match {
         case "numBuckets" => p.nextToken(); nb = p.getIntValue
         case "schema" => p.nextToken(); schemaJson = Some(p.getText)
+        case "watermark" => p.nextToken(); watermark = Some(p.getLongValue)
         case "buckets" =>
           p.nextToken()
           while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -296,7 +299,7 @@ object CdcStream {
       }
     }
     p.close()
-    Some(ReplicaManifest(nb, buckets.toMap, schemaJson))
+    Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark))
   }
 
   private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
@@ -305,6 +308,7 @@ object CdcStream {
     g.writeStartObject()
     g.writeNumberField("numBuckets", m.numBuckets)
     m.schemaJson.foreach(g.writeStringField("schema", _))
+    m.watermark.foreach(g.writeNumberField("watermark", _))
     g.writeObjectFieldStart("buckets")
     m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => g.writeStringField(k.toString, v) }
     g.writeEndObject()
@@ -479,6 +483,59 @@ object CdcStream {
       .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}"))
       .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
 
+  /** The source watermark a committed version's manifest recorded
+    * (None for versions written without one, or pre-watermark
+    * manifests).
+    */
+  def replicaWatermark(replicaDir: String, version: Long): Option[Long] =
+    readManifest(replicaDir, f"v$version%09d").flatMap(_.watermark)
+
+  /** Watermark time travel: read the replica AS OF source watermark
+    * `wm` — the newest committed version whose recorded watermark is
+    * <= wm. Versions without a watermark are skipped (their source
+    * position is unknown). None when no committed version qualifies.
+    */
+  def readReplicaAtWatermark(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, wm: Long): Option[DataFrame] =
+    replicaVersions(replicaDir).reverse
+      .find(v => replicaWatermark(replicaDir, v).exists(_ <= wm))
+      .flatMap(v => readReplicaAt(spark, replicaDir, v))
+
+  /** CROSS-TABLE consistent snapshot — the read every multi-table CDC
+    * consumer eventually needs: per-table replicas apply their batches
+    * independently (per-table map offsets, per-table lag), so "read
+    * all the tables now" observes different source moments per table.
+    * Writers that stamp each version with the SOURCE WATERMARK it
+    * reached ("every source event with position < w is applied") make
+    * a consistent read cheap: the global consistency point is the
+    * minimum of the tables' LATEST watermarks, and each table reads AT
+    * that point through watermark time travel — a laggard table pins
+    * the snapshot, a fast table serves its matching older version
+    * (kept readable by the versioned layout's GC grace). Pure manifest
+    * metadata — no data is read to choose versions, so the decision
+    * cost is O(tables), not O(replica), at any scale.
+    *
+    * Returns (consistency point, per-dir snapshot DataFrames, in the
+    * given order). Throws when a table has no watermarked version to
+    * serve (nothing consistent can be read).
+    */
+  def readConsistentSnapshot(spark: org.apache.spark.sql.SparkSession,
+      replicaDirs: Seq[String]): (Long, Seq[DataFrame]) = {
+    val latest = replicaDirs.map { d =>
+      val wms = replicaVersions(d).flatMap(replicaWatermark(d, _))
+      if (wms.isEmpty) throw new IllegalStateException(
+        s"consistent read: replica $d has no watermarked version")
+      wms.max
+    }
+    val point = latest.min
+    val dfs = replicaDirs.map { d =>
+      readReplicaAtWatermark(spark, d, point).getOrElse(
+        throw new IllegalStateException(
+          s"consistent read: replica $d cannot serve watermark $point"))
+    }
+    (point, dfs)
+  }
+
   /** Compact the live replica: rewrite into one fresh version every
     * bucket that is either MULTI-FILE (more than `targetFilesPerBucket`
     * parquet files — small-file read amplification) or CARRIED OVER
@@ -521,7 +578,7 @@ object CdcStream {
       .map(k => k -> s"$nextName/data/__bucket=$k")
     // content-identical rewrite: the union schema carries over
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson), prev,
+      ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark), prev,
       cur.map(_._2))
   }
 
@@ -765,7 +822,8 @@ object CdcStream {
       idCols: Seq[String],
       orderCols: Seq[Column],
       opCol: String = "op",
-      numBuckets: Int = DefaultReplicaBuckets): Unit = {
+      numBuckets: Int = DefaultReplicaBuckets,
+      watermark: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     // materialize the per-key net ONCE: the merge below runs several
     // actions over it (touched-bucket collect, keys broadcast, upsert
@@ -775,7 +833,7 @@ object CdcStream {
     val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
       lastOpPerKey(batch, idCols, orderCols), "replica-net")
     try applyNetToReplica(replicaDir, net, batch.columns, idCols, opCol,
-      numBuckets)
+      numBuckets, watermark)
     finally dropNet()
   }
 
@@ -785,7 +843,8 @@ object CdcStream {
       batchCols: Array[String],
       idCols: Seq[String],
       opCol: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int,
+      watermark: Option[Long] = None): Unit = {
     val spark = net.sparkSession
     val dataCols = batchCols.filterNot(_ == opCol)
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
@@ -894,7 +953,7 @@ object CdcStream {
     val newBuckets = (prevBuckets -- touched) ++
       written.map(k => k -> s"$nextName/data/__bucket=$k")
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(nb, newBuckets, Some(unionSchema.json)), prev,
+      ReplicaManifest(nb, newBuckets, Some(unionSchema.json), watermark), prev,
       cur.map(_._2))
   }
 

@@ -353,6 +353,34 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     assert(CdcStream.readReplicaAt(spark, dir, 99).isEmpty)
   }
 
+  test("consistent snapshot: the fast table serves its older version at the laggard's watermark") {
+    val fast = freshDir(); val slow = freshDir()
+    def apply(dir: String, rows: Seq[(Long, String, String)], wm: Long): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows),
+        idCols = Seq("id"), orderCols = Seq(col("v")), watermark = Some(wm))
+    apply(fast, Seq((1L, "f1", "update")), 10L)
+    apply(fast, Seq((2L, "f2", "update")), 20L)
+    apply(fast, Seq((3L, "f3", "update")), 30L) // fast is at wm 30
+    apply(slow, Seq((9L, "s1", "update")), 10L)
+    apply(slow, Seq((8L, "s2", "update")), 20L) // slow lags at wm 20
+    val (point, Seq(f, sl)) =
+      CdcStream.readConsistentSnapshot(spark, Seq(fast, slow))
+    assert(point === 20L)
+    // fast must time-travel back to its wm-20 version: row 3 invisible
+    assert(f.select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(sl.select($"id").as[Long].collect().sorted.toSeq === Seq(8L, 9L))
+    // watermark metadata round-trips per version
+    assert(CdcStream.replicaVersions(fast)
+      .flatMap(CdcStream.replicaWatermark(fast, _)) === Seq(10L, 20L, 30L))
+    // a table with no watermarked version cannot join a consistent read
+    val bare = freshDir()
+    CdcStream.applyBatchToReplica(bare, batch(Seq((1L, "x", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    intercept[IllegalStateException] {
+      CdcStream.readConsistentSnapshot(spark, Seq(fast, bare))
+    }
+  }
+
   test("anti-entropy audit: replica digests equal the changelog's; tampering surfaces") {
     import graft.queries.EventQueries
     def digests(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
