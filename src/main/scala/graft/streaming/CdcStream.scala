@@ -132,7 +132,8 @@ object CdcStream {
       pathTemplate: String,
       schemas: Map[String, StructType],
       idCols: Map[String, Seq[String]],
-      orderCols: Seq[Column] = Seq(col("offset"))): Seq[String] = {
+      orderCols: Seq[Column] = Seq(col("offset")),
+      watermark: Option[Long] = None): Seq[String] = {
     val dbCol = get_json_object(col("value"), "$.databaseName")
     val tblCol = get_json_object(col("value"), "$.tableName")
     // ROUTE ONCE: write the raw envelopes into a (db, table)-partitioned
@@ -161,7 +162,7 @@ object CdcStream {
         new java.io.File(s"$routedDir/__db=$db"), "__tbl=")
     } yield (db, tbl)).sorted
     try fanOutRouted(spark, routedDir, present, pathTemplate, schemas,
-      idCols, orderCols)
+      idCols, orderCols, watermark)
     finally dropRouted()
   }
 
@@ -172,7 +173,8 @@ object CdcStream {
       pathTemplate: String,
       schemas: Map[String, StructType],
       idCols: Map[String, Seq[String]],
-      orderCols: Seq[Column]): Seq[String] = {
+      orderCols: Seq[Column],
+      watermark: Option[Long]): Seq[String] = {
     // per-table merges target DISJOINT replica dirs — schedule them as
     // concurrent Spark jobs (a fan-out over T tables is T independent
     // merges; running them serially would leave the cluster idle
@@ -191,7 +193,7 @@ object CdcStream {
               parsed(spark.read.parquet(routedDir)
                 .filter(col("__db") === db && col("__tbl") === tbl)
                 .select(col("value")), schema),
-              ids, orderCols)
+              ids, orderCols, watermark = watermark)
             path
           })
         case (Some(_), None) => throw new IllegalArgumentException(
