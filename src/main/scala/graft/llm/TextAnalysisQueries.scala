@@ -56,6 +56,9 @@ object TextAnalysisQueries {
     */
   val DsirBuckets = 1024L
 
+  /** Output shards for the token-balanced shard assignment. */
+  val NumShards = 8
+
   /** PII patterns — deliberately RE2-compatible (no backrefs, no
     * lookaround) so Spark's Java regex and DuckDB's RE2 match the same
     * spans.
@@ -233,6 +236,31 @@ object TextAnalysisQueries {
         .agg(sum(when(hash32(concat(lit("mix:"), $"doc_id".cast("string")))
             % 1000000 < $"rate_ppm", 1L).otherwise(0L)).as("n_sampled"))
         .orderBy($"source")
+    },
+
+    // --- token-balanced training-shard assignment ------------------------
+    // The last step of data prep: route docs into N output shards with
+    // BALANCED token counts (uniform hash balances doc counts, not
+    // work — a shard that draws the long docs stalls the trainer).
+    // Scale-honest two-level shape: docs bucket into log2 size classes
+    // (integer bit width, q34's trick), and round-robin WITHIN each
+    // class by a per-class window — same-sized docs spread evenly, so
+    // per-shard token sums differ by at most one doc per class. No
+    // global sort, no single-partition window: the class-keyed window
+    // shuffles once and every class ranks in parallel.
+    "llm_shard_balance" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = tokens($"text")
+      val d = Tables(s, dir).documents
+        .select($"doc_id", size(t).cast("long").as("n_tokens"))
+        .withColumn("bits", length(bin($"n_tokens")))
+      val w = Window.partitionBy($"bits").orderBy($"n_tokens".desc, $"doc_id")
+      d.withColumn("shard",
+          ((row_number().over(w) - 1) % NumShards).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"shard")
     },
 
     // --- DSIR-style importance weights (target-vs-raw n-gram ratio) ------
@@ -635,6 +663,19 @@ object TextAnalysisQueries {
          |      < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents d JOIN r ON d.source = r.source
          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    "llm_shard_balance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT *, length(bin(n_tokens)) AS bits FROM d),
+         |a AS (
+         |  SELECT *, (row_number() OVER (PARTITION BY bits
+         |    ORDER BY n_tokens DESC, doc_id) - 1) % $NumShards AS shard
+         |  FROM b)
+         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_dsir_weights" ->
       s"""WITH h AS (

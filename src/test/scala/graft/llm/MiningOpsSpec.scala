@@ -304,6 +304,35 @@ class MiningOpsSpec extends SparkSuite {
     assert(en.nonEmpty && other.nonEmpty && rate(en) > rate(other))
   }
 
+  test("shard_balance: shards match a driver recount and token sums are balanced") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ", -1).length.toLong))
+    val N = TextAnalysisQueries.NumShards
+    val assigned = docs
+      .map { case (id, n) => (id, n, java.lang.Long.toBinaryString(n).length) }
+      .groupBy(_._3).toSeq.flatMap { case (_, bin) =>
+        bin.sortBy { case (id, n, _) => (-n, id) }.zipWithIndex
+          .map { case ((id, n, _), i) => (id, n, (i % N).toLong) }
+      }
+    val expected = assigned.groupBy(_._3).map { case (sh, xs) =>
+      (sh, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysisQueries.defs("llm_shard_balance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // balance: every shard populated; per-shard token sums within the
+    // theoretical bound (one max-size doc per populated size class)
+    assert(got.size === N)
+    val sums = got.map(_._3)
+    val bound = assigned.groupBy(x =>
+      java.lang.Long.toBinaryString(x._2).length)
+      .map(_._2.map(_._2).max).sum
+    assert(sums.max - sums.min <= bound,
+      s"spread ${sums.max - sums.min} > bound $bound")
+  }
+
   test("token_budget_fill: kept set is the top-scored prefix within each source's budget") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "source", "text").collect()
