@@ -171,6 +171,52 @@ object DedupQueries {
       .select(col("bx.doc_id").as("doc_a"), col("by.doc_id").as("doc_b"))
       .distinct()
 
+  /** HOT-BUCKET-BOUNDED candidate pairs — the mitigation
+    * `llm_band_skew` measures for. The plain bucket self-join is
+    * quadratic INSIDE each (band, bh) bucket, so one boilerplate
+    * bucket of B docs costs C(B,2) pairs and dominates the pipeline.
+    * Here a bucket of size ≤ cap expands to full pairs (identical to
+    * [[bandCandidates]]); a bucket of size > cap contributes only its
+    * id-sorted adjacent CHAIN — B−1 pairs, linear in the bucket.
+    *
+    * What the cap preserves and what it trades: the chain keeps the
+    * bucket CONNECTED, so connected-component clustering over
+    * verified pairs sees the same components whenever verification
+    * passes along the chain (the boilerplate case that creates hot
+    * buckets — near-identical docs — is exactly the case where it
+    * does). What it gives up is pair-level completeness: a distant
+    * pair inside a hot bucket is only reached transitively. That is
+    * the standard production trade (cap/shard/stop-shingle); the
+    * measure (`llm_band_skew`) prices when to take it.
+    *
+    * Shapes: one (band, bh)-keyed partial-agg for sizes, one keyed
+    * equi-join over the ≤cap slice, one (band, bh)-partitioned window
+    * over the >cap slice — never Σ B² anywhere.
+    */
+  private[llm] def bandCandidatesCapped(bands: DataFrame, cap: Int): DataFrame = {
+    val sized = bands.join(
+      bands.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bsz")),
+      Seq("band", "bh"))
+    val small = sized.filter(col("bsz") <= cap)
+    val fullPairs = small.as("bx").join(small.as("by"),
+        col("bx.band") === col("by.band") && col("bx.bh") === col("by.bh") &&
+          col("bx.doc_id") < col("by.doc_id"))
+      .select(col("bx.doc_id").as("doc_a"), col("by.doc_id").as("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val chain = sized.filter(col("bsz") > cap)
+      .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+    fullPairs.unionByName(chain).distinct()
+  }
+
+  /** Cap for `llm_band_cap` — 2 at fixture scale so BOTH paths carry
+    * rows (sf0.01 buckets top out at 3); at 100 TB the cap is set from
+    * the `llm_band_skew` report (e.g. 100× the expected bucket size).
+    */
+  val BandCap = 2
+
   /** Feature-hash dimensionality of the count vectors in
     * `llm_vector_neardup`.
     */
@@ -775,6 +821,21 @@ object DedupQueries {
         .orderBy($"band")
     },
 
+    // --- the mitigation llm_band_skew prices: capped candidates ---------
+    // Candidate pairs under the hot-bucket cap (bandCandidatesCapped):
+    // buckets ≤ BandCap expand fully, larger buckets contribute their
+    // id-sorted chain only — per-bucket cost drops C(B,2) → B−1 while
+    // bucket connectivity (what clustering consumes) is preserved. At
+    // fixture scale the cap is set low (2) so both code paths carry
+    // rows; the output is the capped candidate edge list itself.
+    "llm_band_cap" -> { (s, dir) =>
+      import s.implicits._
+      val bands = IndexArtifacts.materialize(s,
+        minhashBands(shingled(s, dir)), "cap-bands")
+      bandCandidatesCapped(bands, BandCap)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // --- contrastive training triplets off the dedup pipeline -----------
     // (anchor, positive, hard negative) triplets for training retrieval
     // /embedding models, mined ENTIRELY from structures the pipeline
@@ -1201,6 +1262,34 @@ object DedupQueries {
          |SELECT band, count(*) AS n_buckets, CAST(max(b) AS BIGINT) AS max_bucket,
          |  CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidate_pairs
          |FROM bsz GROUP BY band ORDER BY band""".stripMargin,
+
+    // full pairs from buckets ≤ cap, id-sorted adjacent chain from
+    // buckets > cap — the window formulation mirrors the Spark lead()
+    "llm_band_cap" ->
+      s"""WITH docs AS ($shingledSql),
+         |tok AS (
+         |  SELECT doc_id, tok % $P AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM docs)),
+         |$minhashSigSql,
+         |bands AS (
+         |  $minhashBandsSql),
+         |sized AS (
+         |  SELECT doc_id, band, bh,
+         |    count(*) OVER (PARTITION BY band, bh) AS bsz
+         |  FROM bands),
+         |full_pairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM sized x JOIN sized y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |  WHERE x.bsz <= $BandCap),
+         |chain AS (
+         |  SELECT doc_id AS doc_a,
+         |    lead(doc_id) OVER (PARTITION BY band, bh ORDER BY doc_id) AS doc_b
+         |  FROM sized WHERE bsz > $BandCap)
+         |SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT * FROM full_pairs
+         |  UNION ALL SELECT * FROM chain WHERE doc_b IS NOT NULL)
+         |ORDER BY 1, 2""".stripMargin,
 
     "llm_contrastive_triplets" ->
       s"""WITH RECURSIVE $clusterLabelsSql,

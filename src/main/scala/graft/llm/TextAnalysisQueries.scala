@@ -73,7 +73,40 @@ object TextAnalysisQueries {
   val QualityStopTargetPpm = 300000L
   val QualityKeepThreshold = 2200000L
 
+  /** Hashed-vocabulary bucket count for `llm_corpus_drift` — the
+    * drift "feature table" is exactly this many rows at ANY corpus
+    * size, which is what keeps the monitor broadcast-bounded.
+    */
+  val DriftBuckets = 64L
+
   val defs: Map[String, QFn] = Map(
+
+    // --- corpus snapshot drift monitor ----------------------------------
+    // Distribution shift between two corpus snapshots (here the
+    // deterministic doc_id-parity halves standing in for crawl N vs
+    // crawl N+1): token mass per hashed-vocabulary bucket, compared as
+    // exact ppm shares with an L1 drift term per bucket. The pipeline
+    // answer to "did the new crawl change the corpus?" BEFORE any
+    // training run pays for the answer. Shape: one token scan folding
+    // into a DriftBuckets×2 counter table (map-side partial agg), then
+    // window totals over the bucket-bounded result — the corpus is
+    // touched once, the compare is O(buckets), and every share is an
+    // exact integer so both engines agree bitwise.
+    "llm_corpus_drift" -> { (s, dir) =>
+      import s.implicits._
+      val tok = Tables(s, dir).documents
+        .select((($"doc_id" % 2) === 0).as("is_ref"),
+          explode(tokens($"text")).as("t"))
+      tok.groupBy((hash32($"t") % DriftBuckets).as("bucket"))
+        .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!$"is_ref", 1L).otherwise(0L)).as("c_cur"))
+        .withColumn("share_ref_ppm",
+          expr("(1000000 * c_ref) div (sum(c_ref) over ())"))
+        .withColumn("share_cur_ppm",
+          expr("(1000000 * c_cur) div (sum(c_cur) over ())"))
+        .withColumn("drift_ppm", abs($"share_ref_ppm" - $"share_cur_ppm"))
+        .orderBy($"bucket")
+    },
 
     // --- per-document quality statistics --------------------------------
     "llm_text_stats" -> { (s, dir) =>
@@ -533,6 +566,26 @@ object TextAnalysisQueries {
   private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+
+    // identical bucket hash (md5-prefix), identical integer ppm shares
+    "llm_corpus_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 = 0 AS is_ref, unnest($toksSql) AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT ${hash32Sql("t")} % $DriftBuckets AS bucket,
+         |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+         |  FROM tok GROUP BY 1)
+         |SELECT bucket, c_ref, c_cur,
+         |  CAST((1000000 * c_ref) // (sum(c_ref) OVER ()) AS BIGINT)
+         |    AS share_ref_ppm,
+         |  CAST((1000000 * c_cur) // (sum(c_cur) OVER ()) AS BIGINT)
+         |    AS share_cur_ppm,
+         |  CAST(abs((1000000 * c_ref) // (sum(c_ref) OVER ())
+         |         - (1000000 * c_cur) // (sum(c_cur) OVER ())) AS BIGINT)
+         |    AS drift_ppm
+         |FROM b ORDER BY bucket""".stripMargin,
 
     "llm_text_stats" ->
       s"""SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop,

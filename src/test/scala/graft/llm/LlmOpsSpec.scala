@@ -441,6 +441,51 @@ class LlmOpsSpec extends SparkSuite {
     assert(df.filter(size(col("a")) === 0 && col("fast") =!= 0).count() === 0)
   }
 
+  test("band cap: hot buckets chain linearly and keep their connectivity") {
+    import graft.SparkSuite.spark.implicits._
+    // one hot bucket (50 docs), one small bucket (3 docs), cap = 3
+    val hot = (0L until 50L).map(i => (i, 0, "hot"))
+    val small = Seq((100L, 1, "sm"), (101L, 1, "sm"), (102L, 1, "sm"))
+    val bands = (hot ++ small).toDF("doc_id", "band", "bh")
+    val pairs = DedupQueries.bandCandidatesCapped(bands, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot bucket: exactly the 49 sorted-adjacent pairs, not C(50,2)
+    val hotPairs = pairs.filter(_._1 < 100L)
+    assert(hotPairs == (0L until 49L).map(i => (i, i + 1)).toSet)
+    // small bucket: full pairs, identical to the uncapped join
+    assert(pairs.filter(_._1 >= 100L) ==
+      Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    // connectivity: union-find over capped pairs joins the whole bucket
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 50L).map(find).toSet.size == 1)
+  }
+
+  test("corpus drift: counts recompute and ppm shares are floor-exact") {
+    import graft.SparkSuite.spark.implicits._
+    val out = TextAnalysisQueries.defs("llm_corpus_drift")(spark, sfDir)
+      .collect()
+    val totRef = out.map(_.getAs[Long]("c_ref")).sum
+    val totCur = out.map(_.getAs[Long]("c_cur")).sum
+    // bucket counts partition the token stream of each snapshot half
+    val expRef = docs.filter($"doc_id" % 2 === 0)
+      .select(explode(split(lower($"text"), " "))).count()
+    val expCur = docs.filter($"doc_id" % 2 =!= 0)
+      .select(explode(split(lower($"text"), " "))).count()
+    assert(totRef == expRef && totCur == expCur)
+    out.foreach { r =>
+      assert(r.getAs[Long]("share_ref_ppm") ==
+        1000000L * r.getAs[Long]("c_ref") / totRef)
+      assert(r.getAs[Long]("drift_ppm") ==
+        math.abs(r.getAs[Long]("share_ref_ppm") -
+          r.getAs[Long]("share_cur_ppm")))
+    }
+  }
+
   test("lang-id predicts deterministically with fixed tie-break priority") {
     val out = TextAnalysisQueries.defs("llm_lang_id")(spark, sfDir).collect()
     assert(out.length == docs.count())
