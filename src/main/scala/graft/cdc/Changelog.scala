@@ -202,7 +202,19 @@ object ChangelogFiles {
     */
   final case class ManifestEntry(length: Long, count: Long,
       tables: Map[String, Long], bounds: Seq[Long] = Nil,
-      txnEnds: Seq[Long] = Nil)
+      txnEnds: Seq[Long] = Nil, sync: Seq[SyncPoint] = Nil)
+
+  /** Intra-file scan spine: at record position `pos` (1-based),
+    * `tables` holds each table's record count among positions
+    * [1, pos) of the file, and `byte` (when >= 0) is the exact byte
+    * offset where line `pos` starts. Written by multi-table log
+    * writers every `syncEvery` records so a partition can start
+    * scanning MID-FILE with exact per-table index bases — and, with
+    * `byte`, SEEK there directly: no partition reads bytes it does
+    * not serve.
+    */
+  final case class SyncPoint(pos: Long, tables: Map[String, Long],
+      byte: Long = -1L)
 
   private final case class ManifestState(len: Long, mtime: Long,
       entries: Map[String, ManifestEntry])
@@ -278,6 +290,7 @@ object ChangelogFiles {
       val tabs = mutable.LinkedHashMap.empty[String, Long]
       val bounds = mutable.ArrayBuffer.empty[Long]
       val txnEnds = mutable.ArrayBuffer.empty[Long]
+      val sync = mutable.ArrayBuffer.empty[SyncPoint]
       while (p.nextToken() != JsonToken.END_OBJECT) {
         val k = p.currentName(); p.nextToken()
         k match {
@@ -294,10 +307,34 @@ object ChangelogFiles {
           case "txnEnds" =>
             require(p.currentToken() == JsonToken.START_ARRAY)
             while (p.nextToken() != JsonToken.END_ARRAY) txnEnds += p.getLongValue
+          case "sync" =>
+            require(p.currentToken() == JsonToken.START_ARRAY)
+            while (p.nextToken() != JsonToken.END_ARRAY) {
+              require(p.currentToken() == JsonToken.START_OBJECT)
+              var pos = -1L
+              var byte = -1L
+              val st = mutable.LinkedHashMap.empty[String, Long]
+              while (p.nextToken() != JsonToken.END_OBJECT) {
+                val sk = p.currentName(); p.nextToken()
+                sk match {
+                  case "pos" => pos = p.getLongValue
+                  case "byte" => byte = p.getLongValue
+                  case "tables" =>
+                    require(p.currentToken() == JsonToken.START_OBJECT)
+                    while (p.nextToken() != JsonToken.END_OBJECT) {
+                      val t = p.currentName(); p.nextToken()
+                      st += t -> p.getLongValue
+                    }
+                  case _ => p.skipChildren()
+                }
+              }
+              sync += SyncPoint(pos, st.toMap, byte)
+            }
           case _ => p.skipChildren()
         }
       }
-      m += name -> ManifestEntry(l, c, tabs.toMap, bounds.toSeq, txnEnds.toSeq)
+      m += name -> ManifestEntry(l, c, tabs.toMap, bounds.toSeq, txnEnds.toSeq,
+        sync.toSeq)
     }
     p.close()
     manifestCache.put(dir, ManifestState(len, mtime, m.toMap))
@@ -319,7 +356,8 @@ object ChangelogFiles {
   def writeManifest(dir: File,
       entries: Iterable[(String, (File, Long, Map[String, Long]))],
       bounds: Map[String, Seq[Long]] = Map.empty,
-      txnEnds: Map[String, Seq[Long]] = Map.empty): Unit = {
+      txnEnds: Map[String, Seq[Long]] = Map.empty,
+      sync: Map[String, Seq[SyncPoint]] = Map.empty): Unit = {
     val sw = new java.io.StringWriter()
     val g = new JsonFactory().createGenerator(sw)
     g.writeStartObject()
@@ -338,6 +376,20 @@ object ChangelogFiles {
       txnEnds.get(name).filter(_.nonEmpty).foreach { ts =>
         g.writeArrayFieldStart("txnEnds")
         ts.foreach(g.writeNumber)
+        g.writeEndArray()
+      }
+      sync.get(name).filter(_.nonEmpty).foreach { sps =>
+        g.writeArrayFieldStart("sync")
+        sps.foreach { sp =>
+          g.writeStartObject()
+          g.writeNumberField("pos", sp.pos)
+          if (sp.byte >= 0) g.writeNumberField("byte", sp.byte)
+          g.writeObjectFieldStart("tables")
+          sp.tables.toSeq.sortBy(_._1)
+            .foreach { case (t, n) => g.writeNumberField(t, n) }
+          g.writeEndObject()
+          g.writeEndObject()
+        }
         g.writeEndArray()
       }
       g.writeEndObject()
@@ -607,12 +659,33 @@ object ChangelogFiles {
     * has no pos yet (recordCount's newline accounting agrees) and will
     * be served once its newline lands.
     */
-  final class RecordIterator(f: File, fromPos: Long, untilPos: Long)
+  /** @param seekBytes when >= 0, the EXACT byte offset where line
+    *   `seekPos` starts (from a manifest [[SyncPoint]]): the iterator
+    *   seeks there directly and line-skips only [seekPos, fromPos) —
+    *   at most one sync interval — instead of the whole prefix, so a
+    *   mid-file partition reads (almost) only the bytes it serves.
+    * @param seekPos the 1-based record position whose line starts at
+    *   `seekBytes`; must satisfy `seekPos <= fromPos`.
+    */
+  final class RecordIterator(f: File, fromPos: Long, untilPos: Long,
+      seekBytes: Long = -1L, seekPos: Long = 1L)
       extends Iterator[ChangelogRecord] with AutoCloseable {
+    require(seekBytes < 0 || seekPos <= fromPos,
+      s"seekPos $seekPos past fromPos $fromPos")
     private val in = new java.io.BufferedInputStream(new FileInputStream(f), 64 * 1024)
     private val buf = new java.io.ByteArrayOutputStream(256)
     private var closed = false
-    private var idx = 0L
+    private var idx =
+      if (seekBytes >= 0) {
+        var skipped = 0L
+        while (skipped < seekBytes) {
+          val s = in.skip(seekBytes - skipped)
+          if (s <= 0)
+            throw new java.io.IOException(s"cannot seek to byte $seekBytes in $f")
+          skipped += s
+        }
+        seekPos - 1 // the seek lands at the start of line seekPos
+      } else 0L
     private var nextRec: ChangelogRecord = advanceTo()
 
     /** Next NEWLINE-TERMINATED line, or null at EOF / torn tail. */
@@ -649,9 +722,13 @@ object ChangelogFiles {
     override def close(): Unit = if (!closed) { closed = true; in.close() }
   }
 
-  /** Read records of one file with `fromPos <= pos < untilPos`. */
-  def readRange(f: File, fromPos: Long, untilPos: Long): RecordIterator =
-    new RecordIterator(f, fromPos, untilPos)
+  /** Read records of one file with `fromPos <= pos < untilPos`;
+    * `seekBytes >= 0` seeks straight to line `seekPos` (see
+    * [[RecordIterator]]).
+    */
+  def readRange(f: File, fromPos: Long, untilPos: Long,
+      seekBytes: Long = -1L, seekPos: Long = 1L): RecordIterator =
+    new RecordIterator(f, fromPos, untilPos, seekBytes, seekPos)
 
   /** schemas.json: `{"db.table": "<StructType.json>", …}`. */
   def readSchemas(dir: String): Map[String, String] = {

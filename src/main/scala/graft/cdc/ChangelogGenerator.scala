@@ -1,6 +1,6 @@
 package graft.cdc
 
-import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.io.{File, FileOutputStream}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Row}
@@ -58,6 +58,13 @@ object ChangelogGenerator {
     *   consumes a position like any record (manifest counts agree) and
     *   is dropped by readers unless they opt in (`includeDdl`).
     */
+  /** @param syncEvery when > 0, the manifest records an intra-file
+    *   scan-spine [[ChangelogFiles.SyncPoint]] every this many records:
+    *   (pos, per-table counts among records [1, pos) of the file).
+    *   Lets the map-offset planner split ONE shared log file across
+    *   tasks with exact per-table index bases — no partition re-parses
+    *   the prefix it skips.
+    */
   def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
       db: String = "graft", table: String = "events",
       prefix: String = ChangelogFiles.DefaultPrefix,
@@ -65,7 +72,8 @@ object ChangelogGenerator {
       tableByEventType: Boolean = false,
       txnSize: Long = 0L,
       beforeImages: Boolean = false,
-      ddlAtDrift: Boolean = false): Unit = {
+      ddlAtDrift: Boolean = false,
+      syncEvery: Long = 5000L): Unit = {
     require(!ddlAtDrift || driftFromMs < Long.MaxValue,
       "ddlAtDrift requires driftFromMs")
     val dir = new File(outDir)
@@ -104,13 +112,29 @@ object ChangelogGenerator {
     var fileId = 1L
     var posInFile = 0L
     var globalIdx = 0L
-    var out: BufferedWriter = null
+    var bytesInFile = 0L
+    var out: java.io.BufferedOutputStream = null
     var current: File = null
+    def writeLine(s: String): Unit = {
+      val b = (s + "\n").getBytes(StandardCharsets.UTF_8)
+      out.write(b)
+      bytesInFile += b.length
+    }
     val perTable = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val fileTxnEnds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fileSync =
+      scala.collection.mutable.ArrayBuffer.empty[ChangelogFiles.SyncPoint]
     val written =
       scala.collection.mutable.LinkedHashMap.empty[String, (File, Long, Map[String, Long])]
     val allTxnEnds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    val allSync = scala.collection.mutable
+      .LinkedHashMap.empty[String, Seq[ChangelogFiles.SyncPoint]]
+    // after the record at posInFile is written: counts among [1, pos+1),
+    // plus the byte offset where line pos+1 starts (= bytes so far)
+    def maybeSync(): Unit =
+      if (syncEvery > 0 && posInFile % syncEvery == 0)
+        fileSync += ChangelogFiles.SyncPoint(posInFile + 1, perTable.toMap,
+          bytesInFile)
     val rowState =
       scala.collection.mutable.HashMap.empty[Long, Map[String, EnvelopeValue]]
     var ddlWritten = false
@@ -119,13 +143,15 @@ object ChangelogGenerator {
         out.close()
         written += current.getName -> (current, posInFile, perTable.toMap)
         if (fileTxnEnds.nonEmpty) allTxnEnds += current.getName -> fileTxnEnds.toSeq
+        if (fileSync.nonEmpty) allSync += current.getName -> fileSync.toSeq
         perTable.clear()
         fileTxnEnds.clear()
+        fileSync.clear()
       }
       val f = new File(dir, f"$prefix.$fileId%06d")
       current = f
-      out = new BufferedWriter(new OutputStreamWriter(
-        new FileOutputStream(f), StandardCharsets.UTF_8))
+      bytesInFile = 0L
+      out = new java.io.BufferedOutputStream(new FileOutputStream(f), 64 * 1024)
     }
     roll()
 
@@ -147,11 +173,11 @@ object ChangelogGenerator {
       if (ddlAtDrift && !ddlWritten && tsMs >= driftFromMs) {
         posInFile += 1
         perTable.updateWith(s"$db.$recTable")(c => Some(c.getOrElse(0L) + 1L))
-        out.write(ChangelogRecord.write(ChangelogRecord(posInFile, "ddl",
+        writeLine(ChangelogRecord.write(ChangelogRecord(posInFile, "ddl",
           db, recTable, tsMs, Map("sql" -> EnvelopeValue.VString(
             s"ALTER TABLE $db.$recTable ADD COLUMN score BIGINT")))))
-        out.write("\n")
         ddlWritten = true
+        maybeSync()
       }
       posInFile += 1
       globalIdx += 1
@@ -179,21 +205,24 @@ object ChangelogGenerator {
       }
       val rec = ChangelogRecord(posInFile, op, db, recTable, tsMs, row,
         before = before, txn = txn)
-      out.write(ChangelogRecord.write(rec))
-      out.write("\n")
+      writeLine(ChangelogRecord.write(rec))
       // record at pos ends its txn when it is the txn's last record or
       // the log's last record (closing the log commits the tail txn)
       if (txnSize > 0 && (globalIdx % txnSize == 0 || !it.hasNext))
         fileTxnEnds += posInFile
+      maybeSync()
     }
     out.close()
     written += current.getName -> (current, posInFile, perTable.toMap)
     if (fileTxnEnds.nonEmpty) allTxnEnds += current.getName -> fileTxnEnds.toSeq
+    if (fileSync.nonEmpty) allSync += current.getName -> fileSync.toSeq
 
     // manifest.json sidecar: per-file (length, count, per-table counts,
-    // txn-commit positions) so the source's per-trigger latestOffset
-    // never re-scans completed files — in global, per-table, or
-    // txn-aligned offset mode
-    ChangelogFiles.writeManifest(dir, written, txnEnds = allTxnEnds.toMap)
+    // txn-commit positions, intra-file sync spine) so the source's
+    // per-trigger latestOffset never re-scans completed files — in
+    // global, per-table, or txn-aligned offset mode — and mid-file
+    // partition starts stay metadata-only
+    ChangelogFiles.writeManifest(dir, written, txnEnds = allTxnEnds.toMap,
+      sync = allSync.toMap)
   }
 }

@@ -316,20 +316,29 @@ object TextAnalysisQueries {
     // integers.
     "llm_dsir_weights" -> { (s, dir) =>
       import s.implicits._
-      val toks = Tables(s, dir).documents
-        .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
-        .select($"doc_id", $"lang",
-          pmod(hash32($"term"), lit(DsirBuckets)).as("f"))
-      val feat = toks.groupBy($"f").agg(
-          count(lit(1)).as("rc"),
-          sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"))
+      // ONE hashed-token pass: the md5-derived bucket hash is the
+      // query's dominant per-row cost, so the token stream folds first
+      // into per-(doc, bucket) counts, and BOTH the feature table and
+      // the per-doc weights derive from that (weight_sum = Σ c·ratio —
+      // the same integers as summing per token). Previously the
+      // explode+hash pipeline ran twice: once under feat, once under
+      // the join-back.
+      val db = IndexArtifacts.materialize(s, Tables(s, dir).documents
+          .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+          .select($"doc_id", $"lang",
+            pmod(hash32($"term"), lit(DsirBuckets)).as("f"))
+          .groupBy($"doc_id", $"lang", $"f").agg(count(lit(1)).as("c")),
+        "dsir-doc-buckets")
+      val feat = db.groupBy($"f").agg(
+          sum($"c").as("rc"),
+          sum(when($"lang" === "en", $"c").otherwise(0L)).as("tc"))
         .withColumn("ratio_ppm", expr("(tc + 1) * 1000000 div (rc + 1)"))
       val tot = feat.agg(sum($"rc").as("n_tot"),
         sum($"rc" * $"ratio_ppm").as("w_tot"))
-      toks.join(broadcast(feat.select($"f", $"ratio_ppm")), "f")
+      db.join(broadcast(feat.select($"f", $"ratio_ppm")), "f")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum($"ratio_ppm").as("weight_sum"))
+        .agg(sum($"c").as("n_tokens"),
+          sum($"c" * $"ratio_ppm").as("weight_sum"))
         .crossJoin(broadcast(tot))
         .withColumn("selected", $"weight_sum" * $"n_tot" > $"w_tot" * $"n_tokens")
         .select($"doc_id", $"n_tokens", $"weight_sum", $"selected")

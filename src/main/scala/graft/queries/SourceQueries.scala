@@ -38,7 +38,10 @@ object SourceQueries {
     */
   private def cachedLog(sfDir: String, kind: String)(gen: String => Unit): String = synchronized {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val target = new File(s"/tmp/graft-fixture-logs/$key/$kind")
+    // the generation counter invalidates fixtures cached by earlier
+    // builds when the GENERATOR's output changes (e.g. the manifest
+    // sync spine) — bump it with any generator format change
+    val target = new File(s"/tmp/graft-fixture-logs/$key/$kind-g2")
     if (new File(target, "_SUCCESS").exists()) return target.toString
     val tmp = new File(s"${target}.tmp-${ProcessHandle.current().pid()}")
     tmp.mkdirs()

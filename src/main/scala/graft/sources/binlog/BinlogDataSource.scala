@@ -99,7 +99,10 @@ final case class BinlogSourceConf(
     binlogIndex: Option[Long],
     binlogFileOffset: Option[Long],
     maxEventsPerTrigger: Option[Long],
-    maxRecordsPerPartition: Long,
+    /** Explicit per-partition record bound; when unset the planner
+      * adapts to the session's parallelism ([[BinlogPartitioning.chunkSize]]).
+      */
+    maxRecordsPerPartition: Option[Long],
     failOnDataLoss: Boolean,
     pruneCommitted: Boolean,
     offsetsByTable: Boolean,
@@ -169,7 +172,7 @@ object BinlogSourceConf {
       binlogFileOffset = Option(options.get("binlogFileOffset")).map(_.toLong),
       maxEventsPerTrigger = Option(options.get("maxEventsPerTrigger")).map(_.toLong),
       maxRecordsPerPartition =
-        Option(options.get("maxRecordsPerPartition")).map(_.toLong).getOrElse(100000L),
+        Option(options.get("maxRecordsPerPartition")).map(_.toLong),
       failOnDataLoss =
         Option(options.get("failOnDataLoss")).forall(_.toBoolean),
       pruneCommitted =
@@ -432,8 +435,25 @@ final class BinlogBatch(conf: BinlogSourceConf) extends Batch {
 }
 
 object BinlogPartitioning {
+
+  /** Per-partition record bound: the explicit option when set, else
+    * adapted to the session's parallelism so the scan fills the
+    * cluster in ~2 task waves instead of one task per 100k-record
+    * file (the fixed default left a 32-core local session reading a
+    * 2-file log with 2 tasks). The floor keeps a small micro-batch in
+    * one partition (no per-trigger task confetti); the cap bounds
+    * planner output on huge ranges. Planning stays metadata-only —
+    * `total` comes from the manifest spine, never a scan.
+    */
+  def chunkSize(conf: BinlogSourceConf, total: Long): Long =
+    conf.maxRecordsPerPartition.getOrElse {
+      val par = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.defaultParallelism).getOrElse(8).max(1)
+      ((total + 2L * par - 1) / (2L * par)).max(2000L).min(100000L)
+    }
+
   /** Slice [start, end) into one partition per file, further split into
-    * `maxRecordsPerPartition` chunks — N-way fetch parallelism where
+    * [[chunkSize]] chunks — N-way fetch parallelism where
     * the reference served every batch through one partition
     * (MBDS:394-397). Also the ST8 regression check (HWDS:220-241).
     */
@@ -468,16 +488,30 @@ object BinlogPartitioning {
       }
     }
     if (end.packed == start.packed) return Array.empty
-    val parts = for {
+    val ranges = for {
       (id, f) <- files
       if id >= start.fileId && id <= end.fileId
       n = ChangelogFiles.recordCount(f)
       from = if (id == start.fileId) start.pos else 1L
       until = if (id == end.fileId) math.min(end.pos, n + 1) else n + 1
       if until > from
-      chunkStart <- from until until by conf.maxRecordsPerPartition
+    } yield (id, f, from, until)
+    val chunk = chunkSize(conf, ranges.iterator.map(r => r._4 - r._3).sum)
+    val mf = ChangelogFiles.manifest(conf.dir)
+    val parts = for {
+      (id, f, from, until) <- ranges
+      // byte-addressed spine (when the writer recorded one): each chunk
+      // seeks to the nearest sync point at-or-before its start and
+      // line-skips at most one sync interval, instead of line-reading
+      // the whole prefix — a chunked scan reads ~only the bytes it serves
+      sync = mf.get(f.getName).map(_.sync).getOrElse(Nil)
+        .filter(_.byte >= 0).sortBy(_.pos)
+      chunkStart <- from until until by chunk
+      anchor = sync.takeWhile(_.pos <= chunkStart).lastOption
     } yield BinlogInputPartition(f.getAbsolutePath, id, chunkStart,
-      math.min(chunkStart + conf.maxRecordsPerPartition, until))
+      math.min(chunkStart + chunk, until),
+      seekBytes = anchor.map(_.byte).getOrElse(-1L),
+      seekPos = anchor.map(_.pos).getOrElse(1L))
     parts.toArray
   }
 
@@ -514,9 +548,14 @@ object BinlogPartitioning {
             "or use offsetsByTable=false)")
       }
     }
-    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    // pass 1 (metadata-only): per-file in-range table slices, with the
+    // cumulative per-table index carried across files
+    final case class FileSlice(f: java.io.File, id: Long,
+        bases: Map[String, Long], ranges: Map[String, (Long, Long)],
+        counts: Map[String, Long], scanUntil: Long)
     val lost = scala.collection.mutable.ArrayBuffer.empty[Long]
     val cum = scala.collection.mutable.HashMap.empty[String, Long]
+    val slices = scala.collection.mutable.ArrayBuffer.empty[FileSlice]
     ChangelogFiles.fileTableCounts(conf.dir, conf.prefix).foreach {
       case (id, fOpt, counts) =>
         val ranges: Map[String, (Long, Long)] = counts.flatMap { case (t, n) =>
@@ -530,26 +569,8 @@ object BinlogPartitioning {
         if (ranges.nonEmpty) fOpt match {
           case Some(f) =>
             val bases = ranges.keys.map(t => t -> cum.getOrElse(t, 0L)).toMap
-            val scanUntil = ChangelogFiles.recordCount(f) + 1
-            val total = ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum
-            if (total <= conf.maxRecordsPerPartition) {
-              // common case: one partition scans the file once for all tables
-              parts += BinlogMapInputPartition(f.getAbsolutePath, id, bases,
-                ranges, scanUntil)
-            } else {
-              // large in-range volume: split per table, then chunk each
-              // table's local range so partitions stay bounded — the
-              // extra scans cost the same line-skipping a chunked legacy
-              // readRange pays
-              for {
-                (t, (lo, hi)) <- ranges.toSeq.sortBy(_._1)
-                chunkLo <- lo until hi by conf.maxRecordsPerPartition
-              } parts += BinlogMapInputPartition(f.getAbsolutePath, id,
-                Map(t -> bases(t)),
-                Map(t -> (chunkLo,
-                  math.min(chunkLo + conf.maxRecordsPerPartition, hi))),
-                scanUntil)
-            }
+            slices += FileSlice(f, id, bases, ranges, counts,
+              ChangelogFiles.recordCount(f) + 1)
           case None => lost += id
         }
         counts.foreach { case (t, n) => cum.put(t, cum.getOrElse(t, 0L) + n) }
@@ -559,12 +580,90 @@ object BinlogPartitioning {
         s"changelog files ${lost.mkString(",")} were purged with unread " +
           "records for some tables — data was lost (set failOnDataLoss=false to ignore)")
     }
+    // pass 2: chunk — the bound adapts to the session's parallelism
+    // over the WHOLE range, so a multi-file backlog splits finely
+    val chunk = chunkSize(conf, slices.iterator.map(
+      _.ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum).sum)
+    val mf = ChangelogFiles.manifest(conf.dir)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    slices.foreach { case FileSlice(f, id, bases, ranges, counts, scanUntil) =>
+      val total = ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum
+      // intra-file scan spine: sync points strictly inside the scanned
+      // prefix let windows start mid-file with exact per-table bases
+      val sync = mf.get(f.getName).map(_.sync).getOrElse(Nil)
+        .filter(sp => sp.pos > 1 && sp.pos < scanUntil).sortBy(_.pos)
+      // a file with NO spine can only split by re-scanning its prefix
+      // per partition (each skipped line is still parsed to count table
+      // occurrences) — so without sync data the split threshold stays
+      // at the explicit option / legacy 100k default, never the finer
+      // adaptive chunk: splitting there would multiply parse cost, not
+      // parallelism
+      val splitAt =
+        if (sync.nonEmpty) chunk
+        else conf.maxRecordsPerPartition.getOrElse(100000L)
+      if (total <= splitAt) {
+        // common case: one partition scans the file once for all tables
+        parts += BinlogMapInputPartition(f.getAbsolutePath, id, bases,
+          ranges, scanUntil)
+      } else if (sync.nonEmpty) {
+        // window split along the spine: each window scans ONLY its own
+        // [from, to) slice of the file — no partition re-parses or even
+        // re-reads the prefix it skips — and serves every table's
+        // in-range records that fall inside the window. Greedy merge of
+        // consecutive spine segments up to ~chunk in-range records.
+        val bounds = (ChangelogFiles.SyncPoint(1L, Map.empty) +: sync) :+
+          ChangelogFiles.SyncPoint(scanUntil, counts)
+        def inRange(i: Int, j: Int): Map[String, (Long, Long)] =
+          ranges.flatMap { case (t, (lo, hi)) =>
+            val winLo = bases(t) + bounds(i).tables.getOrElse(t, 0L)
+            val winHi = bases(t) + bounds(j).tables.getOrElse(t, 0L)
+            val l = math.max(lo, winLo); val h = math.min(hi, winHi)
+            if (h > l) Some(t -> (l, h)) else None
+          }
+        var segStart = 0
+        var i = 1
+        while (i < bounds.length) {
+          val win = inRange(segStart, i)
+          val n = win.valuesIterator.map { case (lo, hi) => hi - lo }.sum
+          if (n >= chunk || i == bounds.length - 1) {
+            if (win.nonEmpty) {
+              val effBases = win.keys.map(t =>
+                t -> (bases(t) + bounds(segStart).tables.getOrElse(t, 0L))).toMap
+              val seek =
+                if (segStart == 0) 0L else bounds(segStart).byte // -1 = skip
+              parts += BinlogMapInputPartition(f.getAbsolutePath, id,
+                effBases, win, bounds(i).pos, scanFrom = bounds(segStart).pos,
+                seekBytes = seek)
+            }
+            segStart = i
+          }
+          i += 1
+        }
+      } else {
+        // no spine (pre-sync manifest or live tail): split per table,
+        // then chunk each table's local range so partitions stay
+        // bounded — each partition re-scans the file, so the bound is
+        // the coarse splitAt, never the adaptive chunk
+        for {
+          (t, (lo, hi)) <- ranges.toSeq.sortBy(_._1)
+          chunkLo <- lo until hi by splitAt
+        } parts += BinlogMapInputPartition(f.getAbsolutePath, id,
+          Map(t -> bases(t)),
+          Map(t -> (chunkLo, math.min(chunkLo + splitAt, hi))),
+          scanUntil)
+      }
+    }
     parts.toArray
   }
 }
 
+/** Global-offset scan slice; `seekBytes`/`seekPos` (when the manifest
+  * spine knows them) let the reader seek near `fromPos` instead of
+  * line-skipping the whole prefix.
+  */
 final case class BinlogInputPartition(
-    filePath: String, fileId: Long, fromPos: Long, untilPos: Long) extends InputPartition
+    filePath: String, fileId: Long, fromPos: Long, untilPos: Long,
+    seekBytes: Long = -1L, seekPos: Long = 1L) extends InputPartition
 
 /** Map-offset partition: serve, per table, local indices
   * `[ranges(t)._1, ranges(t)._2)` where `base(t)` is the table's
@@ -573,11 +672,21 @@ final case class BinlogInputPartition(
   * because under concurrent append the bytes beyond the planning
   * snapshot can end in a torn line.
   */
+/** Map-offset scan slice. `base` is each table's global index at
+  * `scanFrom` (file base + manifest-sync prefix counts when the slice
+  * starts mid-file); `ranges` are the table-local index ranges this
+  * slice serves, all falling inside [scanFrom, scanUntil).
+  */
 final case class BinlogMapInputPartition(
     filePath: String, fileId: Long,
     base: Map[String, Long],
     ranges: Map[String, (Long, Long)],
-    scanUntil: Long) extends InputPartition
+    scanUntil: Long,
+    scanFrom: Long = 1L,
+    /** Byte offset of line `scanFrom` when the manifest spine knows it
+      * (seek directly); -1 = line-skip from the file start.
+      */
+    seekBytes: Long = -1L) extends InputPartition
 
 final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, String])
     extends PartitionReaderFactory {
@@ -629,8 +738,9 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
           // (reference BinLogSocketServerInExecutor.scala:239-250, compile :278-281)
           private val dbP = conf.databaseNamePattern.map(Pattern.compile)
           private val tblP = conf.tableNamePattern.map(Pattern.compile)
-          private val raw = ChangelogFiles
-            .readRange(new java.io.File(p.filePath), p.fromPos, p.untilPos)
+          private val raw = ChangelogFiles.readRange(
+            new java.io.File(p.filePath), p.fromPos, p.untilPos,
+            p.seekBytes, p.seekPos)
           private val it = raw
             .filter { r =>
               dbP.forall(_.matcher(r.db).matches()) &&
@@ -657,8 +767,9 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
           // range is exhausted: under concurrent append the bytes past
           // the planning snapshot can end in a torn line that must not
           // be parsed.
-          private val raw = ChangelogFiles
-            .readRange(new java.io.File(p.filePath), 1L, p.scanUntil)
+          private val raw = ChangelogFiles.readRange(
+            new java.io.File(p.filePath), p.scanFrom, p.scanUntil,
+            p.seekBytes, seekPos = p.scanFrom)
           private val seen = scala.collection.mutable.HashMap.empty[String, Long]
           private var remaining =
             p.ranges.valuesIterator.map { case (lo, hi) => hi - lo }.sum

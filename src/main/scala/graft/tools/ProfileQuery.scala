@@ -22,7 +22,10 @@ object ProfileQuery {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts.put(j.jobId, (System.nanoTime(),
-          Option(j.properties.getProperty("callSite.short")).getOrElse("?")))
+          Option(j.properties.getProperty("spark.job.description"))
+            .orElse(Option(j.properties.getProperty("callSite.short")))
+            .getOrElse(j.stageInfos.headOption.map(_.name).getOrElse("?"))
+            .take(140).replace('\n', ' ')))
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         val (t0, site) = starts.getOrDefault(j.jobId, (0L, "?"))
         println(f"JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e3 / 1e3}%8.1f ms  $site")

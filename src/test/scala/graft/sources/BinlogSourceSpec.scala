@@ -365,6 +365,40 @@ class BinlogSourceSpec extends SparkSuite {
         (0L until 4L).map("shop.users" -> _)).toSet)
   }
 
+  test("map-offset windows split along the manifest sync spine with byte seeks") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.binlog._
+    val d = Files.createTempDirectory("spine").toString
+    // multi-table log WITH a fine-grained spine: sync every 5 records
+    ChangelogGenerator.generate(Tables(spark, sfDir).events.limit(100), d,
+      recordsPerFile = 60, tableByEventType = true, syncEvery = 5)
+    val totals: Map[String, Long] = ChangelogFiles
+      .manifest(d).values.flatMap(_.tables).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sum }
+    val conf = BinlogSourceConf(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> d, "maxRecordsPerPartition" -> "10").asJava))
+    val parts = BinlogPartitioning.planByTable(conf, Map.empty, totals)
+      .map(_.asInstanceOf[BinlogMapInputPartition])
+    // windows actually split mid-file, with exact byte seeks
+    assert(parts.length > 2)
+    assert(parts.exists(p => p.scanFrom > 1 && p.seekBytes > 0))
+    // windows partition every table's index space exactly
+    val served = parts.flatMap(p => p.ranges.toSeq.flatMap {
+      case (t, (lo, hi)) => (lo until hi).map(t -> _)
+    })
+    assert(served.length === served.distinct.length)
+    assert(served.toSet ===
+      totals.toSeq.flatMap { case (t, n) => (0L until n).map(t -> _) }.toSet)
+    // and the served content is IDENTICAL to an unsplit read
+    val fine = spark.read.format("graft-binlog").option("path", d)
+      .option("maxRecordsPerPartition", "10").load()
+      .select("value").as[String].collect().sorted
+    val whole = spark.read.format("graft-binlog").option("path", d)
+      .load().select("value").as[String].collect().sorted
+    assert(fine.length === 100 && fine.toSeq === whole.toSeq)
+  }
+
   test("per-table map offsets stream end-to-end and resume from a map checkpoint") {
     import graft.sources.binlog._
     val d = Files.createTempDirectory("two-table-e2e").toString
