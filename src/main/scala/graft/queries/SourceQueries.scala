@@ -251,6 +251,43 @@ object SourceQueries {
     // tombstone semantics the oracle's event_type filter mirrors by
     // exclusion. Scale: driver work is one bounded (db,table) distinct;
     // each table's merge is its own keyed job.
+    // --- the graft-replica SINK FORMAT, end to end under the gate -------
+    // The user-facing swap for the reference's delta-plus consumer
+    // (README.md:61-67): `readStream.format("graft-binlog")` piped
+    // straight into `writeStream.format("graft-replica")` with a
+    // {db}/{table} path template — no foreachBatch body. Schemas come
+    // from the log's own registry, keys/watermark from options; the
+    // read-back per-table states must equal DuckDB on raw events.
+    // (src_binlog_fanout covers the same MERGE layer called as a
+    // library; THIS query covers the registered sink format.)
+    "src_binlog_sink_format" -> { (s, dir) =>
+      import s.implicits._
+      val logDir = binlogByTypeDir(s, dir)
+      val root = graft.llm.IndexArtifacts.tempDir("sink-format")
+      val q = s.readStream.format("graft-binlog")
+        .option("path", logDir)
+        .load()
+        .writeStream.format("graft-replica")
+        .option("path", s"$root/{db}/{table}")
+        .option("schemaRegistry", logDir)
+        .option("keys", "event_id")
+        .option("trackWatermark", "true")
+        .option("checkpointLocation",
+          graft.llm.IndexArtifacts.tempDir("sink-format-ck"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Seq("signup", "view").map { t =>
+        CdcStream.readReplica(s, s"$root/graft/$t").get
+          .select(lit(t).as("table_name"), $"event_id", $"user_id", $"value")
+      }.reduce(_.unionByName(_))
+        .groupBy($"table_name")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"user_id").as("n_users"),
+          sum(Q.cents($"value")).as("value_cents"),
+          max($"event_id").as("max_event_id"))
+        .orderBy($"table_name")
+    },
+
     "src_binlog_fanout" -> { (s, dir) =>
       import s.implicits._
       val root = graft.llm.IndexArtifacts.tempDir("fanout")
@@ -486,6 +523,14 @@ object SourceQueries {
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
          |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events WHERE event_type IN ('click', 'purchase')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_sink_format" ->
+      s"""SELECT event_type AS table_name, count(*) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents,
+         |  max(event_id) AS max_event_id
+         |FROM events WHERE event_type IN ('signup', 'view')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_binlog_fanout" ->

@@ -25,4 +25,18 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a V1 streaming `Sink.addBatch` DataFrame — whose logical
+    * plan is the micro-batch's IncrementalExecution — as a plain batch
+    * DataFrame over the ALREADY-PLANNED physical RDD
+    * (`internalCreateDataFrame` is `private[sql]`). Downstream actions
+    * re-run the planned RDD deterministically instead of re-analyzing a
+    * streaming plan — the established pattern for V1 sinks that
+    * transform their batch.
+    */
+  def fromExecutedPlan(df: DataFrame): DataFrame = {
+    val d = df.asInstanceOf[classic.Dataset[Row]]
+    d.sparkSession.internalCreateDataFrame(
+      d.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+import graft.cdc.ChangelogGenerator
+import graft.sources.replica.{ReplicaSink, ReplicaSinkConfig, ReplicaSinkProvider}
+
+/** The `graft-replica` sink FORMAT (`writeStream.format("graft-replica")`)
+  * — the user-facing path into the bucket-scoped MERGE replica, replacing
+  * hand-written `foreachBatch` bodies. Covers all three input shapes
+  * (typed rows, single-table envelopes, `{db}/{table}` fan-out), the
+  * per-replica batch-commit markers (exactly-once under replay), and
+  * fail-fast option validation.
+  */
+class ReplicaSinkSpec extends SparkSuite {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def freshChangelog(byType: Boolean = false): String = {
+    val d = Files.createTempDirectory("graft-sink-log").toString
+    ChangelogGenerator.generate(Tables(spark, sfDir).events, d,
+      recordsPerFile = 300, tableByEventType = byType)
+    d
+  }
+
+  private def ck(): String = Files.createTempDirectory("graft-sink-ck").toString
+
+  /** Expected latest state per user over the events fixture: last op in
+    * (ts, event_id) order; a final `error` (delete) removes the key.
+    */
+  private def expectedState(): Map[Long, Long] = {
+    val w = Window.partitionBy($"user_id").orderBy(desc("ts_ms"), desc("event_id"))
+    Tables(spark, sfDir).events
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"), $"event_type")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .filter($"event_type" =!= "error")
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("typed rows through writeStream.format reach the merged latest state") {
+    val log = freshChangelog()
+    val replica = Files.createTempDirectory("graft-sink-replica").toString
+    val raw = spark.readStream.format("graft-binlog")
+      .option("path", log)
+      .option("maxEventsPerTrigger", "200") // several micro-batches
+      .load()
+    val rowSchema = graft.queries.SourceQueries.eventsRowSchema
+    val q = CdcStream.parsed(raw, rowSchema)
+      .select($"user_id", $"event_id", $"ts_ms", $"op")
+      .writeStream.format("graft-replica")
+      .option("path", replica)
+      .option("keys", "user_id")
+      .option("orderColumns", "ts_ms,event_id")
+      .option("watermarkColumn", "ts_ms")
+      .option("checkpointLocation", ck())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expectedState())
+    // several micro-batches committed => several versions, all marked
+    assert(CdcStream.replicaVersions(replica).size > 1)
+    // the watermark column was tracked on the latest version
+    val v = CdcStream.replicaVersions(replica).max
+    assert(CdcStream.replicaWatermark(replica, v).nonEmpty)
+  }
+
+  test("single-table envelope input parses under the registry schema") {
+    val log = freshChangelog()
+    val replica = Files.createTempDirectory("graft-sink-replica1").toString
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", log).load() // raw envelopes: value STRING
+      .writeStream.format("graft-replica")
+      .option("path", replica)
+      .option("schemaRegistry", log)
+      .option("table", "graft.events")
+      .option("keys", "user_id")
+      .option("orderColumns", "ts_ms,event_id")
+      .option("checkpointLocation", ck())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expectedState())
+  }
+
+  test("fan-out template routes tables from the registry with global keys") {
+    val log = freshChangelog(byType = true)
+    val root = Files.createTempDirectory("graft-sink-fan").toString
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", log).load()
+      .writeStream.format("graft-replica")
+      .option("path", s"$root/{db}/{table}")
+      .option("schemaRegistry", log)
+      .option("keys", "event_id")
+      .option("checkpointLocation", ck())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val byType = Tables(spark, sfDir).events
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // click/purchase/view/signup upsert on unique event_id => all rows kept
+    Seq("click", "purchase", "view").foreach { t =>
+      val n = CdcStream.readReplica(spark, s"$root/graft/$t").get.count()
+      assert(n === byType(t), s"table $t")
+    }
+    // `error` maps to delete: every op is a tombstone => empty table
+    assert(CdcStream.readReplica(spark, s"$root/graft/error")
+      .map(_.count()).getOrElse(0L) === 0L)
+  }
+
+  test("a replayed batch id is skipped; fan-out replays only unfinished tables") {
+    val replica = Files.createTempDirectory("graft-sink-replay").toString
+    val cfg = ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord"))
+    val sink = new ReplicaSink(cfg)
+    def batch(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, i * 10, "insert")).toDF("user_id", "ord", "op")
+
+    sink.addBatch(0, batch(Seq(1, 2, 3)))
+    val v1 = CdcStream.replicaVersions(replica)
+    sink.addBatch(0, batch(Seq(1, 2, 3))) // replay: marker short-circuits
+    assert(CdcStream.replicaVersions(replica) === v1, "no version churn on replay")
+    sink.addBatch(1, batch(Seq(4)))
+    assert(CdcStream.replicaVersions(replica).size === v1.size + 1)
+    assert(CdcStream.readReplica(spark, replica).get.count() === 4)
+
+    // fan-out: two tables committed, one marker removed => only that
+    // table re-merges on replay
+    val log = freshChangelog(byType = true)
+    val root = Files.createTempDirectory("graft-sink-fanreplay").toString
+    val fanCfg = ReplicaSinkConfig(Map(
+      "path" -> s"$root/{db}/{table}", "schemaRegistry" -> log,
+      "keys" -> "event_id"))
+    val fanSink = new ReplicaSink(fanCfg)
+    val envelopes = spark.read.format("graft-binlog").option("path", log).load()
+    fanSink.addBatch(7, envelopes)
+    val clickV = CdcStream.replicaVersions(s"$root/graft/click")
+    val purchV = CdcStream.replicaVersions(s"$root/graft/purchase")
+    // simulate a crash after click committed but before purchase marked
+    val marker = new java.io.File(s"$root/graft/purchase/_sink_batches/b7")
+    assert(marker.exists()); marker.delete()
+    fanSink.addBatch(7, envelopes)
+    assert(CdcStream.replicaVersions(s"$root/graft/click") === clickV,
+      "marked table untouched by replay")
+    assert(CdcStream.replicaVersions(s"$root/graft/purchase").size === purchV.size + 1,
+      "unmarked table re-merged")
+  }
+
+  test("per-table keys.<db>.<table> overrides select which tables materialize") {
+    val log = freshChangelog(byType = true)
+    val root = Files.createTempDirectory("graft-sink-keyed").toString
+    val cfg = ReplicaSinkConfig(Map(
+      "path" -> s"$root/{db}/{table}", "schemaRegistry" -> log,
+      "keys.graft.click" -> "event_id"))
+    new ReplicaSink(cfg).addBatch(0,
+      spark.read.format("graft-binlog").option("path", log).load())
+    assert(CdcStream.readReplica(spark, s"$root/graft/click").nonEmpty)
+    assert(CdcStream.readReplica(spark, s"$root/graft/view").isEmpty,
+      "unkeyed table skipped")
+  }
+
+  test("options fail fast at query start") {
+    val provider = new ReplicaSinkProvider
+    def create(opts: Map[String, String], partitions: Seq[String] = Nil) =
+      provider.createSink(spark.sqlContext, opts, partitions,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    intercept[IllegalArgumentException](create(Map.empty)) // no path
+    intercept[IllegalArgumentException](
+      create(Map("path" -> "/tmp/x/{db}/{table}", "keys" -> "id"))) // no registry
+    intercept[IllegalArgumentException](
+      create(Map("path" -> "/tmp/x/{db}/{table}",
+        "schemaRegistry" -> "/tmp/reg"))) // no keys at all
+    intercept[IllegalArgumentException](
+      create(Map("path" -> "/tmp/x", "keys" -> "id"), partitions = Seq("p")))
+  }
+}
