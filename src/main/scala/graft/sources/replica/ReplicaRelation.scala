@@ -1,0 +1,100 @@
+package graft.sources.replica
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, PrunedFilteredScan}
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.CdcStream
+
+/** `spark.read.format("graft-replica")` — the batch READ half of the
+  * replica store's format surface: the current state, a `version=N`
+  * time travel, or an `asOfWatermark=W` source-position read, without
+  * library calls.
+  *
+  * Key-equality predicates on the replica's id columns (`keys` option)
+  * push down into BUCKET PRUNING: when the query's filters pin every id
+  * column with `=` or `IN`, the scan derives the candidate buckets from
+  * the key values themselves ([[CdcStream.readReplicaForKeys]]) and
+  * reads only those buckets' files — a point lookup on a 16-bucket
+  * replica reads one bucket. All filters are left in the plan for Spark
+  * to re-apply ([[unhandledFilters]] returns them), so pruning can only
+  * skip files, never rows.
+  */
+class ReplicaRelation(
+    override val sqlContext: SQLContext,
+    path: String,
+    version: Option[Long],
+    asOfWatermark: Option[Long],
+    idCols: Seq[String]) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  private def read(): DataFrame = {
+    val df = (version, asOfWatermark) match {
+      case (Some(v), _) => CdcStream.readReplicaAt(spark, path, v)
+      case (None, Some(w)) => CdcStream.readReplicaAtWatermark(spark, path, w)
+      case (None, None) => CdcStream.readReplica(spark, path)
+    }
+    df.getOrElse(throw new IllegalArgumentException(
+      s"graft-replica: no readable state at $path" +
+        version.map(v => s" version=$v").getOrElse("") +
+        asOfWatermark.map(w => s" asOfWatermark=$w").getOrElse("") +
+        " (never committed, empty, or GC'd)"))
+  }
+
+  override val schema: StructType = read().schema
+
+  /** Pruning only ever SKIPS FILES; every filter is re-applied by Spark. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  /** Per-id-column equality value set from the filter conjunction —
+    * None when the column isn't pinned (no pruning possible).
+    */
+  private def pinnedValues(filters: Array[Filter], c: String): Option[Seq[Any]] =
+    filters.collectFirst {
+      case EqualTo(`c`, v) => Seq(v)
+      case In(`c`, vs) => vs.toSeq
+    }
+
+  // visible for tests: was the last scan bucket-pruned?
+  @volatile private[graft] var lastScanPruned: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    // key-pruned path: current-version reads where every id column is
+    // pinned by the conjunction and the key combination count is small
+    // enough to enumerate (cross product of IN lists)
+    val prunedDf: Option[DataFrame] =
+      if (version.nonEmpty || asOfWatermark.nonEmpty || idCols.isEmpty) None
+      else {
+        val pins = idCols.map(c => pinnedValues(filters, c))
+        if (pins.exists(_.isEmpty)) None
+        else {
+          val combos = pins.map(_.get).foldLeft(Seq(Seq.empty[Any])) {
+            (acc, vs) => for (a <- acc; v <- vs) yield a :+ v
+          }
+          if (combos.size > 1000 || combos.exists(_.contains(null))) None
+          else scala.util.Try {
+            // field types derive from the filter VALUES' runtime types
+            // (Literal inference); readReplicaForKeys casts them to the
+            // replica's column types before bucket derivation, so a
+            // type-skewed literal still prunes to the right bucket
+            val fields = idCols.zipWithIndex.map { case (c, i) =>
+              org.apache.spark.sql.types.StructField(c,
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  combos.head(i)).dataType)
+            }
+            val rows = combos.map(Row.fromSeq)
+            val keys = spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 1), StructType(fields))
+            CdcStream.readReplicaForKeys(spark, path, idCols, keys)
+          }.toOption.flatten
+        }
+      }
+    lastScanPruned = prunedDf.nonEmpty
+    val df = prunedDf.getOrElse(read())
+    df.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
+}

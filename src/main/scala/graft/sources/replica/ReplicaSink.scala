@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
@@ -55,8 +55,28 @@ import graft.streaming.CdcStream
   * the only full read of the batch (plus one bounded max() when
   * `trackWatermark` is on).
   */
-class ReplicaSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class ReplicaSinkProvider extends StreamSinkProvider with RelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-replica"
+
+  /** `spark.read.format("graft-replica")` — current state, `version=N`
+    * time travel, or `asOfWatermark=W`; `keys=a,b` enables key-equality
+    * bucket pruning ([[ReplicaRelation]]).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val lower = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = lower.getOrElse("path",
+      throw new IllegalArgumentException("graft-replica: 'path' is required"))
+    require(!path.contains("{db}") && !path.contains("{table}"),
+      "graft-replica reads take a concrete replica dir, not a template")
+    new ReplicaRelation(sqlContext, path,
+      version = lower.get("version").map(_.toLong),
+      asOfWatermark = lower.get("asofwatermark").map(_.toLong),
+      idCols = lower.get("keys").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+  }
 
   override def createSink(
       sqlContext: SQLContext,

@@ -171,6 +171,49 @@ class ReplicaSinkSpec extends SparkSuite {
       "unkeyed table skipped")
   }
 
+  test("spark.read.format reads current state, time travel, and prunes key lookups") {
+    val replica = Files.createTempDirectory("graft-read-fmt").toString
+    val cfg = ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "watermarkColumn" -> "ord"))
+    val sink = new ReplicaSink(cfg)
+    sink.addBatch(0, Seq((1L, 10L, "insert"), (2L, 20L, "insert"), (3L, 30L, "insert"))
+      .toDF("user_id", "ord", "op"))
+    sink.addBatch(1, Seq((2L, 40L, "update"), (4L, 50L, "insert"), (3L, 60L, "delete"))
+      .toDF("user_id", "ord", "op"))
+
+    // current state through the format
+    val cur = spark.read.format("graft-replica").option("path", replica).load()
+    assert(cur.select($"user_id", $"ord").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet === Set((1L, 10L), (2L, 40L), (4L, 50L)))
+
+    // version time travel
+    val v1 = CdcStream.replicaVersions(replica).min
+    val old = spark.read.format("graft-replica")
+      .option("path", replica).option("version", v1.toString).load()
+    assert(old.count() === 3)
+
+    // watermark time travel: as of ord 35 only batch 0 qualifies
+    val wm = spark.read.format("graft-replica")
+      .option("path", replica).option("asOfWatermark", "35").load()
+    assert(wm.count() === 3)
+
+    // key-equality pushdown prunes to candidate buckets; all filters
+    // are re-applied by Spark so results stay exact
+    val rel = new graft.sources.replica.ReplicaRelation(
+      spark.sqlContext, replica, None, None, Seq("user_id"))
+    val df = spark.sqlContext.baseRelationToDataFrame(rel)
+    assert(df.filter($"user_id" === 2L).select($"ord").as[Long].collect()
+      === Array(40L))
+    assert(rel.lastScanPruned, "equality lookup took the bucket-pruned path")
+    assert(df.filter($"user_id".isin(1L, 4L)).count() === 2)
+    assert(rel.lastScanPruned, "IN lookup took the bucket-pruned path")
+    assert(df.count() === 3)
+    assert(!rel.lastScanPruned, "unfiltered scan reads the full replica")
+    // a miss prunes AND returns nothing
+    assert(df.filter($"user_id" === 999L).count() === 0)
+  }
+
   test("options fail fast at query start") {
     val provider = new ReplicaSinkProvider
     def create(opts: Map[String, String], partitions: Seq[String] = Nil) =
