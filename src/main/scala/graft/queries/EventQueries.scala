@@ -59,10 +59,14 @@ object EventQueries {
       val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
       val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
       val orderCols = Seq(col("ts"), col("event_id"))
+      // recordChanges: the same store also serves the change-feed read
+      // queries — each version carries its committed net (delta-sized)
       CdcStream.applyBatchToReplica(out,
-        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols)
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols,
+        recordChanges = true)
       CdcStream.applyBatchToReplica(out,
-        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), orderCols)
+        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), orderCols,
+        recordChanges = true)
     }
 
   /** signup→insert, error→delete, else update — the shared
@@ -350,6 +354,30 @@ object EventQueries {
     // it moves whenever the key's state does). Unchanged keys drop, so
     // the output is delta-sized. At scale both sides are bucket-pruned
     // reads of the SAME store and the join is key-partitioned.
+    // --- cdc: CHANGE FEED read (the Delta-CDF analog, CDC *out*) --------
+    // Each committed version of the shared replica records the per-key
+    // NET it applied (op included) atomically with its data; the feed
+    // reads versions (from, to] stamped _commit_version. The oracle
+    // recomputes both batches' nets straight off events: rows tag by
+    // midpoint half, last op per (half, user) is the net, aggregated
+    // per (version, op). Deletes ARE change rows (tombstones flow to
+    // consumers). Scale: the feed is delta-sized per version — never a
+    // replica scan — and version selection is directory metadata.
+    "cdc_change_feed" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = sharedReplica(s, dir)
+      CdcStream.readReplicaChanges(s, replica).get
+        .groupBy($"_commit_version", $"op")
+        .agg(count(lit(1)).as("n_changes"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"event_id").as("sum_event_id"),
+          sum($"value_cents").as("sum_value_cents"))
+        .select($"_commit_version".as("commit_version"), $"op",
+          $"n_changes", $"n_users", $"sum_event_id", $"sum_value_cents")
+        .orderBy($"commit_version", $"op")
+    },
+
     "cdc_replica_diff" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.CdcStream
@@ -1061,6 +1089,31 @@ object EventQueries {
          |  FROM h)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    "cdc_change_feed" ->
+      s"""WITH mm AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |tagged AS (
+         |  SELECT user_id, event_id, ts, $opSql AS op,
+         |    ${centsSql("value")} AS value_cents,
+         |    CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) < mn + (mx - mn) // 2
+         |         THEN 1 ELSE 2 END AS commit_version
+         |  FROM events, mm),
+         |net AS (
+         |  SELECT * FROM (
+         |    SELECT tagged.*,
+         |      row_number() OVER (PARTITION BY commit_version, user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM tagged)
+         |  WHERE rn = 1)
+         |SELECT CAST(commit_version AS BIGINT) AS commit_version, op,
+         |  count(*) AS n_changes,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |  CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+         |FROM net GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_replica_diff" ->
       s"""WITH mm AS (

@@ -4,9 +4,9 @@ import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
@@ -56,8 +56,38 @@ import graft.streaming.CdcStream
   * `trackWatermark` is on).
   */
 class ReplicaSinkProvider extends StreamSinkProvider with RelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-replica"
+
+  private def changeFeedParams(
+      parameters: Map[String, String]): (String, Long) = {
+    val lower = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    require(lower.get("readchangefeed").exists(_.toBoolean),
+      "graft-replica: streaming reads serve the CHANGE FEED — set " +
+        "readChangeFeed=true (and write with changeFeed=true)")
+    val path = lower.getOrElse("path",
+      throw new IllegalArgumentException("graft-replica: 'path' is required"))
+    (path, lower.get("startingversion").map(_.toLong).getOrElse(0L))
+  }
+
+  /** `readStream.format("graft-replica").option("readChangeFeed","true")`
+    * — the streaming change feed ([[ReplicaChangeSource]]).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (path, _) = changeFeedParams(parameters)
+    (shortName(),
+      schema.getOrElse(ReplicaChangeSource.changeSchema(sqlContext, path)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (path, startingVersion) = changeFeedParams(parameters)
+    new ReplicaChangeSource(sqlContext, path, startingVersion)
+  }
 
   /** `spark.read.format("graft-replica")` — current state, `version=N`
     * time travel, or `asOfWatermark=W`; `keys=a,b` enables key-equality
@@ -102,7 +132,8 @@ final case class ReplicaSinkConfig(
     opColumn: String,
     numBuckets: Int,
     trackWatermark: Boolean,
-    watermarkColumn: Option[String]) {
+    watermarkColumn: Option[String],
+    changeFeed: Boolean = false) {
 
   val isFanOut: Boolean = path.contains("{db}") || path.contains("{table}")
 
@@ -139,7 +170,8 @@ object ReplicaSinkConfig {
       numBuckets = opt("numBuckets").map(_.toInt)
         .getOrElse(CdcStream.DefaultReplicaBuckets),
       trackWatermark = opt("trackWatermark").exists(_.toBoolean),
-      watermarkColumn = opt("watermarkColumn"))
+      watermarkColumn = opt("watermarkColumn"),
+      changeFeed = opt("changeFeed").exists(_.toBoolean))
     if (cfg.isFanOut) {
       require(cfg.schemaRegistry.nonEmpty,
         "graft-replica: fan-out paths ({db}/{table}) require 'schemaRegistry' " +
@@ -219,7 +251,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       schemas = candidates.map(c => c._1 -> c._2).toMap,
       idCols = candidates.map(c => c._1 -> c._3).toMap,
       orderCols = orderCols,
-      watermark = watermark)
+      watermark = watermark,
+      recordChanges = cfg.changeFeed)
     candidates.foreach { case (_, _, _, dir) => markCommitted(dir, batchId) }
   }
 
@@ -242,7 +275,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       else Option(parsed.select(max(col("ts_ms")).as("wm")).head().get(0))
         .map(_.asInstanceOf[Long])
     CdcStream.applyBatchToReplica(cfg.path, parsed, ids, orderCols,
-      numBuckets = cfg.numBuckets, watermark = watermark)
+      numBuckets = cfg.numBuckets, watermark = watermark,
+      recordChanges = cfg.changeFeed)
     markCommitted(cfg.path, batchId)
   }
 
@@ -258,7 +292,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       if (v.isNullAt(0)) Long.MinValue else v.getLong(0)
     }.filter(_ != Long.MinValue)
     CdcStream.applyBatchToReplica(cfg.path, df, ids, orderCols,
-      opCol = cfg.opColumn, numBuckets = cfg.numBuckets, watermark = watermark)
+      opCol = cfg.opColumn, numBuckets = cfg.numBuckets, watermark = watermark,
+      recordChanges = cfg.changeFeed)
     markCommitted(cfg.path, batchId)
   }
 }

@@ -133,7 +133,8 @@ object CdcStream {
       schemas: Map[String, StructType],
       idCols: Map[String, Seq[String]],
       orderCols: Seq[Column] = Seq(col("offset")),
-      watermark: Option[Long] = None): Seq[String] = {
+      watermark: Option[Long] = None,
+      recordChanges: Boolean = false): Seq[String] = {
     val dbCol = get_json_object(col("value"), "$.databaseName")
     val tblCol = get_json_object(col("value"), "$.tableName")
     // ROUTE ONCE: write the raw envelopes into a (db, table)-partitioned
@@ -162,7 +163,7 @@ object CdcStream {
         new java.io.File(s"$routedDir/__db=$db"), "__tbl=")
     } yield (db, tbl)).sorted
     try fanOutRouted(spark, routedDir, present, pathTemplate, schemas,
-      idCols, orderCols, watermark)
+      idCols, orderCols, watermark, recordChanges)
     finally dropRouted()
   }
 
@@ -174,7 +175,8 @@ object CdcStream {
       schemas: Map[String, StructType],
       idCols: Map[String, Seq[String]],
       orderCols: Seq[Column],
-      watermark: Option[Long]): Seq[String] = {
+      watermark: Option[Long],
+      recordChanges: Boolean = false): Seq[String] = {
     // per-table merges target DISJOINT replica dirs — schedule them as
     // concurrent Spark jobs (a fan-out over T tables is T independent
     // merges; running them serially would leave the cluster idle
@@ -193,7 +195,8 @@ object CdcStream {
               parsed(spark.read.parquet(routedDir)
                 .filter(col("__db") === db && col("__tbl") === tbl)
                 .select(col("value")), schema),
-              ids, orderCols, watermark = watermark)
+              ids, orderCols, watermark = watermark,
+              recordChanges = recordChanges)
             path
           })
         case (Some(_), None) => throw new IllegalArgumentException(
@@ -475,6 +478,51 @@ object CdcStream {
       case Some(_) => None // committed but empty
       case None => Some(spark.read.parquet(s"$replicaDir/$name"))
     }
+  }
+
+  /** Change-feed read (the Delta-CDF analog): the committed per-key
+    * NETS of versions in `(fromVersionExclusive, toVersion]`, each row
+    * stamped `_commit_version` / `_commit_watermark`. Requires the
+    * writer to have merged with `recordChanges = true`; versions
+    * without a changes dir (compaction rewrites, the flat-layout
+    * migration, pre-CDF merges) contribute NO rows — compaction is
+    * content-identical, so that is the correct empty change set.
+    *
+    * Version numbers are DENSE (each commit increments by one), so a
+    * missing version dir in the requested range is provably a GC'd
+    * commit: the feed THROWS a gap error instead of silently serving a
+    * stream with a hole — the consumer must restart from a full sync
+    * (same contract as Delta CDF after VACUUM). None when no version in
+    * range carries changes.
+    *
+    * Scale: each version's changes are delta-sized (the batch net, not
+    * the replica), and version selection is directory metadata.
+    */
+  def readReplicaChanges(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, fromVersionExclusive: Long = 0L,
+      toVersion: Option[Long] = None): Option[DataFrame] = {
+    val all = replicaVersions(replicaDir)
+    if (all.isEmpty) return None
+    val hi = toVersion.getOrElse(all.max)
+    val want = (fromVersionExclusive + 1) to hi
+    val missing = want.filterNot(all.toSet)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"replica $replicaDir change feed gap: version(s) " +
+        s"${missing.mkString(",")} were GC'd; the feed cannot be read " +
+        "contiguously — restart the consumer from a full snapshot")
+    val parts = want.flatMap { v =>
+      val d = new java.io.File(f"$replicaDir/v$v%09d/changes")
+      if (!d.isDirectory) None
+      else {
+        val wmCol = replicaWatermark(replicaDir, v)
+          .map(w => lit(w)).getOrElse(lit(null)).cast("long")
+        Some(spark.read.parquet(d.toString)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_watermark", wmCol))
+      }
+    }
+    // unionByName: additive schema evolution across versions null-fills
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Committed versions whose manifests are still on disk (newest
@@ -825,7 +873,8 @@ object CdcStream {
       orderCols: Seq[Column],
       opCol: String = "op",
       numBuckets: Int = DefaultReplicaBuckets,
-      watermark: Option[Long] = None): Unit = {
+      watermark: Option[Long] = None,
+      recordChanges: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // materialize the per-key net ONCE: the merge below runs several
     // actions over it (touched-bucket collect, keys broadcast, upsert
@@ -835,7 +884,7 @@ object CdcStream {
     val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
       lastOpPerKey(batch, idCols, orderCols), "replica-net")
     try applyNetToReplica(replicaDir, net, batch.columns, idCols, opCol,
-      numBuckets, watermark)
+      numBuckets, watermark, recordChanges)
     finally dropNet()
   }
 
@@ -846,7 +895,8 @@ object CdcStream {
       idCols: Seq[String],
       opCol: String,
       numBuckets: Int,
-      watermark: Option[Long] = None): Unit = {
+      watermark: Option[Long] = None,
+      recordChanges: Boolean = false): Unit = {
     val spark = net.sparkSession
     val dataCols = batchCols.filterNot(_ == opCol)
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
@@ -946,6 +996,15 @@ object CdcStream {
       .repartition(writeBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$staging/data")
+    // CHANGE FEED (opt-in, Delta-CDF shape): the version records its
+    // own per-key NET — exactly the rows this commit applied, op
+    // included — inside the version dir, so changes commit atomically
+    // with the data in the same rename. Cost: one net-sized write (the
+    // net is already materialized). Retention: a version's changes live
+    // as long as its dir — indefinitely while any of its buckets is
+    // still current, and at least the GC reader-grace window after a
+    // full rewrite (readReplicaChanges FAILS on a gap, never skips).
+    if (recordChanges) net.write.parquet(s"$staging/changes")
 
     // buckets actually written (a delete can empty one entirely)
     val written = Option(new java.io.File(s"$staging/data").listFiles())

@@ -39,4 +39,14 @@ object GraftColumnBridge {
     d.sparkSession.internalCreateDataFrame(
       d.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Wrap a batch DataFrame as a streaming-flagged one — what a V1
+    * `Source.getBatch` must return (the engine asserts
+    * `isStreaming = true` on V1 source batches).
+    */
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val d = df.asInstanceOf[classic.Dataset[Row]]
+    d.sparkSession.internalCreateDataFrame(
+      d.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -214,6 +214,79 @@ class ReplicaSinkSpec extends SparkSuite {
     assert(df.filter($"user_id" === 999L).count() === 0)
   }
 
+  test("change feed: committed nets stream out in version order and rebuild the state") {
+    val replica = Files.createTempDirectory("graft-cf").toString
+    val cfg = ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "changeFeed" -> "true"))
+    val sink = new ReplicaSink(cfg)
+    // batch nets: intra-batch (2,20)+(2,25) nets to (2,25)
+    sink.addBatch(0, Seq((1L, 10L, "insert"), (2L, 20L, "insert"), (2L, 25L, "update"))
+      .toDF("user_id", "ord", "op"))
+    sink.addBatch(1, Seq((1L, 30L, "delete"), (3L, 40L, "insert"))
+      .toDF("user_id", "ord", "op"))
+
+    val feed = CdcStream.readReplicaChanges(spark, replica).get
+    assert(feed.select($"user_id", $"ord", $"op", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet === Set((1L, 10L, "insert", 1L), (2L, 25L, "update", 1L),
+        (1L, 30L, "delete", 2L), (3L, 40L, "insert", 2L)),
+      "feed = per-version nets, deletes included, intra-batch losers absent")
+
+    // REPLAY INVARIANT: merging the feed (ordered by commit version)
+    // into a fresh replica rebuilds the live state exactly
+    val rebuilt = Files.createTempDirectory("graft-cf-rebuild").toString
+    CdcStream.applyBatchToReplica(rebuilt,
+      feed.select($"user_id", $"ord", $"op", $"_commit_version"),
+      Seq("user_id"), Seq(col("_commit_version"), col("ord")))
+    assert(CdcStream.readReplica(spark, rebuilt).get
+      .select($"user_id", $"ord").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === CdcStream.readReplica(spark, replica).get
+        .select($"user_id", $"ord").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // streaming: existing versions replay, then a NEW commit arrives
+    val q = spark.readStream.format("graft-replica")
+      .option("path", replica).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cf_stream")
+      .option("checkpointLocation", ck())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cf_stream").count() === 4)
+      sink.addBatch(2, Seq((4L, 50L, "insert")).toDF("user_id", "ord", "op"))
+      q.processAllAvailable()
+      val got = spark.table("cf_stream")
+        .select($"user_id", $"_commit_version").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((4L, 3L)), "mid-stream commit served as version 3")
+      assert(spark.table("cf_stream").count() === 5)
+    } finally q.stop()
+
+    // startingVersion skips history
+    val q2 = spark.readStream.format("graft-replica")
+      .option("path", replica).option("readChangeFeed", "true")
+      .option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("cf_from2")
+      .option("checkpointLocation", ck())
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cf_from2").select($"_commit_version").as[Long]
+        .collect().toSet === Set(3L))
+    } finally q2.stop()
+
+    // a GC'd version in range is a LOUD gap, never a silent skip
+    val v1dir = new java.io.File(replica).listFiles()
+      .filter(_.getName == "v000000001").head
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(v1dir)
+    intercept[IllegalStateException](
+      CdcStream.readReplicaChanges(spark, replica).get.count())
+  }
+
   test("options fail fast at query start") {
     val provider = new ReplicaSinkProvider
     def create(opts: Map[String, String], partitions: Seq[String] = Nil) =
