@@ -287,6 +287,24 @@ class ReplicaSinkSpec extends SparkSuite {
       CdcStream.readReplicaChanges(spark, replica).get.count())
   }
 
+  test("SQL DDL: CREATE TEMPORARY VIEW USING graft-replica serves SQL readers") {
+    val replica = Files.createTempDirectory("graft-sql-view").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord")))
+    sink.addBatch(0, Seq((1L, 10L, "insert"), (2L, 20L, "insert"))
+      .toDF("user_id", "ord", "op"))
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_replica_sql
+         |USING `graft-replica`
+         |OPTIONS (path '$replica', keys 'user_id')""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_replica_sql WHERE user_id = 1")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT sum(ord) FROM graft_replica_sql")
+      .head().getLong(0) === 30L)
+    spark.sql("DROP VIEW graft_replica_sql")
+  }
+
   test("options fail fast at query start") {
     val provider = new ReplicaSinkProvider
     def create(opts: Map[String, String], partitions: Seq[String] = Nil) =
