@@ -69,6 +69,46 @@ object EventQueries {
         recordChanges = true)
     }
 
+  /** Build-once two-table replica pair with per-version source
+    * watermarks — clicks applies 3 batches (thirds cuts, then the
+    * remainder), orders lags at 2 — shared by the consistent-snapshot
+    * read and the lag report.
+    */
+  private def consistentTables(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import graft.streaming.CdcStream
+    graft.llm.IndexArtifacts.cachedPath(dir, "consistent-tables",
+      inputs = Seq(s"$dir/events.parquet")) { out =>
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"),
+          $"event_type")
+      val mm = ev.agg(min($"ms"), max($"ms")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val cuts = Seq(mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+      val orderCols = Seq(col("ms"), col("event_id"))
+      val x = ev.filter($"event_type".isin("click", "view"))
+        .drop("event_type")
+      val y = ev.filter(!$"event_type".isin("click", "view"))
+        .drop("event_type")
+      CdcStream.applyBatchToReplica(s"$out/clicks",
+        x.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+        watermark = Some(cuts(0)))
+      CdcStream.applyBatchToReplica(s"$out/clicks",
+        x.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+        orderCols, watermark = Some(cuts(1)))
+      CdcStream.applyBatchToReplica(s"$out/clicks",
+        x.filter($"ms" >= cuts(1)), Seq("user_id"), orderCols,
+        watermark = Some(mx + 1))
+      CdcStream.applyBatchToReplica(s"$out/orders",
+        y.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+        watermark = Some(cuts(0)))
+      CdcStream.applyBatchToReplica(s"$out/orders",
+        y.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+        orderCols, watermark = Some(cuts(1)))
+    }
+  }
+
   /** signup→insert, error→delete, else update — the shared
     * [[graft.cdc.OpMapping]] (generator + queries + oracles). */
   private def opCol(eventType: org.apache.spark.sql.Column) =
@@ -470,36 +510,7 @@ object EventQueries {
     "cdc_consistent_snapshot" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.CdcStream
-      val root = graft.llm.IndexArtifacts.cachedPath(dir, "consistent-tables",
-        inputs = Seq(s"$dir/events.parquet")) { out =>
-        val ev = Tables(s, dir).events
-          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
-            cents($"value").as("value_cents"), opCol($"event_type").as("op"),
-            $"event_type")
-        val mm = ev.agg(min($"ms"), max($"ms")).head()
-        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-        val cuts = Seq(mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
-        val orderCols = Seq(col("ms"), col("event_id"))
-        val x = ev.filter($"event_type".isin("click", "view"))
-          .drop("event_type")
-        val y = ev.filter(!$"event_type".isin("click", "view"))
-          .drop("event_type")
-        CdcStream.applyBatchToReplica(s"$out/clicks",
-          x.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
-          watermark = Some(cuts(0)))
-        CdcStream.applyBatchToReplica(s"$out/clicks",
-          x.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
-          orderCols, watermark = Some(cuts(1)))
-        CdcStream.applyBatchToReplica(s"$out/clicks",
-          x.filter($"ms" >= cuts(1)), Seq("user_id"), orderCols,
-          watermark = Some(mx + 1))
-        CdcStream.applyBatchToReplica(s"$out/orders",
-          y.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
-          watermark = Some(cuts(0)))
-        CdcStream.applyBatchToReplica(s"$out/orders",
-          y.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
-          orderCols, watermark = Some(cuts(1)))
-      }
+      val root = consistentTables(s, dir)
       val (_, dfs) = CdcStream.readConsistentSnapshot(s,
         Seq(s"$root/clicks", s"$root/orders"))
       Seq("clicks", "orders").zip(dfs).map { case (name, df) =>
@@ -507,6 +518,35 @@ object EventQueries {
           $"event_id".as("last_event_id"), $"value_cents")
       }.reduce(_.unionByName(_))
         .orderBy($"table_name", $"user_id")
+    },
+
+    // --- cdc: replica freshness / lag report (operational telemetry) ----
+    // The question every multi-table CDC deployment monitors: how far
+    // behind the source is each replica, and who pins the consistent
+    // snapshot? Answered ENTIRELY from manifest metadata — version
+    // count and each table's latest recorded source watermark — so the
+    // report costs O(tables) at any replica size; no data files are
+    // read. Lag is measured against the fleet's most advanced
+    // watermark (clicks runs 3 batches ahead; orders lags at the
+    // second thirds cut — the oracle pins both by the same integer
+    // cut arithmetic).
+    "cdc_lag_report" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = consistentTables(s, dir)
+      val rows = Seq("clicks", "orders").map { t =>
+        val d = s"$root/$t"
+        val vs = CdcStream.replicaVersions(d)
+        val wm = vs.flatMap(CdcStream.replicaWatermark(d, _)).max
+        // vs.max, not vs.size: GC collects fully-superseded old
+        // version dirs, so the commit COUNT on disk is a moving target
+        // while the latest committed version number is exact
+        (t, vs.max, wm)
+      }
+      val fleetMax = rows.map(_._3).max
+      rows.toDF("table_name", "latest_version", "latest_watermark_ms")
+        .withColumn("lag_ms", lit(fleetMax) - $"latest_watermark_ms")
+        .orderBy($"table_name")
     },
 
     // --- q30: semi-structured JSON property extraction -------------------
@@ -1144,6 +1184,23 @@ object EventQueries {
          |WHERE v1.user_id IS NULL OR v2.user_id IS NULL
          |   OR v1.event_id <> v2.event_id
          |ORDER BY 1""".stripMargin,
+
+    // watermarks pinned by the builder: clicks ends at mx+1 (3
+    // versions), orders at the second thirds cut (2 versions)
+    "cdc_lag_report" ->
+      s"""WITH b AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |    max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+         |w AS (
+         |  SELECT 'clicks' AS table_name, CAST(3 AS BIGINT) AS latest_version,
+         |    mx + 1 AS wm FROM b
+         |  UNION ALL
+         |  SELECT 'orders', CAST(2 AS BIGINT), mn + 2 * ((mx - mn) // 3)
+         |  FROM b)
+         |SELECT table_name, latest_version,
+         |  CAST(wm AS BIGINT) AS latest_watermark_ms,
+         |  CAST((SELECT max(wm) FROM w) - wm AS BIGINT) AS lag_ms
+         |FROM w ORDER BY 1""".stripMargin,
 
     // the consistency point is the lagging table's watermark (second
     // thirds cut); both tables' states must be latest-state BEFORE it
