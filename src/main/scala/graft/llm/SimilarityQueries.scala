@@ -110,6 +110,49 @@ object SimilarityQueries {
   private def planeDot(p: Int): Column =
     dot(col("embedding"), array((0 until Dim).map(d => lit(planeCompVal(p, d))): _*))
 
+  /** Build-once kNN edge table `(src, rank, dst, cos_sim)` over
+    * LSH-bucket candidates — the graph index shared by
+    * `llm_knn_graph` (mutual-edge analysis) and `llm_graph_ann`
+    * (beam-search probe): the real pipeline builds the graph once and
+    * both consumers read it. Build seconds surface in Bench
+    * `artifacts`.
+    */
+  private[llm] def knnEdges(s: SparkSession, dir: String): DataFrame =
+    IndexArtifacts.cached(s, dir, "knn-edges",
+      inputs = Seq(s"$dir/embeddings.parquet")) { out =>
+      import s.implicits._
+      val bucket = (0 until NumPlanes).map { p =>
+        when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val b = Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
+          bucket.as("bucket"))
+      val (bm, dropB) = IndexArtifacts.materializeOwned(s, b, "knn-bucket")
+      val w = Window.partitionBy(col("x.vec_id"))
+        .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
+      try bm.as("x").join(bm.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .withColumn("cos_sim",
+          dot(col("x.embedding"), col("y.embedding")) /
+            (col("x.norm") * col("y.norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select(col("x.vec_id").as("src"), col("rank"),
+          col("y.vec_id").as("dst"), col("cos_sim"))
+        .write.parquet(out)
+      finally dropB()
+    }
+
+  /** `llm_graph_ann` parameters: deterministic entry points every
+    * `GraphEntryStride`-th vector, `GraphBeam` best-first frontier,
+    * `GraphHops` unrolled expansions (unrolled in the ORACLE too — two
+    * engines, one walk).
+    */
+  val GraphEntryStride = 50
+  val GraphBeam = 4
+  val GraphHops = 2
+
   /** The deterministic centroid sample, collected to the driver (k
     * vectors of Dim floats — bounded, the same place k-means centroids
     * live between iterations). Embedded as exact literals, the
@@ -360,29 +403,62 @@ object SimilarityQueries {
     // edge table (n·k rows), not of the corpus.
     "llm_knn_graph" -> { (s, dir) =>
       import s.implicits._
-      val bucket = (0 until NumPlanes).map { p =>
-        when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-          bucket.as("bucket")), "knn-bucket")
-      val w = Window.partitionBy(col("x.vec_id"))
-        .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
-      val edges = IndexArtifacts.materialize(s, b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .withColumn("cos_sim",
-          dot(col("x.embedding"), col("y.embedding")) /
-            (col("x.norm") * col("y.norm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= KnnK)
-        .select(col("x.vec_id").as("src"), col("rank"),
-          col("y.vec_id").as("dst"), col("cos_sim")), "knn-edges")
+      val edges = knnEdges(s, dir)
       val rev = edges.select($"src".as("rsrc"), $"dst".as("rdst"))
       edges.join(rev, $"src" === $"rdst" && $"dst" === $"rsrc", "left")
         .select($"src", $"rank", $"dst", $"cos_sim",
           $"rsrc".isNotNull.cast("int").as("mutual"))
         .orderBy($"src", $"rank")
+    },
+
+    // --- graph ANN: beam search over the kNN graph (HNSW family) --------
+    // The graph-navigation ANN shape (HNSW/NSG): start from a
+    // deterministic entry set, repeatedly expand the per-query best-B
+    // frontier along the kNN graph's directed edges, keep every
+    // visited node's exact score, answer top-k from the visited set.
+    // Here the hierarchy is flattened to GraphHops unrolled expansions
+    // so the ORACLE can replay the identical walk (two engines, one
+    // fixpoint — scores are the shared sequential-fold dot, ties break
+    // by vec_id). Scale: after the build-once edge index, per-hop cost
+    // is |Q|·B edge lookups + candidate-sized scoring joins — the
+    // corpus never re-enters; the entry set is the only
+    // corpus-proportional term (1/GraphEntryStride of it, and a real
+    // deployment replaces it with the upper-layer entry point).
+    "llm_graph_ann" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", norm($"embedding").as("norm"))
+      val qs = emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"norm".as("qn"))
+      val edges = knnEdges(s, dir).select($"src", $"dst")
+      def score(cand: DataFrame): DataFrame =
+        cand.join(emb, "vec_id").join(broadcast(qs), "query_id")
+          .select($"query_id", $"vec_id",
+            (dot($"qe", $"embedding") / ($"qn" * $"norm")).as("cos_sim"))
+      val entries = emb
+        .filter(pmod($"vec_id", lit(GraphEntryStride.toLong)) === 0)
+        .select($"vec_id")
+      var visited = score(broadcast(qs.select($"query_id"))
+        .crossJoin(entries).filter($"vec_id" =!= $"query_id"))
+      for (_ <- 1 to GraphHops) {
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"vec_id".asc)
+        val frontier = visited.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= GraphBeam).select($"query_id", $"vec_id")
+        val nbrs = frontier
+          .join(edges, frontier("vec_id") === edges("src"))
+          .select($"query_id", $"dst".as("vec_id"))
+          .filter($"vec_id" =!= $"query_id").distinct()
+        visited = visited.unionByName(score(nbrs))
+          .groupBy($"query_id", $"vec_id").agg(max($"cos_sim").as("cos_sim"))
+      }
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      visited.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
+        .orderBy($"query_id", $"rank")
     },
 
     // --- supervised hard-negative mining (contrastive training pairs) ---
@@ -1293,6 +1369,69 @@ object SimilarityQueries {
          |FROM ed LEFT JOIN (SELECT src, dst FROM ed) m
          |  ON ed.src = m.dst AND ed.dst = m.src
          |ORDER BY 1, 2""".stripMargin,
+
+    // beam-search oracle: the IDENTICAL unrolled walk — same entry
+    // set, same per-hop top-B frontier (ties by vec_id), same directed
+    // edges, same sequential-fold scores — so the visited sets and
+    // final top-k agree bit-for-bit
+    "llm_graph_ann" -> {
+      val hops = (1 to GraphHops).map { h =>
+        val prev = s"v${h - 1}"
+        s"""f$h AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY cos_sim DESC, vec_id ASC) AS rk
+           |    FROM $prev)
+           |  WHERE rk <= $GraphBeam),
+           |n$h AS (
+           |  SELECT DISTINCT f.query_id, ed.dst AS vec_id
+           |  FROM f$h f JOIN ed ON ed.src = f.vec_id
+           |  WHERE ed.dst <> f.query_id),
+           |s$h AS (
+           |  SELECT n.query_id, n.vec_id,
+           |    ${dotSql("q.qe", "e.embedding")} / (q.qn * e.norm) AS cos_sim
+           |  FROM n$h n JOIN b e ON e.vec_id = n.vec_id
+           |  JOIN qs q ON q.query_id = n.query_id),
+           |v$h AS (
+           |  SELECT query_id, vec_id, max(cos_sim) AS cos_sim FROM (
+           |    SELECT * FROM $prev UNION ALL SELECT * FROM s$h)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $normSql AS norm,
+         |    $bucketSql AS bucket
+         |  FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn
+         |  FROM b WHERE vec_id < $NumQueries),
+         |p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst,
+         |    ${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm) AS cos_sim
+         |  FROM b x JOIN b y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |ed AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src
+         |                         ORDER BY cos_sim DESC, dst ASC) AS rk
+         |    FROM p)
+         |  WHERE rk <= $KnnK),
+         |v0 AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${dotSql("q.qe", "e.embedding")} / (q.qn * e.norm) AS cos_sim
+         |  FROM qs q JOIN b e
+         |    ON e.vec_id % $GraphEntryStride = 0 AND e.vec_id <> q.query_id),
+         |$hops
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id AS neighbor_id,
+         |  cos_sim
+         |FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id ASC) AS rk
+         |  FROM v$GraphHops)
+         |WHERE rk <= $TopK ORDER BY 1, 2""".stripMargin
+    },
 
     // PQ oracle: same sampled codebooks, same e·c − ||c||²/2 kernel per
     // subspace (folds over the identical floats in the identical

@@ -22,6 +22,32 @@ import graft.streaming.CdcStream
   * to re-apply ([[unhandledFilters]] returns them), so pruning can only
   * skip files, never rows.
   */
+/** Batch change-feed relation (`readChangeFeed=true` on a batch read)
+  * — the `table_changes(...)` analog: committed per-key nets of
+  * versions in `(fromVersion, toVersion]` with `_commit_version` /
+  * `_commit_watermark` stamps. Shares [[CdcStream.readReplicaChanges]]
+  * (and its loud GC-gap contract) with the streaming feed.
+  */
+class ReplicaChangesRelation(
+    override val sqlContext: SQLContext,
+    path: String,
+    fromVersion: Long,
+    toVersion: Option[Long]) extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+
+  private def read(): DataFrame =
+    CdcStream.readReplicaChanges(sqlContext.sparkSession, path,
+      fromVersion, toVersion)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-replica: no recorded changes at $path in versions " +
+          s"($fromVersion, ${toVersion.getOrElse("latest")}] — write with " +
+          "changeFeed=true"))
+
+  override val schema: StructType = read().schema
+
+  override def buildScan(): RDD[Row] = read().rdd
+}
+
 class ReplicaRelation(
     override val sqlContext: SQLContext,
     path: String,

@@ -91,7 +91,10 @@ class ReplicaSinkProvider extends StreamSinkProvider with RelationProvider
 
   /** `spark.read.format("graft-replica")` — current state, `version=N`
     * time travel, or `asOfWatermark=W`; `keys=a,b` enables key-equality
-    * bucket pruning ([[ReplicaRelation]]).
+    * bucket pruning ([[ReplicaRelation]]). With `readChangeFeed=true`
+    * the batch read serves the CHANGE FEED instead (the `table_changes`
+    * analog): committed per-key nets of versions in
+    * `(fromVersion, toVersion]`, default all still on disk.
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -101,7 +104,11 @@ class ReplicaSinkProvider extends StreamSinkProvider with RelationProvider
       throw new IllegalArgumentException("graft-replica: 'path' is required"))
     require(!path.contains("{db}") && !path.contains("{table}"),
       "graft-replica reads take a concrete replica dir, not a template")
-    new ReplicaRelation(sqlContext, path,
+    if (lower.get("readchangefeed").exists(_.toBoolean))
+      new ReplicaChangesRelation(sqlContext, path,
+        fromVersion = lower.get("fromversion").map(_.toLong).getOrElse(0L),
+        toVersion = lower.get("toversion").map(_.toLong))
+    else new ReplicaRelation(sqlContext, path,
       version = lower.get("version").map(_.toLong),
       asOfWatermark = lower.get("asofwatermark").map(_.toLong),
       idCols = lower.get("keys").map(_.split(",").map(_.trim)

@@ -201,6 +201,38 @@ class QuantizedAnnSpec extends SparkSuite {
     }
   }
 
+  test("graph ann: every result is graph-reachable or an entry, scores exact, recall nonzero") {
+    import graft.SparkSuite.spark.implicits._
+    val cos = cosMap()
+    val rows = SimilarityQueries.defs("llm_graph_ann")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // scores are the exact cosine (same fold the driver twin computes)
+    rows.foreach { case (q, _, n, s) =>
+      assert(math.abs(s - cos((q, n))) < 1e-9, s"score for ($q,$n)")
+    }
+    // ranks dense, scores non-increasing per query
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.size))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true })
+    }
+    // recall vs the exact top-k: the walk must find a nonzero share
+    // (untrained random fixtures bound how navigable the graph is)
+    val k = SimilarityQueries.TopK
+    val exact = cos.keys.map(_._1).toSeq.distinct
+      .filter(_ < SimilarityQueries.NumQueries).map { q =>
+        q -> cos.filter(_._1._1 == q).toSeq.sortBy { case ((_, b), s) => (-s, b) }
+          .take(k).map(_._1._2).toSet
+      }.toMap
+    val hits = rows.groupBy(_._1).map { case (q, rs) =>
+      rs.map(_._3).count(exact(q))
+    }.sum
+    assert(hits > 0, "graph walk found none of the exact top-k")
+  }
+
   test("ann eval: recall rows recompute from the underlying operators") {
     val rows = SimilarityQueries.defs("llm_ann_eval")(spark, sfDir).collect()
     val k = SimilarityQueries.IvfTopK

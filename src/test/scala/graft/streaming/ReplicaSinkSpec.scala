@@ -275,6 +275,15 @@ class ReplicaSinkSpec extends SparkSuite {
         .collect().toSet === Set(3L))
     } finally q2.stop()
 
+    // batch reads of the feed through the FORMAT (table_changes analog)
+    val changes = spark.read.format("graft-replica")
+      .option("path", replica).option("readChangeFeed", "true").load()
+    assert(changes.count() === 5)
+    val slice = spark.read.format("graft-replica")
+      .option("path", replica).option("readChangeFeed", "true")
+      .option("fromVersion", "1").option("toVersion", "2").load()
+    assert(slice.select($"_commit_version").as[Long].collect().toSet === Set(2L))
+
     // a GC'd version in range is a LOUD gap, never a silent skip
     val v1dir = new java.io.File(replica).listFiles()
       .filter(_.getName == "v000000001").head
