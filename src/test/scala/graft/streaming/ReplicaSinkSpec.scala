@@ -214,6 +214,45 @@ class ReplicaSinkSpec extends SparkSuite {
     assert(df.filter($"user_id" === 999L).count() === 0)
   }
 
+  test("checkpoint restart: a re-served batch commits no duplicate version") {
+    val log = freshChangelog()
+    val replica = Files.createTempDirectory("graft-sink-restart").toString
+    val checkpoint = ck()
+    val rowSchema = graft.queries.SourceQueries.eventsRowSchema
+    def start() = {
+      val raw = spark.readStream.format("graft-binlog")
+        .option("path", log)
+        .option("maxEventsPerTrigger", "200")
+        .load()
+      CdcStream.parsed(raw, rowSchema)
+        .select($"user_id", $"event_id", $"ts_ms", $"op")
+        .writeStream.format("graft-replica")
+        .option("path", replica)
+        .option("keys", "user_id")
+        .option("orderColumns", "ts_ms,event_id")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    }
+    // first run: stop after at least one batch committed
+    val q1 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (CdcStream.replicaVersions(replica).isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    val midVersions = CdcStream.replicaVersions(replica)
+    assert(midVersions.nonEmpty, "first run committed something")
+    // restart from the same checkpoint: the engine re-serves the
+    // last uncommitted batch; the sink's markers make re-served work
+    // idempotent and the final state complete
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expectedState(), "state complete after restart")
+  }
+
   test("change feed: committed nets stream out in version order and rebuild the state") {
     val replica = Files.createTempDirectory("graft-cf").toString
     val cfg = ReplicaSinkConfig(Map(
