@@ -301,6 +301,33 @@ class ReplicaSinkSpec extends SparkSuite {
       assert(spark.table("cf_stream").count() === 5)
     } finally q.stop()
 
+    // checkpointed feed restart: committed offsets (version numbers)
+    // recover through deserialization; only NEW commits are delivered
+    // (memory sink refuses recovery, so collect through foreachBatch)
+    val cfCk = ck()
+    val cfOut = Files.createTempDirectory("graft-cf-out").toString
+    def cfStream() = spark.readStream.format("graft-replica")
+      .option("path", replica).option("readChangeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", cfCk)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(cfOut); ()
+      }
+      .start()
+    val q1b = cfStream()
+    try { q1b.processAllAvailable() } finally q1b.stop()
+    assert(spark.read.parquet(cfOut).count() === 5)
+    sink.addBatch(3, Seq((5L, 60L, "insert")).toDF("user_id", "ord", "op"))
+    val q2b = cfStream()
+    try {
+      q2b.processAllAvailable()
+      val vs = spark.read.parquet(cfOut).select($"_commit_version")
+        .as[Long].collect()
+      assert(vs.max === 4L, "the post-restart commit was delivered")
+      assert(vs.count(_ == 4L) === 1, "version 4 delivered exactly once")
+      assert(vs.length === 6, "no pre-restart rows re-delivered")
+    } finally q2b.stop()
+
     // startingVersion skips history
     val q2 = spark.readStream.format("graft-replica")
       .option("path", replica).option("readChangeFeed", "true")
@@ -311,13 +338,13 @@ class ReplicaSinkSpec extends SparkSuite {
     try {
       q2.processAllAvailable()
       assert(spark.table("cf_from2").select($"_commit_version").as[Long]
-        .collect().toSet === Set(3L))
+        .collect().toSet === Set(3L, 4L))
     } finally q2.stop()
 
     // batch reads of the feed through the FORMAT (table_changes analog)
     val changes = spark.read.format("graft-replica")
       .option("path", replica).option("readChangeFeed", "true").load()
-    assert(changes.count() === 5)
+    assert(changes.count() === 6)
     val slice = spark.read.format("graft-replica")
       .option("path", replica).option("readChangeFeed", "true")
       .option("fromVersion", "1").option("toVersion", "2").load()
