@@ -520,6 +520,39 @@ object EventQueries {
         .orderBy($"table_name", $"user_id")
     },
 
+    // --- cdc: ORDER-CONDITIONAL merge under out-of-order batches --------
+    // Backfills, replays, and late partitions deliver CDC batches out
+    // of source order; the unconditional MERGE would let the
+    // last-APPLIED batch win. conditionalOrder makes the merge a
+    // version-compare (Delta whenMatched(newer) / Debezium shape): per
+    // key, the greatest (ts, event_id) among {stored, incoming} wins —
+    // a late lower-order delete is ignored, a higher-order one still
+    // removes the key. Here the changelog is split by event_id PARITY
+    // (each half spans the whole time range) and applied odd-half
+    // first: only order-conditional semantics converge to the global
+    // latest state, which is exactly what the oracle computes. Scale:
+    // the conditional path is one window over the same touched-bucket
+    // rows ∪ net the unconditional path reads — no extra scan.
+    "cdc_out_of_order" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-ooo")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val orderCols = Seq(col("ts_ms"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter($"event_id" % 2 === 1), Seq("user_id"), orderCols,
+        conditionalOrder = true)
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter($"event_id" % 2 === 0), Seq("user_id"), orderCols,
+        conditionalOrder = true)
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"ts_ms".as("last_ts_ms"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: replica freshness / lag report (operational telemetry) ----
     // The question every multi-table CDC deployment monitors: how far
     // behind the source is each replica, and who pins the consistent
@@ -1184,6 +1217,20 @@ object EventQueries {
          |WHERE v1.user_id IS NULL OR v2.user_id IS NULL
          |   OR v1.event_id <> v2.event_id
          |ORDER BY 1""".stripMargin,
+
+    // out-of-order application must converge to the plain global
+    // latest state — the oracle IS that latest state
+    "cdc_out_of_order" ->
+      s"""SELECT user_id, event_id AS last_event_id,
+         |  epoch_ms(CAST(ts AS TIMESTAMP)) AS last_ts_ms,
+         |  ${centsSql("value")} AS value_cents
+         |FROM (
+         |  SELECT user_id, event_id, ts, value, $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
 
     // watermarks pinned by the builder: clicks ends at mx+1 (3
     // versions), orders at the second thirds cut (2 versions)

@@ -140,7 +140,8 @@ final case class ReplicaSinkConfig(
     numBuckets: Int,
     trackWatermark: Boolean,
     watermarkColumn: Option[String],
-    changeFeed: Boolean = false) {
+    changeFeed: Boolean = false,
+    conditionalOrder: Boolean = false) {
 
   val isFanOut: Boolean = path.contains("{db}") || path.contains("{table}")
 
@@ -178,7 +179,8 @@ object ReplicaSinkConfig {
         .getOrElse(CdcStream.DefaultReplicaBuckets),
       trackWatermark = opt("trackWatermark").exists(_.toBoolean),
       watermarkColumn = opt("watermarkColumn"),
-      changeFeed = opt("changeFeed").exists(_.toBoolean))
+      changeFeed = opt("changeFeed").exists(_.toBoolean),
+      conditionalOrder = opt("conditionalOrder").exists(_.toBoolean))
     if (cfg.isFanOut) {
       require(cfg.schemaRegistry.nonEmpty,
         "graft-replica: fan-out paths ({db}/{table}) require 'schemaRegistry' " +
@@ -259,7 +261,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       idCols = candidates.map(c => c._1 -> c._3).toMap,
       orderCols = orderCols,
       watermark = watermark,
-      recordChanges = cfg.changeFeed)
+      recordChanges = cfg.changeFeed,
+      conditionalOrder = cfg.conditionalOrder)
     candidates.foreach { case (_, _, _, dir) => markCommitted(dir, batchId) }
   }
 
@@ -283,7 +286,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
         .map(_.asInstanceOf[Long])
     CdcStream.applyBatchToReplica(cfg.path, parsed, ids, orderCols,
       numBuckets = cfg.numBuckets, watermark = watermark,
-      recordChanges = cfg.changeFeed)
+      recordChanges = cfg.changeFeed,
+      conditionalOrder = cfg.conditionalOrder)
     markCommitted(cfg.path, batchId)
   }
 
@@ -300,7 +304,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
     }.filter(_ != Long.MinValue)
     CdcStream.applyBatchToReplica(cfg.path, df, ids, orderCols,
       opCol = cfg.opColumn, numBuckets = cfg.numBuckets, watermark = watermark,
-      recordChanges = cfg.changeFeed)
+      recordChanges = cfg.changeFeed,
+      conditionalOrder = cfg.conditionalOrder)
     markCommitted(cfg.path, batchId)
   }
 }

@@ -134,7 +134,8 @@ object CdcStream {
       idCols: Map[String, Seq[String]],
       orderCols: Seq[Column] = Seq(col("offset")),
       watermark: Option[Long] = None,
-      recordChanges: Boolean = false): Seq[String] = {
+      recordChanges: Boolean = false,
+      conditionalOrder: Boolean = false): Seq[String] = {
     val dbCol = get_json_object(col("value"), "$.databaseName")
     val tblCol = get_json_object(col("value"), "$.tableName")
     // ROUTE ONCE: write the raw envelopes into a (db, table)-partitioned
@@ -163,7 +164,7 @@ object CdcStream {
         new java.io.File(s"$routedDir/__db=$db"), "__tbl=")
     } yield (db, tbl)).sorted
     try fanOutRouted(spark, routedDir, present, pathTemplate, schemas,
-      idCols, orderCols, watermark, recordChanges)
+      idCols, orderCols, watermark, recordChanges, conditionalOrder)
     finally dropRouted()
   }
 
@@ -176,7 +177,8 @@ object CdcStream {
       idCols: Map[String, Seq[String]],
       orderCols: Seq[Column],
       watermark: Option[Long],
-      recordChanges: Boolean = false): Seq[String] = {
+      recordChanges: Boolean = false,
+      conditionalOrder: Boolean = false): Seq[String] = {
     // per-table merges target DISJOINT replica dirs — schedule them as
     // concurrent Spark jobs (a fan-out over T tables is T independent
     // merges; running them serially would leave the cluster idle
@@ -196,7 +198,8 @@ object CdcStream {
                 .filter(col("__db") === db && col("__tbl") === tbl)
                 .select(col("value")), schema),
               ids, orderCols, watermark = watermark,
-              recordChanges = recordChanges)
+              recordChanges = recordChanges,
+              conditionalOrder = conditionalOrder)
             path
           })
         case (Some(_), None) => throw new IllegalArgumentException(
@@ -249,6 +252,19 @@ object CdcStream {
 
   private val Pointer = "CURRENT"
   val DefaultReplicaBuckets = 16
+
+  /** Reserved column storing order-conditional delete TOMBSTONES
+    * (see [[applyBatchToReplica]]'s `conditionalOrder`). Live read
+    * paths filter it; only conditional merges write it.
+    */
+  val Tombstone = "__tombstone"
+
+  /** Drop tombstoned rows (and the marker column) from a replica scan
+    * — identity for replicas that never merged conditionally.
+    */
+  private def filterTombstones(df: DataFrame): DataFrame =
+    if (!df.columns.contains(Tombstone)) df
+    else df.filter(!coalesce(col(Tombstone), lit(false))).drop(Tombstone)
 
   /** The union schema a manifest records (absent on pre-schema
     * manifests) — the ONE parse both the write path and the pruned
@@ -353,10 +369,11 @@ object CdcStream {
             case Some(sc) => spark.read.schema(sc)
             case None => spark.read.option("mergeSchema", "true")
           }
-          Some(rd.parquet(
-            m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*))
+          Some(filterTombstones(rd.parquet(
+            m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*)))
         case Some(_) => None // committed but empty
-        case None => Some(spark.read.parquet(s"$replicaDir/$name"))
+        case None => Some(filterTombstones(
+          spark.read.parquet(s"$replicaDir/$name")))
       }
     }
 
@@ -418,10 +435,10 @@ object CdcStream {
               spark.read.schema(fullSchema).parquet(paths: _*)
             else spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
-          Some(base.join(broadcast(typedKeys), idCols, "left_semi"))
+          Some(filterTombstones(base).join(broadcast(typedKeys), idCols, "left_semi"))
         case Some(_) => None // committed but empty
         case None => // pre-bucket flat layout: no pruning metadata
-          Some(spark.read.parquet(s"$replicaDir/$name")
+          Some(filterTombstones(spark.read.parquet(s"$replicaDir/$name"))
             .join(broadcast(keys), idCols, "left_semi"))
       }
     }
@@ -473,10 +490,11 @@ object CdcStream {
             case Some(sc) => spark.read.schema(sc)
             case None => spark.read.option("mergeSchema", "true")
           }
-          Some(rd.parquet(paths: _*))
+          Some(filterTombstones(rd.parquet(paths: _*)))
         } else None
       case Some(_) => None // committed but empty
-      case None => Some(spark.read.parquet(s"$replicaDir/$name"))
+      case None => Some(filterTombstones(
+        spark.read.parquet(s"$replicaDir/$name")))
     }
   }
 
@@ -866,6 +884,19 @@ object CdcStream {
     * keeps the test environment dependency-free while staying
     * crash-safe.
     */
+  /** @param conditionalOrder when true, the merge is ORDER-CONDITIONAL
+    *   (the Delta `whenMatched(newer)` / Debezium version-compare
+    *   shape): per key, the row with the GREATEST `orderCols` value
+    *   among {stored row, batch net} wins, with the incoming row
+    *   winning exact ties — so batches may arrive out of source order
+    *   (replays, backfills, late partitions) and the state still
+    *   converges to the global last-writer outcome. A delete below the
+    *   stored row's order is IGNORED; a delete above it removes the
+    *   key. Requires every `orderCols` column to be a STORED column of
+    *   the row (it is compared against base rows). The change feed
+    *   still records the batch's net (its intent); a conditionally
+    *   LOSING row is visible there but not in the state.
+    */
   def applyBatchToReplica(
       replicaDir: String,
       batch: DataFrame,
@@ -874,7 +905,8 @@ object CdcStream {
       opCol: String = "op",
       numBuckets: Int = DefaultReplicaBuckets,
       watermark: Option[Long] = None,
-      recordChanges: Boolean = false): Unit = {
+      recordChanges: Boolean = false,
+      conditionalOrder: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // materialize the per-key net ONCE: the merge below runs several
     // actions over it (touched-bucket collect, keys broadcast, upsert
@@ -884,7 +916,8 @@ object CdcStream {
     val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
       lastOpPerKey(batch, idCols, orderCols), "replica-net")
     try applyNetToReplica(replicaDir, net, batch.columns, idCols, opCol,
-      numBuckets, watermark, recordChanges)
+      numBuckets, watermark, recordChanges,
+      conditional = if (conditionalOrder) Some(orderCols) else None)
     finally dropNet()
   }
 
@@ -896,7 +929,8 @@ object CdcStream {
       opCol: String,
       numBuckets: Int,
       watermark: Option[Long] = None,
-      recordChanges: Boolean = false): Unit = {
+      recordChanges: Boolean = false,
+      conditional: Option[Seq[Column]] = None): Unit = {
     val spark = net.sparkSession
     val dataCols = batchCols.filterNot(_ == opCol)
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
@@ -941,8 +975,41 @@ object CdcStream {
     // widens the replica (carried-over rows read back NULL for it); a
     // batch missing a replica column null-fills it. Readers merge
     // footer schemas across buckets written at different versions.
-    val merged = base.join(broadcast(keys), idCols, "left_anti")
-      .unionByName(upserts, allowMissingColumns = true)
+    val merged = conditional match {
+      case Some(ord) =>
+        // order-conditional merge: greatest orderCols value per key
+        // wins across {stored, incoming}; incoming wins exact ties.
+        // One window over the touched buckets' rows ∪ the net — the
+        // same data the unconditional path reads. A WINNING delete is
+        // stored as a TOMBSTONE row (`__tombstone = true`, filtered by
+        // every read path): without it, a later-arriving LOWER-order
+        // update would find no stored row to lose against and
+        // resurrect the key. Tombstones carry the delete's order
+        // value, so the compare keeps working; they persist until a
+        // future compaction policy ages them out (same trade Kafka
+        // compaction and Cassandra make).
+        val baseLive = base.columns.find(_ == Tombstone) match {
+          case Some(_) => base.withColumn(Tombstone,
+            coalesce(col(Tombstone), lit(false)))
+          case None => base.withColumn(Tombstone, lit(false))
+        }
+        val all = baseLive
+          .withColumn(opCol, when(col(Tombstone), "delete").otherwise("update"))
+          .withColumn("__incoming", lit(0))
+          .unionByName(
+            net.select(batchCols.toSeq.map(col): _*)
+              .withColumn(Tombstone, col(opCol) === "delete")
+              .withColumn("__incoming", lit(1)),
+            allowMissingColumns = true)
+        val w = Window.partitionBy(idCols.map(col): _*)
+          .orderBy((ord.map(_.desc) :+ col("__incoming").desc): _*)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__incoming", opCol)
+      case None =>
+        base.join(broadcast(keys), idCols, "left_anti")
+          .unionByName(upserts, allowMissingColumns = true)
+    }
     // the manifest records the replica's UNION schema so the pruned
     // lookup path never needs a footer-merge over every bucket file.
     // `merged` only covers touched buckets, so widen the previous

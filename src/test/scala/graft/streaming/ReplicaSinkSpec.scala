@@ -362,6 +362,55 @@ class ReplicaSinkSpec extends SparkSuite {
       CdcStream.readReplicaChanges(spark, replica).get.count())
   }
 
+  test("conditionalOrder: out-of-order batches converge to last-writer state") {
+    val replica = Files.createTempDirectory("graft-cond").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "conditionalOrder" -> "true")))
+    def state(): Map[Long, (Long, String)] =
+      CdcStream.readReplica(spark, replica).get
+        .select($"user_id", $"ord", $"payload")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+    sink.addBatch(0, Seq((1L, 50L, "a", "insert"), (2L, 10L, "b", "insert"))
+      .toDF("user_id", "ord", "payload", "op"))
+    // LATE batch: lower-order update for 1 loses, lower-order delete
+    // for 2 is ignored, new key 3 inserts
+    sink.addBatch(1, Seq((1L, 40L, "stale", "update"), (2L, 5L, "x", "delete"),
+      (3L, 7L, "c", "insert")).toDF("user_id", "ord", "payload", "op"))
+    assert(state() === Map(1L -> (50L, "a"), 2L -> (10L, "b"), 3L -> (7L, "c")))
+    // higher-order delete wins
+    sink.addBatch(2, Seq((2L, 20L, "x", "delete"))
+      .toDF("user_id", "ord", "payload", "op"))
+    assert(state() === Map(1L -> (50L, "a"), 3L -> (7L, "c")))
+    // exact order tie: the incoming row wins (deterministic)
+    sink.addBatch(3, Seq((1L, 50L, "B", "update"))
+      .toDF("user_id", "ord", "payload", "op"))
+    assert(state() === Map(1L -> (50L, "B"), 3L -> (7L, "c")))
+  }
+
+  test("conditionalOrder: tombstones survive compaction") {
+    val replica = Files.createTempDirectory("graft-cond-compact").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "conditionalOrder" -> "true")))
+    def batch(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "ord", "op")
+    // spread keys over buckets, then tombstone key 1
+    sink.addBatch(0, batch((1 to 20).map(i => (i.toLong, 10L, "insert")): _*))
+    sink.addBatch(1, batch((1L, 60L, "delete")))
+    // touch a different key so the tombstone's bucket carries over,
+    // then compact — the rewrite must PRESERVE tombstone rows
+    sink.addBatch(2, batch((2L, 70L, "update")))
+    CdcStream.compactReplica(spark, replica)
+    // a late, lower-order update must still lose to the tombstone
+    sink.addBatch(3, batch((1L, 55L, "resurrect-attempt")))
+    val live = CdcStream.readReplica(spark, replica).get
+      .select($"user_id").as[Long].collect().toSet
+    assert(!live.contains(1L), "tombstone outlived compaction")
+    assert(live === (2L to 20L).toSet)
+  }
+
   test("SQL DDL: CREATE TEMPORARY VIEW USING graft-replica serves SQL readers") {
     val replica = Files.createTempDirectory("graft-sql-view").toString
     val sink = new ReplicaSink(ReplicaSinkConfig(Map(
