@@ -894,8 +894,9 @@ object CdcStream {
     *   stored row's order is IGNORED; a delete above it removes the
     *   key. Requires every `orderCols` column to be a STORED column of
     *   the row (it is compared against base rows). The change feed
-    *   still records the batch's net (its intent); a conditionally
-    *   LOSING row is visible there but not in the state.
+    *   records the merge's OUTCOME: only incoming winners (their
+    *   original op, deletes included) — a conditionally LOSING row
+    *   appears nowhere, so feed replay stays state-faithful.
     */
   def applyBatchToReplica(
       replicaDir: String,
@@ -975,6 +976,10 @@ object CdcStream {
     // widens the replica (carried-over rows read back NULL for it); a
     // batch missing a replica column null-fills it. Readers merge
     // footer schemas across buckets written at different versions.
+    // Under a conditional merge the change feed must record the
+    // OUTCOME (incoming winners), not the batch's intent — otherwise
+    // feed replay would re-apply conditionally-LOST rows.
+    var conditionalWinners: Option[DataFrame] = None
     val merged = conditional match {
       case Some(ord) =>
         // order-conditional merge: greatest orderCols value per key
@@ -1003,9 +1008,12 @@ object CdcStream {
             allowMissingColumns = true)
         val w = Window.partitionBy(idCols.map(col): _*)
           .orderBy((ord.map(_.desc) :+ col("__incoming").desc): _*)
-        all.withColumn("__rn", row_number().over(w))
+        val winners = all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
-          .drop("__rn", "__incoming", opCol)
+        conditionalWinners = Some(winners
+          .filter(col("__incoming") === 1)
+          .select(batchCols.toSeq.map(col): _*))
+        winners.drop("__rn", "__incoming", opCol)
       case None =>
         base.join(broadcast(keys), idCols, "left_anti")
           .unionByName(upserts, allowMissingColumns = true)
@@ -1071,7 +1079,8 @@ object CdcStream {
     // as long as its dir — indefinitely while any of its buckets is
     // still current, and at least the GC reader-grace window after a
     // full rewrite (readReplicaChanges FAILS on a gap, never skips).
-    if (recordChanges) net.write.parquet(s"$staging/changes")
+    if (recordChanges)
+      conditionalWinners.getOrElse(net).write.parquet(s"$staging/changes")
 
     // buckets actually written (a delete can empty one entirely)
     val written = Option(new java.io.File(s"$staging/data").listFiles())

@@ -366,7 +366,7 @@ class ReplicaSinkSpec extends SparkSuite {
     val replica = Files.createTempDirectory("graft-cond").toString
     val sink = new ReplicaSink(ReplicaSinkConfig(Map(
       "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
-      "conditionalOrder" -> "true")))
+      "conditionalOrder" -> "true", "changeFeed" -> "true")))
     def state(): Map[Long, (Long, String)] =
       CdcStream.readReplica(spark, replica).get
         .select($"user_id", $"ord", $"payload")
@@ -379,6 +379,12 @@ class ReplicaSinkSpec extends SparkSuite {
     sink.addBatch(1, Seq((1L, 40L, "stale", "update"), (2L, 5L, "x", "delete"),
       (3L, 7L, "c", "insert")).toDF("user_id", "ord", "payload", "op"))
     assert(state() === Map(1L -> (50L, "a"), 2L -> (10L, "b"), 3L -> (7L, "c")))
+    // the change feed records the merge's OUTCOME: version 2 carries
+    // only the one incoming winner, not the two conditional losers
+    val v2feed = CdcStream.readReplicaChanges(spark, replica, 1, Some(2)).get
+      .select($"user_id", $"ord", $"op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(v2feed.toSeq === Seq((3L, 7L, "insert")))
     // higher-order delete wins
     sink.addBatch(2, Seq((2L, 20L, "x", "delete"))
       .toDF("user_id", "ord", "payload", "op"))
