@@ -51,7 +51,15 @@ object Bench {
       finally spark.catalog.clearCache()
     }
 
+    // A query FAILS only if every timed run throws; a query with some
+    // successful runs reports the median of those and is listed under
+    // `flaky` (r7 lesson: one transient run-level error per query was
+    // erasing 15 real timings). Either way the last exception's
+    // class+message is recorded in `errors` so a failure in the
+    // driver's environment is diagnosable from BENCH_FULL.json alone.
     var failed = List.empty[String]
+    var flaky = List.empty[String]
+    var errors = Map.empty[String, String]
     val results = queries.flatMap { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -60,12 +68,18 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            val msg = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(300)
+            System.err.println(s"[bench] $name FAILED: $msg")
+            errors += name -> msg
             None
         } finally spark.catalog.clearCache()
       }
-      if (times.size < Runs) { failed ::= name; None }
-      else Some(name -> times.sorted.apply(times.size / 2))
+      if (times.isEmpty) { failed ::= name; None }
+      else {
+        if (times.size < Runs) flaky ::= name
+        Some(name -> times.sorted.apply(times.size / 2))
+      }
     }
     // The driver records only the LAST 2000 chars of output. A full
     // per-query map for 100+ queries is >3 KB, so the printed line's
@@ -75,7 +89,13 @@ object Bench {
     // under the tail budget; the complete per-query map goes to
     // BENCH_FULL.json in the repo for the judge to read directly.
     def r3(v: Double): String = "%.3f".format(v)
-    val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\r\\n\\t]", " ") + "\""
+    val fs = failed.sorted.map(jstr).mkString("[", ",", "]")
+    val fl = flaky.sorted.map(jstr).mkString("[", ",", "]")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // build-once pipeline artifacts (cluster-label index) are built
     // during warmup and REUSED by timed runs — report their build cost
     // explicitly so the reuse hides nothing
@@ -99,7 +119,7 @@ object Bench {
     val qsFull = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failed":$fs,"artifacts":$arts,"groups":$groups,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"artifacts":$arts,"groups":$groups,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
     catch { case e: Throwable =>
@@ -107,7 +127,7 @@ object Bench {
     }
     // "queries" on the printed line = the 10 slowest (the ones a perf
     // reader actually wants); the rest live in BENCH_FULL.json
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"failed":$fs,"artifacts":$arts,"groups":$groups,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"failed":$fs,"flaky":$fl,"artifacts":$arts,"groups":$groups,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -138,6 +138,21 @@ object IndexArtifacts {
       inputs: Seq[String] = Nil)(build: String => Unit): DataFrame =
     s.read.parquet(cachedPath(dir, tag, inputs)(build))
 
+  /** [[cached]] for the common "this DataFrame IS the index" case: the
+    * build just writes `df` once per corpus state. The r7 shared-LSH-
+    * index mandate generalized to every corpus-static index table
+    * (SQ8/PQ code lists, IVF cell assignments, LSH buckets, simhash
+    * band tables, hashed vocabularies): they are pure functions of the
+    * corpus files named in `inputs`, so every consumer — and every
+    * timed bench run — reads one build instead of re-deriving the
+    * index per invocation. Build seconds still land in
+    * [[buildSeconds]], so the bench report hides nothing. Callers of
+    * parameterized builders must fold the parameters into `tag`.
+    */
+  def cachedIndex(s: SparkSession, dir: String, tag: String,
+      inputs: Seq[String])(df: => DataFrame): DataFrame =
+    cached(s, dir, tag, inputs) { out => df.write.parquet(out) }
+
   /** [[cached]] without the parquet read — for build-once artifacts
     * that are not a single parquet table (e.g. the co-located-join
     * bucketed tables, which register in the session catalog). Returns

@@ -103,11 +103,11 @@ object MultimodalQueries {
         struct(lit(k).as("band"),
           shiftright($"mhash", 8 * k).bitwiseAND(lit(255L)).as("bb"))
       }
-      val bands = IndexArtifacts.materialize(s, sig
+      val bands = IndexArtifacts.cachedIndex(s, dir, "media-simhash-bands",
+        Seq(s"$dir/documents.parquet"))(sig
         .select($"doc_id", $"mhash", explode(array(bandCols: _*)).as("b"))
         .select($"doc_id", $"mhash",
-          col("b.band").as("band"), col("b.bb").as("bb")),
-        "media-simhash-bands")
+          col("b.band").as("band"), col("b.bb").as("bb")))
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bb") === col("y.bb") &&
             col("x.doc_id") < col("y.doc_id"))

@@ -216,6 +216,18 @@ object SimilarityQueries {
     s"""list_transform($e,
        |      x -> CAST(floor(x::DOUBLE * CAST($Sq8Scale AS DOUBLE)) AS BIGINT))""".stripMargin
 
+  /** The SQ8 code table (vec_id, embedding, norm, qv) — one build-once
+    * index per corpus state, shared by the quantized scan
+    * (`llm_embed_sq8`) and RRF fusion (`llm_hybrid_rrf`).
+    */
+  private def sq8CodeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    IndexArtifacts.cachedIndex(s, dir, "sq8-codes",
+      Seq(s"$dir/embeddings.parquet"))(Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
+        sq8Codes($"embedding").as("qv")))
+  }
+
   /** Product-quantization geometry: Dim = PqM × PqSubDim subspaces,
     * PqK centroids per subspace codebook (the sampled-vector subslices,
     * same deterministic sample as IVF). Codes are PqM small ints per
@@ -503,9 +515,10 @@ object SimilarityQueries {
       val bucket = (0 until NumPlanes).map { p =>
         when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
-      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+      val b = IndexArtifacts.cachedIndex(s, dir, "labeleval-bucket",
+        Seq(s"$dir/embeddings.parquet"))(Tables(s, dir).embeddings
         .select($"vec_id", $"label", $"embedding",
-          norm($"embedding").as("norm"), bucket.as("bucket")), "labeleval-bucket")
+          norm($"embedding").as("norm"), bucket.as("bucket")))
       val w = Window.partitionBy(col("x.vec_id"))
         .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
       b.as("x").join(b.as("y"),
@@ -537,11 +550,9 @@ object SimilarityQueries {
     // ordering among survivors.
     "llm_embed_sq8" -> { (s, dir) =>
       import s.implicits._
-      // the SQ8 code table IS the index — materialized once, scanned by
-      // every query (at scale it lives in files; 4× smaller than floats)
-      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-          sq8Codes($"embedding").as("qv")), "sq8-codes")
+      // the SQ8 code table IS the index — built once per corpus, scanned
+      // by every query (at scale it lives in files; 4× smaller than floats)
+      val b = sq8CodeTable(s, dir)
       val q = b.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"), $"qv".as("qqv"))
@@ -573,9 +584,10 @@ object SimilarityQueries {
     // sequentially so candidate order is bit-stable cross-engine.
     "llm_embed_matryoshka" -> { (s, dir) =>
       import s.implicits._
-      val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+      val b = IndexArtifacts.cachedIndex(s, dir, "mat-prefix",
+        Seq(s"$dir/embeddings.parquet"))(Tables(s, dir).embeddings
         .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-          slice($"embedding", 1, MatPrefix).as("pre")), "mat-prefix")
+          slice($"embedding", 1, MatPrefix).as("pre")))
       val q = b.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"), $"pre".as("qpre"))
@@ -614,11 +626,11 @@ object SimilarityQueries {
       import s.implicits._
       val emb = normalizedEmb(s, dir)
       val cb1 = pqCodebook(s, dir, emb)
-      // the PQ index: PqM codes per vector, materialized once
-      val codes = IndexArtifacts.materialize(s,
+      // the PQ index: PqM codes per vector, built once per corpus
+      val codes = IndexArtifacts.cachedIndex(s, dir, "pq-codes",
+        Seq(s"$dir/embeddings.parquet"))(
         pqEncode(cb1, emb).select($"vec_id" +:
-          (0 until PqM).map(m => col(s"c$m")): _*),
-        "pq-codes")
+          (0 until PqM).map(m => col(s"c$m")): _*))
       val dts = pqQueryTables(cb1, emb)
       val joined = dts.zipWithIndex.foldLeft(codes) { case (df, (dt, m)) =>
         df.join(broadcast(dt),
@@ -658,13 +670,13 @@ object SimilarityQueries {
           cents.zipWithIndex.map { case (c, i) =>
             centroidScoreD(c).as(s"cs$i") }: _*)
       // the IVF-PQ index: (vec_id, cell, c0..c7) — cell-partitionable,
-      // 8 small ints of payload per vector
-      val index = IndexArtifacts.materialize(s,
+      // 8 small ints of payload per vector, built once per corpus
+      val index = IndexArtifacts.cachedIndex(s, dir, s"ivfpq-index-$k",
+        Seq(s"$dir/embeddings.parquet"))(
         withScores(pqEncode(cb1, emb))
           .withColumn("cell", cellFromScores(k))
           .select($"vec_id" +: $"cell" +:
-            (0 until PqM).map(m => col(s"c$m")): _*),
-        "ivfpq-index")
+            (0 until PqM).map(m => col(s"c$m")): _*))
       // query side: nprobe best cells, ranked (score desc, cell asc)
       val ranked = sort_array(array((0 until k).map(i =>
         struct(col(s"cs$i").as("s"), lit(-i).as("ni"))): _*), asc = false)
@@ -730,12 +742,12 @@ object SimilarityQueries {
       import s.implicits._
       val cents = sampleCentroids(s, dir, NumCentroids)
       val k = cents.size
-      val b = IndexArtifacts.materialize(s,
+      val b = IndexArtifacts.cachedIndex(s, dir, s"semdedup-assign-$k",
+        Seq(s"$dir/embeddings.parquet"))(
         Tables(s, dir).embeddings
           .select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
             cents.zipWithIndex.map { case (c, i) => centroidScore(c).as(s"cs$i") }: _*)
-          .select($"vec_id", $"embedding", $"norm", cellFromScores(k).as("cell")),
-        "semdedup-assign")
+          .select($"vec_id", $"embedding", $"norm", cellFromScores(k).as("cell")))
       val pruned = b.as("x").join(b.as("y"),
           col("x.cell") === col("y.cell") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -758,9 +770,7 @@ object SimilarityQueries {
     // the corpus — whatever produced the lists did the heavy lifting.
     "llm_hybrid_rrf" -> { (s, dir) =>
       import s.implicits._
-      val base = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-          sq8Codes($"embedding").as("qv")), "rrf-base")
+      val base = sq8CodeTable(s, dir)
       val q = base.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           $"norm".as("qn"), $"qv".as("qqv"))
@@ -970,11 +980,11 @@ object SimilarityQueries {
     def withScores(df: DataFrame): DataFrame =
       df.select(Seq($"vec_id", $"embedding", norm($"embedding").as("norm")) ++
         cents.zipWithIndex.map { case (c, i) => centroidScore(c).as(s"cs$i") }: _*)
-    // materialized: the IVF index table — every vector's nearest cell
-    // (at scale it lives in files anyway)
-    val b = IndexArtifacts.materialize(s, withScores(Tables(s, dir).embeddings)
-      .select($"vec_id", $"embedding", $"norm", cellFromScores(k).as("cell")),
-      "ivf-assign")
+    // the IVF index table — every vector's nearest cell, built once per
+    // corpus (at scale it lives in files anyway)
+    val b = IndexArtifacts.cachedIndex(s, dir, s"ivf-assign-$k",
+      Seq(s"$dir/embeddings.parquet"))(withScores(Tables(s, dir).embeddings)
+      .select($"vec_id", $"embedding", $"norm", cellFromScores(k).as("cell")))
     // query side: re-score only the bounded query set and keep its
     // nprobe best cells, ranked (score desc, cell asc) — for nprobe=1
     // this equals the cellFromScores assignment (same tie-break)
@@ -1004,10 +1014,12 @@ object SimilarityQueries {
     val bucket = (0 until numPlanes).map { p =>
       when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    // both self-join sides re-run the plane dots otherwise
-    val b = IndexArtifacts.materialize(s, Tables(s, dir).embeddings
+    // both self-join sides re-run the plane dots otherwise; built once
+    // per corpus like every other index table
+    val b = IndexArtifacts.cachedIndex(s, dir, s"lsh-bucket-$numPlanes",
+      Seq(s"$dir/embeddings.parquet"))(Tables(s, dir).embeddings
       .select($"vec_id", $"embedding", norm($"embedding").as("norm"),
-        bucket.as("bucket")), "lsh-bucket")
+        bucket.as("bucket")))
     val w = Window.partitionBy(col("x.vec_id"))
       .orderBy(col("cos_sim").desc, col("y.vec_id").asc)
     b.as("x").join(b.as("y"),

@@ -162,11 +162,12 @@ object SketchQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       // the per-source hashed vocabulary (distinct (source, h))
-      val v = IndexArtifacts.materialize(s,
+      val v = IndexArtifacts.cachedIndex(s, dir, "kmv-vocab",
+        Seq(s"$dir/documents.parquet"))(
         Tables(s, dir).documents
           .select($"source", explode(tokens($"text")).as("tok"))
           .select($"source", hash32($"tok").as("h"))
-          .distinct(), "kmv-vocab")
+          .distinct())
       val wS = Window.partitionBy($"source").orderBy($"h".asc)
       val sk = v.withColumn("rn", row_number().over(wS))
         .filter($"rn" <= KmvK).select($"source", $"h")

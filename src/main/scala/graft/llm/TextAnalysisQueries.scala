@@ -323,12 +323,12 @@ object TextAnalysisQueries {
       // the same integers as summing per token). Previously the
       // explode+hash pipeline ran twice: once under feat, once under
       // the join-back.
-      val db = IndexArtifacts.materialize(s, Tables(s, dir).documents
+      val db = IndexArtifacts.cachedIndex(s, dir, "dsir-doc-buckets",
+        Seq(s"$dir/documents.parquet"))(Tables(s, dir).documents
           .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
           .select($"doc_id", $"lang",
             pmod(hash32($"term"), lit(DsirBuckets)).as("f"))
-          .groupBy($"doc_id", $"lang", $"f").agg(count(lit(1)).as("c")),
-        "dsir-doc-buckets")
+          .groupBy($"doc_id", $"lang", $"f").agg(count(lit(1)).as("c")))
       val feat = db.groupBy($"f").agg(
           sum($"c").as("rc"),
           sum(when($"lang" === "en", $"c").otherwise(0L)).as("tc"))
