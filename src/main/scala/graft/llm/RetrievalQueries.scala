@@ -221,11 +221,12 @@ object RetrievalQueries {
     // phrases, topic markers, template fingerprints.
     "llm_token_pairs" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
-      val dt = docs.select($"doc_id",
-          explode(array_distinct(tokens($"text"))).as("tok"))
+      // distinct (doc, token) pairs are exactly the shared document-term
+      // matrix's keys — no per-query corpus re-tokenization
+      val dt = docTermCounts(s, dir)
+        .select($"doc_id", $"term".as("tok"))
         .filter(length($"tok") > 0)
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val nDocs = Tables(s, dir).documents.agg(count(lit(1)).as("n_docs"))
       val dfs = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
       val freq = dfs.crossJoin(broadcast(nDocs))
         .filter($"df" * lit(1000000L) >= $"n_docs" * lit(SupportPpm))

@@ -88,13 +88,15 @@ object SketchQueries {
     // emits the realized overestimate per heavy hitter.
     "llm_heavy_hitters" -> { (s, dir) =>
       import s.implicits._
-      val posts = Tables(s, dir).documents
-        .select(explode(tokens($"text")).as("term"))
-      val sketch = posts
-        .select(explode(cmsCoords($"term")).as("rb"))
+      // occurrence counts fold from the shared document-term matrix —
+      // the per-occurrence explode collapses to vocabulary×doc rows
+      // weighted by c, same sums exactly
+      val dtc = docTermCounts(s, dir)
+      val sketch = dtc
+        .select(explode(cmsCoords($"term")).as("rb"), $"c")
         .groupBy($"rb.r".as("r"), $"rb.bucket".as("bucket"))
-        .agg(count(lit(1)).as("c"))
-      val top = posts.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum($"c").as("c"))
+      val top = dtc.groupBy($"term").agg(sum($"c").as("exact_cnt"))
         .orderBy($"exact_cnt".desc, $"term").limit(CmsTopK)
       top
         .select($"term", $"exact_cnt", explode(cmsCoords($"term")).as("rb"))

@@ -48,6 +48,25 @@ object TextOps {
   /** lower + single-space split. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** The document-term matrix `(doc_id, source, lang, term, c)` — one
+    * row per distinct (doc, token) with its occurrence count, built
+    * once per corpus state ([[IndexArtifacts.cachedIndex]]). This is
+    * the tokenize-once production shape: every bag-of-words consumer
+    * (co-occurrence, CMS sketches, df/tf statistics) derives from this
+    * table instead of re-running the corpus-wide occurrence explode +
+    * count shuffle per query. Order-sensitive consumers (bigram LM,
+    * collocations) cannot use it and keep their own positional pass.
+    */
+  def docTermCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    IndexArtifacts.cachedIndex(s, dir, "doc-term-counts",
+      Seq(s"$dir/documents.parquet"))(
+      graft.Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("source"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("c")))
+
   /** Distinct word-bigram shingles; empty array for <2 tokens (Spark's
     * `sequence(1, 0)` would produce a DESCENDING range, hence the guard).
     */
