@@ -616,9 +616,24 @@ object CdcStream {
     * single version dir and everything older becomes GC-able as soon
     * as the previous-version reader grace expires. Cost is
     * O(rewritten buckets), not O(versions).
+    *
+    * `tombstoneHorizon` is the tombstone AGE-OUT policy the
+    * order-conditional merge defers to (the Cassandra `gc_grace` /
+    * Kafka-compaction `delete.retention.ms` analog): a predicate over
+    * the stored row's order columns that is true exactly when NO
+    * late batch carrying a lower order value can still arrive — the
+    * caller's out-of-order delivery bound. Buckets holding expired
+    * tombstones join the rewrite set and the rewrite DROPS those rows;
+    * after that, a below-horizon update for the key would resurrect
+    * it, which is precisely the contract the horizon asserts cannot
+    * happen. Finding expired tombstones is one column-pruned scan of
+    * (tombstone flag + order columns) across the store — the full
+    * sweep any tombstone GC pays, run at compaction cadence, never
+    * per merge.
     */
   def compactReplica(spark: org.apache.spark.sql.SparkSession,
-      replicaDir: String, targetFilesPerBucket: Int = 1): Unit = {
+      replicaDir: String, targetFilesPerBucket: Int = 1,
+      tombstoneHorizon: Option[Column] = None): Unit = {
     import org.apache.spark.sql.functions.lit
     val cur = currentVersion(replicaDir)
     if (cur.isEmpty) return
@@ -633,18 +648,54 @@ object CdcStream {
       !p.startsWith(s"$name/") ||
         parquetFiles(s"$replicaDir/$p") > targetFilesPerBucket
     }
-    if (fragmented.isEmpty) return
+    // the store's union schema (manifest-recorded, or one footer merge
+    // for pre-schema manifests); buckets written before any
+    // conditional merge may lack the tombstone column, so the sweep
+    // reads every bucket THROUGH this schema (absent columns null-fill)
+    lazy val unionSc: Option[StructType] =
+      prev.flatMap(manifestSchema).orElse {
+        if (m.buckets.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true").parquet(
+          m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).schema)
+      }
+    // replicas that never merged conditionally carry no tombstone
+    // column — the sweep is skipped without reading any data
+    val expiredTombstone = tombstoneHorizon
+      .filter(_ => unionSc.exists(_.fieldNames.contains(Tombstone)))
+      .map(h => coalesce(col(Tombstone), lit(false)) && h)
+    val expired: Set[Int] = expiredTombstone match {
+      case None => Set.empty
+      case Some(pred) =>
+        m.buckets.toSeq.sortBy(_._1)
+          .map { case (k, p) =>
+            spark.read.schema(unionSc.get).parquet(s"$replicaDir/$p")
+              .filter(pred).select(lit(k).as("__bucket")) }
+          .reduce(_.unionByName(_))
+          .distinct().collect().map(_.getInt(0)).toSet
+    }
+    val rewrite = fragmented ++ m.buckets.filter { case (k, _) => expired(k) }
+    if (rewrite.isEmpty) return
     val nextName = f"v${v + 1}%09d"
     val staging = newStagingDir(replicaDir)
-    fragmented.toSeq.sortBy(_._1)
+    rewrite.toSeq.sortBy(_._1)
       .map { case (k, p) =>
         spark.read.parquet(s"$replicaDir/$p").withColumn("__bucket", lit(k)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
-      .repartition(fragmented.size, org.apache.spark.sql.functions.col("__bucket"))
+      .transform(df => expiredTombstone match {
+        case Some(pred) => df.filter(!pred)
+        case None => df
+      })
+      .repartition(rewrite.size, org.apache.spark.sql.functions.col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$staging/data")
-    val newBuckets = m.buckets ++ fragmented.keys
+    // a bucket the GC emptied writes no partition dir — drop it from
+    // the manifest (readers treat an absent bucket id as zero rows)
+    val written: Set[Int] = rewrite.keys.filter { k =>
+      new java.io.File(s"$staging/data/__bucket=$k").isDirectory
+    }.toSet
+    val newBuckets = (m.buckets -- rewrite.keys) ++ written
       .map(k => k -> s"$nextName/data/__bucket=$k")
-    // content-identical rewrite: the union schema carries over
+    // content-identical rewrite (minus aged-out tombstones): the union
+    // schema carries over
     publishVersion(replicaDir, staging, nextName,
       ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark), prev,
       cur.map(_._2))
@@ -990,8 +1041,9 @@ object CdcStream {
         // every read path): without it, a later-arriving LOWER-order
         // update would find no stored row to lose against and
         // resurrect the key. Tombstones carry the delete's order
-        // value, so the compare keeps working; they persist until a
-        // future compaction policy ages them out (same trade Kafka
+        // value, so the compare keeps working; they persist until
+        // [[compactReplica]]'s `tombstoneHorizon` ages them out
+        // (same trade Kafka
         // compaction and Cassandra make).
         val baseLive = base.columns.find(_ == Tombstone) match {
           case Some(_) => base.withColumn(Tombstone,

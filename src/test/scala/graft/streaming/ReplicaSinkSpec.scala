@@ -417,6 +417,69 @@ class ReplicaSinkSpec extends SparkSuite {
     assert(live === (2L to 20L).toSet)
   }
 
+  test("conditionalOrder: tombstoneHorizon ages expired tombstones out of storage") {
+    val replica = Files.createTempDirectory("graft-tomb-gc").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "conditionalOrder" -> "true")))
+    def batch(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "ord", "op")
+    // the read path filters tombstones; the GC assertions must go UNDER
+    // it and inspect the stored rows of the current version's buckets
+    def rawTombstones(): Set[Long] = {
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(replica, "CURRENT")).trim
+      val json = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(replica, cur, "manifest.json"))
+      val paths = "v[0-9]{9}/data/__bucket=[0-9]+".r.findAllIn(json).toSeq
+        .distinct.sorted.map(p => s"$replica/$p")
+      if (paths.isEmpty) Set.empty
+      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .filter(coalesce(col("__tombstone"), lit(false)))
+        .select($"user_id").as[Long].collect().toSet
+    }
+    sink.addBatch(0, batch((1 to 20).map(i => (i.toLong, 10L, "insert")): _*))
+    sink.addBatch(1, batch((1L, 60L, "delete"), (2L, 80L, "delete")))
+    assert(rawTombstones() === Set(1L, 2L))
+    // horizon: no batch below ord 70 can still arrive — key 1's
+    // tombstone (ord 60) is expired and physically dropped, key 2's
+    // (ord 80) is still within the out-of-order window and survives
+    CdcStream.compactReplica(spark, replica,
+      tombstoneHorizon = Some(col("ord") < 70))
+    assert(rawTombstones() === Set(2L))
+    assert(CdcStream.readReplica(spark, replica).get
+      .select($"user_id").as[Long].collect().toSet === (3L to 20L).toSet)
+    // the documented trade: a below-horizon late update for the GC'd
+    // key now resurrects it (the horizon asserted this cannot happen),
+    // while the retained tombstone still wins against its late update
+    sink.addBatch(2, batch((1L, 55L, "update"), (2L, 75L, "update")))
+    val after = CdcStream.readReplica(spark, replica).get
+      .select($"user_id").as[Long].collect().toSet
+    assert(after.contains(1L) && !after.contains(2L))
+  }
+
+  test("tombstoneHorizon: a bucket emptied by GC leaves the manifest") {
+    val replica = Files.createTempDirectory("graft-tomb-empty").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "conditionalOrder" -> "true")))
+    sink.addBatch(0, Seq((1L, 10L, "insert")).toDF("user_id", "ord", "op"))
+    sink.addBatch(1, Seq((1L, 20L, "delete")).toDF("user_id", "ord", "op"))
+    // the store is one bucket holding exactly one tombstone row;
+    // aging it out must remove the bucket from the manifest, and the
+    // read path must keep serving the (now empty) replica
+    CdcStream.compactReplica(spark, replica,
+      tombstoneHorizon = Some(lit(true)))
+    // readReplica's contract maps "committed but empty" to None
+    assert(CdcStream.readReplica(spark, replica).forall(_.count() == 0L))
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replica, "CURRENT")).trim
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replica, cur, "manifest.json"))
+    assert(!"__bucket=".r.findFirstIn(json).isDefined,
+      s"manifest still references a bucket the GC emptied: $json")
+  }
+
   test("SQL DDL: CREATE TEMPORARY VIEW USING graft-replica serves SQL readers") {
     val replica = Files.createTempDirectory("graft-sql-view").toString
     val sink = new ReplicaSink(ReplicaSinkConfig(Map(
