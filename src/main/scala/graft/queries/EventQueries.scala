@@ -47,6 +47,20 @@ object EventQueries {
     * Mutating queries (`cdc_replica_compact`, `cdc_replica_evolve`)
     * keep their own private builds.
     */
+  /** Recursive file copy — mutating replica queries (erasure) operate
+    * on a copy of the build-once store, never the artifact itself.
+    */
+  private def copyDir(from: java.io.File, to: java.io.File): Unit = {
+    if (from.isDirectory) {
+      to.mkdirs()
+      Option(from.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyDir(f, new java.io.File(to, f.getName)))
+    } else
+      java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   private[queries] def sharedReplica(s: SparkSession, dir: String): String =
     graft.llm.IndexArtifacts.cachedPath(dir, "cdc-replica") { out =>
       import s.implicits._
@@ -367,6 +381,41 @@ object EventQueries {
       CdcStream.compactReplica(s, replica)
       CdcStream.readReplica(s, replica).get
         .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
+    // --- cdc: compliance erasure (right-to-be-forgotten) -----------------
+    // Erasure is NOT a delete event: it rewrites history so the keys
+    // stop being readable from the live state, historical bucket
+    // copies, AND the change feed (CdcStream.eraseKeys). The timed op
+    // is erasure itself against a file copy of the shared store (the
+    // mutating-query pattern of cdc_replica_compact); the oracle is
+    // the changelog's last-writer state with the erased users
+    // filtered out — exactly what a compliant store must serve.
+    "cdc_erasure" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-erase")
+      copyDir(new java.io.File(sharedReplica(s, dir)),
+        new java.io.File(replica))
+      val toErase = Tables(s, dir).events
+        .select($"user_id").distinct().filter($"user_id" % 97 === 0)
+      CdcStream.eraseKeys(s, replica, Seq("user_id"), toErase)
+      // the feed must have forgotten the keys too: fold the scrubbed
+      // change feed's per-user row count into the output so the oracle
+      // check covers both surfaces. Version GC already dropped v1 (all
+      // its buckets were rewritten by batch 2, then erasure's commit
+      // released it), so read the RETAINED tail — the restart-from-
+      // snapshot position a feed consumer would hold: v2's scrubbed
+      // net (erasure's own commit writes no changes)
+      val vs = CdcStream.replicaVersions(replica)
+      val feed = CdcStream.readReplicaChanges(s, replica, vs.min - 1).get
+        .groupBy($"user_id").agg(count(lit(1)).as("n_feed_rows"))
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .join(feed, Seq("user_id"), "left")
+        .select($"user_id", $"last_event_id", $"value_cents",
+          coalesce($"n_feed_rows", lit(0L)).as("n_feed_rows"))
         .orderBy($"user_id")
     },
 
@@ -1143,6 +1192,36 @@ object EventQueries {
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    // last-writer state minus the erased users; n_feed_rows mirrors the
+    // feed's RETAINED tail after GC + erasure: v2's net only (one net
+    // row per key the second batch touched; v1 was GC'd when its last
+    // bucket reference dropped, erasure's commit carries no changes)
+    "cdc_erasure" ->
+      s"""WITH cutoff AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |    + (max(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |       - min(epoch_ms(CAST(ts AS TIMESTAMP)))) // 2 AS cut
+         |  FROM events),
+         |state AS (
+         |  SELECT user_id, event_id, value_cents FROM (
+         |    SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |      $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |feed AS (
+         |  SELECT user_id,
+         |    CAST(CASE WHEN count(CASE WHEN
+         |        epoch_ms(CAST(ts AS TIMESTAMP)) >= (SELECT cut FROM cutoff)
+         |        THEN 1 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_feed_rows
+         |  FROM events GROUP BY user_id)
+         |SELECT s.user_id, s.event_id AS last_event_id, s.value_cents,
+         |  f.n_feed_rows
+         |FROM state s JOIN feed f USING (user_id)
+         |WHERE s.user_id % 97 <> 0
+         |ORDER BY s.user_id""".stripMargin,
 
     // the snapshot at v1 is the latest state over the FIRST HALF only
     // (same midpoint integer arithmetic as the Spark-side time split)

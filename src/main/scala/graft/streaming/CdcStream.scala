@@ -701,6 +701,121 @@ object CdcStream {
       cur.map(_._2))
   }
 
+  /** COMPLIANCE ERASURE (right-to-be-forgotten — the Delta
+    * DELETE+VACUUM+CDF-purge rolled into one maintenance op): remove
+    * every stored trace of the given keys from the replica. This is
+    * deliberately NOT a CDC delete — a delete is an EVENT that merges
+    * forward and propagates through the change feed; erasure REWRITES
+    * HISTORY so the rows stop being readable from any surface:
+    *
+    *  1. live version: the keys' buckets (exact hash pruning, the
+    *     merge's own routing) rewrite without the keys' rows —
+    *     tombstones included — and publish as a new version through
+    *     the same optimistic-concurrency commit as every merge;
+    *  2. historical copies: older version dirs still hold the touched
+    *     buckets' previous files (reader grace / time travel). Every
+    *     on-disk copy of a touched bucket that the NEW manifest does
+    *     not reference is deleted — time travel for those buckets
+    *     intentionally breaks (that is the point of erasure), while
+    *     untouched buckets keep their history because hash routing
+    *     proves they never held the keys;
+    *  3. change feed: every remaining version's changes files drop the
+    *     keys' rows (two-phase: write `.next`, swap). Versions stay
+    *     DENSE so feed consumers keep their position; they simply
+    *     never see the erased keys again (Delta's CDF-purge
+    *     contract). A crash mid-swap fails SAFE for erasure: that
+    *     version's change set reads as empty, nothing resurrects.
+    *
+    * Cost: O(touched buckets + versions), never O(replica). Readers
+    * mid-scan of a purged historical bucket can fail; erasure is a
+    * maintenance op, scheduled like compaction.
+    */
+  def eraseKeys(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, idCols: Seq[String], keys: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cur = currentVersion(replicaDir)
+    if (cur.isEmpty) return
+    val (v, name) = cur.get
+    val m = readManifest(replicaDir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"eraseKeys: $replicaDir is the pre-bucket flat layout; apply " +
+          "one batch to migrate it before erasing"))
+    val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
+    val fullSchema = manifestSchema(m).orElse {
+      if (allPaths.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(allPaths: _*).schema)
+    }
+    // type-faithful keys (Catalyst hash is type-sensitive — same rule
+    // as the pruned lookup path); a schema-less empty store still
+    // scrubs its change feed below using the caller's key types
+    val typedKeys = (fullSchema match {
+      case Some(sc) =>
+        val types = sc.fields.map(f => f.name -> f.dataType).toMap
+        keys.select(idCols.map { c =>
+          types.get(c).map(t => keys(c).cast(t).as(c)).getOrElse(keys(c))
+        }: _*)
+      case None => keys.select(idCols.map(keys(_)): _*)
+    }).distinct()
+    val bucketOf = pmod(hash(idCols.map(typedKeys(_)): _*), lit(m.numBuckets))
+    val touched = typedKeys.select(bucketOf.as("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val rewrite = m.buckets.filter { case (k, _) => touched(k) }
+    if (rewrite.nonEmpty) {
+      val nextName = f"v${v + 1}%09d"
+      val staging = newStagingDir(replicaDir)
+      rewrite.toSeq.sortBy(_._1)
+        .map { case (k, p) =>
+          spark.read.schema(fullSchema.get).parquet(s"$replicaDir/$p")
+            .join(broadcast(typedKeys), idCols, "left_anti")
+            .withColumn("__bucket", lit(k)) }
+        .reduce(_.unionByName(_))
+        .repartition(rewrite.size, col("__bucket"))
+        .write.partitionBy("__bucket").parquet(s"$staging/data")
+      val written = rewrite.keys.filter { k =>
+        new java.io.File(s"$staging/data/__bucket=$k").isDirectory
+      }.toSet
+      val newBuckets = (m.buckets -- rewrite.keys) ++ written
+        .map(k => k -> s"$nextName/data/__bucket=$k")
+      publishVersion(replicaDir, staging, nextName,
+        ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark),
+        Some(m), Some(name))
+    }
+    // 2: purge historical on-disk copies of the touched buckets
+    val referenced: Set[String] = currentVersion(replicaDir)
+      .flatMap { case (_, n) => readManifest(replicaDir, n) }
+      .map(_.buckets.values.toSet).getOrElse(Set.empty)
+    replicaVersions(replicaDir).foreach { vv =>
+      touched.foreach { k =>
+        val rel = f"v$vv%09d/data/__bucket=$k"
+        if (!referenced(rel))
+          deleteRecursively(new java.io.File(s"$replicaDir/$rel"))
+      }
+    }
+    // 3: scrub the change feed (only versions whose nets carry the keys)
+    replicaVersions(replicaDir).foreach { vv =>
+      val d = new java.io.File(f"$replicaDir/v$vv%09d/changes")
+      if (d.isDirectory) {
+        val df = spark.read.parquet(d.toString)
+        if (idCols.forall(df.columns.contains) &&
+            df.join(broadcast(typedKeys), idCols, "left_semi")
+              .limit(1).count() > 0) {
+          val next = new java.io.File(d.toString + ".next")
+          deleteRecursively(next)
+          df.join(broadcast(typedKeys), idCols, "left_anti")
+            .write.parquet(next.toString)
+          val aside = new java.io.File(
+            d.getParent, s".changes-erased-${System.nanoTime()}")
+          java.nio.file.Files.move(d.toPath, aside.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.move(next.toPath, d.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(aside)
+        }
+      }
+    }
+  }
+
   /** A fresh staging directory under `replicaDir` for a writer to
     * assemble its version in. Hidden from readers (only `v*` dirs are
     * version-visible) and GC'd when stale (a crashed writer's debris).

@@ -480,6 +480,50 @@ class ReplicaSinkSpec extends SparkSuite {
       s"manifest still references a bucket the GC emptied: $json")
   }
 
+  test("eraseKeys: live state, historical buckets, and the change feed all forget") {
+    val replica = Files.createTempDirectory("graft-erase").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "changeFeed" -> "true")))
+    def batch(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "ord", "op")
+    sink.addBatch(0, batch((1 to 20).map(i => (i.toLong, 10L, "insert")): _*))
+    sink.addBatch(1, batch((7L, 20L, "update"), (8L, 20L, "update")))
+    CdcStream.eraseKeys(spark, replica, Seq("user_id"),
+      Seq(7L).toDF("user_id"))
+    // 1: live state forgot key 7, kept everything else
+    val live = CdcStream.readReplica(spark, replica).get
+      .select($"user_id").as[Long].collect().toSet
+    assert(live === ((1L to 20L).toSet - 7L))
+    // pruned lookup path agrees
+    assert(CdcStream.readReplicaForKeys(spark, replica, Seq("user_id"),
+      Seq(7L, 8L).toDF("user_id")).get
+      .select($"user_id").as[Long].collect().toSet === Set(8L))
+    // 2: no parquet file under ANY version dir still contains key 7
+    val allParquet = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(replica)).map(_.toString)
+    }
+    assert(allParquet.nonEmpty)
+    val leftover = spark.read.option("mergeSchema", "true")
+      .parquet(allParquet: _*)
+      .filter($"user_id" === 7L).count()
+    assert(leftover === 0L, "an on-disk file still holds the erased key")
+    // 3: the feed lost exactly key 7's rows, versions stayed dense
+    val feed = CdcStream.readReplicaChanges(spark, replica).get
+      .select($"user_id").as[Long].collect().toSeq
+    assert(!feed.contains(7L))
+    assert(feed.count(_ == 8L) === 2) // both of 8's nets survive
+    // erasure is idempotent
+    CdcStream.eraseKeys(spark, replica, Seq("user_id"),
+      Seq(7L).toDF("user_id"))
+    assert(CdcStream.readReplica(spark, replica).get
+      .select($"user_id").as[Long].collect().toSet === ((1L to 20L).toSet - 7L))
+  }
+
   test("SQL DDL: CREATE TEMPORARY VIEW USING graft-replica serves SQL readers") {
     val replica = Files.createTempDirectory("graft-sql-view").toString
     val sink = new ReplicaSink(ReplicaSinkConfig(Map(
