@@ -166,6 +166,39 @@ object SourceQueries {
         .orderBy($"op")
     },
 
+    // --- source-level compliance redaction ------------------------------
+    // The source half of the erasure story (cdc_erasure covers replica
+    // + change feed; [[graft.cdc.LogRedaction]] covers the LOG): the
+    // erased users' records are redacted IN PLACE with byte length
+    // preserved, so every offset / per-table count / sync coordinate
+    // stays valid, and the source scan simply never emits them. The
+    // oracle is the same op-mix aggregate minus the erased users —
+    // proving the log forgot exactly those rows and nothing else.
+    // Redaction mutates, so it runs against a file copy of the shared
+    // fixture (the cdc_replica_compact pattern).
+    "src_binlog_redaction" -> { (s, dir) =>
+      import s.implicits._
+      val src = new File(binlogDir(s, dir))
+      val work = new File(graft.llm.IndexArtifacts.tempDir("binlog-redact"))
+      work.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+        .foreach(f => Files.copy(f.toPath,
+          new File(work, f.getName).toPath,
+          StandardCopyOption.REPLACE_EXISTING))
+      val erased = Tables(s, dir).events
+        .select($"user_id").distinct().filter($"user_id" % 97 === 0)
+        .collect().map(_.getLong(0)).toSet
+      graft.cdc.LogRedaction.redactKeys(work.toString, "user_id", erased)
+      val df = s.read.format("graft-binlog")
+        .option("path", work.toString).load()
+      CdcStream.parsed(df, eventsRowSchema)
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"event_id").as("sum_event_id"),
+          sum($"user_id").as("sum_user_id"))
+        .orderBy($"op")
+    },
+
     // --- binlog source under mid-stream schema drift ---------------------
     // ALTER TABLE ADD COLUMN landing mid-changelog (SURVEY §1.3: the
     // reference's schema is dynamic, embedded per event, registry
@@ -496,6 +529,13 @@ object SourceQueries {
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
          |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_binlog_redaction" ->
+      s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         |FROM events WHERE user_id % 97 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_binlog_schema_drift" ->
       s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
