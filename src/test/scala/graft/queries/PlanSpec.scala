@@ -543,4 +543,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("LeftAnti"), p.take(1500))
   }
+
+  test("llm_heavy_hitters: folds the shared document-term matrix, never re-scans the corpus") {
+    // the tokenize-once contract: bag-of-words consumers read the
+    // doc-term-counts artifact; a documents.parquet scan in this plan
+    // means the per-occurrence explode crept back in
+    val p = plan("llm_heavy_hitters")
+    assert(!p.contains("documents.parquet"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }

@@ -45,6 +45,41 @@ class WalSourceSpec extends SparkSuite {
     assert(evs.count(_.eventType == "delete") === nDeletes)
   }
 
+  test("in-place redaction erases rowkeys from every region with offsets intact") {
+    // private copy: redaction mutates the files
+    val d2 = Files.createTempDirectory("graft-wal-redact").toString
+    WalGenerator.generate(Tables(spark, sfDir).events, d2, NumRegions,
+      recordsPerFile = 100)
+    def rowkeys(): Seq[String] = {
+      val df = spark.read.format("graft-wal").option("path", d2).load()
+      df.select("value").as[String].collect().toSeq
+        .map(v => EnvelopeCodec.parse(v).row("rowkey") match {
+          case EnvelopeValue.VString(s) => s
+          case other => other.toString
+        })
+    }
+    val before = rowkeys()
+    val erase = Set("3", "19", "42")
+    assert(before.exists(erase), "fixture must contain the erased rowkeys")
+    val offBefore = WalDataSource.listRegions(d2).map(r =>
+      r -> ChangelogFiles.latestOffset(s"$d2/$r").packed).toMap
+    val n = WalDataSource.listRegions(d2).map { r =>
+      LogRedaction.redact(s"$d2/$r") { rec =>
+        rec.row.get("rowkey").exists {
+          case EnvelopeValue.VString(s) => erase(s)
+          case _ => false
+        }
+      }
+    }.sum
+    assert(n === before.count(erase))
+    val after = rowkeys()
+    assert(after.sorted === before.filterNot(erase).sorted)
+    // region offsets (line positions) unchanged by redaction
+    val offAfter = WalDataSource.listRegions(d2).map(r =>
+      r -> ChangelogFiles.latestOffset(s"$d2/$r").packed).toMap
+    assert(offAfter === offBefore)
+  }
+
   test("streaming with per-trigger cap: all rows arrive, batches are bounded") {
     val q = spark.readStream.format("graft-wal")
       .option("path", dir).option("maxEventsPerTrigger", "200")
