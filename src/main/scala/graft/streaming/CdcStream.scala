@@ -764,10 +764,13 @@ object CdcStream {
     if (rewrite.nonEmpty) {
       val nextName = f"v${v + 1}%09d"
       val staging = newStagingDir(replicaDir)
+      // no broadcast hint: a routine GDPR batch is small (AQE
+      // broadcasts it), but a bulk takedown can carry millions of
+      // keys — that case must be allowed to shuffle
       rewrite.toSeq.sortBy(_._1)
         .map { case (k, p) =>
           spark.read.schema(fullSchema.get).parquet(s"$replicaDir/$p")
-            .join(broadcast(typedKeys), idCols, "left_anti")
+            .join(typedKeys, idCols, "left_anti")
             .withColumn("__bucket", lit(k)) }
         .reduce(_.unionByName(_))
         .repartition(rewrite.size, col("__bucket"))
@@ -798,11 +801,11 @@ object CdcStream {
       if (d.isDirectory) {
         val df = spark.read.parquet(d.toString)
         if (idCols.forall(df.columns.contains) &&
-            df.join(broadcast(typedKeys), idCols, "left_semi")
+            df.join(typedKeys, idCols, "left_semi")
               .limit(1).count() > 0) {
           val next = new java.io.File(d.toString + ".next")
           deleteRecursively(next)
-          df.join(broadcast(typedKeys), idCols, "left_anti")
+          df.join(typedKeys, idCols, "left_anti")
             .write.parquet(next.toString)
           val aside = new java.io.File(
             d.getParent, s".changes-erased-${System.nanoTime()}")
