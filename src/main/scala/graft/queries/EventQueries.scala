@@ -1000,10 +1000,134 @@ object EventQueries {
             lit(0.0),
             (acc, e) => acc / 2 + e.getField("v") / 2).as("ewma_cents"))
         .orderBy($"user_id")
+    },
+
+    // --- q54: zone-map file pruning (the data-skipping READ path) -------
+    // q32_zorder shows the WRITE side of data skipping (tight per-file
+    // min/max boxes); this is the read side: the min/max statistics
+    // parquet already keeps in its footers are the zone map, so a time
+    // predicate drops whole files BEFORE Spark plans a task for them.
+    // The scan target is a build-once range-partitioned copy of events
+    // (files carry tight ts ranges — exactly what a time-partitioned
+    // ingest layout produces for free); pruning is O(files) driver
+    // metadata work, and the exact predicate is re-applied to the
+    // surviving rows so zone false-positives can never leak. At 100 TB
+    // this is the difference between scheduling a task per file of 30
+    // days of data and touching only the 3 queried days — the spec
+    // asserts the file-count reduction, the oracle the unchanged
+    // result.
+    "q54_zonemap_scan" -> { (s, dir) =>
+      import s.implicits._
+      val zdir = zonemapEventsDir(s, dir)
+      val loUs = java.time.Instant.parse("2024-01-10T00:00:00Z")
+        .getEpochSecond * 1000000L
+      val hiUs = java.time.Instant.parse("2024-01-13T00:00:00Z")
+        .getEpochSecond * 1000000L
+      val (pruned, _, _) =
+        graft.operators.ZoneMaps.prunedRead(s, zdir, "ts", loUs, hiUs - 1L)
+      pruned
+        .filter($"ts" >= timestamp_micros(lit(loUs)) &&
+          $"ts" < timestamp_micros(lit(hiUs)))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents($"value")).as("value_cents"))
+        .orderBy($"event_type")
+    },
+
+    // --- q55: time-series gap fill + staleness (forward fill) -----------
+    // The resample/densify operator every monitoring pipeline needs:
+    // the hourly grid is materialized for EVERY (event_type, hour) cell
+    // between the corpus bounds — gap hours appear with zero counts
+    // instead of silently missing — and a forward-fill window carries
+    // the last ACTIVE hour so each cell reports its staleness. Scale
+    // shape: the grid is |types| × |hours| rows (schedule-sized, never
+    // event-sized — the events aggregate to hourly partials first), the
+    // fill is one per-type window over grid rows, and the only
+    // event-sized work is the initial partial+final hourly aggregate.
+    // Hour arithmetic stays on hour-aligned timestamps, so the
+    // staleness difference is exact in both engines.
+    "q55_gapfill" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_type", date_trunc("hour", $"ts").as("hour"),
+          cents($"value").as("v"))
+      val hourly = ev.groupBy($"event_type", $"hour")
+        .agg(count(lit(1)).as("n_events"), sum($"v").as("sum_cents"))
+      val grid = ev.agg(min($"hour").as("h0"), max($"hour").as("h1"))
+        .select(explode(sequence($"h0", $"h1", expr("interval 1 hour")))
+          .as("hour"))
+        .crossJoin(ev.select($"event_type").distinct())
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("n_events", coalesce($"n_events", lit(0L)))
+        .withColumn("sum_cents", coalesce($"sum_cents", lit(0L)))
+        .withColumn("last_active_hour",
+          last(when($"n_events" > 0, $"hour"), ignoreNulls = true).over(w))
+        .withColumn("stale_hours",
+          expr("timestampdiff(HOUR, last_active_hour, hour)").cast("long"))
+        .select($"event_type", unix_millis($"hour").as("hour_ms"),
+          $"n_events", $"sum_cents", $"stale_hours")
+        .orderBy($"event_type", $"hour_ms")
     }
   )
 
+  /** Build-once range-partitioned copy of `events` — the time-ordered
+    * ingest layout the zone-map read path (`q54_zonemap_scan`) prunes
+    * against. Shared with the spec so it can assert file-skipping on
+    * the same artifact the query reads.
+    */
+  def zonemapEventsDir(s: SparkSession, dir: String): String =
+    graft.llm.IndexArtifacts.cachedPath(dir, "zonemap-events",
+      Seq(dir + "/events.parquet")) { out =>
+      Tables(s, dir).events
+        .repartitionByRange(16, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.parquet(out)
+    }
+
   val oracles: Map[String, String] = Map(
+    "q54_zonemap_scan" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q55_gapfill" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |    ${centsSql("value")} AS v
+         |  FROM events),
+         |hourly AS (
+         |  SELECT event_type, hour, count(*) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sc
+         |  FROM e GROUP BY 1, 2),
+         |hours AS (
+         |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT min(hour) AS h0, max(hour) AS h1 FROM e)),
+         |grid AS (
+         |  SELECT t.event_type, h.hour
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours h),
+         |f AS (
+         |  SELECT g.event_type, g.hour,
+         |    CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+         |    CAST(coalesce(h.sc, 0) AS BIGINT) AS sum_cents
+         |  FROM grid g
+         |  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour),
+         |ff AS (
+         |  SELECT event_type, hour, n_events, sum_cents,
+         |    last_value(CASE WHEN n_events > 0 THEN hour END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY hour
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS last_active_hour
+         |  FROM f)
+         |SELECT event_type, epoch_ms(hour) AS hour_ms, n_events, sum_cents,
+         |  CAST(date_diff('hour', last_active_hour, hour) AS BIGINT)
+         |    AS stale_hours
+         |FROM ff ORDER BY 1, 2""".stripMargin,
     "q19_events_hourly" ->
       s"""SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_ms,
          |  event_type,
