@@ -384,6 +384,34 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: online bucket-count migration (resharding) -----------------
+    // The replica's bucket count is pinned at creation; a store that
+    // outgrows it must reshard WITHOUT downtime. rebucketReplica
+    // rewrites the current state into a fresh version under a 3× finer
+    // hash layout and flips the manifest count in the same atomic
+    // commit (readers mid-scan keep the old layout; the commit-lock
+    // serializes against concurrent merges). The timed op is the
+    // migration itself against a file copy of the shared store, then a
+    // KEY-PRUNED lookup through the new manifest — proving routed
+    // reads survive the reshard, since a count mismatch between
+    // manifest and files would hash keys to the wrong bucket and
+    // silently drop them. Oracle: last-writer state for the looked-up
+    // shard, straight off the changelog.
+    "cdc_rebucket" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-rebucket")
+      copyDir(new java.io.File(sharedReplica(s, dir)),
+        new java.io.File(replica))
+      CdcStream.rebucketReplica(s, replica, Seq("user_id"),
+        CdcStream.DefaultReplicaBuckets * 3)
+      val keys = Tables(s, dir).events.filter($"user_id" % 3 === 2)
+        .select($"user_id").distinct()
+      CdcStream.readReplicaForKeys(s, replica, Seq("user_id"), keys).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: compliance erasure (right-to-be-forgotten) -----------------
     // Erasure is NOT a delete event: it rewrites history so the keys
     // stop being readable from the live state, historical bucket
@@ -1305,6 +1333,16 @@ object EventQueries {
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' AND user_id % 3 = 1
+         |ORDER BY user_id""".stripMargin,
+
+    "cdc_rebucket" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND user_id % 3 = 2
          |ORDER BY user_id""".stripMargin,
 
     "cdc_replica_compact" ->

@@ -701,6 +701,67 @@ object CdcStream {
       cur.map(_._2))
   }
 
+  /** ONLINE BUCKET-COUNT MIGRATION (the HBase region-split / Kafka
+    * partition-expansion analog for the replica store). The bucket
+    * count is pinned at replica creation — correct for routing, but a
+    * store sized for day-1 keys eventually holds buckets too big for
+    * one task (or one executor's memory) at merge and compaction time;
+    * resharding is the only cure. Doing it as a NORMAL versioned
+    * commit keeps it online: the current state rewrites into a fresh
+    * version routed by `pmod(hash(idCols), newNumBuckets)` and the
+    * manifest's `numBuckets` flips in the same atomic rename, so
+    * readers that already hold the old manifest keep resolving old
+    * buckets (version dirs survive the reader-grace GC window),
+    * late-arriving readers resolve the new layout, and a concurrent
+    * merge loses the optimistic-concurrency commit race and retries
+    * against the new manifest. Key-pruned lookups need no code path
+    * change — `readReplicaForKeys` always derives `bucketOf` from the
+    * manifest it read. Cost is one full-store rewrite — O(replica),
+    * inherent to resharding — executed as ONE hash-routed job with one
+    * task and one output file per new bucket; tombstones and the
+    * change-feed history carry over untouched (content-identical).
+    */
+  def rebucketReplica(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, idCols: Seq[String], newNumBuckets: Int): Unit = {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive: $newNumBuckets")
+    val cur = currentVersion(replicaDir)
+    if (cur.isEmpty) return
+    val (v, name) = cur.get
+    val m = readManifest(replicaDir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"rebucketReplica: $replicaDir is the pre-bucket flat layout; " +
+          "apply one batch to migrate it before resharding"))
+    if (m.numBuckets == newNumBuckets) return
+    val nextName = f"v${v + 1}%09d"
+    val staging = newStagingDir(replicaDir)
+    if (m.buckets.isEmpty) {
+      // empty store: flip the count with a manifest-only commit
+      publishVersion(replicaDir, staging, nextName,
+        ReplicaManifest(newNumBuckets, Map.empty, m.schemaJson, m.watermark),
+        Some(m), Some(name))
+      return
+    }
+    val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
+    // union schema: null-fills buckets written before a column existed,
+    // and guarantees the stored types the reader's key casts hash with
+    val sc = manifestSchema(m).getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
+    val bucketOf = pmod(hash(idCols.map(col): _*), lit(newNumBuckets))
+    spark.read.schema(sc).parquet(paths: _*)
+      .withColumn("__bucket", bucketOf)
+      .repartition(newNumBuckets, col("__bucket"))
+      .write.partitionBy("__bucket").parquet(s"$staging/data")
+    val written = Option(new java.io.File(s"$staging/data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(_.getName.stripPrefix("__bucket=").toInt)
+    val newBuckets: Map[Int, String] =
+      written.map(k => k -> s"$nextName/data/__bucket=$k").toMap
+    publishVersion(replicaDir, staging, nextName,
+      ReplicaManifest(newNumBuckets, newBuckets, Some(sc.json), m.watermark),
+      Some(m), Some(name))
+  }
+
   /** COMPLIANCE ERASURE (right-to-be-forgotten — the Delta
     * DELETE+VACUUM+CDF-purge rolled into one maintenance op): remove
     * every stored trace of the given keys from the replica. This is

@@ -93,6 +93,46 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     assert(after.nonEmpty && after.values.forall(_ == 1), after.toString)
   }
 
+  test("rebucket migrates the bucket count online: content-identical, " +
+      "pruned lookups and later merges use the new layout") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch((0L until 64L).map(i => (i, s"a$i", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((3L, "a3x", "update"), (64L, "new", "update"),
+        (5L, "a5", "delete"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    val before = content(dir)
+    CdcStream.rebucketReplica(spark, dir, Seq("id"), 5)
+    assert(content(dir) == before, "reshard must be content-identical")
+    // the new layout: every bucket id < 5, all referenced from the new
+    // version dir, one file each (one hash-routed task per bucket)
+    val files = bucketFileCounts(dir)
+    assert(files.keys.forall(_.stripPrefix("__bucket=").toInt < 5), files)
+    assert(files.values.forall(_ == 1), files.toString)
+    assert(manifestVersionDirs(dir).size == 1,
+      "reshard rewrites every bucket into the fresh version")
+    // pruned lookup resolves through the NEW manifest count
+    val hits = CdcStream.readReplicaForKeys(spark, dir, Seq("id"),
+      Seq(3L, 5L, 64L, 999L).toDF("id")).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(hits == Seq((3L, "a3x"), (64L, "new")))
+    // a later merge routes by the manifest's new count, not the default
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((7L, "a7x", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    assert(content(dir).contains((7L, "a7x")))
+    assert(bucketFileCounts(dir).keys
+      .forall(_.stripPrefix("__bucket=").toInt < 5))
+    // same-count reshard is a no-op commit-wise
+    val v = CdcStream.replicaVersions(dir).max
+    CdcStream.rebucketReplica(spark, dir, Seq("id"), 5)
+    assert(CdcStream.replicaVersions(dir).max == v,
+      "no-op reshard must not commit a new version")
+  }
+
   test("compaction is a no-op on an already-compact replica") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
