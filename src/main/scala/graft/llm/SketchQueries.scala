@@ -50,6 +50,9 @@ object SketchQueries {
   /** KMV (bottom-k minimum hash values) sketch size per source. */
   val KmvK = 64
 
+  /** Quantile-sketch sample size per group (bottom-k rows by hash). */
+  val QskK = 128
+
   /** Per-row (r, bucket) probe pairs for a term column — the D sketch
     * coordinates of one term. Shared by the build (over the token
     * stream) and the probe (over the audited heavy hitters).
@@ -213,6 +216,48 @@ object SketchQueries {
         .orderBy($"src_a", $"src_b")
     },
 
+    // --- mergeable uniform-sample quantile sketch + exact audit ---------
+    // The distributed-quantile primitive (the GK/KLL deployment shape):
+    // per group, the K rows with the SMALLEST md5-derived hash of the
+    // row id form the sketch — a bottom-K-by-hash set is simultaneously
+    // a uniform sample and a MERGEABLE summary (union-then-truncate
+    // combines partials associatively, so at 100 TB it map-side
+    // combines exactly like the KMV sketch above; the window form here
+    // is the small-group shape of the same computation). Deciles read
+    // off the sample by exact rank arithmetic (percentile_disc
+    // semantics: value at rank ceil(q·n/10), 1-based), and the exact
+    // per-group deciles ride along as the audit — est vs exact per
+    // (source, decile) with absolute error, so the K-sizing decision is
+    // data-driven. Integer ranks + md5 hashing only: bit-identical in
+    // DuckDB, no floating-point quantile interpolation to disagree on.
+    "llm_quantile_sketch" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).documents
+        .select($"source", $"doc_id", length($"text").cast("long").as("v"))
+      def deciles(df: DataFrame, out: String): DataFrame = {
+        val wv = Window.partitionBy($"source").orderBy($"v".asc, $"doc_id".asc)
+        val ranked = df.withColumn("rn", row_number().over(wv).cast("long"))
+        val pos = df.groupBy($"source").agg(count(lit(1)).as("n"))
+          .select($"source", explode(sequence(lit(1L), lit(9L))).as("decile"),
+            $"n")
+          .withColumn("pos", expr("(decile * n + 9) div 10"))
+          .select($"source", $"decile", $"pos")
+        // 9 rows per group: always broadcast, rank-indexed point lookup
+        ranked.join(broadcast(pos), Seq("source")).filter($"rn" === $"pos")
+          .select($"source", $"decile", $"v".as(out))
+      }
+      val wh = Window.partitionBy($"source").orderBy(
+        hash32(concat(lit("qsk:"), $"doc_id".cast("string"))).asc,
+        $"doc_id".asc)
+      val samp = d.withColumn("hrn", row_number().over(wh))
+        .filter($"hrn" <= QskK).drop("hrn")
+      deciles(samp, "est_v").join(deciles(d, "exact_v"),
+          Seq("source", "decile"))
+        .withColumn("err", abs($"est_v" - $"exact_v"))
+        .orderBy($"source", $"decile")
+    },
+
     // --- deterministic weighted reservoir sample (A-ES) -----------------
     // Efraimidis–Spirakis: each row draws key = u^(1/w); the k largest
     // keys are a weighted without-replacement sample. One corpus scan +
@@ -347,6 +392,45 @@ object SketchQueries {
          |JOIN c cb ON cb.source = p.src_b
          |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
          |JOIN est ON est.src_a = p.src_a AND est.src_b = p.src_b
+         |ORDER BY 1, 2""".stripMargin,
+
+    "llm_quantile_sketch" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS v
+         |  FROM documents),
+         |samp AS (
+         |  SELECT source, doc_id, v FROM (
+         |    SELECT source, doc_id, v, row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${hash32Sql("'qsk:' || CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS hrn
+         |    FROM d) WHERE hrn <= $QskK),
+         |qs AS (SELECT unnest(generate_series(1, 9)) AS decile),
+         |est AS (
+         |  SELECT r.source, p.decile, r.v AS est_v
+         |  FROM (SELECT source, v, row_number() OVER (
+         |          PARTITION BY source ORDER BY v, doc_id) AS rn
+         |        FROM samp) r
+         |  JOIN (SELECT c.source, q.decile,
+         |          (q.decile * c.n + 9) // 10 AS pos
+         |        FROM (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |              FROM samp GROUP BY 1) c, qs q) p
+         |    ON p.source = r.source AND p.pos = r.rn),
+         |ex AS (
+         |  SELECT r.source, p.decile, r.v AS exact_v
+         |  FROM (SELECT source, v, row_number() OVER (
+         |          PARTITION BY source ORDER BY v, doc_id) AS rn
+         |        FROM d) r
+         |  JOIN (SELECT c.source, q.decile,
+         |          (q.decile * c.n + 9) // 10 AS pos
+         |        FROM (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |              FROM d GROUP BY 1) c, qs q) p
+         |    ON p.source = r.source AND p.pos = r.rn)
+         |SELECT est.source, CAST(est.decile AS BIGINT) AS decile,
+         |  est.est_v, ex.exact_v,
+         |  CAST(abs(est.est_v - ex.exact_v) AS BIGINT) AS err
+         |FROM est JOIN ex ON ex.source = est.source
+         |  AND ex.decile = est.decile
          |ORDER BY 1, 2""".stripMargin,
 
     "llm_weighted_sample" ->

@@ -512,11 +512,95 @@ object TextAnalysisQueries {
         .groupBy($"pair").agg(sum($"freq").as("n_occurrences"))
         .orderBy($"n_occurrences".desc, $"pair")
         .limit(BpeTopK)
+    },
+
+    // --- out-of-vocabulary rate (tokenizer coverage audit) --------------
+    // The pre-training sanity check for a fixed vocabulary: build the
+    // corpus top-K term vocab (count-ranked, term-ordered ties — a
+    // TakeOrdered top-k, no global sort) and report per source what
+    // fraction of token OCCURRENCES and distinct TYPES falls outside
+    // it. Runs off the shared doc-term matrix, so the corpus text is
+    // not re-tokenized; vocab membership is a broadcast join (the
+    // vocab is top-K by construction — it always fits); the per-source
+    // rollup is one partial+final aggregate. A source whose oov rate
+    // spikes is exactly the one whose text the tokenizer will shred.
+    "llm_oov_rate" -> { (s, dir) =>
+      import s.implicits._
+      val tm = docTermCounts(s, dir)
+      val vocab = tm.groupBy($"term").agg(sum($"c").as("cnt"))
+        .orderBy($"cnt".desc, $"term".asc).limit(OovVocabK)
+        .select($"term", lit(1L).as("inv"))
+      tm.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy($"source")
+        .agg(sum($"c").as("n_tokens"),
+          sum(when($"inv".isNull, $"c").otherwise(0L)).as("n_oov"),
+          countDistinct($"term").as("n_terms"),
+          countDistinct(when($"inv".isNull, $"term")).as("n_oov_terms"))
+        .withColumn("oov_token_ppm", expr("n_oov * 1000000 div n_tokens"))
+        .withColumn("oov_type_ppm",
+          expr("n_oov_terms * 1000000 div n_terms"))
+        .orderBy($"source")
+    },
+
+    // --- preference-pair mining (RLHF/DPO data assembly) ----------------
+    // Mine (chosen, rejected) training pairs per source from the same
+    // integer quality score `llm_quality_model` gates on: the i-th
+    // BEST document pairs with the i-th WORST (mirror ranking — the
+    // widest-gap pairing that uses each document at most once), pairs
+    // whose gap closes to zero drop (a tie teaches a preference model
+    // nothing), and the pair_rank carries the curriculum order
+    // (rank 1 = easiest pair). Both rankings are per-source window
+    // top-Ks (WindowGroupLimit pushes the rank filter below the sort,
+    // so each partition keeps K rows, never the group); ties break on
+    // doc_id, so the mined set is deterministic in both engines.
+    "llm_preference_pairs" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = tokens($"text")
+      val scored = Tables(s, dir).documents
+        .select($"source", $"doc_id",
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_distinct"),
+          size(filter(t, c => c.isin(stopwords.map(lit): _*)))
+            .cast("long").as("n_stop"))
+        .withColumn("score",
+          lit(2L) * expr("(1000000 * n_distinct) div n_tokens") +
+            (lit(1000000L) -
+              abs(expr("(1000000 * n_stop) div n_tokens") -
+                lit(QualityStopTargetPpm))) +
+            least($"n_tokens", lit(100L)) * lit(10000L))
+        .select($"source", $"doc_id", $"score")
+      val wb = Window.partitionBy($"source")
+        .orderBy($"score".desc, $"doc_id".asc)
+      val ww = Window.partitionBy($"source")
+        .orderBy($"score".asc, $"doc_id".desc)
+      val best = scored
+        .withColumn("pair_rank", row_number().over(wb).cast("long"))
+        .filter($"pair_rank" <= PrefPairsK)
+        .select($"source", $"pair_rank", $"doc_id".as("chosen"),
+          $"score".as("chosen_score"))
+      val worst = scored
+        .withColumn("pair_rank", row_number().over(ww).cast("long"))
+        .filter($"pair_rank" <= PrefPairsK)
+        .select($"source", $"pair_rank", $"doc_id".as("rejected"),
+          $"score".as("rejected_score"))
+      best.join(worst, Seq("source", "pair_rank"))
+        .filter($"chosen_score" > $"rejected_score")
+        .withColumn("score_gap", $"chosen_score" - $"rejected_score")
+        .select($"source", $"pair_rank", $"chosen", $"rejected",
+          $"score_gap")
+        .orderBy($"source", $"pair_rank")
     }
   )
 
   /** Merge candidates reported by `llm_bpe_pairs`. */
   val BpeTopK = 50
+
+  /** Vocabulary size for the OOV coverage audit. */
+  val OovVocabK = 500
+
+  /** Preference pairs mined per source (mirror-rank pairing). */
+  val PrefPairsK = 10
 
   /** Per-source exact token-length deciles over `(source, n_tokens)`
     * rows, by TWO-LEVEL rank selection — the skew-proof shape:
@@ -877,6 +961,64 @@ object TextAnalysisQueries {
          |  FROM wf WHERE len(w) >= 2)
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
          |FROM p GROUP BY 1
-         |ORDER BY 2 DESC, 1 LIMIT $BpeTopK""".stripMargin
+         |ORDER BY 2 DESC, 1 LIMIT $BpeTopK""".stripMargin,
+
+    "llm_oov_rate" ->
+      s"""WITH tm AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT term, 1 AS inv FROM (
+         |    SELECT term, row_number() OVER (
+         |      ORDER BY sum(c) DESC, term) AS rn
+         |    FROM tm GROUP BY term) WHERE rn <= $OovVocabK)
+         |SELECT tm.source,
+         |  CAST(sum(tm.c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.inv IS NULL THEN tm.c ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(count(DISTINCT tm.term) AS BIGINT) AS n_terms,
+         |  CAST(count(DISTINCT CASE WHEN v.inv IS NULL THEN tm.term END)
+         |    AS BIGINT) AS n_oov_terms,
+         |  CAST(sum(CASE WHEN v.inv IS NULL THEN tm.c ELSE 0 END) * 1000000
+         |    // sum(tm.c) AS BIGINT) AS oov_token_ppm,
+         |  CAST(count(DISTINCT CASE WHEN v.inv IS NULL THEN tm.term END)
+         |    * 1000000 // count(DISTINCT tm.term) AS BIGINT) AS oov_type_ppm
+         |FROM tm LEFT JOIN vocab v ON v.term = tm.term
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_preference_pairs" ->
+      s"""WITH scored AS (
+         |  SELECT source, doc_id,
+         |    2 * ((1000000 * n_distinct) // n_tokens)
+         |      + (1000000 - abs((1000000 * n_stop) // n_tokens
+         |                       - $QualityStopTargetPpm))
+         |      + least(n_tokens, 100) * 10000 AS score
+         |  FROM (
+         |    SELECT source, doc_id,
+         |      CAST(len(t) AS BIGINT) AS n_tokens,
+         |      CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |      CAST(len(list_filter(t, c -> c IN ($stopListSql))) AS BIGINT)
+         |        AS n_stop
+         |    FROM (SELECT source, doc_id, $toksSql AS t FROM documents))),
+         |best AS (
+         |  SELECT source, pair_rank, doc_id AS chosen,
+         |    score AS chosen_score FROM (
+         |    SELECT source, doc_id, score, row_number() OVER (
+         |      PARTITION BY source ORDER BY score DESC, doc_id) AS pair_rank
+         |    FROM scored) WHERE pair_rank <= $PrefPairsK),
+         |worst AS (
+         |  SELECT source, pair_rank, doc_id AS rejected,
+         |    score AS rejected_score FROM (
+         |    SELECT source, doc_id, score, row_number() OVER (
+         |      PARTITION BY source ORDER BY score, doc_id DESC) AS pair_rank
+         |    FROM scored) WHERE pair_rank <= $PrefPairsK)
+         |SELECT b.source, CAST(b.pair_rank AS BIGINT) AS pair_rank,
+         |  b.chosen, w.rejected,
+         |  CAST(b.chosen_score - w.rejected_score AS BIGINT) AS score_gap
+         |FROM best b JOIN worst w
+         |  ON w.source = b.source AND w.pair_rank = b.pair_rank
+         |WHERE b.chosen_score > w.rejected_score
+         |ORDER BY 1, 2""".stripMargin
   )
 }
