@@ -412,6 +412,43 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: global secondary index (value-keyed lookup) ----------------
+    // The DynamoDB-GSI / Phoenix-index deployment: a second replica
+    // keyed by (indexed value, primary key), hash-routed by the VALUE
+    // alone (manifest bucketCols), maintained delta-sized from each
+    // batch's net — stale pointers are deleted by consulting the
+    // primary's pre-merge state for exactly the touched keys (a
+    // key-pruned O(batch) read). The timed op is two batch applies with
+    // synchronized index maintenance, then a value-equality lookup that
+    // prunes to the values' index buckets, drives a key-pruned primary
+    // read, and read-repairs against the primary. Updates that MOVE a
+    // key across bands are the interesting case (the oracle's
+    // last-writer state catches any stale entry the delete path
+    // missed). Never an O(table) scan on either side.
+    "cdc_secondary_index" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      val primary = graft.llm.IndexArtifacts.tempDir("gsi-primary")
+      val index = graft.llm.IndexArtifacts.tempDir("gsi-index")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min($"ms"), max($"ms")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val band = expr("value_cents div 1000")
+      SecondaryIndex.applyBatchWithIndex(s, primary, index,
+        ev.filter($"ms" < cut), Seq("user_id"), Seq("ms", "event_id"),
+        band, "band")
+      SecondaryIndex.applyBatchWithIndex(s, primary, index,
+        ev.filter($"ms" >= cut), Seq("user_id"), Seq("ms", "event_id"),
+        band, "band")
+      SecondaryIndex.lookupByIndex(s, primary, index, Seq("user_id"),
+          band, "band", Seq(2L, 3L).toDF("band"))
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: compliance erasure (right-to-be-forgotten) -----------------
     // Erasure is NOT a delete event: it rewrites history so the keys
     // stop being readable from the live state, historical bucket
@@ -1333,6 +1370,17 @@ object EventQueries {
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' AND user_id % 3 = 1
+         |ORDER BY user_id""".stripMargin,
+
+    "cdc_secondary_index" ->
+      s"""SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (2, 3)
          |ORDER BY user_id""".stripMargin,
 
     "cdc_rebucket" ->

@@ -290,9 +290,19 @@ object CdcStream {
     */
   private[streaming] var lockBreakTestHook: () => Unit = () => ()
 
+  /** `bucketCols`: the key subset rows hash-route by — defaults to the
+    * full key (`idCols`). A PROPER subset turns the replica into a
+    * value-clustered store: every row sharing the subset's values lands
+    * in one bucket, so an equality lookup on just those columns prunes
+    * exactly — the layout a secondary index needs (partition key =
+    * indexed value, full key = indexed value + primary key). Pinned at
+    * replica creation, recorded here so every reader and writer derives
+    * the same routing.
+    */
   private final case class ReplicaManifest(numBuckets: Int,
       buckets: Map[Int, String], schemaJson: Option[String] = None,
-      watermark: Option[Long] = None)
+      watermark: Option[Long] = None,
+      bucketCols: Option[Seq[String]] = None)
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
     val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
@@ -304,6 +314,7 @@ object CdcStream {
     var nb = DefaultReplicaBuckets
     var schemaJson: Option[String] = None
     var watermark: Option[Long] = None
+    var bucketCols: Option[Seq[String]] = None
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     require(p.nextToken() == JsonToken.START_OBJECT)
     while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -311,6 +322,11 @@ object CdcStream {
         case "numBuckets" => p.nextToken(); nb = p.getIntValue
         case "schema" => p.nextToken(); schemaJson = Some(p.getText)
         case "watermark" => p.nextToken(); watermark = Some(p.getLongValue)
+        case "bucketCols" =>
+          p.nextToken()
+          val cs = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (p.nextToken() != JsonToken.END_ARRAY) cs += p.getText
+          bucketCols = Some(cs.toSeq)
         case "buckets" =>
           p.nextToken()
           while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -320,7 +336,7 @@ object CdcStream {
       }
     }
     p.close()
-    Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark))
+    Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark, bucketCols))
   }
 
   private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
@@ -330,6 +346,11 @@ object CdcStream {
     g.writeNumberField("numBuckets", m.numBuckets)
     m.schemaJson.foreach(g.writeStringField("schema", _))
     m.watermark.foreach(g.writeNumberField("watermark", _))
+    m.bucketCols.foreach { cs =>
+      g.writeArrayFieldStart("bucketCols")
+      cs.foreach(g.writeString)
+      g.writeEndArray()
+    }
     g.writeObjectFieldStart("buckets")
     m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => g.writeStringField(k.toString, v) }
     g.writeEndObject()
@@ -421,7 +442,15 @@ object CdcStream {
                 replicaTypes.keys.mkString("[", ",", "]")))
             keys(c).cast(t).as(c)
           }: _*)
-          val bucketOf = pmod(hash(idCols.map(typedKeys(_)): _*), lit(m.numBuckets))
+          // a bucketCols-routed replica (secondary-index layout) prunes
+          // by the recorded subset — the caller's key tuples must carry
+          // those columns (they do whenever bucketCols ⊆ idCols)
+          val bc = m.bucketCols.getOrElse(idCols)
+          bc.filterNot(idCols.contains).foreach(c =>
+            throw new IllegalArgumentException(
+              s"readReplicaForKeys: replica routes by bucketCol '$c' " +
+                s"which is not among the lookup idCols $idCols"))
+          val bucketOf = pmod(hash(bc.map(typedKeys(_)): _*), lit(m.numBuckets))
           val candidate = typedKeys.select(bucketOf.as("__bucket")).distinct()
             .collect().map(_.getInt(0)).toSet
           val paths = m.buckets.collect {
@@ -697,7 +726,8 @@ object CdcStream {
     // content-identical rewrite (minus aged-out tombstones): the union
     // schema carries over
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark), prev,
+      ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark,
+        m.bucketCols), prev,
       cur.map(_._2))
   }
 
@@ -737,7 +767,8 @@ object CdcStream {
     if (m.buckets.isEmpty) {
       // empty store: flip the count with a manifest-only commit
       publishVersion(replicaDir, staging, nextName,
-        ReplicaManifest(newNumBuckets, Map.empty, m.schemaJson, m.watermark),
+        ReplicaManifest(newNumBuckets, Map.empty, m.schemaJson, m.watermark,
+          m.bucketCols),
         Some(m), Some(name))
       return
     }
@@ -746,7 +777,8 @@ object CdcStream {
     // and guarantees the stored types the reader's key casts hash with
     val sc = manifestSchema(m).getOrElse(
       spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
-    val bucketOf = pmod(hash(idCols.map(col): _*), lit(newNumBuckets))
+    val bucketOf = pmod(
+      hash(m.bucketCols.getOrElse(idCols).map(col): _*), lit(newNumBuckets))
     spark.read.schema(sc).parquet(paths: _*)
       .withColumn("__bucket", bucketOf)
       .repartition(newNumBuckets, col("__bucket"))
@@ -758,7 +790,8 @@ object CdcStream {
     val newBuckets: Map[Int, String] =
       written.map(k => k -> s"$nextName/data/__bucket=$k").toMap
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(newNumBuckets, newBuckets, Some(sc.json), m.watermark),
+      ReplicaManifest(newNumBuckets, newBuckets, Some(sc.json), m.watermark,
+        m.bucketCols),
       Some(m), Some(name))
   }
 
@@ -818,7 +851,9 @@ object CdcStream {
         }: _*)
       case None => keys.select(idCols.map(keys(_)): _*)
     }).distinct()
-    val bucketOf = pmod(hash(idCols.map(typedKeys(_)): _*), lit(m.numBuckets))
+    val bucketOf = pmod(
+      hash(m.bucketCols.getOrElse(idCols).map(typedKeys(_)): _*),
+      lit(m.numBuckets))
     val touched = typedKeys.select(bucketOf.as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     val rewrite = m.buckets.filter { case (k, _) => touched(k) }
@@ -842,7 +877,8 @@ object CdcStream {
       val newBuckets = (m.buckets -- rewrite.keys) ++ written
         .map(k => k -> s"$nextName/data/__bucket=$k")
       publishVersion(replicaDir, staging, nextName,
-        ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark),
+        ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark,
+          m.bucketCols),
         Some(m), Some(name))
     }
     // 2: purge historical on-disk copies of the touched buckets
@@ -1128,6 +1164,15 @@ object CdcStream {
     *   original op, deletes included) — a conditionally LOSING row
     *   appears nowhere, so feed replay stays state-faithful.
     */
+  /** @param bucketCols optional PROPER SUBSET of `idCols` to hash-route
+    *   rows by (recorded in the manifest at creation, ignored on an
+    *   existing replica). Routing by a subset clusters every row
+    *   sharing the subset's values into one bucket, so equality
+    *   lookups on just those columns prune exactly — the secondary-
+    *   index layout ([[graft.streaming.SecondaryIndex]]). The merge
+    *   stays correct because a key's bucket is still a pure function
+    *   of the key.
+    */
   def applyBatchToReplica(
       replicaDir: String,
       batch: DataFrame,
@@ -1137,8 +1182,12 @@ object CdcStream {
       numBuckets: Int = DefaultReplicaBuckets,
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
-      conditionalOrder: Boolean = false): Unit = {
+      conditionalOrder: Boolean = false,
+      bucketCols: Option[Seq[String]] = None): Unit = {
     val spark = batch.sparkSession
+    bucketCols.foreach(_.filterNot(idCols.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"applyBatchToReplica: bucketCol '$c' must be one of idCols $idCols")))
     // materialize the per-key net ONCE: the merge below runs several
     // actions over it (touched-bucket collect, keys broadcast, upsert
     // union), and each would otherwise recompute the whole batch plan —
@@ -1148,7 +1197,8 @@ object CdcStream {
       lastOpPerKey(batch, idCols, orderCols), "replica-net")
     try applyNetToReplica(replicaDir, net, batch.columns, idCols, opCol,
       numBuckets, watermark, recordChanges,
-      conditional = if (conditionalOrder) Some(orderCols) else None)
+      conditional = if (conditionalOrder) Some(orderCols) else None,
+      bucketCols = bucketCols)
     finally dropNet()
   }
 
@@ -1161,7 +1211,8 @@ object CdcStream {
       numBuckets: Int,
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
-      conditional: Option[Seq[Column]] = None): Unit = {
+      conditional: Option[Seq[Column]] = None,
+      bucketCols: Option[Seq[String]] = None): Unit = {
     val spark = net.sparkSession
     val dataCols = batchCols.filterNot(_ == opCol)
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
@@ -1175,9 +1226,11 @@ object CdcStream {
     // migrates the replica into the bucketed layout)
     val legacyFlat = cur.filter(_ => prev.isEmpty)
       .map { case (_, name) => s"$replicaDir/$name" }
-    // bucket count is fixed at replica creation (stored in the manifest)
+    // bucket count AND routing columns are fixed at replica creation
+    // (stored in the manifest)
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
-    val bucketOf = pmod(hash(idCols.map(col): _*), lit(nb))
+    val bc = prev.map(_.bucketCols).getOrElse(bucketCols).getOrElse(idCols)
+    val bucketOf = pmod(hash(bc.map(col): _*), lit(nb))
 
     // buckets touched by this batch — bounded by nb, driver-side
     val touched = keys.select(bucketOf.as("__bucket")).distinct()
@@ -1321,7 +1374,8 @@ object CdcStream {
     val newBuckets = (prevBuckets -- touched) ++
       written.map(k => k -> s"$nextName/data/__bucket=$k")
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(nb, newBuckets, Some(unionSchema.json), watermark), prev,
+      ReplicaManifest(nb, newBuckets, Some(unionSchema.json), watermark,
+        prev.flatMap(_.bucketCols).orElse(bucketCols)), prev,
       cur.map(_._2))
   }
 

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global secondary index over the replica store — the DynamoDB-GSI /
+  * HBase-secondary-index / Phoenix-index analog the reference's
+  * downstream consumers build by hand (a second Delta table keyed by
+  * the queried column; reference README.md:61-67 is the primary-path
+  * half of that deployment).
+  *
+  * The index is ITSELF a replica: rows `(idxCol, primary key…)`,
+  * hash-routed by `bucketCols = [idxCol]` alone, so every entry for
+  * one indexed value lives in ONE bucket and an equality lookup prunes
+  * to it exactly ([[CdcStream.readReplicaForKeys]] derives routing
+  * from the manifest's recorded bucketCols). The full key keeps the
+  * primary key columns, so entries merge/delete per (value, key) pair
+  * through the SAME versioned MERGE as any replica — crash-safety,
+  * time travel, compaction, erasure all inherit.
+  *
+  * Maintenance is DELTA-SIZED, never a primary scan: each batch's
+  * per-key net is joined against the primary's CURRENT state for
+  * exactly the touched keys (the key-pruned read — O(batch keys))
+  * to learn each key's OLD indexed value; the index batch is then
+  *   - a DELETE of `(old value, key)` wherever the key's indexed value
+  *     moved or the key died (without it the index would accrete stale
+  *     pointers — the classic hand-rolled-GSI bug), and
+  *   - an UPSERT of `(new value, key)` for every surviving key.
+  * Both apply as one merge on the index replica. The primary and
+  * index commit as two separate versioned commits (index lags by at
+  * most one crash window); a lookup therefore verifies hits against
+  * the primary — the standard global-index read-repair contract.
+  *
+  * Scale shape: maintenance cost is O(net keys) reads + a delta-sized
+  * index merge; a value lookup is one index bucket read + a key-pruned
+  * primary read — never O(table) on either side.
+  */
+object SecondaryIndex {
+
+  /** Apply one CDC micro-batch to the primary replica AND keep the
+    * value index synchronized. `idxExpr` derives the indexed value
+    * from a row's stored columns (must be deterministic); `idxName`
+    * is the index key column; `orderColNames` must name stored batch
+    * columns (they order the index merge exactly like the primary's).
+    */
+  def applyBatchWithIndex(
+      spark: SparkSession,
+      primaryDir: String,
+      indexDir: String,
+      batch: DataFrame,
+      idCols: Seq[String],
+      orderColNames: Seq[String],
+      idxExpr: Column,
+      idxName: String,
+      opCol: String = "op"): Unit = {
+    val orderCols = orderColNames.map(col)
+    val net = CdcStream.lastOpPerKey(batch, idCols, orderCols)
+    // OLD indexed values for exactly the touched keys (key-pruned read,
+    // O(batch keys)) — read BEFORE the primary merge overwrites them
+    val oldIdx = CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
+        net.select(idCols.map(col): _*).distinct())
+      .map(_.select(idCols.map(col) :+ idxExpr.as("__old_idx"): _*))
+    CdcStream.applyBatchToReplica(primaryDir, batch, idCols, orderCols, opCol)
+    val n = net.withColumn("__new_idx",
+      when(col(opCol) =!= "delete", idxExpr))
+    val j = oldIdx match {
+      case Some(o) => n.join(o, idCols, "left")
+      case None => n.withColumn("__old_idx", lit(null).cast(
+        n.select(idxExpr).schema.head.dataType))
+    }
+    val carry = idCols ++ orderColNames
+    // stale pointer removal: value moved, or the key was deleted
+    val dels = j.filter(col("__old_idx").isNotNull &&
+        (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
+      .select((col("__old_idx").as(idxName) +: carry.map(col)) :+
+        lit("delete").as(opCol): _*)
+    val ups = j.filter(col("__new_idx").isNotNull)
+      .select((col("__new_idx").as(idxName) +: carry.map(col)) :+
+        lit("update").as(opCol): _*)
+    CdcStream.applyBatchToReplica(indexDir, dels.unionByName(ups),
+      idCols = idxName +: idCols, orderCols = orderCols, opCol = opCol,
+      bucketCols = Some(Seq(idxName)))
+  }
+
+  /** Equality lookup THROUGH the index: `values` carries one column
+    * named `idxName`; the index read prunes to the values' buckets,
+    * the hit keys drive a key-pruned primary read, and the result is
+    * verified against the primary's CURRENT indexed value (read
+    * repair: a crash between the primary and index commits can leave
+    * one stale index entry — verification makes the lookup exact
+    * anyway). Cost: O(hit buckets + hit keys), never O(table).
+    */
+  def lookupByIndex(
+      spark: SparkSession,
+      primaryDir: String,
+      indexDir: String,
+      idCols: Seq[String],
+      idxExpr: Column,
+      idxName: String,
+      values: DataFrame): DataFrame = {
+    val entries = CdcStream.readReplicaForKeys(spark, indexDir,
+      Seq(idxName), values)
+    entries match {
+      case Some(e) =>
+        val keys = e.select(idCols.map(col): _*).distinct()
+        CdcStream.readReplicaForKeys(spark, primaryDir, idCols, keys) match {
+          case Some(rows) =>
+            rows.withColumn(idxName, idxExpr)
+              .join(broadcast(values.select(col(idxName))), Seq(idxName),
+                "left_semi")
+          case None => emptyLike(spark, e, idCols, idxName)
+        }
+      case None =>
+        CdcStream.readReplica(spark, primaryDir) match {
+          case Some(rows) => rows.withColumn(idxName, idxExpr).limit(0)
+          case None => values.limit(0)
+        }
+    }
+  }
+
+  private def emptyLike(spark: SparkSession, e: DataFrame,
+      idCols: Seq[String], idxName: String): DataFrame =
+    e.select((idxName +: idCols).map(col): _*).limit(0)
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Global secondary index over the replica store: synchronized
+  * maintenance (stale-pointer deletes on value moves and key deletes),
+  * value-clustered physical routing via manifest bucketCols, and
+  * pruned equality lookups through the index.
+  */
+class SecondaryIndexSpec extends SparkSuite {
+
+  import graft.SparkSuite.spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("gsi").toString
+
+  // (id, city, seq, op) — city is the indexed value
+  private def batch(rows: Seq[(Long, String, Long, String)]) =
+    rows.toDF("id", "city", "seq", "op")
+
+  private def apply1(p: String, ix: String,
+      rows: Seq[(Long, String, Long, String)]): Unit =
+    SecondaryIndex.applyBatchWithIndex(spark, p, ix, batch(rows),
+      Seq("id"), Seq("seq"), col("city"), "city")
+
+  private def lookup(p: String, ix: String, cities: String*): Seq[Long] =
+    SecondaryIndex.lookupByIndex(spark, p, ix, Seq("id"), col("city"),
+        "city", cities.toDF("city"))
+      .select($"id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("index tracks value moves and deletes; lookups stay exact") {
+    val (p, ix) = (freshDir(), freshDir())
+    apply1(p, ix, Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update"),
+      (3L, "oslo", 1L, "update")))
+    assert(lookup(p, ix, "oslo") == Seq(1L, 3L))
+    assert(lookup(p, ix, "lima") == Seq(2L))
+    // key 1 MOVES oslo→lima; key 3 dies; key 4 appears in lima
+    apply1(p, ix, Seq((1L, "lima", 2L, "update"), (3L, "oslo", 2L, "delete"),
+      (4L, "lima", 2L, "update")))
+    assert(lookup(p, ix, "oslo") == Seq.empty,
+      "moved and deleted keys must leave the old value's index entries")
+    assert(lookup(p, ix, "lima") == Seq(1L, 2L, 4L))
+    assert(lookup(p, ix, "nowhere") == Seq.empty)
+    // the index replica holds NO stale (oslo, *) live entries at all
+    val live = CdcStream.readReplica(spark, ix).get
+      .select($"city", $"id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(live == Seq(("lima", 1L), ("lima", 2L), ("lima", 4L)))
+  }
+
+  test("index rows cluster by value: one bucket per indexed value, " +
+      "routing recorded in the manifest") {
+    val (p, ix) = (freshDir(), freshDir())
+    apply1(p, ix, (0L until 40L).map(i =>
+      (i, s"city${i % 4}", 1L, "update")))
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ix, "CURRENT")).trim
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ix, cur, "manifest.json"))
+    assert(manifest.contains("\"bucketCols\":[\"city\"]"), manifest)
+    // every entry sharing a city value sits in exactly one bucket dir
+    val perBucket = Option(new java.io.File(s"$ix/$cur/data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map { d =>
+        spark.read.parquet(d.getPath).select($"city").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val cities = perBucket.flatten
+    assert(cities.length == cities.distinct.length,
+      s"a city's entries straddle buckets: ${perBucket.mkString(";")}")
+  }
+
+  test("lookup scans only the probed values' buckets") {
+    val (p, ix) = (freshDir(), freshDir())
+    apply1(p, ix, (0L until 64L).map(i =>
+      (i, s"city${i % 8}", 1L, "update")))
+    // count distinct files the pruned index read touches via the plan
+    val probed = CdcStream.readReplicaForKeys(spark, ix, Seq("city"),
+      Seq("city3").toDF("city")).get
+    val scanned = probed.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+    val total = CdcStream.readReplica(spark, ix).get.queryExecution
+      .executedPlan.collectLeaves()
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+    assert(scanned < total,
+      s"index lookup should prune files: scanned=$scanned total=$total")
+    assert(probed.select($"id").collect().map(_.getLong(0)).toSeq.sorted ==
+      (0L until 64L).filter(_ % 8 == 3))
+  }
+}
