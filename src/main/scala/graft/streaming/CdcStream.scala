@@ -266,6 +266,66 @@ object CdcStream {
     if (!df.columns.contains(Tombstone)) df
     else df.filter(!coalesce(col(Tombstone), lit(false))).drop(Tombstone)
 
+  /** Reserved column carrying a delta file's commit version during a
+    * merge-on-read scan (never stored).
+    */
+  private val DeltaSeq = "__delta_seq"
+
+  /** MERGE-ON-READ view of a manifest's buckets (optionally filtered
+    * to a candidate set): base rows ∪ pending per-bucket delta nets,
+    * the NEWEST net per key wins (delta commit version is the
+    * sequence; base rows sit at seq 0), winning deletes drop. A
+    * manifest without deltas reads exactly as before — no window, no
+    * op column, zero overhead on the eager path. Keys/op come from
+    * the manifest (recorded at the first deferred commit). None when
+    * the selected buckets hold no files at all.
+    */
+  private def mergedBucketRead(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, m: ReplicaManifest,
+      keep: Int => Boolean = _ => true,
+      schemaOverride: Option[StructType] = None): Option[DataFrame] = {
+    val basePaths = m.buckets.collect {
+      case (k, p) if keep(k) => s"$replicaDir/$p"
+    }.toSeq.sorted
+    val deltaPaths = m.deltas.toSeq.sortBy(_._1).collect {
+      case (k, ps) if keep(k) => ps
+    }.flatten
+    if (basePaths.isEmpty && deltaPaths.isEmpty) return None
+    val sc = schemaOverride.orElse(manifestSchema(m))
+    def readBase(): DataFrame = sc match {
+      case Some(s) => spark.read.schema(s).parquet(basePaths: _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(basePaths: _*)
+    }
+    if (deltaPaths.isEmpty) return Some(filterTombstones(readBase()))
+    val kc = m.keyCols.getOrElse(throw new IllegalStateException(
+      s"replica $replicaDir: manifest has deltas but no recorded keyCols"))
+    val oc = m.opColName.getOrElse("op")
+    val baseSc = sc.getOrElse(throw new IllegalStateException(
+      s"replica $replicaDir: deferred manifests always record a schema"))
+    val deltaSc = StructType(baseSc.fields :+ StructField(oc, StringType))
+    val base =
+      (if (basePaths.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), baseSc)
+      else filterTombstones(readBase()))
+        .withColumn(oc, lit("update")).withColumn(DeltaSeq, lit(0L))
+    // the delta path's version prefix IS its global sequence number
+    // (commits are dense and per-bucket deltas are version-ordered)
+    val all = deltaPaths.foldLeft(base) { (acc, p) =>
+      val seq = p.takeWhile(_ != '/').stripPrefix("v").toLong
+      acc.unionByName(
+        spark.read.schema(deltaSc).parquet(s"$replicaDir/$p")
+          .withColumn(DeltaSeq, lit(seq)),
+        allowMissingColumns = true)
+    }
+    val w = Window.partitionBy(kc.map(col): _*).orderBy(col(DeltaSeq).desc)
+    Some(all.withColumn("__mor_rn", row_number().over(w))
+      .filter(col("__mor_rn") === 1)
+      .filter(col(oc) =!= "delete")
+      .drop("__mor_rn", DeltaSeq, oc))
+  }
+
   /** The union schema a manifest records (absent on pre-schema
     * manifests) — the ONE parse both the write path and the pruned
     * read path share.
@@ -299,10 +359,21 @@ object CdcStream {
     * replica creation, recorded here so every reader and writer derives
     * the same routing.
     */
+  /** `keyCols`/`opColName`/`deltas`: the merge-on-read surface. A
+    * DEFERRED commit appends its per-key net as per-bucket delta files
+    * (no base read, no base rewrite) and records them here in commit
+    * order; read paths fold base ∪ deltas newest-net-wins, and
+    * compaction folds deltas back into base files. keyCols and the op
+    * column name are recorded at the first deferred commit so readers
+    * can run the fold without caller-provided metadata.
+    */
   private final case class ReplicaManifest(numBuckets: Int,
       buckets: Map[Int, String], schemaJson: Option[String] = None,
       watermark: Option[Long] = None,
-      bucketCols: Option[Seq[String]] = None)
+      bucketCols: Option[Seq[String]] = None,
+      keyCols: Option[Seq[String]] = None,
+      opColName: Option[String] = None,
+      deltas: Map[Int, Seq[String]] = Map.empty)
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
     val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
@@ -315,28 +386,41 @@ object CdcStream {
     var schemaJson: Option[String] = None
     var watermark: Option[Long] = None
     var bucketCols: Option[Seq[String]] = None
+    var keyCols: Option[Seq[String]] = None
+    var opColName: Option[String] = None
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    val deltas = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[String]]
+    def readStringArray(): Seq[String] = {
+      val cs = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (p.nextToken() != JsonToken.END_ARRAY) cs += p.getText
+      cs.toSeq
+    }
     require(p.nextToken() == JsonToken.START_OBJECT)
     while (p.nextToken() != JsonToken.END_OBJECT) {
       p.currentName() match {
         case "numBuckets" => p.nextToken(); nb = p.getIntValue
         case "schema" => p.nextToken(); schemaJson = Some(p.getText)
         case "watermark" => p.nextToken(); watermark = Some(p.getLongValue)
-        case "bucketCols" =>
-          p.nextToken()
-          val cs = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (p.nextToken() != JsonToken.END_ARRAY) cs += p.getText
-          bucketCols = Some(cs.toSeq)
+        case "bucketCols" => p.nextToken(); bucketCols = Some(readStringArray())
+        case "keyCols" => p.nextToken(); keyCols = Some(readStringArray())
+        case "opCol" => p.nextToken(); opColName = Some(p.getText)
         case "buckets" =>
           p.nextToken()
           while (p.nextToken() != JsonToken.END_OBJECT) {
             val k = p.currentName().toInt; p.nextToken(); buckets += k -> p.getText
           }
+        case "deltas" =>
+          p.nextToken()
+          while (p.nextToken() != JsonToken.END_OBJECT) {
+            val k = p.currentName().toInt; p.nextToken()
+            deltas += k -> readStringArray()
+          }
         case _ => p.nextToken(); p.skipChildren()
       }
     }
     p.close()
-    Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark, bucketCols))
+    Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark, bucketCols,
+      keyCols, opColName, deltas.toMap))
   }
 
   private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
@@ -351,9 +435,24 @@ object CdcStream {
       cs.foreach(g.writeString)
       g.writeEndArray()
     }
+    m.keyCols.foreach { cs =>
+      g.writeArrayFieldStart("keyCols")
+      cs.foreach(g.writeString)
+      g.writeEndArray()
+    }
+    m.opColName.foreach(g.writeStringField("opCol", _))
     g.writeObjectFieldStart("buckets")
     m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => g.writeStringField(k.toString, v) }
     g.writeEndObject()
+    if (m.deltas.nonEmpty) {
+      g.writeObjectFieldStart("deltas")
+      m.deltas.toSeq.sortBy(_._1).foreach { case (k, ps) =>
+        g.writeArrayFieldStart(k.toString)
+        ps.foreach(g.writeString)
+        g.writeEndArray()
+      }
+      g.writeEndObject()
+    }
     g.writeEndObject()
     g.close()
     java.nio.file.Files.createDirectories(dir)
@@ -380,19 +479,14 @@ object CdcStream {
       replicaDir: String): Option[DataFrame] =
     currentVersion(replicaDir).flatMap { case (_, name) =>
       readManifest(replicaDir, name) match {
-        case Some(m) if m.buckets.nonEmpty =>
-          // union schema from the MANIFEST (recorded at write time):
-          // buckets written at different versions may differ after
-          // additive evolution, and the explicit schema both null-fills
-          // missing columns and skips the per-read footer-merge job.
-          // Pre-schema manifests fall back to footer merging.
-          val rd = manifestSchema(m) match {
-            case Some(sc) => spark.read.schema(sc)
-            case None => spark.read.option("mergeSchema", "true")
-          }
-          Some(filterTombstones(rd.parquet(
-            m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*)))
-        case Some(_) => None // committed but empty
+        // union schema from the MANIFEST (recorded at write time):
+        // buckets written at different versions may differ after
+        // additive evolution, and the explicit schema both null-fills
+        // missing columns and skips the per-read footer-merge job.
+        // Pre-schema manifests fall back to footer merging. Pending
+        // deltas (merge-on-read) fold newest-net-wins inside
+        // mergedBucketRead.
+        case Some(m) => mergedBucketRead(spark, replicaDir, m)
         case None => Some(filterTombstones(
           spark.read.parquet(s"$replicaDir/$name")))
       }
@@ -419,7 +513,7 @@ object CdcStream {
       replicaDir: String, idCols: Seq[String], keys: DataFrame): Option[DataFrame] =
     currentVersion(replicaDir).flatMap { case (_, name) =>
       readManifest(replicaDir, name) match {
-        case Some(m) if m.buckets.nonEmpty =>
+        case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
           val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
           // Catalyst hash() is TYPE-sensitive (hash(5) != hash(5L)): the
           // lookup keys must be cast to the replica's column types
@@ -453,17 +547,16 @@ object CdcStream {
           val bucketOf = pmod(hash(bc.map(typedKeys(_)): _*), lit(m.numBuckets))
           val candidate = typedKeys.select(bucketOf.as("__bucket")).distinct()
             .collect().map(_.getInt(0)).toSet
-          val paths = m.buckets.collect {
-            case (k, p) if candidate(k) => s"$replicaDir/$p"
-          }.toSeq.sorted
           // reading with the explicit FULL schema both null-fills
           // columns a pruned bucket predates (additive evolution) and
-          // avoids a per-lookup footer merge
-          val base =
-            if (paths.nonEmpty)
-              spark.read.schema(fullSchema).parquet(paths: _*)
-            else spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
+          // avoids a per-lookup footer merge; pending deltas on the
+          // candidate buckets fold newest-net-wins inside
+          // mergedBucketRead (the pruning itself is unchanged — delta
+          // rows route by the same hash)
+          val base = mergedBucketRead(spark, replicaDir, m, candidate,
+              schemaOverride = Some(fullSchema))
+            .getOrElse(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema))
           Some(filterTombstones(base).join(broadcast(typedKeys), idCols, "left_semi"))
         case Some(_) => None // committed but empty
         case None => // pre-bucket flat layout: no pruning metadata
@@ -510,17 +603,14 @@ object CdcStream {
     val name = f"v$version%09d"
     if (!new java.io.File(replicaDir, name).isDirectory) None
     else readManifest(replicaDir, name) match {
-      case Some(m) if m.buckets.nonEmpty =>
+      case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
         // a referenced older version dir may itself have been GC'd only
         // if nothing points at it — verify the files are still present
-        val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
-        if (paths.forall(p => new java.io.File(p).exists())) {
-          val rd = manifestSchema(m) match {
-            case Some(sc) => spark.read.schema(sc)
-            case None => spark.read.option("mergeSchema", "true")
-          }
-          Some(filterTombstones(rd.parquet(paths: _*)))
-        } else None
+        val paths = (m.buckets.values ++ m.deltas.values.flatten).toSeq
+          .sorted.map(p => s"$replicaDir/$p")
+        if (paths.forall(p => new java.io.File(p).exists()))
+          mergedBucketRead(spark, replicaDir, m)
+        else None
       case Some(_) => None // committed but empty
       case None => Some(filterTombstones(
         spark.read.parquet(s"$replicaDir/$name")))
@@ -677,6 +767,34 @@ object CdcStream {
       !p.startsWith(s"$name/") ||
         parquetFiles(s"$replicaDir/$p") > targetFilesPerBucket
     }
+    // MERGE-ON-READ fold: every bucket with pending deltas (plus the
+    // usual fragmented set) rewrites as a fresh single-file base
+    // bucket holding the merged live view; delta lists drop from the
+    // manifest in the same commit. Deferred replicas are tombstone-
+    // free by construction, so the live view IS the stored content.
+    if (m.deltas.nonEmpty) {
+      val rewriteKeys: Set[Int] = m.deltas.keySet ++ fragmented.keys
+      val bc = m.bucketCols.orElse(m.keyCols).getOrElse(
+        throw new IllegalStateException(
+          s"replica $replicaDir: deltas without recorded keyCols"))
+      val routeBy = pmod(hash(bc.map(col): _*), lit(m.numBuckets))
+      val nextName = f"v${v + 1}%09d"
+      val staging = newStagingDir(replicaDir)
+      mergedBucketRead(spark, replicaDir, m, rewriteKeys).foreach { r =>
+        r.withColumn("__bucket", routeBy)
+          .repartition(math.max(rewriteKeys.size, 1), col("__bucket"))
+          .write.partitionBy("__bucket").parquet(s"$staging/data")
+      }
+      val written: Set[Int] = rewriteKeys.filter { k =>
+        new java.io.File(s"$staging/data/__bucket=$k").isDirectory
+      }
+      val newBuckets = (m.buckets -- rewriteKeys) ++ written
+        .map(k => k -> s"$nextName/data/__bucket=$k")
+      publishVersion(replicaDir, staging, nextName,
+        m.copy(buckets = newBuckets, deltas = m.deltas -- rewriteKeys),
+        prev, cur.map(_._2))
+      return
+    }
     // the store's union schema (manifest-recorded, or one footer merge
     // for pre-schema manifests); buckets written before any
     // conditional merge may lack the tombstone column, so the sweep
@@ -726,8 +844,7 @@ object CdcStream {
     // content-identical rewrite (minus aged-out tombstones): the union
     // schema carries over
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark,
-        m.bucketCols), prev,
+      m.copy(buckets = newBuckets), prev,
       cur.map(_._2))
   }
 
@@ -761,14 +878,16 @@ object CdcStream {
       throw new IllegalArgumentException(
         s"rebucketReplica: $replicaDir is the pre-bucket flat layout; " +
           "apply one batch to migrate it before resharding"))
+    if (m.deltas.nonEmpty) throw new IllegalStateException(
+      s"rebucketReplica: $replicaDir has pending merge-on-read deltas; " +
+        "run compactReplica first")
     if (m.numBuckets == newNumBuckets) return
     val nextName = f"v${v + 1}%09d"
     val staging = newStagingDir(replicaDir)
     if (m.buckets.isEmpty) {
       // empty store: flip the count with a manifest-only commit
       publishVersion(replicaDir, staging, nextName,
-        ReplicaManifest(newNumBuckets, Map.empty, m.schemaJson, m.watermark,
-          m.bucketCols),
+        m.copy(numBuckets = newNumBuckets, buckets = Map.empty),
         Some(m), Some(name))
       return
     }
@@ -790,8 +909,8 @@ object CdcStream {
     val newBuckets: Map[Int, String] =
       written.map(k => k -> s"$nextName/data/__bucket=$k").toMap
     publishVersion(replicaDir, staging, nextName,
-      ReplicaManifest(newNumBuckets, newBuckets, Some(sc.json), m.watermark,
-        m.bucketCols),
+      m.copy(numBuckets = newNumBuckets, buckets = newBuckets,
+        schemaJson = Some(sc.json)),
       Some(m), Some(name))
   }
 
@@ -834,6 +953,9 @@ object CdcStream {
       throw new IllegalArgumentException(
         s"eraseKeys: $replicaDir is the pre-bucket flat layout; apply " +
           "one batch to migrate it before erasing"))
+    if (m.deltas.nonEmpty) throw new IllegalStateException(
+      s"eraseKeys: $replicaDir has pending merge-on-read deltas; run " +
+        "compactReplica first so erasure rewrites every stored copy")
     val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
     val fullSchema = manifestSchema(m).orElse {
       if (allPaths.isEmpty) None
@@ -877,8 +999,7 @@ object CdcStream {
       val newBuckets = (m.buckets -- rewrite.keys) ++ written
         .map(k => k -> s"$nextName/data/__bucket=$k")
       publishVersion(replicaDir, staging, nextName,
-        ReplicaManifest(m.numBuckets, newBuckets, m.schemaJson, m.watermark,
-          m.bucketCols),
+        m.copy(buckets = newBuckets),
         Some(m), Some(name))
     }
     // 2: purge historical on-disk copies of the touched buckets
@@ -1108,7 +1229,8 @@ object CdcStream {
     }
     orphanAside.foreach(p => deleteRecursively(p.toFile))
     def refs(m: Option[ReplicaManifest]): Set[String] =
-      m.map(_.buckets.values.map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
+      m.map(mm => (mm.buckets.values ++ mm.deltas.values.flatten)
+        .map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
     val retain = refs(Some(next)) ++ refs(prev) + nextName + curName.getOrElse("")
     val myV = nextName.stripPrefix("v").toLong
     val now = System.currentTimeMillis()
@@ -1183,11 +1305,22 @@ object CdcStream {
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
       conditionalOrder: Boolean = false,
-      bucketCols: Option[Seq[String]] = None): Unit = {
+      bucketCols: Option[Seq[String]] = None,
+      deferMerge: Boolean = false): Unit = {
     val spark = batch.sparkSession
     bucketCols.foreach(_.filterNot(idCols.contains).foreach(c =>
       throw new IllegalArgumentException(
         s"applyBatchToReplica: bucketCol '$c' must be one of idCols $idCols")))
+    // the DEFERRED path is a single write action over the net (plus an
+    // optional changes write) — materializing the net would cost more
+    // jobs than it saves, so it stays lazy there
+    if (deferMerge) {
+      applyNetToReplica(replicaDir, lastOpPerKey(batch, idCols, orderCols),
+        batch.columns, idCols, opCol, numBuckets, watermark, recordChanges,
+        conditional = if (conditionalOrder) Some(orderCols) else None,
+        bucketCols = bucketCols, defer = true)
+      return
+    }
     // materialize the per-key net ONCE: the merge below runs several
     // actions over it (touched-bucket collect, keys broadcast, upsert
     // union), and each would otherwise recompute the whole batch plan —
@@ -1212,7 +1345,8 @@ object CdcStream {
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
       conditional: Option[Seq[Column]] = None,
-      bucketCols: Option[Seq[String]] = None): Unit = {
+      bucketCols: Option[Seq[String]] = None,
+      defer: Boolean = false): Unit = {
     val spark = net.sparkSession
     val dataCols = batchCols.filterNot(_ == opCol)
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
@@ -1232,6 +1366,66 @@ object CdcStream {
     val bc = prev.map(_.bucketCols).getOrElse(bucketCols).getOrElse(idCols)
     val bucketOf = pmod(hash(bc.map(col): _*), lit(nb))
 
+    // -------- DEFERRED (merge-on-read) commit: append the net as
+    // per-bucket delta files — NO base read, NO base rewrite, and NO
+    // touched-bucket pre-collect (the write's own partition dirs say
+    // which buckets the batch hit). ONE write job + manifest — the
+    // latency floor a streaming upsert sink needs for small
+    // micro-batches; reads fold deltas newest-net-wins, compaction
+    // folds them back into base files.
+    if (defer) {
+      require(conditional.isEmpty,
+        "deferMerge is incompatible with conditionalOrder (the " +
+          "conditional compare needs the stored row; merge eagerly)")
+      require(legacyFlat.isEmpty,
+        "deferMerge: flat-layout replicas must migrate via one eager merge")
+      val prevSc = prev.flatMap(manifestSchema)
+      prevSc.foreach { ps =>
+        if (ps.fieldNames.contains(Tombstone))
+          throw new IllegalStateException(
+            "deferMerge cannot run on a replica holding conditional-merge " +
+              "tombstones; compactReplica(tombstoneHorizon) first")
+        val extra = dataCols.filterNot(ps.fieldNames.contains)
+        if (extra.nonEmpty) throw new IllegalArgumentException(
+          s"deferMerge: batch adds column(s) ${extra.mkString(",")} — " +
+            "schema evolution requires an eager merge")
+      }
+      prev.flatMap(_.keyCols).foreach(k => require(k == idCols,
+        s"deferMerge: replica records keyCols $k but batch uses $idCols"))
+      val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
+      val nextV = cur.map(_._1 + 1).getOrElse(1L)
+      val nextName = f"v$nextV%09d"
+      val staging = newStagingDir(replicaDir)
+      // hash-repartition by bucket id (no explicit count — no driver
+      // pre-collect): each bucket's rows land in exactly one shuffle
+      // partition, so partitionBy still writes one file per bucket
+      net.withColumn("__bucket", bucketOf)
+        .repartition(col("__bucket"))
+        .write.partitionBy("__bucket").parquet(s"$staging/delta")
+      val written = Option(new java.io.File(s"$staging/delta").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(_.getName.stripPrefix("__bucket=").toInt)
+      // net-empty batch: nothing to commit (same contract as eager)
+      if (written.isEmpty) {
+        deleteRecursively(new java.io.File(staging))
+        return
+      }
+      if (recordChanges) net.write.parquet(s"$staging/changes")
+      val prevDeltas = prev.map(_.deltas).getOrElse(Map.empty[Int, Seq[String]])
+      val newDeltas = prevDeltas ++ written.map(k =>
+        k -> (prevDeltas.getOrElse(k, Seq.empty) :+
+          s"$nextName/delta/__bucket=$k")).toMap
+      val scJson = prevSc.getOrElse(net.select(dataCols.map(col): _*).schema)
+      publishVersion(replicaDir, staging, nextName,
+        ReplicaManifest(nb, prevBuckets, Some(scJson.json), watermark,
+          prev.flatMap(_.bucketCols).orElse(bucketCols),
+          keyCols = Some(idCols), opColName = Some(opCol),
+          deltas = newDeltas),
+        prev, cur.map(_._2))
+      return
+    }
+
     // buckets touched by this batch — bounded by nb, driver-side
     val touched = keys.select(bucketOf.as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -1241,11 +1435,24 @@ object CdcStream {
     // carries (the pruned and full read paths must agree)
     if (touched.isEmpty) return
     val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
+
     val touchedPaths = prevBuckets.collect {
       case (k, p) if touched(k) => s"$replicaDir/$p"
     }.toSeq.sorted
+    val prevHasDeltas =
+      prev.exists(_.deltas.keys.exists(touched))
     val base = legacyFlat match {
       case Some(flat) => spark.read.parquet(flat)
+      // an EAGER merge over buckets with pending deltas folds them in:
+      // the base is the merged live view (deferred replicas are
+      // tombstone-free by construction, so live rows are the whole
+      // stored state); the rewritten buckets drop their delta lists
+      case None if prevHasDeltas =>
+        require(conditional.isEmpty,
+          "conditionalOrder cannot merge over pending merge-on-read " +
+            "deltas; compactReplica first")
+        mergedBucketRead(spark, replicaDir, prev.get, touched)
+          .getOrElse(upserts.limit(0))
       case None if touchedPaths.isEmpty => upserts.limit(0)
       case None => prev.flatMap(manifestSchema) match {
         // manifest union schema: null-fills evolution gaps without a
@@ -1375,7 +1582,13 @@ object CdcStream {
       written.map(k => k -> s"$nextName/data/__bucket=$k")
     publishVersion(replicaDir, staging, nextName,
       ReplicaManifest(nb, newBuckets, Some(unionSchema.json), watermark,
-        prev.flatMap(_.bucketCols).orElse(bucketCols)), prev,
+        prev.flatMap(_.bucketCols).orElse(bucketCols),
+        // an eager rewrite FOLDS the touched buckets' deltas (the base
+        // read merged them); untouched buckets keep theirs
+        keyCols = prev.flatMap(_.keyCols),
+        opColName = prev.flatMap(_.opColName),
+        deltas = prev.map(_.deltas -- touched)
+          .getOrElse(Map.empty)), prev,
       cur.map(_._2))
   }
 

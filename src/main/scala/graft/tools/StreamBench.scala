@@ -83,19 +83,24 @@ object StreamBench {
     }
 
     val envSchema = graft.queries.EventQueries.envelopeSchema
+    val rowSc = envSchema.fields.find(_.name == "rows").get.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def mergeSink(replica: String, defer: Boolean)(b: DataFrame): Unit = {
+      val batch = CdcStream.parsed(b, rowSc)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("op"))
+      CdcStream.applyBatchToReplica(replica, batch, Seq("user_id"),
+        Seq(col("ts_ms"), col("event_id")), deferMerge = defer)
+    }
     val scenarios = Seq(
       "memory" -> run("memory") { b => b.count(); () },
-      "merge" -> run("merge") { b =>
-        val rows = CdcStream.parsed(b,
-          envSchema.fields.find(_.name == "rows").get.dataType
-            .asInstanceOf[org.apache.spark.sql.types.ArrayType]
-            .elementType.asInstanceOf[org.apache.spark.sql.types.StructType])
-        val replica = work.resolve("replica").toString
-        val batch = rows.select(col("user_id"), col("event_id"),
-          col("ts_ms"), col("op"))
-        CdcStream.applyBatchToReplica(replica, batch, Seq("user_id"),
-          Seq(col("ts_ms"), col("event_id")))
-      })
+      "merge" -> run("merge")(
+        mergeSink(work.resolve("replica").toString, defer = false)),
+      // merge-on-read: per-batch cost is one delta append, no base
+      // read/rewrite — the streaming-upsert latency path; compaction
+      // folds the deltas out-of-band
+      "merge_defer" -> run("merge_defer")(
+        mergeSink(work.resolve("replica-mor").toString, defer = true)))
 
     val phases = Seq("triggerExecution", "addBatch", "latestOffset",
       "getBatch", "queryPlanning", "walCommit", "commitOffsets")

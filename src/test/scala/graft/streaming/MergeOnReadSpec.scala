@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read (deferred MERGE) behavior of the replica store:
+  * deferred commits append per-bucket delta files without touching
+  * base buckets, every read path folds base ∪ deltas newest-net-wins,
+  * eager merges and compaction fold deltas back into base files, and
+  * the incompatible modes refuse loudly.
+  */
+class MergeOnReadSpec extends SparkSuite {
+
+  import graft.SparkSuite.spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("mor").toString
+
+  private def batch(rows: Seq[(Long, String, Long, String)]) =
+    rows.toDF("id", "v", "seq", "op")
+
+  private def applyDefer(dir: String,
+      rows: Seq[(Long, String, Long, String)]): Unit =
+    CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+      Seq(col("seq")), deferMerge = true)
+
+  private def content(dir: String): Seq[(Long, String)] =
+    CdcStream.readReplica(spark, dir).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  private def manifestJson(dir: String): String = {
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "CURRENT")).trim
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, cur, "manifest.json"))
+  }
+
+  test("deferred commits append deltas; reads fold newest-net-wins") {
+    val dir = freshDir()
+    applyDefer(dir, Seq((1L, "a", 1L, "update"), (2L, "b", 1L, "update"),
+      (3L, "c", 1L, "update")))
+    // v1 is delta-only: no base buckets were written at all
+    assert(manifestJson(dir).contains("\"deltas\""))
+    assert(!new java.io.File(s"$dir/v000000001/data").exists(),
+      "a deferred commit must not write base buckets")
+    assert(content(dir) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // second deferred batch: update 1, delete 2, insert 4
+    applyDefer(dir, Seq((1L, "a2", 2L, "update"), (2L, "b", 2L, "delete"),
+      (4L, "d", 2L, "update")))
+    assert(content(dir) == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+    // within-batch net still applies: last op per key wins
+    applyDefer(dir, Seq((4L, "dX", 3L, "update"), (4L, "d3", 4L, "update")))
+    assert(content(dir) == Seq((1L, "a2"), (3L, "c"), (4L, "d3")))
+    // pruned lookup folds deltas too
+    val hit = CdcStream.readReplicaForKeys(spark, dir, Seq("id"),
+      Seq(1L, 2L).toDF("id")).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(hit == Seq((1L, "a2")))
+    // time travel: v1 predates the second batch
+    val v1 = CdcStream.readReplicaAt(spark, dir, 1L).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(v1 == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("an eager merge folds the touched buckets' deltas") {
+    val dir = freshDir()
+    applyDefer(dir, (0L until 32L).map(i => (i, s"a$i", 1L, "update")))
+    applyDefer(dir, Seq((1L, "a1x", 2L, "update")))
+    // eager batch touches key 1's bucket (and others)
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a1y", 3L, "update"), (2L, "a2y", 3L, "update"))),
+      Seq("id"), Seq(col("seq")))
+    val c = content(dir)
+    assert(c.contains((1L, "a1y")) && c.contains((2L, "a2y")))
+    assert(c.size == 32)
+    // untouched buckets may keep deltas; the touched ones folded — and
+    // content stays exact either way
+    CdcStream.compactReplica(spark, dir)
+    assert(!manifestJson(dir).contains("\"deltas\""),
+      "compaction must fold every pending delta")
+    assert(content(dir) == c)
+    val files = {
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "CURRENT")).trim
+      Option(new java.io.File(s"$dir/$cur/data").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("__bucket="))
+        .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+    }
+    assert(files.nonEmpty && files.forall(_ == 1))
+  }
+
+  test("deferred change feed records nets; guards refuse bad mixes") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", 1L, "update"))), Seq("id"), Seq(col("seq")),
+      recordChanges = true, deferMerge = true)
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a2", 2L, "update"), (2L, "b", 2L, "delete"))),
+      Seq("id"), Seq(col("seq")), recordChanges = true, deferMerge = true)
+    val feed = CdcStream.readReplicaChanges(spark, dir).get
+      .select($"_commit_version", $"id", $"op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(feed == Seq((1L, 1L, "update"), (2L, 1L, "update"),
+      (2L, 2L, "delete")))
+    // conditional + defer refuses
+    intercept[IllegalArgumentException] {
+      CdcStream.applyBatchToReplica(dir,
+        batch(Seq((3L, "c", 3L, "update"))), Seq("id"), Seq(col("seq")),
+        conditionalOrder = true, deferMerge = true)
+    }
+    // erasure / reshard refuse while deltas pend, work after compaction
+    intercept[IllegalStateException] {
+      CdcStream.eraseKeys(spark, dir, Seq("id"), Seq(1L).toDF("id"))
+    }
+    intercept[IllegalStateException] {
+      CdcStream.rebucketReplica(spark, dir, Seq("id"), 5)
+    }
+    CdcStream.compactReplica(spark, dir)
+    CdcStream.rebucketReplica(spark, dir, Seq("id"), 5)
+    CdcStream.eraseKeys(spark, dir, Seq("id"), Seq(1L).toDF("id"))
+    // key 1 was the only live row — the erased store reads as empty
+    assert(CdcStream.readReplica(spark, dir)
+      .forall(_.isEmpty))
+  }
+
+  test("a deferred commit on a tombstone-bearing replica refuses") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", 5L, "update"))), Seq("id"), Seq(col("seq")),
+      conditionalOrder = true)
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", 9L, "delete"))), Seq("id"), Seq(col("seq")),
+      conditionalOrder = true)
+    intercept[IllegalStateException] {
+      applyDefer(dir, Seq((2L, "b", 1L, "update")))
+    }
+  }
+}
