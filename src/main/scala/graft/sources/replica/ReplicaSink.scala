@@ -141,7 +141,8 @@ final case class ReplicaSinkConfig(
     trackWatermark: Boolean,
     watermarkColumn: Option[String],
     changeFeed: Boolean = false,
-    conditionalOrder: Boolean = false) {
+    conditionalOrder: Boolean = false,
+    deferMerge: Boolean = false) {
 
   val isFanOut: Boolean = path.contains("{db}") || path.contains("{table}")
 
@@ -180,7 +181,8 @@ object ReplicaSinkConfig {
       trackWatermark = opt("trackWatermark").exists(_.toBoolean),
       watermarkColumn = opt("watermarkColumn"),
       changeFeed = opt("changeFeed").exists(_.toBoolean),
-      conditionalOrder = opt("conditionalOrder").exists(_.toBoolean))
+      conditionalOrder = opt("conditionalOrder").exists(_.toBoolean),
+      deferMerge = opt("deferMerge").exists(_.toBoolean))
     if (cfg.isFanOut) {
       require(cfg.schemaRegistry.nonEmpty,
         "graft-replica: fan-out paths ({db}/{table}) require 'schemaRegistry' " +
@@ -190,6 +192,9 @@ object ReplicaSinkConfig {
           "at least one 'keys.<db>.<table>' override")
     }
     require(cfg.numBuckets > 0, "graft-replica: numBuckets must be > 0")
+    require(!(cfg.conditionalOrder && cfg.deferMerge),
+      "graft-replica: deferMerge is incompatible with conditionalOrder " +
+        "(the conditional compare needs the stored row)")
     cfg
   }
 }
@@ -262,7 +267,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       orderCols = orderCols,
       watermark = watermark,
       recordChanges = cfg.changeFeed,
-      conditionalOrder = cfg.conditionalOrder)
+      conditionalOrder = cfg.conditionalOrder,
+      deferMerge = cfg.deferMerge)
     candidates.foreach { case (_, _, _, dir) => markCommitted(dir, batchId) }
   }
 
@@ -287,7 +293,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
     CdcStream.applyBatchToReplica(cfg.path, parsed, ids, orderCols,
       numBuckets = cfg.numBuckets, watermark = watermark,
       recordChanges = cfg.changeFeed,
-      conditionalOrder = cfg.conditionalOrder)
+      conditionalOrder = cfg.conditionalOrder,
+      deferMerge = cfg.deferMerge)
     markCommitted(cfg.path, batchId)
   }
 
@@ -305,7 +312,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
     CdcStream.applyBatchToReplica(cfg.path, df, ids, orderCols,
       opCol = cfg.opColumn, numBuckets = cfg.numBuckets, watermark = watermark,
       recordChanges = cfg.changeFeed,
-      conditionalOrder = cfg.conditionalOrder)
+      conditionalOrder = cfg.conditionalOrder,
+      deferMerge = cfg.deferMerge)
     markCommitted(cfg.path, batchId)
   }
 }

@@ -135,7 +135,8 @@ object CdcStream {
       orderCols: Seq[Column] = Seq(col("offset")),
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
-      conditionalOrder: Boolean = false): Seq[String] = {
+      conditionalOrder: Boolean = false,
+      deferMerge: Boolean = false): Seq[String] = {
     val dbCol = get_json_object(col("value"), "$.databaseName")
     val tblCol = get_json_object(col("value"), "$.tableName")
     // ROUTE ONCE: write the raw envelopes into a (db, table)-partitioned
@@ -164,7 +165,8 @@ object CdcStream {
         new java.io.File(s"$routedDir/__db=$db"), "__tbl=")
     } yield (db, tbl)).sorted
     try fanOutRouted(spark, routedDir, present, pathTemplate, schemas,
-      idCols, orderCols, watermark, recordChanges, conditionalOrder)
+      idCols, orderCols, watermark, recordChanges, conditionalOrder,
+      deferMerge)
     finally dropRouted()
   }
 
@@ -178,7 +180,8 @@ object CdcStream {
       orderCols: Seq[Column],
       watermark: Option[Long],
       recordChanges: Boolean = false,
-      conditionalOrder: Boolean = false): Seq[String] = {
+      conditionalOrder: Boolean = false,
+      deferMerge: Boolean = false): Seq[String] = {
     // per-table merges target DISJOINT replica dirs — schedule them as
     // concurrent Spark jobs (a fan-out over T tables is T independent
     // merges; running them serially would leave the cluster idle
@@ -199,7 +202,8 @@ object CdcStream {
                 .select(col("value")), schema),
               ids, orderCols, watermark = watermark,
               recordChanges = recordChanges,
-              conditionalOrder = conditionalOrder)
+              conditionalOrder = conditionalOrder,
+              deferMerge = deferMerge)
             path
           })
         case (Some(_), None) => throw new IllegalArgumentException(

@@ -73,6 +73,48 @@ class ReplicaSinkSpec extends SparkSuite {
     assert(CdcStream.replicaWatermark(replica, v).nonEmpty)
   }
 
+  test("deferMerge through the sink: delta-only commits, identical state, " +
+      "compaction folds") {
+    val log = freshChangelog()
+    val replica = Files.createTempDirectory("graft-sink-mor").toString
+    val raw = spark.readStream.format("graft-binlog")
+      .option("path", log)
+      .option("maxEventsPerTrigger", "200")
+      .load()
+    val rowSchema = graft.queries.SourceQueries.eventsRowSchema
+    val q = CdcStream.parsed(raw, rowSchema)
+      .select($"user_id", $"event_id", $"ts_ms", $"op")
+      .writeStream.format("graft-replica")
+      .option("path", replica)
+      .option("keys", "user_id")
+      .option("orderColumns", "ts_ms,event_id")
+      .option("deferMerge", "true")
+      .option("checkpointLocation", ck())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // every commit was delta-only: no version dir holds base buckets
+    val versionDirs = new java.io.File(replica).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}"))
+    assert(versionDirs.nonEmpty &&
+      versionDirs.forall(d => !new java.io.File(d, "data").exists()),
+      "deferMerge commits must never write base buckets")
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expectedState())
+    CdcStream.compactReplica(spark, replica)
+    val after = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === expectedState())
+    // incompatible combination refuses at query START
+    intercept[IllegalArgumentException] {
+      graft.sources.replica.ReplicaSinkConfig(Map(
+        "path" -> replica, "keys" -> "user_id",
+        "deferMerge" -> "true", "conditionalOrder" -> "true"))
+    }
+  }
+
   test("single-table envelope input parses under the registry schema") {
     val log = freshChangelog()
     val replica = Files.createTempDirectory("graft-sink-replica1").toString
