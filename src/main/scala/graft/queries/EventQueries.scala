@@ -482,6 +482,38 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: RANGE lookup through the banded secondary index ------------
+    // A hash-routed index can only prune equality probes — but a
+    // BANDED index key (value div bandWidth) turns a range predicate
+    // into a small IN-list of bands: probe the covering bands through
+    // the value-clustered index (each an exact bucket prune), then
+    // re-apply the exact range to the read-repaired rows so band
+    // edges never leak. This is the DynamoDB "partition key = coarse
+    // range, filter the remainder" idiom; cost is O(covering bands + hit
+    // keys), never a table scan, and the band width is the knob
+    // trading probe fan-out against residual filtering.
+    "cdc_index_range" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      val primary = graft.llm.IndexArtifacts.tempDir("gsir-primary")
+      val index = graft.llm.IndexArtifacts.tempDir("gsir-index")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val band = expr("value_cents div 1000")
+      SecondaryIndex.applyBatchWithIndex(s, primary, index,
+        ev, Seq("user_id"), Seq("ms", "event_id"), band, "band")
+      // range [2500, 4500) cents covers bands 2..4; exact bounds
+      // re-apply after the read-repair
+      val bands = (2L to 4L).toDF("band")
+      SecondaryIndex.lookupByIndex(s, primary, index, Seq("user_id"),
+          band, "band", bands)
+        .filter($"value_cents" >= 2500L && $"value_cents" < 4500L)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: compliance erasure (right-to-be-forgotten) -----------------
     // Erasure is NOT a delete event: it rewrites history so the keys
     // stop being readable from the live state, historical bucket
@@ -1403,6 +1435,17 @@ object EventQueries {
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' AND user_id % 3 = 1
+         |ORDER BY user_id""".stripMargin,
+
+    "cdc_index_range" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |  AND value_cents >= 2500 AND value_cents < 4500
          |ORDER BY user_id""".stripMargin,
 
     "cdc_defer_merge" ->
