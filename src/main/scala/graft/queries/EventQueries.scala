@@ -469,12 +469,14 @@ object EventQueries {
       val mm = ev.agg(min($"ms"), max($"ms")).head()
       val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
       val band = expr("value_cents div 1000")
+      // the index side merges DEFERRED (merge-on-read): an index batch
+      // is delta-sized by construction, so each commit is one append
       SecondaryIndex.applyBatchWithIndex(s, primary, index,
         ev.filter($"ms" < cut), Seq("user_id"), Seq("ms", "event_id"),
-        band, "band")
+        band, "band", deferIndexMerge = true)
       SecondaryIndex.applyBatchWithIndex(s, primary, index,
         ev.filter($"ms" >= cut), Seq("user_id"), Seq("ms", "event_id"),
-        band, "band")
+        band, "band", deferIndexMerge = true)
       SecondaryIndex.lookupByIndex(s, primary, index, Seq("user_id"),
           band, "band", Seq(2L, 3L).toDF("band"))
         .select($"band", $"user_id", $"event_id".as("last_event_id"),

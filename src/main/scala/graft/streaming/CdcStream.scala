@@ -315,11 +315,17 @@ object CdcStream {
       else filterTombstones(readBase()))
         .withColumn(oc, lit("update")).withColumn(DeltaSeq, lit(0L))
     // the delta path's version prefix IS its global sequence number
-    // (commits are dense and per-bucket deltas are version-ordered)
-    val all = deltaPaths.foldLeft(base) { (acc, p) =>
-      val seq = p.takeWhile(_ != '/').stripPrefix("v").toLong
+    // (commits are dense and per-bucket deltas are version-ordered).
+    // ONE read per delta COMMIT, not per (commit, bucket) path — a
+    // version's selected bucket dirs share a sequence, and a per-path
+    // union would put |versions|·|buckets| scan legs in the plan.
+    val byVersion = deltaPaths
+      .groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val all = byVersion.foldLeft(base) { case (acc, (version, ps)) =>
+      val seq = version.stripPrefix("v").toLong
       acc.unionByName(
-        spark.read.schema(deltaSc).parquet(s"$replicaDir/$p")
+        spark.read.schema(deltaSc)
+          .parquet(ps.distinct.sorted.map(p => s"$replicaDir/$p"): _*)
           .withColumn(DeltaSeq, lit(seq)),
         allowMissingColumns = true)
     }

@@ -43,6 +43,15 @@ object SecondaryIndex {
     * is the index key column; `orderColNames` must name stored batch
     * columns (they order the index merge exactly like the primary's).
     */
+  /** @param deferIndexMerge apply the index's own merge as a
+    *   MERGE-ON-READ deferred commit (`CdcStream.applyBatchToReplica
+    *   (deferMerge)`): the index batch is delta-sized by construction,
+    *   so appending it as per-bucket delta files — one write job, no
+    *   index-bucket rewrite — is the natural shape; lookups fold the
+    *   deltas, and index compaction runs at whatever cadence the store
+    *   owner picks. The primary's merge stays eager (its pre-merge
+    *   state feeds stale-pointer detection).
+    */
   def applyBatchWithIndex(
       spark: SparkSession,
       primaryDir: String,
@@ -52,34 +61,45 @@ object SecondaryIndex {
       orderColNames: Seq[String],
       idxExpr: Column,
       idxName: String,
-      opCol: String = "op"): Unit = {
+      opCol: String = "op",
+      deferIndexMerge: Boolean = false): Unit = {
     val orderCols = orderColNames.map(col)
-    val net = CdcStream.lastOpPerKey(batch, idCols, orderCols)
-    // OLD indexed values for exactly the touched keys (key-pruned read,
-    // O(batch keys)) — read BEFORE the primary merge overwrites them
-    val oldIdx = CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
-        net.select(idCols.map(col): _*).distinct())
-      .map(_.select(idCols.map(col) :+ idxExpr.as("__old_idx"): _*))
-    CdcStream.applyBatchToReplica(primaryDir, batch, idCols, orderCols, opCol)
-    val n = net.withColumn("__new_idx",
-      when(col(opCol) =!= "delete", idxExpr))
-    val j = oldIdx match {
-      case Some(o) => n.join(o, idCols, "left")
-      case None => n.withColumn("__old_idx", lit(null).cast(
-        n.select(idxExpr).schema.head.dataType))
-    }
-    val carry = idCols ++ orderColNames
-    // stale pointer removal: value moved, or the key was deleted
-    val dels = j.filter(col("__old_idx").isNotNull &&
-        (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
-      .select((col("__old_idx").as(idxName) +: carry.map(col)) :+
-        lit("delete").as(opCol): _*)
-    val ups = j.filter(col("__new_idx").isNotNull)
-      .select((col("__new_idx").as(idxName) +: carry.map(col)) :+
-        lit("update").as(opCol): _*)
-    CdcStream.applyBatchToReplica(indexDir, dels.unionByName(ups),
-      idCols = idxName +: idCols, orderCols = orderCols, opCol = opCol,
-      bucketCols = Some(Seq(idxName)))
+    // materialize the per-key net ONCE: the old-value read, the primary
+    // merge, and the index batch all derive from it — each would
+    // otherwise recompute the whole batch window per action
+    val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
+      CdcStream.lastOpPerKey(batch, idCols, orderCols), "gsi-net")
+    try {
+      // OLD indexed values for exactly the touched keys (key-pruned
+      // read, O(batch keys)) — read BEFORE the primary merge
+      // overwrites them
+      val oldIdx = CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
+          net.select(idCols.map(col): _*).distinct())
+        .map(_.select(idCols.map(col) :+ idxExpr.as("__old_idx"): _*))
+      // the net IS the batch's last-op-per-key — merging it is
+      // equivalent to merging the batch (and its inner net pass is a
+      // window over delta-sized rows)
+      CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol)
+      val n = net.withColumn("__new_idx",
+        when(col(opCol) =!= "delete", idxExpr))
+      val j = oldIdx match {
+        case Some(o) => n.join(o, idCols, "left")
+        case None => n.withColumn("__old_idx", lit(null).cast(
+          n.select(idxExpr).schema.head.dataType))
+      }
+      val carry = idCols ++ orderColNames
+      // stale pointer removal: value moved, or the key was deleted
+      val dels = j.filter(col("__old_idx").isNotNull &&
+          (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
+        .select((col("__old_idx").as(idxName) +: carry.map(col)) :+
+          lit("delete").as(opCol): _*)
+      val ups = j.filter(col("__new_idx").isNotNull)
+        .select((col("__new_idx").as(idxName) +: carry.map(col)) :+
+          lit("update").as(opCol): _*)
+      CdcStream.applyBatchToReplica(indexDir, dels.unionByName(ups),
+        idCols = idxName +: idCols, orderCols = orderCols, opCol = opCol,
+        bucketCols = Some(Seq(idxName)), deferMerge = deferIndexMerge)
+    } finally dropNet()
   }
 
   /** Equality lookup THROUGH the index: `values` carries one column

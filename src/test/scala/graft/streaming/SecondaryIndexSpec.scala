@@ -20,9 +20,9 @@ class SecondaryIndexSpec extends SparkSuite {
     rows.toDF("id", "city", "seq", "op")
 
   private def apply1(p: String, ix: String,
-      rows: Seq[(Long, String, Long, String)]): Unit =
+      rows: Seq[(Long, String, Long, String)], defer: Boolean = false): Unit =
     SecondaryIndex.applyBatchWithIndex(spark, p, ix, batch(rows),
-      Seq("id"), Seq("seq"), col("city"), "city")
+      Seq("id"), Seq("seq"), col("city"), "city", deferIndexMerge = defer)
 
   private def lookup(p: String, ix: String, cities: String*): Seq[Long] =
     SecondaryIndex.lookupByIndex(spark, p, ix, Seq("id"), col("city"),
@@ -47,6 +47,25 @@ class SecondaryIndexSpec extends SparkSuite {
       .select($"city", $"id").collect().map(r => (r.getString(0), r.getLong(1)))
       .toSeq.sorted
     assert(live == Seq(("lima", 1L), ("lima", 2L), ("lima", 4L)))
+  }
+
+  test("deferred index merges serve the same lookups through the fold") {
+    val (p, ix) = (freshDir(), freshDir())
+    apply1(p, ix, Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update")),
+      defer = true)
+    apply1(p, ix, Seq((1L, "lima", 2L, "update"), (2L, "lima", 2L, "delete"),
+      (3L, "oslo", 2L, "update")), defer = true)
+    // index commits were delta-only
+    val dirs = new java.io.File(ix).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}"))
+    assert(dirs.nonEmpty &&
+      dirs.forall(d => !new java.io.File(d, "data").exists()))
+    assert(lookup(p, ix, "oslo") == Seq(3L))
+    assert(lookup(p, ix, "lima") == Seq(1L))
+    // compaction folds the index; lookups unchanged
+    CdcStream.compactReplica(spark, ix)
+    assert(lookup(p, ix, "oslo") == Seq(3L))
+    assert(lookup(p, ix, "lima") == Seq(1L))
   }
 
   test("index rows cluster by value: one bucket per indexed value, " +
