@@ -552,4 +552,33 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("documents.parquet"), p.take(2000))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("llm_oov_rate: top-K vocab broadcasts, term matrix never re-tokenizes") {
+    val p = plan("llm_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("documents.parquet"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("llm_quantile_sketch: per-group bottom-K plans as WindowGroupLimit") {
+    val p = plan("llm_quantile_sketch")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("llm_preference_pairs: both rankings are WindowGroupLimit top-Ks, " +
+      "pair join is keyed") {
+    val p = plan("llm_preference_pairs")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q55: the gap-fill grid joins keyed, never a cartesian against events") {
+    val p = plan("q55_gapfill")
+    // the grid itself is built by one (intentional) schedule-sized
+    // cross join of hours × types; the event-sized side must join it
+    // by key
+    assert(p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")), p.take(2000))
+  }
 }
