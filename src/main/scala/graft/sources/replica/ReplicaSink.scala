@@ -142,7 +142,9 @@ final case class ReplicaSinkConfig(
     watermarkColumn: Option[String],
     changeFeed: Boolean = false,
     conditionalOrder: Boolean = false,
-    deferMerge: Boolean = false) {
+    deferMerge: Boolean = false,
+    indexColumn: Option[String] = None,
+    indexPath: Option[String] = None) {
 
   val isFanOut: Boolean = path.contains("{db}") || path.contains("{table}")
 
@@ -182,7 +184,9 @@ object ReplicaSinkConfig {
       watermarkColumn = opt("watermarkColumn"),
       changeFeed = opt("changeFeed").exists(_.toBoolean),
       conditionalOrder = opt("conditionalOrder").exists(_.toBoolean),
-      deferMerge = opt("deferMerge").exists(_.toBoolean))
+      deferMerge = opt("deferMerge").exists(_.toBoolean),
+      indexColumn = opt("indexColumn"),
+      indexPath = opt("indexPath"))
     if (cfg.isFanOut) {
       require(cfg.schemaRegistry.nonEmpty,
         "graft-replica: fan-out paths ({db}/{table}) require 'schemaRegistry' " +
@@ -195,6 +199,14 @@ object ReplicaSinkConfig {
     require(!(cfg.conditionalOrder && cfg.deferMerge),
       "graft-replica: deferMerge is incompatible with conditionalOrder " +
         "(the conditional compare needs the stored row)")
+    require(cfg.indexColumn.isEmpty || cfg.indexPath.nonEmpty,
+      "graft-replica: indexColumn requires indexPath (the secondary " +
+        "index replica's directory)")
+    require(cfg.indexColumn.isEmpty || !cfg.isFanOut,
+      "graft-replica: indexColumn is not supported on fan-out paths")
+    require(cfg.indexColumn.isEmpty || !cfg.conditionalOrder,
+      "graft-replica: indexColumn is incompatible with conditionalOrder " +
+        "(stale-pointer detection assumes last-writer merges)")
     cfg
   }
 }
@@ -290,11 +302,7 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       if (!cfg.trackWatermark) None
       else Option(parsed.select(max(col("ts_ms")).as("wm")).head().get(0))
         .map(_.asInstanceOf[Long])
-    CdcStream.applyBatchToReplica(cfg.path, parsed, ids, orderCols,
-      numBuckets = cfg.numBuckets, watermark = watermark,
-      recordChanges = cfg.changeFeed,
-      conditionalOrder = cfg.conditionalOrder,
-      deferMerge = cfg.deferMerge)
+    applyMaybeIndexed(parsed, ids, watermark)
     markCommitted(cfg.path, batchId)
   }
 
@@ -309,11 +317,31 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
           unix_millis(col(c)) else col(c).cast("long")).as("wm")).head()
       if (v.isNullAt(0)) Long.MinValue else v.getLong(0)
     }.filter(_ != Long.MinValue)
-    CdcStream.applyBatchToReplica(cfg.path, df, ids, orderCols,
-      opCol = cfg.opColumn, numBuckets = cfg.numBuckets, watermark = watermark,
-      recordChanges = cfg.changeFeed,
-      conditionalOrder = cfg.conditionalOrder,
-      deferMerge = cfg.deferMerge)
+    applyMaybeIndexed(df, ids, watermark)
     markCommitted(cfg.path, batchId)
+  }
+
+  /** Primary merge, with synchronized secondary-index maintenance when
+    * `indexColumn`/`indexPath` are configured. Replays converge: if a
+    * crash lands between the two commits, the re-served batch re-merges
+    * the same net into the primary (idempotent content) and the index
+    * pass then observes old == new values, producing an empty
+    * stale-delete set and re-upserting the same entries.
+    */
+  private def applyMaybeIndexed(batch: DataFrame, ids: Seq[String],
+      watermark: Option[Long]): Unit = cfg.indexColumn match {
+    case Some(ic) =>
+      graft.streaming.SecondaryIndex.applyBatchWithIndex(
+        batch.sparkSession, cfg.path, cfg.indexPath.get, batch, ids,
+        cfg.orderColumns, col(ic), ic, opCol = cfg.opColumn,
+        deferIndexMerge = cfg.deferMerge, numBuckets = cfg.numBuckets,
+        watermark = watermark, recordChanges = cfg.changeFeed)
+    case None =>
+      CdcStream.applyBatchToReplica(cfg.path, batch, ids, orderCols,
+        opCol = cfg.opColumn, numBuckets = cfg.numBuckets,
+        watermark = watermark,
+        recordChanges = cfg.changeFeed,
+        conditionalOrder = cfg.conditionalOrder,
+        deferMerge = cfg.deferMerge)
   }
 }

@@ -62,7 +62,10 @@ object SecondaryIndex {
       idxExpr: Column,
       idxName: String,
       opCol: String = "op",
-      deferIndexMerge: Boolean = false): Unit = {
+      deferIndexMerge: Boolean = false,
+      numBuckets: Int = CdcStream.DefaultReplicaBuckets,
+      watermark: Option[Long] = None,
+      recordChanges: Boolean = false): Unit = {
     val orderCols = orderColNames.map(col)
     // materialize the per-key net ONCE: the old-value read, the primary
     // merge, and the index batch all derive from it — each would
@@ -79,7 +82,9 @@ object SecondaryIndex {
       // the net IS the batch's last-op-per-key — merging it is
       // equivalent to merging the batch (and its inner net pass is a
       // window over delta-sized rows)
-      CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol)
+      CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
+        numBuckets = numBuckets, watermark = watermark,
+        recordChanges = recordChanges)
       val n = net.withColumn("__new_idx",
         when(col(opCol) =!= "delete", idxExpr))
       val j = oldIdx match {

@@ -115,6 +115,42 @@ class ReplicaSinkSpec extends SparkSuite {
     }
   }
 
+  test("indexColumn through the sink: a value index tracks the stream " +
+      "and serves pruned lookups") {
+    val log = freshChangelog()
+    val replica = Files.createTempDirectory("graft-sink-gsi-p").toString
+    val index = Files.createTempDirectory("graft-sink-gsi-i").toString
+    val raw = spark.readStream.format("graft-binlog")
+      .option("path", log)
+      .option("maxEventsPerTrigger", "250")
+      .load()
+    val rowSchema = graft.queries.SourceQueries.eventsRowSchema
+    val q = CdcStream.parsed(raw, rowSchema)
+      .select($"user_id", $"event_id", $"ts_ms", $"op")
+      .withColumn("band", $"event_id" % 7L)
+      .writeStream.format("graft-replica")
+      .option("path", replica)
+      .option("keys", "user_id")
+      .option("orderColumns", "ts_ms,event_id")
+      .option("indexColumn", "band")
+      .option("indexPath", index)
+      .option("deferMerge", "true") // index side commits merge-on-read
+      .option("checkpointLocation", ck())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = expectedState()
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the index serves exactly the latest-state keys of the probed band
+    val hits = graft.streaming.SecondaryIndex.lookupByIndex(spark,
+        replica, index, Seq("user_id"), $"event_id" % 7L, "band",
+        Seq(3L).toDF("band"))
+      .select($"user_id").collect().map(_.getLong(0)).toSet
+    assert(hits === want.filter(_._2 % 7 == 3).keySet)
+  }
+
   test("single-table envelope input parses under the registry schema") {
     val log = freshChangelog()
     val replica = Files.createTempDirectory("graft-sink-replica1").toString
