@@ -514,6 +514,30 @@ object TextAnalysisQueries {
         .limit(BpeTopK)
     },
 
+    // --- tokenizer fertility by language (multilingual cost audit) ------
+    // The standard multilingual tokenizer audit: per language, how many
+    // subword tokens the tokenizer spends per word and per 1000 chars —
+    // the fertility ratio that decides whether a language is
+    // over-segmented (and therefore over-billed in compute and
+    // under-served in context window). One per-row scan + one
+    // partial+final rollup; ratios in exact integer ppm/permil.
+    "llm_token_fertility" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"lang",
+          size(tokens($"text")).cast("long").as("w"),
+          subwordCost($"text").cast("long").as("sw"),
+          length($"text").cast("long").as("ch"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"w").as("n_words"),
+          sum($"sw").as("n_subwords"), sum($"ch").as("n_chars"))
+        .withColumn("fertility_ppm",
+          expr("n_subwords * 1000000 div n_words"))
+        .withColumn("subwords_per_kchar",
+          expr("n_subwords * 1000 div n_chars"))
+        .orderBy($"lang")
+    },
+
     // --- out-of-vocabulary rate (tokenizer coverage audit) --------------
     // The pre-training sanity check for a fixed vocabulary: build the
     // corpus top-K term vocab (count-ranked, term-ordered ties — a
@@ -962,6 +986,21 @@ object TextAnalysisQueries {
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
          |FROM p GROUP BY 1
          |ORDER BY 2 DESC, 1 LIMIT $BpeTopK""".stripMargin,
+
+    "llm_token_fertility" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS w,
+         |    CAST($subwordCostSql AS BIGINT) AS sw,
+         |    CAST(length(text) AS BIGINT) AS ch
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+         |  CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(sw) * 1000000 // sum(w) AS BIGINT) AS fertility_ppm,
+         |  CAST(sum(sw) * 1000 // sum(ch) AS BIGINT) AS subwords_per_kchar
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_oov_rate" ->
       s"""WITH tm AS (
