@@ -1390,6 +1390,12 @@ object CdcStream {
       require(legacyFlat.isEmpty,
         "deferMerge: flat-layout replicas must migrate via one eager merge")
       val prevSc = prev.flatMap(manifestSchema)
+      // a pre-schema manifest doesn't know its own union schema — a
+      // deferred commit would record the NET's (possibly narrower)
+      // columns and readers would silently drop stored ones
+      require(prev.isEmpty || prevSc.nonEmpty,
+        "deferMerge: this replica predates recorded schemas; run one " +
+          "eager merge first to upgrade its manifest")
       prevSc.foreach { ps =>
         if (ps.fieldNames.contains(Tombstone))
           throw new IllegalStateException(
@@ -1449,6 +1455,17 @@ object CdcStream {
     val touchedPaths = prevBuckets.collect {
       case (k, p) if touched(k) => s"$replicaDir/$p"
     }.toSeq.sorted
+    // tombstones (conditional merges) and pending deltas must never
+    // coexist ANYWHERE in one store: the deferred fold reads tombstoned
+    // rows as plain deletes and delta compaction rewrites live views —
+    // both would silently drop an unexpired tombstone's late-loser
+    // protection. Deferred commits already refuse tombstone-bearing
+    // schemas; the mirror guard refuses a conditional merge while any
+    // bucket holds deltas (compact first).
+    if (conditional.nonEmpty && prev.exists(_.deltas.nonEmpty))
+      throw new IllegalStateException(
+        s"replica $replicaDir: conditionalOrder cannot merge while " +
+          "merge-on-read deltas pend; run compactReplica first")
     val prevHasDeltas =
       prev.exists(_.deltas.keys.exists(touched))
     val base = legacyFlat match {
@@ -1458,9 +1475,6 @@ object CdcStream {
       // tombstone-free by construction, so live rows are the whole
       // stored state); the rewritten buckets drop their delta lists
       case None if prevHasDeltas =>
-        require(conditional.isEmpty,
-          "conditionalOrder cannot merge over pending merge-on-read " +
-            "deltas; compactReplica first")
         mergedBucketRead(spark, replicaDir, prev.get, touched)
           .getOrElse(upserts.limit(0))
       case None if touchedPaths.isEmpty => upserts.limit(0)
