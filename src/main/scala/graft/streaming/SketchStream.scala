@@ -233,4 +233,85 @@ object SketchStream {
           .otherwise(expr(
             s"(${SketchQueries.KmvK} - 1) * 4294967296L div h_k"))
           .as("distinct_est"))
+
+  // ------------------------------- streaming quantile-sketch twin
+  // The batch quantile sketch (`llm_quantile_sketch`) keeps each
+  // group's bottom-QskK rows by a deterministic row hash — a uniform
+  // sample that merges by union-then-truncate, the same law as KMV.
+  // So the streaming twin is mechanical: each micro-batch contributes
+  // its batch-local bottom-K, the live sample is the bottom-K of the
+  // union, and quantile estimates read off the merged sample by exact
+  // rank arithmetic. State: |groups|·K rows per batch dir, compacting
+  // to |groups|·K total — never value-distribution-sized.
+
+  /** One micro-batch's sample contribution: per group, its bottom-K
+    * rows by the md5-derived row hash. `rows` carries
+    * (source, doc_id, v).
+    */
+  def quantileOf(batch: DataFrame): DataFrame = {
+    val h = graft.llm.TextOps.hash32(
+      concat(lit("qsk:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
+    batch.select(col("source"), col("doc_id"), col("v"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SketchQueries.QskK)
+      .select(col("source"), col("doc_id"), col("v"), col("h"))
+  }
+
+  /** Marker-last batch append (same replay contract as the CMS/KMV
+    * twins: a re-served batch id is a no-op).
+    */
+  def maintainQuantile(sketchDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    new java.io.File(sketchDir).mkdirs()
+    val partDir = s"$sketchDir/batch=$batchId"
+    val marker = java.nio.file.Paths.get(partDir, "_complete")
+    if (java.nio.file.Files.exists(marker)) return
+    quantileOf(batch).write.mode("overwrite").parquet(partDir)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    ()
+  }
+
+  /** Union-then-truncate: bottom-K per group over the union of batch
+    * samples — the merge law shared by the read path and compaction.
+    */
+  private def quantileMerge(union: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
+    union.select(col("source"), col("doc_id"), col("v"), col("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SketchQueries.QskK)
+      .select(col("source"), col("doc_id"), col("v"), col("h"))
+  }
+
+  /** The live merged sample. */
+  def readQuantile(s: SparkSession, sketchDir: String): DataFrame =
+    quantileMerge(BatchDirState.readLive(s, sketchDir))
+
+  /** Fold batch samples into one |groups|·K table. */
+  def compactQuantile(s: SparkSession, sketchDir: String,
+      maxDirs: Int = 8): Unit =
+    BatchDirState.compact(s, sketchDir, maxDirs)(quantileMerge) {
+      (df, out) => df.write.parquet(out)
+    }
+
+  /** Decile estimates off the merged sample — percentile_disc
+    * semantics (value at rank ceil(q·n/10), 1-based), the same exact
+    * integer rank arithmetic as the batch operator.
+    */
+  def quantileEstimates(s: SparkSession, sketchDir: String): DataFrame = {
+    val samp = readQuantile(s, sketchDir)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("v").asc, col("doc_id").asc)
+    val ranked = samp.withColumn("rn", row_number().over(wv).cast("long"))
+    val pos = samp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        explode(sequence(lit(1L), lit(9L))).as("decile"), col("n"))
+      .withColumn("pos", expr("(decile * n + 9) div 10"))
+      .select(col("source"), col("decile"), col("pos"))
+    ranked.join(broadcast(pos), Seq("source"))
+      .filter(col("rn") === col("pos"))
+      .select(col("source"), col("decile"), col("v").as("est_v"))
+  }
 }

@@ -173,6 +173,38 @@ class SketchStreamSpec extends SparkSuite {
     }
   }
 
+  test("quantile: streamed batches merge to the one-shot sample; " +
+      "estimates match the batch operator; replay and compaction no-ops") {
+    val dir = freshDir()
+    val rows = graft.Tables(spark, sfDir).documents
+      .select($"source", $"doc_id", length($"text").cast("long").as("v"))
+    (0L to 2L).foreach { b =>
+      SketchStream.maintainQuantile(dir, rows.filter($"doc_id" % 3 === b), b)
+    }
+    def sample() = SketchStream.readQuantile(spark, dir)
+      .select($"source", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val streamed = sample()
+    // union-then-truncate law: streamed == one-shot bottom-K
+    val oneShot = SketchStream.quantileOf(rows)
+      .select($"source", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(streamed == oneShot)
+    // decile estimates equal the batch operator's est_v column
+    val est = SketchStream.quantileEstimates(spark, dir)
+      .select($"source", $"decile", $"est_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val batchEst = graft.SparkEntry.queries("llm_quantile_sketch")(spark, sfDir)
+      .select($"source", $"decile", $"est_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(est == batchEst)
+    // replay + compaction leave the sample bit-identical
+    SketchStream.maintainQuantile(dir, rows.filter($"doc_id" % 3 === 0), 0L)
+    assert(sample() == streamed)
+    SketchStream.compactQuantile(spark, dir, maxDirs = 2)
+    assert(sample() == streamed)
+  }
+
   test("estimates from the streamed sketch equal the batch operator's") {
     val dir = freshDir()
     SketchStream.maintainCms(dir, terms.filter($"doc_id" % 3 === 0), 0L)
