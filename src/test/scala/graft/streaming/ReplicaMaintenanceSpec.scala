@@ -255,6 +255,44 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     assert(leftover.isEmpty, leftover.map(_.getName).mkString(","))
   }
 
+  test("concurrent DEFERRED writers: losers retry, every delta commit " +
+      "survives, the fold sees all of them") {
+    val dir = freshDir()
+    val writers = 4
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (0 until writers).map { w =>
+      Future {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          assert(attempts <= 40, s"writer $w starved")
+          try {
+            CdcStream.applyBatchToReplica(dir,
+              batch(Seq((w.toLong, s"w$w", "update"))).coalesce(1),
+              idCols = Seq("id"), orderCols = Seq(col("v")),
+              deferMerge = true)
+            done = true
+          } catch {
+            case _: CdcStream.ConcurrentReplicaWriteException => () // retry
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 180.seconds)
+    assert(content(dir) == (0 until writers).map(w => (w.toLong, s"w$w")))
+    // every commit was deferred: manifests chained the delta lists
+    // without losing a predecessor's entries
+    val leftover = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".staging-") ||
+        f.getName == ".commit-lock")
+    assert(leftover.isEmpty, leftover.map(_.getName).mkString(","))
+    CdcStream.compactReplica(spark, dir)
+    assert(content(dir) == (0 until writers).map(w => (w.toLong, s"w$w")))
+  }
+
   test("manifest records the union schema; evolution widens it") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
