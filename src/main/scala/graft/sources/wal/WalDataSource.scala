@@ -154,7 +154,14 @@ final case class WalSourceConf(
       * charsets and the session zone for raw temporal cells.
       */
     fieldDecode: Map[String, String],
-    sessionTimeZone: String) extends Serializable
+    sessionTimeZone: String,
+    /** Reference `startTime` (MLSQLHBaseWALDataSource / HBaseWALClient):
+      * WAL entries whose write time predates this epoch-ms instant are
+      * dropped AT THE SOURCE. Offsets stay position-intact — filtered
+      * records still advance the position, exactly like the redaction
+      * skip path — so checkpoints and manifest counts are unaffected.
+      */
+    startTimeMs: Option[Long]) extends Serializable
 
 object WalSourceConf {
   def apply(options: CaseInsensitiveStringMap): WalSourceConf = {
@@ -175,7 +182,8 @@ object WalSourceConf {
         .filter(_._1.toLowerCase.startsWith("binlog.field.decode."))
         .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
       sessionTimeZone =
-        Option(options.get("sessionTimeZone")).getOrElse("UTC"))
+        Option(options.get("sessionTimeZone")).getOrElse("UTC"),
+      startTimeMs = Option(options.get("startTime")).map(_.toLong))
   }
 }
 
@@ -478,7 +486,11 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
         }
       }
       private val raw = ChangelogFiles.readRange(file, p.fromPos, p.untilPos)
-      private val cells = raw.filter(r => r.op == "put" || r.op == "delete")
+      // startTime filters BEFORE cell grouping: a mutation's cells share
+      // one timestamp, so the cut can never split a mutation
+      private val cells = raw.filter(r =>
+        (r.op == "put" || r.op == "delete") &&
+          conf.startTimeMs.forall(r.tsMillis >= _))
       // T5 read-path cell grouping: fold consecutive records that share
       // (rowkey, op, timestamp) into ONE mutation, merging their cells —
       // the reference reassembles mutations from per-cell WAL entries

@@ -45,6 +45,32 @@ class WalSourceSpec extends SparkSuite {
     assert(evs.count(_.eventType == "delete") === nDeletes)
   }
 
+  test("startTime drops older entries at the source, offsets intact") {
+    val all = spark.read.format("graft-wal").option("path", dir).load()
+      .select("value").as[String].collect().map(EnvelopeCodec.parse)
+    // cut at the median event time: strictly between min and max
+    val ts = all.map(_.timestamp).sorted
+    val cut = ts(ts.length / 2)
+    val kept = spark.read.format("graft-wal").option("path", dir)
+      .option("startTime", cut.toString)
+      .load().select("value").as[String].collect().map(EnvelopeCodec.parse)
+    assert(kept.nonEmpty && kept.length < all.length)
+    assert(kept.forall(_.timestamp >= cut))
+    assert(kept.length === all.count(_.timestamp >= cut))
+    // the filter is source-side, not offset-side: surviving records
+    // keep the exact offsets they had in the unfiltered read
+    val unfilteredOffsets = all.filter(_.timestamp >= cut).map(_.offset).sorted
+    assert(kept.map(_.offset).sorted.toSeq === unfilteredOffsets.toSeq)
+    // a streaming read under the same option sees the same record set
+    val ck = Files.createTempDirectory("ck").toString
+    val q = spark.readStream.format("graft-wal").option("path", dir)
+      .option("startTime", cut.toString)
+      .load().writeStream.format("memory").queryName("wal_start_time")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("wal_start_time").count() === kept.length.toLong)
+  }
+
   test("in-place redaction erases rowkeys from every region with offsets intact") {
     // private copy: redaction mutates the files
     val d2 = Files.createTempDirectory("graft-wal-redact").toString
