@@ -61,57 +61,88 @@ object WalDataSource {
     */
   val ArchiveSubDir = "oldWALs"
 
+  /** The archive root: the reference's `oldWALLogPath` option when
+    * given (an absolute directory, possibly outside the WAL root —
+    * HBase keeps `oldWALs` beside, not inside, the live dirs), else
+    * `<root>/oldWALs`.
+    */
+  def archiveRoot(root: String, oldWalLogPath: Option[String]): String =
+    oldWalLogPath.getOrElse(s"$root/$ArchiveSubDir")
+
   /** Region sub-dirs under the WAL root (live ∪ archived), sorted for
     * determinism (W2). A region whose files were ALL archived still
     * lists — its records remain addressable.
     */
-  def listRegions(dir: String): Seq[String] = {
+  def listRegions(dir: String,
+      oldWalLogPath: Option[String] = None): Seq[String] = {
     def subDirs(d: String): Seq[String] = {
       val f = new java.io.File(d)
       Option(f.listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory).map(_.getName).toSeq
     }
     (subDirs(dir).filterNot(_ == ArchiveSubDir) ++
-      subDirs(s"$dir/$ArchiveSubDir")).distinct.sorted
+      subDirs(archiveRoot(dir, oldWalLogPath))).distinct.sorted
   }
 
   /** One region's log files across the live dir and the archive,
     * id-sorted; on an id present in both (mid-move race), the LIVE copy
     * wins. The region's manifest stays in the live dir.
     */
-  def regionFiles(root: String, region: String,
-      prefix: String): Seq[(Long, java.io.File)] = {
+  def regionFiles(root: String, region: String, prefix: String,
+      oldWalLogPath: Option[String] = None): Seq[(Long, java.io.File)] = {
     val live = ChangelogFiles.listFiles(s"$root/$region", prefix)
     val liveIds = live.map(_._1).toSet
     val archived = ChangelogFiles
-      .listFiles(s"$root/$ArchiveSubDir/$region", prefix)
+      .listFiles(s"${archiveRoot(root, oldWalLogPath)}/$region", prefix)
       .filterNot { case (id, _) => liveIds.contains(id) }
     (live ++ archived).sortBy(_._1)
   }
 
-  /** True when `f` lives under `<root>/oldWALs/<region>/` — files are
+  /** True when `f` lives under `<archive>/<region>/` — files are
     * only moved there AFTER rotation, so residence in the archive is
     * itself a completeness proof for grouping-mode alignment.
     */
-  def isArchived(f: java.io.File): Boolean =
-    Option(f.getParentFile).flatMap(r => Option(r.getParentFile))
-      .exists(_.getName == ArchiveSubDir)
+  def isArchived(f: java.io.File,
+      oldWalLogPath: Option[String] = None): Boolean =
+    oldWalLogPath match {
+      case Some(a) =>
+        Option(f.getParentFile).flatMap(r => Option(r.getParentFile))
+          .exists(_.getCanonicalPath == new java.io.File(a).getCanonicalPath)
+      case None =>
+        Option(f.getParentFile).flatMap(r => Option(r.getParentFile))
+          .exists(_.getName == ArchiveSubDir)
+    }
 
   /** The other location a WAL file can legally be: live ↔ archived.
     * Used to tolerate a file moving between the driver's listing (or
-    * partition planning) and the open — the mid-move race.
+    * partition planning) and the open — the mid-move race. With an
+    * external archive the mapping needs both roots.
     */
-  def twinPath(path: String): String = {
+  def twinPath(path: String, root: Option[String] = None,
+      oldWalLogPath: Option[String] = None): String = {
     val f = new java.io.File(path)
     val region = f.getParentFile
-    val parent = if (region == null) null else region.getParentFile
-    if (region == null || parent == null) path
-    else if (parent.getName == ArchiveSubDir) // archived → live
-      new java.io.File(
-        new java.io.File(parent.getParentFile, region.getName), f.getName).getPath
-    else // live → archived
-      new java.io.File(new java.io.File(
-        new java.io.File(parent, ArchiveSubDir), region.getName), f.getName).getPath
+    (root, oldWalLogPath) match {
+      case (Some(r), Some(a)) if region != null &&
+          Option(region.getParentFile).exists(
+            _.getCanonicalPath == new java.io.File(a).getCanonicalPath) =>
+        // archived → live
+        new java.io.File(new java.io.File(r, region.getName), f.getName).getPath
+      case (Some(r), Some(a)) if region != null &&
+          Option(region.getParentFile).exists(
+            _.getCanonicalPath == new java.io.File(r).getCanonicalPath) =>
+        // live → archived
+        new java.io.File(new java.io.File(a, region.getName), f.getName).getPath
+      case _ =>
+        val parent = if (region == null) null else region.getParentFile
+        if (region == null || parent == null) path
+        else if (parent.getName == ArchiveSubDir) // archived → live
+          new java.io.File(
+            new java.io.File(parent.getParentFile, region.getName), f.getName).getPath
+        else // live → archived
+          new java.io.File(new java.io.File(
+            new java.io.File(parent, ArchiveSubDir), region.getName), f.getName).getPath
+    }
   }
 }
 
@@ -161,7 +192,12 @@ final case class WalSourceConf(
       * records still advance the position, exactly like the redaction
       * skip path — so checkpoints and manifest counts are unaffected.
       */
-    startTimeMs: Option[Long]) extends Serializable
+    startTimeMs: Option[Long],
+    /** Reference `oldWALLogPath`: an EXTERNAL archive root for rotated
+      * files (HBase keeps `oldWALs` beside the live dirs, not inside);
+      * unset = the in-root `<root>/oldWALs` layout.
+      */
+    oldWalLogPath: Option[String]) extends Serializable
 
 object WalSourceConf {
   def apply(options: CaseInsensitiveStringMap): WalSourceConf = {
@@ -183,7 +219,8 @@ object WalSourceConf {
         .map { case (k, v) => "binlog.field.decode." + k.drop(20) -> v },
       sessionTimeZone =
         Option(options.get("sessionTimeZone")).getOrElse("UTC"),
-      startTimeMs = Option(options.get("startTime")).map(_.toLong))
+      startTimeMs = Option(options.get("startTime")).map(_.toLong),
+      oldWalLogPath = Option(options.get("oldWALLogPath")))
   }
 }
 
@@ -222,10 +259,10 @@ final class WalMicroBatchStream(conf: WalSourceConf)
 
   private def regionDir(r: String): String = s"${conf.dir}/$r"
   private def files(r: String): Seq[(Long, java.io.File)] =
-    WalDataSource.regionFiles(conf.dir, r, conf.prefix)
+    WalDataSource.regionFiles(conf.dir, r, conf.prefix, conf.oldWalLogPath)
 
   override def initialOffset(): Offset =
-    WalOffset(WalDataSource.listRegions(conf.dir).map { r =>
+    WalOffset(WalDataSource.listRegions(conf.dir, conf.oldWalLogPath).map { r =>
       r -> ChangelogFiles.earliestOffsetOf(files(r)).packed
     }.toMap)
 
@@ -269,7 +306,7 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     // residence in the archive itself (files only move there after
     // rotation) — without the last two, a fully-archived region whose
     // live dir was cleaned up would defer its final mutation forever
-    val fileComplete = laterFileExists || WalDataSource.isArchived(f) ||
+    val fileComplete = laterFileExists || WalDataSource.isArchived(f, conf.oldWalLogPath) ||
       ChangelogFiles.manifest(regionDir).get(f.getName).exists(_.length == f.length) ||
       ChangelogFiles.manifest(f.getParent).get(f.getName).exists(_.length == f.length)
     val atEof = end.pos > n
@@ -319,7 +356,7 @@ final class WalMicroBatchStream(conf: WalSourceConf)
     val startMap = start.asInstanceOf[WalOffset].regions
     // regions discovered now ∪ regions already tracked (a region dir
     // disappearing must not drop its checkpointed offset)
-    val regions = (WalDataSource.listRegions(conf.dir) ++ startMap.keys).distinct.sorted
+    val regions = (WalDataSource.listRegions(conf.dir, conf.oldWalLogPath) ++ startMap.keys).distinct.sorted
     val regionFs = regions.map(r => r -> files(r)).toMap
     val froms = regions.map { r =>
       r -> startMap.get(r)
@@ -367,9 +404,9 @@ final class WalMicroBatchStream(conf: WalSourceConf)
 
 final class WalBatch(conf: WalSourceConf) extends Batch {
   private def full: (WalOffset, WalOffset) = {
-    val regions = WalDataSource.listRegions(conf.dir)
+    val regions = WalDataSource.listRegions(conf.dir, conf.oldWalLogPath)
     val fs = regions.map(r =>
-      r -> WalDataSource.regionFiles(conf.dir, r, conf.prefix)).toMap
+      r -> WalDataSource.regionFiles(conf.dir, r, conf.prefix, conf.oldWalLogPath)).toMap
     (WalOffset(regions.map(r =>
        r -> ChangelogFiles.earliestOffsetOf(fs(r)).packed).toMap),
      WalOffset(regions.map(r =>
@@ -397,7 +434,7 @@ object WalPartitioning {
       end: WalOffset): Array[InputPartition] = {
     end.regions.toSeq.sortBy(_._1).flatMap { case (region, endPacked) =>
       val regionDir = s"${conf.dir}/$region" // manifest home (live dir)
-      val files = WalDataSource.regionFiles(conf.dir, region, conf.prefix)
+      val files = WalDataSource.regionFiles(conf.dir, region, conf.prefix, conf.oldWalLogPath)
       val startOff = start.regions.get(region)
         .map(BinlogOffset.unpack)
         .getOrElse(ChangelogFiles.earliestOffsetOf(files))
@@ -481,7 +518,7 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
         val f = new java.io.File(p.filePath)
         if (f.exists()) f
         else {
-          val twin = new java.io.File(WalDataSource.twinPath(p.filePath))
+          val twin = new java.io.File(WalDataSource.twinPath(p.filePath, Some(conf.dir), conf.oldWalLogPath))
           if (twin.exists()) twin else f // let the original error surface
         }
       }

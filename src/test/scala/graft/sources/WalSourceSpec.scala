@@ -534,6 +534,40 @@ class WalSourceSpec extends SparkSuite {
       s"/w/$ArchiveSubDir/region-1/graft-bin.000001")
     assert(twinPath(s"/w/$ArchiveSubDir/region-1/graft-bin.000001") ===
       "/w/region-1/graft-bin.000001")
+    // external archive (the reference's oldWALLogPath): both directions
+    assert(twinPath("/w/region-1/graft-bin.000001",
+      Some("/w"), Some("/arch")) === "/arch/region-1/graft-bin.000001")
+    assert(twinPath("/arch/region-1/graft-bin.000001",
+      Some("/w"), Some("/arch")) === "/w/region-1/graft-bin.000001")
+  }
+
+  test("oldWALLogPath: an external archive root serves rotated files " +
+      "with offsets intact") {
+    val root = Files.createTempDirectory("wal-ext").toString
+    val arch = Files.createTempDirectory("wal-ext-arch").toString
+    WalGenerator.generate(Tables(spark, sfDir).events.limit(60), root,
+      numRegions = 2, recordsPerFile = 10)
+    val before = spark.read.format("graft-wal").option("path", root)
+      .option("oldWALLogPath", arch)
+      .load().select("value").as[String].collect().map(EnvelopeCodec.parse)
+    // rotate one region's FIRST file into the EXTERNAL archive
+    val region = WalDataSource.listRegions(root).head
+    val f = ChangelogFiles.listFiles(s"$root/$region").head._2
+    val dest = new java.io.File(s"$arch/$region")
+    dest.mkdirs()
+    java.nio.file.Files.move(f.toPath,
+      new java.io.File(dest, f.getName).toPath)
+    val after = spark.read.format("graft-wal").option("path", root)
+      .option("oldWALLogPath", arch)
+      .load().select("value").as[String].collect().map(EnvelopeCodec.parse)
+    assert(after.length === before.length)
+    assert(after.map(_.offset).sorted.toSeq ===
+      before.map(_.offset).sorted.toSeq)
+    // without the option the moved file is invisible (the in-root
+    // archive layout knows nothing of the external dir)
+    val blind = spark.read.format("graft-wal").option("path", root)
+      .load().count()
+    assert(blind < before.length.toLong)
   }
 
   test("plan emits at least one partition per non-empty region") {
