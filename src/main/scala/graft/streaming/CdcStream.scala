@@ -858,6 +858,40 @@ object CdcStream {
       cur.map(_._2))
   }
 
+  /** Metadata-driven maintenance policy — the call a `foreachBatch`
+    * sink makes after every commit, cheap until it trips. Decides from
+    * the CURRENT manifest alone (O(manifest), no data read):
+    *
+    *  - pending merge-on-read delta chains are HEALTHY below
+    *    `maxDeltas` — folding them eagerly would defeat the deferred
+    *    write's latency win — and trip a compaction once any bucket's
+    *    chain reaches the threshold (the fold cost readers pay grows
+    *    with chain length);
+    *  - without pending deltas, delegate to [[compactReplica]]'s own
+    *    fragmentation / carried-over / tombstone-horizon logic (which
+    *    no-ops cheaply on a healthy store).
+    *
+    * Returns true when a compaction actually committed a new version.
+    */
+  def maintainReplica(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, maxDeltas: Int = 8,
+      targetFilesPerBucket: Int = 1,
+      tombstoneHorizon: Option[Column] = None): Boolean = {
+    currentVersion(replicaDir) match {
+      case None => false
+      case Some((v, name)) =>
+        val m = readManifest(replicaDir, name)
+        val chains = m.map(_.deltas.values.map(_.size))
+          .getOrElse(Iterable.empty)
+        if (chains.nonEmpty && chains.max < maxDeltas) false
+        else {
+          compactReplica(spark, replicaDir, targetFilesPerBucket,
+            tombstoneHorizon)
+          currentVersion(replicaDir).exists(_._1 > v)
+        }
+    }
+  }
+
   /** ONLINE BUCKET-COUNT MIGRATION (the HBase region-split / Kafka
     * partition-expansion analog for the replica store). The bucket
     * count is pinned at replica creation — correct for routing, but a

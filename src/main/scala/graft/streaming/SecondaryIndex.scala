@@ -65,7 +65,8 @@ object SecondaryIndex {
       deferIndexMerge: Boolean = false,
       numBuckets: Int = CdcStream.DefaultReplicaBuckets,
       watermark: Option[Long] = None,
-      recordChanges: Boolean = false): Unit = {
+      recordChanges: Boolean = false,
+      deferPrimaryMerge: Boolean = false): Unit = {
     val orderCols = orderColNames.map(col)
     // materialize the per-key net ONCE: the old-value read, the primary
     // merge, and the index batch all derive from it — each would
@@ -81,10 +82,13 @@ object SecondaryIndex {
         .map(_.select(idCols.map(col) :+ idxExpr.as("__old_idx"): _*))
       // the net IS the batch's last-op-per-key — merging it is
       // equivalent to merging the batch (and its inner net pass is a
-      // window over delta-sized rows)
+      // window over delta-sized rows). The primary may defer too: the
+      // old-value read above already resolved against the pre-commit
+      // fold, and the NEXT batch's old-value read folds this commit's
+      // delta like any reader.
       CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
         numBuckets = numBuckets, watermark = watermark,
-        recordChanges = recordChanges)
+        recordChanges = recordChanges, deferMerge = deferPrimaryMerge)
       val n = net.withColumn("__new_idx",
         when(col(opCol) =!= "delete", idxExpr))
       val j = oldIdx match {

@@ -127,6 +127,24 @@ class MergeOnReadSpec extends SparkSuite {
       .forall(_.isEmpty))
   }
 
+  test("maintainReplica folds only when a delta chain reaches the threshold") {
+    val dir = freshDir()
+    applyDefer(dir, (0L until 8L).map(i => (i, s"a$i", 1L, "update")))
+    applyDefer(dir, Seq((1L, "a1b", 2L, "update")))
+    val v2 = CdcStream.replicaVersions(dir).max
+    // chains of length ≤2 are healthy under maxDeltas=3: no fold
+    assert(!CdcStream.maintainReplica(spark, dir, maxDeltas = 3))
+    assert(CdcStream.replicaVersions(dir).max == v2)
+    assert(manifestJson(dir).contains("\"deltas\""))
+    // a third layer on key 1's bucket trips the threshold
+    applyDefer(dir, Seq((1L, "a1c", 3L, "update")))
+    assert(CdcStream.maintainReplica(spark, dir, maxDeltas = 3))
+    assert(!manifestJson(dir).contains("\"deltas\""))
+    assert(content(dir).contains((1L, "a1c")))
+    // compact store: policy is a cheap no-op
+    assert(!CdcStream.maintainReplica(spark, dir, maxDeltas = 3))
+  }
+
   test("a deferred commit on a tombstone-bearing replica refuses") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,

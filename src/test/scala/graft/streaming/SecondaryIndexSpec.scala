@@ -51,10 +51,15 @@ class SecondaryIndexSpec extends SparkSuite {
 
   test("deferred index merges serve the same lookups through the fold") {
     val (p, ix) = (freshDir(), freshDir())
-    apply1(p, ix, Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update")),
-      defer = true)
-    apply1(p, ix, Seq((1L, "lima", 2L, "update"), (2L, "lima", 2L, "delete"),
-      (3L, "oslo", 2L, "update")), defer = true)
+    // defer BOTH sides: the second batch's old-value read must fold the
+    // primary's pending delta or stale-pointer detection breaks
+    def applyBoth(rows: Seq[(Long, String, Long, String)]): Unit =
+      SecondaryIndex.applyBatchWithIndex(spark, p, ix, batch(rows),
+        Seq("id"), Seq("seq"), col("city"), "city",
+        deferIndexMerge = true, deferPrimaryMerge = true)
+    applyBoth(Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update")))
+    applyBoth(Seq((1L, "lima", 2L, "update"), (2L, "lima", 2L, "delete"),
+      (3L, "oslo", 2L, "update")))
     // index commits were delta-only
     val dirs = new java.io.File(ix).listFiles()
       .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}"))
