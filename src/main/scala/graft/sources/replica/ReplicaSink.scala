@@ -144,7 +144,13 @@ final case class ReplicaSinkConfig(
     conditionalOrder: Boolean = false,
     deferMerge: Boolean = false,
     indexColumn: Option[String] = None,
-    indexPath: Option[String] = None) {
+    indexPath: Option[String] = None,
+    /** When set, run [[CdcStream.maintainReplica]] after each commit:
+      * merge-on-read delta chains fold once any bucket's chain reaches
+      * this length — the self-maintaining deferred sink. O(manifest)
+      * no-op until the policy trips.
+      */
+    autoCompactDeltas: Option[Int] = None) {
 
   val isFanOut: Boolean = path.contains("{db}") || path.contains("{table}")
 
@@ -186,7 +192,8 @@ object ReplicaSinkConfig {
       conditionalOrder = opt("conditionalOrder").exists(_.toBoolean),
       deferMerge = opt("deferMerge").exists(_.toBoolean),
       indexColumn = opt("indexColumn"),
-      indexPath = opt("indexPath"))
+      indexPath = opt("indexPath"),
+      autoCompactDeltas = opt("autoCompactDeltas").map(_.toInt))
     if (cfg.isFanOut) {
       require(cfg.schemaRegistry.nonEmpty,
         "graft-replica: fan-out paths ({db}/{table}) require 'schemaRegistry' " +
@@ -303,6 +310,7 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       else Option(parsed.select(max(col("ts_ms")).as("wm")).head().get(0))
         .map(_.asInstanceOf[Long])
     applyMaybeIndexed(parsed, ids, watermark)
+    autoMaintain(parsed.sparkSession)
     markCommitted(cfg.path, batchId)
   }
 
@@ -318,8 +326,23 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       if (v.isNullAt(0)) Long.MinValue else v.getLong(0)
     }.filter(_ != Long.MinValue)
     applyMaybeIndexed(df, ids, watermark)
+    autoMaintain(df.sparkSession)
     markCommitted(cfg.path, batchId)
   }
+
+  /** Post-commit policy maintenance (opt-in): fold delta chains past
+    * the configured length on the primary and, when present, the
+    * secondary index. Runs BEFORE the batch marker so a crash inside
+    * maintenance re-runs it with the batch — compaction is idempotent
+    * (content-identical), so the replay converges.
+    */
+  private def autoMaintain(spark: org.apache.spark.sql.SparkSession): Unit =
+    cfg.autoCompactDeltas.foreach { n =>
+      CdcStream.maintainReplica(spark, cfg.path, maxDeltas = n)
+      cfg.indexPath.foreach(ix =>
+        CdcStream.maintainReplica(spark, ix, maxDeltas = n))
+      ()
+    }
 
   /** Primary merge, with synchronized secondary-index maintenance when
     * `indexColumn`/`indexPath` are configured. Replays converge: if a

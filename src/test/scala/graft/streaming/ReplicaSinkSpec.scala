@@ -115,6 +115,40 @@ class ReplicaSinkSpec extends SparkSuite {
     }
   }
 
+  test("autoCompactDeltas keeps the deferred sink's chains bounded") {
+    val log = freshChangelog()
+    val replica = Files.createTempDirectory("graft-sink-auto").toString
+    val raw = spark.readStream.format("graft-binlog")
+      .option("path", log)
+      .option("maxEventsPerTrigger", "120") // many micro-batches
+      .load()
+    val rowSchema = graft.queries.SourceQueries.eventsRowSchema
+    val q = CdcStream.parsed(raw, rowSchema)
+      .select($"user_id", $"event_id", $"ts_ms", $"op")
+      .writeStream.format("graft-replica")
+      .option("path", replica)
+      .option("keys", "user_id")
+      .option("orderColumns", "ts_ms,event_id")
+      .option("deferMerge", "true")
+      .option("autoCompactDeltas", "3")
+      .option("checkpointLocation", ck())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // ≥8 deferred commits happened, but no bucket's pending chain may
+    // ever have passed the fold threshold
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replica, "CURRENT")).trim
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replica, cur, "manifest.json"))
+    val chains = "\"\\d+\":\\[[^\\]]*\\]".r.findAllIn(manifest)
+      .map(_.count(_ == ',') + 1).toSeq
+    assert(chains.forall(_ <= 3), s"chains=$chains")
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expectedState())
+  }
+
   test("indexColumn through the sink: a value index tracks the stream " +
       "and serves pruned lookups") {
     val log = freshChangelog()
