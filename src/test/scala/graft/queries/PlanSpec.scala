@@ -573,6 +573,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("hot relational paths stay inside whole-stage codegen") {
+    for (q <- Seq("q1_pricing_summary", "q2_brand_revenue", "q6_forecast_revenue")) {
+      assert(plan(q).contains("WholeStageCodegen"),
+        s"$q fell out of codegen")
+    }
+  }
+
   test("q55: the gap-fill grid joins keyed, never a cartesian against events") {
     val p = plan("q55_gapfill")
     // the grid itself is built by one (intentional) schedule-sized
