@@ -574,9 +574,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("hot relational paths stay inside whole-stage codegen") {
+    // codegen stages only appear once AQE finalizes: execute, then
+    // inspect the final plan (stages carry the "*(n)" prefix)
     for (q <- Seq("q1_pricing_summary", "q2_brand_revenue", "q6_forecast_revenue")) {
-      assert(plan(q).contains("WholeStageCodegen"),
-        s"$q fell out of codegen")
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // count() would plan a DIFFERENT QueryExecution
+      val p = df.queryExecution.executedPlan.toString
+      assert("\\*\\(\\d+\\)".r.findFirstIn(p).nonEmpty,
+        s"$q fell out of codegen\n${p.take(800)}")
     }
   }
 
