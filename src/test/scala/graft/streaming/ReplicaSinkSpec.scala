@@ -102,6 +102,12 @@ class ReplicaSinkSpec extends SparkSuite {
       .select($"user_id", $"event_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expectedState())
+    // the registered READ format folds pending deltas transparently
+    val viaFormat = spark.read.format("graft-replica")
+      .option("path", replica).load()
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFormat === expectedState())
     CdcStream.compactReplica(spark, replica)
     val after = CdcStream.readReplica(spark, replica).get
       .select($"user_id", $"event_id")
