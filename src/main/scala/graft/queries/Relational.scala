@@ -41,6 +41,31 @@ object Relational {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
 
+    // --- q56: the literal spark.sql(...) entry path ----------------------
+    // Everything else on this surface declares plans through the
+    // DataFrame API; this one hands Catalyst RAW SQL TEXT with a
+    // correlated EXISTS and a correlated scalar subquery — the two
+    // decorrelations q4/q50/q51 perform BY HAND — and lets the
+    // optimizer do the rewriting (EXISTS → left-semi join, scalar
+    // subquery → aggregate join-back). Same engine, second front door:
+    // a reference user migrating SQL text verbatim gets the same plans
+    // the DataFrame surface builds. The oracle runs the identical text.
+    "q56_sql_entry" -> { (s, dir) =>
+      Tables(s, dir).orders.createOrReplaceTempView("v_orders")
+      Tables(s, dir).lineitem.createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM v_orders o
+          |WHERE EXISTS (
+          |    SELECT 1 FROM v_lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+          |  AND o.o_totalprice * 2 > (
+          |    SELECT max(o2.o_totalprice) FROM v_orders o2
+          |    WHERE o2.o_orderstatus = o.o_orderstatus)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // --- q2: fact ⋈ broadcast dim, aggregate by dim attribute -----------
     "q2_brand_revenue" -> { (s, dir) =>
       import s.implicits._
@@ -669,6 +694,18 @@ object Relational {
   private val rev = s"l_extendedprice * (1.0 - l_discount)"
 
   val oracles: Map[String, String] = Map(
+    "q56_sql_entry" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders o
+         |WHERE EXISTS (
+         |    SELECT 1 FROM lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+         |  AND o.o_totalprice * 2 > (
+         |    SELECT max(o2.o_totalprice) FROM orders o2
+         |    WHERE o2.o_orderstatus = o.o_orderstatus)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  sum(l_quantity) AS sum_qty,
