@@ -127,6 +127,24 @@ class MergeOnReadSpec extends SparkSuite {
       .forall(_.isEmpty))
   }
 
+  test("watermark time travel folds each version's pending deltas") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a", 1L, "update"), (2L, "b", 1L, "update"))),
+      Seq("id"), Seq(col("seq")), watermark = Some(10L), deferMerge = true)
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a2", 2L, "update"), (3L, "c", 2L, "update"))),
+      Seq("id"), Seq(col("seq")), watermark = Some(20L), deferMerge = true)
+    def at(wm: Long): Seq[(Long, String)] =
+      CdcStream.readReplicaAtWatermark(spark, dir, wm).get
+        .select($"id", $"v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(at(15L) == Seq((1L, "a"), (2L, "b")),
+      "watermark 15 must serve v1's fold (one delta layer)")
+    assert(at(25L) == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(CdcStream.replicaWatermark(dir, 1L) == Some(10L))
+  }
+
   test("maintainReplica folds only when a delta chain reaches the threshold") {
     val dir = freshDir()
     applyDefer(dir, (0L until 8L).map(i => (i, s"a$i", 1L, "update")))
