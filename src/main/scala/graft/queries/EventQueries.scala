@@ -524,6 +524,35 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: COVERED index lookup (projected attributes) ----------------
+    // The DynamoDB projected-attributes read: the index entries carry
+    // the queried columns themselves, so a value probe is ONE index
+    // bucket read — the primary is never touched. The build (shared
+    // artifact) maintains the index with includeCols; the timed op is
+    // the covered probe. At 100 TB this is the difference between one
+    // bucket's files and one bucket + a key-pruned primary fan-out —
+    // the trade being index storage (entries carry the projection) and
+    // the loss of read-repair, both the same trades DynamoDB documents.
+    "cdc_gsi_covered" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      val root = graft.llm.IndexArtifacts.cachedPath(dir, "gsi-covered",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        SecondaryIndex.applyBatchWithIndex(s, s"$out/primary", s"$out/index",
+          ev, Seq("user_id"), Seq("ms", "event_id"),
+          expr("value_cents div 1000"), "band",
+          includeCols = Seq("value_cents"))
+      }
+      SecondaryIndex.lookupCovered(s, s"$root/index", "band",
+          Seq(5L, 6L).toDF("band"))
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: compliance erasure (right-to-be-forgotten) -----------------
     // Erasure is NOT a delete event: it rewrites history so the keys
     // stop being readable from the live state, historical bucket
@@ -1466,6 +1495,17 @@ object EventQueries {
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
+
+    "cdc_gsi_covered" ->
+      s"""SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (5, 6)
          |ORDER BY user_id""".stripMargin,
 
     "cdc_secondary_index" ->

@@ -66,7 +66,8 @@ object SecondaryIndex {
       numBuckets: Int = CdcStream.DefaultReplicaBuckets,
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
-      deferPrimaryMerge: Boolean = false): Unit = {
+      deferPrimaryMerge: Boolean = false,
+      includeCols: Seq[String] = Nil): Unit = {
     val orderCols = orderColNames.map(col)
     // materialize the per-key net ONCE: the old-value read, the primary
     // merge, and the index batch all derive from it — each would
@@ -96,7 +97,10 @@ object SecondaryIndex {
         case None => n.withColumn("__old_idx", lit(null).cast(
           n.select(idxExpr).schema.head.dataType))
       }
-      val carry = idCols ++ orderColNames
+      // includeCols makes the index COVERING (the DynamoDB projected-
+      // attributes shape): the listed batch columns are stored in the
+      // index entry, so [[lookupCovered]] answers from the index alone
+      val carry = (idCols ++ orderColNames ++ includeCols).distinct
       // stale pointer removal: value moved, or the key was deleted
       val dels = j.filter(col("__old_idx").isNotNull &&
           (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
@@ -150,4 +154,22 @@ object SecondaryIndex {
   private def emptyLike(spark: SparkSession, e: DataFrame,
       idCols: Seq[String], idxName: String): DataFrame =
     e.select((idxName +: idCols).map(col): _*).limit(0)
+
+  /** COVERED equality lookup: answer entirely from the index — one
+    * bucket read, the primary untouched (the DynamoDB projected-
+    * attributes read). Valid when the index was maintained with
+    * `includeCols` carrying every column the caller needs. Trade
+    * against [[lookupByIndex]]: no read-repair — under the
+    * synchronized-maintenance contract (sink marker after both
+    * commits; replays converge) the index is exact, but a reader
+    * racing the crash window between the two commits can observe one
+    * batch of staleness that the verified lookup would have repaired.
+    */
+  def lookupCovered(
+      spark: SparkSession,
+      indexDir: String,
+      idxName: String,
+      values: DataFrame): DataFrame =
+    CdcStream.readReplicaForKeys(spark, indexDir, Seq(idxName), values)
+      .getOrElse(values.limit(0))
 }

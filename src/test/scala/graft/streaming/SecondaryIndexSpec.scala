@@ -73,6 +73,26 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(lookup(p, ix, "lima") == Seq(1L))
   }
 
+  test("covered lookups answer from the index alone and track value moves") {
+    val (p, ix) = (freshDir(), freshDir())
+    def applyCov(rows: Seq[(Long, String, Long, String)]): Unit =
+      SecondaryIndex.applyBatchWithIndex(spark, p, ix, batch(rows),
+        Seq("id"), Seq("seq"), col("city"), "city",
+        includeCols = Seq("seq"))
+    applyCov(Seq((1L, "oslo", 1L, "update"), (2L, "oslo", 1L, "update")))
+    // key 1 moves city AND its covered seq advances; key 2 dies
+    applyCov(Seq((1L, "lima", 2L, "update"), (2L, "oslo", 2L, "delete")))
+    def covered(city: String): Seq[(Long, Long)] =
+      SecondaryIndex.lookupCovered(spark, ix, "city",
+          Seq(city).toDF("city"))
+        .select($"id", $"seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(covered("oslo") == Seq.empty,
+      "moved and deleted keys must leave the covered entries")
+    assert(covered("lima") == Seq((1L, 2L)),
+      "the covered projection must carry the key's CURRENT values")
+  }
+
   test("index rows cluster by value: one bucket per indexed value, " +
       "routing recorded in the manifest") {
     val (p, ix) = (freshDir(), freshDir())
