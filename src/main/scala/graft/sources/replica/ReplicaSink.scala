@@ -358,7 +358,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
         batch.sparkSession, cfg.path, cfg.indexPath.get, batch, ids,
         cfg.orderColumns, col(ic), ic, opCol = cfg.opColumn,
         deferIndexMerge = cfg.deferMerge, numBuckets = cfg.numBuckets,
-        watermark = watermark, recordChanges = cfg.changeFeed)
+        watermark = watermark, recordChanges = cfg.changeFeed,
+        deferPrimaryMerge = cfg.deferMerge)
     case None =>
       CdcStream.applyBatchToReplica(cfg.path, batch, ids, orderCols,
         opCol = cfg.opColumn, numBuckets = cfg.numBuckets,

@@ -276,18 +276,31 @@ object CdcStream {
   private val DeltaSeq = "__delta_seq"
 
   /** MERGE-ON-READ view of a manifest's buckets (optionally filtered
-    * to a candidate set): base rows ∪ pending per-bucket delta nets,
-    * the NEWEST net per key wins (delta commit version is the
-    * sequence; base rows sit at seq 0), winning deletes drop. A
-    * manifest without deltas reads exactly as before — no window, no
-    * op column, zero overhead on the eager path. Keys/op come from
-    * the manifest (recorded at the first deferred commit). None when
-    * the selected buckets hold no files at all.
+    * to a candidate set): base rows ∪ pending per-bucket delta nets.
+    * In the default (sequence) fold the NEWEST net per key wins (delta
+    * commit version is the sequence; base rows sit at seq 0); when the
+    * manifest marks its deltas CONDITIONAL, the GREATEST order-tuple
+    * per key wins instead (ties → later commit) and stored tombstones
+    * join the compare as deletes at their recorded order — the
+    * deferred twin of the eager order-conditional merge. A manifest
+    * without deltas reads exactly as before — no window, no op column,
+    * zero overhead on the eager path. Keys/op come from the manifest
+    * (recorded at the first deferred commit). None when the selected
+    * buckets hold no files at all.
+    *
+    * `keepDeletes = false` (read paths) returns the LIVE view: winning
+    * deletes and tombstones drop. `keepDeletes = true` (write paths —
+    * eager-merge base, compaction, erasure) preserves delete state:
+    * conditional delete-winners come back as `__tombstone = true` rows
+    * carrying their order values (their late-loser protection must
+    * survive the rewrite), and stored base tombstones pass through
+    * under the sequence fold too.
     */
   private def mergedBucketRead(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, m: ReplicaManifest,
       keep: Int => Boolean = _ => true,
-      schemaOverride: Option[StructType] = None): Option[DataFrame] = {
+      schemaOverride: Option[StructType] = None,
+      keepDeletes: Boolean = false): Option[DataFrame] = {
     val basePaths = m.buckets.collect {
       case (k, p) if keep(k) => s"$replicaDir/$p"
     }.toSeq.sorted
@@ -301,19 +314,37 @@ object CdcStream {
       case None => spark.read.option("mergeSchema", "true")
         .parquet(basePaths: _*)
     }
-    if (deltaPaths.isEmpty) return Some(filterTombstones(readBase()))
+    if (deltaPaths.isEmpty) return Some(
+      if (keepDeletes) readBase() else filterTombstones(readBase()))
     val kc = m.keyCols.getOrElse(throw new IllegalStateException(
       s"replica $replicaDir: manifest has deltas but no recorded keyCols"))
     val oc = m.opColName.getOrElse("op")
     val baseSc = sc.getOrElse(throw new IllegalStateException(
       s"replica $replicaDir: deferred manifests always record a schema"))
     val deltaSc = StructType(baseSc.fields :+ StructField(oc, StringType))
-    val base =
-      (if (basePaths.isEmpty)
+    val condOrd: Option[Seq[String]] =
+      if (m.deltasConditional) Some(m.condOrderCols.getOrElse(
+        throw new IllegalStateException(s"replica $replicaDir: conditional " +
+          "deltas without recorded condOrderCols")))
+      else None
+    val rawBase =
+      if (basePaths.isEmpty)
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), baseSc)
-      else filterTombstones(readBase()))
-        .withColumn(oc, lit("update")).withColumn(DeltaSeq, lit(0L))
+      else readBase()
+    val hasTs = rawBase.columns.contains(Tombstone)
+    // base rows enter the fold: under the CONDITIONAL fold a stored
+    // tombstone is a delete at its recorded order (so late lower-order
+    // deltas still lose to it); under the sequence fold tombstone rows
+    // pass through as plain stored rows (per-bucket exclusivity keeps
+    // sequence-folded delta buckets tombstone-free, so no compare is
+    // ever needed — keepDeletes decides whether they surface)
+    val base = (condOrd match {
+      case Some(_) if hasTs => rawBase
+        .withColumn(oc, when(coalesce(col(Tombstone), lit(false)), "delete")
+          .otherwise("update"))
+      case _ => rawBase.withColumn(oc, lit("update"))
+    }).withColumn(DeltaSeq, lit(0L))
     // the delta path's version prefix IS its global sequence number
     // (commits are dense and per-bucket deltas are version-ordered).
     // ONE read per delta COMMIT, not per (commit, bucket) path — a
@@ -329,12 +360,87 @@ object CdcStream {
           .withColumn(DeltaSeq, lit(seq)),
         allowMissingColumns = true)
     }
-    val w = Window.partitionBy(kc.map(col): _*).orderBy(col(DeltaSeq).desc)
-    Some(all.withColumn("__mor_rn", row_number().over(w))
+    val ordering: Seq[Column] = condOrd match {
+      // greatest order wins; a same-order tie goes to the later commit
+      // (the eager merge's "incoming wins exact ties")
+      case Some(ocs) => ocs.map(c => col(c).desc) :+ col(DeltaSeq).desc
+      case None => Seq(col(DeltaSeq).desc)
+    }
+    val w = Window.partitionBy(kc.map(col): _*).orderBy(ordering: _*)
+    val winners = all.withColumn("__mor_rn", row_number().over(w))
       .filter(col("__mor_rn") === 1)
-      .filter(col(oc) =!= "delete")
-      .drop("__mor_rn", DeltaSeq, oc))
+    Some((condOrd, keepDeletes) match {
+      case (Some(_), true) => // delete-winners persist as tombstones
+        winners.withColumn(Tombstone, col(oc) === "delete")
+          .drop("__mor_rn", DeltaSeq, oc)
+      case (_, false) => // live view: winning deletes and tombstones drop
+        winners.filter(col(oc) =!= "delete")
+          .drop("__mor_rn", DeltaSeq, oc).transform(filterTombstones)
+      case (None, true) => // sequence fold: base tombstones pass through
+        winners.filter(col(oc) =!= "delete")
+          .drop("__mor_rn", DeltaSeq, oc)
+    })
   }
+
+  /** Per-bucket tombstone metadata off a freshly written staging data
+    * dir (one column-pruned agg over just-rewritten files): the min
+    * (by the store's order tuple) tombstone's order values as JSON.
+    * Buckets absent from the result hold no tombstones.
+    */
+  private def stagedTombstoneMins(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, ordNames: Seq[String]): Map[Int, String] = {
+    // a rewrite that filtered every row (e.g. expiry emptied the only
+    // bucket) leaves no parquet files — nothing to record
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    if (!hasParquet(new java.io.File(dataDir))) return Map.empty
+    val df = spark.read.parquet(dataDir)
+    if (!df.columns.contains(Tombstone) ||
+        !ordNames.forall(df.columns.contains)) return Map.empty
+    df.filter(coalesce(col(Tombstone), lit(false)))
+      .groupBy(col("__bucket").cast("int").as("__b"))
+      .agg(min(struct(ordNames.map(col): _*)).as("m"))
+      .select(col("__b"), to_json(col("m")).as("j"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+  }
+
+  /** Buckets holding at least one tombstone EXPIRED under `horizon`,
+    * decided from manifest metadata alone: the recorded per-bucket min
+    * order tuples re-hydrate as ≤ numBuckets driver-local rows and the
+    * horizon predicate evaluates over them — O(manifest), no bucket
+    * file is read. None when the store predates the metadata (caller
+    * falls back to the full column-pruned sweep). Sound because an
+    * age-out horizon is DOWNWARD-CLOSED in the order (a row is expired
+    * ⇒ every lower-order row is too), so a bucket has an expired
+    * tombstone iff its MIN tombstone is expired.
+    */
+  private def expiredFromMeta(spark: org.apache.spark.sql.SparkSession,
+      m: ReplicaManifest, unionSc: Option[StructType],
+      horizon: Column): Option[Set[Int]] =
+    m.condOrderCols.map { ocs =>
+      if (m.tombstoneMins.isEmpty) Set.empty
+      else {
+        val types = unionSc.map(_.fields.map(f => f.name -> f.dataType).toMap)
+          .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+        val minSchema = StructType(ocs.map(c =>
+          StructField(c, types.getOrElse(c, StringType))))
+        import spark.implicits._
+        m.tombstoneMins.toSeq.toDF("__b", "j")
+          .select(col("__b"), from_json(col("j"), minSchema).as("m"))
+          .select(col("__b"), col("m.*"))
+          .filter(horizon)
+          .select("__b").collect().map(_.getInt(0)).toSet
+      }
+    }
+
+  /** The stored-column NAMES of a conditional merge's order columns —
+    * they are required to be stored columns, so each resolves to a
+    * plain field name against the batch.
+    */
+  private def orderColNames(df: DataFrame, ord: Seq[Column]): Seq[String] =
+    ord.map(c => df.select(c).schema.head.name)
 
   /** The union schema a manifest records (absent on pre-schema
     * manifests) — the ONE parse both the write path and the pruned
@@ -376,6 +482,21 @@ object CdcStream {
     * compaction folds deltas back into base files. keyCols and the op
     * column name are recorded at the first deferred commit so readers
     * can run the fold without caller-provided metadata.
+    *
+    * `condOrderCols`/`deltasConditional`/`tombstoneMins`: the
+    * order-conditional surface. `condOrderCols` names the stored
+    * columns every conditional merge of this store orders by (pinned
+    * at the first conditional merge — mixing orderings would make the
+    * stored-vs-incoming compare meaningless). `deltasConditional`
+    * marks the PENDING delta chains as order-folded: the read fold
+    * picks each key's greatest-order row (ties → later commit) instead
+    * of the newest commit, and compaction materializes winning deletes
+    * as tombstone rows. `tombstoneMins` records, per bucket, the
+    * MINIMUM (by the order tuple) stored tombstone's order values as a
+    * JSON object — so tombstone-expiry detection is an O(manifest)
+    * predicate over ≤ numBuckets driver-local rows, never a store
+    * scan. Maintained at every base-bucket write; a bucket absent from
+    * the map holds no tombstones.
     */
   private final case class ReplicaManifest(numBuckets: Int,
       buckets: Map[Int, String], schemaJson: Option[String] = None,
@@ -383,7 +504,10 @@ object CdcStream {
       bucketCols: Option[Seq[String]] = None,
       keyCols: Option[Seq[String]] = None,
       opColName: Option[String] = None,
-      deltas: Map[Int, Seq[String]] = Map.empty)
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      condOrderCols: Option[Seq[String]] = None,
+      deltasConditional: Boolean = false,
+      tombstoneMins: Map[Int, String] = Map.empty)
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
     val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
@@ -398,8 +522,11 @@ object CdcStream {
     var bucketCols: Option[Seq[String]] = None
     var keyCols: Option[Seq[String]] = None
     var opColName: Option[String] = None
+    var condOrderCols: Option[Seq[String]] = None
+    var deltasConditional = false
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     val deltas = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[String]]
+    val tombstoneMins = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     def readStringArray(): Seq[String] = {
       val cs = scala.collection.mutable.ArrayBuffer.empty[String]
       while (p.nextToken() != JsonToken.END_ARRAY) cs += p.getText
@@ -414,6 +541,14 @@ object CdcStream {
         case "bucketCols" => p.nextToken(); bucketCols = Some(readStringArray())
         case "keyCols" => p.nextToken(); keyCols = Some(readStringArray())
         case "opCol" => p.nextToken(); opColName = Some(p.getText)
+        case "condOrderCols" => p.nextToken(); condOrderCols = Some(readStringArray())
+        case "deltasConditional" => p.nextToken(); deltasConditional = p.getBooleanValue
+        case "tombstoneMins" =>
+          p.nextToken()
+          while (p.nextToken() != JsonToken.END_OBJECT) {
+            val k = p.currentName().toInt; p.nextToken()
+            tombstoneMins += k -> p.getText
+          }
         case "buckets" =>
           p.nextToken()
           while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -430,7 +565,8 @@ object CdcStream {
     }
     p.close()
     Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark, bucketCols,
-      keyCols, opColName, deltas.toMap))
+      keyCols, opColName, deltas.toMap, condOrderCols, deltasConditional,
+      tombstoneMins.toMap))
   }
 
   private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
@@ -451,6 +587,18 @@ object CdcStream {
       g.writeEndArray()
     }
     m.opColName.foreach(g.writeStringField("opCol", _))
+    m.condOrderCols.foreach { cs =>
+      g.writeArrayFieldStart("condOrderCols")
+      cs.foreach(g.writeString)
+      g.writeEndArray()
+    }
+    if (m.deltasConditional) g.writeBooleanField("deltasConditional", true)
+    if (m.tombstoneMins.nonEmpty) {
+      g.writeObjectFieldStart("tombstoneMins")
+      m.tombstoneMins.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        g.writeStringField(k.toString, v) }
+      g.writeEndObject()
+    }
     g.writeObjectFieldStart("buckets")
     m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => g.writeStringField(k.toString, v) }
     g.writeEndObject()
@@ -779,9 +927,11 @@ object CdcStream {
     }
     // MERGE-ON-READ fold: every bucket with pending deltas (plus the
     // usual fragmented set) rewrites as a fresh single-file base
-    // bucket holding the merged live view; delta lists drop from the
-    // manifest in the same commit. Deferred replicas are tombstone-
-    // free by construction, so the live view IS the stored content.
+    // bucket; delta lists drop from the manifest in the same commit.
+    // keepDeletes keeps the rewrite content-faithful: a conditional
+    // store's delete-winners materialize as tombstone rows (their
+    // late-loser protection must survive the fold), and fragmented
+    // buckets' stored tombstones pass through untouched.
     if (m.deltas.nonEmpty) {
       val rewriteKeys: Set[Int] = m.deltas.keySet ++ fragmented.keys
       val bc = m.bucketCols.orElse(m.keyCols).getOrElse(
@@ -790,7 +940,9 @@ object CdcStream {
       val routeBy = pmod(hash(bc.map(col): _*), lit(m.numBuckets))
       val nextName = f"v${v + 1}%09d"
       val staging = newStagingDir(replicaDir)
-      mergedBucketRead(spark, replicaDir, m, rewriteKeys).foreach { r =>
+      val folded = mergedBucketRead(spark, replicaDir, m, rewriteKeys,
+        keepDeletes = true)
+      folded.foreach { r =>
         r.withColumn("__bucket", routeBy)
           .repartition(math.max(rewriteKeys.size, 1), col("__bucket"))
           .write.partitionBy("__bucket").parquet(s"$staging/data")
@@ -800,8 +952,28 @@ object CdcStream {
       }
       val newBuckets = (m.buckets -- rewriteKeys) ++ written
         .map(k => k -> s"$nextName/data/__bucket=$k")
+      // a conditional fold may have materialized the store's first
+      // tombstones — the recorded schema must advertise the column or
+      // schema-pruned readers would read the rows back as live
+      val newSchema = manifestSchema(m).map { sc =>
+        if (m.deltasConditional && !sc.fieldNames.contains(Tombstone))
+          StructType(sc.fields :+ StructField(Tombstone,
+            org.apache.spark.sql.types.BooleanType))
+        else sc
+      }
+      val newMins: Map[Int, String] = m.condOrderCols match {
+        case Some(ocs) =>
+          (m.tombstoneMins -- rewriteKeys) ++
+            stagedTombstoneMins(spark, s"$staging/data", ocs)
+        case None => m.tombstoneMins -- rewriteKeys
+      }
       publishVersion(replicaDir, staging, nextName,
-        m.copy(buckets = newBuckets, deltas = m.deltas -- rewriteKeys),
+        m.copy(buckets = newBuckets,
+          schemaJson = newSchema.map(_.json).orElse(m.schemaJson),
+          deltas = m.deltas -- rewriteKeys,
+          deltasConditional = (m.deltas -- rewriteKeys).nonEmpty &&
+            m.deltasConditional,
+          tombstoneMins = newMins),
         prev, cur.map(_._2))
       return
     }
@@ -820,15 +992,21 @@ object CdcStream {
     val expiredTombstone = tombstoneHorizon
       .filter(_ => unionSc.exists(_.fieldNames.contains(Tombstone)))
       .map(h => coalesce(col(Tombstone), lit(false)) && h)
-    val expired: Set[Int] = expiredTombstone match {
-      case None => Set.empty
-      case Some(pred) =>
-        m.buckets.toSeq.sortBy(_._1)
-          .map { case (k, p) =>
-            spark.read.schema(unionSc.get).parquet(s"$replicaDir/$p")
-              .filter(pred).select(lit(k).as("__bucket")) }
-          .reduce(_.unionByName(_))
-          .distinct().collect().map(_.getInt(0)).toSet
+    val expired: Set[Int] = (tombstoneHorizon, expiredTombstone) match {
+      case (None, _) | (_, None) => Set.empty
+      case (Some(h), Some(pred)) =>
+        // detection is an O(manifest) predicate over the recorded
+        // per-bucket min tombstone orders — no bucket file is read.
+        // Stores predating the metadata (None) fall back to the full
+        // column-pruned sweep, once: their next rewrite records mins.
+        expiredFromMeta(spark, m, unionSc, h).getOrElse {
+          m.buckets.toSeq.sortBy(_._1)
+            .map { case (k, p) =>
+              spark.read.schema(unionSc.get).parquet(s"$replicaDir/$p")
+                .filter(pred).select(lit(k).as("__bucket")) }
+            .reduce(_.unionByName(_))
+            .distinct().collect().map(_.getInt(0)).toSet
+        }
     }
     val rewrite = fragmented ++ m.buckets.filter { case (k, _) => expired(k) }
     if (rewrite.isEmpty) return
@@ -852,9 +1030,16 @@ object CdcStream {
     val newBuckets = (m.buckets -- rewrite.keys) ++ written
       .map(k => k -> s"$nextName/data/__bucket=$k")
     // content-identical rewrite (minus aged-out tombstones): the union
-    // schema carries over
+    // schema carries over; rewritten buckets refresh their recorded
+    // tombstone mins (a one-job agg over the files just written)
+    val newMins: Map[Int, String] = m.condOrderCols match {
+      case Some(ocs) =>
+        (m.tombstoneMins -- rewrite.keys) ++
+          stagedTombstoneMins(spark, s"$staging/data", ocs)
+      case None => m.tombstoneMins -- rewrite.keys
+    }
     publishVersion(replicaDir, staging, nextName,
-      m.copy(buckets = newBuckets), prev,
+      m.copy(buckets = newBuckets, tombstoneMins = newMins), prev,
       cur.map(_._2))
   }
 
@@ -883,7 +1068,31 @@ object CdcStream {
         val m = readManifest(replicaDir, name)
         val chains = m.map(_.deltas.values.map(_.size))
           .getOrElse(Iterable.empty)
-        if (chains.nonEmpty && chains.max < maxDeltas) false
+        // no pending deltas: the auto-maintenance cadence (the sink
+        // calls this after EVERY commit) must be a near-no-op on a
+        // healthy store — gate on real fragmentation (multi-file
+        // buckets; a dir-stat walk, no data read) and metadata-decided
+        // tombstone expiry, NOT compactReplica's carried-over rule,
+        // which would rewrite every bucket not referenced from the
+        // current version dir after every micro-batch
+        val dueNoDeltas = chains.isEmpty && m.exists { mm =>
+          val frag = mm.buckets.exists { case (_, p) =>
+            Option(new java.io.File(s"$replicaDir/$p").listFiles())
+              .getOrElse(Array.empty)
+              .count(f => f.isFile && f.getName.endsWith(".parquet")) >
+              targetFilesPerBucket
+          }
+          frag || tombstoneHorizon.exists { h =>
+            val sc = manifestSchema(mm)
+            sc.exists(_.fieldNames.contains(Tombstone)) &&
+              expiredFromMeta(spark, mm, sc, h)
+                // legacy store without recorded mins: can't decide
+                // cheaply — let compactReplica run its pruned sweep once
+                .map(_.nonEmpty).getOrElse(true)
+          }
+        }
+        if (chains.isEmpty && !dueNoDeltas) false
+        else if (chains.nonEmpty && chains.max < maxDeltas) false
         else {
           compactReplica(spark, replicaDir, targetFilesPerBucket,
             tombstoneHorizon)
@@ -922,13 +1131,17 @@ object CdcStream {
       throw new IllegalArgumentException(
         s"rebucketReplica: $replicaDir is the pre-bucket flat layout; " +
           "apply one batch to migrate it before resharding"))
-    if (m.deltas.nonEmpty) throw new IllegalStateException(
-      s"rebucketReplica: $replicaDir has pending merge-on-read deltas; " +
-        "run compactReplica first")
+    // routing is a pure function of the RECORDED columns — a caller
+    // passing different ones would silently rehash rows so every later
+    // key-pruned lookup misses; refuse loudly instead
+    m.keyCols.foreach(rec => require(rec == idCols,
+      s"rebucketReplica: $replicaDir records keyCols " +
+        s"(${rec.mkString(",")}) but the caller passed " +
+        s"(${idCols.mkString(",")})"))
     if (m.numBuckets == newNumBuckets) return
     val nextName = f"v${v + 1}%09d"
     val staging = newStagingDir(replicaDir)
-    if (m.buckets.isEmpty) {
+    if (m.buckets.isEmpty && m.deltas.isEmpty) {
       // empty store: flip the count with a manifest-only commit
       publishVersion(replicaDir, staging, nextName,
         m.copy(numBuckets = newNumBuckets, buckets = Map.empty),
@@ -942,7 +1155,17 @@ object CdcStream {
       spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
     val bucketOf = pmod(
       hash(m.bucketCols.getOrElse(idCols).map(col): _*), lit(newNumBuckets))
-    spark.read.schema(sc).parquet(paths: _*)
+    // pending merge-on-read deltas FOLD into the reshard (it is a full
+    // rewrite anyway — refusing would only force an extra compaction
+    // pass over the same bytes); keepDeletes keeps the rewrite
+    // content-faithful, so tombstones and their order values survive
+    val source: DataFrame =
+      if (m.deltas.nonEmpty)
+        mergedBucketRead(spark, replicaDir, m, keepDeletes = true)
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), sc))
+      else spark.read.schema(sc).parquet(paths: _*)
+    source
       .withColumn("__bucket", bucketOf)
       .repartition(newNumBuckets, col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$staging/data")
@@ -952,9 +1175,22 @@ object CdcStream {
       .map(_.getName.stripPrefix("__bucket=").toInt)
     val newBuckets: Map[Int, String] =
       written.map(k => k -> s"$nextName/data/__bucket=$k").toMap
+    // a conditional fold may materialize tombstones the recorded
+    // schema does not yet advertise
+    val outSc =
+      if (m.deltas.nonEmpty && m.deltasConditional &&
+          !sc.fieldNames.contains(Tombstone))
+        StructType(sc.fields :+ StructField(Tombstone,
+          org.apache.spark.sql.types.BooleanType))
+      else sc
+    val newMins: Map[Int, String] = m.condOrderCols match {
+      case Some(ocs) => stagedTombstoneMins(spark, s"$staging/data", ocs)
+      case None => Map.empty
+    }
     publishVersion(replicaDir, staging, nextName,
       m.copy(numBuckets = newNumBuckets, buckets = newBuckets,
-        schemaJson = Some(sc.json)),
+        schemaJson = Some(outSc.json), deltas = Map.empty,
+        deltasConditional = false, tombstoneMins = newMins),
       Some(m), Some(name))
   }
 
@@ -997,9 +1233,6 @@ object CdcStream {
       throw new IllegalArgumentException(
         s"eraseKeys: $replicaDir is the pre-bucket flat layout; apply " +
           "one batch to migrate it before erasing"))
-    if (m.deltas.nonEmpty) throw new IllegalStateException(
-      s"eraseKeys: $replicaDir has pending merge-on-read deltas; run " +
-        "compactReplica first so erasure rewrites every stored copy")
     val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
     val fullSchema = manifestSchema(m).orElse {
       if (allPaths.isEmpty) None
@@ -1023,38 +1256,83 @@ object CdcStream {
     val touched = typedKeys.select(bucketOf.as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     val rewrite = m.buckets.filter { case (k, _) => touched(k) }
-    if (rewrite.nonEmpty) {
+    val touchedDeltas = m.deltas.keySet.filter(touched)
+    if (rewrite.nonEmpty || touchedDeltas.nonEmpty) {
       val nextName = f"v${v + 1}%09d"
       val staging = newStagingDir(replicaDir)
       // no broadcast hint: a routine GDPR batch is small (AQE
       // broadcasts it), but a bulk takedown can carry millions of
       // keys — that case must be allowed to shuffle
-      rewrite.toSeq.sortBy(_._1)
-        .map { case (k, p) =>
-          spark.read.schema(fullSchema.get).parquet(s"$replicaDir/$p")
-            .join(typedKeys, idCols, "left_anti")
-            .withColumn("__bucket", lit(k)) }
-        .reduce(_.unionByName(_))
-        .repartition(rewrite.size, col("__bucket"))
-        .write.partitionBy("__bucket").parquet(s"$staging/data")
-      val written = rewrite.keys.filter { k =>
+      if (touchedDeltas.isEmpty) {
+        rewrite.toSeq.sortBy(_._1)
+          .map { case (k, p) =>
+            spark.read.schema(fullSchema.get).parquet(s"$replicaDir/$p")
+              .join(typedKeys, idCols, "left_anti")
+              .withColumn("__bucket", lit(k)) }
+          .reduce(_.unionByName(_))
+          .repartition(rewrite.size, col("__bucket"))
+          .write.partitionBy("__bucket").parquet(s"$staging/data")
+      } else {
+        // touched buckets hold pending merge-on-read deltas: the
+        // erasure rewrite FOLDS them (the same content-faithful fold
+        // compaction runs — keepDeletes keeps surviving keys'
+        // tombstones and their late-loser protection), anti-joins the
+        // keys, and drops those buckets' delta lists in the SAME
+        // commit. Every pre-fold copy — base and delta — purges below.
+        val routeBy = pmod(hash(
+          m.bucketCols.orElse(m.keyCols).getOrElse(idCols).map(col): _*),
+          lit(m.numBuckets))
+        mergedBucketRead(spark, replicaDir, m, touched,
+            keepDeletes = true).foreach { r =>
+          r.join(typedKeys, idCols, "left_anti")
+            .withColumn("__bucket", routeBy)
+            .repartition(math.max(touched.size, 1), col("__bucket"))
+            .write.partitionBy("__bucket").parquet(s"$staging/data")
+        }
+      }
+      val written = touched.filter { k =>
         new java.io.File(s"$staging/data/__bucket=$k").isDirectory
-      }.toSet
-      val newBuckets = (m.buckets -- rewrite.keys) ++ written
+      }
+      val newBuckets = (m.buckets -- touched) ++ written
         .map(k => k -> s"$nextName/data/__bucket=$k")
+      // a conditional fold may materialize tombstones the recorded
+      // schema does not yet advertise
+      val newSchema = manifestSchema(m).map { sc =>
+        if (touchedDeltas.nonEmpty && m.deltasConditional &&
+            !sc.fieldNames.contains(Tombstone))
+          StructType(sc.fields :+ StructField(Tombstone,
+            org.apache.spark.sql.types.BooleanType))
+        else sc
+      }
+      val remainingDeltas = m.deltas -- touched
+      val newMins: Map[Int, String] = m.condOrderCols match {
+        case Some(ocs) =>
+          (m.tombstoneMins -- touched) ++
+            stagedTombstoneMins(spark, s"$staging/data", ocs)
+        case None => m.tombstoneMins -- touched
+      }
       publishVersion(replicaDir, staging, nextName,
-        m.copy(buckets = newBuckets),
+        m.copy(buckets = newBuckets,
+          schemaJson = newSchema.map(_.json).orElse(m.schemaJson),
+          deltas = remainingDeltas,
+          deltasConditional = remainingDeltas.nonEmpty && m.deltasConditional,
+          tombstoneMins = newMins),
         Some(m), Some(name))
     }
-    // 2: purge historical on-disk copies of the touched buckets
+    // 2: purge historical on-disk copies of the touched buckets —
+    // base files AND pending delta files (their lists dropped from the
+    // manifest above, so nothing references them)
     val referenced: Set[String] = currentVersion(replicaDir)
       .flatMap { case (_, n) => readManifest(replicaDir, n) }
-      .map(_.buckets.values.toSet).getOrElse(Set.empty)
+      .map(mm => mm.buckets.values.toSet ++ mm.deltas.values.flatten)
+      .getOrElse(Set.empty)
     replicaVersions(replicaDir).foreach { vv =>
       touched.foreach { k =>
-        val rel = f"v$vv%09d/data/__bucket=$k"
-        if (!referenced(rel))
-          deleteRecursively(new java.io.File(s"$replicaDir/$rel"))
+        Seq(f"v$vv%09d/data/__bucket=$k", f"v$vv%09d/delta/__bucket=$k")
+          .foreach { rel =>
+            if (!referenced(rel))
+              deleteRecursively(new java.io.File(s"$replicaDir/$rel"))
+          }
       }
     }
     // 3: scrub the change feed (only versions whose nets carry the keys)
@@ -1405,10 +1683,39 @@ object CdcStream {
     val legacyFlat = cur.filter(_ => prev.isEmpty)
       .map { case (_, name) => s"$replicaDir/$name" }
     // bucket count AND routing columns are fixed at replica creation
-    // (stored in the manifest)
+    // (stored in the manifest). On an existing replica a caller-passed
+    // bucketCols must MATCH the recorded routing: recording one thing
+    // while hash-routing by another would silently prune every later
+    // lookup/erasure to the wrong buckets. The manifest is always
+    // written with exactly the resolution the routing used.
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
-    val bc = prev.map(_.bucketCols).getOrElse(bucketCols).getOrElse(idCols)
+    val resolvedBucketCols: Option[Seq[String]] = prev match {
+      case Some(p) =>
+        bucketCols.foreach { c =>
+          val effective = p.bucketCols.getOrElse(idCols)
+          require(c == effective, s"replica $replicaDir routes by " +
+            s"(${effective.mkString(",")}) but the caller passed " +
+            s"bucketCols (${c.mkString(",")})")
+        }
+        p.bucketCols
+      case None => bucketCols
+    }
+    val bc = resolvedBucketCols.getOrElse(idCols)
     val bucketOf = pmod(hash(bc.map(col): _*), lit(nb))
+    // conditional merges pin the store's order columns at first use —
+    // comparing stored rows written under one ordering against batches
+    // ordered by another would be meaningless
+    val condNames: Option[Seq[String]] =
+      conditional.map(ord => orderColNames(net, ord))
+    condNames.foreach { ns =>
+      ns.foreach(n => require(dataCols.contains(n),
+        s"conditionalOrder: order column '$n' must be a stored batch column"))
+      prev.flatMap(_.condOrderCols).foreach(rec => require(rec == ns,
+        s"replica $replicaDir orders conditionally by " +
+          s"(${rec.mkString(",")}) but the batch passed (${ns.mkString(",")})"))
+    }
+    val metaOrd: Option[Seq[String]] =
+      prev.flatMap(_.condOrderCols).orElse(condNames)
 
     // -------- DEFERRED (merge-on-read) commit: append the net as
     // per-bucket delta files — NO base read, NO base rewrite, and NO
@@ -1418,9 +1725,6 @@ object CdcStream {
     // micro-batches; reads fold deltas newest-net-wins, compaction
     // folds them back into base files.
     if (defer) {
-      require(conditional.isEmpty,
-        "deferMerge is incompatible with conditionalOrder (the " +
-          "conditional compare needs the stored row; merge eagerly)")
       require(legacyFlat.isEmpty,
         "deferMerge: flat-layout replicas must migrate via one eager merge")
       val prevSc = prev.flatMap(manifestSchema)
@@ -1430,8 +1734,28 @@ object CdcStream {
       require(prev.isEmpty || prevSc.nonEmpty,
         "deferMerge: this replica predates recorded schemas; run one " +
           "eager merge first to upgrade its manifest")
+      // ONE ordering model per delta chain set: folding sequence-
+      // committed and order-committed deltas together has no coherent
+      // winner rule — compaction resets the mode
+      prev.filter(_.deltas.nonEmpty).foreach { p =>
+        if (p.deltasConditional != conditional.nonEmpty)
+          throw new IllegalStateException(
+            s"replica $replicaDir holds " +
+              (if (p.deltasConditional) "order-conditional" else "sequence") +
+              "-folded pending deltas; a " +
+              (if (conditional.nonEmpty) "conditional" else "sequence") +
+              "-ordered deferred commit cannot mix with them — " +
+              "compactReplica first")
+      }
       prevSc.foreach { ps =>
-        if (ps.fieldNames.contains(Tombstone))
+        // a SEQUENCE-folded deferred commit must not land in a bucket
+        // holding conditional tombstones (its fold has no order compare
+        // — a tombstone's late-loser protection would silently drop).
+        // With tombstone metadata the check is per bucket (below, after
+        // the write says which buckets the batch hit); a legacy
+        // tombstone-bearing store without the metadata refuses whole.
+        if (ps.fieldNames.contains(Tombstone) && conditional.isEmpty &&
+            prev.exists(_.condOrderCols.isEmpty))
           throw new IllegalStateException(
             "deferMerge cannot run on a replica holding conditional-merge " +
               "tombstones; compactReplica(tombstoneHorizon) first")
@@ -1461,6 +1785,20 @@ object CdcStream {
         deleteRecursively(new java.io.File(staging))
         return
       }
+      // per-bucket exclusivity for sequence-folded deltas (metadata-
+      // backed stores): the touched buckets fall out of the write's own
+      // partition dirs, so the check costs no extra job
+      if (conditional.isEmpty && prev.exists(_.condOrderCols.nonEmpty)) {
+        val clash = written.toSet.intersect(
+          prev.map(_.tombstoneMins.keySet).getOrElse(Set.empty))
+        if (clash.nonEmpty) {
+          deleteRecursively(new java.io.File(staging))
+          throw new IllegalStateException(
+            s"deferMerge: bucket(s) ${clash.toSeq.sorted.mkString(",")} " +
+              "hold conditional tombstones a sequence fold cannot order " +
+              "against; compactReplica(tombstoneHorizon) first")
+        }
+      }
       if (recordChanges) net.write.parquet(s"$staging/changes")
       val prevDeltas = prev.map(_.deltas).getOrElse(Map.empty[Int, Seq[String]])
       val newDeltas = prevDeltas ++ written.map(k =>
@@ -1469,9 +1807,12 @@ object CdcStream {
       val scJson = prevSc.getOrElse(net.select(dataCols.map(col): _*).schema)
       publishVersion(replicaDir, staging, nextName,
         ReplicaManifest(nb, prevBuckets, Some(scJson.json), watermark,
-          prev.flatMap(_.bucketCols).orElse(bucketCols),
+          resolvedBucketCols,
           keyCols = Some(idCols), opColName = Some(opCol),
-          deltas = newDeltas),
+          deltas = newDeltas,
+          condOrderCols = metaOrd,
+          deltasConditional = conditional.nonEmpty,
+          tombstoneMins = prev.map(_.tombstoneMins).getOrElse(Map.empty)),
         prev, cur.map(_._2))
       return
     }
@@ -1489,27 +1830,31 @@ object CdcStream {
     val touchedPaths = prevBuckets.collect {
       case (k, p) if touched(k) => s"$replicaDir/$p"
     }.toSeq.sorted
-    // tombstones (conditional merges) and pending deltas must never
-    // coexist ANYWHERE in one store: the deferred fold reads tombstoned
-    // rows as plain deletes and delta compaction rewrites live views —
-    // both would silently drop an unexpired tombstone's late-loser
-    // protection. Deferred commits already refuse tombstone-bearing
-    // schemas; the mirror guard refuses a conditional merge while any
-    // bucket holds deltas (compact first).
-    if (conditional.nonEmpty && prev.exists(_.deltas.nonEmpty))
-      throw new IllegalStateException(
-        s"replica $replicaDir: conditionalOrder cannot merge while " +
-          "merge-on-read deltas pend; run compactReplica first")
     val prevHasDeltas =
       prev.exists(_.deltas.keys.exists(touched))
+    // a SEQUENCE (unconditional) eager merge cannot fold CONDITIONAL
+    // pending deltas: its anti-join keeps no order compare, so a
+    // folded delete-winner's late-loser protection would silently
+    // drop. A conditional eager merge folds either mode (the fold
+    // surfaces delete state as tombstones; see below).
+    if (prevHasDeltas && conditional.isEmpty &&
+        prev.exists(_.deltasConditional))
+      throw new IllegalStateException(
+        s"replica $replicaDir holds order-conditional pending deltas; " +
+          "an unconditional merge cannot fold them — run compactReplica " +
+          "first or merge with conditionalOrder")
     val base = legacyFlat match {
       case Some(flat) => spark.read.parquet(flat)
       // an EAGER merge over buckets with pending deltas folds them in:
-      // the base is the merged live view (deferred replicas are
-      // tombstone-free by construction, so live rows are the whole
-      // stored state); the rewritten buckets drop their delta lists
+      // keepDeletes preserves delete state across the rewrite —
+      // sequence-folded stores pass stored tombstones through
+      // untouched, conditional-folded stores materialize delete-
+      // winners AS tombstones so the conditional compare below (and
+      // any late batch after it) still loses to them. The rewritten
+      // buckets drop their delta lists.
       case None if prevHasDeltas =>
-        mergedBucketRead(spark, replicaDir, prev.get, touched)
+        mergedBucketRead(spark, replicaDir, prev.get, touched,
+            keepDeletes = true)
           .getOrElse(upserts.limit(0))
       case None if touchedPaths.isEmpty => upserts.limit(0)
       case None => prev.flatMap(manifestSchema) match {
@@ -1638,15 +1983,32 @@ object CdcStream {
       .map(_.getName.stripPrefix("__bucket=").toInt)
     val newBuckets = (prevBuckets -- touched) ++
       written.map(k => k -> s"$nextName/data/__bucket=$k")
+    // tombstone metadata for the rewritten buckets: one column-pruned
+    // agg over the files just written (never the store); untouched
+    // buckets keep their recorded mins. Only maintained once the store
+    // has an order-column record — legacy tombstone stores keep the
+    // scan-based detection until their next conditional merge.
+    val newMins: Map[Int, String] = metaOrd match {
+      case Some(ocs)
+        if conditional.nonEmpty ||
+          unionSchema.fieldNames.contains(Tombstone) =>
+        (prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched) ++
+          stagedTombstoneMins(spark, s"$staging/data", ocs)
+      case _ => prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched
+    }
+    val remainingDeltas = prev.map(_.deltas -- touched).getOrElse(Map.empty)
     publishVersion(replicaDir, staging, nextName,
       ReplicaManifest(nb, newBuckets, Some(unionSchema.json), watermark,
-        prev.flatMap(_.bucketCols).orElse(bucketCols),
+        resolvedBucketCols,
         // an eager rewrite FOLDS the touched buckets' deltas (the base
         // read merged them); untouched buckets keep theirs
-        keyCols = prev.flatMap(_.keyCols),
-        opColName = prev.flatMap(_.opColName),
-        deltas = prev.map(_.deltas -- touched)
-          .getOrElse(Map.empty)), prev,
+        keyCols = prev.flatMap(_.keyCols).orElse(Some(idCols)),
+        opColName = prev.flatMap(_.opColName).orElse(Some(opCol)),
+        deltas = remainingDeltas,
+        condOrderCols = metaOrd,
+        deltasConditional = remainingDeltas.nonEmpty &&
+          prev.exists(_.deltasConditional),
+        tombstoneMins = newMins), prev,
       cur.map(_._2))
   }
 

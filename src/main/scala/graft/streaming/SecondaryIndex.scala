@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   *     moved or the key died (without it the index would accrete stale
   *     pointers — the classic hand-rolled-GSI bug), and
   *   - an UPSERT of `(new value, key)` for every surviving key.
-  * Both apply as one merge on the index replica. The primary and
-  * index commit as two separate versioned commits (index lags by at
-  * most one crash window); a lookup therefore verifies hits against
-  * the primary — the standard global-index read-repair contract.
+  * Both apply as one merge on the index replica. The index and
+  * primary commit as two separate versioned commits, INDEX FIRST —
+  * the recoverable order: a crash between them leaves the index ahead
+  * by at most one batch, and the replay (which recomputes the same
+  * delete/upsert sets from the still-unmerged primary) converges it.
+  * A lookup verifies hits against the primary — the standard
+  * global-index read-repair contract — which also filters the crash
+  * window's forward entries.
   *
   * Scale shape: maintenance cost is O(net keys) reads + a delta-sized
   * index merge; a value lookup is one index bucket read + a key-pruned
@@ -49,8 +53,11 @@ object SecondaryIndex {
     *   so appending it as per-bucket delta files — one write job, no
     *   index-bucket rewrite — is the natural shape; lookups fold the
     *   deltas, and index compaction runs at whatever cadence the store
-    *   owner picks. The primary's merge stays eager (its pre-merge
-    *   state feeds stale-pointer detection).
+    *   owner picks. `deferPrimaryMerge` defers the primary's merge the
+    *   same way — safe because the old-value read resolves against the
+    *   pre-commit FOLD (key-pruned reads fold pending deltas), so
+    *   stale-pointer detection sees exactly the state an eager merge
+    *   would have stored.
     */
   def applyBatchWithIndex(
       spark: SparkSession,
@@ -81,15 +88,6 @@ object SecondaryIndex {
       val oldIdx = CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
           net.select(idCols.map(col): _*).distinct())
         .map(_.select(idCols.map(col) :+ idxExpr.as("__old_idx"): _*))
-      // the net IS the batch's last-op-per-key — merging it is
-      // equivalent to merging the batch (and its inner net pass is a
-      // window over delta-sized rows). The primary may defer too: the
-      // old-value read above already resolved against the pre-commit
-      // fold, and the NEXT batch's old-value read folds this commit's
-      // delta like any reader.
-      CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
-        numBuckets = numBuckets, watermark = watermark,
-        recordChanges = recordChanges, deferMerge = deferPrimaryMerge)
       val n = net.withColumn("__new_idx",
         when(col(opCol) =!= "delete", idxExpr))
       val j = oldIdx match {
@@ -109,9 +107,31 @@ object SecondaryIndex {
       val ups = j.filter(col("__new_idx").isNotNull)
         .select((col("__new_idx").as(idxName) +: carry.map(col)) :+
           lit("update").as(opCol): _*)
+      // INDEX COMMITS FIRST. A crash between the two commits then
+      // leaves the index AHEAD by one batch — the replay recomputes
+      // the SAME dels/ups from the still-unmerged primary and the
+      // index re-apply converges (idempotent content). Committing the
+      // primary first would be the unrecoverable order: the replay's
+      // old-value read would run against the already-merged primary,
+      // see old == new, compute an EMPTY stale-delete set, and the
+      // pre-batch (old value, key) entries would accrete forever —
+      // read-repair hides them from [[lookupByIndex]], but
+      // [[lookupCovered]] would serve them. Forward entries in the
+      // crash window are the benign direction: the verified lookup
+      // drops them (no primary row to confirm against) and the replay
+      // erases the window.
       CdcStream.applyBatchToReplica(indexDir, dels.unionByName(ups),
         idCols = idxName +: idCols, orderCols = orderCols, opCol = opCol,
         bucketCols = Some(Seq(idxName)), deferMerge = deferIndexMerge)
+      // the net IS the batch's last-op-per-key — merging it is
+      // equivalent to merging the batch (and its inner net pass is a
+      // window over delta-sized rows). The primary may defer too: the
+      // old-value read above already resolved against the pre-commit
+      // fold, and the NEXT batch's old-value read folds this commit's
+      // delta like any reader.
+      CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
+        numBuckets = numBuckets, watermark = watermark,
+        recordChanges = recordChanges, deferMerge = deferPrimaryMerge)
     } finally dropNet()
   }
 
@@ -161,9 +181,12 @@ object SecondaryIndex {
     * `includeCols` carrying every column the caller needs. Trade
     * against [[lookupByIndex]]: no read-repair — under the
     * synchronized-maintenance contract (sink marker after both
-    * commits; replays converge) the index is exact, but a reader
-    * racing the crash window between the two commits can observe one
-    * batch of staleness that the verified lookup would have repaired.
+    * commits; index commits first; replays converge) the index is
+    * exact, but a reader racing the crash window between the two
+    * commits can observe one batch of FORWARD entries (rows the
+    * primary has not committed yet) that the verified lookup would
+    * have dropped. Nothing is ever permanently stale: the replay
+    * closes the window.
     */
   def lookupCovered(
       spark: SparkSession,

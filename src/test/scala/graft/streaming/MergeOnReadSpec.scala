@@ -106,25 +106,114 @@ class MergeOnReadSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
     assert(feed == Seq((1L, 1L, "update"), (2L, 1L, "update"),
       (2L, 2L, "delete")))
-    // conditional + defer refuses
-    intercept[IllegalArgumentException] {
+    // a CONDITIONAL deferred commit cannot mix with pending SEQUENCE
+    // deltas (the fold would have no coherent winner rule)
+    intercept[IllegalStateException] {
       CdcStream.applyBatchToReplica(dir,
         batch(Seq((3L, "c", 3L, "update"))), Seq("id"), Seq(col("seq")),
         conditionalOrder = true, deferMerge = true)
     }
-    // erasure / reshard refuse while deltas pend, work after compaction
-    intercept[IllegalStateException] {
-      CdcStream.eraseKeys(spark, dir, Seq("id"), Seq(1L).toDF("id"))
-    }
-    intercept[IllegalStateException] {
-      CdcStream.rebucketReplica(spark, dir, Seq("id"), 5)
-    }
-    CdcStream.compactReplica(spark, dir)
+    // reshard / erasure COMPOSE with pending deltas: the reshard folds
+    // them into the new layout, erasure folds the touched buckets
     CdcStream.rebucketReplica(spark, dir, Seq("id"), 5)
+    assert(!manifestJson(dir).contains("\"deltas\""),
+      "a reshard is a full rewrite — deltas must fold into it")
+    assert(content(dir) == Seq((1L, "a2")))
     CdcStream.eraseKeys(spark, dir, Seq("id"), Seq(1L).toDF("id"))
     // key 1 was the only live row — the erased store reads as empty
     assert(CdcStream.readReplica(spark, dir)
       .forall(_.isEmpty))
+  }
+
+  test("erasure with pending deltas folds the touched buckets and purges delta files") {
+    val dir = freshDir()
+    applyDefer(dir, Seq((1L, "a", 1L, "update"), (2L, "b", 1L, "update")))
+    applyDefer(dir, Seq((1L, "a2", 2L, "update"), (3L, "c", 2L, "update")))
+    CdcStream.eraseKeys(spark, dir, Seq("id"), Seq(1L).toDF("id"))
+    assert(content(dir) == Seq((2L, "b"), (3L, "c")))
+    // no on-disk trace: every delta file of key 1's bucket purged, and
+    // no remaining parquet file anywhere in the store holds id=1
+    val remaining = new scala.collection.mutable.ArrayBuffer[String]
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else if (f.getName.endsWith(".parquet")) remaining += f.toString
+    }
+    walk(new java.io.File(dir))
+    val ids = spark.read.parquet(remaining.toSeq: _*)
+      .select($"id").distinct().as[Long].collect().toSet
+    assert(!ids.contains(1L), "an erased key must not survive in ANY file")
+  }
+
+  test("conditional deferred commits fold greatest-order-wins") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true, deferMerge = true)
+    applyCond(Seq((1L, "a@5", 5L, "update"), (2L, "b@5", 5L, "update")))
+    // LATE batch (lower order) arrives after: it must lose, even though
+    // its delta commit is newer
+    applyCond(Seq((1L, "a@3", 3L, "update"), (3L, "c@3", 3L, "update")))
+    assert(content(dir) == Seq((1L, "a@5"), (2L, "b@5"), (3L, "c@3")))
+    // a delete BELOW a key's stored order is ignored; ABOVE removes it
+    applyCond(Seq((2L, "x", 4L, "delete"), (3L, "x", 9L, "delete")))
+    assert(content(dir) == Seq((1L, "a@5"), (2L, "b@5")))
+    // compaction materializes the winning delete as a TOMBSTONE whose
+    // late-loser protection survives: an order-7 update on key 3 still
+    // loses to the order-9 tombstone, eager or deferred
+    CdcStream.compactReplica(spark, dir)
+    assert(!manifestJson(dir).contains("\"deltas\""))
+    assert(manifestJson(dir).contains("tombstoneMins"),
+      "compaction must record per-bucket tombstone metadata")
+    applyCond(Seq((3L, "c@7", 7L, "update")))
+    assert(content(dir) == Seq((1L, "a@5"), (2L, "b@5")))
+    // ...and an order-10 update resurrects past it
+    applyCond(Seq((3L, "c@10", 10L, "update")))
+    assert(content(dir) == Seq((1L, "a@5"), (2L, "b@5"), (3L, "c@10")))
+  }
+
+  test("an eager conditional merge folds conditional pending deltas") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)], defer: Boolean): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true, deferMerge = defer)
+    applyCond(Seq((1L, "a@5", 5L, "update"), (2L, "b@9", 9L, "delete")),
+      defer = true)
+    // an UNCONDITIONAL merge cannot fold conditional deltas
+    intercept[IllegalStateException] {
+      CdcStream.applyBatchToReplica(dir, batch(Seq((1L, "z", 1L, "update"))),
+        Seq("id"), Seq(col("seq")))
+    }
+    // the eager conditional merge folds them: key 2's delete-winner
+    // becomes a tombstone the late order-4 update loses to
+    applyCond(Seq((1L, "a@7", 7L, "update"), (2L, "b@4", 4L, "update")),
+      defer = false)
+    assert(content(dir) == Seq((1L, "a@7")))
+    // a sequence deferred commit routed into a tombstone-holding bucket
+    // refuses (no order compare in its fold); other buckets are fine
+    assert(manifestJson(dir).contains("tombstoneMins"))
+    intercept[IllegalStateException] {
+      applyDefer(dir, Seq((2L, "seq", 99L, "update")))
+    }
+  }
+
+  test("conditional-delta time travel and pruned lookups fold by order") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true, deferMerge = true)
+    applyCond(Seq((1L, "new@8", 8L, "update")))
+    applyCond(Seq((1L, "old@2", 2L, "update"), (2L, "b@2", 2L, "update")))
+    val hit = CdcStream.readReplicaForKeys(spark, dir, Seq("id"),
+      Seq(1L).toDF("id")).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hit == Seq((1L, "new@8")),
+      "the key-pruned fold must pick the greatest ORDER, not the newest commit")
+    // time travel at v1: only the first delta layer
+    val v1 = CdcStream.readReplicaAt(spark, dir, 1L).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(v1 == Seq((1L, "new@8")))
   }
 
   test("watermark time travel folds each version's pending deltas") {
@@ -163,7 +252,7 @@ class MergeOnReadSpec extends SparkSuite {
     assert(!CdcStream.maintainReplica(spark, dir, maxDeltas = 3))
   }
 
-  test("a deferred commit on a tombstone-bearing replica refuses") {
+  test("sequence deferred commits refuse per tombstone-holding BUCKET") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
       batch(Seq((1L, "a", 5L, "update"))), Seq("id"), Seq(col("seq")),
@@ -171,8 +260,15 @@ class MergeOnReadSpec extends SparkSuite {
     CdcStream.applyBatchToReplica(dir,
       batch(Seq((1L, "a", 9L, "delete"))), Seq("id"), Seq(col("seq")),
       conditionalOrder = true)
+    // key 1's bucket holds its tombstone: a sequence fold there has no
+    // order compare — refuse
     intercept[IllegalStateException] {
-      applyDefer(dir, Seq((2L, "b", 1L, "update")))
+      applyDefer(dir, Seq((1L, "back", 1L, "update")))
     }
+    // a tombstone-FREE bucket accepts sequence deferred commits (the
+    // manifest's per-bucket metadata makes the exclusivity exact,
+    // not store-wide)
+    applyDefer(dir, Seq((2L, "b", 1L, "update")))
+    assert(content(dir) == Seq((2L, "b")))
   }
 }
