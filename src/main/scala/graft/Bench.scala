@@ -12,30 +12,61 @@ import org.apache.spark.sql.SparkSession
   * Build-ONCE pipeline artifacts (the shared cluster-label table,
   * [[graft.llm.IndexArtifacts.cached]]) are deliberately exempt: they
   * are built during warmup and reused by timed runs — that reuse is the
-  * operator's honest shape — and their build seconds are reported in a
+  * operator's honest shape (they are parquet-on-disk, so they survive
+  * session recycling too) — and their build seconds are reported in a
   * separate `artifacts` field so nothing is hidden. Failures are
   * reported in a separate `failed` list, never as fake timings.
+  *
+  * INTERFERENCE CONTROL (r9): a ~600-execution run accumulates
+  * driver-side state (shuffle files, status store, listener queues)
+  * that periodic GC alone does not bound, and the r8 record overstated
+  * a few queries 4-26× versus their isolated times. Two defenses:
+  *   1. the SparkSession is RECYCLED at every query-family boundary
+  *      (cdc → llm → relational → src), so no query pays more than its
+  *      own family's accumulation — codegen caches are JVM-global and
+  *      artifacts are on disk, so a fresh session re-warms in ~1s;
+  *   2. after the main pass, any query whose median exceeds 3× its
+  *      family's median (and 1 s absolute) is RE-TIMED in a fresh
+  *      session of its own; both numbers are recorded under
+  *      `"interference": {query: [recorded, isolated]}` so a reader
+  *      applying a per-query gate can tell harness drag from a real
+  *      regression. The headline map keeps the recorded numbers —
+  *      the audit field is evidence, not a substitute.
   */
 object Bench {
   val Runs = 3
+  /** Cap on isolated re-times so the audit cannot dominate wall time. */
+  val MaxAudits = 12
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // a ~600-execution run accumulates shuffle files and status-store
-      // entries that otherwise linger until the 30-min default periodic
-      // GC — late-alphabet queries were paying earlier queries' garbage
-      .config("spark.cleaner.periodicGC.interval", "45s")
-      .config("spark.sql.ui.retainedExecutions", "8")
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def mkSession(): SparkSession = {
+      val builder = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        // shuffle files and status-store entries otherwise linger until
+        // the 30-min default periodic GC — late queries were paying
+        // earlier queries' garbage
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+      Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+      val s = builder.getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = mkSession()
+    def recycle(): Unit = {
+      spark.stop()
+      // a stopped context lingers in the builder's cached reference;
+      // clear it so getOrCreate builds a genuinely fresh one
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = mkSession()
+    }
 
     // optional comma-separated subset for local iteration; the driver
     // never sets it, so official runs always time the full surface
@@ -43,6 +74,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    def fam(n: String): String =
+      if (n.startsWith("llm_")) "llm"
+      else if (n.startsWith("cdc_")) "cdc"
+      else if (n.startsWith("src_")) "src"
+      else "relational"
 
     // untimed warmup pass (ignore failures here; they re-surface timed)
     queries.foreach { case (_, fn) =>
@@ -60,8 +97,10 @@ object Bench {
     var failed = List.empty[String]
     var flaky = List.empty[String]
     var errors = Map.empty[String, String]
-    val results = queries.flatMap { case (name, fn) =>
-      val times = (1 to Runs).flatMap { _ =>
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        runs: Int): Option[Double] = {
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -75,12 +114,45 @@ object Bench {
             None
         } finally spark.catalog.clearCache()
       }
-      if (times.isEmpty) { failed ::= name; None }
+      if (times.isEmpty) None
       else {
-        if (times.size < Runs) flaky ::= name
-        Some(name -> times.sorted.apply(times.size / 2))
+        if (times.size < runs) flaky ::= name
+        Some(times.sorted.apply(times.size / 2))
       }
     }
+    var curFam: String = null
+    val results = queries.flatMap { case (name, fn) =>
+      val f = fam(name)
+      if (curFam != null && f != curFam) recycle()
+      curFam = f
+      timeOne(name, fn, Runs) match {
+        case None => failed ::= name; None
+        case some => some.map(name -> _)
+      }
+    }
+
+    // isolated re-time audit: outliers vs their family median re-run in
+    // a fresh session each; both numbers recorded
+    val famMedian: Map[String, Double] = results.groupBy(r => fam(r._1))
+      .map { case (g, rs) =>
+        val v = rs.map(_._2).sorted; g -> v(v.size / 2) }
+    val outliers = results
+      .filter { case (n, t) => t > 1.0 && t > 3.0 * famMedian(fam(n)) }
+      .sortBy(-_._2).take(MaxAudits)
+    val interference: Seq[(String, Double, Double)] =
+      outliers.flatMap { case (name, recorded) =>
+        recycle()
+        // one untimed warm pass in the fresh session, then timed runs
+        try queries.toMap.get(name).foreach { fn =>
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          finally spark.catalog.clearCache()
+        } catch { case _: Throwable => () }
+        queries.toMap.get(name)
+          .flatMap(fn => timeOne(name, fn, Runs))
+          .map(iso => (name, recorded, iso))
+      }
+
     // The driver records only the LAST 2000 chars of output. A full
     // per-query map for 100+ queries is >3 KB, so the printed line's
     // HEAD was being truncated and the driver parsed nothing (rounds
@@ -93,7 +165,7 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\r\\n\\t]", " ") + "\""
     val fs = failed.sorted.map(jstr).mkString("[", ",", "]")
-    val fl = flaky.sorted.map(jstr).mkString("[", ",", "]")
+    val fl = flaky.distinct.sorted.map(jstr).mkString("[", ",", "]")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // build-once pipeline artifacts (cluster-label index) are built
@@ -106,11 +178,6 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
 
-    def fam(n: String): String =
-      if (n.startsWith("llm_")) "llm"
-      else if (n.startsWith("cdc_")) "cdc"
-      else if (n.startsWith("src_")) "src"
-      else "relational"
     val groups = results.groupBy { case (n, _) => fam(n) }.toSeq.sortBy(_._1)
       .map { case (g, rs) => "\"" + g + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
@@ -118,8 +185,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qsFull = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val interf = interference.sortBy(_._1)
+      .map { case (k, rec, iso) => "\"" + k + "\":[" + r3(rec) + "," + r3(iso) + "]" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"artifacts":$arts,"groups":$groups,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
     catch { case e: Throwable =>
@@ -127,7 +197,7 @@ object Bench {
     }
     // "queries" on the printed line = the 10 slowest (the ones a perf
     // reader actually wants); the rest live in BENCH_FULL.json
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"failed":$fs,"flaky":$fl,"artifacts":$arts,"groups":$groups,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"failed":$fs,"flaky":$fl,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
