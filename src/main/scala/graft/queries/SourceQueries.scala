@@ -519,6 +519,34 @@ object SourceQueries {
           sum($"rowkey").as("sum_rowkey"),
           sum($"event_id").as("sum_event_id"))
         .orderBy($"region", $"op")
+    },
+
+    // --- wal source → db/table regex cut at the source ------------------
+    // The HBase parity gap closed in r9: a region server's WAL
+    // interleaves every table it hosts, and the reference filters by
+    // databaseNamePattern/tableNamePattern inside the source
+    // (HBaseWALSocketServerInExecutor.scala:131-137). The fixture's
+    // table IS the region name, so a `region-00[01]` pattern must keep
+    // exactly the user_id % 4 ∈ {0,1} shards — verified against raw
+    // events. Offsets stay position-intact (WalSourceSpec proves the
+    // filtered stream checkpoints identically to the unfiltered one).
+    "src_wal_table_filter" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-wal")
+        .option("path", walDir(s, dir))
+        .option("databaseNamePattern", "wal")
+        .option("tableNamePattern", "region-00[01]")
+        .load()
+      df.select(
+          get_json_object($"value", "$.tableName").as("region"),
+          get_json_object($"value", "$.type").as("op"),
+          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("rowkey"),
+          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"))
+        .groupBy($"region", $"op")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"rowkey").as("sum_rowkey"),
+          sum($"event_id").as("sum_event_id"))
+        .orderBy($"region", $"op")
     }
   )
 
@@ -640,6 +668,16 @@ object SourceQueries {
          |  count(*) AS n_events,
          |  CAST(sum(user_id) AS BIGINT) AS sum_rowkey,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "src_wal_table_filter" ->
+      s"""SELECT
+         |  'region-' || lpad(CAST(user_id % $NumWalRegions AS VARCHAR), 3, '0') AS region,
+         |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         |  count(*) AS n_events,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_rowkey,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         |FROM events WHERE user_id % $NumWalRegions IN (0, 1)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -197,7 +197,21 @@ final case class WalSourceConf(
       * files (HBase keeps `oldWALs` beside the live dirs, not inside);
       * unset = the in-root `<root>/oldWALs` layout.
       */
-    oldWalLogPath: Option[String]) extends Serializable
+    oldWalLogPath: Option[String],
+    /** Reference `databaseNamePattern`/`tableNamePattern`
+      * (HBaseWALSocketServerInExecutor.scala:131-137, applied
+      * :146-153): full-match regexes over each mutation's db/table.
+      * An HBase region server's WAL interleaves EVERY table it hosts,
+      * so a per-table consumer needs the cut at the source. Applied
+      * AFTER cell grouping (a mutation either emits whole or not at
+      * all — same layering as `startTime`), and position-intact:
+      * filtered mutations still advance offsets, so checkpoints,
+      * admission budgets, and manifest counts are unaffected by the
+      * filter and the pattern can be changed on an existing
+      * checkpoint.
+      */
+    databaseNamePattern: Option[String],
+    tableNamePattern: Option[String]) extends Serializable
 
 object WalSourceConf {
   def apply(options: CaseInsensitiveStringMap): WalSourceConf = {
@@ -220,7 +234,9 @@ object WalSourceConf {
       sessionTimeZone =
         Option(options.get("sessionTimeZone")).getOrElse("UTC"),
       startTimeMs = Option(options.get("startTime")).map(_.toLong),
-      oldWalLogPath = Option(options.get("oldWALLogPath")))
+      oldWalLogPath = Option(options.get("oldWALLogPath")),
+      databaseNamePattern = Option(options.get("databaseNamePattern")),
+      tableNamePattern = Option(options.get("tableNamePattern")))
   }
 }
 
@@ -533,7 +549,7 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
       // the reference reassembles mutations from per-cell WAL entries
       // the same way (HBaseWALClient.scala:157-203). The merged record
       // takes the LAST cell's pos, so offsets stay resumable.
-      private val it: Iterator[ChangelogRecord] =
+      private val grouped: Iterator[ChangelogRecord] =
         if (!conf.groupRawCells) cells
         else new Iterator[ChangelogRecord] {
           private var pending: ChangelogRecord =
@@ -551,6 +567,22 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
             }
             acc
           }
+        }
+      // db/table regex cut AFTER grouping: a mutation either emits
+      // whole or not at all (filtering raw cells first could fuse two
+      // surviving same-key mutations across a filtered-out gap).
+      // Position-intact: a filtered mutation's positions were already
+      // consumed by the range read, so offsets advance identically
+      // with or without the filter.
+      private val dbPat =
+        conf.databaseNamePattern.map(java.util.regex.Pattern.compile)
+      private val tblPat =
+        conf.tableNamePattern.map(java.util.regex.Pattern.compile)
+      private val it: Iterator[ChangelogRecord] =
+        if (dbPat.isEmpty && tblPat.isEmpty) grouped
+        else grouped.filter { r =>
+          dbPat.forall(_.matcher(Option(r.db).getOrElse("")).matches()) &&
+            tblPat.forall(_.matcher(Option(r.table).getOrElse("")).matches())
         }
       private var current: ChangelogRecord = _
 

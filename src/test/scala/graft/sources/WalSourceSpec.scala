@@ -71,6 +71,65 @@ class WalSourceSpec extends SparkSuite {
     assert(spark.table("wal_start_time").count() === kept.length.toLong)
   }
 
+  test("db/table regex filters cut at the source with offsets intact") {
+    val all = spark.read.format("graft-wal").option("path", dir).load()
+      .select("value").as[String].collect().map(EnvelopeCodec.parse)
+    // table == region in the fixture: keep two of four regions
+    val kept = spark.read.format("graft-wal").option("path", dir)
+      .option("databaseNamePattern", "wal")
+      .option("tableNamePattern", "region-00[01]")
+      .load().select("value").as[String].collect().map(EnvelopeCodec.parse)
+    val expected = all.filter(e =>
+      e.tableName == "region-000" || e.tableName == "region-001")
+    assert(kept.nonEmpty && kept.length < all.length)
+    assert(kept.length === expected.length)
+    // position-intact: surviving mutations keep the exact offsets they
+    // had unfiltered
+    assert(kept.map(_.offset).sorted.toSeq ===
+      expected.map(_.offset).sorted.toSeq)
+    // a non-matching db pattern empties the read (fixture db is "wal")
+    assert(spark.read.format("graft-wal").option("path", dir)
+      .option("databaseNamePattern", "otherdb").load().count() === 0L)
+    // streaming under the filter: same record set, and the CHECKPOINT
+    // advances through filtered regions exactly like the unfiltered
+    // stream — the filter never holds an offset back
+    val ck = Files.createTempDirectory("ck").toString
+    val q = spark.readStream.format("graft-wal").option("path", dir)
+      .option("tableNamePattern", "region-00[01]")
+      .load().writeStream.format("memory").queryName("wal_tbl_filter")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("wal_tbl_filter").count() === expected.length.toLong)
+    val lastBatch = new java.io.File(s"$ck/offsets").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    val offLine = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$ck/offsets/$lastBatch")).toArray.last.toString
+    val committed = WalOffset.parse(offLine).regions
+    val unfiltered = WalDataSource.listRegions(dir).map(r =>
+      r -> ChangelogFiles.latestOffset(s"$dir/$r").packed).toMap
+    assert(committed === unfiltered,
+      "filtered regions must advance their offsets like any other")
+  }
+
+  test("cell grouping composes with table filters: whole mutations only") {
+    val d2 = Files.createTempDirectory("graft-wal-cellfilter").toString
+    WalGenerator.generate(Tables(spark, sfDir).events, d2, NumRegions,
+      recordsPerFile = 100, cellPerRecord = true)
+    val grouped = spark.read.format("graft-wal").option("path", d2)
+      .option("groupRawCells", "true")
+      .load().select("value").as[String].collect().map(EnvelopeCodec.parse)
+    val filtered = spark.read.format("graft-wal").option("path", d2)
+      .option("groupRawCells", "true")
+      .option("tableNamePattern", "region-00[01]")
+      .load().select("value").as[String].collect().map(EnvelopeCodec.parse)
+    val expected = grouped.filter(e =>
+      e.tableName == "region-000" || e.tableName == "region-001")
+    // the filter applies AFTER grouping: every surviving mutation is
+    // byte-identical to its unfiltered twin (same cells, same offset)
+    assert(filtered.map(e => (e.offset, e.row)).sortBy(_._1).toSeq ===
+      expected.map(e => (e.offset, e.row)).sortBy(_._1).toSeq)
+  }
+
   test("in-place redaction erases rowkeys from every region with offsets intact") {
     // private copy: redaction mutates the files
     val d2 = Files.createTempDirectory("graft-wal-redact").toString
