@@ -521,6 +521,30 @@ object SourceQueries {
         .orderBy($"region", $"op")
     },
 
+    // --- binlog source → PLAN-LEVEL pushdown (DSv2 filter pushdown) -----
+    // envelopeColumns=true widens the scan with typed db/table/op/offset
+    // columns, and the .filter(...) below is written in the PLAN, not as
+    // an option: Catalyst hands it to BinlogScanBuilder.pushFilters,
+    // which turns the db/table equalities into source patterns and the
+    // op IN into a reader-side cut (PlanSpec pins PushedFilters in the
+    // executed plan; the filters also stay in the plan as the
+    // correctness boundary). The oracle is the raw-events twin of the
+    // op cut.
+    "src_binlog_pushdown" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogDir(s, dir))
+        .option("envelopeColumns", "true").load()
+        .filter($"db" === "graft" && $"table" === "events" &&
+          $"op".isin("insert", "delete"))
+      CdcStream.parsed(df, eventsRowSchema)
+        .groupBy($"op")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"event_id").as("sum_event_id"),
+          sum($"user_id").as("sum_user_id"))
+        .orderBy($"op")
+    },
+
     // --- wal source → db/table regex cut at the source ------------------
     // The HBase parity gap closed in r9: a region server's WAL
     // interleaves every table it hosts, and the reference filters by
@@ -669,6 +693,13 @@ object SourceQueries {
          |  CAST(sum(user_id) AS BIGINT) AS sum_rowkey,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "src_binlog_pushdown" ->
+      s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         |FROM events WHERE event_type IN ('signup', 'error')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_wal_table_filter" ->
       s"""SELECT

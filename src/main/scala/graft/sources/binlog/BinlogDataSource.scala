@@ -53,40 +53,154 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-binlog"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    BinlogDataSource.Schema
+    BinlogDataSource.schemaFor(options)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(schema == BinlogDataSource.Schema,
-      s"graft-binlog has a fixed schema ${BinlogDataSource.Schema.simpleString}; " +
+    val opts = new CaseInsensitiveStringMap(properties)
+    require(schema == BinlogDataSource.schemaFor(opts),
+      s"graft-binlog has a fixed schema ${BinlogDataSource.schemaFor(opts).simpleString}; " +
         "custom schemas are not supported") // reference MBDS:40 rejects them too
-    new BinlogTable(new CaseInsensitiveStringMap(properties))
+    new BinlogTable(opts)
   }
 }
 
 object BinlogDataSource {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** `envelopeColumns=true` widens the scan with the envelope's
+    * routing fields as TYPED TOP-LEVEL COLUMNS (`db`, `table`, `op`,
+    * `offset`) next to `value` — the handle plan-level predicate
+    * pushdown needs: Catalyst cannot push a filter through
+    * `get_json_object(value, …)`, but an `EqualTo(table, …)` or an
+    * `offset` range on a real column reaches
+    * [[BinlogScanBuilder.pushFilters]] and prunes at the source
+    * (offset bounds prune files/chunks off the batch plan; db/table/op
+    * equality prunes records pre-materialization). Column pruning
+    * composes: a query not selecting `value` skips envelope
+    * serialization entirely.
+    */
+  val WideSchema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("db", StringType),
+    StructField("table", StringType),
+    StructField("op", StringType),
+    StructField("offset", LongType)))
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    if (Option(options.get("envelopeColumns")).exists(_.toBoolean)) WideSchema
+    else Schema
 }
 
 final class BinlogTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = s"graft-binlog(${options.get("path")})"
-  override def schema(): StructType = BinlogDataSource.Schema
+  override def schema(): StructType = BinlogDataSource.schemaFor(options)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new BinlogScan(opts)
-    }
+    new BinlogScanBuilder(opts)
 }
 
-final class BinlogScan(options: CaseInsensitiveStringMap) extends Scan {
-  private val conf = BinlogSourceConf(options)
-  override def readSchema(): StructType = BinlogDataSource.Schema
-  override def description(): String = s"graft-binlog ${conf.dir}"
+/** Plan-level pushdown (SURVEY §4 (b)) for the wide-schema scan:
+  * db/table/op equality|IN and `offset` range predicates written in
+  * the PLAN (`.filter(...)`, `WHERE ...`) reach the source exactly
+  * like the option-level surface — the offset bounds clamp the batch
+  * plan's [start, end) so out-of-range files/chunks are never
+  * partitioned (manifest pruning, the same spine the option path
+  * uses), and db/table/op cuts apply in the partition readers
+  * pre-materialization. Pushed filters are ALSO left in the plan for
+  * Spark to re-evaluate (`pushFilters` returns its input): the
+  * source's pruning is an optimization, never the correctness
+  * boundary — the standard parquet-source contract.
+  *
+  * Filters are accepted only when no option-level regex competes for
+  * the same field (an option pattern AND a pushed equality would need
+  * a conjunction the single-pattern conf cannot carry; the residual
+  * evaluation keeps the un-pushed predicate exact).
+  */
+final class BinlogScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private val wide =
+    Option(options.get("envelopeColumns")).exists(_.toBoolean)
+  private var required: StructType = BinlogDataSource.schemaFor(options)
+  private var pushed: Array[Filter] = Array.empty
+
+  private var dbIn: Option[Set[String]] = None
+  private var tblIn: Option[Set[String]] = None
+  private var opIn: Option[Set[String]] = None
+  private var offLo: Option[Long] = None // inclusive
+  private var offHi: Option[Long] = None // exclusive
+
+  private def strings(vs: Array[Any]): Option[Set[String]] = {
+    val ss = vs.collect { case s: String => s }
+    if (ss.length == vs.length) Some(ss.toSet) else None
+  }
+  private def narrow(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
+    Some(cur.map(_.intersect(add)).getOrElse(add))
+  private def lo(v: Long): Unit = offLo = Some(offLo.fold(v)(math.max(_, v)))
+  private def hi(v: Long): Unit = offHi = Some(offHi.fold(v)(math.min(_, v)))
+
+  private def accept(f: Filter): Boolean = f match {
+    case EqualTo("db", v: String) if options.get("databaseNamePattern") == null =>
+      dbIn = narrow(dbIn, Set(v)); true
+    case In("db", vs) if options.get("databaseNamePattern") == null =>
+      strings(vs).exists { s => dbIn = narrow(dbIn, s); true }
+    case EqualTo("table", v: String) if options.get("tableNamePattern") == null =>
+      tblIn = narrow(tblIn, Set(v)); true
+    case In("table", vs) if options.get("tableNamePattern") == null =>
+      strings(vs).exists { s => tblIn = narrow(tblIn, s); true }
+    case EqualTo("op", v: String) => opIn = narrow(opIn, Set(v)); true
+    case In("op", vs) => strings(vs).exists { s => opIn = narrow(opIn, s); true }
+    case GreaterThan("offset", v: Long) => lo(v + 1); true
+    case GreaterThanOrEqual("offset", v: Long) => lo(v); true
+    case LessThan("offset", v: Long) => hi(v); true
+    case LessThanOrEqual("offset", v: Long) => hi(v + 1); true
+    case EqualTo("offset", v: Long) => lo(v); hi(v + 1); true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = if (wide) filters.filter(accept) else Array.empty
+    filters // every filter stays in the plan as the correctness boundary
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // the planner prunes to a subset of the declared schema; an empty
+    // projection (pure COUNT) legally prunes every column away
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val base = BinlogSourceConf(options)
+    def quoted(s: Set[String]): String =
+      s.toSeq.sorted.map(Pattern.quote).mkString("|")
+    val conf = base.copy(
+      databaseNamePattern = dbIn.map(quoted).orElse(base.databaseNamePattern),
+      tableNamePattern = tblIn.map(quoted).orElse(base.tableNamePattern),
+      opFilter = opIn,
+      offsetLowerBound = offLo,
+      offsetUpperBound = offHi)
+    new BinlogScan(conf, required, pushed)
+  }
+}
+
+final class BinlogScan(conf: BinlogSourceConf, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-binlog ${conf.dir}" +
+      (if (pushed.nonEmpty) s", PushedFilters: [${pushed.mkString(", ")}]"
+       else "")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BinlogMicroBatchStream(conf)
-  override def toBatch: Batch = new BinlogBatch(conf)
+    new BinlogMicroBatchStream(conf.copy(
+      // plan-level offset bounds describe a BATCH range; a streaming
+      // checkpoint owns its own progression
+      offsetLowerBound = None, offsetUpperBound = None), required)
+  override def toBatch: Batch = new BinlogBatch(conf, required)
 }
 
 /** Validated source configuration (serializable, shipped to readers). */
@@ -137,7 +251,15 @@ final case class BinlogSourceConf(
       * should not see them unless they ask.
       */
     includeDdl: Boolean,
-    sessionTimeZone: String) extends Serializable {
+    sessionTimeZone: String,
+    /** Plan-pushed constraints ([[BinlogScanBuilder]]) — never set from
+      * options. `opFilter` cuts records by op in the readers;
+      * the offset bounds clamp the BATCH plan's [start, end) range
+      * (inclusive lower, exclusive upper, over packed offsets).
+      */
+    opFilter: Option[Set[String]] = None,
+    offsetLowerBound: Option[Long] = None,
+    offsetUpperBound: Option[Long] = None) extends Serializable {
 
   /** db/table regex filters applied to a `db.table` offset key (split
     * at the FIRST dot — fixture dbs are dot-free).
@@ -238,7 +360,8 @@ object BinlogTableOffsets {
   }
 }
 
-final class BinlogMicroBatchStream(conf: BinlogSourceConf)
+final class BinlogMicroBatchStream(conf: BinlogSourceConf,
+    required: StructType = BinlogDataSource.Schema)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** The configured global starting position (legacy mode; also the
@@ -373,7 +496,7 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir))
+    new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir), required)
 
   override def deserializeOffset(json: String): Offset =
     if (json.trim.startsWith("{")) BinlogTableOffsets.parse(json)
@@ -425,13 +548,25 @@ final class BinlogMicroBatchStream(conf: BinlogSourceConf)
 /** Batch read of the whole log (earliest → latest) — lets users run
   * the bootstrap full-sync (SURVEY.md §2.1 S4) through the same source.
   */
-final class BinlogBatch(conf: BinlogSourceConf) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
-    BinlogPartitioning.plan(conf,
-      ChangelogFiles.earliestOffset(conf.dir, conf.prefix),
-      ChangelogFiles.latestOffset(conf.dir, conf.prefix))
+final class BinlogBatch(conf: BinlogSourceConf,
+    required: StructType = BinlogDataSource.Schema) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    // plan-pushed offset bounds clamp the range BEFORE partitioning:
+    // out-of-range files and chunks are never planned — the same
+    // manifest-spine pruning the startingOffsets option rides
+    val earliest = ChangelogFiles.earliestOffset(conf.dir, conf.prefix)
+    val latest = ChangelogFiles.latestOffset(conf.dir, conf.prefix)
+    val start = conf.offsetLowerBound
+      .map(b => BinlogOffset.unpack(math.max(b, earliest.packed)))
+      .getOrElse(earliest)
+    val end = conf.offsetUpperBound
+      .map(b => BinlogOffset.unpack(
+        math.max(math.min(b, latest.packed), start.packed)))
+      .getOrElse(latest)
+    BinlogPartitioning.plan(conf, start, end)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir))
+    new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir), required)
 }
 
 object BinlogPartitioning {
@@ -688,7 +823,9 @@ final case class BinlogMapInputPartition(
       */
     seekBytes: Long = -1L) extends InputPartition
 
-final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, String])
+final class BinlogReaderFactory(conf: BinlogSourceConf,
+    schemas: Map[String, String],
+    required: StructType = BinlogDataSource.Schema)
     extends PartitionReaderFactory {
 
   // parsed StructTypes for kernel dispatch — once per factory, not per
@@ -697,6 +834,11 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
     schemas.map { case (k, v) =>
       k -> DataType.fromJson(v).asInstanceOf[StructType]
     }
+
+  // column pruning: `value` (the envelope serialization — the only
+  // expensive column) is built ONLY when the pruned schema asks for it
+  private val wantValue = required.fieldNames.contains("value")
+  private val isWide = required != BinlogDataSource.Schema
 
   /** Changelog record → JSON-envelope row. `offset` is the packed
     * global offset (legacy partitions) or the 1-based table-local index
@@ -721,14 +863,35 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
     InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
   }
 
+  /** Pruned-schema row builder (wide mode): only the fields the plan
+    * kept are materialized — in particular a routing-only projection
+    * (db/table/op/offset) never pays envelope serialization.
+    */
+  private def prunedRow(current: ChangelogRecord, offset: Long): InternalRow =
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+      f.name match {
+        case "value" => envelope(current, offset).getUTF8String(0)
+        case "db" => UTF8String.fromString(current.db)
+        case "table" => UTF8String.fromString(current.table)
+        case "op" => UTF8String.fromString(current.op)
+        case "offset" => offset
+      }
+    })
+
+  private def emit(current: ChangelogRecord, offset: Long): InternalRow =
+    if (isWide || !wantValue) prunedRow(current, offset)
+    else envelope(current, offset)
+
   private def isCdcOp(op: String): Boolean =
     op == "insert" || op == "update" || op == "delete"
 
   /** Record ops this scan emits: row changes always; DDL only by
-    * opt-in. Every other op consumes its position silently.
+    * opt-in; plan-pushed op equality/IN cuts on top. Every other op
+    * consumes its position silently.
     */
   private def emits(op: String): Boolean =
-    isCdcOp(op) || (conf.includeDdl && op == "ddl")
+    (isCdcOp(op) || (conf.includeDdl && op == "ddl")) &&
+      conf.opFilter.forall(_.contains(op))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -751,7 +914,7 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
           override def next(): Boolean =
             if (it.hasNext) { current = it.next(); true } else false
           override def get(): InternalRow =
-            envelope(current, BinlogOffset(p.fileId, current.pos).packed)
+            emit(current, BinlogOffset(p.fileId, current.pos).packed)
           // release the file handle even if the task is cancelled mid-range
           override def close(): Unit = raw.close()
         }
@@ -796,7 +959,7 @@ final class BinlogReaderFactory(conf: BinlogSourceConf, schemas: Map[String, Str
             close()
             false
           }
-          override def get(): InternalRow = envelope(current, currentIdx + 1)
+          override def get(): InternalRow = emit(current, currentIdx + 1)
           override def close(): Unit = raw.close()
         }
     }

@@ -41,18 +41,41 @@ class WalDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-wal"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WalDataSource.Schema
+    WalDataSource.schemaFor(options)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(schema == WalDataSource.Schema,
-      s"graft-wal has a fixed schema ${WalDataSource.Schema.simpleString}")
-    new WalTable(new CaseInsensitiveStringMap(properties))
+    val opts = new CaseInsensitiveStringMap(properties)
+    require(schema == WalDataSource.schemaFor(opts),
+      s"graft-wal has a fixed schema ${WalDataSource.schemaFor(opts).simpleString}")
+    new WalTable(opts)
   }
 }
 
 object WalDataSource {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** `envelopeColumns=true` widens the scan with typed routing columns
+    * (`region`, `db`, `table`, `op`, `offset`) next to `value` — the
+    * plan-pushdown handle ([[WalScanBuilder]]): a `region` equality
+    * prunes WHOLE REGIONS off the partition plan (the WAL analog of
+    * partition pruning — each region is an independent sub-log), and
+    * db/table/op cuts apply in the readers. `offset` is the region-
+    * LOCAL packed position (regions number files independently), so it
+    * is exposed for inspection/dedup but never accepted as a pushed
+    * global range.
+    */
+  val WideSchema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("region", StringType),
+    StructField("db", StringType),
+    StructField("table", StringType),
+    StructField("op", StringType),
+    StructField("offset", LongType)))
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    if (Option(options.get("envelopeColumns")).exists(_.toBoolean)) WideSchema
+    else Schema
 
   /** Archive sub-dir for rotated logs — the `oldWALs/` analog
     * (reference HBaseWALClient.scala:47-151 polls BOTH the live
@@ -149,22 +172,94 @@ object WalDataSource {
 final class WalTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = s"graft-wal(${options.get("path")})"
-  override def schema(): StructType = WalDataSource.Schema
+  override def schema(): StructType = WalDataSource.schemaFor(options)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new WalScan(opts)
-    }
+    new WalScanBuilder(opts)
 }
 
-final class WalScan(options: CaseInsensitiveStringMap) extends Scan {
-  private val conf = WalSourceConf(options)
-  override def readSchema(): StructType = WalDataSource.Schema
-  override def description(): String = s"graft-wal ${conf.dir}"
+/** Plan-level pushdown for the wide-schema WAL scan: `region`
+  * equality|IN prunes whole regions off the partition plan (each
+  * region is an independent sub-log — this is genuine partition
+  * pruning, the planner never lists the skipped regions' files), and
+  * db/table/op equality|IN cut records in the readers. Offsets stay
+  * position-intact either way (a pruned region's offsets still
+  * advance in streaming — `latestOffset` never consults the filter).
+  * Pushed filters remain in the plan for Spark to re-evaluate; the
+  * source's pruning is an optimization, never the correctness
+  * boundary.
+  */
+final class WalScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private val wide =
+    Option(options.get("envelopeColumns")).exists(_.toBoolean)
+  private var required: StructType = WalDataSource.schemaFor(options)
+  private var pushed: Array[Filter] = Array.empty
+
+  private var regionIn: Option[Set[String]] = None
+  private var dbIn: Option[Set[String]] = None
+  private var tblIn: Option[Set[String]] = None
+  private var opIn: Option[Set[String]] = None
+
+  private def strings(vs: Array[Any]): Option[Set[String]] = {
+    val ss = vs.collect { case s: String => s }
+    if (ss.length == vs.length) Some(ss.toSet) else None
+  }
+  private def narrow(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
+    Some(cur.map(_.intersect(add)).getOrElse(add))
+
+  private def accept(f: Filter): Boolean = f match {
+    case EqualTo("region", v: String) => regionIn = narrow(regionIn, Set(v)); true
+    case In("region", vs) => strings(vs).exists { s => regionIn = narrow(regionIn, s); true }
+    case EqualTo("db", v: String) if options.get("databaseNamePattern") == null =>
+      dbIn = narrow(dbIn, Set(v)); true
+    case In("db", vs) if options.get("databaseNamePattern") == null =>
+      strings(vs).exists { s => dbIn = narrow(dbIn, s); true }
+    case EqualTo("table", v: String) if options.get("tableNamePattern") == null =>
+      tblIn = narrow(tblIn, Set(v)); true
+    case In("table", vs) if options.get("tableNamePattern") == null =>
+      strings(vs).exists { s => tblIn = narrow(tblIn, s); true }
+    case EqualTo("op", v: String) => opIn = narrow(opIn, Set(v)); true
+    case In("op", vs) => strings(vs).exists { s => opIn = narrow(opIn, s); true }
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = if (wide) filters.filter(accept) else Array.empty
+    filters // every filter stays in the plan as the correctness boundary
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val base = WalSourceConf(options)
+    def quoted(s: Set[String]): String =
+      s.toSeq.sorted.map(java.util.regex.Pattern.quote).mkString("|")
+    val conf = base.copy(
+      databaseNamePattern = dbIn.map(quoted).orElse(base.databaseNamePattern),
+      tableNamePattern = tblIn.map(quoted).orElse(base.tableNamePattern),
+      opFilter = opIn,
+      regionFilter = regionIn)
+    new WalScan(conf, required, pushed)
+  }
+}
+
+final class WalScan(conf: WalSourceConf, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-wal ${conf.dir}" +
+      (if (pushed.nonEmpty) s", PushedFilters: [${pushed.mkString(", ")}]"
+       else "")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalMicroBatchStream(conf)
-  override def toBatch: Batch = new WalBatch(conf)
+    new WalMicroBatchStream(conf, required)
+  override def toBatch: Batch = new WalBatch(conf, required)
 }
 
 final case class WalSourceConf(
@@ -211,7 +306,13 @@ final case class WalSourceConf(
       * checkpoint.
       */
     databaseNamePattern: Option[String],
-    tableNamePattern: Option[String]) extends Serializable
+    tableNamePattern: Option[String],
+    /** Plan-pushed constraints ([[WalScanBuilder]]) — never set from
+      * options. `regionFilter` prunes whole regions off the partition
+      * plan; `opFilter` cuts mutations by op in the readers.
+      */
+    opFilter: Option[Set[String]] = None,
+    regionFilter: Option[Set[String]] = None) extends Serializable
 
 object WalSourceConf {
   def apply(options: CaseInsensitiveStringMap): WalSourceConf = {
@@ -270,7 +371,8 @@ object WalOffset {
   }
 }
 
-final class WalMicroBatchStream(conf: WalSourceConf)
+final class WalMicroBatchStream(conf: WalSourceConf,
+    required: StructType = WalDataSource.Schema)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def regionDir(r: String): String = s"${conf.dir}/$r"
@@ -411,14 +513,15 @@ final class WalMicroBatchStream(conf: WalSourceConf)
       start.asInstanceOf[WalOffset], end.asInstanceOf[WalOffset])
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalReaderFactory(conf)
+    new WalReaderFactory(conf, required)
 
   override def deserializeOffset(json: String): Offset = WalOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-final class WalBatch(conf: WalSourceConf) extends Batch {
+final class WalBatch(conf: WalSourceConf,
+    required: StructType = WalDataSource.Schema) extends Batch {
   private def full: (WalOffset, WalOffset) = {
     val regions = WalDataSource.listRegions(conf.dir, conf.oldWalLogPath)
     val fs = regions.map(r =>
@@ -433,7 +536,7 @@ final class WalBatch(conf: WalSourceConf) extends Batch {
     WalPartitioning.plan(conf, s, e)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalReaderFactory(conf)
+    new WalReaderFactory(conf, required)
 }
 
 object WalPartitioning {
@@ -448,7 +551,12 @@ object WalPartitioning {
 
   private def planAttempt(conf: WalSourceConf, start: WalOffset,
       end: WalOffset): Array[InputPartition] = {
-    end.regions.toSeq.sortBy(_._1).flatMap { case (region, endPacked) =>
+    end.regions.toSeq.sortBy(_._1)
+      // plan-pushed region pruning: skipped regions' files are never
+      // even listed; their offsets still advance (latestOffset never
+      // consults the filter), so checkpoints stay filter-independent
+      .filter { case (region, _) => conf.regionFilter.forall(_.contains(region)) }
+      .flatMap { case (region, endPacked) =>
       val regionDir = s"${conf.dir}/$region" // manifest home (live dir)
       val files = WalDataSource.regionFiles(conf.dir, region, conf.prefix, conf.oldWalLogPath)
       val startOff = start.regions.get(region)
@@ -523,7 +631,13 @@ final case class WalInputPartition(
     region: String, filePath: String, fileId: Long,
     fromPos: Long, untilPos: Long) extends InputPartition
 
-final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory {
+final class WalReaderFactory(conf: WalSourceConf,
+    required: StructType = WalDataSource.Schema)
+    extends PartitionReaderFactory {
+
+  // column pruning: `value` (envelope serialization — the expensive
+  // column) is built only when the pruned schema asks for it
+  private val isDefault = required == WalDataSource.Schema
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WalInputPartition]
@@ -579,17 +693,18 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
       private val tblPat =
         conf.tableNamePattern.map(java.util.regex.Pattern.compile)
       private val it: Iterator[ChangelogRecord] =
-        if (dbPat.isEmpty && tblPat.isEmpty) grouped
+        if (dbPat.isEmpty && tblPat.isEmpty && conf.opFilter.isEmpty) grouped
         else grouped.filter { r =>
           dbPat.forall(_.matcher(Option(r.db).getOrElse("")).matches()) &&
-            tblPat.forall(_.matcher(Option(r.table).getOrElse("")).matches())
+            tblPat.forall(_.matcher(Option(r.table).getOrElse("")).matches()) &&
+            conf.opFilter.forall(_.contains(r.op))
         }
       private var current: ChangelogRecord = _
 
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
 
-      override def get(): InternalRow = {
+      private def envelopeJson(): UTF8String = {
         // HBase-family envelope: schema is null, row carries
         // rowkey + family:qualifier cells (PutWriter.java:25-39).
         // Raw tagged cells still convert through the kernels (null
@@ -600,8 +715,21 @@ final class WalReaderFactory(conf: WalSourceConf) extends PartitionReaderFactory
         val ev = CdcEvent(current.op, current.tsMillis, current.db, current.table,
           schemaJson = null, row = row,
           offset = BinlogOffset(p.fileId, current.pos).packed)
-        InternalRow(UTF8String.fromString(EnvelopeCodec.write(ev)))
+        UTF8String.fromString(EnvelopeCodec.write(ev))
       }
+
+      override def get(): InternalRow =
+        if (isDefault) InternalRow(envelopeJson())
+        else InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+          f.name match {
+            case "value" => envelopeJson()
+            case "region" => UTF8String.fromString(p.region)
+            case "db" => UTF8String.fromString(current.db)
+            case "table" => UTF8String.fromString(current.table)
+            case "op" => UTF8String.fromString(current.op)
+            case "offset" => BinlogOffset(p.fileId, current.pos).packed
+          }
+        })
       override def close(): Unit = raw.close()
     }
   }

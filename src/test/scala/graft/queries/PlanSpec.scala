@@ -500,6 +500,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("src_binlog_pushdown: plan-level db/table/op filters reach the DSv2 scan") {
+    val p = plan("src_binlog_pushdown")
+    // the scan node itself advertises what the source accepted — the
+    // filter was written in the PLAN (.filter), not as an option
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("EqualTo(table,events)") || p.contains("EqualTo(table, events)"),
+      p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("llm_dup_sources: source labels join the edge artifact on doc_id, no cartesian") {
     val p = plan("llm_dup_sources")
     assert(p.contains("dup-pairs"), p.take(2000))

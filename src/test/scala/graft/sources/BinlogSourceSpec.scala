@@ -502,4 +502,63 @@ class BinlogSourceSpec extends SparkSuite {
     assert(replica.count() === expect.count())
     assert(replica.select("user_id").exceptAll(expect).count() === 0L)
   }
+
+  test("envelopeColumns widens the scan; wide columns match the envelopes") {
+    val df = spark.read.format("graft-binlog").option("path", dir)
+      .option("envelopeColumns", "true").load()
+    assert(df.columns.toSeq === Seq("value", "db", "table", "op", "offset"))
+    val rows = df.collect()
+    assert(rows.length === 1000)
+    rows.foreach { r =>
+      val ev = EnvelopeCodec.parse(r.getString(0))
+      assert(r.getString(1) === ev.databaseName)
+      assert(r.getString(2) === ev.tableName)
+      assert(r.getString(3) === ev.eventType)
+      assert(r.getLong(4) === ev.offset)
+    }
+    // a routing-only projection (no `value`) still answers correctly —
+    // the reader skips envelope serialization for it
+    val ops = df.select("op").as[String].collect()
+    assert(ops.length === 1000 && ops.toSet === Set("insert", "update", "delete"))
+  }
+
+  test("plan-level filters push into the scan and stay exact") {
+    val df = spark.read.format("graft-binlog").option("path", dir)
+      .option("envelopeColumns", "true").load()
+    val q = df.filter($"op".isin("insert", "delete") && $"table" === "events")
+    // the executed plan advertises the pushed filters on the scan node
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(1500))
+    val all = df.collect().filter(r =>
+      Set("insert", "delete")(r.getString(3)) && r.getString(2) == "events")
+    assert(q.count() === all.length.toLong)
+    // a non-matching table equality empties the read at the source
+    assert(df.filter($"table" === "no_such_table").count() === 0L)
+  }
+
+  test("offset range predicates clamp the batch plan to in-range chunks") {
+    val df = spark.read.format("graft-binlog").option("path", dir)
+      .option("envelopeColumns", "true").load()
+    val offsets = df.select("offset").as[Long].collect().sorted
+    val cut = offsets(offsets.length / 2)
+    val hi = offsets(offsets.length * 3 / 4)
+    val got = df.filter($"offset" >= cut && $"offset" <= hi)
+      .select("offset").as[Long].collect().sorted
+    assert(got.toSeq === offsets.filter(o => o >= cut && o <= hi).toSeq)
+    // the bounds reach the batch planner: the clamped plan emits
+    // strictly fewer partitions than the full scan (file/chunk pruning
+    // off the manifest spine — recordsPerFile=300 → 4 files here)
+    val optsMap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "envelopeColumns", "true"))
+    val conf = graft.sources.binlog.BinlogSourceConf(optsMap)
+    val fullParts = new graft.sources.binlog.BinlogBatch(conf)
+      .planInputPartitions().length
+    val clamped = new graft.sources.binlog.BinlogBatch(conf.copy(
+      offsetLowerBound = Some(cut), offsetUpperBound = Some(hi + 1)))
+      .planInputPartitions().length
+    assert(clamped < fullParts,
+      s"clamped plan ($clamped) must prune partitions vs full ($fullParts)")
+    // EqualTo prunes to a single record's chunk
+    assert(df.filter($"offset" === cut).count() === 1L)
+  }
 }

@@ -111,6 +111,41 @@ class WalSourceSpec extends SparkSuite {
       "filtered regions must advance their offsets like any other")
   }
 
+  test("plan-level region/op pushdown prunes regions and stays exact") {
+    val df = spark.read.format("graft-wal").option("path", dir)
+      .option("envelopeColumns", "true").load()
+    assert(df.columns.toSeq ===
+      Seq("value", "region", "db", "table", "op", "offset"))
+    val all = df.collect()
+    assert(all.length === 1000)
+    // region equality: the filter is pushed (plan advertises it) and
+    // prunes whole regions off the partition plan
+    val q = df.filter($"region" === "region-002" && $"op" === "delete")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    val expect = all.filter(r =>
+      r.getString(1) == "region-002" && r.getString(4) == "delete")
+    assert(q.count() === expect.length.toLong)
+    // partition-plan pruning is observable at the planner level
+    val optsMap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "envelopeColumns", "true"))
+    val base = graft.sources.wal.WalSourceConf(optsMap)
+    val fullParts = new graft.sources.wal.WalBatch(base)
+      .planInputPartitions().length
+    val pruned = new graft.sources.wal.WalBatch(
+      base.copy(regionFilter = Some(Set("region-002"))))
+      .planInputPartitions().length
+    assert(pruned < fullParts,
+      s"region-pruned plan ($pruned) must shrink vs full ($fullParts)")
+    // wide columns agree with the envelopes
+    all.take(50).foreach { r =>
+      val ev = EnvelopeCodec.parse(r.getString(0))
+      assert(r.getString(2) === ev.databaseName)
+      assert(r.getString(3) === ev.tableName)
+      assert(r.getString(4) === ev.eventType)
+      assert(r.getLong(5) === ev.offset)
+    }
+  }
+
   test("cell grouping composes with table filters: whole mutations only") {
     val d2 = Files.createTempDirectory("graft-wal-cellfilter").toString
     WalGenerator.generate(Tables(spark, sfDir).events, d2, NumRegions,
