@@ -241,11 +241,18 @@ object SourceQueries {
       val df = s.read.format("graft-binlog")
         .option("path", binlogDdlDir(s, dir))
         .option("includeDdl", "true").load()
-      df.select(
-          get_json_object($"value", "$.type").as("op"),
-          get_json_object($"value", "$.rows[0].sql").as("sql"),
-          get_json_object($"value", "$.rows[0].event_id").cast("long")
-            .as("event_id"))
+      // ONE from_json parses the envelope once; three get_json_object
+      // calls would each re-parse the JSON (3x the scan's CPU at scale)
+      val ddlRow = StructType(Seq(
+        StructField("sql", StringType),
+        StructField("event_id", LongType)))
+      val env = StructType(Seq(
+        StructField("type", StringType),
+        StructField("rows", ArrayType(ddlRow))))
+      df.select(from_json($"value", env).as("e"))
+        .select($"e.type".as("op"),
+          $"e.rows".getItem(0).getField("sql").as("sql"),
+          $"e.rows".getItem(0).getField("event_id").as("event_id"))
         .groupBy($"op")
         .agg(count(lit(1)).as("n_events"),
           count($"sql").as("n_stmts"),
@@ -521,6 +528,27 @@ object SourceQueries {
         .orderBy($"region", $"op")
     },
 
+    // --- binlog source → SQL DDL entry (CREATE ... USING graft-binlog) --
+    // The TableProvider serves SQL readers with no DataFrame code at
+    // all: a TEMPORARY VIEW ... USING `graft-binlog` registration, then
+    // pure SQL text over it — the swap-in path for a SQL-only consumer.
+    // The wide `op` column groups without parsing; ONE from_json lifts
+    // the row images; numbers must equal src_binlog_opmix's.
+    "src_binlog_sql_table" -> { (s, dir) =>
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW binlog_sql_tbl " +
+        "USING `graft-binlog` OPTIONS " +
+        s"(path '${binlogDir(s, dir)}', envelopeColumns 'true')")
+      s.sql("""
+        SELECT op, count(*) AS n_events,
+          CAST(sum(e.rows[0].event_id) AS BIGINT) AS sum_event_id,
+          CAST(sum(e.rows[0].user_id) AS BIGINT) AS sum_user_id
+        FROM (
+          SELECT op, from_json(value,
+            'rows ARRAY<STRUCT<event_id: BIGINT, user_id: BIGINT>>') AS e
+          FROM binlog_sql_tbl)
+        GROUP BY op ORDER BY op""")
+    },
+
     // --- binlog source → PLAN-LEVEL pushdown (DSv2 filter pushdown) -----
     // envelopeColumns=true widens the scan with typed db/table/op/offset
     // columns, and the .filter(...) below is written in the PLAN, not as
@@ -693,6 +721,12 @@ object SourceQueries {
          |  CAST(sum(user_id) AS BIGINT) AS sum_rowkey,
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "src_binlog_sql_table" ->
+      s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_binlog_pushdown" ->
       s"""SELECT ${graft.cdc.OpMapping.sql} AS op, count(*) AS n_events,
