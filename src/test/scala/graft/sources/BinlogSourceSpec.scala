@@ -503,6 +503,33 @@ class BinlogSourceSpec extends SparkSuite {
     assert(replica.select("user_id").exceptAll(expect).count() === 0L)
   }
 
+  test("latestOffset stays a metadata stat walk at 1000-file scale") {
+    // SCALING.md's invariant, pinned: per-trigger offset resolution is
+    // an O(#files) directory walk with NO record reads — measured at
+    // ~5 us/file by ScaleBench (SCALEBENCH.json). The bound here is
+    // ~40x that measurement so only a record-read leak (ms/file) can
+    // trip it, not machine noise.
+    val d = Files.createTempDirectory("graft-scale").toString
+    ChangelogGenerator.generate(Tables(spark, sfDir).events, d,
+      recordsPerFile = 1) // 1000 events -> 1000 files
+    assert(ChangelogFiles.listFiles(d).size === 1000)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", d, "maxEventsPerTrigger", "100",
+        "offsetsByTable", "false"))
+    val stream = new graft.sources.binlog.BinlogMicroBatchStream(
+      graft.sources.binlog.BinlogSourceConf(opts))
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100L)
+    val start = stream.initialOffset()
+    stream.latestOffset(start, limit) // warm the page cache
+    val reps = 5
+    val t0 = System.nanoTime()
+    (1 to reps).foreach(_ => stream.latestOffset(start, limit))
+    val perCallMs = (System.nanoTime() - t0) / 1e6 / reps
+    assert(perCallMs < 200.0,
+      f"latestOffset took $perCallMs%.1f ms/call over 1000 files — " +
+        "a record read leaked into the trigger metadata path")
+  }
+
   test("envelopeColumns widens the scan; wide columns match the envelopes") {
     val df = spark.read.format("graft-binlog").option("path", dir)
       .option("envelopeColumns", "true").load()
