@@ -771,6 +771,37 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: ORDER-CONDITIONAL merge-on-read (r9 composition) ----------
+    // The two write-path modes that used to refuse each other, composed:
+    // out-of-order batches commit as DEFERRED per-bucket deltas (no
+    // base read, no rewrite — the streaming-latency shape) and the
+    // read fold resolves each key by GREATEST (ts, event_id), not by
+    // commit order — deletes win only above the stored order. Batches
+    // are applied deliberately out of source order (middle third last),
+    // so a newest-commit-wins fold would return the wrong state for
+    // every key whose true last event sits in the middle third; only
+    // the order-compare fold matches the oracle's global last-writer
+    // state. The store is never compacted before the read: the gate is
+    // on the FOLD itself.
+    "cdc_defer_conditional" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-mor-cond")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val orderCols = Seq(col("ts_ms"), col("event_id"))
+      Seq(0, 2, 1).foreach { part =>
+        CdcStream.applyBatchToReplica(replica,
+          ev.filter($"event_id" % 3 === part), Seq("user_id"), orderCols,
+          conditionalOrder = true, deferMerge = true)
+      }
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"ts_ms".as("last_ts_ms"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: replica freshness / lag report (operational telemetry) ----
     // The question every multi-table CDC deployment monitors: how far
     // behind the source is each replica, and who pins the consistent
@@ -1645,6 +1676,18 @@ object EventQueries {
 
     // out-of-order application must converge to the plain global
     // latest state — the oracle IS that latest state
+    "cdc_defer_conditional" ->
+      s"""SELECT user_id, event_id AS last_event_id,
+         |  epoch_ms(CAST(ts AS TIMESTAMP)) AS last_ts_ms,
+         |  ${centsSql("value")} AS value_cents
+         |FROM (
+         |  SELECT user_id, event_id, ts, value, $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
+
     "cdc_out_of_order" ->
       s"""SELECT user_id, event_id AS last_event_id,
          |  epoch_ms(CAST(ts AS TIMESTAMP)) AS last_ts_ms,

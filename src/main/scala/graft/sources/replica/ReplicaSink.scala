@@ -203,9 +203,9 @@ object ReplicaSinkConfig {
           "at least one 'keys.<db>.<table>' override")
     }
     require(cfg.numBuckets > 0, "graft-replica: numBuckets must be > 0")
-    require(!(cfg.conditionalOrder && cfg.deferMerge),
-      "graft-replica: deferMerge is incompatible with conditionalOrder " +
-        "(the conditional compare needs the stored row)")
+    // conditionalOrder + deferMerge compose since r9: deferred commits
+    // append order-tagged deltas and every read path folds them by
+    // greatest order (CdcStream.mergedBucketRead's conditional fold)
     require(cfg.indexColumn.isEmpty || cfg.indexPath.nonEmpty,
       "graft-replica: indexColumn requires indexPath (the secondary " +
         "index replica's directory)")

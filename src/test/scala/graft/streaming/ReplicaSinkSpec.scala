@@ -113,12 +113,40 @@ class ReplicaSinkSpec extends SparkSuite {
       .select($"user_id", $"event_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after === expectedState())
-    // incompatible combination refuses at query START
-    intercept[IllegalArgumentException] {
-      graft.sources.replica.ReplicaSinkConfig(Map(
-        "path" -> replica, "keys" -> "user_id",
-        "deferMerge" -> "true", "conditionalOrder" -> "true"))
-    }
+  }
+
+  test("deferMerge + conditionalOrder compose through the sink") {
+    val replica = Files.createTempDirectory("graft-sink-morcond").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "deferMerge" -> "true", "conditionalOrder" -> "true")))
+    def b(rows: (Long, Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "ord", "v", "op")
+    // batches arrive OUT of source order; deferred order-fold converges
+    sink.addBatch(0, b((1L, 50L, "v50", "update"), (2L, 50L, "w50", "update")))
+    sink.addBatch(1, b((1L, 30L, "v30", "update"), (2L, 80L, "x", "delete")))
+    sink.addBatch(2, b((2L, 60L, "w60", "update"), (3L, 10L, "y10", "update")))
+    // commits were delta-only
+    val versionDirs = new java.io.File(replica).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}"))
+    assert(versionDirs.nonEmpty &&
+      versionDirs.forall(d => !new java.io.File(d, "data").exists()),
+      "deferred conditional commits must never write base buckets")
+    // key 1: ord-50 beats the later-committed ord-30; key 2: the ord-80
+    // delete beats both updates; key 3 lives
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "v50", 3L -> "y10"))
+    // compaction materializes key 2's tombstone; a later low-order
+    // update through the sink still loses to it
+    CdcStream.compactReplica(spark, replica)
+    sink.addBatch(3, b((2L, 70L, "w70", "update")))
+    val after = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(1L -> "v50", 3L -> "y10"),
+      "an update below a stored tombstone's order must stay dead")
   }
 
   test("autoCompactDeltas keeps the deferred sink's chains bounded") {
