@@ -139,9 +139,13 @@ object SecondaryIndex {
     * named `idxName`; the index read prunes to the values' buckets,
     * the hit keys drive a key-pruned primary read, and the result is
     * verified against the primary's CURRENT indexed value (read
-    * repair: a crash between the primary and index commits can leave
-    * one stale index entry — verification makes the lookup exact
-    * anyway). Cost: O(hit buckets + hit keys), never O(table).
+    * repair: the index-ahead crash window's forward entries have no
+    * primary row to confirm against and drop). The window's other
+    * face is a transient UNDER-return — a moved key's old-value entry
+    * is already deleted while the primary still holds the old row —
+    * closed by the batch replay; only the batch in flight at the
+    * crash is affected. Cost: O(hit buckets + hit keys), never
+    * O(table).
     */
   def lookupByIndex(
       spark: SparkSession,

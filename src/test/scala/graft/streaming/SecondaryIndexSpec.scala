@@ -49,6 +49,58 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(live == Seq(("lima", 1L), ("lima", 2L), ("lima", 4L)))
   }
 
+  test("a crash between the index and primary commits replays to convergence") {
+    // the index commits FIRST (the recoverable order): simulate the
+    // crash window by snapshotting the primary before a batch, running
+    // the batch fully, then restoring the primary snapshot — on disk
+    // that is exactly "index committed, primary lost". The replay must
+    // recompute the SAME stale-pointer deletes (the primary is still
+    // unmerged) and converge BOTH stores; with the old primary-first
+    // order the restored state is unreachable and the (old value, key)
+    // entries accrete forever.
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyDir(f, new java.io.File(to, f.getName)))
+      } else java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val (p, ix) = (freshDir(), freshDir())
+    apply1(p, ix, Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update")))
+    // snapshot the primary, then run the value-moving batch fully
+    val snap = new java.io.File(freshDir(), "snap")
+    copyDir(new java.io.File(p), snap)
+    val moving = Seq((1L, "lima", 2L, "update"), (2L, "lima", 2L, "delete"))
+    apply1(p, ix, moving)
+    // crash: the primary commit is lost, the index commit survives
+    rm(new java.io.File(p)); copyDir(snap, new java.io.File(p))
+    // mid-window, the touched keys are INVISIBLE through the index:
+    // their old-value entries were deleted first, and read repair
+    // drops forward entries whose primary rows don't exist yet. A
+    // transient under-return, closed by the replay — the primary-first
+    // order's failure mode is the opposite and permanent (stale
+    // entries served forever). Untouched keys are unaffected.
+    assert(lookup(p, ix, "oslo") == Seq.empty)
+    assert(lookup(p, ix, "lima") == Seq.empty)
+    // replay the batch (what the sink's marker protocol does on restart)
+    apply1(p, ix, moving)
+    assert(lookup(p, ix, "oslo") == Seq.empty,
+      "replay must re-delete the moved key's old-value entry")
+    assert(lookup(p, ix, "lima") == Seq(1L))
+    // and the INDEX ITSELF holds no stale live entries — the covered
+    // lookup's contract (no read repair to hide behind)
+    val live = CdcStream.readReplica(spark, ix).get
+      .select($"city", $"id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(live == Seq(("lima", 1L)),
+      s"stale or phantom index entries survived the crash replay: $live")
+  }
+
   test("deferred index merges serve the same lookups through the fold") {
     val (p, ix) = (freshDir(), freshDir())
     // defer BOTH sides: the second batch's old-value read must fold the
