@@ -588,6 +588,40 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: erasure over PENDING merge-on-read deltas (r9) -------------
+    // Compliance erasure used to refuse while deltas pended (forcing a
+    // full compaction pass first); now the touched buckets FOLD their
+    // deltas inside the erasure rewrite itself and every historical
+    // base + delta copy purges in the same op. The store here is
+    // delta-only (four deferred commits, never compacted) when the
+    // erasure lands, so the gate exercises the fold-within-erasure
+    // path end to end: surviving keys must read back with their exact
+    // global last-writer state, erased keys nowhere.
+    "cdc_erasure_mor" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-erase-mor")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min($"ms"), max($"ms")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val cuts = (1 to 3).map(i => mn + i * ((mx - mn) / 4))
+      Seq(
+        ev.filter($"ms" < cuts(0)),
+        ev.filter($"ms" >= cuts(0) && $"ms" < cuts(1)),
+        ev.filter($"ms" >= cuts(1) && $"ms" < cuts(2)),
+        ev.filter($"ms" >= cuts(2))
+      ).foreach(b => CdcStream.applyBatchToReplica(replica, b,
+        Seq("user_id"), Seq(col("ms"), col("event_id")), deferMerge = true))
+      val toErase = Tables(s, dir).events
+        .select($"user_id").distinct().filter($"user_id" % 97 === 0)
+      CdcStream.eraseKeys(s, replica, Seq("user_id"), toErase)
+      CdcStream.readReplica(s, replica).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: snapshot (time-travel) read of a previous version ----------
     // Two time-split batches commit v1 then v2; reading AT v1 returns
     // exactly the post-batch-1 state — the versioned-pointer layout's
@@ -1676,6 +1710,16 @@ object EventQueries {
 
     // out-of-order application must converge to the plain global
     // latest state — the oracle IS that latest state
+    "cdc_erasure_mor" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND user_id % 97 <> 0
+         |ORDER BY user_id""".stripMargin,
+
     "cdc_defer_conditional" ->
       s"""SELECT user_id, event_id AS last_event_id,
          |  epoch_ms(CAST(ts AS TIMESTAMP)) AS last_ts_ms,

@@ -573,6 +573,31 @@ object SourceQueries {
         .orderBy($"op")
     },
 
+    // --- wal source → PLAN-LEVEL region pushdown ------------------------
+    // The WAL twin of src_binlog_pushdown: with envelopeColumns the
+    // region/op predicates are written in the PLAN and
+    // WalScanBuilder prunes the two skipped regions off the partition
+    // plan before their files are even listed (the WAL's partition
+    // pruning — each region is an independent sub-log). region ==
+    // user_id % 4 shard in the fixture, so the oracle is the same
+    // modulo cut.
+    "src_wal_pushdown" -> { (s, dir) =>
+      import s.implicits._
+      val df = s.read.format("graft-wal")
+        .option("path", walDir(s, dir))
+        .option("envelopeColumns", "true").load()
+        .filter($"region".isin("region-002", "region-003") && $"op" === "put")
+      df.select(
+          $"region",
+          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("rowkey"),
+          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"))
+        .groupBy($"region")
+        .agg(count(lit(1)).as("n_puts"),
+          sum($"rowkey").as("sum_rowkey"),
+          sum($"event_id").as("sum_event_id"))
+        .orderBy($"region")
+    },
+
     // --- wal source → db/table regex cut at the source ------------------
     // The HBase parity gap closed in r9: a region server's WAL
     // interleaves every table it hosts, and the reference filters by
@@ -733,6 +758,16 @@ object SourceQueries {
          |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
          |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
          |FROM events WHERE event_type IN ('signup', 'error')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_wal_pushdown" ->
+      s"""SELECT
+         |  'region-' || lpad(CAST(user_id % $NumWalRegions AS VARCHAR), 3, '0') AS region,
+         |  count(*) AS n_puts,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_rowkey,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         |FROM events
+         |WHERE user_id % $NumWalRegions IN (2, 3) AND event_type <> 'error'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_wal_table_filter" ->

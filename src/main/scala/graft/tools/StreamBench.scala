@@ -113,7 +113,12 @@ object StreamBench {
       }.mkString(",")
       s""""$name":{"batches":$n,$fields}"""
     }.mkString(",")
-    println(s"""{"metric":"stream_batch_latency","sf":"$sfDir",$body}""")
+    val line = s"""{"metric":"stream_batch_latency","sf":"$sfDir",$body}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("STREAMBENCH.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -252,6 +252,27 @@ class MergeOnReadSpec extends SparkSuite {
     assert(!CdcStream.maintainReplica(spark, dir, maxDeltas = 3))
   }
 
+  test("maintainReplica is a no-op on a healthy eager store with carried-over buckets") {
+    // the sink calls maintainReplica after EVERY commit; on an eager
+    // store whose untouched buckets still point at older version dirs
+    // (the normal steady state) it must NOT trigger compactReplica's
+    // carried-over near-full rewrite — only real fragmentation or
+    // pending chains past the threshold may compact
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir,
+      batch((0L until 32L).map(i => (i, s"a$i", 1L, "update"))),
+      Seq("id"), Seq(col("seq")))
+    CdcStream.applyBatchToReplica(dir,
+      batch(Seq((1L, "a1b", 2L, "update"))), Seq("id"), Seq(col("seq")))
+    val v = CdcStream.replicaVersions(dir).max
+    assert(!CdcStream.maintainReplica(spark, dir, maxDeltas = 3),
+      "healthy store: auto-maintenance must not rewrite carried-over buckets")
+    assert(CdcStream.replicaVersions(dir).max == v)
+    // explicit compaction still consolidates them (the GC path)
+    CdcStream.compactReplica(spark, dir)
+    assert(CdcStream.replicaVersions(dir).max > v)
+  }
+
   test("sequence deferred commits refuse per tombstone-holding BUCKET") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
