@@ -86,11 +86,13 @@ object StreamBench {
     val rowSc = envSchema.fields.find(_.name == "rows").get.dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
-    def mergeSink(replica: String, defer: Boolean)(b: DataFrame): Unit = {
+    def mergeSink(replica: String, defer: Boolean,
+        conditional: Boolean = false)(b: DataFrame): Unit = {
       val batch = CdcStream.parsed(b, rowSc)
         .select(col("user_id"), col("event_id"), col("ts_ms"), col("op"))
       CdcStream.applyBatchToReplica(replica, batch, Seq("user_id"),
-        Seq(col("ts_ms"), col("event_id")), deferMerge = defer)
+        Seq(col("ts_ms"), col("event_id")), deferMerge = defer,
+        conditionalOrder = conditional)
     }
     val scenarios = Seq(
       "memory" -> run("memory") { b => b.count(); () },
@@ -100,7 +102,13 @@ object StreamBench {
       // read/rewrite — the streaming-upsert latency path; compaction
       // folds the deltas out-of-band
       "merge_defer" -> run("merge_defer")(
-        mergeSink(work.resolve("replica-mor").toString, defer = true)))
+        mergeSink(work.resolve("replica-mor").toString, defer = true)),
+      // order-conditional + deferred (r9 composition): the same delta
+      // append with order columns recorded — the out-of-order-safe
+      // streaming-upsert path; the order compare is deferred to reads
+      "merge_defer_cond" -> run("merge_defer_cond")(
+        mergeSink(work.resolve("replica-mor-cond").toString, defer = true,
+          conditional = true)))
 
     val phases = Seq("triggerExecution", "addBatch", "latestOffset",
       "getBatch", "queryPlanning", "walCommit", "commitOffsets")
