@@ -155,10 +155,16 @@ final class BinlogScanBuilder(options: CaseInsensitiveStringMap)
       strings(vs).exists { s => tblIn = narrow(tblIn, s); true }
     case EqualTo("op", v: String) => opIn = narrow(opIn, Set(v)); true
     case In("op", vs) => strings(vs).exists { s => opIn = narrow(opIn, s); true }
-    case GreaterThan("offset", v: Long) => lo(v + 1); true
+    // `> MaxValue` matches nothing — a MaxValue lower bound planes to
+    // zero partitions; `<= MaxValue` matches everything — record no
+    // bound. Both guards exist because v + 1 would wrap to MinValue
+    // and silently invert the bound.
+    case GreaterThan("offset", v: Long) =>
+      lo(if (v == Long.MaxValue) Long.MaxValue else v + 1); true
     case GreaterThanOrEqual("offset", v: Long) => lo(v); true
     case LessThan("offset", v: Long) => hi(v); true
-    case LessThanOrEqual("offset", v: Long) => hi(v + 1); true
+    case LessThanOrEqual("offset", v: Long) =>
+      if (v != Long.MaxValue) hi(v + 1); true
     case EqualTo("offset", v: Long) => lo(v); hi(v + 1); true
     case _ => false
   }
@@ -556,14 +562,17 @@ final class BinlogBatch(conf: BinlogSourceConf,
     // manifest-spine pruning the startingOffsets option rides
     val earliest = ChangelogFiles.earliestOffset(conf.dir, conf.prefix)
     val latest = ChangelogFiles.latestOffset(conf.dir, conf.prefix)
-    val start = conf.offsetLowerBound
-      .map(b => BinlogOffset.unpack(math.max(b, earliest.packed)))
-      .getOrElse(earliest)
-    val end = conf.offsetUpperBound
-      .map(b => BinlogOffset.unpack(
-        math.max(math.min(b, latest.packed), start.packed)))
-      .getOrElse(latest)
-    BinlogPartitioning.plan(conf, start, end)
+    val startPacked = conf.offsetLowerBound
+      .map(b => math.max(b, earliest.packed)).getOrElse(earliest.packed)
+    val endPacked = conf.offsetUpperBound
+      .map(b => math.min(b, latest.packed)).getOrElse(latest.packed)
+    // a lower bound past the log's tail (the natural "everything after
+    // my last-consumed offset" poll with no new data) is an EMPTY
+    // range, not a planning error — without this, plan()'s
+    // end >= start invariant would throw a misleading data-loss error
+    if (startPacked > endPacked) Array.empty
+    else BinlogPartitioning.plan(conf, BinlogOffset.unpack(startPacked),
+      BinlogOffset.unpack(endPacked))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory(conf, ChangelogFiles.readSchemas(conf.dir), required)
@@ -865,18 +874,29 @@ final class BinlogReaderFactory(conf: BinlogSourceConf,
 
   /** Pruned-schema row builder (wide mode): only the fields the plan
     * kept are materialized — in particular a routing-only projection
-    * (db/table/op/offset) never pays envelope serialization.
+    * (db/table/op/offset) never pays envelope serialization. The
+    * field→extractor resolution happens ONCE per executor-side factory
+    * instance; the per-record path is a flat array loop (no per-row
+    * name matching or Seq allocation over a multi-million-record scan).
     */
-  private def prunedRow(current: ChangelogRecord, offset: Long): InternalRow =
-    InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+  @transient private lazy val fieldGetters: Array[(ChangelogRecord, Long) => Any] =
+    required.fields.map[(ChangelogRecord, Long) => Any] { f =>
       f.name match {
-        case "value" => envelope(current, offset).getUTF8String(0)
-        case "db" => UTF8String.fromString(current.db)
-        case "table" => UTF8String.fromString(current.table)
-        case "op" => UTF8String.fromString(current.op)
-        case "offset" => offset
+        case "value" => (c, o) => envelope(c, o).getUTF8String(0)
+        case "db" => (c, _) => UTF8String.fromString(c.db)
+        case "table" => (c, _) => UTF8String.fromString(c.table)
+        case "op" => (c, _) => UTF8String.fromString(c.op)
+        case "offset" => (_, o) => o
       }
-    })
+    }
+
+  private def prunedRow(current: ChangelogRecord, offset: Long): InternalRow = {
+    val gs = fieldGetters
+    val vals = new Array[Any](gs.length)
+    var i = 0
+    while (i < gs.length) { vals(i) = gs(i)(current, offset); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
 
   private def emit(current: ChangelogRecord, offset: Long): InternalRow =
     if (isWide || !wantValue) prunedRow(current, offset)

@@ -345,11 +345,14 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
     }
 
   /** Primary merge, with synchronized secondary-index maintenance when
-    * `indexColumn`/`indexPath` are configured. Replays converge: if a
-    * crash lands between the two commits, the re-served batch re-merges
-    * the same net into the primary (idempotent content) and the index
-    * pass then observes old == new values, producing an empty
-    * stale-delete set and re-upserting the same entries.
+    * `indexColumn`/`indexPath` are configured. [[SecondaryIndex]]
+    * commits the INDEX FIRST: a crash between the two commits leaves
+    * the primary unmerged, so the re-served batch recomputes the same
+    * stale-delete set from the pre-batch values and the index apply is
+    * idempotent. (The reverse order would be unrecoverable — the
+    * replay's old-value read against the already-merged primary sees
+    * old == new, the delete set comes back empty, and the moved keys'
+    * stale entries accrete in the index forever.)
     */
   private def applyMaybeIndexed(batch: DataFrame, ids: Seq[String],
       watermark: Option[Long]): Unit = cfg.indexColumn match {

@@ -718,18 +718,29 @@ final class WalReaderFactory(conf: WalSourceConf,
         UTF8String.fromString(EnvelopeCodec.write(ev))
       }
 
+      // field→extractor resolution once per reader, not per row: the
+      // wide-mode emit path is a flat array loop over pre-bound
+      // closures instead of a per-record name match + Seq allocation
+      private val fieldGetters: Array[() => Any] =
+        required.fields.map[() => Any] { f =>
+          f.name match {
+            case "value" => () => envelopeJson()
+            case "region" => () => UTF8String.fromString(p.region)
+            case "db" => () => UTF8String.fromString(current.db)
+            case "table" => () => UTF8String.fromString(current.table)
+            case "op" => () => UTF8String.fromString(current.op)
+            case "offset" => () => BinlogOffset(p.fileId, current.pos).packed
+          }
+        }
+
       override def get(): InternalRow =
         if (isDefault) InternalRow(envelopeJson())
-        else InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
-          f.name match {
-            case "value" => envelopeJson()
-            case "region" => UTF8String.fromString(p.region)
-            case "db" => UTF8String.fromString(current.db)
-            case "table" => UTF8String.fromString(current.table)
-            case "op" => UTF8String.fromString(current.op)
-            case "offset" => BinlogOffset(p.fileId, current.pos).packed
-          }
-        })
+        else {
+          val vals = new Array[Any](fieldGetters.length)
+          var i = 0
+          while (i < vals.length) { vals(i) = fieldGetters(i)(); i += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
       override def close(): Unit = raw.close()
     }
   }

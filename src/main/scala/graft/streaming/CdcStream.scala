@@ -406,6 +406,37 @@ object CdcStream {
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
   }
 
+  /** One-time backfill of per-bucket tombstone mins for LEGACY buckets
+    * — buckets written before the store recorded `condOrderCols`. Runs
+    * ONLY at the None→Some transition of `condOrderCols` (the first
+    * conditional merge on a pre-metadata store), as one column-pruned
+    * job over just the given buckets' tombstone + order columns.
+    * Without it the upgraded manifest's `tombstoneMins` would be
+    * incomplete — [[expiredFromMeta]] would hide the unrecorded
+    * buckets' tombstones from age-out forever, and the per-bucket
+    * sequence-fold exclusivity check would admit a sequence deferred
+    * commit into a bucket whose conditional tombstones it cannot order
+    * against.
+    */
+  private def legacyTombstoneMins(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, buckets: Map[Int, String],
+      sc: Option[StructType], ordNames: Seq[String]): Map[Int, String] = {
+    val schema = sc.getOrElse(return Map.empty)
+    if (buckets.isEmpty || !schema.fieldNames.contains(Tombstone) ||
+        !ordNames.forall(schema.fieldNames.contains)) return Map.empty
+    val pruned = StructType(schema.fields.filter(f =>
+      f.name == Tombstone || ordNames.contains(f.name)))
+    buckets.toSeq.sortBy(_._1).map { case (k, p) =>
+      spark.read.schema(pruned).parquet(s"$replicaDir/$p")
+        .select(lit(k).as("__b") +: (Tombstone +: ordNames).map(col): _*)
+    }.reduce(_.unionByName(_))
+      .filter(coalesce(col(Tombstone), lit(false)))
+      .groupBy(col("__b"))
+      .agg(min(struct(ordNames.map(col): _*)).as("m"))
+      .select(col("__b"), to_json(col("m")).as("j"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+  }
+
   /** Buckets holding at least one tombstone EXPIRED under `horizon`,
     * decided from manifest metadata alone: the recorded per-bucket min
     * order tuples re-hydrate as ≤ numBuckets driver-local rows and the
@@ -1131,13 +1162,26 @@ object CdcStream {
       throw new IllegalArgumentException(
         s"rebucketReplica: $replicaDir is the pre-bucket flat layout; " +
           "apply one batch to migrate it before resharding"))
-    // routing is a pure function of the RECORDED columns — a caller
-    // passing different ones would silently rehash rows so every later
-    // key-pruned lookup misses; refuse loudly instead
-    m.keyCols.foreach(rec => require(rec == idCols,
-      s"rebucketReplica: $replicaDir records keyCols " +
-        s"(${rec.mkString(",")}) but the caller passed " +
-        s"(${idCols.mkString(",")})"))
+    // routing is a pure function of the RECORDED columns. Three cases:
+    // recorded bucketCols → they alone route and idCols is ignored, so
+    // any caller value is safe; no bucketCols but recorded keyCols →
+    // idCols IS the routing input and must match; neither recorded
+    // (pre-keyCols legacy manifest) → the caller's idCols cannot be
+    // validated and a wrong value would silently rehash every row so
+    // later key-pruned lookups miss — refuse loudly and let one eager
+    // merge record keyCols first (the same migration other legacy
+    // refusals prescribe).
+    if (m.bucketCols.isEmpty) m.keyCols match {
+      case Some(rec) => require(rec == idCols,
+        s"rebucketReplica: $replicaDir records keyCols " +
+          s"(${rec.mkString(",")}) but the caller passed " +
+          s"(${idCols.mkString(",")})")
+      case None => throw new IllegalStateException(
+        s"rebucketReplica: $replicaDir records neither bucketCols nor " +
+          "keyCols, so the caller's idCols cannot be checked against " +
+          "the stored routing; apply one eager batch (which records " +
+          "keyCols) before resharding")
+    }
     if (m.numBuckets == newNumBuckets) return
     val nextName = f"v${v + 1}%09d"
     val staging = newStagingDir(replicaDir)
@@ -1805,6 +1849,17 @@ object CdcStream {
         k -> (prevDeltas.getOrElse(k, Seq.empty) :+
           s"$nextName/delta/__bucket=$k")).toMap
       val scJson = prevSc.getOrElse(net.select(dataCols.map(col): _*).schema)
+      // first CONDITIONAL commit on a legacy store: recording
+      // condOrderCols flips the store onto metadata-decided expiry and
+      // per-bucket exclusivity, so the mins must cover the legacy
+      // buckets' tombstones — deferred commits rewrite no base bucket,
+      // hence the backfill scans them all (once)
+      val minsBase: Map[Int, String] =
+        if (conditional.nonEmpty && prev.exists(_.condOrderCols.isEmpty))
+          legacyTombstoneMins(spark, replicaDir, prevBuckets, prevSc,
+            metaOrd.getOrElse(Seq.empty)) ++
+            prev.map(_.tombstoneMins).getOrElse(Map.empty)
+        else prev.map(_.tombstoneMins).getOrElse(Map.empty)
       publishVersion(replicaDir, staging, nextName,
         ReplicaManifest(nb, prevBuckets, Some(scJson.json), watermark,
           resolvedBucketCols,
@@ -1812,7 +1867,7 @@ object CdcStream {
           deltas = newDeltas,
           condOrderCols = metaOrd,
           deltasConditional = conditional.nonEmpty,
-          tombstoneMins = prev.map(_.tombstoneMins).getOrElse(Map.empty)),
+          tombstoneMins = minsBase),
         prev, cur.map(_._2))
       return
     }
@@ -1987,12 +2042,22 @@ object CdcStream {
     // agg over the files just written (never the store); untouched
     // buckets keep their recorded mins. Only maintained once the store
     // has an order-column record — legacy tombstone stores keep the
-    // scan-based detection until their next conditional merge.
+    // scan-based detection until their next conditional merge, whose
+    // None→Some condOrderCols transition backfills the UNTOUCHED
+    // legacy buckets too (one pruned job, once) so the recorded mins
+    // are complete from the first version that carries them.
     val newMins: Map[Int, String] = metaOrd match {
       case Some(ocs)
         if conditional.nonEmpty ||
           unionSchema.fieldNames.contains(Tombstone) =>
-        (prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched) ++
+        val backfill =
+          if (prev.exists(_.condOrderCols.isEmpty))
+            legacyTombstoneMins(spark, replicaDir,
+              prevBuckets.filter { case (k, _) => !touched(k) },
+              prevSchema, ocs)
+          else Map.empty[Int, String]
+        backfill ++
+          (prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched) ++
           stagedTombstoneMins(spark, s"$staging/data", ocs)
       case _ => prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched
     }

@@ -588,4 +588,23 @@ class BinlogSourceSpec extends SparkSuite {
     // EqualTo prunes to a single record's chunk
     assert(df.filter($"offset" === cut).count() === 1L)
   }
+
+  test("out-of-range and extreme offset bounds: empty plan, never a crash or wrap") {
+    val df = spark.read.format("graft-binlog").option("path", dir)
+      .option("envelopeColumns", "true").load()
+    val offsets = df.select("offset").as[Long].collect()
+    val maxOff = offsets.max
+    // lower bound past the log's tail — the natural "everything after
+    // my last-consumed offset" poll with no new data — must plan an
+    // EMPTY range, not crash planning with a data-loss error
+    assert(df.filter($"offset" > maxOff).count() === 0L)
+    assert(df.filter($"offset" >= maxOff + 1).count() === 0L)
+    // Long.MaxValue boundaries: `<=` matches everything (a naive +1
+    // would wrap to MinValue and silently empty the scan); `>` matches
+    // nothing (a naive +1 would wrap and return everything)
+    assert(df.filter($"offset" <= Long.MaxValue).count() === offsets.length.toLong)
+    assert(df.filter($"offset" > Long.MaxValue).count() === 0L)
+    // crossed bounds: empty result, not a planning error
+    assert(df.filter($"offset" > maxOff && $"offset" < 10L).count() === 0L)
+  }
 }

@@ -292,4 +292,65 @@ class MergeOnReadSpec extends SparkSuite {
     applyDefer(dir, Seq((2L, "b", 1L, "update")))
     assert(content(dir) == Seq((2L, "b")))
   }
+
+  test("legacy tombstone stores: the upgrading conditional merge backfills every bucket's mins") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true)
+    // tombstones across several buckets (ids spread over the 16 default
+    // buckets), plus live keys
+    applyCond((0L until 12L).map(i => (i, s"a$i", 5L, "update")))
+    applyCond(Seq((1L, "x", 9L, "delete"), (3L, "x", 9L, "delete"),
+      (7L, "x", 9L, "delete")))
+    // snapshot the recorded tombstone buckets, then STRIP the metadata
+    // to simulate a store written before condOrderCols/tombstoneMins
+    // existed in the manifest
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def manifestPath() = {
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "CURRENT")).trim
+      java.nio.file.Paths.get(dir, cur, "manifest.json")
+    }
+    val node = om.readTree(java.nio.file.Files.readString(manifestPath()))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val tombBuckets = {
+      val it = node.get("tombstoneMins").fieldNames()
+      val b = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) b += it.next()
+      b.toSet
+    }
+    assert(tombBuckets.size >= 2, s"fixture needs ≥2 tombstone buckets: $tombBuckets")
+    node.remove("condOrderCols"); node.remove("tombstoneMins")
+    java.nio.file.Files.writeString(manifestPath(), om.writeValueAsString(node))
+    // first conditional merge on the legacy store touches ONE live key;
+    // the None→Some condOrderCols transition must backfill the
+    // UNTOUCHED legacy buckets' tombstone mins too
+    applyCond(Seq((2L, "a2b", 6L, "update")))
+    val upgraded = om.readTree(java.nio.file.Files.readString(manifestPath()))
+    val minsAfter = {
+      val it = upgraded.get("tombstoneMins").fieldNames()
+      val b = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) b += it.next()
+      b.toSet
+    }
+    assert(tombBuckets.subsetOf(minsAfter),
+      s"backfill must cover legacy buckets: had $tombBuckets, got $minsAfter")
+    // the per-bucket exclusivity check now sees the legacy tombstones:
+    // a sequence deferred commit on a deleted key's bucket refuses
+    intercept[IllegalStateException] {
+      applyDefer(dir, Seq((3L, "back", 1L, "update")))
+    }
+    // and metadata-decided expiry ages the legacy tombstones out
+    assert(CdcStream.maintainReplica(spark, dir,
+      tombstoneHorizon = Some(col("seq") <= lit(9L))),
+      "maintenance must detect the legacy buckets' expired tombstones")
+    val afterJson = java.nio.file.Files.readString(manifestPath())
+    assert(!afterJson.contains("tombstoneMins"),
+      "expired legacy tombstones must age out via the metadata path")
+    // content unchanged by the maintenance: deleted keys stay gone
+    val expected = (0L until 12L).filterNot(Set(1L, 3L, 7L))
+      .map(i => (i, if (i == 2L) "a2b" else s"a$i")).sorted
+    assert(content(dir) == expected)
+  }
 }

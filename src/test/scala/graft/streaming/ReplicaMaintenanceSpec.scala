@@ -40,6 +40,46 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     "v[0-9]{9}".r.findAllIn(json).toSet
   }
 
+  test("rebucketReplica validates the columns routing actually uses") {
+    // bucketCols-routed store: routing hashes bucketCols and IGNORES
+    // idCols, so any caller value reshards correctly (a keyCols
+    // equality check here would reject valid calls)
+    val dir = freshDir()
+    val rows = Seq((1L, "east", "a"), (2L, "west", "b"), (3L, "east", "c"))
+      .map { case (i, c, v) => (i, c, v, "update") }
+      .toDF("id", "city", "v", "op")
+    CdcStream.applyBatchToReplica(dir, rows, Seq("city", "id"),
+      Seq(col("v")), bucketCols = Some(Seq("city")))
+    CdcStream.rebucketReplica(spark, dir, Seq("city"), 7)
+    val hit = CdcStream.readReplicaForKeys(spark, dir, Seq("city", "id"),
+      Seq(("east", 1L)).toDF("city", "id")).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hit == Seq((1L, "a")),
+      "key-pruned lookup must still hit after a bucketCols-routed reshard")
+    // keyCols-routed store: idCols IS the routing input — mismatch refuses
+    val dir2 = freshDir()
+    CdcStream.applyBatchToReplica(dir2, batch(Seq((1L, "a", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    intercept[IllegalArgumentException] {
+      CdcStream.rebucketReplica(spark, dir2, Seq("v"), 7)
+    }
+    // a pre-keyCols manifest records neither routing column set: the
+    // caller's idCols cannot be checked — refuse instead of silently
+    // rehashing by possibly-wrong columns
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir2, "CURRENT")).trim
+    val mPath = java.nio.file.Paths.get(dir2, cur, "manifest.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readString(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("keyCols"); node.remove("bucketCols")
+    java.nio.file.Files.writeString(mPath, om.writeValueAsString(node))
+    intercept[IllegalStateException] {
+      CdcStream.rebucketReplica(spark, dir2, Seq("id"), 7)
+    }
+  }
+
   test("enrichBatch: lookup join serves live state, NULLs absent/deleted keys") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
