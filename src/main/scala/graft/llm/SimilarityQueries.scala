@@ -49,6 +49,12 @@ object SimilarityQueries {
   val IvfTopK = 3
   val KmeansK = 8
 
+  /** Coreset size for the greedy k-center selection
+    * (`llm_coreset_sample`) — bounded, so the k−1 selection passes stay
+    * a constant number of corpus scans.
+    */
+  val CoresetK = 8
+
   /** Edges per node in the kNN graph (`llm_knn_graph`). */
   val KnnK = 3
 
@@ -887,6 +893,49 @@ object SimilarityQueries {
         .select($"cell", $"n_members", $"vec_id".as("medoid_vec_id"),
           $"s_d2".as("sum_d2"))
         .orderBy($"cell")
+    },
+
+    // --- greedy k-center coreset (farthest-point traversal) --------------
+    // The DIVERSITY dual of the medoid pick: medoids name each
+    // cluster's most central member; k-center greedily selects the
+    // mutually most SPREAD-OUT members — the classic 2-approximation
+    // coreset for data-efficient training subsets, eval-set seeding,
+    // and annotation budgets (cover the space, don't oversample the
+    // dense core). Seed = lowest vec_id; each round picks the vector
+    // maximizing its min distance to everything already chosen.
+    // Scale shape: k is bounded, so this is k−1 passes, each a ZERO-
+    // SHUFFLE projection (the ≤k chosen centers are driver-collected
+    // and embedded as exact literals, same discipline as the Lloyd
+    // iterations) followed by a TakeOrdered top-1 — no join, no
+    // all-pairs, no quadratic anything; 100 TB costs k corpus scans.
+    // Float parity: d² = v·v − 2·(v·c) + c·c with every dot a
+    // sequential left-fold and c·c folded once on the driver — the
+    // oracle twin computes the identical doubles, and min/argmax are
+    // comparisons (order-free).
+    "llm_coreset_sample" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("dvv", dot($"v", $"v"))
+      val seed = emb.orderBy($"vec_id".asc).limit(1)
+        .select($"vec_id", $"v").head()
+      var picked = Vector[(Int, Long, Option[Double], Seq[Double])](
+        (1, seed.getLong(0), None, seed.getSeq[Double](1)))
+      for (r <- 2 to CoresetK) {
+        val mind2 = picked.map { case (_, _, _, c) =>
+          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+          $"dvv" - lit(2.0) * dot($"v", array(c.map(lit): _*)) + lit(cc)
+        }.reduce(least(_, _))
+        val ids = picked.map(_._2)
+        val next = emb.filter(!$"vec_id".isin(ids: _*))
+          .select($"vec_id", mind2.as("mind2"), $"v")
+          .orderBy($"mind2".desc, $"vec_id".asc).limit(1).head()
+        picked :+= ((r, next.getLong(0), Some(next.getDouble(1)),
+          next.getSeq[Double](2)))
+      }
+      picked.map { case (r, id, d, _) => (r, id, d) }
+        .toDF("sel_rank", "vec_id", "dist2")
+        .orderBy($"sel_rank")
     }
   )
 
@@ -1036,6 +1085,55 @@ object SimilarityQueries {
   }
 
   // ------------------------------------------------------------- oracles
+
+  /** DuckDB twin of the greedy k-center loop: round r's CTE selects the
+    * argmax-of-min-distance vector against centers c1..c(r−1) via a
+    * correlated min subquery, with the identical d² =
+    * v·v − 2·(v·c) + c·c sequential-fold doubles as the Spark side.
+    * Generated, not hand-written — [[CoresetK]] drives both engines.
+    */
+  private def coresetSql: String = {
+    val dvvSql =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+        |      (acc, x) -> acc + x)""".stripMargin
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    $dvvSql AS dvv
+         |  FROM embeddings),
+         |c1 AS (
+         |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS dist2,
+         |    v, dvv AS cvv
+         |  FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))""".stripMargin
+    for (r <- 2 to CoresetK) {
+      val prev = (1 until r)
+        .map(i => s"SELECT vec_id, v AS cv, cvv FROM c$i")
+        .mkString(" UNION ALL ")
+      sb ++=
+        s""",
+           |m$r AS (
+           |  SELECT e.vec_id,
+           |    min(e.dvv - 2.0 * (${dotSql("e.v", "c.cv")}) + c.cvv) AS mind2
+           |  FROM e CROSS JOIN ($prev) c
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM ($prev))
+           |  GROUP BY e.vec_id),
+           |c$r AS (
+           |  SELECT $r AS sel_rank, m.vec_id, m.mind2 AS dist2, e.v,
+           |    e.dvv AS cvv
+           |  FROM m$r m JOIN e ON e.vec_id = m.vec_id
+           |  ORDER BY m.mind2 DESC, m.vec_id ASC LIMIT 1)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++=
+      s"""SELECT sel_rank, vec_id, dist2 FROM (
+         |${(1 to CoresetK)
+          .map(i => s"  SELECT sel_rank, vec_id, dist2 FROM c$i")
+          .mkString(" UNION ALL\n")}
+         |) ORDER BY sel_rank""".stripMargin
+    sb.toString
+  }
 
   private val normSql =
     """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1695,6 +1793,9 @@ object SimilarityQueries {
          |      % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM a2 JOIN rates r ON a2.c = r.cell
          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    // the CTE chain mirrors the greedy rounds — see [[coresetSql]]
+    "llm_coreset_sample" -> coresetSql,
 
     // same moment identity as the Spark side: Σ_b d²(a,b) =
     // n·(a·a) − 2·a·Σb + Σ(b·b), all exact int64 over SQ8 codes

@@ -622,6 +622,42 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: change-feed REPLICATION (primary feed → follower store) ----
+    // The contract the change feed exists for (the Delta-CDF marquee
+    // use): a downstream FOLLOWER subscribes to the primary's feed and
+    // applies each version's committed net as its OWN bucketed MERGE —
+    // it never reads a primary data file. The query returns the
+    // follower's final state plus the per-user count of feed rows it
+    // consumed; the oracle recomputes both from events alone (global
+    // last-writer state; a user contributes one net row per half it
+    // appears in). Scale: each replication step is delta-sized — feed
+    // version selection is directory metadata, the read is net-sized
+    // files, the follower's merge rewrites only touched buckets — and
+    // the two stores share nothing: this is cross-cluster replication
+    // shaped as a query, with the feed as the only channel.
+    "cdc_feed_replay" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val primary = sharedReplica(s, dir)
+      val follower = graft.llm.IndexArtifacts.cachedPath(dir,
+        "cdc-replica-follower", inputs = Seq(s"$dir/events.parquet")) { out =>
+        CdcStream.replicaVersions(primary).sorted.foreach { v =>
+          val net = CdcStream.readReplicaChanges(s, primary, v - 1, Some(v))
+            .get.drop("_commit_version", "_commit_watermark")
+          CdcStream.applyBatchToReplica(out, net, Seq("user_id"),
+            Seq(col("ts"), col("event_id")))
+        }
+      }
+      val feedCounts = CdcStream.readReplicaChanges(s, primary).get
+        .groupBy($"user_id").agg(count(lit(1)).as("n_feed_rows"))
+      CdcStream.readReplica(s, follower).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .join(feedCounts, Seq("user_id"), "left")
+        .select($"user_id", $"last_event_id", $"value_cents",
+          coalesce($"n_feed_rows", lit(0L)).as("n_feed_rows"))
+        .orderBy($"user_id")
+    },
+
     // --- cdc: snapshot (time-travel) read of a previous version ----------
     // Two time-split batches commit v1 then v2; reading AT v1 returns
     // exactly the post-batch-1 state — the versioned-pointer layout's
@@ -1540,6 +1576,33 @@ object EventQueries {
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' AND user_id % 3 = 1
          |ORDER BY user_id""".stripMargin,
+
+    // follower state = global last-writer state; n_feed_rows = one net
+    // row per time-half the user appears in (the primary committed one
+    // version per half, each recording its per-key net)
+    "cdc_feed_replay" ->
+      s"""WITH halves AS (
+         |  SELECT user_id, event_id, ts, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) <
+         |        (SELECT min(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |           + (max(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |              - min(epoch_ms(CAST(ts AS TIMESTAMP)))) // 2
+         |         FROM events)
+         |      THEN 0 ELSE 1 END AS half
+         |  FROM events),
+         |feed AS (
+         |  SELECT user_id, CAST(count(DISTINCT half) AS BIGINT) AS n_feed_rows
+         |  FROM halves GROUP BY 1),
+         |state AS (
+         |  SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM halves)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT s.user_id, s.last_event_id, s.value_cents,
+         |  coalesce(f.n_feed_rows, 0) AS n_feed_rows
+         |FROM state s LEFT JOIN feed f ON s.user_id = f.user_id
+         |ORDER BY s.user_id""".stripMargin,
 
     "cdc_index_range" ->
       s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
