@@ -553,6 +553,46 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: COMPOSITE index probe (partition key + sort key) -----------
+    // The DynamoDB composite-key idiom on top of the GSI machinery: the
+    // LEADING attribute (coarse band10 = value div 10000) is the hash
+    // partition key — one equality probe, one index bucket — and the
+    // covered fine-grained attribute is the SORT key, range-filtered
+    // IN-INDEX before any primary I/O. Contrast cdc_index_range: a
+    // sort-key range spanning many fine bands costs that path one
+    // bucket probe PER band; the composite serves an arbitrary range
+    // under one leading value with ONE bucket read + an index-local
+    // filter, and only the SURVIVORS drive the key-pruned primary
+    // fetch. The final aggregate reads the primary's current state
+    // (not the index copy), so stale covered entries cannot leak into
+    // the result. Scale: index bucket + |survivors| primary buckets —
+    // never a scan of either store.
+    "cdc_index_composite" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{CdcStream, SecondaryIndex}
+      val root = graft.llm.IndexArtifacts.cachedPath(dir, "gsi-composite",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        SecondaryIndex.applyBatchWithIndex(s, s"$out/primary", s"$out/index",
+          ev, Seq("user_id"), Seq("ms", "event_id"),
+          expr("value_cents div 10000"), "band10",
+          includeCols = Seq("value_cents"))
+      }
+      val survivors = SecondaryIndex.lookupCovered(s, s"$root/index",
+          "band10", Seq(0L).toDF("band10"))
+        .filter($"value_cents" >= 1500L && $"value_cents" < 7500L)
+        .select($"user_id")
+      CdcStream.readReplicaForKeys(s, s"$root/primary", Seq("user_id"),
+          survivors).get
+        .filter($"value_cents" >= 1500L && $"value_cents" < 7500L)
+        .groupBy(expr("value_cents div 1000").as("band"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"value_cents").as("sum_value_cents"))
+        .orderBy($"band")
+    },
+
     // --- cdc: compliance erasure (right-to-be-forgotten) -----------------
     // Erasure is NOT a delete event: it rewrites history so the keys
     // stop being readable from the live state, historical bucket
@@ -1603,6 +1643,22 @@ object EventQueries {
          |  coalesce(f.n_feed_rows, 0) AS n_feed_rows
          |FROM state s LEFT JOIN feed f ON s.user_id = f.user_id
          |ORDER BY s.user_id""".stripMargin,
+
+    // latest-state keys whose value falls in the sort-key range (the
+    // leading band10 = 0 condition is implied by range < 10000)
+    "cdc_index_composite" ->
+      s"""SELECT value_cents // 1000 AS band,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+         |FROM (
+         |  SELECT user_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |  AND value_cents >= 1500 AND value_cents < 7500
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_index_range" ->
       s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (

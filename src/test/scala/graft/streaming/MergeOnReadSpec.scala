@@ -293,6 +293,34 @@ class MergeOnReadSpec extends SparkSuite {
     assert(content(dir) == Seq((2L, "b")))
   }
 
+  test("expiry detection is metadata-only: unreadable bucket files still decide a no-op") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true)
+    applyCond(Seq((1L, "a", 5L, "update"), (2L, "b", 5L, "update")))
+    applyCond(Seq((1L, "x", 9L, "delete")))
+    // compaction leaves one file per bucket and records the per-bucket
+    // tombstone min (seq = 9)
+    CdcStream.compactReplica(spark, dir)
+    assert(manifestJson(dir).contains("tombstoneMins"))
+    // now make every bucket file UNREADABLE: any detection path that
+    // opens a parquet file will throw, so a clean no-op decision below
+    // proves detection ran off the manifest alone
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(corrupt)
+      else if (f.getName.endsWith(".parquet"))
+        java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+    corrupt(new java.io.File(dir))
+    // horizon below the recorded min: metadata says nothing expired,
+    // fragmentation is a dir-stat walk — maintenance must decide false
+    // without touching a data file
+    assert(!CdcStream.maintainReplica(spark, dir,
+      tombstoneHorizon = Some(col("seq") <= lit(1L))),
+      "a below-min horizon must be a metadata-decided no-op")
+  }
+
   test("legacy tombstone stores: the upgrading conditional merge backfills every bucket's mins") {
     val dir = freshDir()
     def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
