@@ -51,6 +51,11 @@ object TextAnalysisQueries {
   val WinnowK = 4
   val WinnowW = 5
 
+  /** Shard count for the training-shard writer (`llm_corpus_shard`) —
+    * in production this is the writer-task fan-out.
+    */
+  val CorpusShards = 64
+
   /** Hashed-feature buckets for the DSIR importance model — bounded, so
     * the per-bucket ratio table always broadcasts.
     */
@@ -373,6 +378,34 @@ object TextAnalysisQueries {
         .select($"doc_id", $"source", $"n_tokens", $"score_ppm",
           $"cum_tokens", $"kept")
         .orderBy($"doc_id")
+    },
+
+    // --- training-shard writer (deterministic corpus shuffle) ------------
+    // The last step of every curation pipeline: assign each document a
+    // SHARD and a reproducible position inside it, so a training run
+    // reads the same permutation every time. Shard = hash(doc) mod N
+    // (uniform, key-free — no global rank, no single-partition
+    // bottleneck); within-shard order = (hash, doc_id). The output pins
+    // the full permutation, not just membership: `order_checksum` is a
+    // position-weighted exact-int64 sum, so ANY reordering inside any
+    // shard changes it. 100 TB shape: one hash-keyed shuffle into N
+    // writer partitions + a per-shard window — exactly how the shard
+    // files would be written (partitionBy(shard), sortWithinPartitions).
+    "llm_corpus_shard" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).documents
+        .select($"doc_id", $"n_chars",
+          TextOps.hash32(concat(lit("shard:"), $"doc_id".cast("string")))
+            .as("h"))
+        .withColumn("shard", ($"h" % CorpusShards).cast("int"))
+      val w = Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+      d.withColumn("pos", row_number().over(w))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum($"pos" * ($"doc_id" % 1000003L)).as("order_checksum"))
+        .orderBy($"shard")
     },
 
     // --- rolling-hash document fingerprint ------------------------------
@@ -887,6 +920,22 @@ object TextAnalysisQueries {
          |SELECT doc_id, source, n_tokens, CAST(score_ppm AS BIGINT) AS score_ppm,
          |  cum_tokens, cum_tokens <= budget AS kept
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "llm_corpus_shard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    ${TextOps.hash32Sql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT *, h % $CorpusShards AS shard,
+         |    row_number() OVER (PARTITION BY h % $CorpusShards
+         |                       ORDER BY h, doc_id) AS pos
+         |  FROM d)
+         |SELECT CAST(shard AS INT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_winnow_fingerprint" ->
       s"""WITH d AS (
