@@ -603,4 +603,15 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.exists(l =>
       l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")), p.take(2000))
   }
+
+  test("llm_corpus_shard: shard-keyed window, no single-partition global sort") {
+    val p = plan("llm_corpus_shard")
+    // within-shard order comes from a window PARTITIONED by shard (the
+    // exchange hashes on it) — a global rank would collapse the corpus
+    // into one partition, the scale-killer this operator exists to avoid
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("hashpartitioning(shard"), p.take(2000))
+    assert(!p.contains("SinglePartition"),
+      s"no stage may collapse to one partition:\n${p.take(2000)}")
+  }
 }
