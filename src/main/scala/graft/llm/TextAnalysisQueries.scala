@@ -547,6 +547,60 @@ object TextAnalysisQueries {
         .limit(BpeTopK)
     },
 
+    // --- iterative BPE tokenizer TRAINING (the real merge loop) ----------
+    // llm_bpe_pairs prices one round's candidates; this runs the actual
+    // trainer: BpeMerges greedy rounds, each picking the corpus-weighted
+    // most frequent adjacent symbol pair (count desc, then lexicographic
+    // — fully deterministic) and merging it into a new symbol before
+    // recounting. The production shape (HuggingFace/SentencePiece train
+    // over word COUNTS, not the corpus): one corpus-scan word-frequency
+    // aggregate, then every round touches only the vocab table —
+    // bounded passes over a bounded table regardless of corpus bytes.
+    // Segmentations live as delimiter-anchored strings ("|h||a||s||h|":
+    // each symbol in its own |…| wrapper, adjacency = "||"), so
+    // applying merge (a,b) is ONE non-overlapping left-to-right string
+    // replace of "|a||b|" with "|ab|" — the consumed trailing "|"
+    // leaves the neighbor's own wrapper intact, so back-to-back
+    // occurrences chain and a pair can never match inside a longer
+    // symbol. The oracle runs the IDENTICAL algorithm as a generated
+    // CTE chain ([[bpeTrainSql]]), so ranks, pairs, and weights gate
+    // exactly.
+    "llm_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      val vocab = Tables(s, dir).documents
+        .select(explode(tokens($"text")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+      var seg = vocab.withColumn("seg",
+        concat(lit("|"), array_join(expr(
+          "transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+          "||"), lit("|")))
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to BpeMerges) {
+        val best = seg
+          .select($"n", expr(
+            "split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')").as("sy"))
+          .filter(size($"sy") >= 2)
+          .select($"n", explode(expr(
+            """transform(sequence(1, size(sy) - 1),
+              |  i -> struct(element_at(sy, i) AS a,
+              |              element_at(sy, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy($"p.a", $"p.b").agg(sum($"n").as("c"))
+          .orderBy($"c".desc, $"a".asc, $"b".asc).limit(1).head()
+        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r, a, b, c))
+        // literal (quoted) pattern + quoted replacement: token content
+        // can never be interpreted as regex syntax
+        seg = seg.withColumn("seg", regexp_replace($"seg",
+          lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
+          lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))))
+      }
+      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_weight")
+        .orderBy($"merge_rank")
+    },
+
     // --- tokenizer fertility by language (multilingual cost audit) ------
     // The standard multilingual tokenizer audit: per language, how many
     // subword tokens the tokenizer spends per word and per 1000 chars —
@@ -652,6 +706,57 @@ object TextAnalysisQueries {
 
   /** Merge candidates reported by `llm_bpe_pairs`. */
   val BpeTopK = 50
+
+  /** Merge rounds the iterative BPE trainer (`llm_bpe_train`) runs —
+    * bounded, so training is a constant number of vocab-table passes.
+    */
+  val BpeMerges = 6
+
+  /** DuckDB twin of the BPE training loop — round r's CTEs recount
+    * adjacent pairs over the previous round's segmentations, pick the
+    * (count desc, pair asc) winner, and apply the same anchored string
+    * replace. Generated from [[BpeMerges]] so both engines run the
+    * identical schedule.
+    */
+  private def bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH v AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(${TextOps.toksSql}) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY 1),
+         |s0 AS (
+         |  SELECT w, n, '|' || array_to_string(
+         |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+         |      '||') || '|' AS seg
+         |  FROM v)""".stripMargin
+    for (r <- 1 to BpeMerges) {
+      sb ++=
+        s""",
+           |p$r AS (
+           |  SELECT sy[i] AS a, sy[i + 1] AS b, CAST(sum(n) AS BIGINT) AS c
+           |  FROM (SELECT n, string_split(
+           |          substr(seg, 2, length(seg) - 2), '||') AS sy
+           |        FROM s${r - 1}) t,
+           |    unnest(range(1, len(t.sy))) AS u(i)
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+           |s$r AS (
+           |  SELECT s.w, s.n,
+           |    replace(s.seg, '|' || m.a || '||' || m.b || '|',
+           |            '|' || m.a || m.b || '|') AS seg
+           |  FROM s${r - 1} s, m$r m)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++=
+      s"""SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_weight
+         |FROM (
+         |${(1 to BpeMerges).map(r =>
+          s"  SELECT $r AS merge_rank, a AS lhs, b AS rhs, c AS pair_weight FROM m$r")
+          .mkString(" UNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin
+    sb.toString
+  }
 
   /** Vocabulary size for the OOV coverage audit. */
   val OovVocabK = 500
@@ -920,6 +1025,8 @@ object TextAnalysisQueries {
          |SELECT doc_id, source, n_tokens, CAST(score_ppm AS BIGINT) AS score_ppm,
          |  cum_tokens, cum_tokens <= budget AS kept
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "llm_bpe_train" -> bpeTrainSql,
 
     "llm_corpus_shard" ->
       s"""WITH d AS (
