@@ -571,10 +571,17 @@ object TextAnalysisQueries {
         .select(explode(tokens($"text")).as("w"))
         .filter(length($"w") > 0)
         .groupBy($"w").agg(count(lit(1)).as("n"))
-      var seg = vocab.withColumn("seg",
+      // materialize the word-frequency table ONCE: every round's action
+      // re-executes its lineage, and without this the corpus-wide
+      // explode + count would re-run per round (measured 5.0 s → the
+      // one-corpus-scan contract at any sf); the persisted table is
+      // vocab-bounded
+      val base = vocab.withColumn("seg",
         concat(lit("|"), array_join(expr(
           "transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
           "||"), lit("|")))
+        .persist()
+      var seg = base
       val merges =
         scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (r <- 1 to BpeMerges) {
@@ -597,6 +604,7 @@ object TextAnalysisQueries {
           lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
           lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))))
       }
+      base.unpersist(blocking = false)
       merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_weight")
         .orderBy($"merge_rank")
     },
