@@ -58,6 +58,39 @@ class FeedReplicationSpec extends SparkSuite {
     assert(state(inc) == Seq((1L, "a2"), (3L, "c2"), (4L, "d4")))
   }
 
+  test("streaming follower: the change-feed source drives continuous replication") {
+    val primary = freshDir()
+    val follower = freshDir()
+    val ck = java.nio.file.Files.createTempDirectory("feed-repl-ck").toString
+    def commit(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(primary, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    commit(Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update")))
+    commit(Seq((2L, "x", 2L, "delete"), (3L, "c2", 2L, "update")))
+    // the follower's apply is the foreachBatch body; a micro-batch may
+    // span several primary versions (first start serves v1..v2 at
+    // once) — the order columns fold cross-version nets correctly, and
+    // a checkpoint replay re-applies idempotent content
+    def stream() = spark.readStream.format("graft-replica")
+      .option("path", primary).option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcStream.applyBatchToReplica(follower,
+          b.drop("_commit_version", "_commit_watermark"),
+          Seq("id"), Seq(col("seq")))
+        ()
+      }.start()
+    val q = stream()
+    try q.processAllAvailable() finally q.stop()
+    assert(state(follower) == state(primary))
+    // new primary commits after a restart: only the delta flows
+    commit(Seq((1L, "a3", 3L, "update"), (4L, "d3", 3L, "update")))
+    val q2 = stream()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state(follower) == state(primary))
+    assert(state(follower) == Seq((1L, "a3"), (3L, "c2"), (4L, "d3")))
+  }
+
   test("a GC'd feed gap refuses the range read instead of skipping versions") {
     val primary = freshDir()
     def commit(rows: Seq[(Long, String, Long, String)]): Unit =
