@@ -921,17 +921,27 @@ object SimilarityQueries {
         .select($"vec_id", $"v").head()
       var picked = Vector[(Int, Long, Option[Double], Seq[Double])](
         (1, seed.getLong(0), None, seed.getSeq[Double](1)))
-      for (r <- 2 to CoresetK) {
+      var r = 2
+      var exhausted = false
+      while (r <= CoresetK && !exhausted) {
         val mind2 = picked.map { case (_, _, _, c) =>
           val cc = c.foldLeft(0.0)((a, x) => a + x * x)
           $"dvv" - lit(2.0) * dot($"v", array(c.map(lit): _*)) + lit(cc)
         }.reduce(least(_, _))
         val ids = picked.map(_._2)
-        val next = emb.filter(!$"vec_id".isin(ids: _*))
+        emb.filter(!$"vec_id".isin(ids: _*))
           .select($"vec_id", mind2.as("mind2"), $"v")
-          .orderBy($"mind2".desc, $"vec_id".asc).limit(1).head()
-        picked :+= ((r, next.getLong(0), Some(next.getDouble(1)),
-          next.getSeq[Double](2)))
+          .orderBy($"mind2".desc, $"vec_id".asc).limit(1)
+          .collect().headOption match {
+          case None =>
+            // corpus smaller than CoresetK: every vector is already
+            // picked — stop, matching the oracle's empty-CTE tail
+            exhausted = true
+          case Some(next) =>
+            picked :+= ((r, next.getLong(0), Some(next.getDouble(1)),
+              next.getSeq[Double](2)))
+            r += 1
+        }
       }
       picked.map { case (r, id, d, _) => (r, id, d) }
         .toDF("sel_rank", "vec_id", "dist2")

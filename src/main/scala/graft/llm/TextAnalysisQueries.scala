@@ -567,9 +567,13 @@ object TextAnalysisQueries {
     // exactly.
     "llm_bpe_train" -> { (s, dir) =>
       import s.implicits._
+      // pre-tokenizer rule shared with the oracle: tokens containing
+      // the seg delimiter '|' are excluded — inside a delimiter-anchored
+      // segmentation they would alias symbol boundaries (phantom empty
+      // symbols, merges rewriting across symbols)
       val vocab = Tables(s, dir).documents
         .select(explode(tokens($"text")).as("w"))
-        .filter(length($"w") > 0)
+        .filter(length($"w") > 0 && !$"w".contains("|"))
         .groupBy($"w").agg(count(lit(1)).as("n"))
       // materialize the word-frequency table ONCE: every round's action
       // re-executes its lineage, and without this the corpus-wide
@@ -584,7 +588,9 @@ object TextAnalysisQueries {
       var seg = base
       val merges =
         scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (r <- 1 to BpeMerges) {
+      var r = 1
+      var exhausted = false
+      while (r <= BpeMerges && !exhausted) {
         val best = seg
           .select($"n", expr(
             "split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')").as("sy"))
@@ -595,14 +601,24 @@ object TextAnalysisQueries {
               |              element_at(sy, i + 1) AS b))""".stripMargin))
             .as("p"))
           .groupBy($"p.a", $"p.b").agg(sum($"n").as("c"))
-          .orderBy($"c".desc, $"a".asc, $"b".asc).limit(1).head()
-        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((r, a, b, c))
-        // literal (quoted) pattern + quoted replacement: token content
-        // can never be interpreted as regex syntax
-        seg = seg.withColumn("seg", regexp_replace($"seg",
-          lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
-          lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))))
+          .orderBy($"c".desc, $"a".asc, $"b".asc).limit(1)
+          .collect().headOption
+        best match {
+          case None =>
+            // every word is one symbol: no pairs remain — stop early,
+            // same graceful degradation as the oracle's empty m_r CTEs
+            exhausted = true
+          case Some(row) =>
+            val (a, b, c) =
+              (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((r, a, b, c))
+            // literal (quoted) pattern + quoted replacement: token
+            // content can never be interpreted as regex syntax
+            seg = seg.withColumn("seg", regexp_replace($"seg",
+              lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
+              lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))))
+            r += 1
+        }
       }
       base.unpersist(blocking = false)
       merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_weight")
@@ -732,7 +748,7 @@ object TextAnalysisQueries {
       s"""WITH v AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
          |    SELECT unnest(${TextOps.toksSql}) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY 1),
+         |  WHERE len(w) > 0 AND w NOT LIKE '%|%' GROUP BY 1),
          |s0 AS (
          |  SELECT w, n, '|' || array_to_string(
          |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
