@@ -567,62 +567,27 @@ object TextAnalysisQueries {
     // exactly.
     "llm_bpe_train" -> { (s, dir) =>
       import s.implicits._
-      // pre-tokenizer rule shared with the oracle: tokens containing
-      // the seg delimiter '|' are excluded — inside a delimiter-anchored
-      // segmentation they would alias symbol boundaries (phantom empty
-      // symbols, merges rewriting across symbols)
-      val vocab = Tables(s, dir).documents
-        .select(explode(tokens($"text")).as("w"))
-        .filter(length($"w") > 0 && !$"w".contains("|"))
-        .groupBy($"w").agg(count(lit(1)).as("n"))
-      // materialize the word-frequency table ONCE: every round's action
-      // re-executes its lineage, and without this the corpus-wide
-      // explode + count would re-run per round (measured 5.0 s → the
-      // one-corpus-scan contract at any sf); the persisted table is
-      // vocab-bounded
-      val base = vocab.withColumn("seg",
-        concat(lit("|"), array_join(expr(
-          "transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
-          "||"), lit("|")))
-        .persist()
-      var seg = base
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      var r = 1
-      var exhausted = false
-      while (r <= BpeMerges && !exhausted) {
-        val best = seg
-          .select($"n", expr(
-            "split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')").as("sy"))
-          .filter(size($"sy") >= 2)
-          .select($"n", explode(expr(
-            """transform(sequence(1, size(sy) - 1),
-              |  i -> struct(element_at(sy, i) AS a,
-              |              element_at(sy, i + 1) AS b))""".stripMargin))
-            .as("p"))
-          .groupBy($"p.a", $"p.b").agg(sum($"n").as("c"))
-          .orderBy($"c".desc, $"a".asc, $"b".asc).limit(1)
-          .collect().headOption
-        best match {
-          case None =>
-            // every word is one symbol: no pairs remain — stop early,
-            // same graceful degradation as the oracle's empty m_r CTEs
-            exhausted = true
-          case Some(row) =>
-            val (a, b, c) =
-              (row.getString(0), row.getString(1), row.getLong(2))
-            merges += ((r, a, b, c))
-            // literal (quoted) pattern + quoted replacement: token
-            // content can never be interpreted as regex syntax
-            seg = seg.withColumn("seg", regexp_replace($"seg",
-              lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
-              lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))))
-            r += 1
-        }
-      }
-      base.unpersist(blocking = false)
-      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_weight")
+      bpeTrainRun(s, dir)._1
+        .toDF("merge_rank", "lhs", "rhs", "pair_weight")
         .orderBy($"merge_rank")
+    },
+
+    // --- apply the trained tokenizer: corpus compression audit ----------
+    // The train → APPLY → audit loop closed: the final segmentations
+    // the merge schedule produces, priced corpus-wide — vocabulary
+    // size, token occurrences, character total, post-merge symbol
+    // total, and the compression ratio in exact-integer ppm (the
+    // bytes-per-token proxy a tokenizer choice is judged by). Same
+    // bounded vocab-table passes as training; the oracle extends the
+    // identical CTE chain to its final segmentation state.
+    "llm_bpe_apply" -> { (s, dir) =>
+      import s.implicits._
+      val (_, st) = bpeTrainRun(s, dir)
+      Seq(st).toDF("n_vocab", "n_occurrences", "chars_total",
+        "symbols_total")
+        .withColumn("compression_ppm",
+          when($"chars_total" === 0L, 0L)
+            .otherwise(expr("symbols_total * 1000000 div chars_total")))
     },
 
     // --- tokenizer fertility by language (multilingual cost audit) ------
@@ -736,13 +701,87 @@ object TextAnalysisQueries {
     */
   val BpeMerges = 6
 
+  /** The BPE training loop, shared by `llm_bpe_train` (returns the
+    * merge table) and `llm_bpe_apply` (prices the final segmentation):
+    * BpeMerges greedy rounds over the word-frequency table, stopping
+    * early if no adjacent pairs remain. Returns the learned merges and
+    * the corpus compression stats of the final segmentation
+    * (n_vocab, n_occurrences, chars_total, symbols_total). The
+    * pre-tokenizer rule (shared with the oracle) drops tokens
+    * containing the seg delimiter '|' — inside a delimiter-anchored
+    * segmentation they would alias symbol boundaries.
+    */
+  private def bpeTrainRun(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], (Long, Long, Long, Long)) = {
+    import s.implicits._
+    val vocab = Tables(s, dir).documents
+      .select(explode(tokens($"text")).as("w"))
+      .filter(length($"w") > 0 && !$"w".contains("|"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    // materialize the word-frequency table ONCE: every round's action
+    // re-executes its lineage, and without this the corpus-wide
+    // explode + count would re-run per round (measured 5.0 s → the
+    // one-corpus-scan contract at any sf); the persisted table is
+    // vocab-bounded
+    val base = vocab.withColumn("seg",
+      concat(lit("|"), array_join(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        "||"), lit("|")))
+      .persist()
+    var seg = base
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeMerges && !exhausted) {
+      val best = seg
+        .select($"n", expr(
+          "split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')").as("sy"))
+        .filter(size($"sy") >= 2)
+        .select($"n", explode(expr(
+          """transform(sequence(1, size(sy) - 1),
+            |  i -> struct(element_at(sy, i) AS a,
+            |              element_at(sy, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"n").as("c"))
+        .orderBy($"c".desc, $"a".asc, $"b".asc).limit(1)
+        .collect().headOption
+      best match {
+        case None =>
+          // every word is one symbol: no pairs remain — stop early,
+          // same graceful degradation as the oracle's empty m_r CTEs
+          exhausted = true
+        case Some(row) =>
+          val (a, b, c) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r, a, b, c))
+          // literal (quoted) pattern + quoted replacement: token
+          // content can never be interpreted as regex syntax
+          seg = seg.withColumn("seg", regexp_replace($"seg",
+            lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
+            lit(java.util.regex.Matcher.quoteReplacement(s"|$a$b|"))))
+          r += 1
+      }
+    }
+    val st = seg.agg(
+      count(lit(1)).as("nv"),
+      coalesce(sum($"n"), lit(0L)).as("no"),
+      coalesce(sum($"n" * length($"w")), lit(0L)).as("ch"),
+      coalesce(sum($"n" * expr(
+        "size(split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|'))")),
+        lit(0L)).as("sy")).head()
+    base.unpersist(blocking = false)
+    (merges.toSeq,
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)))
+  }
+
   /** DuckDB twin of the BPE training loop — round r's CTEs recount
     * adjacent pairs over the previous round's segmentations, pick the
     * (count desc, pair asc) winner, and apply the same anchored string
     * replace. Generated from [[BpeMerges]] so both engines run the
     * identical schedule.
     */
-  private def bpeTrainSql: String = {
+  private def bpeChainSql: String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH v AS (
@@ -771,16 +810,32 @@ object TextAnalysisQueries {
            |            '|' || m.a || m.b || '|') AS seg
            |  FROM s${r - 1} s, m$r m)""".stripMargin
     }
-    sb ++= "\n"
-    sb ++=
+    sb.toString
+  }
+
+  private def bpeTrainSql: String =
+    bpeChainSql + "\n" +
       s"""SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_weight
          |FROM (
          |${(1 to BpeMerges).map(r =>
           s"  SELECT $r AS merge_rank, a AS lhs, b AS rhs, c AS pair_weight FROM m$r")
           .mkString(" UNION ALL\n")}
          |) ORDER BY merge_rank""".stripMargin
-    sb.toString
-  }
+
+  /** Final-segmentation compression stats off the same CTE chain. */
+  private def bpeApplySql: String =
+    bpeChainSql + "\n" +
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_occurrences,
+         |  CAST(coalesce(sum(n * length(w)), 0) AS BIGINT) AS chars_total,
+         |  CAST(coalesce(sum(n * len(string_split(
+         |    substr(seg, 2, length(seg) - 2), '||'))), 0) AS BIGINT)
+         |    AS symbols_total,
+         |  CASE WHEN coalesce(sum(n * length(w)), 0) = 0 THEN 0
+         |    ELSE CAST(sum(n * len(string_split(
+         |      substr(seg, 2, length(seg) - 2), '||'))) * 1000000
+         |      // sum(n * length(w)) AS BIGINT) END AS compression_ppm
+         |FROM s$BpeMerges""".stripMargin
 
   /** Vocabulary size for the OOV coverage audit. */
   val OovVocabK = 500
@@ -1051,6 +1106,8 @@ object TextAnalysisQueries {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "llm_bpe_train" -> bpeTrainSql,
+
+    "llm_bpe_apply" -> bpeApplySql,
 
     "llm_corpus_shard" ->
       s"""WITH d AS (
