@@ -582,7 +582,7 @@ object TextAnalysisQueries {
     // identical CTE chain to its final segmentation state.
     "llm_bpe_apply" -> { (s, dir) =>
       import s.implicits._
-      val (_, st) = bpeTrainRun(s, dir)
+      val (_, st) = bpeTrainRun(s, dir, withStats = true)
       Seq(st).toDF("n_vocab", "n_occurrences", "chars_total",
         "symbols_total")
         .withColumn("compression_ppm",
@@ -711,7 +711,8 @@ object TextAnalysisQueries {
     * containing the seg delimiter '|' — inside a delimiter-anchored
     * segmentation they would alias symbol boundaries.
     */
-  private def bpeTrainRun(s: SparkSession, dir: String)
+  private def bpeTrainRun(s: SparkSession, dir: String,
+      withStats: Boolean = false)
       : (Seq[(Int, String, String, Long)], (Long, Long, Long, Long)) = {
     import s.implicits._
     val vocab = Tables(s, dir).documents
@@ -763,16 +764,22 @@ object TextAnalysisQueries {
           r += 1
       }
     }
-    val st = seg.agg(
-      count(lit(1)).as("nv"),
-      coalesce(sum($"n"), lit(0L)).as("no"),
-      coalesce(sum($"n" * length($"w")), lit(0L)).as("ch"),
-      coalesce(sum($"n" * expr(
-        "size(split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|'))")),
-        lit(0L)).as("sy")).head()
+    // the stats aggregation is its own Spark job — only the apply
+    // query pays for it; the train query's benched path stops at the
+    // merge table
+    val st =
+      if (withStats) {
+        val row = seg.agg(
+          count(lit(1)).as("nv"),
+          coalesce(sum($"n"), lit(0L)).as("no"),
+          coalesce(sum($"n" * length($"w")), lit(0L)).as("ch"),
+          coalesce(sum($"n" * expr(
+            "size(split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|'))")),
+            lit(0L)).as("sy")).head()
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      } else (0L, 0L, 0L, 0L)
     base.unpersist(blocking = false)
-    (merges.toSeq,
-      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)))
+    (merges.toSeq, st)
   }
 
   /** DuckDB twin of the BPE training loop — round r's CTEs recount
@@ -805,10 +812,15 @@ object TextAnalysisQueries {
            |  GROUP BY 1, 2),
            |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
            |s$r AS (
+           |  -- LEFT JOIN: when merges exhaust early (m$r empty) the
+           |  -- segmentation CARRIES instead of emptying the chain —
+           |  -- bpeApplySql's final-state read must see the last real
+           |  -- segmentation, exactly like the Spark loop's early stop
            |  SELECT s.w, s.n,
-           |    replace(s.seg, '|' || m.a || '||' || m.b || '|',
-           |            '|' || m.a || m.b || '|') AS seg
-           |  FROM s${r - 1} s, m$r m)""".stripMargin
+           |    CASE WHEN m.a IS NULL THEN s.seg
+           |      ELSE replace(s.seg, '|' || m.a || '||' || m.b || '|',
+           |                   '|' || m.a || m.b || '|') END AS seg
+           |  FROM s${r - 1} s LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
     sb.toString
   }
