@@ -611,4 +611,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(!byPair.contains((1L, 4L)) && !byPair.contains((2L, 4L)),
       s"unrelated payloads paired: $byPair")
   }
+
+  test("BPE training exhausts gracefully; apply prices the LAST real segmentation") {
+    import graft.SparkSuite.spark.implicits._
+    // every token is 'aa': round 1 merges (a,a) and no pairs remain —
+    // the trainer must stop with ONE merge (not throw on an empty
+    // head), and the apply stats must price the post-merge state, not
+    // an emptied chain. Values cross-checked against the generated
+    // DuckDB oracle on the same corpus.
+    val dir = java.nio.file.Files.createTempDirectory("bpe-exhaust").toString
+    Seq((1L, "aa aa", "en", "x", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = graft.SparkEntry.queries("llm_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(merges == Seq((1, "a", "a", 2L)))
+    val st = graft.SparkEntry.queries("llm_bpe_apply")(spark, dir).head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3),
+      st.getLong(4)) == ((1L, 2L, 4L, 2L, 500000L)),
+      s"apply stats must survive merge exhaustion: $st")
+  }
 }
