@@ -553,6 +553,51 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: MULTI-INDEX maintenance + index-intersection probe ---------
+    // Real stores rarely stop at one GSI. One batch apply maintains TWO
+    // indexes (value band; a mod-97 residue class) with a SINGLE
+    // key-pruned old-value read shared between them, every index commit
+    // landing before the primary's (the crash-recoverable order
+    // generalizes: replay recomputes identical delete sets for all
+    // indexes from the still-unmerged primary). The probe is the
+    // classic multi-index AND: each predicate resolves to its index's
+    // bucket(s), the KEY SETS intersect (a semi join of two bounded hit
+    // lists), and only the intersection drives the key-pruned primary
+    // read. Cost: two index buckets + |intersection| primary buckets —
+    // never a table scan, and never reading rows matching only one
+    // predicate.
+    "cdc_multi_gsi" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{CdcStream, SecondaryIndex}
+      val root = graft.llm.IndexArtifacts.cachedPath(dir, "gsi-multi",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        SecondaryIndex.applyBatchWithIndexes(s, s"$out/primary",
+          Seq(
+            SecondaryIndex.IndexSpec(s"$out/ix-band",
+              expr("value_cents div 1000"), "band"),
+            SecondaryIndex.IndexSpec(s"$out/ix-res",
+              expr("value_cents % 97"), "res")),
+          ev, Seq("user_id"), Seq("ms", "event_id"))
+      }
+      val byBand = SecondaryIndex.lookupByIndex(s, s"$root/primary",
+          s"$root/ix-band", Seq("user_id"),
+          expr("value_cents div 1000"), "band", Seq(2L, 3L).toDF("band"))
+        .select($"user_id")
+      val byRes = SecondaryIndex.lookupByIndex(s, s"$root/primary",
+          s"$root/ix-res", Seq("user_id"),
+          expr("value_cents % 97"), "res",
+          (0L to 9L).toDF("res"))
+        .select($"user_id")
+      val keys = byBand.join(byRes, Seq("user_id"), "left_semi")
+      CdcStream.readReplicaForKeys(s, s"$root/primary", Seq("user_id"), keys)
+        .get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: COMPOSITE index probe (partition key + sort key) -----------
     // The DynamoDB composite-key idiom on top of the GSI machinery: the
     // LEADING attribute (coarse band10 = value div 10000) is the hash
@@ -1643,6 +1688,19 @@ object EventQueries {
          |  coalesce(f.n_feed_rows, 0) AS n_feed_rows
          |FROM state s LEFT JOIN feed f ON s.user_id = f.user_id
          |ORDER BY s.user_id""".stripMargin,
+
+    // latest-state keys matching BOTH index predicates
+    "cdc_multi_gsi" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |  AND value_cents // 1000 IN (2, 3)
+         |  AND value_cents % 97 BETWEEN 0 AND 9
+         |ORDER BY user_id""".stripMargin,
 
     // latest-state keys whose value falls in the sort-key range (the
     // leading band10 = 0 condition is implied by range < 10000)

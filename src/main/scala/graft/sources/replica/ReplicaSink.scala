@@ -154,6 +154,21 @@ final case class ReplicaSinkConfig(
 
   val isFanOut: Boolean = path.contains("{db}") || path.contains("{table}")
 
+  /** Parsed (column, dir) pairs — `indexColumn`/`indexPath` accept
+    * comma-separated lists (a store rarely stops at one GSI); a single
+    * value behaves exactly as before.
+    */
+  val indexSpecs: Seq[(String, String)] = {
+    def csv(v: String): Seq[String] =
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cols = indexColumn.map(csv).getOrElse(Nil)
+    val dirs = indexPath.map(csv).getOrElse(Nil)
+    require(cols.size == dirs.size,
+      s"graft-replica: indexColumn lists ${cols.size} column(s) but " +
+        s"indexPath lists ${dirs.size} dir(s) — they pair positionally")
+    cols.zip(dirs)
+  }
+
   def keysFor(table: String): Option[Seq[String]] =
     keysByTable.get(table).orElse(
       if (keysGlobal.nonEmpty) Some(keysGlobal) else None)
@@ -339,8 +354,9 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
   private def autoMaintain(spark: org.apache.spark.sql.SparkSession): Unit =
     cfg.autoCompactDeltas.foreach { n =>
       CdcStream.maintainReplica(spark, cfg.path, maxDeltas = n)
-      cfg.indexPath.foreach(ix =>
-        CdcStream.maintainReplica(spark, ix, maxDeltas = n))
+      cfg.indexSpecs.foreach { case (_, ix) =>
+        CdcStream.maintainReplica(spark, ix, maxDeltas = n)
+      }
       ()
     }
 
@@ -355,20 +371,23 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
     * stale entries accrete in the index forever.)
     */
   private def applyMaybeIndexed(batch: DataFrame, ids: Seq[String],
-      watermark: Option[Long]): Unit = cfg.indexColumn match {
-    case Some(ic) =>
-      graft.streaming.SecondaryIndex.applyBatchWithIndex(
-        batch.sparkSession, cfg.path, cfg.indexPath.get, batch, ids,
-        cfg.orderColumns, col(ic), ic, opCol = cfg.opColumn,
-        deferIndexMerge = cfg.deferMerge, numBuckets = cfg.numBuckets,
-        watermark = watermark, recordChanges = cfg.changeFeed,
+      watermark: Option[Long]): Unit =
+    if (cfg.indexSpecs.nonEmpty)
+      graft.streaming.SecondaryIndex.applyBatchWithIndexes(
+        batch.sparkSession, cfg.path,
+        cfg.indexSpecs.map { case (ic, dir) =>
+          graft.streaming.SecondaryIndex.IndexSpec(dir, col(ic), ic,
+            defer = cfg.deferMerge)
+        },
+        batch, ids, cfg.orderColumns, opCol = cfg.opColumn,
+        numBuckets = cfg.numBuckets, watermark = watermark,
+        recordChanges = cfg.changeFeed,
         deferPrimaryMerge = cfg.deferMerge)
-    case None =>
+    else
       CdcStream.applyBatchToReplica(cfg.path, batch, ids, orderCols,
         opCol = cfg.opColumn, numBuckets = cfg.numBuckets,
         watermark = watermark,
         recordChanges = cfg.changeFeed,
         conditionalOrder = cfg.conditionalOrder,
         deferMerge = cfg.deferMerge)
-  }
 }

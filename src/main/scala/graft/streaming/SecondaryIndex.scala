@@ -59,6 +59,18 @@ object SecondaryIndex {
     *   stale-pointer detection sees exactly the state an eager merge
     *   would have stored.
     */
+  /** One secondary index's definition for the multi-index apply:
+    * where it lives, the indexed expression over batch/primary
+    * columns, its stored column name, optional covering projection,
+    * and whether its merges defer.
+    */
+  final case class IndexSpec(
+      dir: String,
+      expr: Column,
+      name: String,
+      includeCols: Seq[String] = Nil,
+      defer: Boolean = false)
+
   def applyBatchWithIndex(
       spark: SparkSession,
       primaryDir: String,
@@ -74,55 +86,98 @@ object SecondaryIndex {
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
       deferPrimaryMerge: Boolean = false,
-      includeCols: Seq[String] = Nil): Unit = {
+      includeCols: Seq[String] = Nil): Unit =
+    applyBatchWithIndexes(spark, primaryDir,
+      Seq(IndexSpec(indexDir, idxExpr, idxName, includeCols,
+        deferIndexMerge)),
+      batch, idCols, orderColNames, opCol, numBuckets, watermark,
+      recordChanges, deferPrimaryMerge)
+
+  /** N-index maintenance — the real deployment shape (a store rarely
+    * stops at one GSI). ONE key-pruned old-value read serves every
+    * index (the touched keys' current rows are materialized once, each
+    * index derives its old value from them), and ALL index commits
+    * land before the primary's: a crash anywhere in the sequence
+    * leaves some prefix of the indexes ahead by one batch, and the
+    * replay — whose old-value read still sees the unmerged primary —
+    * recomputes identical delete/upsert sets for every index, so
+    * already-committed indexes re-apply idempotent content and the
+    * rest catch up. (Primary-first would be unrecoverable for every
+    * index at once; see the ordering note below.)
+    */
+  def applyBatchWithIndexes(
+      spark: SparkSession,
+      primaryDir: String,
+      specs: Seq[IndexSpec],
+      batch: DataFrame,
+      idCols: Seq[String],
+      orderColNames: Seq[String],
+      opCol: String = "op",
+      numBuckets: Int = CdcStream.DefaultReplicaBuckets,
+      watermark: Option[Long] = None,
+      recordChanges: Boolean = false,
+      deferPrimaryMerge: Boolean = false): Unit = {
+    require(specs.nonEmpty, "applyBatchWithIndexes: at least one index")
+    require(specs.map(_.dir).distinct.size == specs.size,
+      "applyBatchWithIndexes: index dirs must be distinct")
     val orderCols = orderColNames.map(col)
     // materialize the per-key net ONCE: the old-value read, the primary
-    // merge, and the index batch all derive from it — each would
+    // merge, and every index batch derive from it — each would
     // otherwise recompute the whole batch window per action
     val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
       CdcStream.lastOpPerKey(batch, idCols, orderCols), "gsi-net")
-    try {
-      // OLD indexed values for exactly the touched keys (key-pruned
-      // read, O(batch keys)) — read BEFORE the primary merge
-      // overwrites them
-      val oldIdx = CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
+    // OLD rows for exactly the touched keys (key-pruned read, O(batch
+    // keys)) — read BEFORE the primary merge overwrites them, and
+    // materialized once so N indexes don't re-run the pruned read
+    val oldMat: Option[(DataFrame, () => Unit)] =
+      CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
           net.select(idCols.map(col): _*).distinct())
-        .map(_.select(idCols.map(col) :+ idxExpr.as("__old_idx"): _*))
-      val n = net.withColumn("__new_idx",
-        when(col(opCol) =!= "delete", idxExpr))
-      val j = oldIdx match {
-        case Some(o) => n.join(o, idCols, "left")
-        case None => n.withColumn("__old_idx", lit(null).cast(
-          n.select(idxExpr).schema.head.dataType))
+        .map { o =>
+          if (specs.size > 1)
+            graft.llm.IndexArtifacts.materializeOwned(spark, o, "gsi-old")
+          else (o, () => ())
+        }
+    try {
+      specs.foreach { sp =>
+        val oldIdx = oldMat.map { case (o, _) =>
+          o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
+        }
+        val n = net.withColumn("__new_idx",
+          when(col(opCol) =!= "delete", sp.expr))
+        val j = oldIdx match {
+          case Some(o) => n.join(o, idCols, "left")
+          case None => n.withColumn("__old_idx", lit(null).cast(
+            n.select(sp.expr).schema.head.dataType))
+        }
+        // includeCols makes the index COVERING (the DynamoDB projected-
+        // attributes shape): the listed batch columns are stored in the
+        // index entry, so [[lookupCovered]] answers from the index alone
+        val carry = (idCols ++ orderColNames ++ sp.includeCols).distinct
+        // stale pointer removal: value moved, or the key was deleted
+        val dels = j.filter(col("__old_idx").isNotNull &&
+            (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
+          .select((col("__old_idx").as(sp.name) +: carry.map(col)) :+
+            lit("delete").as(opCol): _*)
+        val ups = j.filter(col("__new_idx").isNotNull)
+          .select((col("__new_idx").as(sp.name) +: carry.map(col)) :+
+            lit("update").as(opCol): _*)
+        // INDEXES COMMIT FIRST. A crash between any two commits then
+        // leaves a prefix of indexes AHEAD by one batch — the replay
+        // recomputes the SAME dels/ups from the still-unmerged primary
+        // and each index re-apply converges (idempotent content).
+        // Committing the primary first would be the unrecoverable
+        // order: the replay's old-value read would run against the
+        // already-merged primary, see old == new, compute an EMPTY
+        // stale-delete set, and the pre-batch (old value, key) entries
+        // would accrete forever — read-repair hides them from
+        // [[lookupByIndex]], but [[lookupCovered]] would serve them.
+        // Forward entries in the crash window are the benign
+        // direction: the verified lookup drops them (no primary row to
+        // confirm against) and the replay erases the window.
+        CdcStream.applyBatchToReplica(sp.dir, dels.unionByName(ups),
+          idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
+          bucketCols = Some(Seq(sp.name)), deferMerge = sp.defer)
       }
-      // includeCols makes the index COVERING (the DynamoDB projected-
-      // attributes shape): the listed batch columns are stored in the
-      // index entry, so [[lookupCovered]] answers from the index alone
-      val carry = (idCols ++ orderColNames ++ includeCols).distinct
-      // stale pointer removal: value moved, or the key was deleted
-      val dels = j.filter(col("__old_idx").isNotNull &&
-          (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
-        .select((col("__old_idx").as(idxName) +: carry.map(col)) :+
-          lit("delete").as(opCol): _*)
-      val ups = j.filter(col("__new_idx").isNotNull)
-        .select((col("__new_idx").as(idxName) +: carry.map(col)) :+
-          lit("update").as(opCol): _*)
-      // INDEX COMMITS FIRST. A crash between the two commits then
-      // leaves the index AHEAD by one batch — the replay recomputes
-      // the SAME dels/ups from the still-unmerged primary and the
-      // index re-apply converges (idempotent content). Committing the
-      // primary first would be the unrecoverable order: the replay's
-      // old-value read would run against the already-merged primary,
-      // see old == new, compute an EMPTY stale-delete set, and the
-      // pre-batch (old value, key) entries would accrete forever —
-      // read-repair hides them from [[lookupByIndex]], but
-      // [[lookupCovered]] would serve them. Forward entries in the
-      // crash window are the benign direction: the verified lookup
-      // drops them (no primary row to confirm against) and the replay
-      // erases the window.
-      CdcStream.applyBatchToReplica(indexDir, dels.unionByName(ups),
-        idCols = idxName +: idCols, orderCols = orderCols, opCol = opCol,
-        bucketCols = Some(Seq(idxName)), deferMerge = deferIndexMerge)
       // the net IS the batch's last-op-per-key — merging it is
       // equivalent to merging the batch (and its inner net pass is a
       // window over delta-sized rows). The primary may defer too: the
@@ -132,7 +187,10 @@ object SecondaryIndex {
       CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
         numBuckets = numBuckets, watermark = watermark,
         recordChanges = recordChanges, deferMerge = deferPrimaryMerge)
-    } finally dropNet()
+    } finally {
+      oldMat.foreach(_._2())
+      dropNet()
+    }
   }
 
   /** Equality lookup THROUGH the index: `values` carries one column

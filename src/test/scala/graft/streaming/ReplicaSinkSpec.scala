@@ -219,6 +219,56 @@ class ReplicaSinkSpec extends SparkSuite {
     assert(hits === want.filter(_._2 % 7 == 3).keySet)
   }
 
+  test("multiple indexColumns through the sink: both indexes track, a key move cleans both") {
+    val log = freshChangelog()
+    val replica = Files.createTempDirectory("graft-sink-mgsi-p").toString
+    val ixA = Files.createTempDirectory("graft-sink-mgsi-a").toString
+    val ixB = Files.createTempDirectory("graft-sink-mgsi-b").toString
+    val raw = spark.readStream.format("graft-binlog")
+      .option("path", log)
+      .option("maxEventsPerTrigger", "250")
+      .load()
+    val rowSchema = graft.queries.SourceQueries.eventsRowSchema
+    val q = CdcStream.parsed(raw, rowSchema)
+      .select($"user_id", $"event_id", $"ts_ms", $"op")
+      .withColumn("band", $"event_id" % 7L)
+      .withColumn("res", $"event_id" % 5L)
+      .writeStream.format("graft-replica")
+      .option("path", replica)
+      .option("keys", "user_id")
+      .option("orderColumns", "ts_ms,event_id")
+      .option("indexColumn", "band,res") // comma-separated = two GSIs
+      .option("indexPath", s"$ixA,$ixB")
+      .option("checkpointLocation", ck())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = expectedState()
+    // the primary converged
+    val got = CdcStream.readReplica(spark, replica).get
+      .select($"user_id", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // BOTH indexes serve exactly the latest-state keys of their probe:
+    // any stale (old event_id's band/res, key) pointer a moved key left
+    // behind would surface here if either index missed its delete
+    val hitsA = graft.streaming.SecondaryIndex.lookupByIndex(spark,
+        replica, ixA, Seq("user_id"), $"event_id" % 7L, "band",
+        Seq(3L).toDF("band"))
+      .select($"user_id").collect().map(_.getLong(0)).toSet
+    assert(hitsA === want.filter(_._2 % 7 == 3).keySet)
+    val hitsB = graft.streaming.SecondaryIndex.lookupByIndex(spark,
+        replica, ixB, Seq("user_id"), $"event_id" % 5L, "res",
+        Seq(2L).toDF("res"))
+      .select($"user_id").collect().map(_.getLong(0)).toSet
+    assert(hitsB === want.filter(_._2 % 5 == 2).keySet)
+    // mismatched list lengths refuse at config time
+    intercept[IllegalArgumentException] {
+      graft.sources.replica.ReplicaSinkConfig(Map(
+        "path" -> replica, "keys" -> "user_id",
+        "indexColumn" -> "band,res", "indexPath" -> ixA))
+    }
+  }
+
   test("single-table envelope input parses under the registry schema") {
     val log = freshChangelog()
     val replica = Files.createTempDirectory("graft-sink-replica1").toString
