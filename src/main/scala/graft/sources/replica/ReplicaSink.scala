@@ -156,7 +156,12 @@ final case class ReplicaSinkConfig(
 
   /** Parsed (column, dir) pairs — `indexColumn`/`indexPath` accept
     * comma-separated lists (a store rarely stops at one GSI); a single
-    * value behaves exactly as before.
+    * value behaves exactly as before. The list syntax has NO escaping:
+    * a column or path containing a literal comma cannot be expressed
+    * (it would silently split into bogus specs) — each parsed column
+    * is therefore validated against the batch schema at apply time
+    * ([[ReplicaSink.applyMaybeIndexed]]), so a mis-split surfaces as a
+    * named error on the first batch, never as a phantom index.
     */
   val indexSpecs: Seq[(String, String)] = {
     def csv(v: String): Seq[String] =
@@ -372,7 +377,13 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
     */
   private def applyMaybeIndexed(batch: DataFrame, ids: Seq[String],
       watermark: Option[Long]): Unit =
-    if (cfg.indexSpecs.nonEmpty)
+    if (cfg.indexSpecs.nonEmpty) {
+      val missing = cfg.indexSpecs.map(_._1)
+        .filterNot(batch.columns.contains)
+      require(missing.isEmpty,
+        s"graft-replica: indexColumn ${missing.mkString(", ")} not in " +
+          s"the batch schema (${batch.columns.mkString(", ")}); note " +
+          "indexColumn/indexPath split on commas with no escaping")
       graft.streaming.SecondaryIndex.applyBatchWithIndexes(
         batch.sparkSession, cfg.path,
         cfg.indexSpecs.map { case (ic, dir) =>
@@ -383,7 +394,7 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
         numBuckets = cfg.numBuckets, watermark = watermark,
         recordChanges = cfg.changeFeed,
         deferPrimaryMerge = cfg.deferMerge)
-    else
+    } else
       CdcStream.applyBatchToReplica(cfg.path, batch, ids, orderCols,
         opCol = cfg.opColumn, numBuckets = cfg.numBuckets,
         watermark = watermark,

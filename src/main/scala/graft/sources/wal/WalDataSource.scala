@@ -183,12 +183,11 @@ final class WalTable(options: CaseInsensitiveStringMap)
   * equality|IN prunes whole regions off the partition plan (each
   * region is an independent sub-log — this is genuine partition
   * pruning, the planner never lists the skipped regions' files), and
-  * db/table/op equality|IN cut records in the readers. Offsets stay
-  * position-intact either way (a pruned region's offsets still
-  * advance in streaming — `latestOffset` never consults the filter).
-  * Pushed filters remain in the plan for Spark to re-evaluate; the
-  * source's pruning is an optimization, never the correctness
-  * boundary.
+  * db/table/op equality|IN cut records in the readers. BATCH scans
+  * only — [[WalScan]] drops every plan-derived override on the
+  * streaming path (see its doc for the checkpoint rationale). Pushed
+  * filters remain in the plan for Spark to re-evaluate; the source's
+  * pruning is an optimization, never the correctness boundary.
   */
 final class WalScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
@@ -246,11 +245,26 @@ final class WalScanBuilder(options: CaseInsensitiveStringMap)
       tableNamePattern = tblIn.map(quoted).orElse(base.tableNamePattern),
       opFilter = opIn,
       regionFilter = regionIn)
-    new WalScan(conf, required, pushed)
+    new WalScan(conf, base, required, pushed)
   }
 }
 
-final class WalScan(conf: WalSourceConf, required: StructType,
+/** `conf` carries the plan-pushed overrides; `optionConf` is the
+  * option-only configuration. BATCH scans use `conf` (region pruning +
+  * reader-side cuts are pure optimization — Spark re-evaluates every
+  * pushed filter above the scan). STREAMING scans use `optionConf`:
+  * plan-pushed filters are TRANSPARENT to users, but `latestOffset`
+  * advances every region's offsets into the checkpoint regardless —
+  * pruning regions off a checkpointed stream's partition plan would
+  * silently skip their history if the user later widens the plan
+  * filter and resumes. Spark's retained plan filters still cut the
+  * streamed rows, so results are identical either way; only explicit
+  * OPTION-level patterns (documented as position-intact) narrow a
+  * stream at the source. Same conservatism as BinlogScan's stripping
+  * of plan-pushed offset bounds in its toMicroBatchStream.
+  */
+final class WalScan(val conf: WalSourceConf, val optionConf: WalSourceConf,
+    required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -258,7 +272,7 @@ final class WalScan(conf: WalSourceConf, required: StructType,
       (if (pushed.nonEmpty) s", PushedFilters: [${pushed.mkString(", ")}]"
        else "")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalMicroBatchStream(conf, required)
+    new WalMicroBatchStream(optionConf, required)
   override def toBatch: Batch = new WalBatch(conf, required)
 }
 
@@ -371,7 +385,7 @@ object WalOffset {
   }
 }
 
-final class WalMicroBatchStream(conf: WalSourceConf,
+final class WalMicroBatchStream(val conf: WalSourceConf,
     required: StructType = WalDataSource.Schema)
     extends MicroBatchStream with SupportsAdmissionControl {
 

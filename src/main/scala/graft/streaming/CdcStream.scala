@@ -399,7 +399,13 @@ object CdcStream {
     val df = spark.read.parquet(dataDir)
     if (!df.columns.contains(Tombstone) ||
         !ordNames.forall(df.columns.contains)) return Map.empty
-    df.filter(coalesce(col(Tombstone), lit(false)))
+    // null-order tombstones stay OUT of the min: a null min field
+    // would evaluate the horizon to null and block the whole bucket's
+    // age-out forever. A tombstone whose order is unknown can never be
+    // judged expired by an order horizon — it is retained (never
+    // swept), and must not hide its bucket's orderable tombstones.
+    df.filter(coalesce(col(Tombstone), lit(false)) &&
+        ordNames.map(c => col(c).isNotNull).reduce(_ && _))
       .groupBy(col("__bucket").cast("int").as("__b"))
       .agg(min(struct(ordNames.map(col): _*)).as("m"))
       .select(col("__b"), to_json(col("m")).as("j"))
@@ -430,7 +436,9 @@ object CdcStream {
       spark.read.schema(pruned).parquet(s"$replicaDir/$p")
         .select(lit(k).as("__b") +: (Tombstone +: ordNames).map(col): _*)
     }.reduce(_.unionByName(_))
-      .filter(coalesce(col(Tombstone), lit(false)))
+      // same null-order exclusion as [[stagedTombstoneMins]]
+      .filter(coalesce(col(Tombstone), lit(false)) &&
+        ordNames.map(c => col(c).isNotNull).reduce(_ && _))
       .groupBy(col("__b"))
       .agg(min(struct(ordNames.map(col): _*)).as("m"))
       .select(col("__b"), to_json(col("m")).as("j"))
@@ -447,10 +455,30 @@ object CdcStream {
     * ⇒ every lower-order row is too), so a bucket has an expired
     * tombstone iff its MIN tombstone is expired.
     */
+  /** The column names a horizon predicate references (resolved or
+    * not — callers hand unresolved `col(...)` trees). Multi-part names
+    * compare by their last segment.
+    */
+  private def horizonRefNames(horizon: Column): Seq[String] =
+    org.apache.spark.sql.GraftColumnBridge.convertedExpression(horizon).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.last
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }.distinct
+
   private def expiredFromMeta(spark: org.apache.spark.sql.SparkSession,
       m: ReplicaManifest, unionSc: Option[StructType],
-      horizon: Column): Option[Set[Int]] =
-    m.condOrderCols.map { ocs =>
+      horizon: Column): Option[Set[Int]] = {
+    val minCols = m.condOrderCols.orElse(m.tombstoneMinCols)
+    val refs = horizonRefNames(horizon)
+    // a horizon referencing columns outside the recorded min key
+    // cannot be decided from metadata — None sends the caller to the
+    // full column-pruned sweep instead of throwing AnalysisException
+    // against the min-struct schema
+    minCols
+      .filter(ocs => refs.forall(r => ocs.exists(_.equalsIgnoreCase(r))))
+      .map { ocs =>
       if (m.tombstoneMins.isEmpty) Set.empty
       else {
         val types = unionSc.map(_.fields.map(f => f.name -> f.dataType).toMap)
@@ -458,13 +486,20 @@ object CdcStream {
         val minSchema = StructType(ocs.map(c =>
           StructField(c, types.getOrElse(c, StringType))))
         import spark.implicits._
+        // a min with any null order value is a LEGACY record (written
+        // before nulls were excluded from the aggregation): the horizon
+        // evaluates to null over it, so treat the bucket as
+        // sweep-eligible — the sweep's rewrite re-records a null-free
+        // min and the store converges off the legacy shape
+        val anyNull = ocs.map(c => col(c).isNull).reduce(_ || _)
         m.tombstoneMins.toSeq.toDF("__b", "j")
           .select(col("__b"), from_json(col("j"), minSchema).as("m"))
           .select(col("__b"), col("m.*"))
-          .filter(horizon)
+          .filter(horizon || anyNull)
           .select("__b").collect().map(_.getInt(0)).toSet
       }
     }
+  }
 
   /** The stored-column NAMES of a conditional merge's order columns —
     * they are required to be stored columns, so each resolves to a
@@ -538,7 +573,16 @@ object CdcStream {
       deltas: Map[Int, Seq[String]] = Map.empty,
       condOrderCols: Option[Seq[String]] = None,
       deltasConditional: Boolean = false,
-      tombstoneMins: Map[Int, String] = Map.empty)
+      tombstoneMins: Map[Int, String] = Map.empty,
+      /** Min-key columns for `tombstoneMins` on stores WITHOUT
+        * `condOrderCols` — recorded by [[compactReplica]]'s fallback
+        * sweep from the horizon's own referenced columns, so a legacy
+        * tombstone store pays the full column-pruned sweep exactly
+        * once and is metadata-decided afterwards. Cleared at the
+        * None→Some `condOrderCols` transition (the conditional
+        * backfill re-keys every bucket's min by the order columns).
+        */
+      tombstoneMinCols: Option[Seq[String]] = None)
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
     val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
@@ -554,6 +598,7 @@ object CdcStream {
     var keyCols: Option[Seq[String]] = None
     var opColName: Option[String] = None
     var condOrderCols: Option[Seq[String]] = None
+    var tombstoneMinCols: Option[Seq[String]] = None
     var deltasConditional = false
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     val deltas = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[String]]
@@ -573,6 +618,7 @@ object CdcStream {
         case "keyCols" => p.nextToken(); keyCols = Some(readStringArray())
         case "opCol" => p.nextToken(); opColName = Some(p.getText)
         case "condOrderCols" => p.nextToken(); condOrderCols = Some(readStringArray())
+        case "tombstoneMinCols" => p.nextToken(); tombstoneMinCols = Some(readStringArray())
         case "deltasConditional" => p.nextToken(); deltasConditional = p.getBooleanValue
         case "tombstoneMins" =>
           p.nextToken()
@@ -597,7 +643,7 @@ object CdcStream {
     p.close()
     Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark, bucketCols,
       keyCols, opColName, deltas.toMap, condOrderCols, deltasConditional,
-      tombstoneMins.toMap))
+      tombstoneMins.toMap, tombstoneMinCols))
   }
 
   private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
@@ -620,6 +666,11 @@ object CdcStream {
     m.opColName.foreach(g.writeStringField("opCol", _))
     m.condOrderCols.foreach { cs =>
       g.writeArrayFieldStart("condOrderCols")
+      cs.foreach(g.writeString)
+      g.writeEndArray()
+    }
+    m.tombstoneMinCols.foreach { cs =>
+      g.writeArrayFieldStart("tombstoneMinCols")
       cs.foreach(g.writeString)
       g.writeEndArray()
     }
@@ -992,12 +1043,13 @@ object CdcStream {
             org.apache.spark.sql.types.BooleanType))
         else sc
       }
-      val newMins: Map[Int, String] = m.condOrderCols match {
-        case Some(ocs) =>
-          (m.tombstoneMins -- rewriteKeys) ++
-            stagedTombstoneMins(spark, s"$staging/data", ocs)
-        case None => m.tombstoneMins -- rewriteKeys
-      }
+      val newMins: Map[Int, String] =
+        m.condOrderCols.orElse(m.tombstoneMinCols) match {
+          case Some(ocs) =>
+            (m.tombstoneMins -- rewriteKeys) ++
+              stagedTombstoneMins(spark, s"$staging/data", ocs)
+          case None => m.tombstoneMins -- rewriteKeys
+        }
       publishVersion(replicaDir, staging, nextName,
         m.copy(buckets = newBuckets,
           schemaJson = newSchema.map(_.json).orElse(m.schemaJson),
@@ -1023,24 +1075,77 @@ object CdcStream {
     val expiredTombstone = tombstoneHorizon
       .filter(_ => unionSc.exists(_.fieldNames.contains(Tombstone)))
       .map(h => coalesce(col(Tombstone), lit(false)) && h)
+    // LEGACY stores (no recorded condOrderCols): key the recorded mins
+    // by the horizon's own referenced columns, so the full sweep below
+    // runs exactly ONCE — afterwards detection is the O(manifest)
+    // metadata predicate. (A conditional store whose horizon references
+    // non-order columns keeps the per-call sweep: re-keying its mins
+    // would clash with the merge paths' condOrderCols-keyed refreshes.)
+    val sweepMinCols: Option[Seq[String]] =
+      (tombstoneHorizon, unionSc) match {
+        case (Some(h), Some(sc)) if m.condOrderCols.isEmpty &&
+            sc.fieldNames.contains(Tombstone) =>
+          val refs = horizonRefNames(h)
+          val resolved = sc.fieldNames
+            .filter(f => refs.exists(_.equalsIgnoreCase(f))).toSeq
+          if (refs.nonEmpty && resolved.length == refs.length) Some(resolved)
+          else None
+        case _ => None
+      }
+    var sweptMins: Map[Int, String] = Map.empty
+    var sweepRan = false
     val expired: Set[Int] = (tombstoneHorizon, expiredTombstone) match {
       case (None, _) | (_, None) => Set.empty
       case (Some(h), Some(pred)) =>
         // detection is an O(manifest) predicate over the recorded
         // per-bucket min tombstone orders — no bucket file is read.
         // Stores predating the metadata (None) fall back to the full
-        // column-pruned sweep, once: their next rewrite records mins.
+        // column-pruned sweep, whose one pass ALSO records the mins.
         expiredFromMeta(spark, m, unionSc, h).getOrElse {
-          m.buckets.toSeq.sortBy(_._1)
+          sweepRan = true
+          val minAgg = sweepMinCols.map { mcs =>
+            min(when(coalesce(col(Tombstone), lit(false)) &&
+              mcs.map(c => col(c).isNotNull).reduce(_ && _),
+              struct(mcs.map(col): _*))).as("__m")
+          }
+          val perBucket = m.buckets.toSeq.sortBy(_._1)
             .map { case (k, p) =>
               spark.read.schema(unionSc.get).parquet(s"$replicaDir/$p")
-                .filter(pred).select(lit(k).as("__bucket")) }
+                .agg(max(coalesce(pred, lit(false))).as("__x"),
+                  minAgg.toSeq: _*)
+                .withColumn("__bucket", lit(k))
+            }
             .reduce(_.unionByName(_))
-            .distinct().collect().map(_.getInt(0)).toSet
+          val rows = perBucket
+            .select(col("__bucket"), col("__x"),
+              (if (minAgg.isDefined) to_json(col("__m")) else lit(null))
+                .as("__j"))
+            .collect()
+          sweptMins = rows.collect {
+            case r if !r.isNullAt(2) => r.getInt(0) -> r.getString(2)
+          }.toMap
+          rows.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+            .map(_.getInt(0)).toSet
         }
     }
     val rewrite = fragmented ++ m.buckets.filter { case (k, _) => expired(k) }
-    if (rewrite.isEmpty) return
+    // the min-key columns this commit's manifest records mins under
+    val minKey: Option[Seq[String]] =
+      m.condOrderCols.orElse(
+        if (sweepRan) sweepMinCols else m.tombstoneMinCols)
+    if (rewrite.isEmpty) {
+      // legacy store, nothing expired and nothing fragmented: publish a
+      // METADATA-ONLY version carrying the mins the sweep just
+      // computed, so the next maintain call decides without a scan
+      if (sweepRan && sweepMinCols.nonEmpty) {
+        val nextName = f"v${v + 1}%09d"
+        val staging = newStagingDir(replicaDir)
+        publishVersion(replicaDir, staging, nextName,
+          m.copy(tombstoneMins = sweptMins, tombstoneMinCols = sweepMinCols),
+          prev, cur.map(_._2))
+      }
+      return
+    }
     val nextName = f"v${v + 1}%09d"
     val staging = newStagingDir(replicaDir)
     rewrite.toSeq.sortBy(_._1)
@@ -1048,7 +1153,10 @@ object CdcStream {
         spark.read.parquet(s"$replicaDir/$p").withColumn("__bucket", lit(k)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .transform(df => expiredTombstone match {
-        case Some(pred) => df.filter(!pred)
+        // null-safe: a null-order tombstone evaluates the horizon to
+        // null — it is RETAINED (its late-loser protection can't be
+        // judged expired), not silently dropped by three-valued filter
+        case Some(pred) => df.filter(!coalesce(pred, lit(false)))
         case None => df
       })
       .repartition(rewrite.size, org.apache.spark.sql.functions.col("__bucket"))
@@ -1063,15 +1171,19 @@ object CdcStream {
     // content-identical rewrite (minus aged-out tombstones): the union
     // schema carries over; rewritten buckets refresh their recorded
     // tombstone mins (a one-job agg over the files just written)
-    val newMins: Map[Int, String] = m.condOrderCols match {
+    val minsBase =
+      if (sweepRan && sweepMinCols.nonEmpty) sweptMins else m.tombstoneMins
+    val newMins: Map[Int, String] = minKey match {
       case Some(ocs) =>
-        (m.tombstoneMins -- rewrite.keys) ++
+        (minsBase -- rewrite.keys) ++
           stagedTombstoneMins(spark, s"$staging/data", ocs)
-      case None => m.tombstoneMins -- rewrite.keys
+      case None => minsBase -- rewrite.keys
     }
     publishVersion(replicaDir, staging, nextName,
-      m.copy(buckets = newBuckets, tombstoneMins = newMins), prev,
-      cur.map(_._2))
+      m.copy(buckets = newBuckets, tombstoneMins = newMins,
+        tombstoneMinCols = if (m.condOrderCols.nonEmpty) None
+          else minKey),
+      prev, cur.map(_._2))
   }
 
   /** Metadata-driven maintenance policy — the call a `foreachBatch`
@@ -1117,8 +1229,13 @@ object CdcStream {
             val sc = manifestSchema(mm)
             sc.exists(_.fieldNames.contains(Tombstone)) &&
               expiredFromMeta(spark, mm, sc, h)
-                // legacy store without recorded mins: can't decide
-                // cheaply — let compactReplica run its pruned sweep once
+                // can't decide cheaply (legacy store without recorded
+                // mins, or a horizon referencing non-min columns): let
+                // compactReplica run its pruned sweep. A legacy store
+                // pays it ONCE — the sweep publishes horizon-keyed
+                // mins (tombstoneMinCols) — while a condOrderCols
+                // store with an off-key horizon pays it per call
+                // (documented; its mins stay order-column-keyed)
                 .map(_.nonEmpty).getOrElse(true)
           }
         }
@@ -1227,10 +1344,11 @@ object CdcStream {
         StructType(sc.fields :+ StructField(Tombstone,
           org.apache.spark.sql.types.BooleanType))
       else sc
-    val newMins: Map[Int, String] = m.condOrderCols match {
-      case Some(ocs) => stagedTombstoneMins(spark, s"$staging/data", ocs)
-      case None => Map.empty
-    }
+    val newMins: Map[Int, String] =
+      m.condOrderCols.orElse(m.tombstoneMinCols) match {
+        case Some(ocs) => stagedTombstoneMins(spark, s"$staging/data", ocs)
+        case None => Map.empty
+      }
     publishVersion(replicaDir, staging, nextName,
       m.copy(numBuckets = newNumBuckets, buckets = newBuckets,
         schemaJson = Some(outSc.json), deltas = Map.empty,
@@ -1349,12 +1467,13 @@ object CdcStream {
         else sc
       }
       val remainingDeltas = m.deltas -- touched
-      val newMins: Map[Int, String] = m.condOrderCols match {
-        case Some(ocs) =>
-          (m.tombstoneMins -- touched) ++
-            stagedTombstoneMins(spark, s"$staging/data", ocs)
-        case None => m.tombstoneMins -- touched
-      }
+      val newMins: Map[Int, String] =
+        m.condOrderCols.orElse(m.tombstoneMinCols) match {
+          case Some(ocs) =>
+            (m.tombstoneMins -- touched) ++
+              stagedTombstoneMins(spark, s"$staging/data", ocs)
+          case None => m.tombstoneMins -- touched
+        }
       publishVersion(replicaDir, staging, nextName,
         m.copy(buckets = newBuckets,
           schemaJson = newSchema.map(_.json).orElse(m.schemaJson),
@@ -1854,11 +1973,13 @@ object CdcStream {
       // per-bucket exclusivity, so the mins must cover the legacy
       // buckets' tombstones — deferred commits rewrite no base bucket,
       // hence the backfill scans them all (once)
+      // at the None→Some transition the backfill re-keys EVERY
+      // bucket's min by the order columns — prior mins (possibly keyed
+      // by a sweep-recorded tombstoneMinCols) must not carry over
       val minsBase: Map[Int, String] =
         if (conditional.nonEmpty && prev.exists(_.condOrderCols.isEmpty))
           legacyTombstoneMins(spark, replicaDir, prevBuckets, prevSc,
-            metaOrd.getOrElse(Seq.empty)) ++
-            prev.map(_.tombstoneMins).getOrElse(Map.empty)
+            metaOrd.getOrElse(Seq.empty))
         else prev.map(_.tombstoneMins).getOrElse(Map.empty)
       publishVersion(replicaDir, staging, nextName,
         ReplicaManifest(nb, prevBuckets, Some(scJson.json), watermark,
@@ -1867,7 +1988,9 @@ object CdcStream {
           deltas = newDeltas,
           condOrderCols = metaOrd,
           deltasConditional = conditional.nonEmpty,
-          tombstoneMins = minsBase),
+          tombstoneMins = minsBase,
+          tombstoneMinCols = if (metaOrd.nonEmpty) None
+            else prev.flatMap(_.tombstoneMinCols)),
         prev, cur.map(_._2))
       return
     }
@@ -2050,16 +2173,32 @@ object CdcStream {
       case Some(ocs)
         if conditional.nonEmpty ||
           unionSchema.fieldNames.contains(Tombstone) =>
+        val transition = prev.exists(_.condOrderCols.isEmpty)
         val backfill =
-          if (prev.exists(_.condOrderCols.isEmpty))
+          if (transition)
             legacyTombstoneMins(spark, replicaDir,
               prevBuckets.filter { case (k, _) => !touched(k) },
               prevSchema, ocs)
           else Map.empty[Int, String]
-        backfill ++
-          (prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched) ++
+        // at the transition, prior mins (possibly sweep-recorded under
+        // tombstoneMinCols) are re-keyed by the backfill — don't carry
+        val carried =
+          if (transition) Map.empty[Int, String]
+          else prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched
+        backfill ++ carried ++
           stagedTombstoneMins(spark, s"$staging/data", ocs)
-      case _ => prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched
+      case _ =>
+        // store without order columns: rewritten buckets refresh their
+        // sweep-recorded mins (keyed by tombstoneMinCols) off the
+        // staged files — dropping without refresh would hide their
+        // tombstones from metadata-decided expiry forever
+        prev.flatMap(_.tombstoneMinCols) match {
+          case Some(mcs) =>
+            (prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched) ++
+              stagedTombstoneMins(spark, s"$staging/data", mcs)
+          case None =>
+            prev.map(_.tombstoneMins).getOrElse(Map.empty) -- touched
+        }
     }
     val remainingDeltas = prev.map(_.deltas -- touched).getOrElse(Map.empty)
     publishVersion(replicaDir, staging, nextName,
@@ -2073,7 +2212,9 @@ object CdcStream {
         condOrderCols = metaOrd,
         deltasConditional = remainingDeltas.nonEmpty &&
           prev.exists(_.deltasConditional),
-        tombstoneMins = newMins), prev,
+        tombstoneMins = newMins,
+        tombstoneMinCols = if (metaOrd.nonEmpty) None
+          else prev.flatMap(_.tombstoneMinCols)), prev,
       cur.map(_._2))
   }
 

@@ -11,6 +11,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Fully CONVERT a Column to its catalyst tree (not the lazy
+    * [[classic.ColumnNodeExpression]] wrapper `expression` returns,
+    * whose children are internal ColumnNodes invisible to catalyst
+    * traversals) — needed to read the attribute names a caller-built
+    * predicate references before resolution.
+    */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** `DataType.sameType` (equality modulo nullability) is
     * `private[spark]`; the replica store's schema-evolution guard needs
     * it to compare manifest field types without tripping on nullable

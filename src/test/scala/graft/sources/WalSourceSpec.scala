@@ -664,6 +664,44 @@ class WalSourceSpec extends SparkSuite {
     assert(blind < before.length.toLong)
   }
 
+  test("plan-pushed filters apply to BATCH scans only: the streaming " +
+      "path keeps the option-level conf") {
+    import graft.sources.wal.{WalScan, WalScanBuilder, WalMicroBatchStream}
+    import org.apache.spark.sql.sources.EqualTo
+    import scala.jdk.CollectionConverters._
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> dir, "envelopeColumns" -> "true",
+        "tableNamePattern" -> "events").asJava)
+    val b = new WalScanBuilder(opts)
+    val pushed = b.pushFilters(Array(
+      EqualTo("region", "region-001"), EqualTo("op", "put"),
+      EqualTo("db", "graft")))
+    // every filter stays in the plan as the correctness boundary
+    assert(pushed.length == 3)
+    val scan = b.build().asInstanceOf[WalScan]
+    // batch conf carries the plan-derived cuts (pure optimization —
+    // Spark re-evaluates the retained filters above the scan)
+    assert(scan.conf.regionFilter.contains(Set("region-001")))
+    assert(scan.conf.opFilter.contains(Set("put")))
+    assert(scan.conf.databaseNamePattern.nonEmpty)
+    // streaming conf drops ALL plan-derived overrides: latestOffset
+    // advances every region into the checkpoint, so pruning regions
+    // off a checkpointed stream's plan would silently skip their
+    // history if the user later widens the (transparent) plan filter
+    // and resumes — only explicit option-level patterns narrow a
+    // stream at the source
+    val ms = scan.toMicroBatchStream(freshTmp())
+      .asInstanceOf[WalMicroBatchStream]
+    assert(ms.conf.regionFilter.isEmpty, "plan region filter must not reach streaming")
+    assert(ms.conf.opFilter.isEmpty, "plan op filter must not reach streaming")
+    assert(ms.conf.databaseNamePattern.isEmpty, "plan db filter must not reach streaming")
+    assert(ms.conf.tableNamePattern.contains("events"),
+      "option-level pattern must survive on the streaming path")
+  }
+
+  private def freshTmp(): String =
+    Files.createTempDirectory("wal-scan").toString
+
   test("plan emits at least one partition per non-empty region") {
     import graft.sources.wal.{WalPartitioning, WalSourceConf, WalInputPartition}
     import scala.jdk.CollectionConverters._

@@ -381,4 +381,130 @@ class MergeOnReadSpec extends SparkSuite {
       .map(i => (i, if (i == 2L) "a2b" else s"a$i")).sorted
     assert(content(dir) == expected)
   }
+
+  test("a horizon referencing non-order columns falls back to the sweep " +
+      "instead of throwing, and still ages tombstones out") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true)
+    applyCond(Seq((1L, "a", 5L, "update"), (2L, "b", 5L, "update")))
+    applyCond(Seq((1L, "gone", 9L, "delete")))
+    CdcStream.compactReplica(spark, dir)
+    assert(manifestJson(dir).contains("tombstoneMins"))
+    // `v` is a stored column but NOT an order column: the recorded min
+    // structs can't evaluate this horizon — pre-fix this threw
+    // AnalysisException inside maintainReplica; now it runs the full
+    // column-pruned sweep (per call, documented) and works
+    assert(CdcStream.maintainReplica(spark, dir,
+      tombstoneHorizon = Some(col("v") === lit("gone"))),
+      "the fallback sweep must detect and expire the tombstone")
+    assert(!manifestJson(dir).contains("tombstoneMins"),
+      "the expired tombstone's min must leave the manifest")
+    assert(content(dir) == Seq((2L, "b")))
+  }
+
+  test("legacy tombstone stores with a horizon: ONE sweep records " +
+      "horizon-keyed mins, then detection is metadata-only") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true)
+    applyCond(Seq((1L, "a", 5L, "update"), (2L, "b", 5L, "update")))
+    applyCond(Seq((1L, "x", 9L, "delete")))
+    // twice: the second run folds the carried-over buckets into ONE
+    // version so the maintain below has no fragmentation work left
+    CdcStream.compactReplica(spark, dir)
+    CdcStream.compactReplica(spark, dir)
+    // strip the conditional metadata to simulate a pre-metadata store
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def manifestPath() = {
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "CURRENT")).trim
+      java.nio.file.Paths.get(dir, cur, "manifest.json")
+    }
+    val node = om.readTree(java.nio.file.Files.readString(manifestPath()))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("condOrderCols"); node.remove("tombstoneMins")
+    java.nio.file.Files.writeString(manifestPath(), om.writeValueAsString(node))
+    // nothing expired: the sweep runs ONCE and the published manifest
+    // carries horizon-keyed mins (tombstoneMinCols), so every later
+    // detection is O(manifest)
+    val horizon = Some(col("seq") <= lit(1L))
+    CdcStream.maintainReplica(spark, dir, tombstoneHorizon = horizon)
+    val mj = manifestJson(dir)
+    assert(mj.contains("tombstoneMinCols") && mj.contains("tombstoneMins"),
+      s"the sweep must record horizon-keyed mins: $mj")
+    // corrupt every data file: the next detection must decide from the
+    // manifest alone — pre-fix the full sweep re-ran on EVERY call
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(corrupt)
+      else if (f.getName.endsWith(".parquet"))
+        java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+    corrupt(new java.io.File(dir))
+    assert(!CdcStream.maintainReplica(spark, dir, tombstoneHorizon = horizon),
+      "second call must be a metadata-decided no-op (no data file read)")
+  }
+
+  test("a null-order tombstone neither blocks its bucket's age-out nor " +
+      "is silently dropped by the sweep") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), conditionalOrder = true)
+    applyCond(Seq((1L, "a", 5L, "update")))
+    applyCond(Seq((1L, "x", 9L, "delete")))
+    CdcStream.compactReplica(spark, dir)
+    // doctor key 1's bucket: add a second tombstone whose order is NULL
+    // (an upstream feed can emit deletes with unknown order)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "CURRENT")).trim
+    val node = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, cur, "manifest.json")))
+    val bucketPath = {
+      val it = node.get("buckets").fields()
+      var p: String = null
+      while (it.hasNext) { val e = it.next(); if (p == null) p = e.getValue.asText() }
+      s"$dir/$p"
+    }
+    val rows = spark.read.parquet(bucketPath)
+    val nullOrder = rows.limit(1)
+      .withColumn("seq", lit(null).cast("long"))
+      .withColumn("id", lit(99L))
+    val doctored = rows.unionByName(nullOrder).collect()
+    val doctoredDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(doctored.toSeq), rows.schema)
+    val tmp = freshDir()
+    doctoredDf.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bucketPath))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(tmp), new java.io.File(bucketPath))
+    // the recorded min (seq=9, non-null) still decides: the seq=9
+    // tombstone expires; the null-order one must be RETAINED (its
+    // late-loser protection can't be judged expired) — pre-fix the
+    // three-valued filter silently deleted it
+    assert(CdcStream.maintainReplica(spark, dir,
+      tombstoneHorizon = Some(col("seq") <= lit(9L))))
+    val after = {
+      val c2 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "CURRENT")).trim
+      val n2 = om.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, c2, "manifest.json")))
+      val it = n2.get("buckets").fields()
+      val ps = scala.collection.mutable.Buffer.empty[String]
+      while (it.hasNext) ps += s"$dir/${it.next().getValue.asText()}"
+      spark.read.parquet(ps.toSeq: _*)
+    }
+    assert(after.filter(col("id") === 99L).count() == 1,
+      "the null-order tombstone must survive the sweep")
+    assert(after.filter(col("id") === 1L).count() == 0,
+      "the expired seq=9 tombstone must age out")
+    // and its bucket is NOT re-flagged forever: the re-recorded mins
+    // exclude null-order rows, so the same horizon is now a no-op
+    assert(!CdcStream.maintainReplica(spark, dir,
+      tombstoneHorizon = Some(col("seq") <= lit(9L))),
+      "no churn: null-order tombstones stay out of the recorded mins")
+  }
 }

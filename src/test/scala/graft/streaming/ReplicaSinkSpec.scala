@@ -219,6 +219,26 @@ class ReplicaSinkSpec extends SparkSuite {
     assert(hits === want.filter(_._2 % 7 == 3).keySet)
   }
 
+  test("an indexColumn absent from the batch fails by name at apply " +
+      "time (comma mis-splits surface, never phantom indexes)") {
+    val replica = Files.createTempDirectory("graft-sink-gsi-bad").toString
+    val index = Files.createTempDirectory("graft-sink-gsi-badix").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "id", "orderColumns" -> "seq",
+      // the comma-list syntax has no escaping: a column name that
+      // contains a comma arrives here as two bogus specs — the
+      // apply-time schema check is what surfaces it
+      "indexColumn" -> "no_such_col", "indexPath" -> index)))
+    val batch = Seq((1L, "a", 1L, "update")).toDF("id", "v", "seq", "op")
+    val e = intercept[IllegalArgumentException] {
+      sink.addBatch(0, batch)
+    }
+    assert(e.getMessage.contains("no_such_col"),
+      s"the error must name the missing column: ${e.getMessage}")
+    assert(e.getMessage.contains("no escaping"),
+      s"the error must explain the comma syntax: ${e.getMessage}")
+  }
+
   test("multiple indexColumns through the sink: both indexes track, a key move cleans both") {
     val log = freshChangelog()
     val replica = Files.createTempDirectory("graft-sink-mgsi-p").toString
