@@ -367,11 +367,20 @@ object SourceQueries {
       val df = s.read.format("graft-binlog")
         .option("path", binlogBeforeDir(s, dir))
         .option("includeBeforeImage", "true").load()
-      df.select(
-          get_json_object($"value", "$.type").as("op"),
-          get_json_object($"value", "$.beforeRows[0].event_id").cast("long")
+      // ONE from_json per envelope (the ddl_stream model): string-typed
+      // fields + cast keep get_json_object's exact coercion semantics
+      val beforeRow = StructType(Seq(
+        StructField("event_id", StringType),
+        StructField("value", StringType)))
+      val env = StructType(Seq(
+        StructField("type", StringType),
+        StructField("beforeRows", ArrayType(beforeRow))))
+      df.select(from_json($"value", env).as("e"))
+        .select(
+          $"e.type".as("op"),
+          $"e.beforeRows".getItem(0).getField("event_id").cast("long")
             .as("before_id"),
-          get_json_object($"value", "$.beforeRows[0].value").cast("double")
+          $"e.beforeRows".getItem(0).getField("value").cast("double")
             .as("before_value"))
         .groupBy($"op")
         .agg(count(lit(1)).as("n_events"),
@@ -470,10 +479,16 @@ object SourceQueries {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      // ONE from_json per envelope (the ddl_stream model)
+      val txnRow = StructType(Seq(StructField("event_id", StringType)))
+      val txnEnv = StructType(Seq(
+        StructField("txnId", StringType),
+        StructField("rows", ArrayType(txnRow))))
       s.read.parquet(out)
+        .select(from_json($"value", txnEnv).as("e"), $"batch_id")
         .select(
-          get_json_object($"value", "$.txnId").cast("long").as("txn_id"),
-          get_json_object($"value", "$.rows[0].event_id").cast("long").as("event_id"),
+          $"e.txnId".cast("long").as("txn_id"),
+          $"e.rows".getItem(0).getField("event_id").cast("long").as("event_id"),
           $"batch_id")
         .groupBy($"txn_id")
         .agg(count(lit(1)).as("n_records"),
@@ -496,12 +511,23 @@ object SourceQueries {
       val replica = graft.llm.IndexArtifacts.tempDir("wal-replica")
       val df = s.read.format("graft-wal")
         .option("path", walDir(s, dir)).load()
-      val rows = df.select(
-          get_json_object($"value", "$.type").as("wop"),
-          get_json_object($"value", "$.timestamp").cast("long").as("ts_ms"),
-          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("user_id"),
-          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"),
-          get_json_object($"value", "$.rows[0]['d:value']").cast("double").as("v"))
+      // ONE from_json per envelope (the ddl_stream model) — five
+      // get_json_object calls re-parsed every envelope 5x
+      val walRow = StructType(Seq(
+        StructField("rowkey", StringType),
+        StructField("d:event_id", StringType),
+        StructField("d:value", StringType)))
+      val walEnv = StructType(Seq(
+        StructField("type", StringType),
+        StructField("timestamp", StringType),
+        StructField("rows", ArrayType(walRow))))
+      val rows = df.select(from_json($"value", walEnv).as("e"))
+        .select(
+          $"e.type".as("wop"),
+          $"e.timestamp".cast("long").as("ts_ms"),
+          $"e.rows".getItem(0).getField("rowkey").cast("long").as("user_id"),
+          $"e.rows".getItem(0).getField("d:event_id").cast("long").as("event_id"),
+          $"e.rows".getItem(0).getField("d:value").cast("double").as("v"))
         .select($"user_id", $"event_id", $"ts_ms", Q.cents($"v").as("value_cents"),
           when($"wop" === "delete", "delete").otherwise("insert").as("op"))
       CdcStream.applyBatchToReplica(replica, rows, Seq("user_id"),

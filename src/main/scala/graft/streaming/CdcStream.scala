@@ -52,16 +52,20 @@ object CdcStream {
   }
 
   /** Key a raw envelope stream by `db.table` with its packed offset —
-    * the input shape for [[dedupMonotonic]]. Only the two name fields
-    * and the offset are extracted (`get_json_object`, no full parse).
+    * the input shape for [[dedupMonotonic]]. ONE `from_json` with a
+    * three-field schema extracts the names and offset (three
+    * `get_json_object` calls would each re-parse the envelope).
     */
   def keyedByTable(envelopes: DataFrame): Dataset[KeyedOffsetEvent] = {
     import envelopes.sparkSession.implicits._
-    envelopes.select(
-        concat(get_json_object(col("value"), "$.databaseName"), lit("."),
-          get_json_object(col("value"), "$.tableName")).as("key"),
-        coalesce(get_json_object(col("value"), "$.offset").cast("long"), lit(0L))
-          .as("offset"),
+    val header = StructType(Seq(
+      StructField("databaseName", StringType),
+      StructField("tableName", StringType),
+      StructField("offset", LongType)))
+    envelopes.select(from_json(col("value"), header).as("h"), col("value"))
+      .select(
+        concat(col("h.databaseName"), lit("."), col("h.tableName")).as("key"),
+        coalesce(col("h.offset"), lit(0L)).as("offset"),
         col("value"))
       .as[KeyedOffsetEvent]
   }
@@ -137,8 +141,13 @@ object CdcStream {
       recordChanges: Boolean = false,
       conditionalOrder: Boolean = false,
       deferMerge: Boolean = false): Seq[String] = {
-    val dbCol = get_json_object(col("value"), "$.databaseName")
-    val tblCol = get_json_object(col("value"), "$.tableName")
+    // ONE from_json extracts both routing names per envelope
+    val nameHeader = StructType(Seq(
+      StructField("databaseName", StringType),
+      StructField("tableName", StringType)))
+    val hdr = from_json(col("value"), nameHeader)
+    val dbCol = hdr.getField("databaseName")
+    val tblCol = hdr.getField("tableName")
     // ROUTE ONCE: write the raw envelopes into a (db, table)-partitioned
     // scratch table in ONE pass. Each per-table merge then reads only
     // its own partition directory (partition pruning), instead of every
