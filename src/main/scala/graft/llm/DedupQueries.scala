@@ -1115,6 +1115,25 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // --- MinHash UDAF signature audit (r10) ------------------------------
+    // Gates [[MinHashAggregator]] — the Dataset-typed Aggregator twin
+    // of the SQL signature — bit-exactly: every document's full k=16
+    // signature must equal the oracle's min((a_i·h + b_i) mod P) per
+    // permutation. Exercises the UDAF's reduce AND its distributed
+    // partial+final merge path (elementwise min across partitions);
+    // all values exact integers, no float anywhere.
+    "llm_minhash_udaf" -> { (s, dir) =>
+      import s.implicits._
+      val mh = udaf(new MinHashAggregator(),
+        org.apache.spark.sql.Encoders.scalaLong)
+      shingled(s, dir)
+        .select($"doc_id", explode($"sh").as("h0"))
+        .groupBy($"doc_id").agg(mh($"h0").as("sig"))
+        .select(($"doc_id" +: (0 until NumHashes).map(i =>
+          $"sig".getItem(i).as(s"m$i"))): _*)
+        .orderBy($"doc_id")
+    },
+
     // --- asymmetric containment near-dedup -------------------------------
     // The subset-duplication detector Jaccard under-weights: containment
     // C(A→B) = |A∩B| / |A| is ~1 when doc A is embedded inside a much
@@ -1542,6 +1561,16 @@ object DedupQueries {
          |  JOIN d y ON y.doc_id = cand.doc_b)
          |WHERE jaccard >= 0.1
          |ORDER BY 1, 2""".stripMargin,
+
+    "llm_minhash_udaf" -> {
+      val cols = (0 until NumHashes).map(i => s"m$i").mkString(", ")
+      s"""WITH d AS ($shingledSql),
+         |tok AS (
+         |  SELECT doc_id, tok % $P AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM d)),
+         |$minhashSigSql
+         |SELECT doc_id, $cols FROM sig ORDER BY doc_id""".stripMargin
+    },
 
     "llm_minhash_est" -> {
       val eqSum = (0 until NumHashes)

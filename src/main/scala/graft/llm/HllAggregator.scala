@@ -69,3 +69,26 @@ class HllAggregator(p: Int = 12) extends Aggregator[Long, Array[Byte], Long] {
   override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
   override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
 }
+
+/** [[HllAggregator]] variant that finishes with the RAW REGISTER
+  * array (one rho per register, as longs) instead of the estimate —
+  * the auditable surface: the oracle gate re-derives every register
+  * from the same hashes in DuckDB (idx = low p bits, rho = trailing
+  * zeros + 1, per-register max) and pins the full sketch state
+  * bit-exactly, which is far stronger evidence than comparing two
+  * floating-point estimates. Same reduce/merge as the estimator, so a
+  * green gate covers the distributed partial+final merge path too.
+  */
+class HllSketchAggregator(p: Int = 12)
+    extends Aggregator[Long, Array[Byte], Seq[Long]] {
+  private val inner = new HllAggregator(p)
+  override def zero: Array[Byte] = inner.zero
+  override def reduce(buf: Array[Byte], hash: Long): Array[Byte] =
+    inner.reduce(buf, hash)
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    inner.merge(x, y)
+  override def finish(r: Array[Byte]): Seq[Long] =
+    r.toSeq.map(_.toLong)
+  override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

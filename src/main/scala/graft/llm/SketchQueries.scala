@@ -44,6 +44,12 @@ object SketchQueries {
   /** Heavy hitters audited against the sketch. */
   val CmsTopK = 20
 
+  /** HLL audit precision (p; 2^p registers). Smaller than the
+    * production default 12 so the integer register checksum
+    * Σ 2^((64−p)−rho) stays far inside 63 bits at every fixture sf.
+    */
+  val HllAuditP = 8
+
   /** Weighted-sample size. */
   val WrsK = 100
 
@@ -113,6 +119,54 @@ object SketchQueries {
           (($"cms_est" - $"exact_cnt").cast("double") / $"exact_cnt")
             .as("err_frac"))
         .orderBy($"term")
+    },
+
+    // --- HLL UDAF register audit (estimate + exact + error, r10) --------
+    // Gates [[HllAggregator]]'s reduce/merge (via the register-exposing
+    // [[HllSketchAggregator]]) against a DuckDB re-derivation of every
+    // register: idx = low p bits, rho = trailing zeros of the remaining
+    // bits + 1, per-register max. The register MULTISET is pinned
+    // integer-exactly through s_scaled = Σ 2^(g−rho) (g = 64−p, summed
+    // as DECIMAL/HUGEINT — no float fold order anywhere), n_regs and
+    // max_rho; the RAW harmonic estimate and its realized error ppm
+    // derive from s_scaled with a fixed operation order both engines
+    // execute identically (exact-integer → double conversions and one
+    // division; no ln/pow — the small-range-corrected estimate stays
+    // spec-gated in HllAggregatorSpec where cross-engine bit equality
+    // is not required). p=8 keeps Σ 2^(g−rho) inside 63 bits with wide
+    // margin at every fixture scale.
+    "llm_hll_audit" -> { (s, dir) =>
+      import s.implicits._
+      val hllSketch = udaf(new HllSketchAggregator(HllAuditP),
+        org.apache.spark.sql.Encoders.scalaLong)
+      // events.event_id: the fixture's one genuinely high-cardinality
+      // stream (the documents vocab is ~31 tokens — an HLL over it
+      // would sit in the linear-counting regime and audit nothing)
+      val h = Tables(s, dir).events
+        .select(hash60($"event_id".cast("string")).as("h"))
+      val exact = h.agg(countDistinct($"h").as("exact_cnt"))
+      val guard = 64 - HllAuditP
+      val m = 1 << HllAuditP
+      val am2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      h.agg(hllSketch($"h").as("regs"))
+        .select(posexplode($"regs").as(Seq("idx", "rho")))
+        .filter($"rho" > 0)
+        .agg(
+          count(lit(1)).as("n_regs"),
+          max($"rho").as("max_rho"),
+          sum(expr(s"shiftleft(cast(1 as bigint), cast($guard - rho as int))")
+            .cast("decimal(38,0)")).as("s_raw"))
+        .crossJoin(exact)
+        .select(
+          $"exact_cnt", $"n_regs", $"max_rho",
+          $"s_raw".cast("double").as("s_scaled"),
+          floor(lit(am2) /
+            ((lit(m.toDouble) - $"n_regs".cast("double")) +
+              $"s_raw".cast("double") / lit(math.pow(2.0, guard))))
+            .as("est_raw"))
+        .withColumn("err_ppm",
+          floor(abs($"est_raw" - $"exact_cnt").cast("double") * lit(1e6) /
+            $"exact_cnt".cast("double")))
     },
 
     // --- CMS join-cardinality estimation (optimizer-statistics audit) ----
@@ -311,6 +365,36 @@ object SketchQueries {
          |  cms_est - exact_cnt AS overest,
          |  CAST(cms_est - exact_cnt AS DOUBLE) / exact_cnt AS err_frac
          |FROM est ORDER BY term""".stripMargin
+    },
+
+    "llm_hll_audit" -> {
+      val g = 64 - HllAuditP
+      val m = 1 << HllAuditP
+      val am2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      val pow2g = math.pow(2.0, g)
+      val x = s"((h // $m) | (CAST(1 AS BIGINT) << $g))"
+      s"""WITH h AS (
+         |  SELECT ${hash60Sql("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |rr AS (SELECT h % $m AS idx,
+         |  bit_count(($x & -$x) - 1) + 1 AS rho FROM h),
+         |regs AS (SELECT idx, max(rho) AS rho FROM rr GROUP BY idx),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+         |  CAST(max(rho) AS BIGINT) AS max_rho,
+         |  sum(CAST(1 AS BIGINT) << ($g - rho)) AS s_raw FROM regs),
+         |ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_cnt FROM h),
+         |est AS (
+         |  SELECT exact_cnt, n_regs, max_rho,
+         |    CAST(s_raw AS DOUBLE) AS s_scaled,
+         |    CAST(floor(CAST($am2 AS DOUBLE) /
+         |      ((CAST($m AS DOUBLE) - CAST(n_regs AS DOUBLE)) +
+         |        CAST(s_raw AS DOUBLE) / CAST($pow2g AS DOUBLE))) AS BIGINT)
+         |      AS est_raw
+         |  FROM agg, ex)
+         |SELECT exact_cnt, n_regs, max_rho, s_scaled, est_raw,
+         |  CAST(floor(CAST(abs(est_raw - exact_cnt) AS DOUBLE) * 1e6 /
+         |    CAST(exact_cnt AS DOUBLE)) AS BIGINT) AS err_ppm
+         |FROM est""".stripMargin
     },
 
     "llm_join_size_est" -> {

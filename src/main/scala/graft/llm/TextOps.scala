@@ -85,6 +85,13 @@ object TextOps {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit md5-prefix hash (15 hex chars): wide enough for HLL's
+    * register-index + rho split, and always positive in a signed long
+    * so `>>>`/`%` agree between engines.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SORTED distinct bigram shingles hashed to longs — the form every
     * dedup operator consumes. Backed by the native single-pass
     * [[graft.functions.HashedWordBigrams]] expression: the equivalent
@@ -146,6 +153,10 @@ object TextOps {
   /** 32-bit md5-prefix hash of expression `e`. */
   def hash32Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** DuckDB twin of [[hash60]]. */
+  def hash60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
   /** Hashed distinct shingles over a tokens-list expression `t`. */
   def hashedShinglesSql(t: String): String = hashedNgramsSql(t, 2)

@@ -36,6 +36,22 @@ class HllSpec extends SparkSuite {
     assert(dup == one, "duplicates must not move the sketch")
   }
 
+  test("hll: the register-exposing sketch aggregator matches the " +
+      "estimator's internal state") {
+    // same reduce/merge by construction — pin it: re-deriving the
+    // estimate from the exposed registers with HllAggregator.finish
+    // must equal the estimator's own output, under repartitioning
+    val p = 12
+    val regs = tokenHashes.repartition(7).as[Long]
+      .select(new HllSketchAggregator(p).toColumn).head()
+    assert(regs.size == (1 << p))
+    val est = tokenHashes.as[Long]
+      .select(new HllAggregator(p).toColumn).head()
+    val fromRegs = new HllAggregator(p).finish(regs.map(_.toByte).toArray)
+    assert(fromRegs == est,
+      s"registers must re-derive the estimate: $fromRegs vs $est")
+  }
+
   test("hll: small groups fall into linear counting and stay near-exact") {
     val small = spark.range(0, 200).select(xxhash64($"id").as("h")).as[Long]
     val est = small.select(new HllAggregator().toColumn).head()
