@@ -743,6 +743,70 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: FAILOVER — follower promotion + old-primary rewind (r10) --
+    // The operational half of the replication story (cdc_feed_replay is
+    // the data-plane half): quartile-sequenced commits; a CRASH
+    // failover with an UNDELIVERED divergent commit built to win
+    // last-writer if it survives (ts +36500 days, doubled values,
+    // ghost keys); promotion WITHOUT drain (the old primary is
+    // unreachable — its fence rises, the lost commit stays lost);
+    // writes flipping to the new primary; the demoted store rejoining
+    // via the pg_rewind-style resyncAsFollower (divergence-sized
+    // rewind commit) and then following the NEW primary's change feed.
+    // The audited output is the REJOINED old primary's state: it must
+    // equal the last-writer fold over ALL real events — any surviving
+    // trace of the divergent commit, any rewind over/under-delete, or
+    // any missed post-rewind feed version breaks the hash.
+    "cdc_failover_promote" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = graft.llm.IndexArtifacts.cachedPath(dir,
+        "cdc-failover", inputs = Seq(s"$dir/events.parquet")) { out =>
+        val old = s"$out/old"; val nu = s"$out/new"
+        val ids = Seq("user_id")
+        val ord = Seq(col("ts"), col("event_id"))
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", $"ts",
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        def cut(k: Int) = lo + (hi - lo) * k / 4
+        def slice(a: Option[Long], b: Option[Long]) = ev
+          .filter(a.map(unix_millis($"ts") >= _).getOrElse(lit(true)) &&
+            b.map(unix_millis($"ts") < _).getOrElse(lit(true)))
+        def commit(dir0: String, df: org.apache.spark.sql.DataFrame): Unit =
+          CdcStream.applyBatchToReplica(dir0, df, ids, ord,
+            recordChanges = true)
+        commit(old, slice(None, Some(cut(1))))            // v1
+        commit(old, slice(Some(cut(1)), Some(cut(2))))    // v2
+        // follower replicates everything delivered so far
+        CdcStream.readReplicaChanges(s, old, 0L, Some(2L)).foreach { net =>
+          commit(nu, net.drop("_commit_version", "_commit_watermark"))
+        }
+        // v3: committed on the primary, never delivered — the
+        // divergence a crash failover loses. Built to WIN last-writer
+        // everywhere if the rewind misses it.
+        commit(old, slice(Some(cut(2)), Some(cut(3)))
+          .withColumn("ts", $"ts" + expr("INTERVAL 36500 DAYS"))
+          .withColumn("event_id", $"event_id" + 1000000000L)
+          .withColumn("value_cents", $"value_cents" * 2)
+          .withColumn("user_id", when($"event_id" % 5 === 0,
+            $"user_id" + 1000000L).otherwise($"user_id")))
+        CdcStream.promoteFollower(s, nu, old, ids, ord,
+          lastAppliedVersion = 2L, drain = false)
+        commit(nu, slice(Some(cut(2)), Some(cut(3))))     // real Q3
+        val from = CdcStream.resyncAsFollower(s, old, nu, ids, ord)
+        commit(nu, slice(Some(cut(3)), None))             // Q4
+        CdcStream.readReplicaChanges(s, nu, from).foreach { net =>
+          CdcStream.applyBatchToReplica(old,
+            net.drop("_commit_version", "_commit_watermark"), ids, ord)
+        }
+      }
+      CdcStream.readReplica(s, s"$root/old").get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: snapshot (time-travel) read of a previous version ----------
     // Two time-split batches commit v1 then v2; reading AT v1 returns
     // exactly the post-batch-1 state — the versioned-pointer layout's
@@ -1688,6 +1752,18 @@ object EventQueries {
          |  coalesce(f.n_feed_rows, 0) AS n_feed_rows
          |FROM state s LEFT JOIN feed f ON s.user_id = f.user_id
          |ORDER BY s.user_id""".stripMargin,
+
+    // the rejoined old primary's state = last-writer over ALL real
+    // events (the divergent commit is failover-lost by definition)
+    "cdc_failover_promote" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
 
     // latest-state keys matching BOTH index predicates
     "cdc_multi_gsi" ->

@@ -972,6 +972,152 @@ object CdcStream {
     (point, dfs)
   }
 
+  // ---------------------------------------------- failover / promotion
+
+  /** Split-brain fence marker file. While present, every content
+    * write path (merge — eager and deferred — erasure, reshard)
+    * refuses; reads, compaction and the change feed stay available.
+    */
+  private val FrozenMarker = "FROZEN"
+
+  /** Fence the store against writers (the failover demotion step).
+    * Idempotent; the reason is recorded for the refusal message.
+    */
+  def freezeReplica(replicaDir: String, reason: String = "failover"): Unit = {
+    new java.io.File(replicaDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(replicaDir, FrozenMarker),
+      reason.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  def unfreezeReplica(replicaDir: String): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(replicaDir, FrozenMarker))
+    ()
+  }
+
+  /** The fence reason when the store is frozen, None otherwise. */
+  def replicaFrozen(replicaDir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(replicaDir, FrozenMarker)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else None
+  }
+
+  private def requireUnfrozen(replicaDir: String): Unit =
+    replicaFrozen(replicaDir).foreach { r =>
+      throw new IllegalStateException(
+        s"replica $replicaDir is FROZEN ($r): writes are fenced during " +
+          "failover — resyncAsFollower to rejoin as a follower, or " +
+          "unfreezeReplica to force")
+    }
+
+  /** PROMOTE a change-feed follower to primary — the operational
+    * failover step every CDC replica deployment needs:
+    *
+    *  1. FENCE the old primary ([[freezeReplica]]) so no writer can
+    *     commit behind the switchover (split-brain guard);
+    *  2. optionally DRAIN (`drain = true`, the planned-failover path):
+    *     replay the old primary's remaining feed versions
+    *     `(lastAppliedVersion, latest]` into the follower in ONE
+    *     catch-up merge, so nothing committed before the fence is
+    *     lost. A CRASH failover (`drain = false` — the old primary is
+    *     unreachable or untrusted) promotes the follower as-is; old
+    *     primary commits the feed never delivered are LOST by design
+    *     (async replication semantics) and are rolled back when the
+    *     old store rejoins via [[resyncAsFollower]].
+    *
+    * The catch-up applies with `recordChanges = true`, so the NEW
+    * primary's own change feed is continuous for its followers.
+    * Returns the promotion version — the new primary's current version
+    * after catch-up; subsequent writes go to `followerDir`.
+    */
+  def promoteFollower(spark: org.apache.spark.sql.SparkSession,
+      followerDir: String, oldPrimaryDir: String,
+      idCols: Seq[String], orderCols: Seq[Column],
+      lastAppliedVersion: Long, drain: Boolean = true): Long = {
+    freezeReplica(oldPrimaryDir, s"demoted: follower $followerDir promoted")
+    if (drain) {
+      val latest = currentVersion(oldPrimaryDir).map(_._1).getOrElse(0L)
+      if (latest > lastAppliedVersion)
+        readReplicaChanges(spark, oldPrimaryDir, lastAppliedVersion,
+            Some(latest)).foreach { net =>
+          applyBatchToReplica(followerDir,
+            net.drop("_commit_version", "_commit_watermark"),
+            idCols, orderCols, recordChanges = true)
+        }
+    }
+    currentVersion(followerDir).map(_._1).getOrElse(0L)
+  }
+
+  /** RE-SYNC a demoted (possibly diverged) store as a follower of the
+    * new primary — the pg_rewind analog. The old primary may hold
+    * commits the follower never replicated before a crash failover;
+    * they lost the failover and must roll back. One content rewind
+    * commit makes the demoted store equal the new primary's snapshot:
+    *
+    *  - UPSERT every new-primary row whose content differs from (or is
+    *    absent in) the demoted store — a full-outer content-hash diff,
+    *    so the commit is DIVERGENCE-sized, not store-sized;
+    *  - DELETE every demoted-store key the new primary no longer has
+    *    (keys created only by the lost divergent commits).
+    *
+    * The rewind applies through the normal merge (bypassing the fence
+    * — it is the sanctioned rejoin path), then lifts the fence.
+    * Returns the new-primary version the rewind snapshot corresponds
+    * to: the position to follow the new primary's change feed from.
+    * Overlap is safe — replaying feed versions at-or-before the
+    * returned version re-applies content-identical nets.
+    *
+    * Sequence (non-conditional) stores only: a conditional store's
+    * tombstone late-loser protection is designed to REFUSE exactly the
+    * kind of backward state move a rewind is; compact a conditional
+    * store and reseed instead.
+    */
+  def resyncAsFollower(spark: org.apache.spark.sql.SparkSession,
+      demotedDir: String, newPrimaryDir: String,
+      idCols: Seq[String], orderCols: Seq[Column],
+      opCol: String = "op"): Long = {
+    val (vp, _) = currentVersion(newPrimaryDir).getOrElse(
+      throw new IllegalStateException(
+        s"resync: new primary $newPrimaryDir has no committed version"))
+    currentVersion(demotedDir)
+      .flatMap { case (_, n) => readManifest(demotedDir, n) }
+      .foreach { m =>
+        require(m.condOrderCols.isEmpty && !m.deltasConditional,
+          "resyncAsFollower supports sequence stores; a conditional " +
+            "store's tombstone protections conflict with rewind semantics")
+      }
+    val want = readReplicaAt(spark, newPrimaryDir, vp).getOrElse(
+      throw new IllegalStateException(
+        s"resync: new primary $newPrimaryDir version $vp is unreadable"))
+    val cols = want.columns.sorted.toSeq
+    val have0 = readReplica(spark, demotedDir).getOrElse(want.limit(0))
+    // null-fill columns the demoted store predates (schema evolution
+    // on the new primary after the failover)
+    val have = cols.filterNot(have0.columns.contains)
+      .foldLeft(have0)((d, c) => d.withColumn(c, lit(null)))
+    val contentHash = md5(to_json(struct(cols.map(col): _*)))
+    val upserts = want.withColumn("__h", contentHash)
+      .join(have.select((idCols.map(col) :+
+          contentHash.as("__hh")): _*),
+        idCols, "left")
+      .filter(col("__hh").isNull || col("__hh") =!= col("__h"))
+      .drop("__h", "__hh")
+      .withColumn(opCol, lit("update"))
+    val deletes = have
+      .join(want.select(idCols.map(col): _*), idCols, "left_anti")
+      .withColumn(opCol, lit("delete"))
+    val rewind = upserts.unionByName(deletes, allowMissingColumns = true)
+    applyNetToReplica(demotedDir,
+      lastOpPerKey(rewind, idCols, orderCols), rewind.columns,
+      idCols, opCol, DefaultReplicaBuckets, bypassFreeze = true)
+    unfreezeReplica(demotedDir)
+    vp
+  }
+
   /** Compact the live replica: rewrite into one fresh version every
     * bucket that is either MULTI-FILE (more than `targetFilesPerBucket`
     * parquet files — small-file read amplification) or CARRIED OVER
@@ -1281,6 +1427,7 @@ object CdcStream {
   def rebucketReplica(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, idCols: Seq[String], newNumBuckets: Int): Unit = {
     require(newNumBuckets > 0, s"newNumBuckets must be positive: $newNumBuckets")
+    requireUnfrozen(replicaDir)
     val cur = currentVersion(replicaDir)
     if (cur.isEmpty) return
     val (v, name) = cur.get
@@ -1397,6 +1544,7 @@ object CdcStream {
   def eraseKeys(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, idCols: Seq[String], keys: DataFrame): Unit = {
     import org.apache.spark.sql.functions.lit
+    requireUnfrozen(replicaDir)
     val cur = currentVersion(replicaDir)
     if (cur.isEmpty) return
     val (v, name) = cur.get
@@ -1840,7 +1988,12 @@ object CdcStream {
       recordChanges: Boolean = false,
       conditional: Option[Seq[Column]] = None,
       bucketCols: Option[Seq[String]] = None,
-      defer: Boolean = false): Unit = {
+      defer: Boolean = false,
+      bypassFreeze: Boolean = false): Unit = {
+    // split-brain fence: a demoted store refuses writers until it
+    // rejoins (resyncAsFollower sets bypassFreeze — the rewind itself
+    // is the sanctioned write)
+    if (!bypassFreeze) requireUnfrozen(replicaDir)
     val spark = net.sparkSession
     val dataCols = batchCols.filterNot(_ == opCol)
     val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)

@@ -114,4 +114,102 @@ class FeedReplicationSpec extends SparkSuite {
     val tail = CdcStream.readReplicaChanges(spark, primary, vs.min - 1).get
     assert(tail.count() >= 0L)
   }
+
+  test("a frozen store fences every writer; unfreeze restores") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir, batch(Seq((1L, "a", 1L, "update"))),
+      Seq("id"), Seq(col("seq")))
+    CdcStream.freezeReplica(dir, "test fence")
+    assert(CdcStream.replicaFrozen(dir).contains("test fence"))
+    val e = intercept[IllegalStateException] {
+      CdcStream.applyBatchToReplica(dir, batch(Seq((2L, "b", 2L, "update"))),
+        Seq("id"), Seq(col("seq")))
+    }
+    assert(e.getMessage.contains("FROZEN"))
+    intercept[IllegalStateException] {
+      CdcStream.applyBatchToReplica(dir, batch(Seq((2L, "b", 2L, "update"))),
+        Seq("id"), Seq(col("seq")), deferMerge = true)
+    }
+    intercept[IllegalStateException] {
+      CdcStream.eraseKeys(spark, dir, Seq("id"), Seq(1L).toDF("id"))
+    }
+    intercept[IllegalStateException] {
+      CdcStream.rebucketReplica(spark, dir, Seq("id"), 4)
+    }
+    // reads and the change feed stay available behind the fence
+    assert(state(dir) == Seq((1L, "a")))
+    CdcStream.unfreezeReplica(dir)
+    CdcStream.applyBatchToReplica(dir, batch(Seq((2L, "b", 2L, "update"))),
+      Seq("id"), Seq(col("seq")))
+    assert(state(dir) == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("planned failover: promote drains the feed, fences the old " +
+      "primary, and the demoted store rejoins as a follower") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    commit(primary, Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update")))
+    commit(primary, Seq((3L, "c2", 2L, "update")))
+    // follower replicates v1..v2, then the primary commits v3 the
+    // follower has not seen yet — promote must DRAIN it
+    applyNet(follower, CdcStream.readReplicaChanges(spark, primary, 0L, Some(2L)).get)
+    commit(primary, Seq((2L, "x", 3L, "delete"), (4L, "d3", 3L, "update")))
+    val vp = CdcStream.promoteFollower(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), lastAppliedVersion = 2L)
+    assert(state(follower) == state(primary),
+      "drain must deliver every pre-fence commit")
+    // the old primary is fenced: a stray writer cannot split-brain
+    intercept[IllegalStateException] {
+      commit(primary, Seq((9L, "rogue", 9L, "update")))
+    }
+    // writes flip to the new primary, feeding ITS change feed
+    commit(follower, Seq((1L, "a4", 4L, "update")))
+    // the demoted store rejoins: rewind to the new primary's snapshot
+    val from = CdcStream.resyncAsFollower(spark, primary, follower,
+      Seq("id"), Seq(col("seq")))
+    assert(state(primary) == state(follower))
+    assert(CdcStream.replicaFrozen(primary).isEmpty, "resync lifts the fence")
+    // and keeps following the NEW primary's feed from the rewind point
+    commit(follower, Seq((5L, "e5", 5L, "update"), (3L, "y", 5L, "delete")))
+    applyNet(primary, CdcStream.readReplicaChanges(spark, follower, from).get)
+    assert(state(primary) == state(follower))
+    assert(state(primary) == Seq((1L, "a4"), (4L, "d3"), (5L, "e5")))
+    assert(vp >= 2L)
+  }
+
+  test("crash failover: divergent old-primary commits roll back on resync") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    commit(primary, Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update")))
+    applyNet(follower, CdcStream.readReplicaChanges(spark, primary, 0L).get)
+    // DIVERGENT commits the feed never delivered: an update with a
+    // HIGHER order value than anything the follower will write, a new
+    // key, and a delete — all must roll back on rejoin
+    commit(primary, Seq((1L, "lost", 99L, "update"),
+      (7L, "ghost", 99L, "update"), (2L, "x", 99L, "delete")))
+    // crash failover: the old primary is unreachable — no drain
+    CdcStream.promoteFollower(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), lastAppliedVersion = 1L, drain = false)
+    assert(state(follower) == Seq((1L, "a1"), (2L, "b1")),
+      "no drain: the divergent commit must not reach the new primary")
+    // new primary moves on
+    commit(follower, Seq((1L, "a2", 2L, "update"), (3L, "c2", 2L, "update")))
+    val from = CdcStream.resyncAsFollower(spark, primary, follower,
+      Seq("id"), Seq(col("seq")))
+    // the rewind rolled back ALL divergence: the ghost key is gone,
+    // key 1's lost update (higher seq!) is overwritten, key 2's lost
+    // delete is undone
+    assert(state(primary) == state(follower))
+    assert(state(primary) == Seq((1L, "a2"), (2L, "b1"), (3L, "c2")))
+    // and the feed position returned lets it keep following
+    commit(follower, Seq((3L, "c3", 3L, "update")))
+    applyNet(primary, CdcStream.readReplicaChanges(spark, follower, from).get)
+    assert(state(primary) == state(follower))
+  }
 }
