@@ -333,6 +333,149 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     assert(content(dir) == (0 until writers).map(w => (w.toLong, s"w$w")))
   }
 
+  test("interleaved merge + deferred merge + compact + maintain from " +
+      "competing threads: no commit is lost, the manifest linearizes") {
+    // the full mixed-operation race the optimistic-commit protocol must
+    // survive: eager writers, deferred writers (delta-list chaining),
+    // and a maintenance thread folding/compacting mid-flight. Every
+    // writer stamps every commit with a UNIQUE marker key, so ANY lost
+    // update — a compaction publishing over a racing merge, a fold
+    // dropping a delta appended between its manifest read and its
+    // commit — is visible in the final state, not just the last write.
+    val dir = freshDir()
+    val writers = 3
+    val commitsPer = 4
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def commitWithRetry(rows: Seq[(Long, String, Long, String)],
+        defer: Boolean): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        assert(attempts <= 60, "writer starved")
+        try {
+          CdcStream.applyBatchToReplica(dir,
+            rows.toDF("id", "v", "seq", "op").coalesce(1),
+            idCols = Seq("id"), orderCols = Seq(col("seq")),
+            deferMerge = defer)
+          done = true
+        } catch {
+          case _: CdcStream.ConcurrentReplicaWriteException => ()
+        }
+      }
+    }
+    val writerFs = (0 until writers).map { w =>
+      Future {
+        (0 until commitsPer).foreach { k =>
+          commitWithRetry(Seq(
+            // the writer's own key: last commit wins (k ascending)
+            (w.toLong, s"w$w-k$k", k.toLong, "update"),
+            // the commit's unique marker key: must survive forever
+            (100L + w * commitsPer + k, s"m$w-$k", 0L, "update")),
+            defer = w % 2 == 1)
+        }
+      }
+    }
+    // maintenance churn: folds delta chains and rewrites buckets while
+    // the writers are mid-flight; losing a commit race is EXPECTED —
+    // what must never happen is a successful commit that drops data
+    val churnF = Future {
+      (0 until 12).foreach { i =>
+        try {
+          if (i % 2 == 0) CdcStream.maintainReplica(spark, dir, maxDeltas = 2)
+          else CdcStream.compactReplica(spark, dir)
+        } catch {
+          case _: CdcStream.ConcurrentReplicaWriteException => ()
+          case _: java.io.FileNotFoundException => () // racing GC'd file
+        }
+        Thread.sleep(50)
+      }
+    }
+    Await.result(Future.sequence(writerFs :+ churnF), 300.seconds)
+    // one quiescent fold so pending deltas surface in the read
+    CdcStream.compactReplica(spark, dir)
+    val got = content(dir).toMap
+    (0 until writers).foreach { w =>
+      assert(got.get(w.toLong).contains(s"w$w-k${commitsPer - 1}"),
+        s"writer $w's last value lost: ${got.get(w.toLong)}")
+      (0 until commitsPer).foreach { k =>
+        assert(got.get(100L + w * commitsPer + k).contains(s"m$w-$k"),
+          s"writer $w commit $k's marker lost — a racing fold dropped a commit")
+      }
+    }
+    // manifest linearizability: CURRENT resolves to a readable version
+    // and no staging/lock debris survived the contention
+    assert(CdcStream.readReplica(spark, dir).isDefined)
+    val leftover = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".staging-") ||
+        f.getName == ".commit-lock")
+    assert(leftover.isEmpty, leftover.map(_.getName).mkString(","))
+  }
+
+  test("GSI apply racing maintenance on both stores: the index stays " +
+      "consistent with the primary") {
+    // the autoCompactDeltas pattern, concurrently: one sink thread
+    // applies indexed batches in order while a churn thread folds both
+    // the primary's and the index's delta chains mid-flight
+    val primary = freshDir()
+    val index = freshDir()
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val n = 6
+    val sinkF = Future {
+      (0 until n).foreach { k =>
+        var done = false
+        var attempts = 0
+        while (!done) {
+          attempts += 1
+          assert(attempts <= 60, "sink starved")
+          try {
+            SecondaryIndex.applyBatchWithIndexes(spark, primary,
+              Seq(SecondaryIndex.IndexSpec(index, col("band"), "band",
+                defer = true)),
+              Seq((k.toLong % 3, s"v$k", k.toLong % 2, k.toLong, "update"))
+                .toDF("id", "v", "band", "seq", "op").coalesce(1),
+              Seq("id"), Seq("seq"), deferPrimaryMerge = true)
+            done = true
+          } catch {
+            case _: CdcStream.ConcurrentReplicaWriteException => ()
+          }
+        }
+      }
+    }
+    val churnF = Future {
+      (0 until 10).foreach { _ =>
+        Seq(primary, index).foreach { d =>
+          try CdcStream.maintainReplica(spark, d, maxDeltas = 2)
+          catch {
+            case _: CdcStream.ConcurrentReplicaWriteException => ()
+            case _: java.io.FileNotFoundException => ()
+          }
+        }
+        Thread.sleep(40)
+      }
+    }
+    Await.result(Future.sequence(Seq(sinkF, churnF)), 300.seconds)
+    // primary: last value per key (k = 3,4,5 are the final writers)
+    val got = CdcStream.readReplica(spark, primary).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(0L -> "v3", 1L -> "v4", 2L -> "v5"), got.toString)
+    // the index serves EXACTLY the latest-state keys per band — no
+    // stale pointer survived the races with maintenance
+    (0L to 1L).foreach { b =>
+      val hits = SecondaryIndex.lookupByIndex(spark, primary, index,
+          Seq("id"), col("band"), "band", Seq(b).toDF("band"))
+        .select($"id").collect().map(_.getLong(0)).toSet
+      val expect = Map(0L -> 3L, 1L -> 4L, 2L -> 5L)
+        .filter(_._2 % 2 == b).keySet
+      assert(hits == expect, s"band $b: $hits vs $expect")
+    }
+  }
+
   test("manifest records the union schema; evolution widens it") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
