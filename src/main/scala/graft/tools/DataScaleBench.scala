@@ -1,0 +1,235 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DATA-VOLUME scaling curve — the one axis plan-shape arguments can't
+  * prove. Deterministically replicates the sf0.1 fixtures to ~3x and
+  * ~10x row counts in a scratch dir (the driver fixtures are
+  * read-only), then times the flagship operator families END-TO-END
+  * (cold: artifact/index builds included) at each size through the
+  * exact `SparkEntry.queries` surface the correctness gates use:
+  *
+  *  - LSH dedup: `llm_minhash_lsh` (shingles → bands → verify; the
+  *    cold run builds the shared band index) and `llm_dedup_clusters`
+  *    (connected components on top of the built index);
+  *  - ANN: `llm_embed_ivfpq` (IVF-PQ codebook build + probe);
+  *  - replica store: `cdc_apply_changelog` (time-split MERGE builds)
+  *    and `cdc_replica_compact` (3-batch build + compaction);
+  *  - heavy relational: `q24_interval_join`, `q43_funnel`,
+  *    `q49_hierarchy_rollup`, `q50_waiting_suppliers`.
+  *
+  * REPLICATION SEMANTICS (all transforms are pure functions of the
+  * replica index r — no RNG, so re-runs are bit-identical):
+  *  - lineitem/orders: key-space shifted copies (`+ r·span`) so the
+  *    join structure is preserved and join fan-out stays constant;
+  *  - customer: key-shifted copies (q49's hierarchy grows linearly);
+  *  - events: id/user shifted AND time-shifted by r·range, so temporal
+  *    DENSITY stays constant — interval joins and funnels must scale
+  *    with data volume, not quadratically within hotter windows;
+  *  - documents: id-shifted with every word tagged `_r`, so replicas
+  *    are NOT near-duplicates of the base — LSH candidate counts grow
+  *    linearly, not as clone-group squares;
+  *  - embeddings: id-shifted with the vector rotated by r positions
+  *    (distribution-preserving, no new near-neighbor structure).
+  *
+  * Reading the curve: `us_per_row` flat-or-falling across 1x/3x/10x is
+  * the designed shape (fixed per-trigger and per-job overheads
+  * amortize; nothing is super-linear). A rising per-row cost flags the
+  * operator whose plan would not survive a 100 TB scale-up.
+  *
+  * Writes the curve into SCALEBENCH.json as a `data_curve` field next
+  * to the existing file-count curve, and prints one JSON line.
+  *
+  *   sbt -batch "runMain graft.tools.DataScaleBench [baseSfDir]"
+  */
+object DataScaleBench {
+
+  /** gate -> the fixture table whose row count normalizes its cost */
+  private val Gates: Seq[(String, String)] = Seq(
+    "llm_minhash_lsh" -> "documents",
+    "llm_dedup_clusters" -> "documents",
+    "llm_embed_ivfpq" -> "embeddings",
+    "cdc_apply_changelog" -> "events",
+    "cdc_replica_compact" -> "events",
+    "q24_interval_join" -> "events",
+    "q43_funnel" -> "events",
+    "q49_hierarchy_rollup" -> "customer",
+    "q50_waiting_suppliers" -> "lineitem")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val scales = sys.env.get("SPARK_GRAFT_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROOT",
+      "/tmp/graft-datascale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+
+    def mkSession(): SparkSession = {
+      val builder = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.cleaner.periodicGC.interval", "45s")
+      graft.Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+      val s = builder.getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = mkSession()
+    def recycle(): Unit = {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = mkSession()
+    }
+
+    // ------------------------------------------------ scratch corpora
+    def generate(scale: Int): String = {
+      val dir = s"$root/x$scale"
+      val marker = new java.io.File(dir, "_COMPLETE")
+      if (marker.exists()) return dir
+      deleteRecursively(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+      val t = graft.Tables(spark, base)
+      def write(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      def repl(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until scale).map(r => if (r == 0) df else f(df, r))
+          .reduce(_.unionByName(_))
+
+      Seq("region", "nation", "supplier", "part")
+        .foreach(n => write(t.table(n), n))
+
+      val oSpan = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      write(repl(t.orders) { (d, r) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(r * oSpan))
+      }, "orders")
+      write(repl(t.lineitem) { (d, r) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(r * oSpan))
+      }, "lineitem")
+
+      val cSpan = t.customer.agg(max(col("c_custkey").cast("long")))
+        .head().getLong(0) + 1L
+      write(repl(t.customer) { (d, r) =>
+        d.withColumn("c_custkey",
+          (col("c_custkey").cast("long") + lit(r * cSpan))
+            .cast(t.customer.schema("c_custkey").dataType))
+      }, "customer")
+
+      val ev = t.events
+      val mm = ev.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))),
+        max(col("event_id")), max(col("user_id"))).head()
+      val rangeMs = mm.getLong(1) - mm.getLong(0) + 1000L
+      val eSpan = mm.getLong(2) + 1L
+      val uSpan = mm.getLong(3) + 1L
+      write(repl(ev) { (d, r) =>
+        d.withColumn("event_id", col("event_id") + lit(r * eSpan))
+          .withColumn("user_id", col("user_id") + lit(r * uSpan))
+          .withColumn("ts",
+            timestamp_millis(unix_millis(col("ts")) + lit(r * rangeMs)))
+      }, "events")
+
+      val dSpan = t.documents.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      write(repl(t.documents) { (d, r) =>
+        d.withColumn("doc_id", col("doc_id") + lit(r * dSpan))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, lit(s"_$r"))), " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }, "documents")
+
+      val vSpan = t.embeddings.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val dim = t.embeddings.select(size(col("embedding"))).head().getInt(0)
+      write(repl(t.embeddings) { (d, r) =>
+        val rot = r % dim
+        d.withColumn("vec_id", col("vec_id") + lit(r * vSpan))
+          .withColumn("embedding",
+            if (rot == 0) col("embedding")
+            else concat(slice(col("embedding"), rot + 1, dim - rot),
+              slice(col("embedding"), 1, rot)))
+      }, "embeddings")
+
+      marker.createNewFile()
+      dir
+    }
+
+    val dirs: Seq[(Int, String)] =
+      scales.map(sc => sc -> (if (sc == 1) base else generate(sc)))
+
+    // ------------------------------------------------------- timing
+    val qmap = graft.SparkEntry.queries
+    // JVM warmup on the TINY fixture first (class loading + codegen
+    // caches are JVM-global and survive session recycling): without
+    // this, the first scale absorbs every gate's first-run cost and
+    // the curve's 1x point reads ~2x too slow — flattering the
+    // scaling trend. Warm artifacts are keyed per input dir, so the
+    // timed runs below still build their own indexes cold.
+    sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+      .orElse(Some("/root/testdata/sf0.001"))
+      .filter(d => new java.io.File(d).isDirectory).foreach { wd =>
+        Gates.foreach { case (g, _) =>
+          try { qmap(g)(spark, wd).count(); () }
+          catch { case _: Throwable => () }
+          finally spark.catalog.clearCache()
+        }
+        System.err.println(s"[datascale] warmup over $wd done")
+      }
+    def r3(v: Double): String = "%.3f".format(v)
+    val curve = dirs.map { case (scale, dir) =>
+      recycle() // each scale starts in a fresh session: no cross-scale drag
+      val counts: Map[String, Long] = Gates.map(_._2).distinct.map { tb =>
+        tb -> spark.read.parquet(s"$dir/$tb.parquet").count()
+      }.toMap
+      val entries = Gates.map { case (g, tb) =>
+        val t0 = System.nanoTime()
+        qmap(g)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.err.println(f"[datascale] x$scale $g: $sec%.2fs " +
+          f"(${sec * 1e6 / counts(tb)}%.2f us/row over ${counts(tb)} ${tb})")
+        s""""$g":{"sec":${r3(sec)},"rows":${counts(tb)},""" +
+          s""""us_per_row":${r3(sec * 1e6 / counts(tb))}}"""
+      }
+      s"""{"scale":$scale,"rows":{${counts.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+        s""""queries":{${entries.mkString(",")}}}"""
+    }
+    val dataCurve = s"""[${curve.mkString(",")}]"""
+
+    // merge into SCALEBENCH.json beside the file-count curve — but a
+    // debug run (scale override, or a non-sf0.1 base) must never
+    // clobber the committed official record (the Bench subset-run rule)
+    val official =
+      sys.env.get("SPARK_GRAFT_SCALES").isEmpty && base.contains("sf0.1")
+    if (!official) {
+      println(s"""{"metric":"datascale","base":"$base","data_curve":$dataCurve}""")
+      spark.stop()
+      return
+    }
+    val path = java.nio.file.Paths.get("SCALEBENCH.json")
+    val existing =
+      try java.nio.file.Files.readString(path).trim
+      catch { case _: Throwable => "" }
+    val merged =
+      if (existing.startsWith("{")) {
+        val stripped = existing
+          .replaceAll(""","data_curve":\[.*\]\}$""", "}") // idempotent re-run
+        stripped.stripSuffix("}") + s""","data_curve":$dataCurve}"""
+      } else s"""{"metric":"scalebench","data_curve":$dataCurve}"""
+    try java.nio.file.Files.writeString(path, merged + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[datascale] SCALEBENCH.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"datascale","base":"$base","data_curve":$dataCurve}""")
+    spark.stop()
+  }
+}
