@@ -6,11 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // Optional 3rd arg: only run queries whose name starts with the
-    // given prefix (local iteration aid; the driver passes 2 args).
+    // given prefix, OR — when the arg contains commas — exactly the
+    // named queries (local iteration + the sf0.1 sample harness; the
+    // driver passes 2 args).
     val (sfDir, outDir, prefix) = args match {
       case Array(sf, out)    => (sf, out, "")
       case Array(sf, out, p) => (sf, out, p)
     }
+    val wanted: String => Boolean =
+      if (prefix.contains(",")) {
+        val names = prefix.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        names.contains _
+      } else _.startsWith(prefix)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +27,7 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

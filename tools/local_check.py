@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/local_check.py [sfDir] [outDir]
+Usage: python3 tools/local_check.py [sfDir] [outDir] [jsonOut]
+
+With a third argument, also writes a machine-readable per-query record
+(the CORRECTNESS_sf0.1_sample.json artifact).
 
 Reads each `<outDir>/<name>` parquet (written by `graft.Verify`), runs the
 matching oracle SQL from `<outDir>/oracle_sql.json` in DuckDB against the
@@ -37,6 +40,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -51,6 +56,7 @@ def main() -> int:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL  {name}: no parquet output")
+            record[name] = {"status": "fail", "reason": "no parquet output"}
             n_fail += 1
             continue
         mine = con.sql(
@@ -59,6 +65,8 @@ def main() -> int:
             ok = len(mine) > 0
             print(f"{'ok   ' if ok else 'FAIL '} {name}: rows-only "
                   f"({len(mine)} rows)")
+            record[name] = {"status": "ok" if ok else "fail",
+                            "mode": "rows_only", "rows": len(mine)}
             n_pass += ok
             n_fail += not ok
             continue
@@ -66,14 +74,19 @@ def main() -> int:
             want = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            record[name] = {"status": "fail",
+                            "reason": f"oracle SQL error: {e}"[:300]}
             n_fail += 1
             continue
         a, b = normalize(mine), normalize(want)
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            record[name] = {"status": "fail", "reason": "column mismatch"}
             n_fail += 1
         elif len(a) != len(b):
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
+            record[name] = {"status": "fail",
+                            "reason": f"rows {len(a)} vs {len(b)}"}
             n_fail += 1
         elif not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
@@ -82,11 +95,20 @@ def main() -> int:
             for c in bad_cols[:3]:
                 i = neq[c].idxmax()
                 print(f"      row {i} col {c}: mine={a[c][i]!r} oracle={b[c][i]!r}")
+            record[name] = {"status": "fail",
+                            "reason": f"value mismatch in {bad_cols}"[:300]}
             n_fail += 1
         else:
             print(f"ok    {name}: {len(a)} rows")
+            record[name] = {"status": "ok", "mode": "rows+schema+values",
+                            "rows": len(a)}
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail,
+                       "queries": record}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
