@@ -378,8 +378,11 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
   private def applyMaybeIndexed(batch: DataFrame, ids: Seq[String],
       watermark: Option[Long]): Unit =
     if (cfg.indexSpecs.nonEmpty) {
+      // case-insensitive, matching Spark's default column resolution —
+      // a differently-cased indexColumn must keep resolving like the
+      // col(ic) below does, never hard-fail the stream
       val missing = cfg.indexSpecs.map(_._1)
-        .filterNot(batch.columns.contains)
+        .filterNot(ic => batch.columns.exists(_.equalsIgnoreCase(ic)))
       require(missing.isEmpty,
         s"graft-replica: indexColumn ${missing.mkString(", ")} not in " +
           s"the batch schema (${batch.columns.mkString(", ")}); note " +

@@ -58,14 +58,17 @@ object CdcStream {
     */
   def keyedByTable(envelopes: DataFrame): Dataset[KeyedOffsetEvent] = {
     import envelopes.sparkSession.implicits._
+    // offset parses as STRING + cast, preserving get_json_object's
+    // coercion: a string-quoted numeric offset must still key/route
+    // (a LongType field would null the whole struct in PERMISSIVE mode)
     val header = StructType(Seq(
       StructField("databaseName", StringType),
       StructField("tableName", StringType),
-      StructField("offset", LongType)))
+      StructField("offset", StringType)))
     envelopes.select(from_json(col("value"), header).as("h"), col("value"))
       .select(
         concat(col("h.databaseName"), lit("."), col("h.tableName")).as("key"),
-        coalesce(col("h.offset"), lit(0L)).as("offset"),
+        coalesce(col("h.offset").cast("long"), lit(0L)).as("offset"),
         col("value"))
       .as[KeyedOffsetEvent]
   }
@@ -391,6 +394,14 @@ object CdcStream {
     })
   }
 
+  /** Recorded-min value for a bucket whose only tombstones carry NULL
+    * order values: unorderable against any horizon (never expires),
+    * recorded so the bucket stays in the exclusivity clash set.
+    * Distinct from the legacy `{}` shape (a pre-fix null-polluted min,
+    * which IS swept once to converge).
+    */
+  private val NullOrderSentinel = """{"__null_order":true}"""
+
   /** Per-bucket tombstone metadata off a freshly written staging data
     * dir (one column-pruned agg over just-rewritten files): the min
     * (by the store's order tuple) tombstone's order values as JSON.
@@ -412,12 +423,18 @@ object CdcStream {
     // would evaluate the horizon to null and block the whole bucket's
     // age-out forever. A tombstone whose order is unknown can never be
     // judged expired by an order horizon — it is retained (never
-    // swept), and must not hide its bucket's orderable tombstones.
-    df.filter(coalesce(col(Tombstone), lit(false)) &&
-        ordNames.map(c => col(c).isNotNull).reduce(_ && _))
+    // swept), and must not hide its bucket's orderable tombstones. A
+    // bucket whose ONLY tombstones are null-order still records the
+    // [[NullOrderSentinel]]: the map's keySet is also the deferred
+    // sequence-fold exclusivity clash set, and dropping the bucket
+    // would admit an order-free fold against a tombstone it cannot
+    // order with.
+    df.filter(coalesce(col(Tombstone), lit(false)))
       .groupBy(col("__bucket").cast("int").as("__b"))
-      .agg(min(struct(ordNames.map(col): _*)).as("m"))
-      .select(col("__b"), to_json(col("m")).as("j"))
+      .agg(min(when(ordNames.map(c => col(c).isNotNull).reduce(_ && _),
+        struct(ordNames.map(col): _*))).as("m"))
+      .select(col("__b"),
+        coalesce(to_json(col("m")), lit(NullOrderSentinel)).as("j"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
   }
 
@@ -445,12 +462,13 @@ object CdcStream {
       spark.read.schema(pruned).parquet(s"$replicaDir/$p")
         .select(lit(k).as("__b") +: (Tombstone +: ordNames).map(col): _*)
     }.reduce(_.unionByName(_))
-      // same null-order exclusion as [[stagedTombstoneMins]]
-      .filter(coalesce(col(Tombstone), lit(false)) &&
-        ordNames.map(c => col(c).isNotNull).reduce(_ && _))
+      // same null-order exclusion + sentinel as [[stagedTombstoneMins]]
+      .filter(coalesce(col(Tombstone), lit(false)))
       .groupBy(col("__b"))
-      .agg(min(struct(ordNames.map(col): _*)).as("m"))
-      .select(col("__b"), to_json(col("m")).as("j"))
+      .agg(min(when(ordNames.map(c => col(c).isNotNull).reduce(_ && _),
+        struct(ordNames.map(col): _*))).as("m"))
+      .select(col("__b"),
+        coalesce(to_json(col("m")), lit(NullOrderSentinel)).as("j"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
   }
 
@@ -495,13 +513,20 @@ object CdcStream {
         val minSchema = StructType(ocs.map(c =>
           StructField(c, types.getOrElse(c, StringType))))
         import spark.implicits._
-        // a min with any null order value is a LEGACY record (written
-        // before nulls were excluded from the aggregation): the horizon
-        // evaluates to null over it, so treat the bucket as
-        // sweep-eligible — the sweep's rewrite re-records a null-free
-        // min and the store converges off the legacy shape
+        // null handling, two distinct cases:
+        //  - the [[NullOrderSentinel]] marks a bucket whose only
+        //    tombstones are null-order — unorderable, can NEVER
+        //    expire, recorded only to keep the bucket in the
+        //    exclusivity clash set → filtered before parsing (no
+        //    sweep churn);
+        //  - a parsed min with null fields is a LEGACY record written
+        //    before nulls were excluded from the min aggregation: the
+        //    horizon evaluates to null over it, so flag the bucket
+        //    once — the sweep's rewrite re-records a null-free min
+        //    (or the sentinel) and the store converges.
         val anyNull = ocs.map(c => col(c).isNull).reduce(_ || _)
         m.tombstoneMins.toSeq.toDF("__b", "j")
+          .filter(col("j") =!= NullOrderSentinel)
           .select(col("__b"), from_json(col("j"), minSchema).as("m"))
           .select(col("__b"), col("m.*"))
           .filter(horizon || anyNull)
@@ -540,6 +565,12 @@ object CdcStream {
     * verification step exists to defuse. No-op in production.
     */
   private[streaming] var lockBreakTestHook: () => Unit = () => ()
+
+  /** Test seam: runs at [[publishVersion]] entry — after a writer's
+    * entry-time fence check but before its commit, the window the
+    * in-critical-section `forbidFrozen` re-check closes.
+    */
+  private[streaming] var publishTestHook: () => Unit = () => ()
 
   /** `bucketCols`: the key subset rows hash-route by — defaults to the
     * full key (`idCols`). A PROPER subset turns the replica into a
@@ -982,13 +1013,28 @@ object CdcStream {
 
   /** Fence the store against writers (the failover demotion step).
     * Idempotent; the reason is recorded for the refusal message.
+    *
+    * The fence is ATOMIC with respect to in-flight commits: after the
+    * marker lands, this call waits for the commit lock to clear, so a
+    * writer that entered its critical section before the fence
+    * FINISHES before we return (a subsequent drain sees its commit),
+    * while one entering after re-checks the marker inside the lock
+    * ([[publishVersion]]'s `forbidFrozen`) and aborts — no successful
+    * commit can land behind the fence unseen. The wait is bounded: a
+    * lock older than the 60 s stale threshold is a crashed writer's
+    * debris the next commit would break anyway.
     */
   def freezeReplica(replicaDir: String, reason: String = "failover"): Unit = {
     new java.io.File(replicaDir).mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(replicaDir, FrozenMarker),
       reason.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ()
+    val lock = java.nio.file.Paths.get(replicaDir, ".commit-lock")
+    val deadline = System.currentTimeMillis() + 65000L
+    while (java.nio.file.Files.exists(lock) &&
+        System.currentTimeMillis() - lock.toFile.lastModified <= 60000L &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
   }
 
   def unfreezeReplica(replicaDir: String): Unit = {
@@ -1044,8 +1090,20 @@ object CdcStream {
       if (latest > lastAppliedVersion)
         readReplicaChanges(spark, oldPrimaryDir, lastAppliedVersion,
             Some(latest)).foreach { net =>
-          applyBatchToReplica(followerDir,
-            net.drop("_commit_version", "_commit_watermark"),
+          // cross-version nets fold by COMMIT ORDER, not by the order
+          // columns: a sequence store applies batches
+          // last-commit-wins, so a later commit may legitimately write
+          // a LOWER order value — folding the whole range by orderCols
+          // would resurrect the earlier higher-order row and the
+          // promoted follower would diverge from the old primary's
+          // fenced state. Pick each key's net from its NEWEST feed
+          // version (orderCols tie-break within a version only).
+          val w = Window.partitionBy(idCols.map(col): _*)
+            .orderBy((col("_commit_version") +: orderCols).map(_.desc): _*)
+          val latestNet = net.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn", "_commit_version", "_commit_watermark")
+          applyBatchToReplica(followerDir, latestNet,
             idCols, orderCols, recordChanges = true)
         }
     }
@@ -1267,18 +1325,25 @@ object CdcStream {
             .map { case (k, p) =>
               spark.read.schema(unionSc.get).parquet(s"$replicaDir/$p")
                 .agg(max(coalesce(pred, lit(false))).as("__x"),
-                  minAgg.toSeq: _*)
+                  (max(coalesce(col(Tombstone), lit(false))).as("__tb") +:
+                    minAgg.toSeq): _*)
                 .withColumn("__bucket", lit(k))
             }
             .reduce(_.unionByName(_))
           val rows = perBucket
-            .select(col("__bucket"), col("__x"),
+            .select(col("__bucket"), col("__x"), col("__tb"),
               (if (minAgg.isDefined) to_json(col("__m")) else lit(null))
                 .as("__j"))
             .collect()
-          sweptMins = rows.collect {
-            case r if !r.isNullAt(2) => r.getInt(0) -> r.getString(2)
-          }.toMap
+          // tombstone-bearing buckets with no orderable min record the
+          // sentinel — same contract as stagedTombstoneMins
+          sweptMins =
+            if (minAgg.isEmpty) Map.empty
+            else rows.collect {
+              case r if !r.isNullAt(2) && r.getBoolean(2) =>
+                r.getInt(0) ->
+                  (if (r.isNullAt(3)) NullOrderSentinel else r.getString(3))
+            }.toMap
           rows.filter(r => !r.isNullAt(1) && r.getBoolean(1))
             .map(_.getInt(0)).toSet
         }
@@ -1462,7 +1527,7 @@ object CdcStream {
       // empty store: flip the count with a manifest-only commit
       publishVersion(replicaDir, staging, nextName,
         m.copy(numBuckets = newNumBuckets, buckets = Map.empty),
-        Some(m), Some(name))
+        Some(m), Some(name), forbidFrozen = true)
       return
     }
     val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
@@ -1509,7 +1574,7 @@ object CdcStream {
       m.copy(numBuckets = newNumBuckets, buckets = newBuckets,
         schemaJson = Some(outSc.json), deltas = Map.empty,
         deltasConditional = false, tombstoneMins = newMins),
-      Some(m), Some(name))
+      Some(m), Some(name), forbidFrozen = true)
   }
 
   /** COMPLIANCE ERASURE (right-to-be-forgotten — the Delta
@@ -1637,7 +1702,7 @@ object CdcStream {
           deltas = remainingDeltas,
           deltasConditional = remainingDeltas.nonEmpty && m.deltasConditional,
           tombstoneMins = newMins),
-        Some(m), Some(name))
+        Some(m), Some(name), forbidFrozen = true)
     }
     // 2: purge historical on-disk copies of the touched buckets —
     // base files AND pending delta files (their lists dropped from the
@@ -1742,9 +1807,10 @@ object CdcStream {
     */
   private def publishVersion(replicaDir: String, stagingDir: String,
       nextName: String, next: ReplicaManifest, prev: Option[ReplicaManifest],
-      curName: Option[String]): Unit = {
+      curName: Option[String], forbidFrozen: Boolean = false): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    CdcStream.publishTestHook()
     writeManifestTo(java.nio.file.Paths.get(stagingDir), next)
     val target = java.nio.file.Paths.get(replicaDir, nextName)
     val lock = java.nio.file.Paths.get(replicaDir, ".commit-lock")
@@ -1831,6 +1897,18 @@ object CdcStream {
     // data-sized deletions deferred to after the lock is released
     var orphanAside: Option[java.nio.file.Path] = None
     try {
+      // fence re-check INSIDE the critical section: entry-time checks
+      // leave a window where a long-running writer commits behind a
+      // fence raised mid-flight ([[freezeReplica]] waits this lock out,
+      // so marker-write happens-before any commit that gets here after
+      // the fence)
+      if (forbidFrozen) replicaFrozen(replicaDir).foreach { r =>
+        deleteRecursively(new java.io.File(stagingDir))
+        throw new IllegalStateException(
+          s"replica $replicaDir is FROZEN ($r): writes are fenced during " +
+            "failover — resyncAsFollower to rejoin as a follower, or " +
+            "unfreezeReplica to force")
+      }
       val nowCur = currentVersion(replicaDir).map(_._2)
       if (nowCur != curName)
         conflict(s"based on ${curName.getOrElse("<empty>")} but current " +
@@ -2153,7 +2231,7 @@ object CdcStream {
           tombstoneMins = minsBase,
           tombstoneMinCols = if (metaOrd.nonEmpty) None
             else prev.flatMap(_.tombstoneMinCols)),
-        prev, cur.map(_._2))
+        prev, cur.map(_._2), forbidFrozen = !bypassFreeze)
       return
     }
 
@@ -2377,7 +2455,7 @@ object CdcStream {
         tombstoneMins = newMins,
         tombstoneMinCols = if (metaOrd.nonEmpty) None
           else prev.flatMap(_.tombstoneMinCols)), prev,
-      cur.map(_._2))
+      cur.map(_._2), forbidFrozen = !bypassFreeze)
   }
 
   // ------------------------------------------- incremental view (IVM)

@@ -93,10 +93,20 @@ object DataScaleBench {
     }
 
     // ------------------------------------------------ scratch corpora
+    // the completion marker records a fingerprint of the BASE fixtures
+    // (name, size, mtime per file): a regenerated sf0.1 must invalidate
+    // the scratch replicas, or the curve would compare different data
+    def baseFingerprint(): String =
+      Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|")
     def generate(scale: Int): String = {
       val dir = s"$root/x$scale"
       val marker = new java.io.File(dir, "_COMPLETE")
-      if (marker.exists()) return dir
+      val fp = baseFingerprint()
+      if (marker.exists() &&
+          java.nio.file.Files.readString(marker.toPath) == fp) return dir
       deleteRecursively(new java.io.File(dir))
       new java.io.File(dir).mkdirs()
       val t = graft.Tables(spark, base)
@@ -158,7 +168,7 @@ object DataScaleBench {
               slice(col("embedding"), 1, rot)))
       }, "embeddings")
 
-      marker.createNewFile()
+      java.nio.file.Files.writeString(marker.toPath, fp)
       dir
     }
 

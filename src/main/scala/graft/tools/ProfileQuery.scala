@@ -109,10 +109,15 @@ object ProfileQuery {
       catch { case e: Throwable =>
         System.err.println(s"[profile] $name warmup failed: ${e.getMessage}") }
       spark.catalog.clearCache()
+      // listener events deliver on an async bus thread: drain before
+      // AND after the timed run so warmup stragglers stay out of the
+      // recording window and the run's tail stages are not dropped
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
       jobs.clear(); stages.clear(); recording = true
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val totalSec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
       recording = false
       spark.catalog.clearCache()
       import scala.jdk.CollectionConverters._

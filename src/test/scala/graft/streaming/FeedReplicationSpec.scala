@@ -180,6 +180,70 @@ class FeedReplicationSpec extends SparkSuite {
     assert(vp >= 2L)
   }
 
+  test("the drain folds undelivered versions by COMMIT order, not by " +
+      "the order columns") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(primary, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    commit(Seq((1L, "a1", 1L, "update")))
+    applyNet(follower, CdcStream.readReplicaChanges(spark, primary, 0L).get)
+    // two undelivered commits: v2 writes seq=9, v3 legitimately writes
+    // a LOWER order value (a sequence store applies last-commit-wins —
+    // the old primary's fenced state IS seq=5 'rollback'). A drain that
+    // folded the range by orderCols would resurrect seq=9 'wrong'.
+    commit(Seq((1L, "wrong", 9L, "update")))
+    commit(Seq((1L, "rollback", 5L, "update")))
+    CdcStream.promoteFollower(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), lastAppliedVersion = 1L)
+    assert(state(follower) == Seq((1L, "rollback")),
+      "the drain must deliver the old primary's state AT THE FENCE")
+    assert(state(follower) == state(primary))
+  }
+
+  test("a commit already past the entry fence check aborts INSIDE the " +
+      "critical section when the store freezes mid-flight") {
+    val dir = freshDir()
+    CdcStream.applyBatchToReplica(dir, batch(Seq((1L, "a", 1L, "update"))),
+      Seq("id"), Seq(col("seq")))
+    // the writer passes the entry-time check, then the store freezes
+    // BEFORE its publish — the in-critical-section re-check must
+    // refuse, or the commit would land behind the fence unseen by the
+    // promotion drain
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val frozen = new java.util.concurrent.CountDownLatch(1)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    CdcStream.publishTestHook = () =>
+      if (fired.compareAndSet(false, true)) {
+        entered.countDown()
+        frozen.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+    try {
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val writer = Future {
+        intercept[IllegalStateException] {
+          CdcStream.applyBatchToReplica(dir,
+            batch(Seq((2L, "late", 2L, "update"))),
+            Seq("id"), Seq(col("seq")))
+        }
+      }
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      CdcStream.freezeReplica(dir, "mid-flight fence")
+      frozen.countDown()
+      val e = Await.result(writer, 60.seconds)
+      assert(e.getMessage.contains("FROZEN"))
+      // the fenced store never saw the aborted commit
+      assert(state(dir) == Seq((1L, "a")))
+    } finally {
+      CdcStream.publishTestHook = () => ()
+      CdcStream.unfreezeReplica(dir)
+    }
+  }
+
   test("crash failover: divergent old-primary commits roll back on resync") {
     val primary = freshDir()
     val follower = freshDir()

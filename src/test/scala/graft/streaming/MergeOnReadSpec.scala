@@ -506,5 +506,14 @@ class MergeOnReadSpec extends SparkSuite {
     assert(!CdcStream.maintainReplica(spark, dir,
       tombstoneHorizon = Some(col("seq") <= lit(9L))),
       "no churn: null-order tombstones stay out of the recorded mins")
+    // the bucket still holds an UNORDERABLE tombstone, so it must stay
+    // in the exclusivity clash set (the sentinel entry): a sequence
+    // deferred commit into it has no order compare and must refuse —
+    // dropping the bucket from the mins map would silently admit it.
+    // Key 1 routes to the doctored bucket (the null row kept key 99's
+    // id but lives in key 1's bucket file, which rewrites in place).
+    intercept[IllegalStateException] {
+      applyDefer(dir, Seq((1L, "back", 1L, "update")))
+    }
   }
 }
