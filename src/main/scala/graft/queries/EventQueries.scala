@@ -797,10 +797,8 @@ object EventQueries {
         commit(nu, slice(Some(cut(2)), Some(cut(3))))     // real Q3
         val from = CdcStream.resyncAsFollower(s, old, nu, ids, ord)
         commit(nu, slice(Some(cut(3)), None))             // Q4
-        CdcStream.readReplicaChanges(s, nu, from).foreach { net =>
-          CdcStream.applyBatchToReplica(old,
-            net.drop("_commit_version", "_commit_watermark"), ids, ord)
-        }
+        CdcStream.replayFeedInto(s, nu, old, ids, ord,
+          fromVersionExclusive = from)
       }
       CdcStream.readReplica(s, s"$root/old").get
         .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")

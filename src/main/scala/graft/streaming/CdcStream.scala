@@ -1060,6 +1060,37 @@ object CdcStream {
           "unfreezeReplica to force")
     }
 
+  /** Apply a primary's change feed `(fromVersionExclusive, latest]`
+    * into a follower store as ONE commit-ordered merge — the canonical
+    * follower catch-up. Cross-version nets MUST fold by commit order
+    * (each key's net from its newest feed version; the order columns
+    * only tie-break within a version): a sequence store applies
+    * batches last-commit-wins, so a later commit may legitimately
+    * write a LOWER order value, and folding the whole range by order
+    * columns would resurrect the overwritten row. Returns the feed
+    * version the follower is now caught up to (the next call's
+    * `fromVersionExclusive`).
+    */
+  def replayFeedInto(spark: org.apache.spark.sql.SparkSession,
+      primaryDir: String, followerDir: String,
+      idCols: Seq[String], orderCols: Seq[Column],
+      fromVersionExclusive: Long = 0L,
+      recordChanges: Boolean = false): Long = {
+    val latest = currentVersion(primaryDir).map(_._1).getOrElse(0L)
+    if (latest <= fromVersionExclusive) return fromVersionExclusive
+    readReplicaChanges(spark, primaryDir, fromVersionExclusive,
+        Some(latest)).foreach { net =>
+      val w = Window.partitionBy(idCols.map(col): _*)
+        .orderBy((col("_commit_version") +: orderCols).map(_.desc): _*)
+      val latestNet = net.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "_commit_version", "_commit_watermark")
+      applyBatchToReplica(followerDir, latestNet, idCols, orderCols,
+        recordChanges = recordChanges)
+    }
+    latest
+  }
+
   /** PROMOTE a change-feed follower to primary — the operational
     * failover step every CDC replica deployment needs:
     *
@@ -1085,28 +1116,9 @@ object CdcStream {
       idCols: Seq[String], orderCols: Seq[Column],
       lastAppliedVersion: Long, drain: Boolean = true): Long = {
     freezeReplica(oldPrimaryDir, s"demoted: follower $followerDir promoted")
-    if (drain) {
-      val latest = currentVersion(oldPrimaryDir).map(_._1).getOrElse(0L)
-      if (latest > lastAppliedVersion)
-        readReplicaChanges(spark, oldPrimaryDir, lastAppliedVersion,
-            Some(latest)).foreach { net =>
-          // cross-version nets fold by COMMIT ORDER, not by the order
-          // columns: a sequence store applies batches
-          // last-commit-wins, so a later commit may legitimately write
-          // a LOWER order value — folding the whole range by orderCols
-          // would resurrect the earlier higher-order row and the
-          // promoted follower would diverge from the old primary's
-          // fenced state. Pick each key's net from its NEWEST feed
-          // version (orderCols tie-break within a version only).
-          val w = Window.partitionBy(idCols.map(col): _*)
-            .orderBy((col("_commit_version") +: orderCols).map(_.desc): _*)
-          val latestNet = net.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .drop("__rn", "_commit_version", "_commit_watermark")
-          applyBatchToReplica(followerDir, latestNet,
-            idCols, orderCols, recordChanges = true)
-        }
-    }
+    if (drain)
+      replayFeedInto(spark, oldPrimaryDir, followerDir, idCols, orderCols,
+        fromVersionExclusive = lastAppliedVersion, recordChanges = true)
     currentVersion(followerDir).map(_._1).getOrElse(0L)
   }
 
