@@ -820,6 +820,37 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: POINT-IN-TIME RESTORE (Delta RESTORE analog, r10) ---------
+    // Two time-split batches commit v1 then v2; RESTORE to v1 makes
+    // v1's content CURRENT again through one metadata-only commit (the
+    // restore manifest reuses v1's bucket references — no data file is
+    // read or written, so restoring a 100 TB store costs one
+    // manifest). Distinct evidence from cdc_replica_snapshot: that
+    // gate time-travels a read, this one proves the STORE's current
+    // state rolled back — the oracle is the first half's last-writer
+    // fold, read through the ordinary CURRENT pointer.
+    "cdc_restore_version" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = graft.llm.IndexArtifacts.cachedPath(dir,
+        "cdc-restore", inputs = Seq(s"$dir/events.parquet")) { out =>
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", $"ts",
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val ord = Seq(col("ts"), col("event_id"))
+        CdcStream.applyBatchToReplica(out,
+          ev.filter(unix_millis($"ts") < cut), Seq("user_id"), ord)
+        CdcStream.applyBatchToReplica(out,
+          ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), ord)
+        CdcStream.restoreReplica(s, out, toVersion = 1L)
+      }
+      CdcStream.readReplica(s, root).get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: version diff of the replica store ---------------------------
     // What changed between two committed versions — the audit/debug
     // read every versioned MERGE sink grows ("what did batch 2 do?"):
@@ -1888,6 +1919,24 @@ object EventQueries {
     // the snapshot at v1 is the latest state over the FIRST HALF only
     // (same midpoint integer arithmetic as the Spark-side time split)
     "cdc_replica_snapshot" ->
+      s"""WITH mm AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |h AS (
+         |  SELECT * FROM events, mm
+         |  WHERE epoch_ms(CAST(ts AS TIMESTAMP)) < mn + (mx - mn) // 2)
+         |SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM h)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
+
+    // restored CURRENT state = the first half's last-writer fold
+    "cdc_restore_version" ->
       s"""WITH mm AS (
          |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
          |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx

@@ -1163,10 +1163,24 @@ object CdcStream {
     val want = readReplicaAt(spark, newPrimaryDir, vp).getOrElse(
       throw new IllegalStateException(
         s"resync: new primary $newPrimaryDir version $vp is unreadable"))
+    val have = readReplica(spark, demotedDir).getOrElse(want.limit(0))
+    val rewind = stateDiff(want, have, idCols, opCol)
+    applyNetToReplica(demotedDir,
+      lastOpPerKey(rewind, idCols, orderCols), rewind.columns,
+      idCols, opCol, DefaultReplicaBuckets, bypassFreeze = true)
+    unfreezeReplica(demotedDir)
+    vp
+  }
+
+  /** DIVERGENCE-sized state diff: the batch that turns `have`'s state
+    * into `want`'s — upserts for every `want` row whose content
+    * differs from (or is absent in) `have`, deletes for every `have`
+    * key `want` no longer holds. Columns `have` predates null-fill
+    * (additive schema evolution).
+    */
+  private def stateDiff(want: DataFrame, have0: DataFrame,
+      idCols: Seq[String], opCol: String): DataFrame = {
     val cols = want.columns.sorted.toSeq
-    val have0 = readReplica(spark, demotedDir).getOrElse(want.limit(0))
-    // null-fill columns the demoted store predates (schema evolution
-    // on the new primary after the failover)
     val have = cols.filterNot(have0.columns.contains)
       .foldLeft(have0)((d, c) => d.withColumn(c, lit(null)))
     val contentHash = md5(to_json(struct(cols.map(col): _*)))
@@ -1177,15 +1191,79 @@ object CdcStream {
       .filter(col("__hh").isNull || col("__hh") =!= col("__h"))
       .drop("__h", "__hh")
       .withColumn(opCol, lit("update"))
-    val deletes = have
+    val deletes = have.select(want.columns.map(col): _*)
       .join(want.select(idCols.map(col): _*), idCols, "left_anti")
       .withColumn(opCol, lit("delete"))
-    val rewind = upserts.unionByName(deletes, allowMissingColumns = true)
-    applyNetToReplica(demotedDir,
-      lastOpPerKey(rewind, idCols, orderCols), rewind.columns,
-      idCols, opCol, DefaultReplicaBuckets, bypassFreeze = true)
-    unfreezeReplica(demotedDir)
-    vp
+    upserts.unionByName(deletes, allowMissingColumns = true)
+  }
+
+  /** POINT-IN-TIME RESTORE (the Delta RESTORE analog): make committed
+    * version `toVersion`'s content the CURRENT state again via one
+    * METADATA-ONLY commit — the new manifest reuses the target
+    * version's bucket/delta file references verbatim, so NO data file
+    * is read or written at any store size (restoring a 100 TB store
+    * costs one manifest). History is preserved: the restore is itself
+    * a new version (auditable, itself restorable), and the target's
+    * recorded schema/watermark/ordering metadata travel with it —
+    * routing included, so a post-`toVersion` reshard rolls back too.
+    *
+    * `recordChanges = true` additionally writes the restore's CHANGE
+    * FEED entry — the divergence-sized diff (current → target) —
+    * computed like the failover rewind, so feed followers replay the
+    * restore instead of silently diverging. Without it a store that
+    * records changes refuses (a silent feed gap poisons every
+    * follower).
+    *
+    * Versions between the target and the restore lose their manifest
+    * references at this commit and age out under the normal GC rules —
+    * the same contract as any rewrite retiring a version.
+    */
+  def restoreReplica(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, toVersion: Long,
+      recordChanges: Boolean = false): Unit = {
+    requireUnfrozen(replicaDir)
+    val cur = currentVersion(replicaDir)
+    if (cur.isEmpty) throw new IllegalStateException(
+      s"restore: $replicaDir has no committed version")
+    val (v, name) = cur.get
+    if (toVersion == v) return
+    val targetName = f"v$toVersion%09d"
+    val target = readManifest(replicaDir, targetName).getOrElse(
+      throw new IllegalArgumentException(
+        s"restore: $replicaDir has no manifest for version $toVersion " +
+          "(never committed, or GC'd past the retained window)"))
+    // every referenced data path must still exist — a half-GC'd target
+    // would publish dangling references
+    val missing = (target.buckets.values ++ target.deltas.values.flatten)
+      .filterNot(p => new java.io.File(s"$replicaDir/$p").exists())
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"restore: version $toVersion's data was GC'd " +
+        s"(missing: ${missing.take(3).mkString(", ")}…)")
+    val prev = readManifest(replicaDir, name)
+    val feedActive = replicaVersions(replicaDir).exists(vv =>
+      new java.io.File(f"$replicaDir/v$vv%09d/changes").isDirectory)
+    if (feedActive && !recordChanges) throw new IllegalStateException(
+      s"restore: $replicaDir records a change feed — restore with " +
+        "recordChanges = true so followers replay the restore instead " +
+        "of silently diverging")
+    val nextName = f"v${v + 1}%09d"
+    val staging = newStagingDir(replicaDir)
+    if (recordChanges) {
+      val opCol = target.opColName.orElse(prev.flatMap(_.opColName))
+        .getOrElse("op")
+      val ids = target.keyCols.orElse(prev.flatMap(_.keyCols)).getOrElse(
+        throw new IllegalStateException(
+          "restore: recordChanges needs recorded keyCols (pre-metadata " +
+            "store) — restore without the feed entry and re-seed followers"))
+      val want = readReplicaAt(spark, replicaDir, toVersion).getOrElse(
+        throw new IllegalStateException(
+          s"restore: version $toVersion is unreadable"))
+      val have = readReplica(spark, replicaDir).getOrElse(want.limit(0))
+      stateDiff(want, have, ids, opCol)
+        .write.parquet(s"$staging/changes")
+    }
+    publishVersion(replicaDir, staging, nextName, target, prev,
+      Some(name), forbidFrozen = true)
   }
 
   /** Compact the live replica: rewrite into one fresh version every

@@ -476,6 +476,79 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("restore is a metadata-only commit: content rolls back without " +
+      "reading a data file, history and routing restore too") {
+    val dir = freshDir()
+    def apply(rows: Seq[(Long, String, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows),
+        idCols = Seq("id"), orderCols = Seq(col("v")))
+    apply(Seq((1L, "a1", "update"), (2L, "b1", "update")))
+    apply(Seq((1L, "a2", "update"), (3L, "c2", "update"),
+      (2L, "x", "delete")))
+    assert(content(dir) == Seq((1L, "a2"), (3L, "c2")))
+    // corrupt every data file: the restore decision + commit must not
+    // open one (the manifest swap IS the restore)
+    val restoreBytes =
+      scala.collection.mutable.Map.empty[java.nio.file.Path, Array[Byte]]
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(corrupt)
+      else if (f.getName.endsWith(".parquet")) {
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+        restoreBytes += f.toPath -> bytes
+        ()
+      }
+    corrupt(new java.io.File(dir))
+    CdcStream.restoreReplica(spark, dir, toVersion = 1L)
+    // un-corrupt so the content read below works
+    restoreBytes.foreach { case (p, b) => java.nio.file.Files.write(p, b) }
+    assert(content(dir) == Seq((1L, "a1"), (2L, "b1")),
+      "CURRENT must serve v1's content after the restore")
+    // the restore is itself a version: writing continues on top
+    apply(Seq((4L, "d4", "update")))
+    assert(content(dir) == Seq((1L, "a1"), (2L, "b1"), (4L, "d4")))
+    // a restore target that was never committed refuses by name
+    intercept[IllegalArgumentException] {
+      CdcStream.restoreReplica(spark, dir, toVersion = 99L)
+    }
+    // and the fence blocks restores like any content write
+    CdcStream.freezeReplica(dir, "fence")
+    try intercept[IllegalStateException] {
+      CdcStream.restoreReplica(spark, dir, toVersion = 1L)
+    } finally CdcStream.unfreezeReplica(dir)
+  }
+
+  test("restore on a feed-recording store refuses without a feed entry, " +
+      "and with one a follower replays the restore") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(rows: Seq[(Long, String, String)]): Unit =
+      CdcStream.applyBatchToReplica(primary, batch(rows),
+        idCols = Seq("id"), orderCols = Seq(col("v")),
+        recordChanges = true)
+    commit(Seq((1L, "a1", "update"), (2L, "b1", "update")))
+    commit(Seq((1L, "a2", "update"), (2L, "x", "delete"),
+      (3L, "c2", "update")))
+    var cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("v")))
+    assert(content(follower) == content(primary))
+    // a silent restore would open a feed gap — refuse loudly
+    val e = intercept[IllegalStateException] {
+      CdcStream.restoreReplica(spark, primary, toVersion = 1L)
+    }
+    assert(e.getMessage.contains("change feed"))
+    // with the feed entry, the restore's divergence-sized diff flows:
+    // the follower re-upserts key 2, rolls key 1 back, deletes key 3
+    CdcStream.restoreReplica(spark, primary, toVersion = 1L,
+      recordChanges = true)
+    assert(content(primary) == Seq((1L, "a1"), (2L, "b1")))
+    cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("v")), fromVersionExclusive = cursor)
+    assert(content(follower) == content(primary),
+      "the follower must replay the restore, not diverge")
+  }
+
   test("manifest records the union schema; evolution widens it") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
