@@ -68,7 +68,8 @@ object DataScaleBench {
     val base = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val scales = sys.env.get("SPARK_GRAFT_SCALES")
-      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 3, 10, 30))
     val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROOT",
       "/tmp/graft-datascale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
