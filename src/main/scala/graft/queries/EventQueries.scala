@@ -488,6 +488,40 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: CREATE INDEX on an existing store (bootstrap, r10) --------
+    // The primary exists FIRST with history and no index; buildIndex
+    // bootstraps the banded GSI from its CURRENT state in one
+    // value-routed pass, then the ordinary incremental maintenance
+    // composes on top for the second half — the lookup must equal the
+    // always-indexed store's answer exactly (same oracle as
+    // cdc_secondary_index).
+    "cdc_index_bootstrap" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      val primary = graft.llm.IndexArtifacts.tempDir("gsi-boot-primary")
+      val index = graft.llm.IndexArtifacts.tempDir("gsi-boot-index")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min($"ms"), max($"ms")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val band = expr("value_cents div 1000")
+      graft.streaming.CdcStream.applyBatchToReplica(primary,
+        ev.filter($"ms" < cut), Seq("user_id"),
+        Seq(col("ms"), col("event_id")))
+      SecondaryIndex.buildIndex(s, primary,
+        SecondaryIndex.IndexSpec(index, band, "band"),
+        Seq("user_id"), Seq("ms", "event_id"))
+      SecondaryIndex.applyBatchWithIndex(s, primary, index,
+        ev.filter($"ms" >= cut), Seq("user_id"), Seq("ms", "event_id"),
+        band, "band", deferIndexMerge = true)
+      SecondaryIndex.lookupByIndex(s, primary, index, Seq("user_id"),
+          band, "band", Seq(2L, 3L).toDF("band"))
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: RANGE lookup through the banded secondary index ------------
     // A hash-routed index can only prune equality probes — but a
     // BANDED index key (value div bandWidth) turns a range predicate
@@ -1856,6 +1890,18 @@ object EventQueries {
          |ORDER BY user_id""".stripMargin,
 
     "cdc_secondary_index" ->
+      s"""SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (2, 3)
+         |ORDER BY user_id""".stripMargin,
+
+    // bootstrapped index + incremental tail = the always-indexed answer
+    "cdc_index_bootstrap" ->
       s"""SELECT value_cents // 1000 AS band, user_id,
          |  event_id AS last_event_id, value_cents FROM (
          |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,

@@ -193,6 +193,53 @@ object SecondaryIndex {
     }
   }
 
+  /** BOOTSTRAP an index over an EXISTING primary — CREATE INDEX. One
+    * pass over the primary's CURRENT state (fold included: pending
+    * merge-on-read deltas resolve like any read) writes every live
+    * key's entry into a FRESH index store with exactly the incremental
+    * maintenance's entry shape — same key columns (`name +: idCols`),
+    * same value-only bucket routing, same covering projection — so
+    * [[applyBatchWithIndexes]] composes from the next batch on and
+    * every lookup path works unchanged.
+    *
+    * Also the sanctioned recovery after [[CdcStream.restoreReplica]]
+    * on an indexed primary: a restore rolls the primary back
+    * metadata-only, leaving any index stale by design — rebuild into a
+    * fresh dir and swap it in.
+    *
+    * Cost is one primary scan + one value-routed write — O(store),
+    * inherent to index creation, with no driver materialization.
+    * Refuses a dir that already holds a store: an in-place rebuild
+    * racing readers has no safe ordering; build fresh and swap.
+    */
+  def buildIndex(
+      spark: SparkSession,
+      primaryDir: String,
+      spec: IndexSpec,
+      idCols: Seq[String],
+      orderColNames: Seq[String],
+      opCol: String = "op",
+      numBuckets: Int = CdcStream.DefaultReplicaBuckets): Unit = {
+    require(CdcStream.replicaVersions(spec.dir).isEmpty,
+      s"buildIndex: ${spec.dir} already holds a store — rebuild into a " +
+        "fresh dir and swap (an in-place rebuild racing readers has no " +
+        "safe ordering)")
+    val state = CdcStream.readReplica(spark, primaryDir).getOrElse(
+      throw new IllegalStateException(
+        s"buildIndex: primary $primaryDir has no committed version"))
+    val carry = (idCols ++ orderColNames ++ spec.includeCols).distinct
+    val entries = state
+      .select((spec.expr.as(spec.name) +: carry.map(col)) :+
+        lit("update").as(opCol): _*)
+      .filter(col(spec.name).isNotNull)
+    // eager merge for the bootstrap: one base write per bucket beats a
+    // delta the first read would immediately fold
+    CdcStream.applyBatchToReplica(spec.dir, entries,
+      idCols = spec.name +: idCols, orderCols = orderColNames.map(col),
+      opCol = opCol, numBuckets = numBuckets,
+      bucketCols = Some(Seq(spec.name)))
+  }
+
   /** Equality lookup THROUGH the index: `values` carries one column
     * named `idxName`; the index read prunes to the values' buckets,
     * the hit keys drive a key-pruned primary read, and the result is

@@ -49,6 +49,58 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(live == Seq(("lima", 1L), ("lima", 2L), ("lima", 4L)))
   }
 
+  test("buildIndex bootstraps an index over an existing store; " +
+      "incremental maintenance composes on top") {
+    val (p, ix) = (freshDir(), freshDir())
+    // the primary exists FIRST, no index anywhere (the CREATE INDEX
+    // case) — including a delete and a pending MoR delta the
+    // bootstrap's state read must fold
+    CdcStream.applyBatchToReplica(p,
+      batch(Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update"),
+        (3L, "oslo", 1L, "update"))),
+      Seq("id"), Seq(col("seq")))
+    CdcStream.applyBatchToReplica(p,
+      batch(Seq((2L, "x", 2L, "delete"), (4L, "pune", 2L, "update"))),
+      Seq("id"), Seq(col("seq")), deferMerge = true)
+    SecondaryIndex.buildIndex(spark, p,
+      SecondaryIndex.IndexSpec(ix, col("city"), "city"),
+      Seq("id"), Seq("seq"))
+    assert(lookup(p, ix, "oslo") == Seq(1L, 3L))
+    assert(lookup(p, ix, "lima") == Seq.empty, "deleted keys must not index")
+    assert(lookup(p, ix, "pune") == Seq(4L), "pending deltas must fold")
+    // incremental maintenance composes: a value move cleans the
+    // BOOTSTRAPPED entry (same entry shape, same routing)
+    apply1(p, ix, Seq((1L, "pune", 3L, "update")))
+    assert(lookup(p, ix, "oslo") == Seq(3L))
+    assert(lookup(p, ix, "pune") == Seq(1L, 4L))
+    // a dir already holding a store refuses by name
+    val e = intercept[IllegalArgumentException] {
+      SecondaryIndex.buildIndex(spark, p,
+        SecondaryIndex.IndexSpec(ix, col("city"), "city"),
+        Seq("id"), Seq("seq"))
+    }
+    assert(e.getMessage.contains("fresh dir"))
+  }
+
+  test("restore on an indexed primary: rebuild into a fresh dir recovers " +
+      "exact lookups") {
+    val (p, ix) = (freshDir(), freshDir())
+    apply1(p, ix, Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update")))
+    apply1(p, ix, Seq((1L, "lima", 2L, "update"), (3L, "pune", 2L, "update")))
+    // roll the primary back: the index is now STALE BY DESIGN (the
+    // restore is metadata-only and knows nothing of index stores)
+    CdcStream.restoreReplica(spark, p, toVersion = 1L)
+    // the sanctioned recovery: rebuild fresh and swap
+    val ix2 = freshDir()
+    SecondaryIndex.buildIndex(spark, p,
+      SecondaryIndex.IndexSpec(ix2, col("city"), "city"),
+      Seq("id"), Seq("seq"))
+    assert(lookup(p, ix2, "oslo") == Seq(1L))
+    assert(lookup(p, ix2, "lima") == Seq(2L))
+    assert(lookup(p, ix2, "pune") == Seq.empty,
+      "the restored-away key must not appear in the rebuilt index")
+  }
+
   test("a crash between the index and primary commits replays to convergence") {
     // the index commits FIRST (the recoverable order): simulate the
     // crash window by snapshotting the primary before a batch, running
