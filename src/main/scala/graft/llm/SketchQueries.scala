@@ -144,19 +144,21 @@ object SketchQueries {
       // would sit in the linear-counting regime and audit nothing)
       val h = Tables(s, dir).events
         .select(hash60($"event_id".cast("string")).as("h"))
-      val exact = h.agg(countDistinct($"h").as("exact_cnt"))
       val guard = 64 - HllAuditP
       val m = 1 << HllAuditP
       val am2 = 0.7213 / (1.0 + 1.079 / m) * m * m
-      h.agg(hllSketch($"h").as("regs"))
-        .select(posexplode($"regs").as(Seq("idx", "rho")))
+      // ONE scan: the sketch UDAF and the exact distinct fuse into a
+      // single Expand-based aggregation (at 100 TB a second audit scan
+      // doubles the IO for nothing)
+      h.agg(hllSketch($"h").as("regs"), countDistinct($"h").as("exact_cnt"))
+        .select($"exact_cnt", posexplode($"regs").as(Seq("idx", "rho")))
         .filter($"rho" > 0)
         .agg(
+          max($"exact_cnt").as("exact_cnt"),
           count(lit(1)).as("n_regs"),
           max($"rho").as("max_rho"),
           sum(expr(s"shiftleft(cast(1 as bigint), cast($guard - rho as int))")
             .cast("decimal(38,0)")).as("s_raw"))
-        .crossJoin(exact)
         .select(
           $"exact_cnt", $"n_regs", $"max_rho",
           $"s_raw".cast("double").as("s_scaled"),
