@@ -159,6 +159,9 @@ object SketchQueries {
           max($"rho").as("max_rho"),
           sum(expr(s"shiftleft(cast(1 as bigint), cast($guard - rho as int))")
             .cast("decimal(38,0)")).as("s_raw"))
+        // an empty corpus reports NO rows, not one all-null row (the
+        // global agg over zero registers would otherwise fabricate one)
+        .filter($"n_regs" > 0)
         .select(
           $"exact_cnt", $"n_regs", $"max_rho",
           $"s_raw".cast("double").as("s_scaled"),

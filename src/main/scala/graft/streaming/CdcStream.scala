@@ -1175,14 +1175,25 @@ object CdcStream {
   /** DIVERGENCE-sized state diff: the batch that turns `have`'s state
     * into `want`'s — upserts for every `want` row whose content
     * differs from (or is absent in) `have`, deletes for every `have`
-    * key `want` no longer holds. Columns `have` predates null-fill
-    * (additive schema evolution).
+    * key `want` no longer holds. The diff spans the UNION of both
+    * sides' columns (null-filling whichever side predates a column):
+    * a column added AFTER a restore target must roll back to null in
+    * the emitted rows, or a feed follower would keep its post-target
+    * values while the restored store has none — exactly the silent
+    * divergence the feed entry exists to prevent.
     */
-  private def stateDiff(want: DataFrame, have0: DataFrame,
+  private def stateDiff(want0: DataFrame, have0: DataFrame,
       idCols: Seq[String], opCol: String): DataFrame = {
-    val cols = want.columns.sorted.toSeq
-    val have = cols.filterNot(have0.columns.contains)
-      .foldLeft(have0)((d, c) => d.withColumn(c, lit(null)))
+    val cols = (want0.columns ++ have0.columns).distinct.sorted.toSeq
+    // a side's missing column null-fills with the OTHER side's type —
+    // a bare NullType column would trip the consumer store's
+    // type-change guard when the diff batch merges
+    def widen(d0: DataFrame, other: DataFrame): DataFrame =
+      cols.filterNot(d0.columns.contains)
+        .foldLeft(d0)((d, c) =>
+          d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
+    val want = widen(want0, have0)
+    val have = widen(have0, want0)
     val contentHash = md5(to_json(struct(cols.map(col): _*)))
     val upserts = want.withColumn("__h", contentHash)
       .join(have.select((idCols.map(col) :+
@@ -1191,7 +1202,7 @@ object CdcStream {
       .filter(col("__hh").isNull || col("__hh") =!= col("__h"))
       .drop("__h", "__hh")
       .withColumn(opCol, lit("update"))
-    val deletes = have.select(want.columns.map(col): _*)
+    val deletes = have
       .join(want.select(idCols.map(col): _*), idCols, "left_anti")
       .withColumn(opCol, lit("delete"))
     upserts.unionByName(deletes, allowMissingColumns = true)
@@ -1220,13 +1231,24 @@ object CdcStream {
     */
   def restoreReplica(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, toVersion: Long,
-      recordChanges: Boolean = false): Unit = {
+      recordChanges: Boolean = false,
+      /** Key columns for the feed entry when the store's manifests
+        * predate `keyCols` (pre-metadata stores record none).
+        */
+      idColsOverride: Seq[String] = Nil): Unit = {
     requireUnfrozen(replicaDir)
     val cur = currentVersion(replicaDir)
     if (cur.isEmpty) throw new IllegalStateException(
       s"restore: $replicaDir has no committed version")
     val (v, name) = cur.get
     if (toVersion == v) return
+    // only committed PREDECESSORS restore: a version dir above CURRENT
+    // is a crashed writer's unpublished orphan — restoring "to" it
+    // would collide with this commit's own next version name and
+    // publish dangling references over the deleted orphan
+    if (toVersion > v) throw new IllegalArgumentException(
+      s"restore: version $toVersion is ahead of the current version $v " +
+        "(an unpublished crashed-writer orphan, not a committed state)")
     val targetName = f"v$toVersion%09d"
     val target = readManifest(replicaDir, targetName).getOrElse(
       throw new IllegalArgumentException(
@@ -1246,21 +1268,39 @@ object CdcStream {
       s"restore: $replicaDir records a change feed — restore with " +
         "recordChanges = true so followers replay the restore instead " +
         "of silently diverging")
+    // a restore feed entry is rewind-shaped: its upserts carry the
+    // target's OLDER order values, which a conditional (greatest-
+    // order-wins) follower would silently ignore — the same conflict
+    // resyncAsFollower refuses
+    if (recordChanges &&
+        (target.condOrderCols.nonEmpty || target.deltasConditional ||
+          prev.exists(p => p.condOrderCols.nonEmpty || p.deltasConditional)))
+      throw new IllegalStateException(
+        "restore: a conditional store's feed followers fold greatest-" +
+          "order-wins and would drop the rollback rows — re-seed " +
+          "followers from a snapshot instead of a restore feed entry")
     val nextName = f"v${v + 1}%09d"
     val staging = newStagingDir(replicaDir)
     if (recordChanges) {
       val opCol = target.opColName.orElse(prev.flatMap(_.opColName))
         .getOrElse("op")
-      val ids = target.keyCols.orElse(prev.flatMap(_.keyCols)).getOrElse(
-        throw new IllegalStateException(
-          "restore: recordChanges needs recorded keyCols (pre-metadata " +
-            "store) — restore without the feed entry and re-seed followers"))
-      val want = readReplicaAt(spark, replicaDir, toVersion).getOrElse(
-        throw new IllegalStateException(
-          s"restore: version $toVersion is unreadable"))
-      val have = readReplica(spark, replicaDir).getOrElse(want.limit(0))
-      stateDiff(want, have, ids, opCol)
-        .write.parquet(s"$staging/changes")
+      val ids = target.keyCols.orElse(prev.flatMap(_.keyCols))
+        .orElse(Option(idColsOverride).filter(_.nonEmpty)).getOrElse(
+          throw new IllegalStateException(
+            "restore: recordChanges needs key columns — this store's " +
+              "manifests predate keyCols; pass idColsOverride"))
+      // committed-but-empty versions read as None: an empty side is a
+      // legitimate diff endpoint (restore-to-empty = all-delete entry)
+      val wantOpt = readReplicaAt(spark, replicaDir, toVersion)
+      val haveOpt = readReplica(spark, replicaDir)
+      (wantOpt, haveOpt) match {
+        case (None, None) => () // empty → empty: nothing to record
+        case _ =>
+          val ref = wantOpt.orElse(haveOpt).get
+          stateDiff(wantOpt.getOrElse(ref.limit(0)),
+            haveOpt.getOrElse(ref.limit(0)), ids, opCol)
+            .write.parquet(s"$staging/changes")
+      }
     }
     publishVersion(replicaDir, staging, nextName, target, prev,
       Some(name), forbidFrozen = true)

@@ -508,10 +508,14 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     // the restore is itself a version: writing continues on top
     apply(Seq((4L, "d4", "update")))
     assert(content(dir) == Seq((1L, "a1"), (2L, "b1"), (4L, "d4")))
-    // a restore target that was never committed refuses by name
-    intercept[IllegalArgumentException] {
+    // a restore target that was never committed refuses by name — and
+    // a target AHEAD of CURRENT (a crashed writer's unpublished orphan
+    // dir would land there) refuses before any dir collision can
+    // dangle the published references
+    val ahead = intercept[IllegalArgumentException] {
       CdcStream.restoreReplica(spark, dir, toVersion = 99L)
     }
+    assert(ahead.getMessage.contains("ahead of the current version"))
     // and the fence blocks restores like any content write
     CdcStream.freezeReplica(dir, "fence")
     try intercept[IllegalStateException] {
@@ -547,6 +551,49 @@ class ReplicaMaintenanceSpec extends SparkSuite {
       Seq("id"), Seq(col("v")), fromVersionExclusive = cursor)
     assert(content(follower) == content(primary),
       "the follower must replay the restore, not diverge")
+  }
+
+  test("a restore feed entry rolls back columns added AFTER the target") {
+    val primary = freshDir()
+    val follower = freshDir()
+    CdcStream.applyBatchToReplica(primary,
+      batch(Seq((1L, "a1", "update"))),
+      idCols = Seq("id"), orderCols = Seq(col("v")), recordChanges = true)
+    // v2 evolves the schema: column w appears after the restore target
+    CdcStream.applyBatchToReplica(primary,
+      Seq((1L, "a2", "x", "update")).toDF("id", "v", "w", "op"),
+      idCols = Seq("id"), orderCols = Seq(col("v")), recordChanges = true)
+    val cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("v")))
+    // the follower holds w='x'; the restored primary has no w at all —
+    // the diff must span the UNION of columns so w rolls back to null
+    CdcStream.restoreReplica(spark, primary, toVersion = 1L,
+      recordChanges = true)
+    CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("v")), fromVersionExclusive = cursor)
+    val row = CdcStream.readReplica(spark, follower).get
+      .select($"id", $"v", $"w").head()
+    assert((row.getLong(0), row.getString(1)) == (1L, "a1"))
+    assert(row.isNullAt(2),
+      "the post-target column must roll back to null on the follower")
+  }
+
+  test("a conditional store refuses the rewind-shaped restore feed entry") {
+    val dir = freshDir()
+    def applyCond(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir,
+        rows.toDF("id", "v", "seq", "op"),
+        Seq("id"), Seq(col("seq")), conditionalOrder = true,
+        recordChanges = true)
+    applyCond(Seq((1L, "a1", 1L, "update")))
+    applyCond(Seq((1L, "a2", 2L, "update")))
+    // greatest-order-wins followers would silently drop the rollback's
+    // lower-order rows — the entry must refuse, not poison the feed
+    val e = intercept[IllegalStateException] {
+      CdcStream.restoreReplica(spark, dir, toVersion = 1L,
+        recordChanges = true)
+    }
+    assert(e.getMessage.contains("greatest-order-wins"))
   }
 
   test("manifest records the union schema; evolution widens it") {
