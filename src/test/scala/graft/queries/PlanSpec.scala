@@ -614,4 +614,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"),
       s"no stage may collapse to one partition:\n${p.take(2000)}")
   }
+
+  test("llm_hll_audit: the sketch UDAF and the exact distinct fuse " +
+      "into ONE scan of events") {
+    val p = plan("llm_hll_audit")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"the audit must read events once, found $scans scans:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("llm_minhash_udaf: one key shuffle builds every signature; " +
+      "no cartesian, no single partition") {
+    val p = plan("llm_minhash_udaf")
+    // the UDAF aggregates partial+final on doc_id — exactly one
+    // data-sized exchange, hashed on the document key
+    assert(p.contains("hashpartitioning(doc_id"), p.take(2000))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"the Aggregator must plan partial+final:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
