@@ -212,8 +212,17 @@ object Bench {
     val interf = interference.sortBy(_._1)
       .map { case (k, rec, iso) => "\"" + k + "\":[" + r3(rec) + "," + r3(iso) + "]" }
       .mkString("{", ",", "}")
+    // BASIS TRANSPARENCY: which basis each headline number used
+    // ("isolated" only for re-timed outliers; everything else
+    // "recorded"), plus the all-recorded total — so cross-round diffs
+    // can compare like with like, and a query drifting across the
+    // outlier threshold between rounds is visible as a basis change
+    // rather than reading as a spurious speedup/regression
+    val basis = interference.map(_._1).sorted
+      .map(n => "\"" + n + "\":\"isolated\"").mkString("{", ",", "}")
+    val totalRecorded = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"audit_errors":$auditErrs,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},"basis_isolated":$basis,"queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"audit_errors":$auditErrs,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
     // a SPARK_GRAFT_QUERIES subset run is a DEBUG run: it must never
     // clobber the committed full-surface record the judge (and the
     // cross-round comparisons) read
@@ -225,7 +234,7 @@ object Bench {
       }
     // "queries" on the printed line = the 10 slowest (the ones a perf
     // reader actually wants); the rest live in BENCH_FULL.json
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"failed":$fs,"flaky":$fl,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},"queries":$slow,"failed":$fs,"flaky":$fl,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -157,7 +157,13 @@ object SketchQueries {
           max($"exact_cnt").as("exact_cnt"),
           count(lit(1)).as("n_regs"),
           max($"rho").as("max_rho"),
-          sum(expr(s"shiftleft(cast(1 as bigint), cast($guard - rho as int))")
+          // clamp: rho can reach guard+1 (all post-index hash bits
+          // zero), where Spark's shiftleft would wrap the negative
+          // count to 1<<63 while DuckDB's << would not — greatest(0,·)
+          // on BOTH sides keeps the checksum defined for the full rho
+          // range (~2^-52/row with 60-bit hashes, latent but real)
+          sum(expr(
+            s"shiftleft(cast(1 as bigint), greatest(0, cast($guard - rho as int)))")
             .cast("decimal(38,0)")).as("s_raw"))
         // an empty corpus reports NO rows, not one all-null row (the
         // global agg over zero registers would otherwise fabricate one)
@@ -386,7 +392,7 @@ object SketchQueries {
          |regs AS (SELECT idx, max(rho) AS rho FROM rr GROUP BY idx),
          |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
          |  CAST(max(rho) AS BIGINT) AS max_rho,
-         |  sum(CAST(1 AS BIGINT) << ($g - rho)) AS s_raw FROM regs),
+         |  sum(CAST(1 AS BIGINT) << greatest(0, $g - rho)) AS s_raw FROM regs),
          |ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_cnt FROM h),
          |est AS (
          |  SELECT exact_cnt, n_regs, max_rho,

@@ -542,11 +542,20 @@ object SourceQueries {
       import s.implicits._
       val df = s.read.format("graft-wal")
         .option("path", walDir(s, dir)).load()
-      df.select(
-          get_json_object($"value", "$.tableName").as("region"),
-          get_json_object($"value", "$.type").as("op"),
-          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("rowkey"),
-          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"))
+      // ONE from_json per envelope (fields as strings, cast after — the
+      // 4 get_json_object calls re-parsed every envelope 4x)
+      val env = StructType(Seq(
+        StructField("tableName", StringType),
+        StructField("type", StringType),
+        StructField("rows", ArrayType(StructType(Seq(
+          StructField("rowkey", StringType),
+          StructField("d:event_id", StringType)))))))
+      df.select(from_json($"value", env).as("e"))
+        .select(
+          $"e.tableName".as("region"),
+          $"e.type".as("op"),
+          $"e.rows".getItem(0).getField("rowkey").cast("long").as("rowkey"),
+          $"e.rows".getItem(0).getField("d:event_id").cast("long").as("event_id"))
         .groupBy($"region", $"op")
         .agg(count(lit(1)).as("n_events"),
           sum($"rowkey").as("sum_rowkey"),
@@ -613,10 +622,18 @@ object SourceQueries {
         .option("path", walDir(s, dir))
         .option("envelopeColumns", "true").load()
         .filter($"region".isin("region-002", "region-003") && $"op" === "put")
+      // ONE from_json per envelope (was 2 get_json_object re-parses)
+      val env = StructType(Seq(
+        StructField("rows", ArrayType(StructType(Seq(
+          StructField("rowkey", StringType),
+          StructField("d:event_id", StringType)))))))
       df.select(
           $"region",
-          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("rowkey"),
-          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"))
+          from_json($"value", env).as("e"))
+        .select(
+          $"region",
+          $"e.rows".getItem(0).getField("rowkey").cast("long").as("rowkey"),
+          $"e.rows".getItem(0).getField("d:event_id").cast("long").as("event_id"))
         .groupBy($"region")
         .agg(count(lit(1)).as("n_puts"),
           sum($"rowkey").as("sum_rowkey"),
@@ -640,11 +657,19 @@ object SourceQueries {
         .option("databaseNamePattern", "wal")
         .option("tableNamePattern", "region-00[01]")
         .load()
-      df.select(
-          get_json_object($"value", "$.tableName").as("region"),
-          get_json_object($"value", "$.type").as("op"),
-          get_json_object($"value", "$.rows[0].rowkey").cast("long").as("rowkey"),
-          get_json_object($"value", "$.rows[0]['d:event_id']").cast("long").as("event_id"))
+      // ONE from_json per envelope (was 4 get_json_object re-parses)
+      val env = StructType(Seq(
+        StructField("tableName", StringType),
+        StructField("type", StringType),
+        StructField("rows", ArrayType(StructType(Seq(
+          StructField("rowkey", StringType),
+          StructField("d:event_id", StringType)))))))
+      df.select(from_json($"value", env).as("e"))
+        .select(
+          $"e.tableName".as("region"),
+          $"e.type".as("op"),
+          $"e.rows".getItem(0).getField("rowkey").cast("long").as("rowkey"),
+          $"e.rows".getItem(0).getField("d:event_id").cast("long").as("event_id"))
         .groupBy($"region", $"op")
         .agg(count(lit(1)).as("n_events"),
           sum($"rowkey").as("sum_rowkey"),

@@ -211,6 +211,17 @@ object SecondaryIndex {
     * inherent to index creation, with no driver materialization.
     * Refuses a dir that already holds a store: an in-place rebuild
     * racing readers has no safe ordering; build fresh and swap.
+    *
+    * QUIESCENCE is VERIFIED, not assumed: the primary's version is
+    * pinned before the snapshot read and re-checked after the index
+    * commit. A batch applied to the primary between the snapshot and
+    * the first post-bootstrap [[applyBatchWithIndexes]] would be
+    * PERMANENTLY missing from the index (neither the bootstrap nor
+    * later incremental maintenance would ever emit its entries), so a
+    * moved version throws — delete the fresh dir and rebuild, or
+    * fence the primary ([[CdcStream.freezeReplica]]) for the build's
+    * duration. Returns the pinned primary version: incremental
+    * maintenance must resume from exactly that version's state.
     */
   def buildIndex(
       spark: SparkSession,
@@ -219,11 +230,14 @@ object SecondaryIndex {
       idCols: Seq[String],
       orderColNames: Seq[String],
       opCol: String = "op",
-      numBuckets: Int = CdcStream.DefaultReplicaBuckets): Unit = {
+      numBuckets: Int = CdcStream.DefaultReplicaBuckets): Long = {
     require(CdcStream.replicaVersions(spec.dir).isEmpty,
       s"buildIndex: ${spec.dir} already holds a store — rebuild into a " +
         "fresh dir and swap (an in-place rebuild racing readers has no " +
         "safe ordering)")
+    val pinned = CdcStream.replicaVersions(primaryDir).sorted.lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"buildIndex: primary $primaryDir has no committed version"))
     val state = CdcStream.readReplica(spark, primaryDir).getOrElse(
       throw new IllegalStateException(
         s"buildIndex: primary $primaryDir has no committed version"))
@@ -238,6 +252,13 @@ object SecondaryIndex {
       idCols = spec.name +: idCols, orderCols = orderColNames.map(col),
       opCol = opCol, numBuckets = numBuckets,
       bucketCols = Some(Seq(spec.name)))
+    val after = CdcStream.replicaVersions(primaryDir).sorted.lastOption
+    if (!after.contains(pinned)) throw new IllegalStateException(
+      s"buildIndex: primary $primaryDir advanced from v$pinned to " +
+        s"v${after.getOrElse(-1L)} during the bootstrap — the batch(es) " +
+        "committed mid-build are missing from the index; delete " +
+        s"${spec.dir} and rebuild (or freeze the primary for the build)")
+    pinned
   }
 
   /** Equality lookup THROUGH the index: `values` carries one column
