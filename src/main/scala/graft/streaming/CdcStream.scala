@@ -622,7 +622,19 @@ object CdcStream {
         * None→Some `condOrderCols` transition (the conditional
         * backfill re-keys every bucket's min by the order columns).
         */
-      tombstoneMinCols: Option[Seq[String]] = None)
+      tombstoneMinCols: Option[Seq[String]] = None,
+      /** WHAT KIND of commit produced this version — "merge",
+        * "compact", "reshard", "erase", "restore". Lets feed
+        * consumers distinguish a changeless version that is
+        * CONTENT-IDENTICAL (compact/reshard — correctly contributes
+        * an empty change set) from one that MUTATED content without a
+        * feed entry (an erasure, or a merge with recordChanges=false)
+        * — the latter must refuse a follower drain instead of
+        * silently losing the commit. None on manifests predating the
+        * field (their changeless versions keep the historical
+        * skip-silently behavior — unknowable after the fact).
+        */
+      commitKind: Option[String] = None)
 
   private def readManifest(replicaDir: String, version: String): Option[ReplicaManifest] = {
     val f = new java.io.File(s"$replicaDir/$version", "manifest.json")
@@ -639,6 +651,7 @@ object CdcStream {
     var opColName: Option[String] = None
     var condOrderCols: Option[Seq[String]] = None
     var tombstoneMinCols: Option[Seq[String]] = None
+    var commitKind: Option[String] = None
     var deltasConditional = false
     val buckets = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     val deltas = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[String]]
@@ -657,6 +670,7 @@ object CdcStream {
         case "bucketCols" => p.nextToken(); bucketCols = Some(readStringArray())
         case "keyCols" => p.nextToken(); keyCols = Some(readStringArray())
         case "opCol" => p.nextToken(); opColName = Some(p.getText)
+        case "commitKind" => p.nextToken(); commitKind = Some(p.getText)
         case "condOrderCols" => p.nextToken(); condOrderCols = Some(readStringArray())
         case "tombstoneMinCols" => p.nextToken(); tombstoneMinCols = Some(readStringArray())
         case "deltasConditional" => p.nextToken(); deltasConditional = p.getBooleanValue
@@ -683,7 +697,7 @@ object CdcStream {
     p.close()
     Some(ReplicaManifest(nb, buckets.toMap, schemaJson, watermark, bucketCols,
       keyCols, opColName, deltas.toMap, condOrderCols, deltasConditional,
-      tombstoneMins.toMap, tombstoneMinCols))
+      tombstoneMins.toMap, tombstoneMinCols, commitKind))
   }
 
   private def writeManifestTo(dir: java.nio.file.Path, m: ReplicaManifest): Unit = {
@@ -704,6 +718,7 @@ object CdcStream {
       g.writeEndArray()
     }
     m.opColName.foreach(g.writeStringField("opCol", _))
+    m.commitKind.foreach(g.writeStringField("commitKind", _))
     m.condOrderCols.foreach { cs =>
       g.writeArrayFieldStart("condOrderCols")
       cs.foreach(g.writeString)
@@ -1070,14 +1085,54 @@ object CdcStream {
     * columns would resurrect the overwritten row. Returns the feed
     * version the follower is now caught up to (the next call's
     * `fromVersionExclusive`).
+    *
+    * CHANGELESS versions in the range are classified by their
+    * recorded `commitKind`: compaction/reshard commits are
+    * content-identical and correctly contribute nothing, but an
+    * ERASURE mutates content with no feed entry (a follower caught up
+    * through the feed would silently RETAIN the erased keys — apply
+    * [[eraseKeys]] to the follower separately), and a merge committed
+    * with `recordChanges = false` is a commit the feed simply never
+    * carried — both REFUSE instead of silently diverging. Manifests
+    * predating the classification (None) keep the historical
+    * silent-skip: after the fact a changeless legacy version is
+    * indistinguishable from a compaction.
+    *
+    * `conditionalApply` replays into an ORDER-CONDITIONAL follower:
+    * the fold still runs by commit order (a conditional primary's
+    * feed records only incoming WINNERS, so per key the newest feed
+    * version's row is the greatest-order row), and the follower's
+    * merge applies with `conditionalOrder = true` so winning deletes
+    * materialize as tombstones and late replays keep losing to them.
     */
   def replayFeedInto(spark: org.apache.spark.sql.SparkSession,
       primaryDir: String, followerDir: String,
       idCols: Seq[String], orderCols: Seq[Column],
       fromVersionExclusive: Long = 0L,
-      recordChanges: Boolean = false): Long = {
+      recordChanges: Boolean = false,
+      conditionalApply: Boolean = false): Long = {
     val latest = currentVersion(primaryDir).map(_._1).getOrElse(0L)
     if (latest <= fromVersionExclusive) return fromVersionExclusive
+    ((fromVersionExclusive + 1) to latest).foreach { v =>
+      val vDir = new java.io.File(primaryDir, f"v$v%09d")
+      if (vDir.isDirectory &&
+          !new java.io.File(vDir, "changes").isDirectory) {
+        readManifest(primaryDir, vDir.getName).flatMap(_.commitKind) match {
+          case Some("compact") | Some("reshard") | None => () // identical / legacy
+          case Some("erase") => throw new IllegalStateException(
+            s"replica $primaryDir: version $v is an ERASURE — erasure " +
+              "rewrites history with no feed entry, so a feed-replayed " +
+              "follower would silently retain the erased keys; apply " +
+              "eraseKeys to the follower separately, then resume the " +
+              "replay past this version")
+          case Some(k) => throw new IllegalStateException(
+            s"replica $primaryDir: version $v is a content commit " +
+              s"($k) with no recorded changes (recordChanges=false) — " +
+              "the feed never carried it, so draining it is impossible; " +
+              "re-seed the follower from a snapshot instead")
+        }
+      }
+    }
     readReplicaChanges(spark, primaryDir, fromVersionExclusive,
         Some(latest)).foreach { net =>
       val w = Window.partitionBy(idCols.map(col): _*)
@@ -1086,7 +1141,8 @@ object CdcStream {
         .filter(col("__rn") === 1)
         .drop("__rn", "_commit_version", "_commit_watermark")
       applyBatchToReplica(followerDir, latestNet, idCols, orderCols,
-        recordChanges = recordChanges)
+        recordChanges = recordChanges,
+        conditionalOrder = conditionalApply)
     }
     latest
   }
@@ -1303,7 +1359,7 @@ object CdcStream {
       }
     }
     publishVersion(replicaDir, staging, nextName, target, prev,
-      Some(name), forbidFrozen = true)
+      Some(name), forbidFrozen = true, kind = "restore")
   }
 
   /** Compact the live replica: rewrite into one fresh version every
@@ -1400,7 +1456,7 @@ object CdcStream {
           deltasConditional = (m.deltas -- rewriteKeys).nonEmpty &&
             m.deltasConditional,
           tombstoneMins = newMins),
-        prev, cur.map(_._2))
+        prev, cur.map(_._2), kind = "compact")
       return
     }
     // the store's union schema (manifest-recorded, or one footer merge
@@ -1492,7 +1548,7 @@ object CdcStream {
         val staging = newStagingDir(replicaDir)
         publishVersion(replicaDir, staging, nextName,
           m.copy(tombstoneMins = sweptMins, tombstoneMinCols = sweepMinCols),
-          prev, cur.map(_._2))
+          prev, cur.map(_._2), kind = "compact")
       }
       return
     }
@@ -1533,7 +1589,7 @@ object CdcStream {
       m.copy(buckets = newBuckets, tombstoneMins = newMins,
         tombstoneMinCols = if (m.condOrderCols.nonEmpty) None
           else minKey),
-      prev, cur.map(_._2))
+      prev, cur.map(_._2), kind = "compact")
   }
 
   /** Metadata-driven maintenance policy — the call a `foreachBatch`
@@ -1657,7 +1713,7 @@ object CdcStream {
       // empty store: flip the count with a manifest-only commit
       publishVersion(replicaDir, staging, nextName,
         m.copy(numBuckets = newNumBuckets, buckets = Map.empty),
-        Some(m), Some(name), forbidFrozen = true)
+        Some(m), Some(name), forbidFrozen = true, kind = "reshard")
       return
     }
     val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
@@ -1704,7 +1760,7 @@ object CdcStream {
       m.copy(numBuckets = newNumBuckets, buckets = newBuckets,
         schemaJson = Some(outSc.json), deltas = Map.empty,
         deltasConditional = false, tombstoneMins = newMins),
-      Some(m), Some(name), forbidFrozen = true)
+      Some(m), Some(name), forbidFrozen = true, kind = "reshard")
   }
 
   /** COMPLIANCE ERASURE (right-to-be-forgotten — the Delta
@@ -1832,7 +1888,7 @@ object CdcStream {
           deltas = remainingDeltas,
           deltasConditional = remainingDeltas.nonEmpty && m.deltasConditional,
           tombstoneMins = newMins),
-        Some(m), Some(name), forbidFrozen = true)
+        Some(m), Some(name), forbidFrozen = true, kind = "erase")
     }
     // 2: purge historical on-disk copies of the touched buckets —
     // base files AND pending delta files (their lists dropped from the
@@ -1937,11 +1993,20 @@ object CdcStream {
     */
   private def publishVersion(replicaDir: String, stagingDir: String,
       nextName: String, next: ReplicaManifest, prev: Option[ReplicaManifest],
-      curName: Option[String], forbidFrozen: Boolean = false): Unit = {
+      curName: Option[String], forbidFrozen: Boolean = false,
+      /** Commit classification recorded in the manifest ("merge" /
+        * "compact" / "reshard" / "erase" / "restore") — never copied
+        * from the previous manifest, so every version states what
+        * produced IT. "merge" is the safe default: a changeless merge
+        * refuses a follower drain ([[replayFeedInto]]), so an
+        * unclassified new path fails loud, not silent.
+        */
+      kind: String = "merge"): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
     CdcStream.publishTestHook()
-    writeManifestTo(java.nio.file.Paths.get(stagingDir), next)
+    writeManifestTo(java.nio.file.Paths.get(stagingDir),
+      next.copy(commitKind = Some(kind)))
     val target = java.nio.file.Paths.get(replicaDir, nextName)
     val lock = java.nio.file.Paths.get(replicaDir, ".commit-lock")
     val ownerToken = java.util.UUID.randomUUID().toString

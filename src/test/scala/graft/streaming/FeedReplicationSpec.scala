@@ -244,6 +244,52 @@ class FeedReplicationSpec extends SparkSuite {
     }
   }
 
+  test("a changeless version in the drain range is classified by its " +
+      "commit kind: compaction skips, erasure and unrecorded merges refuse") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(rows: Seq[(Long, String, Long, String)], rec: Boolean = true): Unit =
+      CdcStream.applyBatchToReplica(primary, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = rec)
+    commit(Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update")))
+    // a compaction commit in the range is CONTENT-IDENTICAL — the
+    // replay must skip it and still converge
+    CdcStream.compactReplica(spark, primary)
+    commit(Seq((3L, "c3", 3L, "update")))
+    var cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("seq")))
+    assert(state(follower) == state(primary))
+    // an ERASURE mutates content with no feed entry: a follower that
+    // replays past it would silently retain the erased keys — refuse
+    CdcStream.eraseKeys(spark, primary, Seq("id"), Seq(2L).toDF("id"))
+    val e1 = intercept[IllegalStateException] {
+      CdcStream.replayFeedInto(spark, primary, follower,
+        Seq("id"), Seq(col("seq")), fromVersionExclusive = cursor)
+    }
+    assert(e1.getMessage.contains("ERASURE"))
+    // the documented recovery: erase on the follower too, then resume
+    // the replay PAST the erasure version
+    CdcStream.eraseKeys(spark, follower, Seq("id"), Seq(2L).toDF("id"))
+    cursor = CdcStream.replicaVersions(primary).max
+    // a merge committed with recordChanges=false never reached the
+    // feed: draining it is impossible — refuse, never silently lose it
+    commit(Seq((4L, "d5", 5L, "update")), rec = false)
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.replayFeedInto(spark, primary, follower,
+        Seq("id"), Seq(col("seq")), fromVersionExclusive = cursor)
+    }
+    assert(e2.getMessage.contains("recordChanges=false"))
+    // recorded commits after the hole are reachable once the follower
+    // re-seeds (here: apply the missing net by hand, then resume)
+    CdcStream.applyBatchToReplica(follower,
+      batch(Seq((4L, "d5", 5L, "update"))), Seq("id"), Seq(col("seq")))
+    cursor = CdcStream.replicaVersions(primary).max
+    commit(Seq((5L, "e6", 6L, "update")))
+    CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("seq")), fromVersionExclusive = cursor)
+    assert(state(follower) == state(primary))
+  }
+
   test("crash failover: divergent old-primary commits roll back on resync") {
     val primary = freshDir()
     val follower = freshDir()
