@@ -826,10 +826,16 @@ object EventQueries {
           .withColumn("value_cents", $"value_cents" * 2)
           .withColumn("user_id", when($"event_id" % 5 === 0,
             $"user_id" + 1000000L).otherwise($"user_id")))
-        CdcStream.promoteFollower(s, nu, old, ids, ord,
+        val promoV = CdcStream.promoteFollower(s, nu, old, ids, ord,
           lastAppliedVersion = 2L, drain = false)
         commit(nu, slice(Some(cut(2)), Some(cut(3))))     // real Q3
-        val from = CdcStream.resyncAsFollower(s, old, nu, ids, ord)
+        // fork versions make the rewind diff DELTA-sized: both sides
+        // read only the post-fork feed keys' buckets, never the full
+        // stores (FeedReplicationSpec pins the pruning with the
+        // corrupted-untouched-file trick)
+        val from = CdcStream.resyncAsFollower(s, old, nu, ids, ord,
+          demotedDivergedAfter = Some(2L),
+          newPrimaryForkVersion = Some(promoV))
         commit(nu, slice(Some(cut(3)), None))             // Q4
         CdcStream.replayFeedInto(s, nu, old, ids, ord,
           fromVersionExclusive = from)

@@ -807,6 +807,19 @@ object CdcStream {
   def readReplicaForKeys(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, idCols: Seq[String], keys: DataFrame): Option[DataFrame] =
     currentVersion(replicaDir).flatMap { case (_, name) =>
+      readForKeysAt(spark, replicaDir, name, idCols, keys)
+    }
+
+  /** Key-pruned read of a SPECIFIC version — the time-travel twin of
+    * [[readReplicaForKeys]] (same exact hash-derived bucket pruning,
+    * same broadcast semi-join), reading through the given version's
+    * manifest instead of CURRENT. The delta-sized restore diff reads
+    * the rollback target through this: O(touched buckets), not
+    * O(store), even when the target is a historical version.
+    */
+  private def readForKeysAt(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, name: String, idCols: Seq[String],
+      keys: DataFrame): Option[DataFrame] = {
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
           val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
@@ -955,6 +968,43 @@ object CdcStream {
     }
     // unionByName: additive schema evolution across versions null-fills
     parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The DISTINCT key tuples touched by feed versions in
+    * `(fromVersionExclusive, toVersion]` — the divergence bound the
+    * delta-sized rewind/restore diffs prune by. Some(keys) ONLY when
+    * every version in the range is accounted for: it records changes,
+    * or its `commitKind` proves it content-identical (compact /
+    * reshard). A version that mutated content outside the feed (an
+    * erasure, a recordChanges=false merge, a legacy unclassified
+    * changeless commit) — or a GC'd version dir — returns outer None:
+    * the feed cannot bound the divergence, so the caller must fall
+    * back to the full-store diff. `Some(None)` means the range is
+    * PROVABLY divergence-free (all versions content-identical).
+    * Cost: the changes files' key columns only (delta-sized), no
+    * store data touched.
+    */
+  private def feedTouchedKeys(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, fromVersionExclusive: Long, toVersion: Long,
+      idCols: Seq[String]): Option[Option[DataFrame]] = {
+    val parts = ((fromVersionExclusive + 1) to toVersion).map { v =>
+      val vDir = new java.io.File(replicaDir, f"v$v%09d")
+      val changes = new java.io.File(vDir, "changes")
+      if (!vDir.isDirectory) None // GC'd: keys unknowable
+      else if (changes.isDirectory) {
+        val df = spark.read.parquet(changes.toString)
+        if (idCols.forall(df.columns.contains))
+          Some(Some(df.select(idCols.map(col): _*)))
+        else None // pre-keyCols feed entry: keys not enumerable
+      } else readManifest(replicaDir, vDir.getName).flatMap(_.commitKind) match {
+        case Some("compact") | Some("reshard") => Some(None) // identical
+        case _ => None // content mutated outside the feed, or legacy
+      }
+    }
+    if (parts.contains(None)) None
+    else Some(parts.flatMap(_.flatten)
+      .reduceOption(_.unionByName(_))
+      .map(_.distinct()))
   }
 
   /** Committed versions whose manifests are still on disk (newest
@@ -1199,14 +1249,33 @@ object CdcStream {
     *
     * Sequence (non-conditional) stores only: a conditional store's
     * tombstone late-loser protection is designed to REFUSE exactly the
-    * kind of backward state move a rewind is; compact a conditional
-    * store and reseed instead.
+    * kind of backward state move a rewind is; a conditional store
+    * rejoins through [[reseedAsFollower]] (compact-and-reseed)
+    * instead.
+    *
+    * DELTA-SIZED when the fork is known: with `demotedDivergedAfter`
+    * (the last primary version the follower had applied before the
+    * failover — everything after is the demoted store's lost
+    * divergence) and `newPrimaryForkVersion` (the new primary's
+    * version at promotion — everything after is its own new history),
+    * the candidate divergence keys are the UNION of both stores' feed
+    * keys past their forks ([[feedTouchedKeys]]) — every other key was
+    * content-equal at the fork and untouched since, PROVIDED both
+    * ranges are feed-complete. Both sides then read only those keys'
+    * buckets (the [[readReplicaForKeys]] pruning), so the rewind READ
+    * is divergence-sized too — at 100 TB the difference between a
+    * failover drill and a double full-store scan per rejoin. Any
+    * version in either range that mutated content outside the feed
+    * (erasure, recordChanges=false, legacy) falls back to the full
+    * diff — correct, never silently partial.
     */
   def resyncAsFollower(spark: org.apache.spark.sql.SparkSession,
       demotedDir: String, newPrimaryDir: String,
       idCols: Seq[String], orderCols: Seq[Column],
-      opCol: String = "op"): Long = {
-    val (vp, _) = currentVersion(newPrimaryDir).getOrElse(
+      opCol: String = "op",
+      demotedDivergedAfter: Option[Long] = None,
+      newPrimaryForkVersion: Option[Long] = None): Long = {
+    val (vp, vpName) = currentVersion(newPrimaryDir).getOrElse(
       throw new IllegalStateException(
         s"resync: new primary $newPrimaryDir has no committed version"))
     currentVersion(demotedDir)
@@ -1214,16 +1283,50 @@ object CdcStream {
       .foreach { m =>
         require(m.condOrderCols.isEmpty && !m.deltasConditional,
           "resyncAsFollower supports sequence stores; a conditional " +
-            "store's tombstone protections conflict with rewind semantics")
+            "store rejoins via reseedAsFollower (compact-and-reseed)")
       }
-    val want = readReplicaAt(spark, newPrimaryDir, vp).getOrElse(
-      throw new IllegalStateException(
-        s"resync: new primary $newPrimaryDir version $vp is unreadable"))
-    val have = readReplica(spark, demotedDir).getOrElse(want.limit(0))
-    val rewind = stateDiff(want, have, idCols, opCol)
-    applyNetToReplica(demotedDir,
-      lastOpPerKey(rewind, idCols, orderCols), rewind.columns,
-      idCols, opCol, DefaultReplicaBuckets, bypassFreeze = true)
+    val vd = currentVersion(demotedDir).map(_._1).getOrElse(0L)
+    // divergence bound off the two change feeds (None = unbounded →
+    // full diff): demoted keys past the delivery fork ∪ new-primary
+    // keys past the promotion fork
+    val bound: Option[Option[DataFrame]] =
+      (demotedDivergedAfter, newPrimaryForkVersion) match {
+        case (Some(fd), Some(fp)) =>
+          for {
+            a <- feedTouchedKeys(spark, demotedDir, fd, vd, idCols)
+            b <- feedTouchedKeys(spark, newPrimaryDir, fp, vp, idCols)
+          } yield (a, b) match {
+            case (Some(x), Some(y)) => Some(x.unionByName(y).distinct())
+            case (x, y) => x.orElse(y)
+          }
+        case _ => None
+      }
+    val rewind = bound match {
+      case Some(None) => None // provably divergence-free: no rewind row
+      case Some(Some(keys)) =>
+        // both sides restricted to the candidate keys' buckets — the
+        // diff (and its read) is divergence-sized
+        val want = readForKeysAt(spark, newPrimaryDir, vpName, idCols, keys)
+        val have = readReplicaForKeys(spark, demotedDir, idCols, keys)
+        (want, have) match {
+          case (None, None) => None
+          case _ =>
+            val ref = want.orElse(have).get
+            Some(stateDiff(want.getOrElse(ref.limit(0)),
+              have.getOrElse(ref.limit(0)), idCols, opCol))
+        }
+      case None => // no fork info / feed-incomplete: full-store diff
+        val want = readReplicaAt(spark, newPrimaryDir, vp).getOrElse(
+          throw new IllegalStateException(
+            s"resync: new primary $newPrimaryDir version $vp is unreadable"))
+        val have = readReplica(spark, demotedDir).getOrElse(want.limit(0))
+        Some(stateDiff(want, have, idCols, opCol))
+    }
+    rewind.foreach { rw =>
+      applyNetToReplica(demotedDir,
+        lastOpPerKey(rw, idCols, orderCols), rw.columns,
+        idCols, opCol, DefaultReplicaBuckets, bypassFreeze = true)
+    }
     unfreezeReplica(demotedDir)
     vp
   }
@@ -1345,10 +1448,33 @@ object CdcStream {
           throw new IllegalStateException(
             "restore: recordChanges needs key columns — this store's " +
               "manifests predate keyCols; pass idColsOverride"))
+      // DELTA-SIZED when the feed covers (toVersion, current]: the
+      // divergence between the target and the current state is bounded
+      // by the keys those versions' feed entries touched, so both
+      // sides read only the touched keys' buckets ([[readForKeysAt]]
+      // pruning — O(rolled-back delta), never O(store)). A version in
+      // the range that mutated content outside the feed (erasure,
+      // recordChanges=false, legacy) falls back to the full diff.
+      val bound: Option[DataFrame] =
+        feedTouchedKeys(spark, replicaDir, toVersion, v, ids) match {
+          case Some(Some(keys)) => Some(keys)
+          case Some(None) => // provably identical: empty feed entry
+            Some(readReplica(spark, replicaDir)
+              .map(_.select(ids.map(col): _*).limit(0))
+              .getOrElse(spark.emptyDataFrame))
+          case None => None
+        }
       // committed-but-empty versions read as None: an empty side is a
       // legitimate diff endpoint (restore-to-empty = all-delete entry)
-      val wantOpt = readReplicaAt(spark, replicaDir, toVersion)
-      val haveOpt = readReplica(spark, replicaDir)
+      val (wantOpt, haveOpt) = bound match {
+        case Some(keys) if keys.columns.nonEmpty =>
+          (readForKeysAt(spark, replicaDir, targetName, ids, keys),
+            readReplicaForKeys(spark, replicaDir, ids, keys))
+        case Some(_) => (None, None) // empty-schema sentinel: no diff
+        case None =>
+          (readReplicaAt(spark, replicaDir, toVersion),
+            readReplica(spark, replicaDir))
+      }
       (wantOpt, haveOpt) match {
         case (None, None) => () // empty → empty: nothing to record
         case _ =>

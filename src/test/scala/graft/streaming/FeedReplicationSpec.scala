@@ -244,6 +244,67 @@ class FeedReplicationSpec extends SparkSuite {
     }
   }
 
+  test("with known fork versions the rewind diff reads ONLY the " +
+      "post-fork feed keys' buckets (delta-sized, never a store scan)") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    // v1 spreads 40 keys across the 16 buckets
+    commit(primary, (1L to 40L).map(i => (i, s"base$i", 1L, "update")))
+    val cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("seq")))
+    // divergence the feed bounds: the old primary loses an undelivered
+    // commit touching ONLY key 1; the new primary's own history
+    // touches ONLY key 2
+    commit(primary, Seq((1L, "lost", 99L, "update")))
+    val promoV = CdcStream.promoteFollower(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), lastAppliedVersion = cursor, drain = false)
+    commit(follower, Seq((2L, "b2", 2L, "update")))
+    // corrupt every data file of every UNTOUCHED bucket in BOTH stores
+    // — the delta rewind must neither read nor rewrite them (a full
+    // diff, or any unpruned read, would crash on the garbage)
+    import org.apache.spark.sql.functions.{hash, pmod, lit => flit}
+    val okBuckets = Seq(1L, 2L).toDF("id")
+      .select(pmod(hash($"id"), flit(CdcStream.DefaultReplicaBuckets)))
+      .collect().map(_.getInt(0)).toSet
+    val saved =
+      scala.collection.mutable.Map.empty[java.nio.file.Path, Array[Byte]]
+    def corrupt(f: java.io.File, inData: Boolean): Unit =
+      if (f.isDirectory) {
+        val enter = inData || f.getName == "data" || f.getName == "delta"
+        val skip = f.getName.startsWith("__bucket=") &&
+          okBuckets(f.getName.stripPrefix("__bucket=").toInt)
+        if (!skip)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .foreach(corrupt(_, enter))
+      } else if (inData && f.getName.endsWith(".parquet")) {
+        saved += f.toPath -> java.nio.file.Files.readAllBytes(f.toPath)
+        java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+        ()
+      }
+    corrupt(new java.io.File(primary), inData = false)
+    corrupt(new java.io.File(follower), inData = false)
+    val from = CdcStream.resyncAsFollower(spark, primary, follower,
+      Seq("id"), Seq(col("seq")),
+      demotedDivergedAfter = Some(cursor),
+      newPrimaryForkVersion = Some(promoV))
+    // un-corrupt so the full-state assertions below can read everything
+    saved.foreach { case (p, b) => java.nio.file.Files.write(p, b) }
+    assert(state(primary) == state(follower),
+      "the delta rewind must converge the demoted store exactly")
+    assert(state(primary).take(3) ==
+      Seq((1L, "base1"), (2L, "b2"), (3L, "base3")),
+      "key 1's lost divergence rolls back; key 2 catches up")
+    assert(CdcStream.replicaFrozen(primary).isEmpty)
+    // and the store keeps following the feed from the returned point
+    commit(follower, Seq((3L, "c3", 3L, "update")))
+    CdcStream.replayFeedInto(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), fromVersionExclusive = from)
+    assert(state(primary) == state(follower))
+  }
+
   test("a changeless version in the drain range is classified by its " +
       "commit kind: compaction skips, erasure and unrecorded merges refuse") {
     val primary = freshDir()

@@ -553,6 +553,52 @@ class ReplicaMaintenanceSpec extends SparkSuite {
       "the follower must replay the restore, not diverge")
   }
 
+  test("the restore feed entry is computed delta-sized: only the " +
+      "rolled-back versions' feed keys' buckets are read") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(rows: Seq[(Long, String, String)]): Unit =
+      CdcStream.applyBatchToReplica(primary, batch(rows),
+        idCols = Seq("id"), orderCols = Seq(col("v")),
+        recordChanges = true)
+    // v1 spreads 40 keys across the buckets; v2 touches ONLY key 1
+    commit((1L to 40L).map(i => (i, s"base$i", "update")))
+    commit(Seq((1L, "a2", "update")))
+    val cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("v")))
+    // corrupt every data file outside key 1's bucket: the restore's
+    // diff must read only that bucket (v2's feed keys = {1}) — any
+    // unpruned read crashes on the garbage. Changes files stay intact
+    // (the feed IS the pruning source).
+    import org.apache.spark.sql.functions.{hash, pmod, lit => flit}
+    val okBucket = Seq(1L).toDF("id")
+      .select(pmod(hash($"id"), flit(CdcStream.DefaultReplicaBuckets)))
+      .head().getInt(0)
+    val saved =
+      scala.collection.mutable.Map.empty[java.nio.file.Path, Array[Byte]]
+    def corrupt(f: java.io.File, inData: Boolean): Unit =
+      if (f.isDirectory) {
+        val enter = inData || f.getName == "data" || f.getName == "delta"
+        if (!(f.getName == s"__bucket=$okBucket"))
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .foreach(corrupt(_, enter))
+      } else if (inData && f.getName.endsWith(".parquet")) {
+        saved += f.toPath -> java.nio.file.Files.readAllBytes(f.toPath)
+        java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+        ()
+      }
+    corrupt(new java.io.File(primary), inData = false)
+    CdcStream.restoreReplica(spark, primary, toVersion = 1L,
+      recordChanges = true)
+    saved.foreach { case (p, b) => java.nio.file.Files.write(p, b) }
+    assert(content(primary).take(2) == Seq((1L, "base1"), (2L, "base2")))
+    // the delta-computed entry replays into the follower exactly
+    CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("v")), fromVersionExclusive = cursor)
+    assert(content(follower) == content(primary),
+      "the pruned restore diff must carry the full rollback")
+  }
+
   test("a restore feed entry rolls back columns added AFTER the target") {
     val primary = freshDir()
     val follower = freshDir()
