@@ -845,6 +845,63 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: CONDITIONAL-store failover — compact-and-reseed (r11) -----
+    // The failover path resyncAsFollower refuses by design: a
+    // conditional store's greatest-order-wins tombstones refuse
+    // exactly the backward move a rewind is, so the demoted store
+    // rejoins by COMPACT-AND-RESEED instead (fence → compact the new
+    // primary, materializing tombstone winners → wipe + snapshot-seed
+    // the demoted store in one conditional merge → follow the feed
+    // from the returned position). The divergent commit is built to
+    // WIN the order compare everywhere if any trace survives — ghost
+    // keys, +36500-day timestamps, doubled values — and the audited
+    // output is the REJOINED old primary, which must equal the
+    // last-writer fold over ALL real events exactly.
+    "cdc_failover_conditional" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = graft.llm.IndexArtifacts.cachedPath(dir,
+        "cdc-failover-cond", inputs = Seq(s"$dir/events.parquet")) { out =>
+        val old = s"$out/old"; val nu = s"$out/new"
+        val ids = Seq("user_id")
+        val ord = Seq(col("ts"), col("event_id"))
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", $"ts",
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        def cut(k: Int) = lo + (hi - lo) * k / 4
+        def slice(a: Option[Long], b: Option[Long]) = ev
+          .filter(a.map(unix_millis($"ts") >= _).getOrElse(lit(true)) &&
+            b.map(unix_millis($"ts") < _).getOrElse(lit(true)))
+        def commit(dir0: String, df: org.apache.spark.sql.DataFrame): Unit =
+          CdcStream.applyBatchToReplica(dir0, df, ids, ord,
+            recordChanges = true, conditionalOrder = true)
+        commit(old, slice(None, Some(cut(1))))            // v1
+        commit(old, slice(Some(cut(1)), Some(cut(2))))    // v2
+        CdcStream.replayFeedInto(s, old, nu, ids, ord,
+          conditionalApply = true)
+        // v3: committed, never delivered — the divergence a crash
+        // failover loses, built to WIN greatest-order if it survives
+        commit(old, slice(Some(cut(2)), Some(cut(3)))
+          .withColumn("ts", $"ts" + expr("INTERVAL 36500 DAYS"))
+          .withColumn("event_id", $"event_id" + 1000000000L)
+          .withColumn("value_cents", $"value_cents" * 2)
+          .withColumn("user_id", when($"event_id" % 5 === 0,
+            $"user_id" + 1000000L).otherwise($"user_id")))
+        CdcStream.promoteFollower(s, nu, old, ids, ord,
+          lastAppliedVersion = 2L, drain = false)
+        commit(nu, slice(Some(cut(2)), Some(cut(3))))     // real Q3
+        val from = CdcStream.reseedAsFollower(s, old, nu, ids, ord)
+        commit(nu, slice(Some(cut(3)), None))             // Q4
+        CdcStream.replayFeedInto(s, nu, old, ids, ord,
+          fromVersionExclusive = from, conditionalApply = true)
+      }
+      CdcStream.readReplica(s, s"$root/old").get
+        .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: snapshot (time-travel) read of a previous version ----------
     // Two time-split batches commit v1 then v2; reading AT v1 returns
     // exactly the post-batch-1 state — the versioned-pointer layout's
@@ -1825,6 +1882,19 @@ object EventQueries {
     // the rejoined old primary's state = last-writer over ALL real
     // events (the divergent commit is failover-lost by definition)
     "cdc_failover_promote" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin,
+
+    // conditional twin: greatest-(ts,event_id)-wins over time-sliced
+    // batches equals the same last-writer fold — the reseeded old
+    // primary must carry no trace of the order-winning divergence
+    "cdc_failover_conditional" ->
       s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
          |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
          |    $opSql AS op,

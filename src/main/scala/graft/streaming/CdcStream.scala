@@ -1220,11 +1220,17 @@ object CdcStream {
   def promoteFollower(spark: org.apache.spark.sql.SparkSession,
       followerDir: String, oldPrimaryDir: String,
       idCols: Seq[String], orderCols: Seq[Column],
-      lastAppliedVersion: Long, drain: Boolean = true): Long = {
+      lastAppliedVersion: Long, drain: Boolean = true,
+      /** Apply the drain with `conditionalOrder` — required when the
+        * follower is an order-conditional store (its tombstones have
+        * no coherent meaning under a sequence fold).
+        */
+      conditionalApply: Boolean = false): Long = {
     freezeReplica(oldPrimaryDir, s"demoted: follower $followerDir promoted")
     if (drain)
       replayFeedInto(spark, oldPrimaryDir, followerDir, idCols, orderCols,
-        fromVersionExclusive = lastAppliedVersion, recordChanges = true)
+        fromVersionExclusive = lastAppliedVersion, recordChanges = true,
+        conditionalApply = conditionalApply)
     currentVersion(followerDir).map(_._1).getOrElse(0L)
   }
 
@@ -1326,6 +1332,82 @@ object CdcStream {
       applyNetToReplica(demotedDir,
         lastOpPerKey(rw, idCols, orderCols), rw.columns,
         idCols, opCol, DefaultReplicaBuckets, bypassFreeze = true)
+    }
+    unfreezeReplica(demotedDir)
+    vp
+  }
+
+  /** COMPACT-AND-RESEED — the CONDITIONAL store's failover rejoin
+    * (the path [[resyncAsFollower]] refuses by design): a conditional
+    * store's greatest-order-wins tombstone protection REFUSES exactly
+    * the backward state move a rewind is, so a demoted conditional
+    * store cannot be converged by a diff merge. Instead its content is
+    * REPLACED wholesale by the new primary's snapshot:
+    *
+    *  1. require the demoted store FENCED ([[freezeReplica]] — the
+    *     promotion raised it); reseeding wipes content, so an unfenced
+    *     call refuses rather than destroy a store that might still be
+    *     taking writes;
+    *  2. COMPACT the new primary: pending conditional delta chains
+    *     fold and winning deletes MATERIALIZE as tombstone rows, so
+    *     the snapshot carries every key's late-loser protection, not
+    *     just its live rows (no-op on a healthy store);
+    *  3. pin the new primary's post-compaction version — the returned
+    *     FEED POSITION the reseeded follower resumes from;
+    *  4. wipe the demoted store (its divergent commits lost the
+    *     failover — unlike the sequence rewind nothing of them can be
+    *     kept) and seed it with ONE conditional merge of the
+    *     snapshot: tombstones re-apply as deletes carrying their
+    *     stored order values, so they materialize again in the fresh
+    *     store and a late below-order batch still loses;
+    *  5. lift the fence.
+    *
+    * Cost is O(new-primary store) — inherent to a reseed (this is
+    * pg_basebackup, not pg_rewind); the conditional semantics are WHY
+    * the delta path cannot exist, which is the trade the store's
+    * out-of-order tolerance bought. Returns the feed position.
+    */
+  def reseedAsFollower(spark: org.apache.spark.sql.SparkSession,
+      demotedDir: String, newPrimaryDir: String,
+      idCols: Seq[String], orderCols: Seq[Column],
+      opCol: String = "op"): Long = {
+    require(new java.io.File(demotedDir).getCanonicalPath !=
+      new java.io.File(newPrimaryDir).getCanonicalPath,
+      "reseedAsFollower: demoted and new-primary dirs must differ")
+    if (replicaFrozen(demotedDir).isEmpty) throw new IllegalStateException(
+      s"reseedAsFollower: $demotedDir is not fenced — reseeding wipes " +
+        "the store, so freezeReplica it first (promoteFollower already " +
+        "does during a failover)")
+    compactReplica(spark, newPrimaryDir)
+    val (vp, vpName) = currentVersion(newPrimaryDir).getOrElse(
+      throw new IllegalStateException(
+        s"reseed: new primary $newPrimaryDir has no committed version"))
+    val m = readManifest(newPrimaryDir, vpName)
+    // raw snapshot INCLUDING tombstone rows (keepDeletes): the
+    // late-loser protection must survive the reseed
+    val snapshot: Option[DataFrame] = m match {
+      case Some(mm) => mergedBucketRead(spark, newPrimaryDir, mm,
+        keepDeletes = true)
+      case None => // pre-bucket flat layout (no tombstones possible)
+        Some(spark.read.parquet(s"$newPrimaryDir/$vpName"))
+    }
+    // wipe the fenced store's content — versions, pointer, staging —
+    // keeping only the fence marker (lifted below)
+    Option(new java.io.File(demotedDir).listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName == FrozenMarker)
+      .foreach(deleteRecursively)
+    snapshot.foreach { snap =>
+      val hasTomb = snap.columns.contains(Tombstone)
+      val seed = (if (hasTomb)
+        snap.withColumn(opCol,
+          when(coalesce(col(Tombstone), lit(false)), "delete")
+            .otherwise("update"))
+          .drop(Tombstone)
+      else snap.withColumn(opCol, lit("update")))
+      applyNetToReplica(demotedDir, lastOpPerKey(seed, idCols, orderCols),
+        seed.columns, idCols, opCol,
+        numBuckets = m.map(_.numBuckets).getOrElse(DefaultReplicaBuckets),
+        conditional = Some(orderCols), bypassFreeze = true)
     }
     unfreezeReplica(demotedDir)
     vp
@@ -1437,7 +1519,8 @@ object CdcStream {
       throw new IllegalStateException(
         "restore: a conditional store's feed followers fold greatest-" +
           "order-wins and would drop the rollback rows — re-seed " +
-          "followers from a snapshot instead of a restore feed entry")
+          "followers from the restored snapshot (reseedAsFollower) " +
+          "instead of a restore feed entry")
     val nextName = f"v${v + 1}%09d"
     val staging = newStagingDir(replicaDir)
     if (recordChanges) {

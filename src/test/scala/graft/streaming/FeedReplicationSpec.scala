@@ -351,6 +351,60 @@ class FeedReplicationSpec extends SparkSuite {
     assert(state(follower) == state(primary))
   }
 
+  test("conditional-store failover: resync refuses toward reseed, and " +
+      "compact-and-reseed carries the tombstone protection over") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true, conditionalOrder = true)
+    commit(primary, Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update")))
+    // v2: a winning DELETE — the follower must inherit its tombstone
+    commit(primary, Seq((2L, "x", 5L, "delete"), (3L, "c2", 2L, "update")))
+    CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("seq")), conditionalApply = true)
+    // divergent commit built to WIN greatest-order if any trace survives
+    commit(primary, Seq((1L, "lost", 999L, "update"),
+      (7L, "ghost", 999L, "update")))
+    CdcStream.promoteFollower(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), lastAppliedVersion = 2L, drain = false)
+    // the sequence rewind refuses conditional stores, naming the way out
+    val e = intercept[IllegalArgumentException] {
+      CdcStream.resyncAsFollower(spark, primary, follower,
+        Seq("id"), Seq(col("seq")))
+    }
+    assert(e.getMessage.contains("reseedAsFollower"))
+    // an unfenced reseed refuses (it wipes the store)
+    CdcStream.unfreezeReplica(primary)
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.reseedAsFollower(spark, primary, follower,
+        Seq("id"), Seq(col("seq")))
+    }
+    assert(e2.getMessage.contains("not fenced"))
+    CdcStream.freezeReplica(primary, "demoted")
+    // new primary moves on before the rejoin
+    commit(follower, Seq((3L, "c3", 6L, "update")))
+    val from = CdcStream.reseedAsFollower(spark, primary, follower,
+      Seq("id"), Seq(col("seq")))
+    assert(state(primary) == state(follower))
+    assert(state(primary) == Seq((1L, "a1"), (3L, "c3")),
+      "ghost key and order-winning divergence gone; key 2 stays deleted")
+    assert(CdcStream.replicaFrozen(primary).isEmpty)
+    // the tombstone protection SURVIVED the reseed: a late batch below
+    // key 2's delete order (seq 3 < 5) must still lose
+    CdcStream.applyBatchToReplica(primary,
+      batch(Seq((2L, "late", 3L, "update"))), Seq("id"),
+      Seq(col("seq")), conditionalOrder = true)
+    assert(state(primary) == Seq((1L, "a1"), (3L, "c3")),
+      "a below-tombstone-order update must not resurrect key 2")
+    // and the reseeded store keeps following the feed
+    commit(follower, Seq((4L, "d7", 7L, "update")))
+    CdcStream.replayFeedInto(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), fromVersionExclusive = from,
+      conditionalApply = true)
+    assert(state(primary) == state(follower))
+  }
+
   test("crash failover: divergent old-primary commits roll back on resync") {
     val primary = freshDir()
     val follower = freshDir()
