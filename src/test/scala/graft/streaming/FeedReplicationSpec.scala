@@ -351,6 +351,74 @@ class FeedReplicationSpec extends SparkSuite {
     assert(state(follower) == state(primary))
   }
 
+  test("streaming failover drill: a lagging feed consumer drains the " +
+      "fenced old feed, then cuts over to the new primary's feed " +
+      "exactly-once — no version dropped, none double-applied") {
+    val primary = freshDir()
+    val follower = freshDir()
+    val down = freshDir() // the downstream consumer's own store
+    val ckP = java.nio.file.Files.createTempDirectory("drill-ckp").toString
+    val ckF = java.nio.file.Files.createTempDirectory("drill-ckf").toString
+    // every (feed, version) the consumer's foreachBatch applied, in
+    // order — the exactly-once accounting a state compare cannot give
+    // (the merge is idempotent, so a double-apply would be invisible)
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def commit(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    def follow(tag: String, src: String, ck: String,
+        startingVersion: Long): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-replica")
+        .option("path", src).option("readChangeFeed", "true")
+        .option("startingVersion", startingVersion).load()
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select($"_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          vs.foreach(v => applied.add(s"$tag:$v"))
+          if (vs.nonEmpty)
+            CdcStream.applyBatchToReplica(down,
+              b.drop("_commit_version", "_commit_watermark"),
+              Seq("id"), Seq(col("seq")))
+          ()
+        }.start()
+    commit(primary, Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update")))
+    commit(primary, Seq((3L, "c2", 2L, "update")))
+    // the follower STORE catches up, recording its own feed so its
+    // history is continuous for downstream consumers after promotion
+    val cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("seq")), recordChanges = true)
+    // the downstream consumer follows the primary's feed... then lags
+    val q1 = follow("P", primary, ckP, 0L)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(state(down) == state(primary))
+    // v3 commits while the consumer is down — it is LAGGING at failover
+    commit(primary, Seq((2L, "x", 3L, "delete"), (4L, "d3", 3L, "update")))
+    // FAILOVER: drain v3 into the follower, fence the old primary
+    val vp = CdcStream.promoteFollower(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), lastAppliedVersion = cursor)
+    // the fence keeps the old feed READABLE: the lagging consumer
+    // restarts against it, drains to the fence point, and idles (no
+    // commit can land behind the fence, so the feed is complete)
+    val q2 = follow("P", primary, ckP, 0L)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state(down) == state(follower),
+      "the drained consumer must reach the fence-point state")
+    // cutover: post-promotion writes land on the NEW primary; the
+    // consumer resumes from ITS feed at the promotion version — the
+    // position at which the new primary's state equals the fence point
+    commit(follower, Seq((5L, "e4", 4L, "update")))
+    val q3 = follow("F", follower, ckF, vp)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(state(down) == state(follower))
+    assert(state(down) == Seq((1L, "a1"), (3L, "c2"), (4L, "d3"), (5L, "e4")))
+    // exactly-once: old-feed versions 1..3 once each (across the
+    // restart), new-feed versions strictly after the promotion version
+    // once each — nothing dropped at the cutover, nothing double-fed
+    import scala.jdk.CollectionConverters._
+    assert(applied.asScala.toSeq == Seq("P:1", "P:2", "P:3", s"F:${vp + 1}"))
+  }
+
   test("conditional-store failover: resync refuses toward reseed, and " +
       "compact-and-reseed carries the tombstone protection over") {
     val primary = freshDir()
