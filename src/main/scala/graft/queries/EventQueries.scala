@@ -522,6 +522,49 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: RESTORE × GSI composition (r11) ---------------------------
+    // restoreReplica rolls an indexed primary back METADATA-ONLY,
+    // leaving any index stale by documented design. This gate proves
+    // the sanctioned recovery end to end: two indexed halves commit
+    // (feed recorded), RESTORE to v1, then the index REBUILDS into a
+    // fresh dir (buildIndex) and swaps in — the banded lookup through
+    // the rebuilt index must serve the ROLLED-BACK state exactly
+    // (oracle = the first half's last-writer fold, banded). The
+    // delta-cost alternative — replaying the restore's feed entry
+    // through maintainIndexesFromFeed — is spec-pinned equal to this
+    // rebuild in SecondaryIndexSpec.
+    "cdc_restore_indexed" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      val primary = graft.llm.IndexArtifacts.tempDir("gsi-rst-primary")
+      val index = graft.llm.IndexArtifacts.tempDir("gsi-rst-index")
+      val index2 = graft.llm.IndexArtifacts.tempDir("gsi-rst-index2")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min($"ms"), max($"ms")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val band = expr("value_cents div 1000")
+      SecondaryIndex.applyBatchWithIndex(s, primary, index,
+        ev.filter($"ms" < cut), Seq("user_id"), Seq("ms", "event_id"),
+        band, "band", recordChanges = true)
+      SecondaryIndex.applyBatchWithIndex(s, primary, index,
+        ev.filter($"ms" >= cut), Seq("user_id"), Seq("ms", "event_id"),
+        band, "band", recordChanges = true)
+      graft.streaming.CdcStream.restoreReplica(s, primary, toVersion = 1L,
+        recordChanges = true)
+      // rebuild into a FRESH dir and swap (the in-place-rebuild refusal
+      // is the documented contract); `index` stays as the stale husk
+      SecondaryIndex.buildIndex(s, primary,
+        SecondaryIndex.IndexSpec(index2, band, "band"),
+        Seq("user_id"), Seq("ms", "event_id"))
+      SecondaryIndex.lookupByIndex(s, primary, index2, Seq("user_id"),
+          band, "band", Seq(2L, 3L).toDF("band"))
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: RANGE lookup through the banded secondary index ------------
     // A hash-routed index can only prune equality probes — but a
     // BANDED index key (value div bandWidth) turns a range predicate
@@ -1973,6 +2016,26 @@ object EventQueries {
          |    row_number() OVER (PARTITION BY user_id
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (2, 3)
+         |ORDER BY user_id""".stripMargin,
+
+    // rebuilt-after-restore index lookup = the FIRST half's banded
+    // last-writer fold (the restore rolled the second half back)
+    "cdc_restore_indexed" ->
+      s"""WITH mm AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |h AS (
+         |  SELECT * FROM events, mm
+         |  WHERE epoch_ms(CAST(ts AS TIMESTAMP)) < mn + (mx - mn) // 2)
+         |SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM h)
          |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (2, 3)
          |ORDER BY user_id""".stripMargin,
 

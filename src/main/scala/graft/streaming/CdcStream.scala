@@ -873,6 +873,20 @@ object CdcStream {
       }
     }
 
+  /** Public face of [[readForKeysAt]]: key-pruned read of a specific
+    * committed VERSION (the time-travel twin of [[readReplicaForKeys]]).
+    * None when the version dir is gone (GC'd / never committed) or the
+    * version is committed-but-empty. Referenced data files must still
+    * exist (same grace rules as [[readReplicaAt]]).
+    */
+  def readReplicaForKeysAt(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, version: Long, idCols: Seq[String],
+      keys: DataFrame): Option[DataFrame] = {
+    val name = f"v$version%09d"
+    if (!new java.io.File(replicaDir, name).isDirectory) None
+    else readForKeysAt(spark, replicaDir, name, idCols, keys)
+  }
+
   /** Stream-side dimension enrichment — the "lookup join" every CDC
     * consumer runs in `foreachBatch`: left-join a micro-batch's rows
     * to the replica's CURRENT state for exactly the keys the batch

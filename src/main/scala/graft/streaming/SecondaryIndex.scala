@@ -142,25 +142,6 @@ object SecondaryIndex {
         val oldIdx = oldMat.map { case (o, _) =>
           o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
         }
-        val n = net.withColumn("__new_idx",
-          when(col(opCol) =!= "delete", sp.expr))
-        val j = oldIdx match {
-          case Some(o) => n.join(o, idCols, "left")
-          case None => n.withColumn("__old_idx", lit(null).cast(
-            n.select(sp.expr).schema.head.dataType))
-        }
-        // includeCols makes the index COVERING (the DynamoDB projected-
-        // attributes shape): the listed batch columns are stored in the
-        // index entry, so [[lookupCovered]] answers from the index alone
-        val carry = (idCols ++ orderColNames ++ sp.includeCols).distinct
-        // stale pointer removal: value moved, or the key was deleted
-        val dels = j.filter(col("__old_idx").isNotNull &&
-            (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
-          .select((col("__old_idx").as(sp.name) +: carry.map(col)) :+
-            lit("delete").as(opCol): _*)
-        val ups = j.filter(col("__new_idx").isNotNull)
-          .select((col("__new_idx").as(sp.name) +: carry.map(col)) :+
-            lit("update").as(opCol): _*)
         // INDEXES COMMIT FIRST. A crash between any two commits then
         // leaves a prefix of indexes AHEAD by one batch — the replay
         // recomputes the SAME dels/ups from the still-unmerged primary
@@ -174,7 +155,8 @@ object SecondaryIndex {
         // Forward entries in the crash window are the benign
         // direction: the verified lookup drops them (no primary row to
         // confirm against) and the replay erases the window.
-        CdcStream.applyBatchToReplica(sp.dir, dels.unionByName(ups),
+        CdcStream.applyBatchToReplica(sp.dir,
+          indexDelta(net, oldIdx, sp, idCols, orderColNames, opCol),
           idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
           bucketCols = Some(Seq(sp.name)), deferMerge = sp.defer)
       }
@@ -191,6 +173,100 @@ object SecondaryIndex {
       oldMat.foreach(_._2())
       dropNet()
     }
+  }
+
+  /** One index's delete/upsert batch for a per-key net: a DELETE of
+    * `(old value, key)` wherever the key's indexed value moved or the
+    * key died (stale-pointer removal), an UPSERT of `(new value, key)`
+    * for every surviving key. `oldIdx` carries the touched keys' OLD
+    * indexed values (absent = nothing stored, e.g. a fresh store).
+    * includeCols makes the index COVERING (the DynamoDB projected-
+    * attributes shape): the listed batch columns are stored in the
+    * index entry, so [[lookupCovered]] answers from the index alone.
+    */
+  private def indexDelta(net: DataFrame, oldIdx: Option[DataFrame],
+      sp: IndexSpec, idCols: Seq[String], orderColNames: Seq[String],
+      opCol: String): DataFrame = {
+    val n = net.withColumn("__new_idx",
+      when(col(opCol) =!= "delete", sp.expr))
+    val j = oldIdx match {
+      case Some(o) => n.join(o, idCols, "left")
+      case None => n.withColumn("__old_idx", lit(null).cast(
+        n.select(sp.expr).schema.head.dataType))
+    }
+    val carry = (idCols ++ orderColNames ++ sp.includeCols).distinct
+    val dels = j.filter(col("__old_idx").isNotNull &&
+        (col("__new_idx").isNull || col("__new_idx") =!= col("__old_idx")))
+      .select((col("__old_idx").as(sp.name) +: carry.map(col)) :+
+        lit("delete").as(opCol): _*)
+    val ups = j.filter(col("__new_idx").isNotNull)
+      .select((col("__new_idx").as(sp.name) +: carry.map(col)) :+
+        lit("update").as(opCol): _*)
+    dels.unionByName(ups)
+  }
+
+  /** FEED-DRIVEN index maintenance: catch index(es) up by replaying
+    * ONE committed feed version of the primary through the incremental
+    * delete/upsert derivation — at DELTA cost, never a primary scan.
+    * The sanctioned cheap recovery after [[CdcStream.restoreReplica]]
+    * on an indexed primary: a restore's feed entry IS a delta batch
+    * (the divergence-sized rollback diff), so replaying it converges
+    * the existing index to the rolled-back state for the price of the
+    * diff — where [[buildIndex]] pays a full primary scan.
+    *
+    * The OLD indexed values resolve against the primary AT
+    * `version - 1` (the key-pruned time-travel read): the state the
+    * feed version's net was applied over. Works for any recorded
+    * version whose predecessor is still readable — i.e. an index
+    * follower may lag and replay versions in order. Refuses when the
+    * version recorded no changes or the predecessor was GC'd (rebuild
+    * via [[buildIndex]] instead).
+    */
+  def maintainIndexesFromFeed(
+      spark: SparkSession,
+      primaryDir: String,
+      specs: Seq[IndexSpec],
+      version: Long,
+      idCols: Seq[String],
+      orderColNames: Seq[String],
+      opCol: String = "op"): Unit = {
+    require(specs.nonEmpty, "maintainIndexesFromFeed: at least one index")
+    val feed = CdcStream.readReplicaChanges(spark, primaryDir,
+        version - 1, Some(version)).getOrElse(
+      throw new IllegalStateException(
+        s"maintainIndexesFromFeed: version $version of $primaryDir " +
+          "recorded no changes — rebuild via buildIndex instead"))
+    val orderCols = orderColNames.map(col)
+    val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
+      feed.drop("_commit_version", "_commit_watermark"), "gsi-feed-net")
+    try {
+      val keys = net.select(idCols.map(col): _*).distinct()
+      // predecessor dir gone = the old values are unknowable — refuse
+      // rather than accrete stale pointers forever
+      if (version > 1 &&
+          !CdcStream.replicaVersions(primaryDir).contains(version - 1))
+        throw new IllegalStateException(
+          s"maintainIndexesFromFeed: version ${version - 1} of " +
+            s"$primaryDir was GC'd — the old indexed values are " +
+            "unknowable; rebuild via buildIndex")
+      val oldMat: Option[(DataFrame, () => Unit)] =
+        CdcStream.readReplicaForKeysAt(spark, primaryDir, version - 1,
+            idCols, keys)
+          .map { o =>
+            if (specs.size > 1)
+              graft.llm.IndexArtifacts.materializeOwned(spark, o, "gsi-feed-old")
+            else (o, () => ())
+          }
+      try specs.foreach { sp =>
+        val oldIdx = oldMat.map { case (o, _) =>
+          o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
+        }
+        CdcStream.applyBatchToReplica(sp.dir,
+          indexDelta(net, oldIdx, sp, idCols, orderColNames, opCol),
+          idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
+          bucketCols = Some(Seq(sp.name)), deferMerge = sp.defer)
+      } finally oldMat.foreach(_._2())
+    } finally dropNet()
   }
 
   /** BOOTSTRAP an index over an EXISTING primary — CREATE INDEX. One

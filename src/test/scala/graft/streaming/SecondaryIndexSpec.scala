@@ -101,6 +101,50 @@ class SecondaryIndexSpec extends SparkSuite {
       "the restored-away key must not appear in the rebuilt index")
   }
 
+  test("feed-driven maintenance replays the restore's feed entry into " +
+      "the EXISTING index at delta cost, equal to a full rebuild") {
+    val (p, ix) = (freshDir(), freshDir())
+    def applyRec(rows: Seq[(Long, String, Long, String)]): Unit =
+      SecondaryIndex.applyBatchWithIndex(spark, p, ix, batch(rows),
+        Seq("id"), Seq("seq"), col("city"), "city", recordChanges = true)
+    applyRec(Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update")))
+    applyRec(Seq((1L, "lima", 2L, "update"), (3L, "pune", 2L, "update"),
+      (2L, "x", 2L, "delete")))
+    // roll back to v1 WITH a feed entry: the entry is the rollback's
+    // divergence-sized diff — exactly a delta batch
+    CdcStream.restoreReplica(spark, p, toVersion = 1L, recordChanges = true)
+    val restoreV = CdcStream.replicaVersions(p).max
+    // path A (the expensive recovery): rebuild fresh
+    val rebuilt = freshDir()
+    SecondaryIndex.buildIndex(spark, p,
+      SecondaryIndex.IndexSpec(rebuilt, col("city"), "city"),
+      Seq("id"), Seq("seq"))
+    // path B (delta cost): replay the restore's feed entry through the
+    // incremental maintenance into the ORIGINAL (stale) index
+    SecondaryIndex.maintainIndexesFromFeed(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+      restoreV, Seq("id"), Seq("seq"))
+    def entries(dir: String): Seq[(String, Long, Long)] =
+      CdcStream.readReplica(spark, dir).get
+        .select($"city", $"id", $"seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(entries(ix) == entries(rebuilt),
+      "the feed-replayed index must equal the rebuilt one exactly")
+    assert(lookup(p, ix, "oslo") == Seq(1L))
+    assert(lookup(p, ix, "lima") == Seq(2L))
+    assert(lookup(p, ix, "pune") == Seq.empty,
+      "the restored-away key's entry must be deleted by the feed replay")
+    // a version that recorded no changes refuses toward the rebuild
+    CdcStream.applyBatchToReplica(p,
+      batch(Seq((4L, "pune", 3L, "update"))), Seq("id"), Seq(col("seq")))
+    val e = intercept[IllegalStateException] {
+      SecondaryIndex.maintainIndexesFromFeed(spark, p,
+        Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+        CdcStream.replicaVersions(p).max, Seq("id"), Seq("seq"))
+    }
+    assert(e.getMessage.contains("buildIndex"))
+  }
+
   test("a crash between the index and primary commits replays to convergence") {
     // the index commits FIRST (the recoverable order): simulate the
     // crash window by snapshotting the primary before a batch, running
