@@ -52,6 +52,13 @@ object DataScaleBench {
     "llm_embed_ivfpq" -> "embeddings",
     "cdc_apply_changelog" -> "events",
     "cdc_replica_compact" -> "events",
+    // replica WRITE path (r11): synchronized GSI maintenance (two batch
+    // applies + banded lookup) and CREATE-INDEX bootstrap (one O(store)
+    // value-routed pass) — the top-of-bench family the curve previously
+    // skipped. Expected shape: flat-or-falling us/row (the cost is
+    // data-proportional work + a fixed commit-machinery floor).
+    "cdc_secondary_index" -> "events",
+    "cdc_index_bootstrap" -> "events",
     "q24_interval_join" -> "events",
     "q43_funnel" -> "events",
     "q49_hierarchy_rollup" -> "customer",
@@ -210,9 +217,47 @@ object DataScaleBench {
         s""""$g":{"sec":${r3(sec)},"rows":${counts(tb)},""" +
           s""""us_per_row":${r3(sec * 1e6 / counts(tb))}}"""
       }
+      // ---- per-batch WRITE-PATH floor probes: a FIXED 1000-row batch
+      // into a store built from the scale's events, separating the
+      // commit-machinery floor from data-proportional work:
+      //  - sink_floor_defer: merge-on-read append (one write job + one
+      //    manifest commit, no base read) — must stay FLAT across
+      //    scales, or the sink's small-micro-batch latency floor
+      //    secretly grows with store size;
+      //  - sink_eager_touched: eager merge of the same batch — reads
+      //    and rewrites the touched buckets, so it grows with bucket
+      //    size (data-proportional BY DESIGN; the defer/eager gap is
+      //    exactly what deferMerge buys a streaming sink).
+      import graft.streaming.CdcStream
+      val ev = graft.Tables(spark, dir).events
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          col("value"), lit("update").as("op"))
+      val store = s"$root/.wp-x$scale-${System.nanoTime()}"
+      CdcStream.applyBatchToReplica(store, ev, Seq("user_id"),
+        Seq(col("ms"), col("event_id")))
+      val probe = ev.orderBy(col("event_id")).limit(1000)
+        .withColumn("ms", col("ms") + lit(1L))
+      val tD0 = System.nanoTime()
+      CdcStream.applyBatchToReplica(store, probe, Seq("user_id"),
+        Seq(col("ms"), col("event_id")), deferMerge = true)
+      val deferSec = (System.nanoTime() - tD0) / 1e9
+      val tE0 = System.nanoTime()
+      CdcStream.applyBatchToReplica(store,
+        probe.withColumn("ms", col("ms") + lit(2L)), Seq("user_id"),
+        Seq(col("ms"), col("event_id")))
+      val eagerSec = (System.nanoTime() - tE0) / 1e9
+      deleteRecursively(new java.io.File(store))
+      System.err.println(f"[datascale] x$scale write-path floor: " +
+        f"defer $deferSec%.3fs eager $eagerSec%.3fs (1000-row batch " +
+        f"over ${counts("events")} stored)")
+      val writePath =
+        s""""write_path":{"sink_floor_defer":{"sec":${r3(deferSec)},""" +
+          s""""batch_rows":1000},"sink_eager_touched":{"sec":${r3(eagerSec)},""" +
+          s""""batch_rows":1000,"store_rows":${counts("events")}}}"""
       s"""{"scale":$scale,"rows":{${counts.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
-        s""""queries":{${entries.mkString(",")}}}"""
+        s""""queries":{${entries.mkString(",")}},$writePath}"""
     }
     val dataCurve = s"""[${curve.mkString(",")}]"""
 
