@@ -105,10 +105,27 @@ def main() -> int:
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     if json_out:
+        # MERGE into an existing record (same sf_dir): the sample file
+        # accumulates family batches across rounds; re-run queries
+        # overwrite their own entries, everything else is preserved
+        if os.path.exists(json_out):
+            try:
+                with open(json_out) as f:
+                    prior = json.load(f)
+                if prior.get("sf_dir") == sf_dir:
+                    merged = dict(prior.get("queries", {}))
+                    merged.update(record)
+                    record = merged
+            except Exception:
+                pass
+        total_pass = sum(1 for v in record.values() if v.get("status") == "ok")
+        total_fail = len(record) - total_pass
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail,
-                       "queries": record}, f, indent=1, sort_keys=True)
-        print(f"wrote {json_out}")
+            json.dump({"sf_dir": sf_dir, "passed": total_pass,
+                       "failed": total_fail, "queries": record},
+                      f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({total_pass} ok / {total_fail} fail "
+              f"across {len(record)} recorded)")
     return 1 if n_fail else 0
 
 
