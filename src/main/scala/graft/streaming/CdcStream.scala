@@ -1021,6 +1021,14 @@ object CdcStream {
       .map(_.distinct()))
   }
 
+  /** The CURRENT committed version number (the pointer's target) —
+    * None when nothing was ever committed. Distinct from
+    * `replicaVersions(dir).max`: a crashed writer's unpublished orphan
+    * dir can sit ABOVE the pointer and must not be mistaken for state.
+    */
+  def replicaCurrentVersion(replicaDir: String): Option[Long] =
+    currentVersion(replicaDir).map(_._1)
+
   /** Committed versions whose manifests are still on disk (newest
     * last) — the time-travel surface [[readReplicaAt]] serves.
     */
@@ -1405,12 +1413,13 @@ object CdcStream {
       case None => // pre-bucket flat layout (no tombstones possible)
         Some(spark.read.parquet(s"$newPrimaryDir/$vpName"))
     }
-    // wipe the fenced store's content — versions, pointer, staging —
-    // keeping only the fence marker (lifted below)
-    Option(new java.io.File(demotedDir).listFiles()).getOrElse(Array.empty)
-      .filterNot(_.getName == FrozenMarker)
-      .foreach(deleteRecursively)
-    snapshot.foreach { snap =>
+    // MATERIALIZE the snapshot BEFORE the wipe: the read must succeed
+    // while the demoted store still exists — a lazy read executed
+    // after the wipe would, on an unreadable new primary (e.g. the
+    // disk fault that caused the failover), destroy the only
+    // surviving copy and then throw. Total data loss; this ordering
+    // makes the failure mode "reseed aborts, demoted store intact".
+    val seedMat: Option[(DataFrame, () => Unit)] = snapshot.map { snap =>
       val hasTomb = snap.columns.contains(Tombstone)
       val seed = (if (hasTomb)
         snap.withColumn(opCol,
@@ -1418,11 +1427,21 @@ object CdcStream {
             .otherwise("update"))
           .drop(Tombstone)
       else snap.withColumn(opCol, lit("update")))
-      applyNetToReplica(demotedDir, lastOpPerKey(seed, idCols, orderCols),
-        seed.columns, idCols, opCol,
-        numBuckets = m.map(_.numBuckets).getOrElse(DefaultReplicaBuckets),
-        conditional = Some(orderCols), bypassFreeze = true)
+      graft.llm.IndexArtifacts.materializeOwned(spark, seed, "reseed-snap")
     }
+    try {
+      // wipe the fenced store's content — versions, pointer, staging —
+      // keeping only the fence marker (lifted below)
+      Option(new java.io.File(demotedDir).listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName == FrozenMarker)
+        .foreach(deleteRecursively)
+      seedMat.foreach { case (seed, _) =>
+        applyNetToReplica(demotedDir, lastOpPerKey(seed, idCols, orderCols),
+          seed.columns.toArray, idCols, opCol,
+          numBuckets = m.map(_.numBuckets).getOrElse(DefaultReplicaBuckets),
+          conditional = Some(orderCols), bypassFreeze = true)
+      }
+    } finally seedMat.foreach(_._2())
     unfreezeReplica(demotedDir)
     vp
   }

@@ -231,6 +231,20 @@ object SecondaryIndex {
       orderColNames: Seq[String],
       opCol: String = "op"): Unit = {
     require(specs.nonEmpty, "maintainIndexesFromFeed: at least one index")
+    // BOTH refusal checks are pure metadata — run them before any
+    // Spark job or materialization is paid for a call that rejects
+    if (!new java.io.File(primaryDir, f"v$version%09d/changes").isDirectory)
+      throw new IllegalStateException(
+        s"maintainIndexesFromFeed: version $version of $primaryDir " +
+          "recorded no changes — rebuild via buildIndex instead")
+    // predecessor dir gone = the old values are unknowable — refuse
+    // rather than accrete stale pointers forever
+    if (version > 1 &&
+        !CdcStream.replicaVersions(primaryDir).contains(version - 1))
+      throw new IllegalStateException(
+        s"maintainIndexesFromFeed: version ${version - 1} of " +
+          s"$primaryDir was GC'd — the old indexed values are " +
+          "unknowable; rebuild via buildIndex")
     val feed = CdcStream.readReplicaChanges(spark, primaryDir,
         version - 1, Some(version)).getOrElse(
       throw new IllegalStateException(
@@ -241,14 +255,6 @@ object SecondaryIndex {
       feed.drop("_commit_version", "_commit_watermark"), "gsi-feed-net")
     try {
       val keys = net.select(idCols.map(col): _*).distinct()
-      // predecessor dir gone = the old values are unknowable — refuse
-      // rather than accrete stale pointers forever
-      if (version > 1 &&
-          !CdcStream.replicaVersions(primaryDir).contains(version - 1))
-        throw new IllegalStateException(
-          s"maintainIndexesFromFeed: version ${version - 1} of " +
-            s"$primaryDir was GC'd — the old indexed values are " +
-            "unknowable; rebuild via buildIndex")
       val oldMat: Option[(DataFrame, () => Unit)] =
         CdcStream.readReplicaForKeysAt(spark, primaryDir, version - 1,
             idCols, keys)
@@ -311,7 +317,11 @@ object SecondaryIndex {
       s"buildIndex: ${spec.dir} already holds a store — rebuild into a " +
         "fresh dir and swap (an in-place rebuild racing readers has no " +
         "safe ordering)")
-    val pinned = CdcStream.replicaVersions(primaryDir).sorted.lastOption
+    // pin the POINTER's version, not the max version dir: a crashed
+    // writer's unpublished orphan can sit above CURRENT and is not
+    // state — pinning it would skew both the quiescence check and the
+    // resume-from version
+    val pinned = CdcStream.replicaCurrentVersion(primaryDir)
       .getOrElse(throw new IllegalStateException(
         s"buildIndex: primary $primaryDir has no committed version"))
     val state = CdcStream.readReplica(spark, primaryDir).getOrElse(
@@ -328,7 +338,7 @@ object SecondaryIndex {
       idCols = spec.name +: idCols, orderCols = orderColNames.map(col),
       opCol = opCol, numBuckets = numBuckets,
       bucketCols = Some(Seq(spec.name)))
-    val after = CdcStream.replicaVersions(primaryDir).sorted.lastOption
+    val after = CdcStream.replicaCurrentVersion(primaryDir)
     if (!after.contains(pinned)) throw new IllegalStateException(
       s"buildIndex: primary $primaryDir advanced from v$pinned to " +
         s"v${after.getOrElse(-1L)} during the bootstrap — the batch(es) " +

@@ -236,8 +236,17 @@ object DataScaleBench {
       val store = s"$root/.wp-x$scale-${System.nanoTime()}"
       CdcStream.applyBatchToReplica(store, ev, Seq("user_id"),
         Seq(col("ms"), col("event_id")))
-      val probe = ev.orderBy(col("event_id")).limit(1000)
-        .withColumn("ms", col("ms") + lit(1L))
+      // MATERIALIZE the probe batch before the timers start: a lazy
+      // orderBy+limit would re-scan the O(scale) events table inside
+      // every timed region, making the "flat floor" structurally grow
+      // with scale — the exact false regression the probe exists to rule
+      // out. 1000 rows collect to the driver; the timed apply reads a
+      // scale-independent local DataFrame.
+      val probeRows = ev.orderBy(col("event_id")).limit(1000)
+        .withColumn("ms", col("ms") + lit(1L)).collect()
+      val probe = spark.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*),
+        ev.schema)
       val tD0 = System.nanoTime()
       CdcStream.applyBatchToReplica(store, probe, Seq("user_id"),
         Seq(col("ms"), col("event_id")), deferMerge = true)

@@ -107,13 +107,18 @@ def main() -> int:
     if json_out:
         # MERGE into an existing record (same sf_dir): the sample file
         # accumulates family batches across rounds; re-run queries
-        # overwrite their own entries, everything else is preserved
+        # overwrite their own entries. Prior entries whose query no
+        # longer exists in the suite (oracle_sql.json carries the FULL
+        # map even on subset runs) are PRUNED — a renamed/removed query
+        # must not keep counting as verified forever.
         if os.path.exists(json_out):
             try:
                 with open(json_out) as f:
                     prior = json.load(f)
                 if prior.get("sf_dir") == sf_dir:
-                    merged = dict(prior.get("queries", {}))
+                    live = set(oracles) | set(record)
+                    merged = {k: v for k, v in
+                              prior.get("queries", {}).items() if k in live}
                     merged.update(record)
                     record = merged
             except Exception:
