@@ -145,6 +145,41 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("buildIndex"))
   }
 
+  test("an index FOLLOWER lags and catches up by replaying feed " +
+      "versions in order — equal to synchronized maintenance") {
+    val (p, ix) = (freshDir(), freshDir())
+    def commit(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(p, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    // three commits land on the primary with NO index anywhere —
+    // value moves and a delete included, so stale-pointer derivation
+    // must work against each version's own predecessor state
+    commit(Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update")))
+    commit(Seq((1L, "lima", 2L, "update"), (3L, "oslo", 2L, "update")))
+    commit(Seq((2L, "x", 3L, "delete"), (3L, "pune", 3L, "update")))
+    // the lagging index follower replays versions 1..3 IN ORDER
+    CdcStream.replicaVersions(p).sorted.foreach { v =>
+      SecondaryIndex.maintainIndexesFromFeed(spark, p,
+        Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+        v, Seq("id"), Seq("seq"))
+    }
+    // reference: the always-synchronized shape via a fresh rebuild
+    val rebuilt = freshDir()
+    SecondaryIndex.buildIndex(spark, p,
+      SecondaryIndex.IndexSpec(rebuilt, col("city"), "city"),
+      Seq("id"), Seq("seq"))
+    def entries2(dir: String): Seq[(String, Long)] =
+      CdcStream.readReplica(spark, dir).get
+        .select($"city", $"id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(entries2(ix) == entries2(rebuilt),
+      "version-by-version feed replay must equal the synchronized index")
+    assert(lookup(p, ix, "lima") == Seq(1L))
+    assert(lookup(p, ix, "oslo") == Seq.empty,
+      "both moved-away entries must be deleted by the replay")
+    assert(lookup(p, ix, "pune") == Seq(3L))
+  }
+
   test("a crash between the index and primary commits replays to convergence") {
     // the index commits FIRST (the recoverable order): simulate the
     // crash window by snapshotting the primary before a batch, running
