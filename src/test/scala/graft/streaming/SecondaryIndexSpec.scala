@@ -158,7 +158,8 @@ class SecondaryIndexSpec extends SparkSuite {
     commit(Seq((1L, "lima", 2L, "update"), (3L, "oslo", 2L, "update")))
     commit(Seq((2L, "x", 3L, "delete"), (3L, "pune", 3L, "update")))
     // the lagging index follower replays versions 1..3 IN ORDER
-    CdcStream.replicaVersions(p).sorted.foreach { v =>
+    // (replicaVersions is already sorted)
+    CdcStream.replicaVersions(p).foreach { v =>
       SecondaryIndex.maintainIndexesFromFeed(spark, p,
         Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
         v, Seq("id"), Seq("seq"))
@@ -168,10 +169,13 @@ class SecondaryIndexSpec extends SparkSuite {
     SecondaryIndex.buildIndex(spark, p,
       SecondaryIndex.IndexSpec(rebuilt, col("city"), "city"),
       Seq("id"), Seq("seq"))
-    def entries2(dir: String): Seq[(String, Long)] =
+    // entry-for-entry including the ORDER column: a replay that wrote
+    // wrong order values would corrupt later out-of-order conflict
+    // resolution even with (city, id) intact
+    def entries2(dir: String): Seq[(String, Long, Long)] =
       CdcStream.readReplica(spark, dir).get
-        .select($"city", $"id").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+        .select($"city", $"id", $"seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(entries2(ix) == entries2(rebuilt),
       "version-by-version feed replay must equal the synchronized index")
     assert(lookup(p, ix, "lima") == Seq(1L))
