@@ -516,6 +516,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("WAL gates parse the envelope ONCE: from_json in the plan, " +
+      "zero get_json_object re-parses") {
+    // (src_wal_replica_state parses inside its merge and returns the
+    // replica read-back, so its returned plan can't carry the parse)
+    Seq("src_wal_region_mix", "src_wal_pushdown",
+        "src_wal_table_filter").foreach { q =>
+      val p = plan(q)
+      // the r10/r11 fix: 2-4 get_json_object calls re-parsed every
+      // envelope that many times — at 100 TB pure waste; one narrow
+      // from_json per scan is the contract
+      assert(!p.contains("get_json_object"), s"$q: ${p.take(1500)}")
+      assert(p.contains("from_json"), s"$q: ${p.take(1500)}")
+    }
+  }
+
   test("src_binlog_multitable: per-table agg is partial+final, no cartesian") {
     val p = plan("src_binlog_multitable")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
