@@ -740,7 +740,12 @@ object EventQueries {
       // snapshot position a feed consumer would hold: v2's scrubbed
       // net (erasure's own commit writes no changes)
       val vs = CdcStream.replicaVersions(replica)
-      val feed = CdcStream.readReplicaChanges(s, replica, vs.min - 1).get
+      // strict=false: this read INSPECTS the scrubbed history to prove
+      // the feed forgot the keys — it replays nothing, so the strict
+      // erasure refusal (which protects feed consumers holding
+      // pre-scrub state) does not apply
+      val feed = CdcStream.readReplicaChanges(s, replica, vs.min - 1,
+        strict = false).get
         .groupBy($"user_id").agg(count(lit(1)).as("n_feed_rows"))
       CdcStream.readReplica(s, replica).get
         .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")

@@ -75,7 +75,11 @@ object ReplicaChangeSource {
     * dir without a user schema).
     */
   def changeSchema(sqlContext: SQLContext, path: String): StructType =
-    CdcStream.readReplicaChanges(sqlContext.sparkSession, path)
+    // strict=false: schema inference only inspects the changes already
+    // on disk — it replays nothing, so an erasure in history is not a
+    // divergence hazard here (getBatch stays strict)
+    CdcStream.readReplicaChanges(sqlContext.sparkSession, path,
+        strict = false)
       .map(_.schema)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-replica change feed: no recorded changes at $path — the " +

@@ -954,12 +954,30 @@ object CdcStream {
     * (same contract as Delta CDF after VACUUM). None when no version in
     * range carries changes.
     *
+    * CHANGELESS versions in the range are classified by their
+    * recorded `commitKind` (`strict = true`, the default):
+    * compaction/reshard commits are content-identical and correctly
+    * contribute no rows, but an ERASURE mutates content with no feed
+    * entry (a consumer that already applied earlier versions would
+    * silently RETAIN the erased keys) and a merge committed with
+    * `recordChanges = false` is a commit the feed never carried — both
+    * REFUSE instead of letting the consumer silently diverge. This
+    * guards EVERY feed surface: the batch drain ([[replayFeedInto]]),
+    * the batch change-feed relation, and the streaming feed source's
+    * `getBatch`. Manifests predating the classification (None) keep
+    * the historical silent-skip — after the fact a changeless legacy
+    * version is indistinguishable from a compaction. `strict = false`
+    * opts out for reads that INSPECT scrubbed history rather than
+    * replay it (erasure-compliance verification, schema inference).
+    *
     * Scale: each version's changes are delta-sized (the batch net, not
-    * the replica), and version selection is directory metadata.
+    * the replica), version selection and the strict classification are
+    * directory/manifest metadata only.
     */
   def readReplicaChanges(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, fromVersionExclusive: Long = 0L,
-      toVersion: Option[Long] = None): Option[DataFrame] = {
+      toVersion: Option[Long] = None,
+      strict: Boolean = true): Option[DataFrame] = {
     val all = replicaVersions(replicaDir)
     if (all.isEmpty) return None
     val hi = toVersion.getOrElse(all.max)
@@ -969,6 +987,26 @@ object CdcStream {
       s"replica $replicaDir change feed gap: version(s) " +
         s"${missing.mkString(",")} were GC'd; the feed cannot be read " +
         "contiguously — restart the consumer from a full snapshot")
+    if (strict) want.foreach { v =>
+      val vDir = new java.io.File(replicaDir, f"v$v%09d")
+      if (vDir.isDirectory &&
+          !new java.io.File(vDir, "changes").isDirectory) {
+        readManifest(replicaDir, vDir.getName).flatMap(_.commitKind) match {
+          case Some("compact") | Some("reshard") | None => () // identical / legacy
+          case Some("erase") => throw new IllegalStateException(
+            s"replica $replicaDir: version $v is an ERASURE — erasure " +
+              "rewrites history with no feed entry, so a feed consumer " +
+              "replaying past it would silently retain the erased keys; " +
+              "apply eraseKeys to the consumer's store separately, then " +
+              "resume the feed past this version")
+          case Some(k) => throw new IllegalStateException(
+            s"replica $replicaDir: version $v is a content commit " +
+              s"($k) with no recorded changes (recordChanges=false) — " +
+              "the feed never carried it, so draining it is impossible; " +
+              "re-seed the consumer from a snapshot instead")
+        }
+      }
+    }
     val parts = want.flatMap { v =>
       val d = new java.io.File(f"$replicaDir/v$v%09d/changes")
       if (!d.isDirectory) None
@@ -1159,7 +1197,8 @@ object CdcStream {
     * `fromVersionExclusive`).
     *
     * CHANGELESS versions in the range are classified by their
-    * recorded `commitKind`: compaction/reshard commits are
+    * recorded `commitKind` — the strict [[readReplicaChanges]] read
+    * this drain delegates to: compaction/reshard commits are
     * content-identical and correctly contribute nothing, but an
     * ERASURE mutates content with no feed entry (a follower caught up
     * through the feed would silently RETAIN the erased keys — apply
@@ -1185,26 +1224,6 @@ object CdcStream {
       conditionalApply: Boolean = false): Long = {
     val latest = currentVersion(primaryDir).map(_._1).getOrElse(0L)
     if (latest <= fromVersionExclusive) return fromVersionExclusive
-    ((fromVersionExclusive + 1) to latest).foreach { v =>
-      val vDir = new java.io.File(primaryDir, f"v$v%09d")
-      if (vDir.isDirectory &&
-          !new java.io.File(vDir, "changes").isDirectory) {
-        readManifest(primaryDir, vDir.getName).flatMap(_.commitKind) match {
-          case Some("compact") | Some("reshard") | None => () // identical / legacy
-          case Some("erase") => throw new IllegalStateException(
-            s"replica $primaryDir: version $v is an ERASURE — erasure " +
-              "rewrites history with no feed entry, so a feed-replayed " +
-              "follower would silently retain the erased keys; apply " +
-              "eraseKeys to the follower separately, then resume the " +
-              "replay past this version")
-          case Some(k) => throw new IllegalStateException(
-            s"replica $primaryDir: version $v is a content commit " +
-              s"($k) with no recorded changes (recordChanges=false) — " +
-              "the feed never carried it, so draining it is impossible; " +
-              "re-seed the follower from a snapshot instead")
-        }
-      }
-    }
     readReplicaChanges(spark, primaryDir, fromVersionExclusive,
         Some(latest)).foreach { net =>
       val w = Window.partitionBy(idCols.map(col): _*)

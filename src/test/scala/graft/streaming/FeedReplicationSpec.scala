@@ -351,6 +351,65 @@ class FeedReplicationSpec extends SparkSuite {
     assert(state(follower) == state(primary))
   }
 
+  test("the STREAMING feed source refuses an erasure the same way the " +
+      "batch drain does — a lagging consumer cannot silently retain " +
+      "erased keys") {
+    val primary = freshDir()
+    val follower = freshDir()
+    val ck = java.nio.file.Files.createTempDirectory("feed-erase-ck").toString
+    def commit(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(primary, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    def follow(startingVersion: Long) = spark.readStream
+      .format("graft-replica")
+      .option("path", primary).option("readChangeFeed", "true")
+      .option("startingVersion", startingVersion).load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcStream.applyBatchToReplica(follower,
+          b.drop("_commit_version", "_commit_watermark"),
+          Seq("id"), Seq(col("seq")))
+        ()
+      }.start()
+    commit(Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update")))
+    val q1 = follow(0L)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(state(follower) == state(primary))
+    // the consumer lags; the primary erases key 2 and keeps committing
+    CdcStream.eraseKeys(spark, primary, Seq("id"), Seq(2L).toDF("id"))
+    commit(Seq((3L, "c3", 3L, "update")))
+    // the restarted stream's getBatch spans the erasure version — it
+    // must FAIL (the r11 gap: getBatch served it as an empty change
+    // set and the follower silently retained the erased key)
+    val q2 = follow(0L)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("ERASURE") ||
+      Option(err.getCause).exists(_.getMessage.contains("ERASURE")))
+    assert(state(follower) == Seq((1L, "a1"), (2L, "b1")),
+      "the refused batch must not have applied anything")
+    // documented recovery: erase on the follower too, then resume the
+    // feed PAST the erasure version (fresh checkpoint at the new start)
+    CdcStream.eraseKeys(spark, follower, Seq("id"), Seq(2L).toDF("id"))
+    val eraseV = CdcStream.replicaVersions(primary).max - 1
+    val q3 = spark.readStream.format("graft-replica")
+      .option("path", primary).option("readChangeFeed", "true")
+      .option("startingVersion", eraseV).load()
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("feed-erase-ck2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcStream.applyBatchToReplica(follower,
+          b.drop("_commit_version", "_commit_watermark"),
+          Seq("id"), Seq(col("seq")))
+        ()
+      }.start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(state(follower) == state(primary))
+    assert(state(follower) == Seq((1L, "a1"), (3L, "c3")))
+  }
+
   test("streaming failover drill: a lagging feed consumer drains the " +
       "fenced old feed, then cuts over to the new primary's feed " +
       "exactly-once — no version dropped, none double-applied") {

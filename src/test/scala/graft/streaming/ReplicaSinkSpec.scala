@@ -729,7 +729,10 @@ class ReplicaSinkSpec extends SparkSuite {
       .filter($"user_id" === 7L).count()
     assert(leftover === 0L, "an on-disk file still holds the erased key")
     // 3: the feed lost exactly key 7's rows, versions stayed dense
-    val feed = CdcStream.readReplicaChanges(spark, replica).get
+    // (strict=false: a scrub-verification read, not a replay — the
+    // strict default refuses to serve a range crossing the erasure)
+    val feed = CdcStream.readReplicaChanges(spark, replica,
+      strict = false).get
       .select($"user_id").as[Long].collect().toSeq
     assert(!feed.contains(7L))
     assert(feed.count(_ == 8L) === 2) // both of 8's nets survive
