@@ -231,12 +231,63 @@ object ChangelogFiles {
       counts: Map[String, Long])
   private val tableCountCache = new ConcurrentHashMap[String, TableCountState]()
 
+  /** Incremental directory listing state: the sorted log-file list is
+    * reusable while the DIRECTORY's mtime is unchanged — on POSIX,
+    * creating/deleting/renaming an entry updates the dir mtime, while
+    * appending to an existing file does not (appends are what
+    * `recordCount`/`tableCounts` track per file). `trusted` is false
+    * while the dir mtime is within [[MtimeTrustLagMs]] of the wall
+    * clock at caching time: a file created in the same mtime tick as
+    * the enumeration would be invisible to the mtime compare, so a
+    * recently-modified dir re-enumerates every call until its mtime
+    * ages past the granularity guard. This makes the per-trigger
+    * listing O(1) stats on a settled log dir (the year-long-log case:
+    * 10k rotated files, none created in the last 2 s) instead of a
+    * linear per-file stat walk — the reference's trigger path is one
+    * socket request (MLSQLBinLogDataSource.scala:351-404, constant
+    * time), and this matches that property at any file count.
+    */
+  private final case class DirListState(mtimeNs: Long, trusted: Boolean,
+      files: Seq[(Long, File)])
+  private val dirListCache = new ConcurrentHashMap[String, DirListState]()
+
+  /** Positive-only name→fileId cache: a name that was once a regular
+    * prefix-matching log file keeps its identity forever (the id is a
+    * pure function of the name; content changes never re-key it), so
+    * an untrusted re-enumeration skips the per-file `isFile` stat for
+    * every already-known name — O(new files) stats per re-list.
+    */
+  private val fileIdCache = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Dir-mtime granularity guard (coarse filesystems stamp at 1 s). */
+  private val MtimeTrustLagMs = 2000L
+
   def listFiles(dir: String, prefix: String = DefaultPrefix): Seq[(Long, File)] = {
     val d = new File(dir)
-    val fs = Option(d.listFiles()).getOrElse(Array.empty[File])
-    fs.filter(f => f.isFile && f.getName.startsWith(prefix + "."))
-      .map(f => (BinlogOffset.fileIdOf(f.getName), f))
-      .sortBy(_._1).toSeq
+    val key = d.getPath + "\u0000" + prefix
+    val mtimeNs =
+      try java.nio.file.Files.getLastModifiedTime(d.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => -1L }
+    val cached = dirListCache.get(key)
+    if (cached != null && cached.trusted && mtimeNs >= 0 &&
+        cached.mtimeNs == mtimeNs) return cached.files
+    val dot = prefix + "."
+    val names = Option(d.list()).getOrElse(Array.empty[String])
+    val fs = names.iterator.filter(_.startsWith(dot)).flatMap { n =>
+      val f = new File(d, n)
+      val hit = fileIdCache.get(f.getPath)
+      if (hit != null) Some((hit.longValue(), f))
+      else if (f.isFile) {
+        val id = BinlogOffset.fileIdOf(n)
+        fileIdCache.put(f.getPath, id)
+        Some((id, f))
+      } else None
+    }.toArray.sortBy(_._1).toSeq
+    val trusted = mtimeNs >= 0 &&
+      System.currentTimeMillis() - mtimeNs / 1000000L > MtimeTrustLagMs
+    dirListCache.put(key, DirListState(mtimeNs, trusted, fs))
+    fs
   }
 
   /** Raw newline-byte count in [from, until) — no UTF-8 decode, no line
@@ -346,6 +397,47 @@ object ChangelogFiles {
     */
   def manifestCount(dir: String, name: String): Option[Long] =
     manifest(dir).get(name).map(_.count)
+
+  /** Manifest entries keyed by PARSED fileId (non-log / non-prefix
+    * names skipped), cached with the manifest map instance: the
+    * per-trigger data-loss checks iterate this instead of re-parsing
+    * every manifest name on every plan call.
+    */
+  private val manifestIdCache =
+    new ConcurrentHashMap[String, (AnyRef, Map[Long, ManifestEntry])]()
+  def manifestById(dir: String, prefix: String = DefaultPrefix)
+      : Map[Long, ManifestEntry] = {
+    val m = manifest(dir)
+    val key = new File(dir).getPath + "\u0000" + prefix
+    val c = manifestIdCache.get(key)
+    if (c != null && (c._1 eq m)) c._2
+    else {
+      val byId = m.flatMap {
+        case (name, e) if name.startsWith(prefix + ".") =>
+          try Some(BinlogOffset.fileIdOf(name) -> e)
+          catch { case _: Exception => None }
+        case _ => None
+      }
+      manifestIdCache.put(key, (m, byId))
+      byId
+    }
+  }
+
+  /** The listed fileIds as a Set, cached with the listing instance —
+    * settled-dir membership checks without an O(#files) rebuild.
+    */
+  private val idSetCache = new ConcurrentHashMap[String, (AnyRef, Set[Long])]()
+  def listedIdSet(dir: String, prefix: String = DefaultPrefix): Set[Long] = {
+    val files = listFiles(dir, prefix)
+    val key = new File(dir).getPath + "\u0000" + prefix
+    val c = idSetCache.get(key)
+    if (c != null && (c._1 eq files)) c._2
+    else {
+      val s = files.map(_._1).toSet
+      idSetCache.put(key, (files, s))
+      s
+    }
+  }
 
   /** Write `manifest.json` for a directory of generated files — shared
     * by the fixture generators. Per-table counts ride along so map
@@ -529,14 +621,90 @@ object ChangelogFiles {
     }
   }
 
-  /** Total per-table record counts over the full log history — the
-    * per-table `latestOffset`. O(#files) stats + incremental tail scan.
+  /** ROLLED-file record counts, stat-free: a manifest-backed file that
+    * is NOT its dir's live tail (max fileId) is closed by the writer
+    * contract — rolls write the manifest entry at close, and the one
+    * in-place mutation path ([[LogRedaction]]) is same-length and
+    * count-preserving — so once its manifest length matches the file,
+    * its count is permanent and needs no further stats. The TAIL file
+    * (max id) is NEVER finalized here: generators manifest it at the
+    * current length and appends may still land (the (len,mtime) caches
+    * in [[recordCount]]/[[tableCounts]] track that). This is what
+    * keeps count sweeps over a long rotated history ([[advanceOf]],
+    * [[countBetweenOf]], [[totalsByTable]]) metadata-free for every
+    * file but the live tail.
     */
-  def totalsByTable(dir: String, prefix: String = DefaultPrefix): Map[String, Long] =
-    fileTableCounts(dir, prefix).foldLeft(Map.empty[String, Long]) {
-      case (acc, (_, _, counts)) =>
-        counts.foldLeft(acc) { case (a, (t, n)) => a.updated(t, a.getOrElse(t, 0L) + n) }
+  private val finalCounts = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private def prefixOf(name: String): String = {
+    val dot = name.lastIndexOf('.')
+    if (dot > 0) name.substring(0, dot) else name
+  }
+
+  /** Public variant for planners that already hold the listed files. */
+  def recordCountRolled(id: Long, f: File, maxId: Long): Long =
+    rolledCount(id, f, maxId)
+
+  private def rolledCount(id: Long, f: File, maxId: Long): Long = {
+    if (id == maxId) return recordCount(f)
+    val path = f.getAbsolutePath
+    val fin = finalCounts.get(path)
+    if (fin != null) return fin.longValue()
+    manifestById(f.getParent, prefixOf(f.getName)).get(id) match {
+      case Some(e) if e.length == f.length() =>
+        finalCounts.put(path, e.count); e.count
+      case _ => recordCount(f)
     }
+  }
+
+  /** Per-(dir,prefix) running totals over COMPLETED files, keyed by the
+    * settled listing's identity: while [[listFiles]] serves the same
+    * cached instance (no structural change), the completed files'
+    * contribution is one cached map and only the LIVE files (the
+    * max-id tail plus any unmanifested stragglers) are re-read per
+    * trigger — the map-offset twin of the legacy path's O(1) trigger.
+    */
+  private final case class TotalsState(filesRef: AnyRef,
+      completedTotals: Map[String, Long], live: Seq[File])
+  private val totalsCache = new ConcurrentHashMap[String, TotalsState]()
+
+  private def addCounts(acc: Map[String, Long],
+      counts: Map[String, Long]): Map[String, Long] =
+    counts.foldLeft(acc) { case (a, (t, n)) =>
+      a.updated(t, a.getOrElse(t, 0L) + n)
+    }
+
+  /** Total per-table record counts over the full log history — the
+    * per-table `latestOffset`. Settled-dir triggers cost the live
+    * tail's stats only; a structural change (roll, prune, redaction
+    * rename) recomputes the completed-files total once.
+    */
+  def totalsByTable(dir: String, prefix: String = DefaultPrefix): Map[String, Long] = {
+    val files = listFiles(dir, prefix)
+    val key = new File(dir).getPath + "\u0000" + prefix
+    val cached = totalsCache.get(key)
+    val state =
+      if (cached != null && (cached.filesRef eq files)) cached
+      else {
+        val maxId = files.lastOption.map(_._1).getOrElse(-1L)
+        val mf = manifest(dir)
+        val (completed, live) = fileTableCounts(dir, prefix).partition {
+          case (_, None, _) => true // pruned: manifest-only, immutable
+          case (id, Some(f), _) => id != maxId &&
+            mf.get(f.getName).exists(e =>
+              e.tables.nonEmpty && e.length == f.length())
+        }
+        val totals = completed.foldLeft(Map.empty[String, Long]) {
+          case (acc, (_, _, counts)) => addCounts(acc, counts)
+        }
+        val s = TotalsState(files, totals, live.flatMap(_._2))
+        totalsCache.put(key, s)
+        s
+      }
+    state.live.foldLeft(state.completedTotals) {
+      case (acc, f) => addCounts(acc, tableCounts(f))
+    }
+  }
 
   /** Convert a GLOBAL (fileId, pos) offset into per-table consumed
     * counts — the number of each table's records strictly before it.
@@ -590,10 +758,11 @@ object ChangelogFiles {
   def countBetweenOf(files: Seq[(Long, File)], from: BinlogOffset,
       until: BinlogOffset): Long = {
     if (until.packed <= from.packed) return 0L
+    val maxId = files.lastOption.map(_._1).getOrElse(-1L)
     files.iterator
       .filter { case (id, _) => id >= from.fileId && id <= until.fileId }
       .map { case (id, f) =>
-        val n = recordCount(f)
+        val n = rolledCount(id, f, maxId)
         val lo = if (id == from.fileId) from.pos else 1L
         val hi = if (id == until.fileId) math.min(until.pos, n + 1) else n + 1
         math.max(0L, hi - lo)
@@ -616,10 +785,11 @@ object ChangelogFiles {
   def advanceOf(files: Seq[(Long, File)], start: BinlogOffset,
       maxRecords: Long): BinlogOffset = {
     require(maxRecords > 0)
+    val maxId = files.lastOption.map(_._1).getOrElse(-1L)
     var remaining = maxRecords
     var end = start
     for ((id, f) <- files.dropWhile(_._1 < start.fileId) if remaining > 0) {
-      val n = recordCount(f)
+      val n = rolledCount(id, f, maxId)
       val from = if (id == start.fileId) start.pos else 1L
       val avail = math.max(0L, n - from + 1)
       val take = math.min(avail, remaining)

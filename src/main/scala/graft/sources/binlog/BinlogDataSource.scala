@@ -615,15 +615,13 @@ object BinlogPartitioning {
     // `count >= start.pos`; strictly after it, any record at all.
     // Purged files wholly BELOW the start offset are normal retention.
     if (conf.failOnDataLoss && start.fileId > 0) {
-      val existing = files.map(_._1).toSet
-      val unreadPurged = ChangelogFiles.manifest(conf.dir).exists { case (name, e) =>
-        try {
-          val id = BinlogOffset.fileIdOf(name)
+      val existing = ChangelogFiles.listedIdSet(conf.dir, conf.prefix)
+      val unreadPurged = ChangelogFiles.manifestById(conf.dir, conf.prefix)
+        .exists { case (id, e) =>
           !existing.contains(id) &&
             ((id == start.fileId && e.count >= start.pos) ||
              (id > start.fileId && e.count > 0))
-        } catch { case _: Exception => false }
-      }
+        }
       if (unreadPurged) {
         throw new IllegalStateException(
           s"start offset $start points at or before purged changelog data " +
@@ -632,10 +630,11 @@ object BinlogPartitioning {
       }
     }
     if (end.packed == start.packed) return Array.empty
+    val maxId = files.lastOption.map(_._1).getOrElse(-1L)
     val ranges = for {
       (id, f) <- files
       if id >= start.fileId && id <= end.fileId
-      n = ChangelogFiles.recordCount(f)
+      n = ChangelogFiles.recordCountRolled(id, f, maxId)
       from = if (id == start.fileId) start.pos else 1L
       until = if (id == end.fileId) math.min(end.pos, n + 1) else n + 1
       if until > from
@@ -677,13 +676,12 @@ object BinlogPartitioning {
     // per-table index space at all — its absence would silently shift
     // every later index. Conservative: that is a loss condition.
     if (conf.failOnDataLoss) {
-      val live = ChangelogFiles.listFiles(conf.dir, conf.prefix).map(_._1).toSet
-      val unplaceable = ChangelogFiles.manifest(conf.dir).collect {
-        case (name, e) if name.startsWith(conf.prefix + ".") &&
-            e.count > 0 && e.tables.isEmpty &&
-            (try !live.contains(BinlogOffset.fileIdOf(name))
-             catch { case _: Exception => false }) => name
-      }
+      val live = ChangelogFiles.listedIdSet(conf.dir, conf.prefix)
+      val unplaceable = ChangelogFiles.manifestById(conf.dir, conf.prefix)
+        .collect {
+          case (id, e) if e.count > 0 && e.tables.isEmpty &&
+              !live.contains(id) => id
+        }
       if (unplaceable.nonEmpty) {
         throw new IllegalStateException(
           s"purged changelog files ${unplaceable.mkString(",")} have no " +

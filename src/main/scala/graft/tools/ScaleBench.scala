@@ -20,12 +20,20 @@ import graft.sources.binlog.{BinlogMicroBatchStream, BinlogSourceConf, BinlogSou
   *
   * Prints ONE JSON line:
   *   {"metric":"scalebench","curve":[{"files":N,"latest_ms":…,
-  *     "latest_map_ms":…,"plan_ms":…,"init_map_ms":…},…]}
+  *     "latest_map_ms":…,"plan_ms":…,"init_map_ms":…,
+  *     "latest_relist_ms":…},…]}
   *
-  * Reading the curve: `latest_ms`/`plan_ms` growing ~linearly in file
-  * count at single-digit microseconds per file is the designed shape
-  * (a directory stat walk); anything super-linear, or milliseconds per
-  * file, means a record read leaked into the trigger path.
+  * Reading the curve (r12, incremental listing): on a SETTLED dir (no
+  * file created/deleted within the cache's mtime-granularity guard —
+  * the steady-state of a long-lived log) `latest_ms`/`latest_map_ms`
+  * must be FLAT in file count: the trigger is one dir stat plus the
+  * live tail's stats, matching the reference's constant-time socket
+  * trigger at any history length. `latest_relist_ms` is the fallback
+  * under structural churn (a file created this instant): one getdents
+  * sweep + cached name→id mapping, linear with a ~µs/file constant —
+  * the bound the OLD per-trigger cost used to pay every call.
+  * Milliseconds-per-file anywhere means a record read leaked into the
+  * trigger path.
   *
   *   sbt -batch "runMain graft.tools.ScaleBench [sfDir]"
   */
@@ -59,6 +67,14 @@ object ScaleBench {
       val dir = java.nio.file.Files
         .createTempDirectory(s"scalebench-$files").toString
       ChangelogGenerator.generate(events, dir, recordsPerFile = perFile)
+      // settle the dir: the steady-state trigger shape is a log whose
+      // last structural change (file roll) is older than the listing
+      // cache's mtime-granularity guard
+      def setDirMtime(ms: Long): Unit =
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(dir),
+          java.nio.file.attribute.FileTime.fromMillis(ms))
+      setDirMtime(System.currentTimeMillis() - 60000L)
       val nFiles = ChangelogFiles.listFiles(dir).size
       val opts = new CaseInsensitiveStringMap(java.util.Map.of(
         "path", dir, "maxEventsPerTrigger", "1000"))
@@ -77,20 +93,41 @@ object ScaleBench {
       val endLegacy = legacy.latestOffset(startLegacy, limit)
       val planMs = timeMs(reps)(legacy.planInputPartitions(startLegacy, endLegacy))
       val initMapMs = timeMs(reps)(mapped.initialOffset())
+      // structural-churn fallback: a dir-mtime bump before every call
+      // defeats the settled-listing cache, so each trigger pays the
+      // re-enumeration sweep (the old always-on cost)
+      val relistMs = timeMs(reps) {
+        setDirMtime(System.currentTimeMillis())
+        legacy.latestOffset(startLegacy, limit)
+      }
       // sanity: the capped window really is 1000 records
       val got = ChangelogFiles.countBetween(dir,
         startLegacy.asInstanceOf[BinlogSourceOffset].offset,
         endLegacy.asInstanceOf[BinlogSourceOffset].offset)
       require(got == 1000L.min(total), s"window=$got")
 
-      f"""{"files":$nFiles,"latest_ms":$latestMs%.3f,"latest_map_ms":$latestMapMs%.3f,"plan_ms":$planMs%.3f,"init_map_ms":$initMapMs%.3f}"""
+      f"""{"files":$nFiles,"latest_ms":$latestMs%.3f,"latest_map_ms":$latestMapMs%.3f,"plan_ms":$planMs%.3f,"init_map_ms":$initMapMs%.3f,"latest_relist_ms":$relistMs%.3f}"""
     }
 
     val line =
       s"""{"metric":"scalebench","unit":"ms_per_call","total_records":$total,"curve":[${rows.mkString(",")}]}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALEBENCH.json"), line + "\n")
-    catch { case e: Throwable =>
+    // merge-preserving write: other tools own sibling top-level fields
+    // of SCALEBENCH.json (DataScaleBench's data_curve) — refreshing the
+    // file-count curve must not clobber them
+    try {
+      val path = java.nio.file.Paths.get("SCALEBENCH.json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fresh = mapper.readTree(line)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val merged =
+        if (java.nio.file.Files.exists(path)) {
+          val prior = mapper.readTree(java.nio.file.Files.readString(path))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          prior.setAll[com.fasterxml.jackson.databind.JsonNode](fresh)
+          prior
+        } else fresh
+      java.nio.file.Files.writeString(path, merged.toString + "\n")
+    } catch { case e: Throwable =>
       System.err.println(s"[scalebench] write failed: ${e.getMessage}") }
     println(line)
     spark.stop()

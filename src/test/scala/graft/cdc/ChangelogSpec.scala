@@ -172,4 +172,45 @@ class ChangelogSpec extends SparkSuite {
     assert(ChangelogFiles.countBetween(dir,
       BinlogOffset(2, 1), BinlogOffset(2, 1)) === 0L)
   }
+
+  test("listFiles serves a SETTLED dir from cache yet sees every " +
+      "structural change and every tail append") {
+    val d = Files.createTempDirectory("graft-dirlist").toString
+    ChangelogGenerator.generate(Tables(spark, sfDir).events, d,
+      recordsPerFile = 500) // 1000 events -> 2 files
+    // age the dir past the mtime-granularity guard: the steady-state
+    // shape of a long-lived log (files exist, none created just now)
+    def age(): Unit = java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(d),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+    age()
+    val first = ChangelogFiles.listFiles(d)
+    assert(first.map(_._1) === Seq(1L, 2L))
+    // an unchanged settled dir is a pure cache hit (same instance —
+    // no enumeration, no per-file stats)
+    assert(ChangelogFiles.listFiles(d) eq first)
+    // appends to the live tail do NOT invalidate the listing (the dir
+    // mtime is untouched) and MUST still advance the offset — the
+    // listing is files-identity, recordCount is content
+    val before = ChangelogFiles.latestOffset(d)
+    val tail = first.last._2
+    val out = new java.io.FileOutputStream(tail, true)
+    try out.write(
+      (ChangelogRecord.write(ChangelogRecord(0L, "insert", "graft",
+        "events", 1L, Map("event_id" -> EnvelopeValue.VString("x")))) + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    assert(ChangelogFiles.listFiles(d) eq first)
+    val after = ChangelogFiles.latestOffset(d)
+    assert(after.pos === before.pos + 1, s"$before -> $after")
+    // a NEW file bumps the dir mtime: the next listing sees it even
+    // from the settled state
+    val f3 = new java.io.File(d, "graft-bin.000003")
+    java.nio.file.Files.copy(first.head._2.toPath, f3.toPath)
+    assert(ChangelogFiles.listFiles(d).map(_._1) === Seq(1L, 2L, 3L))
+    // deletion is a structural change too
+    assert(f3.delete())
+    assert(ChangelogFiles.listFiles(d).map(_._1) === Seq(1L, 2L))
+  }
 }
