@@ -572,6 +572,20 @@ object CdcStream {
     */
   private[streaming] var publishTestHook: () => Unit = () => ()
 
+  /** Test seam: runs after the staged version dir is CLAIMED (moved to
+    * its final name) but before the pointer swap — a crash here leaves
+    * an unpublished orphan at the target name, the widest intra-commit
+    * window. The fault-injection sweep drives every multi-commit
+    * operation through it.
+    */
+  private[streaming] var claimTestHook: () => Unit = () => ()
+
+  /** Test seam: runs immediately after the pointer swap — the commit
+    * is durable, but the writer dies before lock release bookkeeping,
+    * orphan GC, and retention run.
+    */
+  private[streaming] var postPublishTestHook: () => Unit = () => ()
+
   /** `bucketCols`: the key subset rows hash-route by — defaults to the
     * full key (`idCols`). A PROPER subset turns the replica into a
     * value-clustered store: every row sharing the subset's values lands
@@ -2388,11 +2402,13 @@ object CdcStream {
         case e: java.nio.file.FileSystemException =>
           conflict(s"could not claim version dir $nextName (${e.getMessage})")
       }
+      CdcStream.claimTestHook()
       val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
       java.nio.file.Files.write(tmpPtr, nextName.getBytes(UTF_8))
       java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
         ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      CdcStream.postPublishTestHook()
     } finally {
       // release only OUR lock: if it went stale (>60 s — impossible for
       // this metadata-only section short of a machine-level stall) and
