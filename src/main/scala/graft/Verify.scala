@@ -52,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the COMPLETE suite name set (not just oracle-keyed queries), so
+    // record-merging tools can prune stale entries against the real
+    // suite instead of the oracle map — a rows-only query (no oracle
+    // SQL) must survive a later subset run's merge
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/suite_queries.json"), allNames)
     spark.stop()
   }
 }

@@ -227,7 +227,12 @@ object DataScaleBench {
       //  - sink_eager_touched: eager merge of the same batch — reads
       //    and rewrites the touched buckets, so it grows with bucket
       //    size (data-proportional BY DESIGN; the defer/eager gap is
-      //    exactly what deferMerge buys a streaming sink).
+      //    exactly what deferMerge buys a streaming sink). The probe
+      //    keys are confined to ≤2 of the 16 buckets (filtered by the
+      //    store's own `pmod(hash(key), numBuckets)` routing), so the
+      //    measured eager cost is TOUCHED-BUCKET-proportional — the
+      //    claim the merge path actually makes — instead of a
+      //    whole-store rewrite that hides the bucket-pruning win.
       import graft.streaming.CdcStream
       val ev = graft.Tables(spark, dir).events
         .select(col("user_id"), col("event_id"),
@@ -242,7 +247,15 @@ object DataScaleBench {
       // with scale — the exact false regression the probe exists to rule
       // out. 1000 rows collect to the driver; the timed apply reads a
       // scale-independent local DataFrame.
-      val probeRows = ev.orderBy(col("event_id")).limit(1000)
+      // bucket-local key set: same routing expression the store uses
+      // (CdcStream.DefaultReplicaBuckets = 16; hash() is type-sensitive
+      // so it runs over the same untouched user_id column the store
+      // bucketed by). Buckets {0,1} ⇒ eager rewrites 2/16 of the store.
+      val touchedBuckets = Seq(0, 1)
+      val probeRows = ev
+        .filter(pmod(hash(col("user_id")),
+          lit(CdcStream.DefaultReplicaBuckets)).isin(touchedBuckets: _*))
+        .orderBy(col("event_id")).limit(1000)
         .withColumn("ms", col("ms") + lit(1L)).collect()
       val probe = spark.createDataFrame(
         java.util.Arrays.asList(probeRows: _*),
@@ -256,14 +269,21 @@ object DataScaleBench {
         probe.withColumn("ms", col("ms") + lit(2L)), Seq("user_id"),
         Seq(col("ms"), col("event_id")))
       val eagerSec = (System.nanoTime() - tE0) / 1e9
+      // rows living in the touched buckets — the size the eager cost
+      // should track (not the whole store's)
+      val touchedRows = ev.filter(pmod(hash(col("user_id")),
+        lit(CdcStream.DefaultReplicaBuckets)).isin(touchedBuckets: _*)).count()
       deleteRecursively(new java.io.File(store))
       System.err.println(f"[datascale] x$scale write-path floor: " +
-        f"defer $deferSec%.3fs eager $eagerSec%.3fs (1000-row batch " +
-        f"over ${counts("events")} stored)")
+        f"defer $deferSec%.3fs eager $eagerSec%.3fs (1000-row batch, " +
+        f"${touchedBuckets.size} buckets / $touchedRows rows touched " +
+        f"of ${counts("events")} stored)")
       val writePath =
         s""""write_path":{"sink_floor_defer":{"sec":${r3(deferSec)},""" +
           s""""batch_rows":1000},"sink_eager_touched":{"sec":${r3(eagerSec)},""" +
-          s""""batch_rows":1000,"store_rows":${counts("events")}}}"""
+          s""""batch_rows":1000,"touched_buckets":${touchedBuckets.size},""" +
+          s""""touched_bucket_rows":$touchedRows,""" +
+          s""""store_rows":${counts("events")}}}"""
       s"""{"scale":$scale,"rows":{${counts.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
         s""""queries":{${entries.mkString(",")}},$writePath}"""

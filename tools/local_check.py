@@ -108,15 +108,23 @@ def main() -> int:
         # MERGE into an existing record (same sf_dir): the sample file
         # accumulates family batches across rounds; re-run queries
         # overwrite their own entries. Prior entries whose query no
-        # longer exists in the suite (oracle_sql.json carries the FULL
-        # map even on subset runs) are PRUNED — a renamed/removed query
-        # must not keep counting as verified forever.
+        # longer exists in the suite are PRUNED — a renamed/removed
+        # query must not keep counting as verified forever. The live
+        # set is the COMPLETE suite name list (suite_queries.json,
+        # dumped by Verify even on subset runs); falling back to the
+        # oracle map keeps old outDirs working, but only the full list
+        # protects a rows-only query (no oracle SQL) from being
+        # dropped by a later subset run's merge.
         if os.path.exists(json_out):
             try:
                 with open(json_out) as f:
                     prior = json.load(f)
                 if prior.get("sf_dir") == sf_dir:
                     live = set(oracles) | set(record)
+                    suite_file = os.path.join(out_dir, "suite_queries.json")
+                    if os.path.exists(suite_file):
+                        with open(suite_file) as f:
+                            live |= set(json.load(f))
                     merged = {k: v for k, v in
                               prior.get("queries", {}).items() if k in live}
                     merged.update(record)
