@@ -1073,6 +1073,23 @@ object CdcStream {
       .map(_.distinct()))
   }
 
+  /** True iff the store's content at version `fromV` PROVABLY equals
+    * its content at version `toV` (fromV ≤ toV): every version in
+    * `(fromV, toV]` is a content-identical commit (compact / reshard).
+    * Metadata-only (manifest `commitKind` reads). A GC'd version dir,
+    * a legacy unclassified manifest, or any content-mutating kind
+    * (merge / erase / restore) returns false — the conservative
+    * answer. Used by the GSI cursor checks: an index in sync at
+    * `fromV` is still in sync at `toV` across pure maintenance
+    * commits, which carry nothing an index could miss.
+    */
+  private[streaming] def contentIdenticalRange(replicaDir: String,
+      fromV: Long, toV: Long): Boolean =
+    ((fromV + 1) to toV).forall { v =>
+      readManifest(replicaDir, f"v$v%09d").flatMap(_.commitKind)
+        .exists(k => k == "compact" || k == "reshard")
+    }
+
   /** The CURRENT committed version number (the pointer's target) —
     * None when nothing was ever committed. Distinct from
     * `replicaVersions(dir).max`: a crashed writer's unpublished orphan
@@ -1282,11 +1299,78 @@ object CdcStream {
         */
       conditionalApply: Boolean = false): Long = {
     freezeReplica(oldPrimaryDir, s"demoted: follower $followerDir promoted")
-    if (drain)
-      replayFeedInto(spark, oldPrimaryDir, followerDir, idCols, orderCols,
-        fromVersionExclusive = lastAppliedVersion, recordChanges = true,
-        conditionalApply = conditionalApply)
-    currentVersion(followerDir).map(_._1).getOrElse(0L)
+    val demotedFork =
+      if (drain)
+        replayFeedInto(spark, oldPrimaryDir, followerDir, idCols, orderCols,
+          fromVersionExclusive = lastAppliedVersion, recordChanges = true,
+          conditionalApply = conditionalApply)
+      else lastAppliedVersion
+    val promoV = currentVersion(followerDir).map(_._1).getOrElse(0L)
+    // record the fork pair THE PROMOTION ITSELF established — the
+    // ground truth [[resyncAsFollower]]'s delta path cross-checks a
+    // caller's fork arguments against (a too-new fork would silently
+    // truncate the divergence bound). Written after the drain: a
+    // crashed promotion leaves no record, and the documented recovery
+    // (re-run promoteFollower) writes it on the replay.
+    writePromotionRecord(followerDir, oldPrimaryDir, demotedFork, promoV)
+    promoV
+  }
+
+  /** `_promotion.json` in the NEW primary's dir: which store it was
+    * promoted over and the fork pair — `demotedFork` (the last demoted
+    * version the follower had applied at promotion, post-drain) and
+    * `promotionVersion` (the follower's version at promotion). Sidecar
+    * metadata (the store sweep only touches `.staging-*`/`.gc-*`),
+    * atomically replaced at each promotion so it always describes the
+    * LATEST failover this store won.
+    */
+  private def writePromotionRecord(followerDir: String,
+      demotedDir: String, demotedFork: Long, promotionVersion: Long): Unit = {
+    val canonical =
+      try new java.io.File(demotedDir).getCanonicalPath
+      catch { case _: java.io.IOException => demotedDir }
+    val sw = new java.io.StringWriter()
+    val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    g.writeStartObject()
+    g.writeStringField("demotedDir", canonical)
+    g.writeNumberField("demotedFork", demotedFork)
+    g.writeNumberField("promotionVersion", promotionVersion)
+    g.writeEndObject()
+    g.close()
+    val dir = java.nio.file.Paths.get(followerDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".promo-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      sw.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve("_promotion.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[streaming] def promotionRecord(newPrimaryDir: String)
+      : Option[(String, Long, Long)] = {
+    val f = new java.io.File(newPrimaryDir, "_promotion.json")
+    if (!f.exists()) return None
+    try {
+      import com.fasterxml.jackson.core.JsonToken
+      val p = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      var dir: Option[String] = None
+      var fork: Option[Long] = None
+      var promo: Option[Long] = None
+      require(p.nextToken() == JsonToken.START_OBJECT)
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        p.currentName() match {
+          case "demotedDir" => p.nextToken(); dir = Some(p.getText)
+          case "demotedFork" => p.nextToken(); fork = Some(p.getLongValue)
+          case "promotionVersion" => p.nextToken(); promo = Some(p.getLongValue)
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+      p.close()
+      for (d <- dir; fk <- fork; pv <- promo) yield (d, fk, pv)
+    } catch { case _: Exception => None }
   }
 
   /** RE-SYNC a demoted (possibly diverged) store as a follower of the
@@ -1329,6 +1413,21 @@ object CdcStream {
     * version in either range that mutated content outside the feed
     * (erasure, recordChanges=false, legacy) falls back to the full
     * diff — correct, never silently partial.
+    *
+    * ==The fork invariant — REQUIRED for the delta path==
+    * The new primary's content at `newPrimaryForkVersion` must EQUAL
+    * the demoted store's content at `demotedDivergedAfter` (the states
+    * the two histories forked from). Passing a fork NEWER than the
+    * true one excludes commits from the divergence bound and the
+    * rewind is SILENTLY PARTIAL — the one failure the unconditional
+    * full diff cannot have. Passing an OLDER fork is safe
+    * (over-inclusion only widens the diff). Guards, all metadata-only:
+    * a fork beyond either store's current version throws; and when the
+    * new primary holds a promotion record for THIS demoted store
+    * (written by [[promoteFollower]] — the fork pair the failover
+    * itself established), fork arguments newer than the recorded pair
+    * throw. When unsure of the fork, pass None: the full diff is
+    * always correct.
     */
   def resyncAsFollower(spark: org.apache.spark.sql.SparkSession,
       demotedDir: String, newPrimaryDir: String,
@@ -1353,6 +1452,27 @@ object CdcStream {
     val bound: Option[Option[DataFrame]] =
       (demotedDivergedAfter, newPrimaryForkVersion) match {
         case (Some(fd), Some(fp)) =>
+          // fork-invariant guards (see the Scaladoc): a future fork is
+          // provably a caller error, and a fork newer than what the
+          // promotion itself recorded would make the rewind silently
+          // partial — the failure mode the full diff cannot have
+          if (fd > vd || fp > vp) throw new IllegalArgumentException(
+            s"resync: fork versions (demoted $fd, new-primary $fp) lie " +
+              s"beyond the stores' current versions ($vd, $vp) — not a " +
+              "state either history ever had")
+          promotionRecord(newPrimaryDir).foreach { case (dDir, recFd, recFp) =>
+            val canonical =
+              try new java.io.File(demotedDir).getCanonicalPath
+              catch { case _: java.io.IOException => demotedDir }
+            if (dDir == canonical && (fd > recFd || fp > recFp))
+              throw new IllegalArgumentException(
+                s"resync: fork versions (demoted $fd, new-primary $fp) " +
+                  s"are NEWER than the promotion-recorded fork ($recFd, " +
+                  s"$recFp) of $newPrimaryDir — commits between them " +
+                  "would be excluded from the divergence bound and the " +
+                  "rewind would be silently partial; pass the recorded " +
+                  "fork, or None for the always-correct full diff")
+          }
           for {
             a <- feedTouchedKeys(spark, demotedDir, fd, vd, idCols)
             b <- feedTouchedKeys(spark, newPrimaryDir, fp, vp, idCols)

@@ -41,6 +41,82 @@ import org.apache.spark.sql.functions._
   */
 object SecondaryIndex {
 
+  // ------------------------------------------------------ applied cursor
+  // The index store records WHICH primary version it reflects — the
+  // in-order, exactly-once replay contract made checkable instead of
+  // doc-only. Without it, replaying a feed version out of order, twice
+  // at a distance, or past a skipped one silently corrupts the index
+  // (stale pointers persist; missing entries make lookups silently
+  // incomplete). The cursor is a sidecar file in the index dir (the
+  // store's sweep only touches `.staging-*`/`.gc-*` debris), written
+  // via temp + atomic rename so a torn write can't corrupt it.
+  //
+  // Crash discipline: [[applyBatchWithIndexes]] writes the cursor
+  // AFTER all index commits and BEFORE the primary's (value = the
+  // primary version the in-flight batch will create), then rewrites it
+  // to the primary's ACTUAL current version after the primary commit
+  // lands — so the cursor is never behind what the index applied, and
+  // the checks treat "one ahead" as the crash-redo window (the same
+  // forward window the index-first commit order already has). Feed
+  // replays write each index's cursor after that index's commit.
+  //
+  // Check rule, everywhere: a cursor at `c` is in sync with a primary
+  // at `cur` iff `c == cur + 1` (crash redo) or `c <= cur` with every
+  // version in `(c, cur]` content-identical (compact/reshard — pure
+  // maintenance carries nothing an index could miss, and a lagging
+  // follower must be able to step over it). Absent cursor = a legacy
+  // or externally-assembled index: checks pass, and the next write
+  // graduates the store. An index store REBUILT by hand (or restored)
+  // should be discarded, not cursor-edited — [[buildIndex]] stamps the
+  // fresh store with its pinned version.
+
+  private val CursorFile = "_applied_primary_version"
+
+  /** The primary version this index store reflects (None: never
+    * recorded — pre-cursor index stores, or a dir that isn't one).
+    */
+  def appliedPrimaryVersion(indexDir: String): Option[Long] = {
+    val f = new java.io.File(indexDir, CursorFile)
+    if (!f.exists()) None
+    else
+      try Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      catch { case _: NumberFormatException => None }
+  }
+
+  private def recordAppliedPrimaryVersion(indexDir: String, v: Long): Unit = {
+    val dir = java.nio.file.Paths.get(indexDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".cursor-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(CursorFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Refuse an index whose cursor cannot be reconciled with the
+    * primary state the caller is about to apply over. `expectedAt` is
+    * the primary version the index must reflect for the operation to
+    * be sound; `redoAt` is the version an index that already applied
+    * the in-flight work sits at (the crash-redo window — allowed,
+    * the re-apply is idempotent by construction).
+    */
+  private def checkCursor(primaryDir: String, indexDir: String,
+      expectedAt: Long, redoAt: Long, op: String): Unit =
+    appliedPrimaryVersion(indexDir).foreach { c =>
+      val ok = c == redoAt ||
+        (c <= expectedAt &&
+          CdcStream.contentIdenticalRange(primaryDir, c, expectedAt))
+      if (!ok) throw new IllegalStateException(
+        s"$op: index $indexDir reflects primary version $c of " +
+          s"$primaryDir but this operation requires state $expectedAt " +
+          "— replaying out of order or past a skipped version would " +
+          "silently corrupt the index (stale pointers persist, missing " +
+          "entries hide). Catch up in order via maintainIndexesFromFeed" +
+          "(Range), or rebuild via buildIndex")
+    }
+
   /** Apply one CDC micro-batch to the primary replica AND keep the
     * value index synchronized. `idxExpr` derives the indexed value
     * from a row's stored columns (must be deterministic); `idxName`
@@ -120,6 +196,13 @@ object SecondaryIndex {
     require(specs.nonEmpty, "applyBatchWithIndexes: at least one index")
     require(specs.map(_.dir).distinct.size == specs.size,
       "applyBatchWithIndexes: index dirs must be distinct")
+    // cursor gate (metadata-only, before any job): each index must be
+    // in sync with the primary's current state — or one ahead (the
+    // crash-redo window: indexes committed, the primary commit was
+    // lost; this very call is the documented replay)
+    val curV = CdcStream.replicaCurrentVersion(primaryDir).getOrElse(0L)
+    specs.foreach(sp => checkCursor(primaryDir, sp.dir,
+      expectedAt = curV, redoAt = curV + 1, op = "applyBatchWithIndexes"))
     val orderCols = orderColNames.map(col)
     // materialize the per-key net ONCE: the old-value read, the primary
     // merge, and every index batch derive from it — each would
@@ -160,6 +243,10 @@ object SecondaryIndex {
           idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
           bucketCols = Some(Seq(sp.name)), deferMerge = sp.defer)
       }
+      // cursor: pre-stamp the version the primary commit below will
+      // create — a crash between here and that commit leaves the
+      // cursor one AHEAD, the redo window the entry check allows
+      specs.foreach(sp => recordAppliedPrimaryVersion(sp.dir, curV + 1))
       // the net IS the batch's last-op-per-key — merging it is
       // equivalent to merging the batch (and its inner net pass is a
       // window over delta-sized rows). The primary may defer too: the
@@ -169,6 +256,12 @@ object SecondaryIndex {
       CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
         numBuckets = numBuckets, watermark = watermark,
         recordChanges = recordChanges, deferMerge = deferPrimaryMerge)
+      // re-stamp with the primary's ACTUAL current version: fixes the
+      // pre-stamp after a net-empty batch (no commit happened) and
+      // after an interleaved maintenance commit took the pre-stamped
+      // number (the cursor must point at real, reconcilable state)
+      val landed = CdcStream.replicaCurrentVersion(primaryDir).getOrElse(0L)
+      specs.foreach(sp => recordAppliedPrimaryVersion(sp.dir, landed))
     } finally {
       oldMat.foreach(_._2())
       dropNet()
@@ -245,6 +338,12 @@ object SecondaryIndex {
         s"maintainIndexesFromFeed: version ${version - 1} of " +
           s"$primaryDir was GC'd — the old indexed values are " +
           "unknowable; rebuild via buildIndex")
+    // cursor gate: each index must reflect the version's predecessor
+    // state (content-identical gaps — compactions the feed correctly
+    // skips — step over), or the version itself (idempotent redo)
+    specs.foreach(sp => checkCursor(primaryDir, sp.dir,
+      expectedAt = version - 1, redoAt = version,
+      op = "maintainIndexesFromFeed"))
     val feed = CdcStream.readReplicaChanges(spark, primaryDir,
         version - 1, Some(version)).getOrElse(
       throw new IllegalStateException(
@@ -271,8 +370,108 @@ object SecondaryIndex {
           indexDelta(net, oldIdx, sp, idCols, orderColNames, opCol),
           idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
           bucketCols = Some(Seq(sp.name)), deferMerge = sp.defer)
+        // stamped per index, right after ITS commit: a crash
+        // mid-sequence leaves applied indexes at `version` (redo-
+        // allowed) and unapplied ones at `version - 1` (catch up)
+        recordAppliedPrimaryVersion(sp.dir, version)
       } finally oldMat.foreach(_._2())
     } finally dropNet()
+  }
+
+  /** RANGE catch-up for a lagging index follower: converge index(es)
+    * from primary state `fromVersionExclusive` to `toVersion` in ONE
+    * delta-sized apply per index — the multi-version form of
+    * [[maintainIndexesFromFeed]], with the same refusal semantics
+    * (erase / recordChanges=false content commits in the range refuse
+    * via the feed's commit-kind classification; a GC'd range version
+    * is a feed gap; a GC'd range-start state makes the old values
+    * unknowable — rebuild via [[buildIndex]] instead).
+    *
+    * The per-version old-value reads FOLD where the versions chain:
+    * the index holds each touched key's value as of the range START
+    * (intermediate values never reached it — it lagged), so the only
+    * stale entries to delete are `(value@start, key)` and the only
+    * entries to write are `(value@end, key)` for surviving keys. ONE
+    * key-pruned time-travel read at the range start supplies every old
+    * value; the composed net (last op per key by commit version, then
+    * the batch order columns) supplies the new — intermediate feed
+    * versions contribute only their votes in that window, never an
+    * index commit. Spec-pinned equal to the version-by-version replay.
+    *
+    * Cost: O(range feed rows) + one key-pruned read + one delta-sized
+    * merge per index — against O(versions) commits for the loop form.
+    */
+  def maintainIndexesFromFeedRange(
+      spark: SparkSession,
+      primaryDir: String,
+      specs: Seq[IndexSpec],
+      fromVersionExclusive: Long,
+      toVersion: Long,
+      idCols: Seq[String],
+      orderColNames: Seq[String],
+      opCol: String = "op"): Unit = {
+    require(specs.nonEmpty, "maintainIndexesFromFeedRange: at least one index")
+    require(toVersion > fromVersionExclusive,
+      s"maintainIndexesFromFeedRange: empty range ($fromVersionExclusive, " +
+        s"$toVersion]")
+    // metadata gates first (the single-version API's discipline):
+    // range-start state must be readable for the old values…
+    if (fromVersionExclusive > 0 && !CdcStream.replicaVersions(primaryDir)
+        .contains(fromVersionExclusive))
+      throw new IllegalStateException(
+        s"maintainIndexesFromFeedRange: version $fromVersionExclusive of " +
+          s"$primaryDir was GC'd — the old indexed values are unknowable; " +
+          "rebuild via buildIndex")
+    // …and each index must sit AT the range start (content-identical
+    // gaps step over) or already at the range end (idempotent redo)
+    specs.foreach(sp => checkCursor(primaryDir, sp.dir,
+      expectedAt = fromVersionExclusive, redoAt = toVersion,
+      op = "maintainIndexesFromFeedRange"))
+    // the feed read classifies every range version: gaps throw, erase /
+    // unrecorded content commits throw, compact/reshard contribute
+    // nothing (correct — content-identical)
+    val feed = CdcStream.readReplicaChanges(spark, primaryDir,
+      fromVersionExclusive, Some(toVersion))
+    val orderCols = orderColNames.map(col)
+    feed match {
+      case None =>
+        // every range version is content-identical (or a legacy
+        // changeless commit, which every feed surface skips): the
+        // indexes already reflect the range end
+        specs.foreach(sp => recordAppliedPrimaryVersion(sp.dir, toVersion))
+      case Some(f) =>
+        // composed net: last op per key across the WHOLE range, commit
+        // version leading the order so later versions win regardless
+        // of the batch order columns' values
+        val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
+          CdcStream.lastOpPerKey(f, idCols,
+              col("_commit_version") +: orderCols)
+            .drop("_commit_version", "_commit_watermark"), "gsi-range-net")
+        try {
+          val keys = net.select(idCols.map(col): _*).distinct()
+          val oldMat: Option[(DataFrame, () => Unit)] =
+            (if (fromVersionExclusive == 0) None
+             else CdcStream.readReplicaForKeysAt(spark, primaryDir,
+               fromVersionExclusive, idCols, keys))
+              .map { o =>
+                if (specs.size > 1)
+                  graft.llm.IndexArtifacts.materializeOwned(spark, o,
+                    "gsi-range-old")
+                else (o, () => ())
+              }
+          try specs.foreach { sp =>
+            val oldIdx = oldMat.map { case (o, _) =>
+              o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
+            }
+            CdcStream.applyBatchToReplica(sp.dir,
+              indexDelta(net, oldIdx, sp, idCols, orderColNames, opCol),
+              idCols = sp.name +: idCols, orderCols = orderCols,
+              opCol = opCol, bucketCols = Some(Seq(sp.name)),
+              deferMerge = sp.defer)
+            recordAppliedPrimaryVersion(sp.dir, toVersion)
+          } finally oldMat.foreach(_._2())
+        } finally dropNet()
+    }
   }
 
   /** BOOTSTRAP an index over an EXISTING primary — CREATE INDEX. One
@@ -344,6 +543,10 @@ object SecondaryIndex {
         s"v${after.getOrElse(-1L)} during the bootstrap — the batch(es) " +
         "committed mid-build are missing from the index; delete " +
         s"${spec.dir} and rebuild (or freeze the primary for the build)")
+    // stamp the fresh store with the pinned version: incremental and
+    // feed-driven maintenance now REFUSE anything but in-order resume
+    // from exactly this state (the quiescence check just proved it)
+    recordAppliedPrimaryVersion(spec.dir, pinned)
     pinned
   }
 

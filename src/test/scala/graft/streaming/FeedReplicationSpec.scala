@@ -305,6 +305,53 @@ class FeedReplicationSpec extends SparkSuite {
     assert(state(primary) == state(follower))
   }
 
+  test("fork versions newer than the promotion-recorded pair (or beyond " +
+      "either store) refuse — a too-new fork would be silently partial") {
+    val primary = freshDir()
+    val follower = freshDir()
+    def commit(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    commit(primary, (1L to 20L).map(i => (i, s"base$i", 1L, "update")))
+    val cursor = CdcStream.replayFeedInto(spark, primary, follower,
+      Seq("id"), Seq(col("seq")))
+    // two divergent commits the follower never saw — a fork claimed
+    // PAST the first one would hide key 1's divergence from the bound
+    commit(primary, Seq((1L, "lost1", 50L, "update")))
+    commit(primary, Seq((2L, "lost2", 51L, "update")))
+    val promoV = CdcStream.promoteFollower(spark, follower, primary,
+      Seq("id"), Seq(col("seq")), lastAppliedVersion = cursor, drain = false)
+    commit(follower, Seq((3L, "b2", 2L, "update")))
+    // the promotion recorded (cursor, promoV); claiming the demoted
+    // fork one version later would treat v2's "lost1" as shared history
+    val tooNew = intercept[IllegalArgumentException] {
+      CdcStream.resyncAsFollower(spark, primary, follower,
+        Seq("id"), Seq(col("seq")),
+        demotedDivergedAfter = Some(cursor + 1),
+        newPrimaryForkVersion = Some(promoV))
+    }
+    assert(tooNew.getMessage.contains("promotion-recorded"))
+    // a fork beyond either store's current version is a plain error
+    val beyond = intercept[IllegalArgumentException] {
+      CdcStream.resyncAsFollower(spark, primary, follower,
+        Seq("id"), Seq(col("seq")),
+        demotedDivergedAfter = Some(99L),
+        newPrimaryForkVersion = Some(promoV))
+    }
+    assert(beyond.getMessage.contains("beyond the stores"))
+    // an OLDER fork is safe (over-inclusion widens the diff) and the
+    // recorded pair itself converges exactly
+    val from = CdcStream.resyncAsFollower(spark, primary, follower,
+      Seq("id"), Seq(col("seq")),
+      demotedDivergedAfter = Some(cursor - 1),
+      newPrimaryForkVersion = Some(promoV))
+    assert(state(primary) == state(follower),
+      "an older-than-recorded fork must still converge")
+    assert(!state(primary).exists(_._2.startsWith("lost")),
+      "both divergent commits must roll back")
+    assert(from == CdcStream.replicaCurrentVersion(follower).get)
+  }
+
   test("a changeless version in the drain range is classified by its " +
       "commit kind: compaction skips, erasure and unrecorded merges refuse") {
     val primary = freshDir()

@@ -184,6 +184,148 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(lookup(p, ix, "pune") == Seq(3L))
   }
 
+  test("range catch-up equals version-by-version replay, one commit, " +
+      "same refusal semantics") {
+    val (p, ix, ix2) = (freshDir(), freshDir(), freshDir())
+    def commit(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(p, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    // v1 spreads keys over many buckets so later single-bucket merges
+    // keep referencing (and thus retaining) its version dir — a
+    // version whose files no manifest references is GC'd WITH its
+    // changes, which is the feed-gap contract, not this test's subject
+    commit(Seq((1L, "oslo", 1L, "update"), (2L, "lima", 1L, "update"),
+      (5L, "bern", 1L, "update")) ++
+      (10L until 40L).map(i => (i, s"c$i", 1L, "update")))
+    // value moves, a delete, a move-back-capable chain — the
+    // composed-delta fold's edge cases
+    commit(Seq((1L, "lima", 2L, "update"), (3L, "oslo", 2L, "update"),
+      (2L, "x", 2L, "delete")))
+    // a compaction ends the range: content-identical — the feed
+    // correctly skips it, the cursor steps over it
+    CdcStream.compactReplica(spark, p)
+    val top = CdcStream.replicaVersions(p).max
+    // path A: version-by-version (the loop a lagging follower runs;
+    // the compaction version has no feed entry and is skipped)
+    Seq(1L, 2L).foreach { v =>
+      SecondaryIndex.maintainIndexesFromFeed(spark, p,
+        Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+        v, Seq("id"), Seq("seq"))
+    }
+    // path B: ONE range call over the same span, compaction included
+    SecondaryIndex.maintainIndexesFromFeedRange(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix2, col("city"), "city")),
+      0L, top, Seq("id"), Seq("seq"))
+    def entriesOf(dir: String): Seq[(String, Long, Long)] =
+      CdcStream.readReplica(spark, dir).get
+        .select($"city", $"id", $"seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(entriesOf(ix2) == entriesOf(ix),
+      "range catch-up must equal the version-by-version replay")
+    assert(entriesOf(ix2).take(3) == Seq(("bern", 5L, 1L),
+      ("c10", 10L, 1L), ("c11", 11L, 1L)))
+    assert(entriesOf(ix2).contains(("lima", 1L, 2L)) &&
+      entriesOf(ix2).contains(("oslo", 3L, 2L)) &&
+      !entriesOf(ix2).exists(_._2 == 2L),
+      s"composed delta must move key 1, add key 3, delete key 2: " +
+        entriesOf(ix2).toString)
+    // the range commits ONCE per index, not once per version
+    assert(CdcStream.replicaVersions(ix2).max <
+      CdcStream.replicaVersions(ix).max)
+    // the range cursor sits at the range end (the compaction stepped
+    // over); the loop's sits at the last feed version
+    assert(SecondaryIndex.appliedPrimaryVersion(ix2).contains(top))
+    assert(SecondaryIndex.appliedPrimaryVersion(ix).contains(2L))
+    // an idempotent full redo is allowed and converges
+    SecondaryIndex.maintainIndexesFromFeedRange(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix2, col("city"), "city")),
+      0L, top, Seq("id"), Seq("seq"))
+    assert(entriesOf(ix2) == entriesOf(ix))
+    // a NEW commit past the compaction: the loop follower steps over
+    // the compaction (content-identical gap), the range follower
+    // resumes from its cursor — both land equal again
+    commit(Seq((1L, "pune", 4L, "update"), (6L, "rome", 4L, "update")))
+    val v4 = CdcStream.replicaVersions(p).max
+    SecondaryIndex.maintainIndexesFromFeed(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+      v4, Seq("id"), Seq("seq"))
+    SecondaryIndex.maintainIndexesFromFeedRange(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix2, col("city"), "city")),
+      top, v4, Seq("id"), Seq("seq"))
+    assert(entriesOf(ix2) == entriesOf(ix))
+    assert(lookup(p, ix2, "pune") == Seq(1L) &&
+      lookup(p, ix2, "lima") == Seq.empty)
+    // a range starting anywhere but the cursor refuses — out-of-order
+    // replay would corrupt silently without it
+    val e = intercept[IllegalStateException] {
+      SecondaryIndex.maintainIndexesFromFeedRange(spark, p,
+        Seq(SecondaryIndex.IndexSpec(ix2, col("city"), "city")),
+        0L, 2L, Seq("id"), Seq("seq"))
+    }
+    assert(e.getMessage.contains("reflects primary version"))
+  }
+
+  test("the applied-version cursor refuses out-of-order, skipped, and " +
+      "double-at-a-distance replays on every maintenance path") {
+    val (p, ix) = (freshDir(), freshDir())
+    def commit(rows: Seq[(Long, String, Long, String)]): Unit =
+      CdcStream.applyBatchToReplica(p, batch(rows), Seq("id"),
+        Seq(col("seq")), recordChanges = true)
+    // v1 spreads keys across buckets so later same-key merges keep its
+    // version dir (and feed entry) referenced instead of GC'd
+    commit(Seq((1L, "oslo", 1L, "update")) ++
+      (10L until 40L).map(i => (i, s"c$i", 1L, "update")))
+    commit(Seq((1L, "lima", 2L, "update")))
+    commit(Seq((1L, "pune", 3L, "update")))
+    SecondaryIndex.maintainIndexesFromFeed(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+      1L, Seq("id"), Seq("seq"))
+    assert(SecondaryIndex.appliedPrimaryVersion(ix).contains(1L))
+    // SKIP: v3 before v2 — without the cursor, v2's move-delete is
+    // silently lost and (oslo,1) would persist forever
+    val skip = intercept[IllegalStateException] {
+      SecondaryIndex.maintainIndexesFromFeed(spark, p,
+        Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+        3L, Seq("id"), Seq("seq"))
+    }
+    assert(skip.getMessage.contains("reflects primary version 1"))
+    // REDO of the version just applied is allowed (idempotent)
+    SecondaryIndex.maintainIndexesFromFeed(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+      1L, Seq("id"), Seq("seq"))
+    // in-order catch-up proceeds
+    Seq(2L, 3L).foreach(v => SecondaryIndex.maintainIndexesFromFeed(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+      v, Seq("id"), Seq("seq")))
+    assert(lookup(p, ix, "pune") == Seq(1L))
+    assert(lookup(p, ix, "oslo") == Seq.empty)
+    // DOUBLE AT A DISTANCE: replaying v2 after v3 refuses
+    val stale = intercept[IllegalStateException] {
+      SecondaryIndex.maintainIndexesFromFeed(spark, p,
+        Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+        2L, Seq("id"), Seq("seq"))
+    }
+    assert(stale.getMessage.contains("reflects primary version 3"))
+    // synchronized apply on an index that MISSED a plain primary
+    // commit refuses too (the index is stale, not just lagging)
+    commit(Seq((2L, "bern", 4L, "update")))
+    val missed = intercept[IllegalStateException] {
+      SecondaryIndex.applyBatchWithIndex(spark, p, ix,
+        batch(Seq((3L, "rome", 5L, "update"))), Seq("id"), Seq("seq"),
+        col("city"), "city")
+    }
+    assert(missed.getMessage.contains("maintainIndexesFromFeed"))
+    // …but catching up through the missed version re-arms it
+    SecondaryIndex.maintainIndexesFromFeed(spark, p,
+      Seq(SecondaryIndex.IndexSpec(ix, col("city"), "city")),
+      4L, Seq("id"), Seq("seq"))
+    SecondaryIndex.applyBatchWithIndex(spark, p, ix,
+      batch(Seq((3L, "rome", 5L, "update"))), Seq("id"), Seq("seq"),
+      col("city"), "city", recordChanges = true)
+    assert(lookup(p, ix, "rome") == Seq(3L))
+    assert(lookup(p, ix, "bern") == Seq(2L))
+  }
+
   test("a crash between the index and primary commits replays to convergence") {
     // the index commits FIRST (the recoverable order): simulate the
     // crash window by snapshotting the primary before a batch, running
