@@ -950,6 +950,87 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: END-TO-END COMPOSED STREAMING PIPELINE (capstone, r12) ----
+    // Every operational feature in ONE pipeline, the deployment shape
+    // the pieces exist for: `readStream.format("graft-binlog")` over
+    // the changelog fixture → typed projection → `writeStream.format
+    // ("graft-replica")` with TWO GSIs (banded value + event_type),
+    // change feed, deferred merges, and autoCompact — KILLED mid-stream
+    // (q.stop() interrupts whatever commit is in flight: exactly the
+    // crash windows the marker protocol + index-first order + cursor
+    // redo-allowance recover) and RESTARTED from the checkpoint, with
+    // a follower draining the change feed both at the kill point and
+    // after the drain. (conditionalOrder is the one feature absent BY
+    // THE ENGINE'S OWN CONTRACT: it is incompatible with GSI
+    // maintenance — stale-pointer detection assumes last-writer
+    // merges — and the sink refuses the combination at query start.)
+    // The audited output reads through the banded GSI against the
+    // FOLLOWER store (read-repair verifies every hit against it), so
+    // one hash pins source offsets across the restart, sink
+    // exactly-once, index exactness, and feed continuity at once. The
+    // streaming drill builds once (reported under `artifacts`); the
+    // spec twin (ReplicaSinkSpec) pins the mid-stream kill and both
+    // indexes batch-deterministically.
+    "cdc_e2e_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{CdcStream, SecondaryIndex}
+      val root = graft.llm.IndexArtifacts.cachedPath(dir,
+        "cdc-e2e", inputs = Seq(s"$dir/events.parquet")) { out =>
+        val logDir = SourceQueries.binlogDir(s, dir)
+        val primary = s"$out/primary"; val follower = s"$out/follower"
+        val ord = Seq(col("ts_ms"), col("event_id"))
+        // ~6 micro-batches at any sf, so the kill provably lands
+        // mid-stream at verification scales
+        val perTrigger =
+          math.max(Tables(s, dir).events.count() / 6, 200L)
+        def start() = s.readStream.format("graft-binlog")
+          .option("path", logDir)
+          .option("maxEventsPerTrigger", perTrigger.toString)
+          .load()
+          .transform(df =>
+            CdcStream.parsed(df, SourceQueries.eventsRowSchema))
+          .select($"user_id", $"event_id", $"ts_ms",
+            cents($"value").as("value_cents"), $"event_type", $"op")
+          .withColumn("band", expr("value_cents div 1000"))
+          .writeStream.format("graft-replica")
+          .option("path", primary)
+          .option("keys", "user_id")
+          .option("orderColumns", "ts_ms,event_id")
+          .option("changeFeed", "true")
+          .option("deferMerge", "true")
+          .option("autoCompactDeltas", "3")
+          .option("indexColumn", "band,event_type")
+          .option("indexPath", s"$out/idx-band,$out/idx-type")
+          .option("checkpointLocation", s"$out/ck")
+          .start()
+        // phase 1: let ≥2 data batches commit, then KILL mid-stream
+        // (break early if the source drained — sub-sf0.01 smoke dirs)
+        val q1 = start()
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        try
+          while (q1.isActive && System.nanoTime() < deadline &&
+              q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+              !(q1.recentProgress.nonEmpty && !q1.status.isDataAvailable))
+            Thread.sleep(25)
+        finally q1.stop()
+        // the follower drains the feed THROUGH the kill point —
+        // whatever committed is replicable, nothing torn is visible
+        val cursor = CdcStream.replayFeedInto(s, primary, follower,
+          Seq("user_id"), ord)
+        // phase 2: restart from the checkpoint (the re-served batch's
+        // marker skips, half-landed commits converge), drain the rest
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        CdcStream.replayFeedInto(s, primary, follower, Seq("user_id"),
+          ord, fromVersionExclusive = cursor)
+      }
+      SecondaryIndex.lookupByIndex(s, s"$root/follower", s"$root/idx-band",
+          Seq("user_id"), col("band"), "band", Seq(2L, 3L).toDF("band"))
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
+          $"value_cents", $"event_type")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: snapshot (time-travel) read of a previous version ----------
     // Two time-split batches commit v1 then v2; reading AT v1 returns
     // exactly the post-batch-1 state — the versioned-pointer layout's
@@ -2018,6 +2099,21 @@ object EventQueries {
          |  event_id AS last_event_id, value_cents FROM (
          |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
          |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (2, 3)
+         |ORDER BY user_id""".stripMargin,
+
+    // the composed pipeline's banded lookup through the follower =
+    // the banded last-writer fold over ALL events: one hash pins the
+    // restart's exactly-once, both GSIs' exactness via the probed one,
+    // and the feed's continuity (the follower is the store read)
+    "cdc_e2e_pipeline" ->
+      s"""SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents, event_type FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    event_type, $opSql AS op,
          |    row_number() OVER (PARTITION BY user_id
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)

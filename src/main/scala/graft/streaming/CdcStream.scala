@@ -988,24 +988,76 @@ object CdcStream {
     * the replica), version selection and the strict classification are
     * directory/manifest metadata only.
     */
+  /** A feed version's changes dir, wherever it lives: the version dir
+    * itself, or `_feed/` after data GC retired it ([[retireVersionToFeed]]
+    * — feed retention is decoupled from data retention, so compaction
+    * never shortens the readable feed).
+    */
+  private def feedChangesDir(replicaDir: String, v: Long): Option[java.io.File] =
+    Seq(new java.io.File(f"$replicaDir/v$v%09d/changes"),
+      new java.io.File(f"$replicaDir/_feed/v$v%09d/changes"))
+      .find(_.isDirectory)
+
+  /** A retired version's `_feed` meta: (commitKind, watermark). */
+  private def feedMeta(replicaDir: String, v: Long)
+      : Option[(Option[String], Option[Long])] = {
+    val f = new java.io.File(f"$replicaDir/_feed/v$v%09d/meta.json")
+    if (!f.exists()) return None
+    try {
+      import com.fasterxml.jackson.core.JsonToken
+      val p = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      var kind: Option[String] = None
+      var wm: Option[Long] = None
+      require(p.nextToken() == JsonToken.START_OBJECT)
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        p.currentName() match {
+          case "kind" => p.nextToken(); kind = Some(p.getText)
+          case "watermark" => p.nextToken(); wm = Some(p.getLongValue)
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+      p.close()
+      Some((kind, wm))
+    } catch { case _: Exception => None }
+  }
+
+  /** Versions whose FEED surface is still on disk: live version dirs ∪
+    * `_feed`-retired ones. The contiguity/gap contract runs over this
+    * set, so data GC never creates a feed gap — only
+    * [[truncateReplicaFeed]] (the VACUUM analog) does.
+    */
+  private def feedVersions(replicaDir: String): Seq[Long] =
+    (replicaVersions(replicaDir) ++
+      Option(new java.io.File(replicaDir, "_feed").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v[0-9]{9}"))
+        .map(_.getName.stripPrefix("v").toLong))
+      .distinct.sorted
+
   def readReplicaChanges(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, fromVersionExclusive: Long = 0L,
       toVersion: Option[Long] = None,
       strict: Boolean = true): Option[DataFrame] = {
-    val all = replicaVersions(replicaDir)
+    val all = feedVersions(replicaDir)
     if (all.isEmpty) return None
     val hi = toVersion.getOrElse(all.max)
     val want = (fromVersionExclusive + 1) to hi
     val missing = want.filterNot(all.toSet)
     if (missing.nonEmpty) throw new IllegalStateException(
       s"replica $replicaDir change feed gap: version(s) " +
-        s"${missing.mkString(",")} were GC'd; the feed cannot be read " +
-        "contiguously — restart the consumer from a full snapshot")
+        s"${missing.mkString(",")} were truncated from the feed; it " +
+        "cannot be read contiguously — restart the consumer from a " +
+        "full snapshot")
     if (strict) want.foreach { v =>
-      val vDir = new java.io.File(replicaDir, f"v$v%09d")
-      if (vDir.isDirectory &&
-          !new java.io.File(vDir, "changes").isDirectory) {
-        readManifest(replicaDir, vDir.getName).flatMap(_.commitKind) match {
+      if (feedChangesDir(replicaDir, v).isEmpty) {
+        // changeless version: classify by commit kind — from the live
+        // manifest, or the `_feed` meta once data GC retired the dir
+        val kind = readManifest(replicaDir, f"v$v%09d").map(_.commitKind)
+          .orElse(feedMeta(replicaDir, v).map(_._1))
+          .flatten
+        kind match {
           case Some("compact") | Some("reshard") | None => () // identical / legacy
           case Some("erase") => throw new IllegalStateException(
             s"replica $replicaDir: version $v is an ERASURE — erasure " +
@@ -1022,18 +1074,36 @@ object CdcStream {
       }
     }
     val parts = want.flatMap { v =>
-      val d = new java.io.File(f"$replicaDir/v$v%09d/changes")
-      if (!d.isDirectory) None
-      else {
+      feedChangesDir(replicaDir, v).map { d =>
         val wmCol = replicaWatermark(replicaDir, v)
           .map(w => lit(w)).getOrElse(lit(null)).cast("long")
-        Some(spark.read.parquet(d.toString)
+        spark.read.parquet(d.toString)
           .withColumn("_commit_version", lit(v))
-          .withColumn("_commit_watermark", wmCol))
+          .withColumn("_commit_watermark", wmCol)
       }
     }
     // unionByName: additive schema evolution across versions null-fills
     parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** TRUNCATE the retained feed below `beforeVersion` — the VACUUM
+    * analog, the ONLY operation that shortens the readable feed (data
+    * GC retires feed surfaces into `_feed` instead of deleting them).
+    * Metadata-only: deletes `_feed` entries AND any LIVE version dir's
+    * changes below the cut (a live version's data is untouched — only
+    * its feed surface goes). Consumers positioned before the cut hit
+    * the explicit gap refusal, never a silent skip. Returns the number
+    * of feed entries removed.
+    */
+  def truncateReplicaFeed(replicaDir: String, beforeVersion: Long): Int = {
+    var n = 0
+    feedVersions(replicaDir).filter(_ < beforeVersion).foreach { v =>
+      val retired = new java.io.File(f"$replicaDir/_feed/v$v%09d")
+      if (retired.isDirectory) { deleteRecursively(retired); n += 1 }
+      val live = new java.io.File(f"$replicaDir/v$v%09d/changes")
+      if (live.isDirectory) { deleteRecursively(live); n += 1 }
+    }
+    n
   }
 
   /** The DISTINCT key tuples touched by feed versions in
@@ -1054,17 +1124,22 @@ object CdcStream {
       replicaDir: String, fromVersionExclusive: Long, toVersion: Long,
       idCols: Seq[String]): Option[Option[DataFrame]] = {
     val parts = ((fromVersionExclusive + 1) to toVersion).map { v =>
-      val vDir = new java.io.File(replicaDir, f"v$v%09d")
-      val changes = new java.io.File(vDir, "changes")
-      if (!vDir.isDirectory) None // GC'd: keys unknowable
-      else if (changes.isDirectory) {
-        val df = spark.read.parquet(changes.toString)
-        if (idCols.forall(df.columns.contains))
-          Some(Some(df.select(idCols.map(col): _*)))
-        else None // pre-keyCols feed entry: keys not enumerable
-      } else readManifest(replicaDir, vDir.getName).flatMap(_.commitKind) match {
-        case Some("compact") | Some("reshard") => Some(None) // identical
-        case _ => None // content mutated outside the feed, or legacy
+      feedChangesDir(replicaDir, v) match {
+        case Some(changes) =>
+          val df = spark.read.parquet(changes.toString)
+          if (idCols.forall(df.columns.contains))
+            Some(Some(df.select(idCols.map(col): _*)))
+          else None // pre-keyCols feed entry: keys not enumerable
+        case None =>
+          // changeless version — classify from the live manifest or
+          // the `_feed` meta a data GC left behind; a version with
+          // NEITHER (truncated feed / pre-retention GC) is unknowable
+          readManifest(replicaDir, f"v$v%09d").map(_.commitKind)
+            .orElse(feedMeta(replicaDir, v).map(_._1)) match {
+            case Some(Some("compact")) | Some(Some("reshard")) =>
+              Some(None) // identical
+            case _ => None // mutated outside the feed, legacy, or gone
+          }
       }
     }
     if (parts.contains(None)) None
@@ -1112,6 +1187,7 @@ object CdcStream {
     */
   def replicaWatermark(replicaDir: String, version: Long): Option[Long] =
     readManifest(replicaDir, f"v$version%09d").flatMap(_.watermark)
+      .orElse(feedMeta(replicaDir, version).flatMap(_._2))
 
   /** Watermark time travel: read the replica AS OF source watermark
     * `wm` — the newest committed version whose recorded watermark is
@@ -2301,10 +2377,11 @@ object CdcStream {
           }
       }
     }
-    // 3: scrub the change feed (only versions whose nets carry the keys)
-    replicaVersions(replicaDir).foreach { vv =>
-      val d = new java.io.File(f"$replicaDir/v$vv%09d/changes")
-      if (d.isDirectory) {
+    // 3: scrub the change feed (only versions whose nets carry the
+    // keys) — INCLUDING `_feed`-retained entries: feed retention must
+    // not let an erased key outlive the erasure in GC'd history
+    feedVersions(replicaDir).foreach { vv =>
+      feedChangesDir(replicaDir, vv).foreach { d =>
         val df = spark.read.parquet(d.toString)
         if (idCols.forall(df.columns.contains) &&
             df.join(typedKeys, idCols, "left_semi")
@@ -2571,8 +2648,61 @@ object CdcStream {
           // crashed-breaker debris
           (f.isFile && f.getName.startsWith(".commit-lock-broken-") && stale)
       }
-      .foreach(deleteRecursively)
+      .foreach { f =>
+        // FEED RETENTION decoupled from data GC (the Delta-CDF
+        // contract: OPTIMIZE never shortens the change feed; only
+        // VACUUM/truncate does): before a version dir dies, its feed
+        // surface — the changes dir plus the kind/watermark the feed
+        // classification and stamping need — retires into `_feed/`.
+        if (f.isDirectory && f.getName.matches("v[0-9]{9}"))
+          retireVersionToFeed(replicaDir, f)
+        deleteRecursively(f)
+      }
   }
+
+  /** Move a GC-candidate version dir's feed surface to
+    * `<replicaDir>/_feed/<vname>/`: the `changes` dir (atomic rename —
+    * delta-sized data, zero copy) and a `meta.json` carrying the
+    * manifest's `commitKind` + `watermark` (what
+    * [[readReplicaChanges]]'s changeless-version classification and
+    * `_commit_watermark` stamping read once the manifest is gone).
+    * Crash order: changes move first, then meta — a half-retired
+    * version serves its changes from `_feed` (the read path checks
+    * both locations), and classification is only consulted for
+    * CHANGELESS versions, whose retire is meta-only. Best effort like
+    * the GC itself: failure leaves the version dir in place (the
+    * delete below it still runs — worst case the feed gains a gap, the
+    * same outcome as pre-retention GC, never corruption).
+    */
+  private def retireVersionToFeed(replicaDir: String,
+      versionDir: java.io.File): Unit =
+    try {
+      val name = versionDir.getName
+      val target = java.nio.file.Paths.get(replicaDir, "_feed", name)
+      java.nio.file.Files.createDirectories(target)
+      val changes = new java.io.File(versionDir, "changes")
+      if (changes.isDirectory &&
+          !java.nio.file.Files.exists(target.resolve("changes")))
+        java.nio.file.Files.move(changes.toPath, target.resolve("changes"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (!java.nio.file.Files.exists(target.resolve("meta.json"))) {
+        val m = readManifest(replicaDir, name)
+        val sw = new java.io.StringWriter()
+        val g = new com.fasterxml.jackson.core.JsonFactory()
+          .createGenerator(sw)
+        g.writeStartObject()
+        m.flatMap(_.commitKind).foreach(g.writeStringField("kind", _))
+        m.flatMap(_.watermark).foreach(g.writeNumberField("watermark", _))
+        g.writeEndObject()
+        g.close()
+        val tmp = java.nio.file.Files.createTempFile(target, ".meta-", ".tmp")
+        java.nio.file.Files.write(tmp, sw.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, target.resolve("meta.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Apply one CDC micro-batch to the bucketed versioned parquet
     * replica (idCols upsert + delete) — `foreachBatch` body reproducing

@@ -64,6 +64,17 @@ object DataScaleBench {
     "q49_hierarchy_rollup" -> "customer",
     "q50_waiting_suppliers" -> "lineitem")
 
+  /** The 100× decade (r12) runs the TOP families only — LSH dedup,
+    * connected components, IVF-PQ, the replica MERGE + GSI write path,
+    * and q49 (whose pointer-doubling rounds rose 4.4× at 30× and
+    * deserve one more decade of evidence) — so the two-decade point
+    * stays a bounded one-off instead of doubling the whole run.
+    */
+  private val HundredXGates: Set[String] = Set(
+    "llm_minhash_lsh", "llm_dedup_clusters", "llm_embed_ivfpq",
+    "cdc_apply_changelog", "cdc_secondary_index", "cdc_index_bootstrap",
+    "q49_hierarchy_rollup")
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -76,7 +87,7 @@ object DataScaleBench {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val scales = sys.env.get("SPARK_GRAFT_SCALES")
       .map(_.split(",").map(_.trim.toInt).toSeq)
-      .getOrElse(Seq(1, 3, 10, 30))
+      .getOrElse(Seq(1, 3, 10, 30, 100))
     val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROOT",
       "/tmp/graft-datascale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -204,10 +215,12 @@ object DataScaleBench {
     def r3(v: Double): String = "%.3f".format(v)
     val curve = dirs.map { case (scale, dir) =>
       recycle() // each scale starts in a fresh session: no cross-scale drag
-      val counts: Map[String, Long] = Gates.map(_._2).distinct.map { tb =>
+      val gatesAtScale =
+        if (scale >= 100) Gates.filter(g => HundredXGates(g._1)) else Gates
+      val counts: Map[String, Long] = gatesAtScale.map(_._2).distinct.map { tb =>
         tb -> spark.read.parquet(s"$dir/$tb.parquet").count()
       }.toMap
-      val entries = Gates.map { case (g, tb) =>
+      val entries = gatesAtScale.map { case (g, tb) =>
         val t0 = System.nanoTime()
         qmap(g)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9

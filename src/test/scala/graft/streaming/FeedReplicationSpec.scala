@@ -91,28 +91,42 @@ class FeedReplicationSpec extends SparkSuite {
     assert(state(follower) == Seq((1L, "a3"), (3L, "c2"), (4L, "d3")))
   }
 
-  test("a GC'd feed gap refuses the range read instead of skipping versions") {
+  test("feed retention is decoupled from data GC: a retired version's " +
+      "changes stay readable; only truncateReplicaFeed creates the gap") {
     val primary = freshDir()
     def commit(rows: Seq[(Long, String, Long, String)]): Unit =
       CdcStream.applyBatchToReplica(primary, batch(rows), Seq("id"),
         Seq(col("seq")), recordChanges = true)
     // every batch touches the SAME key, so each commit's rewrite drops
     // the references to the previous version and the commit-time GC
-    // (one version of reader grace) retires v1 at the third commit
+    // (one version of reader grace) retires v1's DATA at the third
+    // commit — but its feed surface moves to _feed/ (the Delta-CDF
+    // contract: compaction/GC never shortens the change feed)
     commit(Seq((1L, "a1", 1L, "update")))
     commit(Seq((1L, "a2", 2L, "update")))
     commit(Seq((1L, "a3", 3L, "update")))
     val vs = CdcStream.replicaVersions(primary)
     assert(!vs.contains(1L), s"fixture: commit-time GC must retire v1, kept $vs")
-    // a consumer positioned before the retained window must FAIL —
-    // silently resuming from a gap would lose the dropped changes
+    // a consumer positioned before the retained DATA window still
+    // drains the complete feed — a lagging follower survives GC
+    val full = CdcStream.readReplicaChanges(spark, primary, 0L).get
+    assert(full.select($"_commit_version").distinct().count() == 3L,
+      "all three versions' changes must stay readable after data GC")
+    // and the retained entries fold to the correct final state
+    val f2 = freshDir()
+    applyNet(f2, full)
+    assert(state(f2) == Seq((1L, "a3")))
+    // TRUNCATION (the VACUUM analog) is the only feed-shortening op:
+    // a consumer positioned before the cut must FAIL — silently
+    // resuming from a gap would lose the truncated changes
+    assert(CdcStream.truncateReplicaFeed(primary, 2L) > 0)
     intercept[IllegalStateException] {
       CdcStream.readReplicaChanges(spark, primary, 0L).get.count()
     }
     // the documented recovery: restart from a snapshot position (the
     // retained tail reads fine)
-    val tail = CdcStream.readReplicaChanges(spark, primary, vs.min - 1).get
-    assert(tail.count() >= 0L)
+    val tail = CdcStream.readReplicaChanges(spark, primary, 1L).get
+    assert(tail.select($"_commit_version").distinct().count() == 2L)
   }
 
   test("a frozen store fences every writer; unfreeze restores") {
