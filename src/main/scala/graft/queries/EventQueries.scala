@@ -83,6 +83,47 @@ object EventQueries {
         recordChanges = true)
     }
 
+  /** Build-once SOURCE + SHALLOW-CLONE store pair shared by
+    * `cdc_replica_clone` and `cdc_store_history`: the standard
+    * two-time-split-merge source (versions 1–2, recordChanges), a
+    * zero-copy [[graft.streaming.CdcStream.cloneReplica]] of it
+    * (clone version 3 = source current + 1 — the numbering that keeps
+    * the deferred fold's path-derived delta sequence monotonic), and
+    * one divergent copy-on-write batch on the clone: a delete of
+    * every `user_id % 5 == 0` key, ordered past the source's max
+    * (ts + 60 s, event_id above the max), so it wins every per-key
+    * net it touches (version 4, recordChanges).
+    */
+  private def clonedStores(s: SparkSession, dir: String): String =
+    graft.llm.IndexArtifacts.cachedPath(dir, "cdc-clone",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val src = s"$out/source"; val clone = s"$out/clone"
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts")),
+        max($"event_id")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val orderCols = Seq(col("ts"), col("event_id"))
+      CdcStream.applyBatchToReplica(src,
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), orderCols,
+        recordChanges = true)
+      CdcStream.applyBatchToReplica(src,
+        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), orderCols,
+        recordChanges = true)
+      CdcStream.cloneReplica(src, clone)
+      val divergent = ev.filter($"user_id" % 5 === 0)
+        .select($"user_id").distinct()
+        .select($"user_id",
+          ($"user_id" + lit(mm.getLong(2) + 1L)).as("event_id"),
+          timestamp_millis(lit(mm.getLong(1) + 60000L)).as("ts"),
+          lit(0L).as("value_cents"), lit("delete").as("op"))
+      CdcStream.applyBatchToReplica(clone, divergent, Seq("user_id"),
+        orderCols, recordChanges = true)
+    }
+
   /** Build-once two-table replica pair with per-version source
     * watermarks — clicks applies 3 batches (thirds cuts, then the
     * remainder), orders lags at 2 — shared by the consistent-snapshot
@@ -1075,6 +1116,52 @@ object EventQueries {
       CdcStream.readReplica(s, root).get
         .select($"user_id", $"event_id".as("last_event_id"), $"value_cents")
         .orderBy($"user_id")
+    },
+
+    // --- cdc: SHALLOW CLONE (zero-copy branch of the store) --------------
+    // `cloneReplica` makes an independent store whose initial version
+    // REFERENCES the source's data files (one metadata commit — cloning
+    // a 100 TB store costs one manifest; the Delta SHALLOW CLONE
+    // shape). Writes to the clone are copy-on-write: the divergent
+    // delete batch rewrites only its touched buckets locally, untouched
+    // buckets keep reading the source's files. The gate reads BOTH
+    // stores: the source must show the undiverged fold (the clone's
+    // writes leaked nowhere) and the clone the diverged one — one hash
+    // pins isolation in both directions. CloneSpec pins the zero-copy
+    // and copy-on-write file layout; this gate pins the semantics.
+    "cdc_replica_clone" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = clonedStores(s, dir)
+      val src = CdcStream.readReplica(s, s"$root/source").get
+        .select(lit("source").as("store"), $"user_id",
+          $"event_id".as("last_event_id"), $"value_cents")
+      val cl = CdcStream.readReplica(s, s"$root/clone").get
+        .select(lit("clone").as("store"), $"user_id",
+          $"event_id".as("last_event_id"), $"value_cents")
+      src.unionByName(cl).orderBy($"store", $"user_id")
+    },
+
+    // --- cdc: DESCRIBE HISTORY (store audit log) --------------------------
+    // One row per committed version: what produced it (commitKind) and
+    // how many change rows its feed entry carries — the operational
+    // "what happened to this store" read, priced at O(versions)
+    // manifest metadata plus the delta-sized feed counts. The oracle
+    // recomputes every count straight off events: the source's two
+    // merge nets are the per-half distinct-user counts; the clone's
+    // initial version is the metadata-only clone commit (kind "clone",
+    // no feed entry ⇒ null change rows) and its divergence merge nets
+    // one delete per user_id % 5 == 0 key.
+    "cdc_store_history" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = clonedStores(s, dir)
+      CdcStream.describeReplicaHistory(s, s"$root/source")
+        .withColumn("store", lit("source"))
+        .unionByName(CdcStream.describeReplicaHistory(s, s"$root/clone")
+          .withColumn("store", lit("clone")))
+        .select($"store", $"version", $"kind", $"change_rows")
+        .orderBy($"store", $"version")
     },
 
     // --- cdc: version diff of the replica store ---------------------------
@@ -2238,6 +2325,44 @@ object EventQueries {
          |  FROM h)
          |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
+
+    "cdc_replica_clone" ->
+      s"""WITH net AS (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |live AS (
+         |  SELECT user_id, event_id AS last_event_id, value_cents
+         |  FROM net WHERE rn = 1 AND op <> 'delete')
+         |SELECT * FROM (
+         |  SELECT 'source' AS store, user_id, last_event_id, value_cents
+         |  FROM live
+         |  UNION ALL
+         |  SELECT 'clone' AS store, user_id, last_event_id, value_cents
+         |  FROM live WHERE user_id % 5 <> 0)
+         |ORDER BY store, user_id""".stripMargin,
+
+    "cdc_store_history" ->
+      s"""WITH mm AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |h1 AS (SELECT DISTINCT user_id FROM events, mm
+         |       WHERE epoch_ms(CAST(ts AS TIMESTAMP)) < mn + (mx - mn) // 2),
+         |h2 AS (SELECT DISTINCT user_id FROM events, mm
+         |       WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= mn + (mx - mn) // 2)
+         |SELECT * FROM (
+         |  SELECT 'source' AS store, CAST(1 AS BIGINT) AS version,
+         |    'merge' AS kind, (SELECT count(*) FROM h1) AS change_rows
+         |  UNION ALL SELECT 'source', CAST(2 AS BIGINT), 'merge',
+         |    (SELECT count(*) FROM h2)
+         |  UNION ALL SELECT 'clone', CAST(3 AS BIGINT), 'clone',
+         |    CAST(NULL AS BIGINT)
+         |  UNION ALL SELECT 'clone', CAST(4 AS BIGINT), 'merge',
+         |    (SELECT count(DISTINCT user_id) FROM events WHERE user_id % 5 = 0))
+         |ORDER BY store, version""".stripMargin,
 
     "cdc_change_feed" ->
       s"""WITH mm AS (

@@ -275,6 +275,36 @@ object CdcStream {
     */
   val Tombstone = "__tombstone"
 
+  /** Resolve a manifest-recorded bucket/delta path. Ordinary stores
+    * record paths RELATIVE to their own directory; a SHALLOW CLONE's
+    * initial manifest ([[cloneReplica]]) records ABSOLUTE paths into
+    * its source store — zero data copied, the Delta SHALLOW CLONE
+    * shape. Every read/merge/compact/erase path resolves through
+    * here, so copy-on-write falls out of the existing
+    * carried-over-by-reference machinery: a merge rewrites only
+    * touched buckets (locally), untouched buckets keep their absolute
+    * source references until a compaction materializes them.
+    */
+  private def resolveStorePath(replicaDir: String, p: String): String =
+    if (p.startsWith("/")) p else s"$replicaDir/$p"
+
+  /** The version-dir segment that owns a manifest-recorded bucket or
+    * delta path — for a RELATIVE path its first segment; for a
+    * clone's ABSOLUTE reference, the `v…` segment preceding the
+    * `data`/`delta` segment (the SOURCE's version dir). The deferred
+    * fold uses this as the delta's global sequence: clone version
+    * numbering starts ABOVE its source's current version
+    * ([[cloneReplica]]), so a clone-local delta always outranks any
+    * inherited source delta — sequence monotonicity survives the
+    * absolute references.
+    */
+  private def versionSegmentOf(p: String): String = {
+    val segs = p.split('/')
+    val i = segs.lastIndexWhere(s => s == "delta" || s == "data")
+    if (i > 0 && segs(i - 1).matches("v[0-9]{9}")) segs(i - 1)
+    else segs.find(_.matches("v[0-9]{9}")).getOrElse(p.takeWhile(_ != '/'))
+  }
+
   /** Drop tombstoned rows (and the marker column) from a replica scan
     * — identity for replicas that never merged conditionally.
     */
@@ -314,7 +344,7 @@ object CdcStream {
       schemaOverride: Option[StructType] = None,
       keepDeletes: Boolean = false): Option[DataFrame] = {
     val basePaths = m.buckets.collect {
-      case (k, p) if keep(k) => s"$replicaDir/$p"
+      case (k, p) if keep(k) => resolveStorePath(replicaDir, p)
     }.toSeq.sorted
     val deltaPaths = m.deltas.toSeq.sortBy(_._1).collect {
       case (k, ps) if keep(k) => ps
@@ -363,12 +393,13 @@ object CdcStream {
     // version's selected bucket dirs share a sequence, and a per-path
     // union would put |versions|·|buckets| scan legs in the plan.
     val byVersion = deltaPaths
-      .groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .groupBy(versionSegmentOf).toSeq.sortBy(_._1)
     val all = byVersion.foldLeft(base) { case (acc, (version, ps)) =>
       val seq = version.stripPrefix("v").toLong
       acc.unionByName(
         spark.read.schema(deltaSc)
-          .parquet(ps.distinct.sorted.map(p => s"$replicaDir/$p"): _*)
+          .parquet(ps.distinct.sorted
+            .map(p => resolveStorePath(replicaDir, p)): _*)
           .withColumn(DeltaSeq, lit(seq)),
         allowMissingColumns = true)
     }
@@ -459,7 +490,7 @@ object CdcStream {
     val pruned = StructType(schema.fields.filter(f =>
       f.name == Tombstone || ordNames.contains(f.name)))
     buckets.toSeq.sortBy(_._1).map { case (k, p) =>
-      spark.read.schema(pruned).parquet(s"$replicaDir/$p")
+      spark.read.schema(pruned).parquet(resolveStorePath(replicaDir, p))
         .select(lit(k).as("__b") +: (Tombstone +: ordNames).map(col): _*)
     }.reduce(_.unionByName(_))
       // same null-order exclusion + sentinel as [[stagedTombstoneMins]]
@@ -836,7 +867,8 @@ object CdcStream {
       keys: DataFrame): Option[DataFrame] = {
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
-          val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
+          val allPaths = m.buckets.values.toSeq.sorted
+            .map(p => resolveStorePath(replicaDir, p))
           // Catalyst hash() is TYPE-sensitive (hash(5) != hash(5L)): the
           // lookup keys must be cast to the replica's column types
           // before bucket derivation, or a type-skewed caller would be
@@ -943,7 +975,7 @@ object CdcStream {
         // a referenced older version dir may itself have been GC'd only
         // if nothing points at it — verify the files are still present
         val paths = (m.buckets.values ++ m.deltas.values.flatten).toSeq
-          .sorted.map(p => s"$replicaDir/$p")
+          .sorted.map(p => resolveStorePath(replicaDir, p))
         if (paths.forall(p => new java.io.File(p).exists()))
           mergedBucketRead(spark, replicaDir, m)
         else None
@@ -1059,6 +1091,12 @@ object CdcStream {
           .flatten
         kind match {
           case Some("compact") | Some("reshard") | None => () // identical / legacy
+          case Some("clone") => throw new IllegalStateException(
+            s"replica $replicaDir: version $v is the store's SHALLOW-CLONE " +
+              "initial version — its content equals the clone source at " +
+              "the fork and the feed starts after it; seed the consumer " +
+              "from a snapshot at this version, then drain from it " +
+              "exclusive")
           case Some("erase") => throw new IllegalStateException(
             s"replica $replicaDir: version $v is an ERASURE — erasure " +
               "rewrites history with no feed entry, so a feed consumer " +
@@ -1760,7 +1798,7 @@ object CdcStream {
     // every referenced data path must still exist — a half-GC'd target
     // would publish dangling references
     val missing = (target.buckets.values ++ target.deltas.values.flatten)
-      .filterNot(p => new java.io.File(s"$replicaDir/$p").exists())
+      .filterNot(p => new java.io.File(resolveStorePath(replicaDir, p)).exists())
     if (missing.nonEmpty) throw new IllegalStateException(
       s"restore: version $toVersion's data was GC'd " +
         s"(missing: ${missing.take(3).mkString(", ")}…)")
@@ -1833,6 +1871,112 @@ object CdcStream {
       Some(name), forbidFrozen = true, kind = "restore")
   }
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE` analog):
+    * make `cloneDir` an independent store whose initial version
+    * REFERENCES the source's current data files by absolute path —
+    * ONE metadata commit, zero data read or written, so cloning a
+    * 100 TB store costs one manifest. Writes to the clone are
+    * copy-on-write for free: a merge rewrites only its touched
+    * buckets (into the clone's own version dirs) and carries
+    * untouched buckets' absolute source references forward;
+    * [[compactReplica]] doubles as MATERIALIZE (absolute-referenced
+    * buckets never start with the current version name, so the
+    * fragmented-bucket rewrite localizes them). The clone's version
+    * numbering starts at source-current + 1, which keeps the deferred
+    * fold's path-derived delta sequence monotonic: an inherited
+    * source delta always loses to a clone-local delta. Clones chain
+    * (a clone of a clone copies already-absolute references as-is).
+    *
+    * CONTRACTS (the same ones Delta documents for shallow clones):
+    *  - the clone depends on the source's files: a source compaction's
+    *    GC, erasure, or deletion breaks the clone until it
+    *    materializes. Clone-side GC can never delete source files
+    *    (absolute references are invisible to the local version-dir
+    *    sweep), and the source's GC knows nothing of clones — clone
+    *    before compacting the source, or materialize promptly;
+    *  - erasure on a clone erases the CLONE's view only (touched
+    *    buckets rewrite locally; the purge deletes local historical
+    *    copies). The source store holds its own copy of the data and
+    *    must be erased separately — clones are enumerated compliance
+    *    surfaces, exactly like any other downstream copy;
+    *  - the clone starts its OWN change feed: its initial version has
+    *    no changes entry (kind "clone" — [[readReplicaChanges]]
+    *    refuses to drain across it), so feed consumers seed from a
+    *    snapshot at the clone version and drain from it exclusive.
+    *
+    * Returns the clone's initial version number.
+    */
+  def cloneReplica(sourceDir: String, cloneDir: String): Long = {
+    val srcAbs = new java.io.File(sourceDir).getAbsolutePath
+    val cur = currentVersion(srcAbs).getOrElse(throw new IllegalStateException(
+      s"cloneReplica: source $sourceDir has no committed version"))
+    val (v, name) = cur
+    val m = readManifest(srcAbs, name).getOrElse(
+      throw new IllegalStateException(s"cloneReplica: source $sourceDir " +
+        "is the pre-bucket flat layout — apply one batch to migrate it " +
+        "before cloning"))
+    if (currentVersion(cloneDir).nonEmpty || replicaVersions(cloneDir).nonEmpty)
+      throw new IllegalStateException(
+        s"cloneReplica: $cloneDir already holds a store — clone targets " +
+          "must be fresh (an in-place overwrite racing readers has no " +
+          "safe ordering)")
+    new java.io.File(cloneDir).mkdirs()
+    def abs(p: String): String = if (p.startsWith("/")) p else s"$srcAbs/$p"
+    val cloneName = f"v${v + 1}%09d"
+    val staging = newStagingDir(cloneDir)
+    // provenance sidecar rides in the version dir: atomic with the
+    // commit, auditable forever ([[describeReplicaHistory]] surfaces it)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_clone.json"),
+      s"""{"source":"$srcAbs","sourceVersion":$v}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    publishVersion(cloneDir, staging, cloneName,
+      m.copy(buckets = m.buckets.map { case (k, p) => k -> abs(p) },
+        deltas = m.deltas.map { case (k, ps) => k -> ps.map(abs) }),
+      prev = None, curName = None, kind = "clone")
+    v + 1
+  }
+
+  /** DESCRIBE HISTORY (the Delta analog): one row per committed
+    * version still on disk — version number, the commit kind its
+    * manifest recorded, the recorded source watermark, the number of
+    * change rows its feed entry carries (null when the version has no
+    * feed surface: recordChanges=false, a changeless commit, or a
+    * truncated feed), whether it is the CURRENT version, and the
+    * clone provenance sidecar if the version was a [[cloneReplica]].
+    * Cost: O(versions) manifest metadata + each feed entry's parquet
+    * FOOTER row counts (no data rows read) — a store audit priced at
+    * metadata no matter the store size.
+    */
+  def describeReplicaHistory(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String): DataFrame = {
+    import spark.implicits._
+    val curV = currentVersion(replicaDir).map(_._1)
+    val rows = replicaVersions(replicaDir).map { v =>
+      val name = f"v$v%09d"
+      val m = readManifest(replicaDir, name)
+      val kind = m.flatMap(_.commitKind)
+        .orElse(feedMeta(replicaDir, v).flatMap(_._1))
+      val wm = replicaWatermark(replicaDir, v)
+      val changeRows: Option[Long] = feedChangesDir(replicaDir, v).map { d =>
+        // a zero-column count over the DELTA-sized changes files (the
+        // scan materializes no columns — row-group metadata drives it)
+        spark.read.parquet(d.toString).count()
+      }
+      val cloneSrc = {
+        val f = new java.io.File(s"$replicaDir/$name", "_clone.json")
+        if (f.exists())
+          Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      }
+      (v, kind.getOrElse("legacy"), wm, changeRows,
+        curV.contains(v), cloneSrc)
+    }
+    rows.toDF("version", "kind", "watermark", "change_rows",
+      "is_current", "clone_provenance")
+  }
+
   /** Compact the live replica: rewrite into one fresh version every
     * bucket that is either MULTI-FILE (more than `targetFilesPerBucket`
     * parquet files — small-file read amplification) or CARRIED OVER
@@ -1875,7 +2019,7 @@ object CdcStream {
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
     val fragmented = m.buckets.filter { case (_, p) =>
       !p.startsWith(s"$name/") ||
-        parquetFiles(s"$replicaDir/$p") > targetFilesPerBucket
+        parquetFiles(resolveStorePath(replicaDir, p)) > targetFilesPerBucket
     }
     // MERGE-ON-READ fold: every bucket with pending deltas (plus the
     // usual fragmented set) rewrites as a fresh single-file base
@@ -1938,7 +2082,8 @@ object CdcStream {
       prev.flatMap(manifestSchema).orElse {
         if (m.buckets.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(
-          m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).schema)
+          m.buckets.values.toSeq.sorted
+            .map(p => resolveStorePath(replicaDir, p)): _*).schema)
       }
     // replicas that never merged conditionally carry no tombstone
     // column — the sweep is skipped without reading any data
@@ -1980,7 +2125,8 @@ object CdcStream {
           }
           val perBucket = m.buckets.toSeq.sortBy(_._1)
             .map { case (k, p) =>
-              spark.read.schema(unionSc.get).parquet(s"$replicaDir/$p")
+              spark.read.schema(unionSc.get)
+                .parquet(resolveStorePath(replicaDir, p))
                 .agg(max(coalesce(pred, lit(false))).as("__x"),
                   (max(coalesce(col(Tombstone), lit(false))).as("__tb") +:
                     minAgg.toSeq): _*)
@@ -2027,7 +2173,8 @@ object CdcStream {
     val staging = newStagingDir(replicaDir)
     rewrite.toSeq.sortBy(_._1)
       .map { case (k, p) =>
-        spark.read.parquet(s"$replicaDir/$p").withColumn("__bucket", lit(k)) }
+        spark.read.parquet(resolveStorePath(replicaDir, p))
+          .withColumn("__bucket", lit(k)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .transform(df => expiredTombstone match {
         // null-safe: a null-order tombstone evaluates the horizon to
@@ -2097,7 +2244,7 @@ object CdcStream {
         // current version dir after every micro-batch
         val dueNoDeltas = chains.isEmpty && m.exists { mm =>
           val frag = mm.buckets.exists { case (_, p) =>
-            Option(new java.io.File(s"$replicaDir/$p").listFiles())
+            Option(new java.io.File(resolveStorePath(replicaDir, p)).listFiles())
               .getOrElse(Array.empty)
               .count(f => f.isFile && f.getName.endsWith(".parquet")) >
               targetFilesPerBucket
@@ -2187,7 +2334,8 @@ object CdcStream {
         Some(m), Some(name), forbidFrozen = true, kind = "reshard")
       return
     }
-    val paths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
+    val paths = m.buckets.values.toSeq.sorted
+      .map(p => resolveStorePath(replicaDir, p))
     // union schema: null-fills buckets written before a column existed,
     // and guarantees the stored types the reader's key casts hash with
     val sc = manifestSchema(m).getOrElse(
@@ -2274,7 +2422,8 @@ object CdcStream {
       throw new IllegalArgumentException(
         s"eraseKeys: $replicaDir is the pre-bucket flat layout; apply " +
           "one batch to migrate it before erasing"))
-    val allPaths = m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p")
+    val allPaths = m.buckets.values.toSeq.sorted
+      .map(p => resolveStorePath(replicaDir, p))
     val fullSchema = manifestSchema(m).orElse {
       if (allPaths.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
@@ -2307,7 +2456,8 @@ object CdcStream {
       if (touchedDeltas.isEmpty) {
         rewrite.toSeq.sortBy(_._1)
           .map { case (k, p) =>
-            spark.read.schema(fullSchema.get).parquet(s"$replicaDir/$p")
+            spark.read.schema(fullSchema.get)
+              .parquet(resolveStorePath(replicaDir, p))
               .join(typedKeys, idCols, "left_anti")
               .withColumn("__bucket", lit(k)) }
           .reduce(_.unionByName(_))
@@ -2467,11 +2617,12 @@ object CdcStream {
       nextName: String, next: ReplicaManifest, prev: Option[ReplicaManifest],
       curName: Option[String], forbidFrozen: Boolean = false,
       /** Commit classification recorded in the manifest ("merge" /
-        * "compact" / "reshard" / "erase" / "restore") — never copied
-        * from the previous manifest, so every version states what
-        * produced IT. "merge" is the safe default: a changeless merge
-        * refuses a follower drain ([[replayFeedInto]]), so an
-        * unclassified new path fails loud, not silent.
+        * "compact" / "reshard" / "erase" / "restore" / "clone") —
+        * never copied from the previous manifest, so every version
+        * states what produced IT. "merge" is the safe default: a
+        * changeless merge refuses a follower drain
+        * ([[replayFeedInto]]), so an unclassified new path fails
+        * loud, not silent.
         */
       kind: String = "merge"): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
@@ -2968,7 +3119,7 @@ object CdcStream {
     val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
 
     val touchedPaths = prevBuckets.collect {
-      case (k, p) if touched(k) => s"$replicaDir/$p"
+      case (k, p) if touched(k) => resolveStorePath(replicaDir, p)
     }.toSeq.sorted
     val prevHasDeltas =
       prev.exists(_.deltas.keys.exists(touched))
@@ -3061,7 +3212,8 @@ object CdcStream {
       manifestSchema(m)
         .orElse(if (m.buckets.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(
-          m.buckets.values.toSeq.sorted.map(p => s"$replicaDir/$p"): _*).schema))
+          m.buckets.values.toSeq.sorted
+            .map(p => resolveStorePath(replicaDir, p)): _*).schema))
     }
     // SCHEMA EVOLUTION IS ADDITIVE-ONLY, and this is where the contract
     // is ENFORCED, not assumed: `unionByName` silently widens a batch

@@ -1,0 +1,229 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** SHALLOW CLONE ([[CdcStream.cloneReplica]]): the zero-copy branch
+  * of the replica store. Pins the claims the oracle gate cannot see —
+  * the FILE layout (clone = one manifest, no data; copy-on-write
+  * rewrites only touched buckets; compaction materializes), the
+  * delta-sequence monotonicity a clone's inherited deferred deltas
+  * depend on, chained clones, GC isolation in both directions, the
+  * feed contract at the clone version, and the erasure caveat
+  * (a clone erasure never reaches the source — clones are separate
+  * compliance surfaces).
+  */
+class CloneSpec extends SparkSuite {
+
+  import graft.SparkSuite.spark.implicits._
+
+  private def freshDir(prefix: String = "clone-spec"): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def batch(rows: Seq[(Long, String, String)]) =
+    rows.toDF("id", "v", "op")
+
+  private def content(replicaDir: String): Seq[(Long, String)] =
+    CdcStream.readReplica(spark, replicaDir).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+  }
+
+  private def currentName(replicaDir: String): String =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(replicaDir, "CURRENT")).trim
+
+  private def manifestJson(replicaDir: String): String =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(
+      replicaDir, currentName(replicaDir), "manifest.json"))
+
+  /** A two-version source: v1 = ids 1..4, v2 updates id 2. */
+  private def buildSource(): String = {
+    val src = freshDir("clone-src")
+    CdcStream.applyBatchToReplica(src,
+      batch(Seq((1L, "a1", "update"), (2L, "b1", "update"),
+        (3L, "c1", "update"), (4L, "d1", "update"))),
+      Seq("id"), Seq(col("v")), recordChanges = true)
+    CdcStream.applyBatchToReplica(src,
+      batch(Seq((2L, "b2", "update"))),
+      Seq("id"), Seq(col("v")), recordChanges = true)
+    src
+  }
+
+  test("clone is metadata-only and reads the source's content exactly") {
+    val src = buildSource()
+    val clone = freshDir()
+    val v = CdcStream.cloneReplica(src, clone)
+    assert(v == 3L, "clone numbering starts at source current + 1")
+    assert(parquetFiles(clone).isEmpty,
+      "a shallow clone must copy ZERO data files — one manifest only")
+    assert(content(clone) == content(src))
+    // provenance sidecar rides in the clone's initial version dir
+    val prov = new java.io.File(s"$clone/v000000003", "_clone.json")
+    assert(prov.exists(), "clone provenance sidecar missing")
+    val hist = CdcStream.describeReplicaHistory(spark, clone).collect()
+    assert(hist.length == 1 && hist(0).getString(1) == "clone" &&
+      !hist(0).isNullAt(5), "history must surface the clone commit + provenance")
+  }
+
+  test("writes to the clone are copy-on-write: touched buckets local, " +
+      "source untouched in content AND files") {
+    val src = buildSource()
+    val srcFilesBefore = parquetFiles(src)
+    val srcCurBefore = currentName(src)
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone)
+    CdcStream.applyBatchToReplica(clone,
+      batch(Seq((3L, "c-clone", "update"))), Seq("id"), Seq(col("v")))
+    // only id 3's bucket may have materialized locally
+    val localData = Option(
+      new java.io.File(s"$clone/v000000004/data").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("__bucket="))
+    assert(localData.length == 1,
+      s"COW must rewrite exactly the touched bucket, got ${localData.length}")
+    assert(content(clone).toMap == Map(1L -> "a1", 2L -> "b2",
+      3L -> "c-clone", 4L -> "d1"))
+    // the divergence leaked nowhere: source pointer, files, content
+    assert(currentName(src) == srcCurBefore)
+    assert(parquetFiles(src) == srcFilesBefore)
+    assert(content(src).toMap == Map(1L -> "a1", 2L -> "b2",
+      3L -> "c1", 4L -> "d1"))
+    // untouched buckets still read THROUGH the source: corrupt the
+    // clone's local view of nothing — instead prove the reference by
+    // the manifest carrying absolute paths for the other buckets
+    assert(manifestJson(clone).contains(s"$src/"),
+      "untouched buckets must keep their absolute source references")
+  }
+
+  test("inherited deferred deltas fold correctly and a clone-local " +
+      "delta outranks them (sequence monotonicity)") {
+    val src = freshDir("clone-src")
+    CdcStream.applyBatchToReplica(src,
+      batch(Seq((1L, "a1", "update"), (2L, "b1", "update"))),
+      Seq("id"), Seq(col("v")))
+    // v2: PENDING deferred delta on the source (never folded)
+    CdcStream.applyBatchToReplica(src,
+      batch(Seq((1L, "a-srcdelta", "update"), (2L, "b-srcdelta", "update"))),
+      Seq("id"), Seq(col("v")), deferMerge = true)
+    val clone = freshDir()
+    val v = CdcStream.cloneReplica(src, clone)
+    assert(v == 3L)
+    // the clone's merge-on-read fold sees the inherited delta
+    assert(content(clone).toMap == Map(1L -> "a-srcdelta", 2L -> "b-srcdelta"))
+    // a clone-LOCAL deferred delta (v4) must beat the inherited source
+    // delta (v2) for the key it touches — the clone-starts-above-source
+    // numbering is exactly what guarantees this
+    CdcStream.applyBatchToReplica(clone,
+      batch(Seq((1L, "a-clonedelta", "update"))),
+      Seq("id"), Seq(col("v")), deferMerge = true)
+    assert(content(clone).toMap ==
+      Map(1L -> "a-clonedelta", 2L -> "b-srcdelta"),
+      "clone-local delta must outrank the inherited source delta; " +
+        "untouched keys keep folding the inherited one")
+    assert(content(src).toMap == Map(1L -> "a-srcdelta", 2L -> "b-srcdelta"),
+      "the clone's deferred write must not leak into the source")
+  }
+
+  test("compactReplica doubles as MATERIALIZE: absolute references " +
+      "vanish and the clone survives the source's disappearance") {
+    val src = buildSource()
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone)
+    CdcStream.applyBatchToReplica(clone,
+      batch(Seq((4L, "d-clone", "update"))), Seq("id"), Seq(col("v")))
+    val before = content(clone)
+    CdcStream.compactReplica(spark, clone)
+    assert(!manifestJson(clone).contains(s"$src/"),
+      "materialize must localize every absolute source reference")
+    // the strongest possible proof: the source is GONE and the clone
+    // still serves identical content
+    val parked = new java.io.File(src + ".parked")
+    java.nio.file.Files.move(new java.io.File(src).toPath, parked.toPath)
+    try assert(content(clone) == before,
+      "a materialized clone must not depend on the source's files")
+    finally java.nio.file.Files.move(parked.toPath,
+      new java.io.File(src).toPath)
+  }
+
+  test("clones chain: a clone of a clone copies absolute references " +
+      "as-is and diverges independently") {
+    val src = buildSource()
+    val c1 = freshDir(); val c2 = freshDir()
+    CdcStream.cloneReplica(src, c1)
+    CdcStream.applyBatchToReplica(c1,
+      batch(Seq((1L, "a-c1", "update"))), Seq("id"), Seq(col("v")))
+    val v2 = CdcStream.cloneReplica(c1, c2)
+    assert(v2 == 5L, "chained clone numbers above ITS source's current (4)")
+    assert(parquetFiles(c2).isEmpty)
+    assert(content(c2) == content(c1))
+    CdcStream.applyBatchToReplica(c2,
+      batch(Seq((2L, "b-c2", "update"))), Seq("id"), Seq(col("v")))
+    assert(content(c2).toMap == Map(1L -> "a-c1", 2L -> "b-c2",
+      3L -> "c1", 4L -> "d1"))
+    assert(content(c1).toMap == Map(1L -> "a-c1", 2L -> "b2",
+      3L -> "c1", 4L -> "d1"))
+    assert(content(src).toMap == Map(1L -> "a1", 2L -> "b2",
+      3L -> "c1", 4L -> "d1"))
+  }
+
+  test("clone-side GC and erasure never delete source files; a clone " +
+      "erasure is the CLONE's compliance surface only") {
+    val src = buildSource()
+    val srcFiles = parquetFiles(src)
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone)
+    // churn the clone enough for its GC to run several times
+    (1 to 4).foreach { i =>
+      CdcStream.applyBatchToReplica(clone,
+        batch(Seq((3L, s"c$i", "update"))), Seq("id"), Seq(col("v")))
+    }
+    CdcStream.compactReplica(spark, clone)
+    CdcStream.eraseKeys(spark, clone, Seq("id"), Seq(1L).toDF("id"))
+    assert(parquetFiles(src) == srcFiles,
+      "no clone operation may ever delete or rewrite a source file")
+    assert(!content(clone).exists(_._1 == 1L), "erasure must hit the clone")
+    assert(content(src).exists(_._1 == 1L),
+      "the source keeps its copy — the documented separate-surface caveat")
+  }
+
+  test("the feed refuses to drain across the clone version and serves " +
+      "the clone's own commits past it") {
+    val src = buildSource()
+    val clone = freshDir()
+    val v = CdcStream.cloneReplica(src, clone)
+    CdcStream.applyBatchToReplica(clone,
+      batch(Seq((3L, "c-clone", "update"))), Seq("id"), Seq(col("v")),
+      recordChanges = true)
+    val e = intercept[IllegalStateException] {
+      CdcStream.readReplicaChanges(spark, clone,
+        fromVersionExclusive = v - 1)
+    }
+    assert(e.getMessage.contains("SHALLOW-CLONE"),
+      s"draining across the clone version must refuse loudly: ${e.getMessage}")
+    val past = CdcStream.readReplicaChanges(spark, clone,
+      fromVersionExclusive = v).get.collect()
+    assert(past.length == 1 && past(0).getAs[Long]("id") == 3L)
+  }
+
+  test("refusals: non-fresh target, never-committed source") {
+    val src = buildSource()
+    val used = buildSource()
+    val e1 = intercept[IllegalStateException] {
+      CdcStream.cloneReplica(src, used)
+    }
+    assert(e1.getMessage.contains("fresh"))
+    val empty = freshDir("clone-empty-src")
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.cloneReplica(empty, freshDir())
+    }
+    assert(e2.getMessage.contains("no committed version"))
+  }
+}
