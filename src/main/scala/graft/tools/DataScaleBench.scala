@@ -286,17 +286,25 @@ object DataScaleBench {
       // should track (not the whole store's)
       val touchedRows = ev.filter(pmod(hash(col("user_id")),
         lit(CdcStream.DefaultReplicaBuckets)).isin(touchedBuckets: _*)).count()
+      // SHALLOW CLONE floor: one metadata commit referencing the
+      // store's files — must stay FLAT (a few ms) across the 100×
+      // store-size spread, or the zero-copy claim is wrong
+      val tC0 = System.nanoTime()
+      CdcStream.cloneReplica(store, s"$store-clone")
+      val cloneMs = (System.nanoTime() - tC0) / 1e6
+      deleteRecursively(new java.io.File(s"$store-clone"))
       deleteRecursively(new java.io.File(store))
       System.err.println(f"[datascale] x$scale write-path floor: " +
-        f"defer $deferSec%.3fs eager $eagerSec%.3fs (1000-row batch, " +
-        f"${touchedBuckets.size} buckets / $touchedRows rows touched " +
-        f"of ${counts("events")} stored)")
+        f"defer $deferSec%.3fs eager $eagerSec%.3fs clone $cloneMs%.1fms " +
+        f"(1000-row batch, ${touchedBuckets.size} buckets / $touchedRows " +
+        f"rows touched of ${counts("events")} stored)")
       val writePath =
         s""""write_path":{"sink_floor_defer":{"sec":${r3(deferSec)},""" +
           s""""batch_rows":1000},"sink_eager_touched":{"sec":${r3(eagerSec)},""" +
           s""""batch_rows":1000,"touched_buckets":${touchedBuckets.size},""" +
           s""""touched_bucket_rows":$touchedRows,""" +
-          s""""store_rows":${counts("events")}}}"""
+          s""""store_rows":${counts("events")}},""" +
+          s""""clone_ms":${r3(cloneMs)}}"""
       s"""{"scale":$scale,"rows":{${counts.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
         s""""queries":{${entries.mkString(",")}},$writePath}"""
