@@ -1915,7 +1915,13 @@ object CdcStream {
       throw new IllegalStateException(s"cloneReplica: source $sourceDir " +
         "is the pre-bucket flat layout — apply one batch to migrate it " +
         "before cloning"))
-    if (currentVersion(cloneDir).nonEmpty || replicaVersions(cloneDir).nonEmpty)
+    // Refuse only a PUBLISHED store (CURRENT exists): version dirs
+    // without a pointer are a crashed clone's unpublished debris —
+    // publishVersion renames the orphan aside, so the documented crash
+    // recovery is simply "re-run cloneReplica; if CURRENT already
+    // exists the clone committed and recovery is a no-op"
+    // (CommitFaultSweepSpec drives all three crash points).
+    if (currentVersion(cloneDir).nonEmpty)
       throw new IllegalStateException(
         s"cloneReplica: $cloneDir already holds a store — clone targets " +
           "must be fresh (an in-place overwrite racing readers has no " +

@@ -205,6 +205,20 @@ class CommitFaultSweepSpec extends SparkSuite {
       },
       observe = root => state(s"$root/p") ++ state(s"$root/f")),
 
+    Op("clone",
+      prepare = { root =>
+        commit(s"$root/p", b1); commit(s"$root/p", b2)
+      },
+      run = root => { CdcStream.cloneReplica(s"$root/p", s"$root/c"); () },
+      recover = { root =>
+        // the documented recovery: re-run; a post-publish crash left
+        // CURRENT durable, so the clone already committed — no-op
+        if (CdcStream.replicaCurrentVersion(s"$root/c").isEmpty) {
+          CdcStream.cloneReplica(s"$root/p", s"$root/c"); ()
+        }
+      },
+      observe = root => state(s"$root/c") ++ state(s"$root/p")),
+
     Op("reseed_conditional",
       prepare = { root =>
         def cond(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
