@@ -1943,6 +1943,24 @@ object CdcStream {
     v + 1
   }
 
+  /** The `_clone.json` provenance a [[cloneReplica]] initial version
+    * recorded — (absolute source path, source version) — None for any
+    * other version. The idempotent-retry check of composed clones
+    * ([[SecondaryIndex.cloneIndexedReplica]]) keys on this: a target
+    * whose CURRENT version carries provenance for the same source is
+    * a crash-recovered clone, not a conflicting store.
+    */
+  def cloneProvenance(replicaDir: String, version: Long): Option[(String, Long)] = {
+    val f = new java.io.File(f"$replicaDir/v$version%09d", "_clone.json")
+    if (!f.exists()) return None
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val src = """"source":"(.*?)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    val v = """"sourceVersion":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
+    for (s <- src; vv <- v) yield (s, vv)
+  }
+
   /** DESCRIBE HISTORY (the Delta analog): one row per committed
     * version still on disk — version number, the commit kind its
     * manifest recorded, the recorded source watermark, the number of

@@ -550,6 +550,65 @@ object SecondaryIndex {
     pinned
   }
 
+  /** SHALLOW-CLONE an INDEXED primary: clone the primary store and
+    * each index store (both zero-copy — [[CdcStream.cloneReplica]],
+    * one manifest apiece), then stamp each cloned index's
+    * applied-version cursor at the clone's INITIAL version. Sound
+    * because the clone's initial content IS the source's current
+    * content and each source index provably reflected exactly that
+    * state: the call refuses — before any commit — a source index
+    * whose cursor is missing (unverifiable freshness: rebuild via
+    * [[buildIndex]] first) or cannot be reconciled to the source's
+    * current version (lagging past a content commit, or one-ahead in
+    * an unrecovered crash window — recover the source first).
+    *
+    * Crash recovery is idempotent re-run: a target whose CURRENT
+    * version carries [[CdcStream.cloneProvenance]] for the same
+    * source is this clone's own durable commit and skips (the cursor
+    * re-stamps — it may have been the crash point); any other
+    * occupied target refuses. `indexes` pairs (source index dir →
+    * clone index dir).
+    *
+    * Returns the clone's initial version.
+    */
+  def cloneIndexedReplica(srcPrimary: String, dstPrimary: String,
+      indexes: Seq[(String, String)]): Long = {
+    val srcAbs = new java.io.File(srcPrimary).getAbsolutePath
+    val srcV = CdcStream.replicaCurrentVersion(srcAbs).getOrElse(
+      throw new IllegalStateException(
+        s"cloneIndexedReplica: $srcPrimary has no committed version"))
+    // refusals run BEFORE any commit, so a bad composition changes nothing
+    indexes.foreach { case (srcIdx, _) =>
+      if (appliedPrimaryVersion(srcIdx).isEmpty)
+        throw new IllegalStateException(
+          s"cloneIndexedReplica: index $srcIdx records no applied-version " +
+            "cursor — its freshness is unverifiable; rebuild it via " +
+            "buildIndex before cloning")
+      checkCursor(srcAbs, srcIdx, expectedAt = srcV, redoAt = srcV,
+        op = "cloneIndexedReplica")
+    }
+    val cloneV = srcV + 1
+    def cloneOrSkip(src: String, dst: String): Unit = {
+      val sAbs = new java.io.File(src).getAbsolutePath
+      CdcStream.replicaCurrentVersion(dst) match {
+        case Some(v) =>
+          if (!CdcStream.cloneProvenance(dst, v).exists(_._1 == sAbs))
+            throw new IllegalStateException(
+              s"cloneIndexedReplica: $dst already holds a store that is " +
+                s"not this clone of $src — targets must be fresh")
+        case None => CdcStream.cloneReplica(src, dst); ()
+      }
+    }
+    cloneOrSkip(srcAbs, dstPrimary)
+    indexes.foreach { case (srcIdx, dstIdx) =>
+      cloneOrSkip(srcIdx, dstIdx)
+      // stamp AFTER the index clone commits (and re-stamp on retry —
+      // the stamp itself may have been the crash point)
+      recordAppliedPrimaryVersion(dstIdx, cloneV)
+    }
+    cloneV
+  }
+
   /** Equality lookup THROUGH the index: `values` carries one column
     * named `idxName`; the index read prunes to the values' buckets,
     * the hit keys drive a key-pruned primary read, and the result is

@@ -213,6 +213,79 @@ class CloneSpec extends SparkSuite {
     assert(past.length == 1 && past(0).getAs[Long]("id") == 3L)
   }
 
+  private def idxBatch(rows: Seq[(Long, String, Long, String)]) =
+    rows.toDF("id", "v", "seq", "op")
+
+  test("cloneIndexedReplica: index lookups work on the clone, the " +
+      "clone keeps maintaining its indexes, and the source pair is " +
+      "untouched") {
+    val root = freshDir("clone-idx")
+    val spec = SecondaryIndex.IndexSpec(s"$root/i", col("id") % 2, "band")
+    SecondaryIndex.applyBatchWithIndexes(spark, s"$root/p", Seq(spec),
+      idxBatch(Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update"),
+        (3L, "c1", 1L, "update"))), Seq("id"), Seq("seq"), numBuckets = 4)
+    val v = SecondaryIndex.cloneIndexedReplica(s"$root/p", s"$root/cp",
+      Seq(s"$root/i" -> s"$root/ci"))
+    assert(SecondaryIndex.appliedPrimaryVersion(s"$root/ci").contains(v),
+      "the cloned index's cursor must sit at the clone's initial version")
+    assert(parquetFiles(s"$root/cp").isEmpty &&
+      parquetFiles(s"$root/ci").isEmpty, "both clones must be zero-copy")
+    def odd(primary: String, index: String): Set[Long] =
+      SecondaryIndex.lookupByIndex(spark, primary, index, Seq("id"),
+        col("id") % 2, "band", Seq(1L).toDF("band"))
+        .select($"id").as[Long].collect().toSet
+    assert(odd(s"$root/cp", s"$root/ci") == Set(1L, 3L))
+    // the cursor gate must admit continued maintenance ON THE CLONE
+    SecondaryIndex.applyBatchWithIndexes(spark, s"$root/cp",
+      Seq(spec.copy(dir = s"$root/ci")),
+      idxBatch(Seq((5L, "e2", 2L, "update"), (1L, "x", 2L, "delete"))),
+      Seq("id"), Seq("seq"), numBuckets = 4)
+    assert(odd(s"$root/cp", s"$root/ci") == Set(3L, 5L))
+    // source primary AND source index saw none of it
+    assert(odd(s"$root/p", s"$root/i") == Set(1L, 3L))
+  }
+
+  test("cloneIndexedReplica: idempotent retry, and refusals for " +
+      "missing/lagging source-index cursors and occupied targets") {
+    val root = freshDir("clone-idx-r")
+    val spec = SecondaryIndex.IndexSpec(s"$root/i", col("id") % 2, "band")
+    SecondaryIndex.applyBatchWithIndexes(spark, s"$root/p", Seq(spec),
+      idxBatch(Seq((1L, "a1", 1L, "update"), (2L, "b1", 1L, "update"))),
+      Seq("id"), Seq("seq"), numBuckets = 4)
+    val v1 = SecondaryIndex.cloneIndexedReplica(s"$root/p", s"$root/cp",
+      Seq(s"$root/i" -> s"$root/ci"))
+    // crash recovery = re-run: provenance marks the durable halves,
+    // the call skips them and re-stamps the cursor
+    val v2 = SecondaryIndex.cloneIndexedReplica(s"$root/p", s"$root/cp",
+      Seq(s"$root/i" -> s"$root/ci"))
+    assert(v1 == v2)
+    assert(SecondaryIndex.appliedPrimaryVersion(s"$root/ci").contains(v1))
+    // occupied by something that is NOT this clone: refuse
+    val other = freshDir("clone-idx-other")
+    CdcStream.applyBatchToReplica(other,
+      batch(Seq((9L, "z", "update"))), Seq("id"), Seq(col("v")))
+    val e1 = intercept[IllegalStateException] {
+      SecondaryIndex.cloneIndexedReplica(s"$root/p", other,
+        Seq(s"$root/i" -> s"$root/ci2"))
+    }
+    assert(e1.getMessage.contains("not this clone"))
+    // a plain store posing as an index has no cursor: unverifiable
+    val e2 = intercept[IllegalStateException] {
+      SecondaryIndex.cloneIndexedReplica(s"$root/p", freshDir(),
+        Seq(other -> freshDir()))
+    }
+    assert(e2.getMessage.contains("no applied-version cursor"))
+    // a content commit the index never saw: the cursor lags, refuse
+    CdcStream.applyBatchToReplica(s"$root/p",
+      idxBatch(Seq((7L, "g3", 3L, "update"))), Seq("id"),
+      Seq(col("seq")), numBuckets = 4)
+    val e3 = intercept[IllegalStateException] {
+      SecondaryIndex.cloneIndexedReplica(s"$root/p", freshDir(),
+        Seq(s"$root/i" -> freshDir()))
+    }
+    assert(e3.getMessage.contains("reflects primary version"))
+  }
+
   test("refusals: non-fresh target, never-committed source") {
     val src = buildSource()
     val used = buildSource()
