@@ -213,6 +213,33 @@ class CloneSpec extends SparkSuite {
     assert(past.length == 1 && past(0).getAs[Long]("id") == 3L)
   }
 
+  test("additive schema evolution on a clone null-fills the inherited " +
+      "buckets; time travel reaches the clone's initial version") {
+    val src = buildSource()
+    val clone = freshDir()
+    val v = CdcStream.cloneReplica(src, clone)
+    // widen the CLONE with a column the source never had
+    val widened = Seq((3L, "c-w", "extra", "update"))
+      .toDF("id", "v", "w", "op")
+    CdcStream.applyBatchToReplica(clone, widened, Seq("id"), Seq(col("v")))
+    val now = CdcStream.readReplica(spark, clone).get
+      .select($"id", $"v", $"w").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSeq.sortBy(_._1)
+    assert(now == Seq((1L, "a1", None), (2L, "b2", None),
+      (3L, "c-w", Some("extra")), (4L, "d1", None)),
+      "inherited absolute-referenced buckets must null-fill the new column")
+    assert(!graft.SparkSuite.spark.read.parquet(s"$src/v000000002/data")
+        .columns.contains("w"),
+      "the widening must not touch source files")
+    // time travel: the clone's INITIAL version still serves the
+    // pre-divergence content through its absolute references
+    val atClone = CdcStream.readReplicaAt(spark, clone, v).get
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(atClone == content(src))
+  }
+
   private def idxBatch(rows: Seq[(Long, String, Long, String)]) =
     rows.toDF("id", "v", "seq", "op")
 
