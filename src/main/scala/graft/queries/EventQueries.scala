@@ -1299,6 +1299,33 @@ object EventQueries {
         .orderBy($"table_name", $"user_id")
     },
 
+    // --- cdc: CONSISTENT multi-table shallow clone ------------------------
+    // Branch BOTH per-table replicas — which lag the source
+    // independently (clicks at 3 watermarked versions, orders at 2) —
+    // at one source moment: cloneConsistentTables picks the
+    // readConsistentSnapshot point (min of the tables' newest
+    // watermarks) and shallow-clones each table's newest version at or
+    // below it — O(tables) manifest metadata, zero data copied. The
+    // gate reads the CLONES; the oracle is the same global-point
+    // reconstruction the consistent read gates, so one hash pins that
+    // a metadata-priced branch IS the consistent snapshot.
+    "cdc_clone_consistent" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = consistentTables(s, dir)
+      val out = graft.llm.IndexArtifacts.cachedPath(dir,
+        "cdc-clone-consistent", inputs = Seq(s"$dir/events.parquet")) { o =>
+        CdcStream.cloneConsistentTables(Seq(
+          s"$root/clicks" -> s"$o/clicks", s"$root/orders" -> s"$o/orders"))
+        ()
+      }
+      Seq("clicks", "orders").map { name =>
+        CdcStream.readReplica(s, s"$out/$name").get
+          .select(lit(name).as("table_name"), $"user_id",
+            $"event_id".as("last_event_id"), $"value_cents")
+      }.reduce(_.unionByName(_)).orderBy($"table_name", $"user_id")
+    },
+
     // --- cdc: ORDER-CONDITIONAL merge under out-of-order batches --------
     // Backfills, replays, and late partitions deliver CDC batches out
     // of source order; the unconditional MERGE would let the
@@ -2475,6 +2502,27 @@ object EventQueries {
     // the consistency point is the lagging table's watermark (second
     // thirds cut); both tables' states must be latest-state BEFORE it
     "cdc_consistent_snapshot" ->
+      s"""WITH b AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |    max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+         |cut AS (SELECT mn + 2 * ((mx - mn) // 3) AS c FROM b),
+         |e AS (
+         |  SELECT CASE WHEN event_type IN ('click', 'view')
+         |           THEN 'clicks' ELSE 'orders' END AS table_name,
+         |    user_id, event_id, event_type,
+         |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         |    ${centsSql("value")} AS value_cents
+         |  FROM events),
+         |r AS (
+         |  SELECT table_name, user_id, event_id, value_cents, event_type,
+         |    row_number() OVER (PARTITION BY table_name, user_id
+         |                       ORDER BY ms DESC, event_id DESC) AS rn
+         |  FROM e, cut WHERE ms < c)
+         |SELECT table_name, user_id, event_id AS last_event_id, value_cents
+         |FROM r WHERE rn = 1 AND event_type <> 'error'
+         |ORDER BY 1, 2""".stripMargin,
+
+    "cdc_clone_consistent" ->
       s"""WITH b AS (
          |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
          |    max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx FROM events),

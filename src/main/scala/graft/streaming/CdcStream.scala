@@ -1904,17 +1904,45 @@ object CdcStream {
     *    refuses to drain across it), so feed consumers seed from a
     *    snapshot at the clone version and drain from it exclusive.
     *
+    * `atVersion` clones a COMMITTED HISTORICAL version instead of
+    * CURRENT (time-travel branch — rehearse a backfill from last
+    * week's state without a restore): same one-manifest cost, same
+    * validation as RESTORE (the version's manifest and every
+    * referenced data file must still exist), and the clone's version
+    * numbering still starts above the source's CURRENT version, so
+    * the delta-sequence monotonicity argument is independent of which
+    * version was cloned.
+    *
     * Returns the clone's initial version number.
     */
-  def cloneReplica(sourceDir: String, cloneDir: String): Long = {
+  def cloneReplica(sourceDir: String, cloneDir: String,
+      atVersion: Option[Long] = None): Long = {
     val srcAbs = new java.io.File(sourceDir).getAbsolutePath
     val cur = currentVersion(srcAbs).getOrElse(throw new IllegalStateException(
       s"cloneReplica: source $sourceDir has no committed version"))
-    val (v, name) = cur
+    val (curV, curName) = cur
+    val (v, name) = atVersion match {
+      case None => (curV, curName)
+      case Some(av) =>
+        // same rule as RESTORE: only committed predecessors — a dir
+        // above CURRENT is a crashed writer's unpublished orphan
+        if (av > curV) throw new IllegalArgumentException(
+          s"cloneReplica: version $av is ahead of the current version " +
+            s"$curV (an unpublished crashed-writer orphan, not a " +
+            "committed state)")
+        (av, f"v$av%09d")
+    }
     val m = readManifest(srcAbs, name).getOrElse(
       throw new IllegalStateException(s"cloneReplica: source $sourceDir " +
-        "is the pre-bucket flat layout — apply one batch to migrate it " +
-        "before cloning"))
+        s"has no manifest for version $v (pre-bucket flat layout, never " +
+        "committed, or GC'd past the retained window)"))
+    // every referenced data path must still exist — a clone of a
+    // half-GC'd historical version would publish dangling references
+    val missing = (m.buckets.values ++ m.deltas.values.flatten)
+      .filterNot(p => new java.io.File(resolveStorePath(srcAbs, p)).exists())
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cloneReplica: version $v's data was GC'd " +
+        s"(missing: ${missing.take(3).mkString(", ")}…)")
     // Refuse only a PUBLISHED store (CURRENT exists): version dirs
     // without a pointer are a crashed clone's unpublished debris —
     // publishVersion renames the orphan aside, so the documented crash
@@ -1928,7 +1956,10 @@ object CdcStream {
           "safe ordering)")
     new java.io.File(cloneDir).mkdirs()
     def abs(p: String): String = if (p.startsWith("/")) p else s"$srcAbs/$p"
-    val cloneName = f"v${v + 1}%09d"
+    // numbering is keyed to the source's CURRENT (not the cloned
+    // version): every inherited delta path's segment is <= curV, so
+    // clone-local deltas always outrank inherited ones
+    val cloneName = f"v${curV + 1}%09d"
     val staging = newStagingDir(cloneDir)
     // provenance sidecar rides in the version dir: atomic with the
     // commit, auditable forever ([[describeReplicaHistory]] surfaces it)
@@ -1940,7 +1971,45 @@ object CdcStream {
       m.copy(buckets = m.buckets.map { case (k, p) => k -> abs(p) },
         deltas = m.deltas.map { case (k, ps) => k -> ps.map(abs) }),
       prev = None, curName = None, kind = "clone")
-    v + 1
+    curV + 1
+  }
+
+  /** CONSISTENT multi-table shallow clone: branch N per-table
+    * replicas — which lag the source independently — at ONE source
+    * moment. The global point is [[readConsistentSnapshot]]'s rule
+    * (min over tables of each table's newest recorded watermark); each
+    * table clones the newest committed version whose watermark is at
+    * or below it (the laggard clones CURRENT, fast tables clone the
+    * matching older version the GC grace window keeps readable). Cost:
+    * O(tables) manifest metadata + one manifest write per table — a
+    * transactionally consistent branch of a whole multi-table CDC
+    * deployment for the price of N small files. Refuses BEFORE any
+    * commit when a table has no watermarked version or cannot serve
+    * the point (same conditions as the consistent read). Returns the
+    * watermark point the clones were cut at.
+    */
+  def cloneConsistentTables(tables: Seq[(String, String)]): Long = {
+    val latest = tables.map { case (src, _) =>
+      val wms = replicaVersions(src).flatMap(replicaWatermark(src, _))
+      if (wms.isEmpty) throw new IllegalStateException(
+        s"consistent clone: replica $src has no watermarked version")
+      wms.max
+    }
+    val point = latest.min
+    // resolve every table's version BEFORE the first commit: a table
+    // that cannot serve the point must abort the whole composition
+    // with nothing published
+    val picks: Seq[(String, String, Long)] = tables.map { case (src, dst) =>
+      val v = replicaVersions(src).reverse
+        .find(replicaWatermark(src, _).exists(_ <= point))
+        .getOrElse(throw new IllegalStateException(
+          s"consistent clone: replica $src cannot serve watermark $point"))
+      (src, dst, v)
+    }
+    picks.foreach { case (src, dst, v) =>
+      cloneReplica(src, dst, atVersion = Some(v)); ()
+    }
+    point
   }
 
   /** The `_clone.json` provenance a [[cloneReplica]] initial version

@@ -313,6 +313,62 @@ class CloneSpec extends SparkSuite {
     assert(e3.getMessage.contains("reflects primary version"))
   }
 
+  test("cloneReplica atVersion: time-travel branch of a committed " +
+      "predecessor, with restore-grade validation") {
+    val src = buildSource()
+    val clone = freshDir()
+    val v = CdcStream.cloneReplica(src, clone, atVersion = Some(1L))
+    assert(v == 3L, "numbering keys to the source's CURRENT, not the " +
+      "cloned version")
+    assert(parquetFiles(clone).isEmpty)
+    assert(content(clone).toMap == Map(1L -> "a1", 2L -> "b1",
+      3L -> "c1", 4L -> "d1"), "the branch must carry v1's content")
+    assert(CdcStream.cloneProvenance(clone, v).exists(_._2 == 1L),
+      "provenance records the CLONED version")
+    val ahead = intercept[IllegalArgumentException] {
+      CdcStream.cloneReplica(src, freshDir(), atVersion = Some(99L))
+    }
+    assert(ahead.getMessage.contains("ahead of the current version"))
+    val gone = intercept[IllegalStateException] {
+      CdcStream.cloneReplica(src, freshDir(), atVersion = Some(0L))
+    }
+    assert(gone.getMessage.contains("no manifest"))
+  }
+
+  test("cloneConsistentTables branches independently-lagging tables " +
+      "at one watermark point") {
+    val root = freshDir("clone-cons")
+    def wmCommit(dir: String, rows: Seq[(Long, String, String)],
+        wm: Long): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("v")), watermark = Some(wm))
+    // t1 runs ahead (wm 10, 20, 30); t2 lags (wm 10, 20)
+    wmCommit(s"$root/t1", Seq((1L, "t1-a", "update")), 10L)
+    wmCommit(s"$root/t1", Seq((1L, "t1-b", "update")), 20L)
+    wmCommit(s"$root/t1", Seq((1L, "t1-c", "update")), 30L)
+    wmCommit(s"$root/t2", Seq((2L, "t2-a", "update")), 10L)
+    wmCommit(s"$root/t2", Seq((2L, "t2-b", "update")), 20L)
+    val point = CdcStream.cloneConsistentTables(Seq(
+      s"$root/t1" -> s"$root/c1", s"$root/t2" -> s"$root/c2"))
+    assert(point == 20L, "the point is the laggard's newest watermark")
+    // t1's clone must serve its wm<=20 version, NOT current
+    assert(content(s"$root/c1").toMap == Map(1L -> "t1-b"))
+    assert(content(s"$root/c2").toMap == Map(2L -> "t2-b"))
+    assert(parquetFiles(s"$root/c1").isEmpty &&
+      parquetFiles(s"$root/c2").isEmpty)
+    // a table with no watermarked version aborts the composition with
+    // NOTHING published
+    CdcStream.applyBatchToReplica(s"$root/t3",
+      batch(Seq((3L, "x", "update"))), Seq("id"), Seq(col("v")))
+    val e = intercept[IllegalStateException] {
+      CdcStream.cloneConsistentTables(Seq(
+        s"$root/t1" -> s"$root/c1b", s"$root/t3" -> s"$root/c3"))
+    }
+    assert(e.getMessage.contains("no watermarked version"))
+    assert(!new java.io.File(s"$root/c1b", "CURRENT").exists(),
+      "the refusal must precede every commit")
+  }
+
   test("refusals: non-fresh target, never-committed source") {
     val src = buildSource()
     val used = buildSource()
