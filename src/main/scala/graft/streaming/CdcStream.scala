@@ -2007,9 +2007,32 @@ object CdcStream {
       (src, dst, v)
     }
     picks.foreach { case (src, dst, v) =>
-      cloneReplica(src, dst, atVersion = Some(v)); ()
+      cloneOrSkip(src, dst, v)
     }
     point
+  }
+
+  /** Clone `src`@`atVersion` into `dst`, SKIPPING a target that is
+    * this exact clone's own durable commit — provenance must match the
+    * (source, version) PAIR, not just the source: a source that
+    * advanced between a crash and the retry would otherwise pass the
+    * path check and silently re-label stale content as current. The
+    * idempotent-retry primitive of the composed clones
+    * ([[cloneConsistentTables]], [[SecondaryIndex.cloneIndexedReplica]]).
+    */
+  private[streaming] def cloneOrSkip(src: String, dst: String,
+      atVersion: Long): Unit = {
+    val sAbs = new java.io.File(src).getAbsolutePath
+    currentVersion(dst) match {
+      case Some((v, _)) =>
+        if (!cloneProvenance(dst, v).contains((sAbs, atVersion)))
+          throw new IllegalStateException(
+            s"cloneOrSkip: $dst already holds a store that is not this " +
+              s"clone of $src@$atVersion — if a crashed composition left " +
+              "it behind and the source has since advanced, delete the " +
+              "partial targets and re-clone")
+      case None => cloneReplica(sAbs, dst, atVersion = Some(atVersion)); ()
+    }
   }
 
   /** The `_clone.json` provenance a [[cloneReplica]] initial version

@@ -588,20 +588,15 @@ object SecondaryIndex {
         op = "cloneIndexedReplica")
     }
     val cloneV = srcV + 1
-    def cloneOrSkip(src: String, dst: String): Unit = {
-      val sAbs = new java.io.File(src).getAbsolutePath
-      CdcStream.replicaCurrentVersion(dst) match {
-        case Some(v) =>
-          if (!CdcStream.cloneProvenance(dst, v).exists(_._1 == sAbs))
-            throw new IllegalStateException(
-              s"cloneIndexedReplica: $dst already holds a store that is " +
-                s"not this clone of $src — targets must be fresh")
-        case None => CdcStream.cloneReplica(src, dst); ()
-      }
-    }
-    cloneOrSkip(srcAbs, dstPrimary)
+    // retry-skip matches the exact (source, version) PAIR: a source
+    // that advanced between a crash and the retry must refuse, or the
+    // cursor below would stamp the clone's OLD content as current
+    CdcStream.cloneOrSkip(srcAbs, dstPrimary, srcV)
     indexes.foreach { case (srcIdx, dstIdx) =>
-      cloneOrSkip(srcIdx, dstIdx)
+      val idxV = CdcStream.replicaCurrentVersion(srcIdx).getOrElse(
+        throw new IllegalStateException(
+          s"cloneIndexedReplica: index $srcIdx has no committed version"))
+      CdcStream.cloneOrSkip(srcIdx, dstIdx, idxV)
       // stamp AFTER the index clone commits (and re-stamp on retry —
       // the stamp itself may have been the crash point)
       recordAppliedPrimaryVersion(dstIdx, cloneV)

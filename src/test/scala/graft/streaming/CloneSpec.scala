@@ -287,6 +287,17 @@ class CloneSpec extends SparkSuite {
       Seq(s"$root/i" -> s"$root/ci"))
     assert(v1 == v2)
     assert(SecondaryIndex.appliedPrimaryVersion(s"$root/ci").contains(v1))
+    // the retry-skip matches the (source, version) PAIR: once the
+    // source advances, a re-run into the same targets must refuse —
+    // skipping would re-label the clone's OLD content as current
+    SecondaryIndex.applyBatchWithIndexes(spark, s"$root/p",
+      Seq(spec), idxBatch(Seq((4L, "d2", 2L, "update"))),
+      Seq("id"), Seq("seq"), numBuckets = 4)
+    val eAdv = intercept[IllegalStateException] {
+      SecondaryIndex.cloneIndexedReplica(s"$root/p", s"$root/cp",
+        Seq(s"$root/i" -> s"$root/ci"))
+    }
+    assert(eAdv.getMessage.contains("not this clone"))
     // occupied by something that is NOT this clone: refuse
     val other = freshDir("clone-idx-other")
     CdcStream.applyBatchToReplica(other,
