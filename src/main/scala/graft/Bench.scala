@@ -44,6 +44,52 @@ object Bench {
   /** Cap on isolated re-times so the audit cannot dominate wall time. */
   val MaxAudits = 12
 
+  /** Host-environment snapshot (from /proc) — loadavg, uptime,
+    * IO-wait share over a short sample window, free memory. Recorded
+    * into the bench artifacts at run start and again before the
+    * isolated-audit pass, so a cross-artifact timing disagreement
+    * (builder vs driver vs judge runs of the SAME commit) is
+    * adjudicable from the artifacts alone: the r12 record showed one
+    * I/O-bound query inflating ~5× purely under ambient disk pressure,
+    * and nothing in the artifact could say so. Best-effort: any
+    * missing /proc file records null for that field.
+    */
+  private def envJson(): String = {
+    def readFile(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => None }
+    def cpuTimes(): Option[Array[Double]] =
+      readFile("/proc/stat")
+        .flatMap(_.linesIterator.find(_.startsWith("cpu ")))
+        .map(_.trim.split("\\s+").drop(1).map(_.toDouble))
+    val load = readFile("/proc/loadavg").map(_.trim.split("\\s+").take(3))
+      .filter(_.length == 3)
+    val uptime = readFile("/proc/uptime")
+      .map(_.trim.split("\\s+")(0).toDouble)
+    // IO-wait share over a ~500 ms window (the since-boot ratio is too
+    // diluted to show a load spike happening NOW)
+    val ioWaitPct = cpuTimes().flatMap { t0 =>
+      Thread.sleep(500)
+      cpuTimes().map { t1 =>
+        val d = t1.zip(t0).map { case (a, b) => a - b }
+        val total = d.sum
+        if (total > 0 && d.length > 4) 100.0 * d(4) / total else 0.0
+      }
+    }
+    val memAvailMb = readFile("/proc/meminfo")
+      .flatMap(_.linesIterator.find(_.startsWith("MemAvailable")))
+      .map(_.split("\\s+")(1).toLong / 1024)
+    def num(o: Option[Double]): String =
+      o.map(v => "%.2f".format(v)).getOrElse("null")
+    val loadStr = load.map(_.mkString("[", ",", "]")).getOrElse("null")
+    s"""{"loadavg":$loadStr,"uptime_sec":${num(uptime)},""" +
+      s""""io_wait_pct":${num(ioWaitPct)},""" +
+      s""""mem_available_mb":${memAvailMb.getOrElse("null")},""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,6 +110,7 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       s
     }
+    val envStart = envJson()
     var spark = mkSession()
     def recycle(): Unit = {
       spark.stop()
@@ -155,6 +202,9 @@ object Bench {
     val outliers = results
       .filter { case (n, t) => t > 1.0 && t > 3.0 * famMedian(fam(n)) }
       .sortBy(-_._2).take(MaxAudits)
+    // second env snapshot right before the audit pass: shows whether
+    // host pressure CHANGED between the main pass and the re-times
+    val envAudit = envJson()
     val interference: Seq[(String, Double, Double)] =
       outliers.flatMap { case (name, recorded) =>
         recycle()
@@ -230,7 +280,7 @@ object Bench {
       .map(n => "\"" + n + "\":\"isolated\"").mkString("{", ",", "}")
     val totalRecorded = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},"basis_isolated":$basis,"queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"audit_errors":$auditErrs,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},"basis_isolated":$basis,"queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"audit_errors":$auditErrs,"artifacts":$arts,"groups":$groups,"interference":$interf,"env":$envStart,"env_audit":$envAudit,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
     // a SPARK_GRAFT_QUERIES subset run is a DEBUG run: it must never
     // clobber the committed full-surface record the judge (and the
     // cross-round comparisons) read
@@ -242,7 +292,7 @@ object Bench {
       }
     // "queries" on the printed line = the 10 slowest (the ones a perf
     // reader actually wants); the rest live in BENCH_FULL.json
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},"queries":$slow,"failed":$fs,"flaky":$fl,"artifacts":$arts,"groups":$groups,"interference":$interf,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},"queries":$slow,"failed":$fs,"flaky":$fl,"artifacts":$arts,"groups":$groups,"interference":$interf,"env":$envStart,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -71,7 +71,8 @@ class CloneSpec extends SparkSuite {
     assert(prov.exists(), "clone provenance sidecar missing")
     val hist = CdcStream.describeReplicaHistory(spark, clone).collect()
     assert(hist.length == 1 && hist(0).getString(1) == "clone" &&
-      !hist(0).isNullAt(5), "history must surface the clone commit + provenance")
+      !hist(0).isNullAt(hist(0).fieldIndex("clone_provenance")),
+      "history must surface the clone commit + provenance")
   }
 
   test("writes to the clone are copy-on-write: touched buckets local, " +
@@ -378,6 +379,168 @@ class CloneSpec extends SparkSuite {
     assert(e.getMessage.contains("no watermarked version"))
     assert(!new java.io.File(s"$root/c1b", "CURRENT").exists(),
       "the refusal must precede every commit")
+  }
+
+  // ---- r13: source churn, integrity detection, retention pin, refresh
+
+  /** One ordinary full-rewrite merge (every id) — TWO of these GC the
+    * pre-churn version dirs (one grace), the ANY-source-commit hazard
+    * the clone contract documents.
+    */
+  private def churn(src: String, tag: String): Unit =
+    CdcStream.applyBatchToReplica(src,
+      batch(Seq((1L, s"a-$tag", "update"), (2L, s"b-$tag", "update"),
+        (3L, s"c-$tag", "update"), (4L, s"d-$tag", "update"))),
+      Seq("id"), Seq(col("v")), recordChanges = true)
+
+  test("ANY two source commits can break a clone (not just compaction): " +
+      "the integrity detector names the dangling refs and the read " +
+      "refuses with the recovery spelled out") {
+    val src = buildSource()
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone)
+    churn(src, "x"); churn(src, "y")
+    val missing = CdcStream.verifyReplicaIntegrity(clone)
+    assert(missing.nonEmpty,
+      "the detector must flag the source files the churn GC'd")
+    assert(missing.forall(_._1.startsWith("bucket=")),
+      s"missing refs carry their bucket labels: $missing")
+    val e = intercept[IllegalStateException] {
+      CdcStream.readReplica(spark, clone).get.collect()
+    }
+    assert(e.getMessage.contains("DANGLING") &&
+      e.getMessage.contains("RE-CLONING"),
+      s"the read must name the recovery, got: ${e.getMessage}")
+    assert(CdcStream.verifyReplicaIntegrity(src).isEmpty,
+      "the source itself stays intact")
+  }
+
+  test("pinReplicaRetention holds the source GC floor through churn; " +
+      "unpin releases it") {
+    val src = buildSource()
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone)
+    CdcStream.pinReplicaRetention(src, 1L)
+    churn(src, "x"); churn(src, "y")
+    assert(CdcStream.verifyReplicaIntegrity(clone).isEmpty,
+      "pinned source version dirs must survive the churn")
+    assert(content(clone).toMap == Map(1L -> "a1", 2L -> "b2",
+      3L -> "c1", 4L -> "d1"), "the clone still reads the fork state")
+    CdcStream.unpinReplicaRetention(src)
+    churn(src, "z")
+    assert(CdcStream.verifyReplicaIntegrity(clone).nonEmpty,
+      "after unpin the next commit's GC sweeps the fork dirs")
+  }
+
+  test("refreshClone catches an undiverged clone up to the source in " +
+      "one kind-stamped merge; a second refresh no-ops; the crash " +
+      "retry is idempotent") {
+    val src = buildSource() // v1, v2, feed-recording
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone) // fork at source v2
+    // the fork manifest references v1 dirs for carried-over buckets —
+    // the floor helper resolves the pin below the fork version itself
+    CdcStream.pinReplicaRetention(src,
+      CdcStream.retentionFloorFor(src, 2L))
+    churn(src, "x") // source v3
+    CdcStream.applyBatchToReplica(src, batch(Seq((4L, "d-del", "delete"))),
+      Seq("id"), Seq(col("v")), recordChanges = true) // source v4
+    val applied = CdcStream.refreshClone(spark, clone, Seq("id"),
+      Seq(col("v")))
+    assert(applied == 4L, "the cursor lands at the source's current version")
+    assert(content(clone) == content(src),
+      "after refresh the clone equals the source (update + delete applied)")
+    val kinds = CdcStream.describeReplicaHistory(spark, clone).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds(4L) == "refresh",
+      s"the catch-up commit must be kind-stamped, got $kinds")
+    // nothing new to drain: refresh no-ops (no version churn)
+    val vBefore = CdcStream.replicaCurrentVersion(clone)
+    assert(CdcStream.refreshClone(spark, clone, Seq("id"),
+      Seq(col("v"))) == 4L)
+    assert(CdcStream.replicaCurrentVersion(clone) == vBefore)
+    // a crash between the catch-up commit and the cursor write leaves
+    // a stale cursor — the retry re-replays an applied range, which
+    // must be idempotent (same last-writer outcome)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(clone, "_refresh.json"))
+    assert(CdcStream.refreshClone(spark, clone, Seq("id"),
+      Seq(col("v"))) == 4L)
+    assert(content(clone) == content(src))
+  }
+
+  test("refreshClone refuses a diverged clone (and a non-clone) before " +
+      "any commit") {
+    val src = buildSource()
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone)
+    CdcStream.applyBatchToReplica(clone, batch(Seq((9L, "z", "update"))),
+      Seq("id"), Seq(col("v")))
+    churn(src, "x")
+    val before = CdcStream.replicaCurrentVersion(clone)
+    val e = intercept[IllegalStateException] {
+      CdcStream.refreshClone(spark, clone, Seq("id"), Seq(col("v")))
+    }
+    assert(e.getMessage.contains("DIVERGED"))
+    assert(CdcStream.replicaCurrentVersion(clone) == before,
+      "the refusal must precede every commit")
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.refreshClone(spark, src, Seq("id"), Seq(col("v")))
+    }
+    assert(e2.getMessage.contains("no clone provenance"))
+  }
+
+  test("a MATERIALIZED clone (compacted) still refreshes — content-" +
+      "identical maintenance is not divergence") {
+    val src = buildSource()
+    val clone = freshDir()
+    CdcStream.cloneReplica(src, clone)
+    CdcStream.compactReplica(spark, clone) // localize every reference
+    churn(src, "x")
+    CdcStream.refreshClone(spark, clone, Seq("id"), Seq(col("v")))
+    assert(content(clone) == content(src))
+    assert(CdcStream.verifyReplicaIntegrity(clone).isEmpty,
+      "a materialized clone holds no inherited refs to dangle")
+  }
+
+  test("clone provenance survives the GC of the data-less initial dir " +
+      "(retired into _feed) — ancestry stays auditable") {
+    val src = buildSource()
+    val clone = freshDir()
+    val v = CdcStream.cloneReplica(src, clone)
+    // two clone-local commits age the initial dir out (one grace)
+    CdcStream.applyBatchToReplica(clone, batch(Seq((1L, "l1", "update"))),
+      Seq("id"), Seq(col("v")))
+    CdcStream.applyBatchToReplica(clone, batch(Seq((2L, "l2", "update"))),
+      Seq("id"), Seq(col("v")))
+    assert(!new java.io.File(f"$clone/v$v%09d").exists(),
+      "the data-less clone-initial dir ages out after one grace")
+    assert(new java.io.File(f"$clone/_feed/v$v%09d/_clone.json").exists(),
+      "the provenance sidecar retires with the feed surface")
+    assert(CdcStream.cloneProvenance(clone, v)
+      .contains((new java.io.File(src).getAbsolutePath, 2L)))
+    val hist = CdcStream.describeReplicaHistory(spark, clone).collect()
+      .find(_.getLong(0) == v).get
+    assert(hist.getString(1) == "clone" &&
+      !hist.isNullAt(hist.fieldIndex("clone_provenance")),
+      "DESCRIBE HISTORY keeps pricing the retired clone commit")
+  }
+
+  test("clone provenance round-trips a source path containing a quote " +
+      "and a backslash (Jackson sidecar, not string interpolation)") {
+    val weird = java.nio.file.Files
+      .createTempDirectory("""clone-"we\ird""").toString
+    val src = s"$weird/src"
+    CdcStream.applyBatchToReplica(src, batch(Seq((1L, "a", "update"))),
+      Seq("id"), Seq(col("v")))
+    val clone = freshDir()
+    val v = CdcStream.cloneReplica(src, clone)
+    assert(CdcStream.cloneProvenance(clone, v)
+      .contains((new java.io.File(src).getAbsolutePath, 1L)),
+      "the (source, version) pair must parse back exactly")
+    // the idempotent-retry primitive keys on that pair: the exact
+    // re-clone SKIPS instead of refusing
+    CdcStream.cloneOrSkip(new java.io.File(src).getAbsolutePath, clone, 1L)
   }
 
   test("refusals: non-fresh target, never-committed source") {

@@ -219,6 +219,43 @@ class CommitFaultSweepSpec extends SparkSuite {
       },
       observe = root => state(s"$root/c") ++ state(s"$root/p")),
 
+    Op("refresh_clone",
+      prepare = { root =>
+        commit(s"$root/p", b1, rec = true)
+        CdcStream.cloneReplica(s"$root/p", s"$root/c")
+        CdcStream.pinReplicaRetention(s"$root/p",
+          CdcStream.retentionFloorFor(s"$root/p", 1L))
+        commit(s"$root/p", b2, rec = true)
+        commit(s"$root/p", b3, rec = true)
+      },
+      run = root => { CdcStream.refreshClone(spark, s"$root/c", ids, ord); () },
+      recover = { root =>
+        // documented recovery: re-run — a stale cursor re-replays an
+        // applied range, which is idempotent
+        CdcStream.refreshClone(spark, s"$root/c", ids, ord); ()
+      },
+      observe = root => state(s"$root/c") ++ state(s"$root/p")),
+
+    Op("restore_consistent",
+      prepare = { root =>
+        def wm(dir: String, rows: Seq[(Long, String, Long, String)],
+            w: Long): Unit =
+          CdcStream.applyBatchToReplica(dir, batch(rows), ids, ord,
+            numBuckets = 4, watermark = Some(w))
+        wm(s"$root/t1", b1, 10L); wm(s"$root/t1", b2, 20L)
+        wm(s"$root/t1", b3, 30L)
+        wm(s"$root/t2", b1, 10L); wm(s"$root/t2", b2, 20L)
+      },
+      run = root => { CdcStream.restoreConsistentTables(spark,
+        Seq(s"$root/t1", s"$root/t2")); () },
+      recover = { root =>
+        // re-run at the SAME point: restored tables pick their own
+        // restore version and no-op, the rest complete
+        CdcStream.restoreConsistentTables(spark,
+          Seq(s"$root/t1", s"$root/t2"), atWatermark = Some(20L)); ()
+      },
+      observe = root => state(s"$root/t1") ++ state(s"$root/t2")),
+
     Op("reseed_conditional",
       prepare = { root =>
         def cond(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
@@ -323,5 +360,29 @@ class CommitFaultSweepSpec extends SparkSuite {
     assert(failures.isEmpty,
       s"$trials trials, ${failures.size} failed:\n${failures.mkString("\n")}")
     info(s"$trials injected-crash trials total, all converged")
+  }
+
+  test("armClaimKill: the injected kill lands at the exact Nth claim, " +
+      "mid-commit (claimed, unpublished), and the retry converges — " +
+      "the e2e drill's deterministic kill primitive") {
+    disarm()
+    val root = freshRoot()
+    commit(s"$root/p", b1) // before arming: not counted
+    val disarmKill = CdcStream.armClaimKill(2)
+    try {
+      commit(s"$root/p", b2) // claim #1 — survives
+      val e = intercept[RuntimeException] { commit(s"$root/p", b3) }
+      assert(e.getMessage.contains("injected mid-commit kill"),
+        s"unexpected: ${e.getMessage}")
+    } finally disarmKill()
+    // torn exactly at the claim point: version dir at its final name,
+    // pointer NOT flipped
+    assert(CdcStream.replicaCurrentVersion(s"$root/p").contains(2L))
+    assert(new java.io.File(s"$root/p/v000000003").isDirectory,
+      "the claimed-but-unpublished orphan is the crash artifact")
+    // the hook self-disarmed at fire: the documented replay lands
+    commit(s"$root/p", b3)
+    assert(CdcStream.replicaCurrentVersion(s"$root/p").contains(3L))
+    assert(state(s"$root/p") == Seq("1=a2", "3=c3", "4=d2", "5=e3"))
   }
 }

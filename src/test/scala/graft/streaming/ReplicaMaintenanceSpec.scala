@@ -476,6 +476,74 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("restoreConsistentTables rolls a fleet back to the laggard's " +
+      "watermark; the at-point table no-ops; a fleet retry converges") {
+    val root = freshDir()
+    def wmCommit(dir: String, rows: Seq[(Long, String, String)],
+        wm: Long): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("v")), watermark = Some(wm))
+    // t1 runs ahead (wm 10, 20, 30); t2 lags (wm 10, 20)
+    wmCommit(s"$root/t1", Seq((1L, "t1-a", "update")), 10L)
+    wmCommit(s"$root/t1", Seq((1L, "t1-b", "update")), 20L)
+    wmCommit(s"$root/t1", Seq((1L, "t1-c", "update")), 30L)
+    wmCommit(s"$root/t2", Seq((2L, "t2-a", "update")), 10L)
+    wmCommit(s"$root/t2", Seq((2L, "t2-b", "update")), 20L)
+    val point = CdcStream.restoreConsistentTables(spark,
+      Seq(s"$root/t1", s"$root/t2"))
+    assert(point == 20L, "the point is the laggard's newest watermark")
+    assert(content(s"$root/t1").toMap == Map(1L -> "t1-b"),
+      "the fast table rolls back one version")
+    assert(content(s"$root/t2").toMap == Map(2L -> "t2-b"))
+    assert(CdcStream.replicaCurrentVersion(s"$root/t1").contains(4L),
+      "the rollback is a restore COMMIT (metadata-only), not a delete")
+    assert(CdcStream.replicaCurrentVersion(s"$root/t2").contains(2L),
+      "a table already at the point must no-op, not churn a version")
+    // crash-retry convergence: re-running at the same point no-ops
+    // everywhere (t1 now picks its own restore version)
+    CdcStream.restoreConsistentTables(spark,
+      Seq(s"$root/t1", s"$root/t2"), atWatermark = Some(20L))
+    assert(CdcStream.replicaCurrentVersion(s"$root/t1").contains(4L))
+    assert(CdcStream.replicaCurrentVersion(s"$root/t2").contains(2L))
+  }
+
+  test("restoreConsistentTables refuses BEFORE the first commit: " +
+      "unservable point, unwatermarked table, frozen table") {
+    val root = freshDir()
+    def wmCommit(dir: String, rows: Seq[(Long, String, String)],
+        wm: Long): Unit =
+      CdcStream.applyBatchToReplica(dir, batch(rows), Seq("id"),
+        Seq(col("v")), watermark = Some(wm))
+    wmCommit(s"$root/t1", Seq((1L, "a", "update")), 10L)
+    wmCommit(s"$root/t1", Seq((1L, "b", "update")), 20L)
+    val e1 = intercept[IllegalStateException] {
+      CdcStream.restoreConsistentTables(spark, Seq(s"$root/t1"),
+        atWatermark = Some(5L))
+    }
+    assert(e1.getMessage.contains("cannot serve watermark"))
+    // a table with no watermarked version poisons the default point
+    CdcStream.applyBatchToReplica(s"$root/t3",
+      batch(Seq((3L, "x", "update"))), Seq("id"), Seq(col("v")))
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.restoreConsistentTables(spark,
+        Seq(s"$root/t1", s"$root/t3"))
+    }
+    assert(e2.getMessage.contains("no watermarked version"))
+    // the dry-run phase surfaces a LATER table's refusal (frozen)
+    // before the FIRST table commits anything
+    wmCommit(s"$root/t4", Seq((4L, "a", "update")), 10L)
+    wmCommit(s"$root/t4", Seq((4L, "b", "update")), 20L)
+    CdcStream.freezeReplica(s"$root/t4", "test fence")
+    val v1Before = CdcStream.replicaCurrentVersion(s"$root/t1")
+    val e3 = intercept[IllegalStateException] {
+      CdcStream.restoreConsistentTables(spark,
+        Seq(s"$root/t1", s"$root/t4"), atWatermark = Some(10L))
+    }
+    assert(e3.getMessage.contains("FROZEN"))
+    assert(CdcStream.replicaCurrentVersion(s"$root/t1") == v1Before,
+      "the frozen refusal must precede every commit (two-phase dry run)")
+  }
+
   test("restore is a metadata-only commit: content rolls back without " +
       "reading a data file, history and routing restore too") {
     val dir = freshDir()
