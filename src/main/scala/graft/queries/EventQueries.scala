@@ -1293,6 +1293,27 @@ object EventQueries {
         .orderBy($"version")
     },
 
+    // --- cdc: FSCK store doctor (r13) -------------------------------------
+    // One metadata-cost pass audits the store's physical and logical
+    // invariants (dangling refs, feed contiguity, delta sequence,
+    // orphans, locks, GSI cursors) and returns findings rows. The gate
+    // runs it on the healthy shared replica: zero findings, with the
+    // store's data-derived vitals (live rows = the global last-writer
+    // fold, version count, CURRENT) pinned by the oracle so the
+    // summary is not a constant. FsckSpec drives each corruption and
+    // asserts the named finding.
+    "cdc_fsck" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = sharedReplica(s, dir)
+      val findings = CdcStream.fsckReplica(s, replica).count()
+      val live = CdcStream.readReplica(s, replica).get.count()
+      Seq((findings, live,
+        CdcStream.replicaVersions(replica).size.toLong,
+        CdcStream.replicaCurrentVersion(replica).getOrElse(0L)))
+        .toDF("n_findings", "live_rows", "versions", "current_version")
+    },
+
     // --- cdc: CLONE REFRESH (Delta CREATE-OR-REPLACE-CLONE analog, r13) --
     // An UNdiverged clone catches up to its source by draining the
     // source's change feed from the fork point in ONE merge —
@@ -2599,6 +2620,21 @@ object EventQueries {
          |  UNION ALL SELECT CAST(2 AS BIGINT), 'merge',
          |    (SELECT n FROM h2), (SELECT n FROM liveall), CAST(1 AS BIGINT))
          |ORDER BY version""".stripMargin,
+
+    // a healthy store: zero findings; the vitals are data-derived
+    // (live rows = global last-writer fold over the whole corpus)
+    "cdc_fsck" ->
+      s"""WITH live AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT user_id, $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT CAST(0 AS BIGINT) AS n_findings,
+         |  (SELECT n FROM live) AS live_rows,
+         |  CAST(2 AS BIGINT) AS versions,
+         |  CAST(2 AS BIGINT) AS current_version""".stripMargin,
 
     // after refresh the clone equals the source: both stores read as
     // the global last-writer fold

@@ -2007,6 +2007,161 @@ object CdcStream {
       }
     }).getOrElse(Seq.empty)
 
+  /** FSCK — the store doctor: audit a replica's physical and logical
+    * invariants in ONE metadata-cost pass and return findings as
+    * (check, severity, subject, detail) rows (empty = healthy). What a
+    * 100 TB operator runs before trusting a store, after an incident,
+    * or on a schedule; it unifies the point checks the engine already
+    * enforces lazily (a dangling clone ref fails at read time, a feed
+    * gap at drain time, a stale GSI cursor at maintenance time) into
+    * one proactive report. Checks — all O(versions + manifest refs)
+    * driver-side metadata, no data rows read:
+    *
+    *  - `current_pointer` (error): CURRENT names a version dir with a
+    *    readable manifest (pre-bucket flat layouts pass with info);
+    *  - `dangling_ref` (error): a current-manifest bucket/delta path
+    *    does not exist ([[verifyReplicaIntegrity]] — the shallow-clone
+    *    churn hazard, or manual deletion);
+    *  - `empty_bucket_dir` (warn): a referenced bucket dir exists but
+    *    holds no parquet file (half-deleted data);
+    *  - `schema` (error): the manifest's recorded schema fails to
+    *    parse;
+    *  - `conditional_meta` (error): deltas are marked conditional but
+    *    no order columns are recorded;
+    *  - `delta_sequence` (error): a bucket's delta chain is not in
+    *    strictly increasing version order (fold order would be
+    *    ambiguous);
+    *  - `feed_gap` (warn): a committed version INSIDE the retained
+    *    feed range has neither a feed surface nor a manifest to
+    *    classify it (pre-retention GC) — consumers positioned before
+    *    it will refuse;
+    *  - `orphan_version` (info): a claimed-but-unpublished version dir
+    *    above CURRENT (a crashed writer; renamed aside by the next
+    *    commit);
+    *  - `stale_lock` (warn): `.commit-lock` older than the 60 s
+    *    stale-break horizon (a crashed writer died holding it);
+    *  - `stale_debris` (info): staging/GC-aside/broken-lock leftovers
+    *    older than the hour sweep horizon;
+    *  - `frozen` (info) and `retention_pin` (info): operational state
+    *    a reader should know about;
+    *  - per `indexDirs` entry: `index_cursor_missing` (error),
+    *    `index_ahead` (error — cursor above the primary's CURRENT:
+    *    the index claims commits the primary does not have),
+    *    `index_lag` (warn — maintenance owed).
+    */
+  def fsckReplica(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, indexDirs: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+    def add(check: String, sev: String, subject: String, detail: String): Unit =
+      out += ((check, sev, subject, detail))
+    val cur = currentVersion(replicaDir)
+    cur match {
+      case None =>
+        add("current_pointer", "error", replicaDir,
+          "no CURRENT pointer — nothing was ever committed, or the " +
+            "pointer file was deleted")
+      case Some((v, name)) =>
+        if (!new java.io.File(replicaDir, name).isDirectory)
+          add("current_pointer", "error", name,
+            "CURRENT names a version dir that does not exist")
+        else readManifest(replicaDir, name) match {
+          case None =>
+            add("current_pointer", "info", name,
+              "version dir has no manifest (pre-bucket flat layout)")
+          case Some(m) =>
+            // schema parse
+            try { manifestSchema(m); () } catch {
+              case e: Exception =>
+                add("schema", "error", name,
+                  s"manifest schema does not parse: ${e.getMessage}")
+            }
+            if (m.deltasConditional && m.condOrderCols.isEmpty)
+              add("conditional_meta", "error", name,
+                "deltas marked conditional but no order columns recorded")
+            // referenced paths exist
+            verifyReplicaIntegrity(replicaDir).foreach { case (label, p) =>
+              add("dangling_ref", "error", label, s"missing: $p")
+            }
+            // referenced bucket dirs actually hold parquet
+            m.buckets.foreach { case (b, p) =>
+              val d = new java.io.File(resolveStorePath(replicaDir, p))
+              if (d.isDirectory && !Option(d.listFiles()).getOrElse(Array.empty)
+                  .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+                add("empty_bucket_dir", "warn", s"bucket=$b",
+                  s"referenced dir holds no parquet file: $p")
+            }
+            // delta chains strictly increasing by version segment
+            m.deltas.foreach { case (b, ps) =>
+              val seq = ps.map(p => versionSegmentOf(p))
+                .filter(_.matches("v[0-9]{9}"))
+                .map(_.stripPrefix("v").toLong)
+              if (seq.sliding(2).exists(w => w.length == 2 && w(0) >= w(1)))
+                add("delta_sequence", "error", s"bucket=$b",
+                  s"delta chain not strictly version-ordered: $seq")
+            }
+        }
+        // feed contiguity over the retained range
+        val fv = feedVersions(replicaDir)
+        if (fv.nonEmpty) {
+          val lo = fv.min
+          (lo to v).filterNot(fv.toSet).foreach { missing =>
+            add("feed_gap", "warn", f"v$missing%09d",
+              "committed version inside the retained feed range has " +
+                "neither a feed surface nor a manifest to classify it — " +
+                "consumers positioned before it will refuse the drain")
+          }
+        }
+        // orphans above CURRENT
+        replicaVersions(replicaDir).filter(_ > v).foreach { o =>
+          add("orphan_version", "info", f"v$o%09d",
+            "claimed-but-unpublished version above CURRENT (crashed " +
+              "writer); the next commit renames it aside")
+        }
+    }
+    // lock + debris + operational state
+    val lock = new java.io.File(replicaDir, ".commit-lock")
+    if (lock.isFile &&
+        System.currentTimeMillis() - lock.lastModified() > 60000L)
+      add("stale_lock", "warn", ".commit-lock",
+        "older than the 60 s stale-break horizon — a crashed writer " +
+          "died holding it; the next commit breaks it")
+    Option(new java.io.File(replicaDir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        (f.getName.startsWith(".staging-") || f.getName.startsWith(".gc-") ||
+          f.getName.startsWith(".commit-lock-broken-")) &&
+          System.currentTimeMillis() - f.lastModified() > 3600L * 1000
+      }
+      .foreach(f => add("stale_debris", "info", f.getName,
+        "crashed-writer leftover older than the sweep horizon"))
+    replicaFrozen(replicaDir).foreach(r =>
+      add("frozen", "info", replicaDir, s"writes fenced: $r"))
+    retentionPin(replicaDir).foreach(p =>
+      add("retention_pin", "info", replicaDir,
+        f"GC floor pinned at v$p%09d — version dirs at or above it " +
+          "are never swept"))
+    // GSI cursors vs the primary's CURRENT
+    indexDirs.foreach { idx =>
+      SecondaryIndex.appliedPrimaryVersion(idx) match {
+        case None =>
+          add("index_cursor_missing", "error", idx,
+            "index store records no applied-primary-version cursor")
+        case Some(applied) =>
+          val pv = cur.map(_._1).getOrElse(0L)
+          if (applied > pv)
+            add("index_ahead", "error", idx,
+              s"cursor at $applied but primary CURRENT is $pv — the " +
+                "index claims commits the primary does not have")
+          else if (applied < pv &&
+              !contentIdenticalRange(replicaDir, applied, pv))
+            add("index_lag", "warn", idx,
+              s"cursor at $applied, primary at $pv — maintenance owed " +
+                s"for versions ${applied + 1}..$pv")
+      }
+    }
+    out.toSeq.toDF("check", "severity", "subject", "detail")
+  }
+
   /** PIN the store's GC floor: version dirs numbered `fromVersion` or
     * above survive every commit's post-flip GC until [[unpinReplicaRetention]]
     * — the clone-aware retention knob. A shallow clone's inherited
