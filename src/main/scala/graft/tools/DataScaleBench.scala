@@ -294,6 +294,44 @@ object DataScaleBench {
       val cloneMs = (System.nanoTime() - tC0) / 1e6
       deleteRecursively(new java.io.File(s"$store-clone"))
       deleteRecursively(new java.io.File(store))
+      // FAN-OUT curve (r13): the multi-table route-once + per-table
+      // MERGE path whose scratch write was the r12 bench's one
+      // I/O-sensitivity finding (now clustered before partitionBy —
+      // ~one scratch file per table). Envelopes build from the scale's
+      // events (5 tables routed by event_id), so the probe is
+      // data-proportional end-to-end: route shuffle + T pruned merges
+      // into fresh stores. Expected shape: falling us/row (fixed
+      // per-table commit machinery amortizes over the batch).
+      val fanTables = 5
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val envelopes = graft.Tables(spark, dir).events
+        .select(to_json(struct(
+          lit("insert").as("type"),
+          unix_millis(col("ts")).as("timestamp"),
+          lit("graft").as("databaseName"),
+          concat(lit("t"), pmod(col("event_id"), lit(fanTables)))
+            .as("tableName"),
+          col("event_id").as("offset"),
+          array(struct(col("event_id"), col("user_id"),
+            col("value").cast("double").as("value"))).as("rows")
+        )).as("value"))
+      val fanRoot = s"$root/.fan-x$scale-${System.nanoTime()}"
+      val names = (0 until fanTables).map(i => s"graft.t$i")
+      val tF0 = System.nanoTime()
+      CdcStream.fanOutToReplicas(envelopes, s"$fanRoot/{db}/{table}",
+        schemas = names.map(_ -> rowSchema).toMap,
+        idCols = names.map(_ -> Seq("event_id")).toMap)
+      val fanSec = (System.nanoTime() - tF0) / 1e9
+      deleteRecursively(new java.io.File(fanRoot))
+      System.err.println(f"[datascale] x$scale fanout: $fanSec%.2fs " +
+        f"(${fanSec * 1e6 / counts("events")}%.2f us/row over " +
+        f"${counts("events")} events into $fanTables tables)")
       System.err.println(f"[datascale] x$scale write-path floor: " +
         f"defer $deferSec%.3fs eager $eagerSec%.3fs clone $cloneMs%.1fms " +
         f"(1000-row batch, ${touchedBuckets.size} buckets / $touchedRows " +
@@ -304,7 +342,10 @@ object DataScaleBench {
           s""""batch_rows":1000,"touched_buckets":${touchedBuckets.size},""" +
           s""""touched_bucket_rows":$touchedRows,""" +
           s""""store_rows":${counts("events")}},""" +
-          s""""clone_ms":${r3(cloneMs)}}"""
+          s""""clone_ms":${r3(cloneMs)},""" +
+          s""""fanout":{"sec":${r3(fanSec)},"rows":${counts("events")},""" +
+          s""""us_per_row":${r3(fanSec * 1e6 / counts("events"))},""" +
+          s""""tables":$fanTables}}"""
       s"""{"scale":$scale,"rows":{${counts.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
         s""""queries":{${entries.mkString(",")}},$writePath}"""
