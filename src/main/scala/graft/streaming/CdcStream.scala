@@ -918,6 +918,10 @@ object CdcStream {
       keys: DataFrame): Option[DataFrame] = {
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
+          // same dangling-clone refusal as the full read: a pruned
+          // lookup (the GSI hot path) must name the recovery too, not
+          // throw FileNotFoundException from a scan task
+          requireInheritedRefsLive(replicaDir, m)
           val allPaths = m.buckets.values.toSeq.sorted
             .map(p => resolveStorePath(replicaDir, p))
           // Catalyst hash() is TYPE-sensitive (hash(5) != hash(5L)): the

@@ -411,6 +411,12 @@ class CloneSpec extends SparkSuite {
     assert(e.getMessage.contains("DANGLING") &&
       e.getMessage.contains("RE-CLONING"),
       s"the read must name the recovery, got: ${e.getMessage}")
+    // the key-pruned path (what GSI lookups ride) refuses the same way
+    val eK = intercept[IllegalStateException] {
+      CdcStream.readReplicaForKeys(spark, clone, Seq("id"),
+        Seq(1L).toDF("id")).get.collect()
+    }
+    assert(eK.getMessage.contains("DANGLING"))
     assert(CdcStream.verifyReplicaIntegrity(src).isEmpty,
       "the source itself stays intact")
   }
