@@ -65,6 +65,14 @@ object ChangelogGenerator {
     *   tasks with exact per-table index bases — no partition re-parses
     *   the prefix it skips.
     */
+  /** @param logOrder SQL expressions fixing the LOG (offset) order of
+    *   the records — default source order `(ts_ms, event_id)`. An
+    *   override models a log whose delivery order DIVERGES from the
+    *   rows' own version order (a backfill appended after live
+    *   traffic, a replayed segment): downstream sinks then need
+    *   order-conditional merges to converge, which is exactly what the
+    *   out-of-order fixtures exist to exercise.
+    */
   def generate(events: DataFrame, outDir: String, recordsPerFile: Long,
       db: String = "graft", table: String = "events",
       prefix: String = ChangelogFiles.DefaultPrefix,
@@ -73,7 +81,8 @@ object ChangelogGenerator {
       txnSize: Long = 0L,
       beforeImages: Boolean = false,
       ddlAtDrift: Boolean = false,
-      syncEvery: Long = 5000L): Unit = {
+      syncEvery: Long = 5000L,
+      logOrder: Seq[String] = Seq("ts_ms", "event_id")): Unit = {
     require(!ddlAtDrift || driftFromMs < Long.MaxValue,
       "ddlAtDrift requires driftFromMs")
     val dir = new File(outDir)
@@ -107,7 +116,7 @@ object ChangelogGenerator {
     val ordered = events
       .selectExpr("event_id", "user_id", "event_type", "value", "props",
         "unix_millis(ts) AS ts_ms")
-      .orderBy("ts_ms", "event_id")
+      .orderBy(logOrder.map(org.apache.spark.sql.functions.expr): _*)
 
     var fileId = 1L
     var posInFile = 0L

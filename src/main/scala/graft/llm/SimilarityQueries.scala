@@ -150,12 +150,18 @@ object SimilarityQueries {
       finally dropB()
     }
 
-  /** `llm_graph_ann` parameters: deterministic entry points every
-    * `GraphEntryStride`-th vector, `GraphBeam` best-first frontier,
-    * `GraphHops` unrolled expansions (unrolled in the ORACLE too — two
-    * engines, one walk).
+  /** `llm_graph_ann` parameters: IVF-derived CONSTANT-SIZE entry set
+    * (the HNSW upper-layer analog — r14, replacing the 1/50 corpus
+    * stride that was the last corpus-proportional term in any ANN
+    * path): per IVF cell the `GraphEntryPerCell` lowest-vec_id members
+    * are the hub set, and each query enters the walk only through its
+    * `GraphProbeCells` best cells' hubs — GraphProbeCells ×
+    * GraphEntryPerCell entry candidates per query at ANY corpus size.
+    * `GraphBeam` best-first frontier, `GraphHops` unrolled expansions
+    * (unrolled in the ORACLE too — two engines, one walk).
     */
-  val GraphEntryStride = 50
+  val GraphEntryPerCell = 4
+  val GraphProbeCells = 2
   val GraphBeam = 4
   val GraphHops = 2
 
@@ -439,9 +445,13 @@ object SimilarityQueries {
     // fixpoint — scores are the shared sequential-fold dot, ties break
     // by vec_id). Scale: after the build-once edge index, per-hop cost
     // is |Q|·B edge lookups + candidate-sized scoring joins — the
-    // corpus never re-enters; the entry set is the only
-    // corpus-proportional term (1/GraphEntryStride of it, and a real
-    // deployment replaces it with the upper-layer entry point).
+    // corpus never re-enters; the entry set is CONSTANT-SIZE (r14):
+    // per IVF cell the GraphEntryPerCell lowest-vec_id members are the
+    // hub set (the HNSW upper-layer analog, derived from the SAME
+    // build-once ivf-assign index llm_embed_ivf reads), and each query
+    // enters only through its GraphProbeCells best cells' hubs —
+    // nprobe·R entry candidates per query at any corpus size, so NO
+    // term in this path grows with the corpus after the index builds.
     "llm_graph_ann" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables(s, dir).embeddings
@@ -454,11 +464,39 @@ object SimilarityQueries {
         cand.join(emb, "vec_id").join(broadcast(qs), "query_id")
           .select($"query_id", $"vec_id",
             (dot($"qe", $"embedding") / ($"qn" * $"norm")).as("cos_sim"))
-      val entries = emb
-        .filter(pmod($"vec_id", lit(GraphEntryStride.toLong)) === 0)
-        .select($"vec_id")
-      var visited = score(broadcast(qs.select($"query_id"))
-        .crossJoin(entries).filter($"vec_id" =!= $"query_id"))
+      // hub set off the shared IVF assignment index (same cache key as
+      // llm_embed_ivf — built once, read by both)
+      val cents = sampleCentroids(s, dir, NumCentroids)
+      val k = cents.size
+      def withScores(df: DataFrame): DataFrame =
+        df.select(Seq($"vec_id", $"embedding",
+          norm($"embedding").as("norm")) ++
+          cents.zipWithIndex.map { case (c, i) =>
+            centroidScore(c).as(s"cs$i") }: _*)
+      val assigned = IndexArtifacts.cachedIndex(s, dir, s"ivf-assign-$k",
+        Seq(s"$dir/embeddings.parquet"))(
+        withScores(Tables(s, dir).embeddings)
+          .select($"vec_id", $"embedding", $"norm",
+            cellFromScores(k).as("cell")))
+      val wHub = Window.partitionBy($"cell").orderBy($"vec_id".asc)
+      val hubs = assigned.select($"cell", $"vec_id")
+        .withColumn("hr", row_number().over(wHub))
+        .filter($"hr" <= GraphEntryPerCell)
+        .select($"cell", $"vec_id")
+      // each query's GraphProbeCells best cells (score desc, lowest
+      // index on ties — the same rank llm_embed_ivf_probe2 uses)
+      val ranked = sort_array(array((0 until k).map(i =>
+        struct(col(s"cs$i").as("s"), lit(-i).as("ni"))): _*), asc = false)
+      val qcells = withScores(
+        Tables(s, dir).embeddings.filter($"vec_id" < NumQueries))
+        .select($"vec_id".as("query_id"),
+          explode(transform(slice(ranked, 1, GraphProbeCells),
+            x => -x("ni"))).as("qcell"))
+      val entries = broadcast(qcells)
+        .join(hubs, $"qcell" === $"cell")
+        .select($"query_id", $"vec_id")
+        .filter($"vec_id" =!= $"query_id").distinct()
+      var visited = score(entries)
       for (_ <- 1 to GraphHops) {
         val w = Window.partitionBy($"query_id")
           .orderBy($"cos_sim".desc, $"vec_id".asc)
@@ -1537,11 +1575,42 @@ object SimilarityQueries {
          |                         ORDER BY cos_sim DESC, dst ASC) AS rk
          |    FROM p)
          |  WHERE rk <= $KnnK),
+         |cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+         |    embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % $CentroidStride = $CentroidPhase
+         |        ORDER BY vec_id LIMIT $NumCentroids)),
+         |cscore AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${dotSql("e.embedding", "c.ce")} - $centHalfNorm2Sql AS score
+         |  FROM b e CROSS JOIN cent c),
+         |cellof AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM cscore) WHERE rk = 1),
+         |hubs AS (
+         |  SELECT cell, vec_id FROM (
+         |    SELECT cell, vec_id,
+         |      row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS hr
+         |    FROM cellof) WHERE hr <= $GraphEntryPerCell),
+         |qc AS (
+         |  SELECT vec_id AS query_id, centroid_id AS qcell FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY score DESC, centroid_id ASC) AS rk
+         |    FROM cscore WHERE vec_id < $NumQueries)
+         |  WHERE rk <= $GraphProbeCells),
          |v0 AS (
          |  SELECT q.query_id, e.vec_id,
          |    ${dotSql("q.qe", "e.embedding")} / (q.qn * e.norm) AS cos_sim
-         |  FROM qs q JOIN b e
-         |    ON e.vec_id % $GraphEntryStride = 0 AND e.vec_id <> q.query_id),
+         |  FROM (SELECT DISTINCT qc.query_id, h.vec_id
+         |        FROM qc JOIN hubs h ON h.cell = qc.qcell
+         |        WHERE h.vec_id <> qc.query_id) n
+         |  JOIN b e ON e.vec_id = n.vec_id
+         |  JOIN qs q ON q.query_id = n.query_id),
          |$hops
          |SELECT query_id, CAST(rk AS INT) AS rank, vec_id AS neighbor_id,
          |  cos_sim

@@ -614,6 +614,50 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: GSI × ORDER-CONDITIONAL merge (r14 composition) ------------
+    // The engine's one former self-documented refusal, closed: GSI
+    // maintenance under OUT-OF-ORDER batches. The index delta is the
+    // POST-STATE DIFF of the conditional fold, not the batch — per
+    // key, the incoming net row transitions any index only when it
+    // WINS the merge's order compare against the stored row (or a
+    // stored tombstone at its recorded order; the old-value read keeps
+    // tombstones for exactly this). A late-losing batch must neither
+    // erase a winning entry, nor insert its own, nor resurrect a
+    // tombstoned key's entry. The changelog splits by event_id PARITY
+    // (each half spans the whole time range) and applies odd-half
+    // first with TWO synchronized GSIs: for every user whose true last
+    // event sits in the first-applied half, the second batch's rows
+    // LOSE — only the post-state-diff derivation keeps the indexes
+    // exact, which the banded lookup (bucket-pruned, read-repaired)
+    // proves against the oracle's global last-writer fold. Cost shape
+    // is unchanged: one key-pruned tombstone-keeping read + one window
+    // over (stored ∪ net) per batch — never O(table).
+    "cdc_gsi_conditional" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      val primary = graft.llm.IndexArtifacts.tempDir("gsi-cond-primary")
+      val idxBand = graft.llm.IndexArtifacts.tempDir("gsi-cond-band")
+      val idxType = graft.llm.IndexArtifacts.tempDir("gsi-cond-type")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), $"event_type",
+          opCol($"event_type").as("op"))
+      val specs = Seq(
+        SecondaryIndex.IndexSpec(idxBand, expr("value_cents div 1000"),
+          "band"),
+        SecondaryIndex.IndexSpec(idxType, col("event_type"), "etype"))
+      Seq(1, 0).foreach { parity =>
+        SecondaryIndex.applyBatchWithIndexes(s, primary, specs,
+          ev.filter($"event_id" % 2 === parity), Seq("user_id"),
+          Seq("ms", "event_id"), conditionalOrder = true)
+      }
+      SecondaryIndex.lookupByIndex(s, primary, idxBand, Seq("user_id"),
+          expr("value_cents div 1000"), "band", Seq(2L, 3L).toDF("band"))
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+    },
+
     // --- cdc: CREATE INDEX on an existing store (bootstrap, r10) --------
     // The primary exists FIRST with history and no index; buildIndex
     // bootstraps the banded GSI from its CURRENT state in one
@@ -723,6 +767,42 @@ object EventQueries {
           Seq("user_id"), expr("value_cents div 1000"), "band", bands)
         .filter($"value_cents" >= 2500L && $"value_cents" < 4500L)
         .select($"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+    },
+
+    // --- cdc: ZONE-MAP range read over the replica store (r14) -----------
+    // Non-key predicates on a replica used to scan every bucket file —
+    // only key equality pruned (hash routing). readReplicaRange wires
+    // the q54 zone-map machinery into the store's read path: parquet
+    // footer min/max stats over the bucket files drop whole files that
+    // provably miss the range. The value-clustered index layout makes
+    // the stats tight (each indexed value lives in one bucket), so an
+    // OPEN-ENDED band range — which hash routing cannot serve at all
+    // (no finite IN-list to enumerate; contrast cdc_index_range's
+    // bounded band probe) — prunes to the overlapping index files,
+    // drives the ordinary key-pruned primary read, and read-repairs
+    // with the exact range. Delta-carrying buckets are never
+    // file-pruned (a dropped base row could flip a fold winner —
+    // documented in readReplicaRange); ZoneMapReplicaSpec asserts the
+    // file-count reduction on disjoint-range buckets.
+    "cdc_replica_zonemap" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      // same build-once (primary, banded index) pair as cdc_index_range
+      val root = graft.llm.IndexArtifacts.cachedPath(dir, "gsi-shared",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        SecondaryIndex.applyBatchWithIndex(s, s"$out/primary", s"$out/index",
+          ev, Seq("user_id"), Seq("ms", "event_id"),
+          expr("value_cents div 1000"), "band")
+      }
+      SecondaryIndex.lookupByIndexRange(s, s"$root/primary", s"$root/index",
+          Seq("user_id"), expr("value_cents div 1000"), "band",
+          3L, Long.MaxValue)
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
           $"value_cents")
         .orderBy($"user_id")
     },
@@ -1086,10 +1166,9 @@ object EventQueries {
     // crash windows the marker protocol + index-first order + cursor
     // redo-allowance recover) and RESTARTED from the checkpoint, with
     // a follower draining the change feed both at the kill point and
-    // after the drain. (conditionalOrder is the one feature absent BY
-    // THE ENGINE'S OWN CONTRACT: it is incompatible with GSI
-    // maintenance — stale-pointer detection assumes last-writer
-    // merges — and the sink refuses the combination at query start.)
+    // after the drain. (conditionalOrder composes with GSI maintenance
+    // since r14 — the out-of-order drill variant is cdc_e2e_conditional
+    // below.)
     // The audited output reads through the banded GSI against the
     // FOLLOWER store (read-repair verifies every hit against it), so
     // one hash pins source offsets across the restart, sink
@@ -1160,6 +1239,67 @@ object EventQueries {
           ord, fromVersionExclusive = cursor)
       }
       SecondaryIndex.lookupByIndex(s, s"$root/follower", s"$root/idx-band",
+          Seq("user_id"), col("band"), "band", Seq(2L, 3L).toDF("band"))
+        .select($"band", $"user_id", $"event_id".as("last_event_id"),
+          $"value_cents", $"event_type")
+        .orderBy($"user_id")
+    },
+
+    // --- cdc: e2e drill, ORDER-CONDITIONAL variant (r14) ------------------
+    // The full sink pipeline under OUT-OF-ORDER delivery: the fixture
+    // log's odd-event_id half precedes the even half in offset order
+    // (binlogOooDir — a backfill appended after live traffic), so
+    // later micro-batches carry EARLIER-versioned rows and an
+    // arrival-order merge would corrupt both the store and its
+    // indexes. The sink runs conditionalOrder + deferMerge + TWO GSIs,
+    // takes the same deterministic mid-commit kill as
+    // cdc_e2e_pipeline (publish claim #8 — inside batch 3's
+    // index-first commit group), and restarts from the checkpoint.
+    // The audited read goes THROUGH the banded GSI (bucket-pruned,
+    // read-repaired against the primary), so one hash pins source
+    // offsets across the restart, sink exactly-once, the conditional
+    // fold, and post-state-diff index exactness at once against the
+    // oracle's global last-writer fold.
+    "cdc_e2e_conditional" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{CdcStream, SecondaryIndex}
+      val root = graft.llm.IndexArtifacts.cachedPath(dir,
+        "cdc-e2e-cond", inputs = Seq(s"$dir/events.parquet")) { out =>
+        val logDir = SourceQueries.binlogOooDir(s, dir)
+        val primary = s"$out/primary"
+        val perTrigger =
+          math.max(Tables(s, dir).events.count() / 6, 200L)
+        def start() = s.readStream.format("graft-binlog")
+          .option("path", logDir)
+          .option("maxEventsPerTrigger", perTrigger.toString)
+          .load()
+          .transform(df =>
+            CdcStream.parsed(df, SourceQueries.eventsRowSchema))
+          .select($"user_id", $"event_id", $"ts_ms",
+            cents($"value").as("value_cents"), $"event_type", $"op")
+          .withColumn("band", expr("value_cents div 1000"))
+          .writeStream.format("graft-replica")
+          .option("path", primary)
+          .option("keys", "user_id")
+          .option("orderColumns", "ts_ms,event_id")
+          .option("conditionalOrder", "true")
+          .option("deferMerge", "true")
+          .option("indexColumn", "band,event_type")
+          .option("indexPath", s"$out/idx-band,$out/idx-type")
+          .option("checkpointLocation", s"$out/ck")
+          .start()
+        val disarm = graft.streaming.CdcStream.armClaimKill(8)
+        val q1 = start()
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        try
+          while (q1.isActive && System.nanoTime() < deadline &&
+              !(q1.recentProgress.nonEmpty && !q1.status.isDataAvailable))
+            Thread.sleep(25)
+        finally { disarm(); if (q1.isActive) q1.stop() }
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      SecondaryIndex.lookupByIndex(s, s"$root/primary", s"$root/idx-band",
           Seq("user_id"), col("band"), "band", Seq(2L, 3L).toDF("band"))
         .select($"band", $"user_id", $"event_id".as("last_event_id"),
           $"value_cents", $"event_type")
@@ -1293,6 +1433,59 @@ object EventQueries {
         .orderBy($"version")
     },
 
+    // --- cdc: SQL procedure surface (r14) ---------------------------------
+    // The reference's users are SQL-first (reference README.md:128-153
+    // drives everything through spark.sql); the store's maintenance
+    // procedures are now SQL text too, via the injected delegating
+    // parser (GraftExtensions → graft.sql.GraftSqlParser): DESCRIBE
+    // HISTORY / FSCK REPLICA / COMPACT / CLONE / RESTORE / REFRESH
+    // CLONE run as eager commands on the SAME CdcStream entry points
+    // as the Scala API. This gate drives DESCRIBE HISTORY and FSCK
+    // REPLICA from SQL text against the shared history store, asserts
+    // the SQL results BIT-IDENTICAL to the API's in-query (a mismatch
+    // fails the gate), and emits the history rows + the fsck finding
+    // count for the oracle to pin. GraftSqlSpec covers the mutating
+    // procedures (COMPACT/CLONE/RESTORE/REFRESH) and parse
+    // fall-through.
+    "cdc_sql_maintenance" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val root = graft.llm.IndexArtifacts.cachedPath(dir,
+          "cdc-history-manifest", inputs = Seq(s"$dir/events.parquet")) { out =>
+        val ev = Tables(s, dir).events
+          .select($"user_id", $"event_id", $"ts",
+            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+        val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val ord = Seq(col("ts"), col("event_id"))
+        CdcStream.applyBatchToReplica(out,
+          ev.filter(unix_millis($"ts") < cut), Seq("user_id"), ord,
+          numBuckets = 1)
+        CdcStream.applyBatchToReplica(out,
+          ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), ord,
+          numBuckets = 1, recordChanges = true)
+      }
+      val histSql = s.sql(s"DESCRIBE HISTORY '$root'")
+      val histApi = CdcStream.describeReplicaHistory(s, root)
+      require(histSql.orderBy($"version").collect().toSeq ==
+          histApi.orderBy($"version").collect().toSeq,
+        "DESCRIBE HISTORY via SQL diverged from the Scala API")
+      val fsckSql = s.sql(s"FSCK REPLICA '$root'")
+      require(fsckSql.orderBy($"check", $"subject").collect().toSeq ==
+          CdcStream.fsckReplica(s, root)
+            .orderBy($"check", $"subject").collect().toSeq,
+        "FSCK REPLICA via SQL diverged from the Scala API")
+      val advisory = Set("stale_lock", "stale_debris", "orphan_version",
+        "frozen", "retention_pin")
+      val findings = fsckSql
+        .filter(!$"check".isin(advisory.toSeq: _*)).count()
+      histSql
+        .select($"version", $"kind", $"change_rows", $"rows_written",
+          $"buckets_changed")
+        .withColumn("n_findings", lit(findings))
+        .orderBy($"version")
+    },
+
     // --- cdc: FSCK store doctor (r13) -------------------------------------
     // One metadata-cost pass audits the store's physical and logical
     // invariants (dangling refs, feed contiguity, delta sequence,
@@ -1300,13 +1493,21 @@ object EventQueries {
     // runs it on the healthy shared replica: zero findings, with the
     // store's data-derived vitals (live rows = the global last-writer
     // fold, version count, CURRENT) pinned by the oracle so the
-    // summary is not a constant. FsckSpec drives each corruption and
-    // asserts the named finding.
+    // summary is not a constant. The count EXCLUDES the advisory
+    // time/liveness checks (stale_lock, stale_debris, orphan_version,
+    // frozen, retention_pin) — fsckReplica documents them as
+    // transient-capable on a live or long-cached store, and a shared
+    // artifact dir aging past the debris horizon must not flip a
+    // correctness gate. FsckSpec drives each corruption (advisory ones
+    // included) and asserts the named finding.
     "cdc_fsck" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.CdcStream
       val replica = sharedReplica(s, dir)
-      val findings = CdcStream.fsckReplica(s, replica).count()
+      val advisory = Set("stale_lock", "stale_debris", "orphan_version",
+        "frozen", "retention_pin")
+      val findings = CdcStream.fsckReplica(s, replica)
+        .filter(!$"check".isin(advisory.toSeq: _*)).count()
       val live = CdcStream.readReplica(s, replica).get.count()
       Seq((findings, live,
         CdcStream.replicaVersions(replica).size.toLong,
@@ -2402,6 +2603,19 @@ object EventQueries {
          |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (5, 6)
          |ORDER BY user_id""".stripMargin,
 
+    // open-ended band range (>= 3) through the zone-pruned index read
+    // = the banded last-writer fold above the cut
+    "cdc_replica_zonemap" ->
+      s"""SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 >= 3
+         |ORDER BY user_id""".stripMargin,
+
     "cdc_secondary_index" ->
       s"""SELECT value_cents // 1000 AS band, user_id,
          |  event_id AS last_event_id, value_cents FROM (
@@ -2422,6 +2636,33 @@ object EventQueries {
          |  event_id AS last_event_id, value_cents, event_type FROM (
          |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
          |    event_type, $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (2, 3)
+         |ORDER BY user_id""".stripMargin,
+
+    // out-of-order delivery through the conditional sink + 2 GSIs must
+    // converge to the SAME global last-writer fold — the oracle is
+    // order-of-application-blind by construction
+    "cdc_e2e_conditional" ->
+      s"""SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents, event_type FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    event_type, $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND value_cents // 1000 IN (2, 3)
+         |ORDER BY user_id""".stripMargin,
+
+    // parity-split application: a late-losing batch must leave both
+    // GSIs showing exactly the last-writer state
+    "cdc_gsi_conditional" ->
+      s"""SELECT value_cents // 1000 AS band, user_id,
+         |  event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
          |    row_number() OVER (PARTITION BY user_id
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
@@ -2613,6 +2854,40 @@ object EventQueries {
          |  SELECT count(DISTINCT user_id) AS n FROM events, mm
          |  WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= mn + (mx - mn) // 2)
          |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, 'merge' AS kind,
+         |    CAST(NULL AS BIGINT) AS change_rows,
+         |    (SELECT n FROM live1) AS rows_written,
+         |    CAST(1 AS BIGINT) AS buckets_changed
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'merge',
+         |    (SELECT n FROM h2), (SELECT n FROM liveall), CAST(1 AS BIGINT))
+         |ORDER BY version""".stripMargin,
+
+    // the SQL surface serves the identical history (the in-query
+    // require already pinned SQL == API bit-for-bit) + zero findings
+    "cdc_sql_maintenance" ->
+      s"""WITH mm AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) AS mn,
+         |         max(epoch_ms(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |live1 AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT user_id, $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events, mm
+         |    WHERE epoch_ms(CAST(ts AS TIMESTAMP)) < mn + (mx - mn) // 2)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |liveall AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT user_id, $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |h2 AS (
+         |  SELECT count(DISTINCT user_id) AS n FROM events, mm
+         |  WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= mn + (mx - mn) // 2)
+         |SELECT *, CAST(0 AS BIGINT) AS n_findings FROM (
          |  SELECT CAST(1 AS BIGINT) AS version, 'merge' AS kind,
          |    CAST(NULL AS BIGINT) AS change_rows,
          |    (SELECT n FROM live1) AS rows_written,

@@ -116,6 +116,21 @@ object SourceQueries {
     }
   }
 
+  /** OUT-OF-SOURCE-ORDER log: the odd-event_id half of the changelog
+    * precedes the even half in log (offset) order, each half spanning
+    * the whole time range — a backfill appended after live traffic.
+    * Micro-batches streamed off this log deliver rows whose version
+    * order (ts_ms, event_id) disagrees with arrival order, so only an
+    * order-conditional sink converges to the source's last-writer
+    * state (the conditional e2e drill's fixture).
+    */
+  def binlogOooDir(s: SparkSession, sfDir: String): String =
+    cachedLog(sfDir, "binlog-ooo") { out =>
+      ChangelogGenerator.generate(Tables(s, sfDir).events, out,
+        recordsPerFile = 50000,
+        logOrder = Seq("event_id % 2 = 0", "ts_ms", "event_id"))
+    }
+
   def binlogByTypeDir(s: SparkSession, sfDir: String): String =
     cachedLog(sfDir, "binlog-bytype") { out =>
       ChangelogGenerator.generate(Tables(s, sfDir).events, out,

@@ -3,7 +3,7 @@ package graft.sources.replica
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, PrunedFilteredScan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, PrunedFilteredScan}
 import org.apache.spark.sql.types.StructType
 
 import graft.streaming.CdcStream
@@ -84,8 +84,9 @@ class ReplicaRelation(
       case In(`c`, vs) => vs.toSeq
     }
 
-  // visible for tests: was the last scan bucket-pruned?
+  // visible for tests: was the last scan bucket-pruned / zone-pruned?
   @volatile private[graft] var lastScanPruned: Boolean = false
+  @volatile private[graft] var lastScanZonePruned: Boolean = false
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
@@ -119,8 +120,58 @@ class ReplicaRelation(
           }.toOption.flatten
         }
       }
+    // zone-map path (r14): a RANGE predicate on any integral column
+    // prunes bucket files by parquet footer min/max
+    // (CdcStream.readReplicaRange) when the key-equality path didn't
+    // fire. Pays off on stores clustered by the column (bucketCols /
+    // time-sliced writes); a store whose files straddle the range
+    // keeps them all. Spark re-applies every filter, so this can only
+    // skip files, never rows.
+    val zoneDf: Option[DataFrame] =
+      if (prunedDf.nonEmpty || version.nonEmpty || asOfWatermark.nonEmpty)
+        None
+      else {
+        def num(v: Any): Option[Long] = v match {
+          case l: Long => Some(l)
+          case i: Int => Some(i.toLong)
+          case s: Short => Some(s.toLong)
+          case b: Byte => Some(b.toLong)
+          case _ => None
+        }
+        val bounds = filters.foldLeft(Map.empty[String, (Long, Long)]) {
+          (acc, f) =>
+            def upd(c: String, lo: Long, hi: Long) = {
+              val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
+              acc + (c -> (math.max(l0, lo), math.min(h0, hi)))
+            }
+            f match {
+              case GreaterThan(c, v) => num(v).map(l =>
+                upd(c, if (l == Long.MaxValue) l else l + 1, Long.MaxValue))
+                .getOrElse(acc)
+              case GreaterThanOrEqual(c, v) =>
+                num(v).map(l => upd(c, l, Long.MaxValue)).getOrElse(acc)
+              case LessThan(c, v) => num(v).map(l =>
+                upd(c, Long.MinValue, if (l == Long.MinValue) l else l - 1))
+                .getOrElse(acc)
+              case LessThanOrEqual(c, v) =>
+                num(v).map(l => upd(c, Long.MinValue, l)).getOrElse(acc)
+              case EqualTo(c, v) =>
+                num(v).map(l => upd(c, l, l)).getOrElse(acc)
+              case _ => acc
+            }
+        }
+        bounds.toSeq.sortBy(_._1).collectFirst {
+          case (c, (lo, hi))
+              if lo != Long.MinValue || hi != Long.MaxValue => (c, lo, hi)
+        }.flatMap { case (c, lo, hi) =>
+          scala.util.Try(
+            CdcStream.readReplicaRange(spark, path, c, lo, hi).map(_._1))
+            .toOption.flatten
+        }
+      }
     lastScanPruned = prunedDf.nonEmpty
-    val df = prunedDf.getOrElse(read())
+    lastScanZonePruned = zoneDf.nonEmpty
+    val df = prunedDf.orElse(zoneDf).getOrElse(read())
     df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 }

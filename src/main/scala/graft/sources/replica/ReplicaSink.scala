@@ -231,9 +231,10 @@ object ReplicaSinkConfig {
         "index replica's directory)")
     require(cfg.indexColumn.isEmpty || !cfg.isFanOut,
       "graft-replica: indexColumn is not supported on fan-out paths")
-    require(cfg.indexColumn.isEmpty || !cfg.conditionalOrder,
-      "graft-replica: indexColumn is incompatible with conditionalOrder " +
-        "(stale-pointer detection assumes last-writer merges)")
+    // indexColumn + conditionalOrder compose since r14: the index
+    // delta is the POST-STATE DIFF of the conditional fold — a
+    // late-losing batch contributes nothing to any index
+    // (SecondaryIndex.applyBatchWithIndexes(conditionalOrder = true))
     cfg
   }
 }
@@ -396,7 +397,8 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
         batch, ids, cfg.orderColumns, opCol = cfg.opColumn,
         numBuckets = cfg.numBuckets, watermark = watermark,
         recordChanges = cfg.changeFeed,
-        deferPrimaryMerge = cfg.deferMerge)
+        deferPrimaryMerge = cfg.deferMerge,
+        conditionalOrder = cfg.conditionalOrder)
     } else
       CdcStream.applyBatchToReplica(cfg.path, batch, ids, orderCols,
         opCol = cfg.opColumn, numBuckets = cfg.numBuckets,

@@ -906,6 +906,31 @@ object CdcStream {
       readForKeysAt(spark, replicaDir, name, idCols, keys)
     }
 
+  /** Key-pruned read that PRESERVES conditional delete state: a key
+    * whose latest outcome is an order-conditional delete comes back as
+    * a `__tombstone = true` row carrying the delete's recorded order
+    * values (the live view filters such rows entirely). Consumers that
+    * re-run the merge's order compare OUTSIDE the merge itself —
+    * [[graft.streaming.SecondaryIndex]] deriving index deltas under
+    * `conditionalOrder` — need the tombstones' late-loser protection in
+    * the compare, or a losing late update would look like a fresh
+    * insert and plant a stale index entry on a dead key. Rows from
+    * stores that never merged conditionally carry `__tombstone = false`.
+    * Same bucket pruning and cost shape as [[readReplicaForKeys]].
+    */
+  def readReplicaForKeysWithTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, idCols: Seq[String],
+      keys: DataFrame): Option[DataFrame] =
+    currentVersion(replicaDir).flatMap { case (_, name) =>
+      readForKeysAt(spark, replicaDir, name, idCols, keys,
+        keepDeletes = true)
+    }.map { df =>
+      if (df.columns.contains(Tombstone))
+        df.withColumn(Tombstone, coalesce(col(Tombstone), lit(false)))
+      else df.withColumn(Tombstone, lit(false))
+    }
+
   /** Key-pruned read of a SPECIFIC version — the time-travel twin of
     * [[readReplicaForKeys]] (same exact hash-derived bucket pruning,
     * same broadcast semi-join), reading through the given version's
@@ -915,7 +940,7 @@ object CdcStream {
     */
   private def readForKeysAt(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, name: String, idCols: Seq[String],
-      keys: DataFrame): Option[DataFrame] = {
+      keys: DataFrame, keepDeletes: Boolean = false): Option[DataFrame] = {
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
           // same dangling-clone refusal as the full read: a pruned
@@ -963,10 +988,11 @@ object CdcStream {
           // mergedBucketRead (the pruning itself is unchanged — delta
           // rows route by the same hash)
           val base = mergedBucketRead(spark, replicaDir, m, candidate,
-              schemaOverride = Some(fullSchema))
+              schemaOverride = Some(fullSchema), keepDeletes = keepDeletes)
             .getOrElse(spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema))
-          Some(filterTombstones(base).join(broadcast(typedKeys), idCols, "left_semi"))
+          val folded = if (keepDeletes) base else filterTombstones(base)
+          Some(folded.join(broadcast(typedKeys), idCols, "left_semi"))
         case Some(_) => None // committed but empty
         case None => // pre-bucket flat layout: no pruning metadata
           Some(filterTombstones(spark.read.parquet(s"$replicaDir/$name"))
@@ -987,6 +1013,94 @@ object CdcStream {
     if (!new java.io.File(replicaDir, name).isDirectory) None
     else readForKeysAt(spark, replicaDir, name, idCols, keys)
   }
+
+  /** ZONE-MAP range read: serve `column ∈ [lo, hi]` over the replica's
+    * CURRENT state while SKIPPING bucket files whose parquet-footer
+    * min/max provably miss the range — the non-key-predicate twin of
+    * [[readReplicaForKeys]]'s hash pruning (which can only serve
+    * equality on the routing columns). The footer stats ARE the zone
+    * map ([[graft.operators.ZoneMaps]]); cost is O(base files) driver
+    * metadata + a scan over only the surviving files.
+    *
+    * Where it pays: a store ROUTED by the predicate column
+    * (`bucketCols` — the secondary-index layout clusters each indexed
+    * value into one bucket, so bucket files carry tight, mostly
+    * disjoint ranges) or written time-clustered. A store whose files
+    * all straddle the range keeps every file — pruning never changes
+    * results, only skips provably-miss files.
+    *
+    * Correctness under merge-on-read: a bucket with PENDING DELTAS is
+    * never file-pruned — dropping a base row could flip that key's
+    * fold winner (a pruned base row can no longer suppress an
+    * in-range delta row that should have lost) — those buckets read
+    * through the ordinary fold and the predicate applies to the
+    * folded rows. Tombstoned rows drop as in every live read. The
+    * exact predicate is re-applied to every surviving row (zones
+    * admit false-positive files, never false-negative rows).
+    *
+    * The column must be stored as a 64-bit integer (bigint /
+    * timestamp-micros) — other physical types fall back to a full
+    * (unpruned) filtered read. Returns (rows, keptFiles, totalFiles)
+    * where the counts cover the zone-scannable base files; None when
+    * the store was never committed or is committed-empty.
+    */
+  def readReplicaRange(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, column: String, lo: Long, hi: Long)
+      : Option[(DataFrame, Int, Int)] =
+    currentVersion(replicaDir).flatMap { case (_, name) =>
+      readManifest(replicaDir, name) match {
+        case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
+          requireInheritedRefsLive(replicaDir, m)
+          val fullSchema = manifestSchema(m).getOrElse {
+            val all = m.buckets.values.toSeq.sorted
+              .map(p => resolveStorePath(replicaDir, p))
+            spark.read.option("mergeSchema", "true").parquet(all: _*).schema
+          }
+          val pred = col(column).cast("long").between(lo, hi)
+          val longTyped = fullSchema.fields.find(_.name == column)
+            .exists(f => f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.TimestampType)
+          val deltaBuckets = m.deltas.keySet
+          // delta-carrying buckets: full fold, no file pruning (see
+          // scaladoc — a pruned base row could flip a fold winner)
+          val foldSide: Option[DataFrame] =
+            if (deltaBuckets.isEmpty) None
+            else mergedBucketRead(spark, replicaDir, m,
+              keep = deltaBuckets.contains,
+              schemaOverride = Some(fullSchema))
+          val scannable = m.buckets.collect {
+            case (k, p) if !deltaBuckets(k) =>
+              resolveStorePath(replicaDir, p)
+          }.toSeq.sorted
+          val zones =
+            if (longTyped)
+              scannable.flatMap(d =>
+                graft.operators.ZoneMaps.fileZonesLong(d, column))
+            else scannable.flatMap(d => Option(new java.io.File(d)
+                .listFiles()).getOrElse(Array.empty).toSeq
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(f => graft.operators.ZoneMaps.FileZone(
+                f.getPath, 0L, None, None)))
+          val keep = graft.operators.ZoneMaps.overlapping(zones, lo, hi)
+          val baseSide: Option[DataFrame] =
+            if (keep.isEmpty) None
+            else Some(filterTombstones(
+              spark.read.schema(fullSchema).parquet(keep.map(_.path): _*)))
+          val rows = (baseSide.toSeq ++ foldSide.toSeq)
+            .reduceOption(_.unionByName(_, allowMissingColumns = true))
+            .getOrElse(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              fullSchema))
+            .filter(pred)
+          Some((rows.drop(Tombstone), keep.size, zones.size))
+        case Some(_) => None // committed but empty
+        case None => // pre-bucket flat layout: no per-bucket metadata
+          val df = filterTombstones(
+            spark.read.parquet(s"$replicaDir/$name"))
+            .filter(col(column).cast("long").between(lo, hi))
+          Some((df, 0, 0))
+      }
+    }
 
   /** Stream-side dimension enrichment — the "lookup join" every CDC
     * consumer runs in `foreachBatch`: left-join a micro-batch's rows
@@ -1254,7 +1368,13 @@ object CdcStream {
   private[streaming] def contentIdenticalRange(replicaDir: String,
       fromV: Long, toV: Long): Boolean =
     ((fromV + 1) to toV).forall { v =>
-      readManifest(replicaDir, f"v$v%09d").flatMap(_.commitKind)
+      // the kind survives data GC in the `_feed` meta after the live
+      // manifest is retired — same fallback as the feed's changeless-
+      // version classification, so an in-sync index isn't misreported
+      // as lagging once an intervening compact/reshard dir ages out
+      readManifest(replicaDir, f"v$v%09d").map(_.commitKind)
+        .orElse(feedMeta(replicaDir, v).map(_._1))
+        .flatten
         .exists(k => k == "compact" || k == "reshard")
     }
 
@@ -2052,6 +2172,16 @@ object CdcStream {
     *    `index_ahead` (error — cursor above the primary's CURRENT:
     *    the index claims commits the primary does not have),
     *    `index_lag` (warn — maintenance owed).
+    *
+    * ADVISORY ON A LIVE STORE: with an active writer, the wall-clock
+    * checks (`stale_lock`, `stale_debris`) and the mid-commit-window
+    * checks (`orphan_version`, a CURRENT-adjacent dir race) can fire
+    * transiently on a perfectly healthy store — a lock is "stale" only
+    * if its writer is actually dead, which one metadata pass cannot
+    * know. Treat error-severity structural findings (dangling refs,
+    * schema, delta order, index_ahead) as actionable always; treat the
+    * time-based and liveness findings as a prompt to re-run quiesced
+    * before acting.
     */
   def fsckReplica(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, indexDirs: Seq[String] = Nil): DataFrame = {
@@ -2422,6 +2552,16 @@ object CdcStream {
     * version (same watermark) and no-ops, the rest complete — the
     * idempotent-retry shape of the composed clones. Returns the
     * watermark point the fleet was rolled back to.
+    *
+    * QUIESCENCE ASSUMPTION: the "every refusal before the first
+    * commit" contract holds for a SINGLE operator over a quiesced
+    * fleet. A freeze or concurrent commit landing between the
+    * validation pass and a table's commit still aborts mid-fleet
+    * ([[publishVersion]] re-checks the fence inside the commit lock —
+    * correctly: the late fence wins). Recovery for such a mid-fleet
+    * abort is the same retry-at-the-explicit-point path documented
+    * above for crashes: resolve the contention, re-run with the same
+    * `atWatermark`, restored tables no-op.
     */
   def restoreConsistentTables(spark: org.apache.spark.sql.SparkSession,
       tables: Seq[String], atWatermark: Option[Long] = None,

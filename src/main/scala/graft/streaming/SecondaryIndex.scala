@@ -162,12 +162,13 @@ object SecondaryIndex {
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
       deferPrimaryMerge: Boolean = false,
-      includeCols: Seq[String] = Nil): Unit =
+      includeCols: Seq[String] = Nil,
+      conditionalOrder: Boolean = false): Unit =
     applyBatchWithIndexes(spark, primaryDir,
       Seq(IndexSpec(indexDir, idxExpr, idxName, includeCols,
         deferIndexMerge)),
       batch, idCols, orderColNames, opCol, numBuckets, watermark,
-      recordChanges, deferPrimaryMerge)
+      recordChanges, deferPrimaryMerge, conditionalOrder)
 
   /** N-index maintenance — the real deployment shape (a store rarely
     * stops at one GSI). ONE key-pruned old-value read serves every
@@ -180,6 +181,26 @@ object SecondaryIndex {
     * already-committed indexes re-apply idempotent content and the
     * rest catch up. (Primary-first would be unrecoverable for every
     * index at once; see the ordering note below.)
+    *
+    * `conditionalOrder` composes GSI maintenance with the ORDER-
+    * CONDITIONAL merge (out-of-order batches: replays, backfills,
+    * late partitions). The index delta is then the POST-STATE DIFF,
+    * not the batch: per key, the incoming net row transitions the
+    * state only when it WINS the merge's order compare against the
+    * stored row — or against a stored TOMBSTONE at its recorded order
+    * (the old-value read keeps tombstones for exactly this compare,
+    * [[CdcStream.readReplicaForKeysWithTombstones]]). A late-LOSING
+    * row contributes NOTHING to any index: it must neither erase the
+    * winning entry (no delete of the stored value), nor insert its
+    * own (no upsert of a value the store never held), nor resurrect
+    * an entry on a tombstoned key. The per-key winner set is computed
+    * ONCE with the merge's exact tie rule (greatest order wins,
+    * incoming wins exact ties) and every index derives from it; the
+    * crash-replay invariant is unchanged because the replay's
+    * old-state read still sees the unmerged primary and recomputes
+    * the identical winner set. Index stores themselves stay
+    * sequence-merged: deltas are state transitions in commit order by
+    * construction, so arrival order IS the correct winner rule there.
     */
   def applyBatchWithIndexes(
       spark: SparkSession,
@@ -192,7 +213,8 @@ object SecondaryIndex {
       numBuckets: Int = CdcStream.DefaultReplicaBuckets,
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
-      deferPrimaryMerge: Boolean = false): Unit = {
+      deferPrimaryMerge: Boolean = false,
+      conditionalOrder: Boolean = false): Unit = {
     require(specs.nonEmpty, "applyBatchWithIndexes: at least one index")
     require(specs.map(_.dir).distinct.size == specs.size,
       "applyBatchWithIndexes: index dirs must be distinct")
@@ -211,18 +233,59 @@ object SecondaryIndex {
       CdcStream.lastOpPerKey(batch, idCols, orderCols), "gsi-net")
     // OLD rows for exactly the touched keys (key-pruned read, O(batch
     // keys)) — read BEFORE the primary merge overwrites them, and
-    // materialized once so N indexes don't re-run the pruned read
+    // materialized once so N indexes don't re-run the pruned read.
+    // Under conditionalOrder the read KEEPS tombstones: their recorded
+    // order values must join the winner compare below, or a losing
+    // late update on a dead key would look like a fresh insert.
+    val touchedKeys = net.select(idCols.map(col): _*).distinct()
     val oldMat: Option[(DataFrame, () => Unit)] =
-      CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
-          net.select(idCols.map(col): _*).distinct())
+      (if (conditionalOrder)
+         CdcStream.readReplicaForKeysWithTombstones(spark, primaryDir,
+           idCols, touchedKeys)
+       else
+         CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
+           touchedKeys))
         .map { o =>
-          if (specs.size > 1)
+          if (specs.size > 1 || conditionalOrder)
             graft.llm.IndexArtifacts.materializeOwned(spark, o, "gsi-old")
           else (o, () => ())
         }
+    // the rows whose arrival CHANGES the post-state — everything, in
+    // arrival-order mode; under conditionalOrder only the net rows that
+    // win the merge's exact order compare (greatest order tuple across
+    // {stored live row | tombstone, incoming}, incoming wins exact
+    // ties — the same window the eager merge runs). Losing rows leave
+    // every index untouched. oldLive is the live pre-state the
+    // stale-delete derivation reads old values from.
+    val (effNet, dropEff, oldLive) =
+      if (!conditionalOrder)
+        (net, () => (), oldMat.map(_._1))
+      else oldMat match {
+        case None => (net, () => (), None) // fresh store: all rows win
+        case Some((o, _)) =>
+          val ts = CdcStream.Tombstone
+          val stored = o
+            .withColumn(opCol, when(col(ts), "delete").otherwise("update"))
+            .drop(ts)
+            .withColumn("__incoming", lit(0))
+          val all = stored.unionByName(
+            net.withColumn("__incoming", lit(1)),
+            allowMissingColumns = true)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(idCols.map(col): _*)
+            .orderBy((orderColNames.map(c => col(c).desc) :+
+              col("__incoming").desc): _*)
+          val winners = all
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1 && col("__incoming") === 1)
+            .select(net.columns.toSeq.map(col): _*)
+          val (m, drop) = graft.llm.IndexArtifacts.materializeOwned(spark,
+            winners, "gsi-cond-net")
+          (m, drop, Some(o.filter(!col(ts)).drop(ts)))
+      }
     try {
       specs.foreach { sp =>
-        val oldIdx = oldMat.map { case (o, _) =>
+        val oldIdx = oldLive.map { o =>
           o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
         }
         // INDEXES COMMIT FIRST. A crash between any two commits then
@@ -239,7 +302,7 @@ object SecondaryIndex {
         // direction: the verified lookup drops them (no primary row to
         // confirm against) and the replay erases the window.
         CdcStream.applyBatchToReplica(sp.dir,
-          indexDelta(net, oldIdx, sp, idCols, orderColNames, opCol),
+          indexDelta(effNet, oldIdx, sp, idCols, orderColNames, opCol),
           idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
           bucketCols = Some(Seq(sp.name)), deferMerge = sp.defer)
       }
@@ -255,7 +318,8 @@ object SecondaryIndex {
       // delta like any reader.
       CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
         numBuckets = numBuckets, watermark = watermark,
-        recordChanges = recordChanges, deferMerge = deferPrimaryMerge)
+        recordChanges = recordChanges, deferMerge = deferPrimaryMerge,
+        conditionalOrder = conditionalOrder)
       // re-stamp with the primary's ACTUAL current version: fixes the
       // pre-stamp after a net-empty batch (no commit happened) and
       // after an interleaved maintenance commit took the pre-stamped
@@ -263,6 +327,7 @@ object SecondaryIndex {
       val landed = CdcStream.replicaCurrentVersion(primaryDir).getOrElse(0L)
       specs.foreach(sp => recordAppliedPrimaryVersion(sp.dir, landed))
     } finally {
+      dropEff()
       oldMat.foreach(_._2())
       dropNet()
     }
@@ -647,6 +712,46 @@ object SecondaryIndex {
   private def emptyLike(spark: SparkSession, e: DataFrame,
       idCols: Seq[String], idxName: String): DataFrame =
     e.select((idxName +: idCols).map(col): _*).limit(0)
+
+  /** RANGE lookup THROUGH the index via ZONE MAPS: serve
+    * `idxName ∈ [lo, hi]` (inclusive; open ends via Long.Min/MaxValue)
+    * without enumerating the range's values. Hash routing alone can
+    * only prune EQUALITY probes (an IN-list of bands —
+    * `cdc_index_range`); an unbounded or wide range has no finite
+    * enumeration. The value-clustered index layout makes parquet
+    * footer min/max stats tight per bucket file, so
+    * [[CdcStream.readReplicaRange]] drops whole index files that
+    * provably miss the range, the surviving entries' keys drive the
+    * ordinary key-pruned primary read, and the result is read-repaired
+    * against the primary's current indexed value with the EXACT range
+    * re-applied. Cost: O(index files) footer metadata + O(overlapping
+    * files + hit keys) — never O(table) on either side.
+    */
+  def lookupByIndexRange(
+      spark: SparkSession,
+      primaryDir: String,
+      indexDir: String,
+      idCols: Seq[String],
+      idxExpr: Column,
+      idxName: String,
+      lo: Long, hi: Long): DataFrame = {
+    CdcStream.readReplicaRange(spark, indexDir, idxName, lo, hi) match {
+      case Some((entries, _, _)) =>
+        val keys = entries.select(idCols.map(col): _*).distinct()
+        CdcStream.readReplicaForKeys(spark, primaryDir, idCols, keys) match {
+          case Some(rows) =>
+            rows.withColumn(idxName, idxExpr)
+              .filter(col(idxName).cast("long").between(lo, hi))
+          case None => emptyLike(spark, entries, idCols, idxName)
+        }
+      case None =>
+        CdcStream.readReplica(spark, primaryDir) match {
+          case Some(rows) => rows.withColumn(idxName, idxExpr).limit(0)
+          case None =>
+            spark.range(0).select(col("id").as(idxName)).limit(0)
+        }
+    }
+  }
 
   /** COVERED equality lookup: answer entirely from the index — one
     * bucket read, the primary untouched (the DynamoDB projected-

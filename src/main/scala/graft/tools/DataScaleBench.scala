@@ -212,7 +212,8 @@ object DataScaleBench {
         }
         System.err.println(s"[datascale] warmup over $wd done")
       }
-    def r3(v: Double): String = "%.3f".format(v)
+    def r3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val curve = dirs.map { case (scale, dir) =>
       recycle() // each scale starts in a fresh session: no cross-scale drag
       val gatesAtScale =

@@ -129,16 +129,20 @@ object ProfileQuery {
           f"shufR ${s.shuffleReadMb}%7.1f MB shufW ${s.shuffleWriteMb}%7.1f MB " +
           f"spill ${s.spillMb}%6.1f MB  ${s.name}")
       }
+      // Locale.ROOT: comma-decimal default locales would corrupt the
+      // JSON artifact
+      def num(fmt: String, v: Double): String =
+        fmt.formatLocal(java.util.Locale.ROOT, v)
       val jJson = js.map(j =>
-        s"""{"id":${j.id},"ms":${"%.1f".format(j.ms)},"site":"${esc(j.site)}"}""")
+        s"""{"id":${j.id},"ms":${num("%.1f", j.ms)},"site":"${esc(j.site)}"}""")
         .mkString("[", ",", "]")
       val sJson = ss.map(s =>
-        s"""{"id":${s.id},"ms":${"%.1f".format(s.ms)},"tasks":${s.tasks},""" +
-          s""""shuffle_read_mb":${"%.2f".format(s.shuffleReadMb)},""" +
-          s""""shuffle_write_mb":${"%.2f".format(s.shuffleWriteMb)},""" +
-          s""""spill_mb":${"%.2f".format(s.spillMb)},"name":"${esc(s.name)}"}""")
+        s"""{"id":${s.id},"ms":${num("%.1f", s.ms)},"tasks":${s.tasks},""" +
+          s""""shuffle_read_mb":${num("%.2f", s.shuffleReadMb)},""" +
+          s""""shuffle_write_mb":${num("%.2f", s.shuffleWriteMb)},""" +
+          s""""spill_mb":${num("%.2f", s.spillMb)},"name":"${esc(s.name)}"}""")
         .mkString("[", ",", "]")
-      s""""$name":{"total_sec":${"%.3f".format(totalSec)},""" +
+      s""""$name":{"total_sec":${num("%.3f", totalSec)},""" +
         s""""n_jobs":${js.size},"jobs":$jJson,"stages":$sJson}"""
     }
     val line = s"""{"metric":"profile","sf_dir":"$sfDir",""" +

@@ -106,7 +106,15 @@ object ScaleBench {
         endLegacy.asInstanceOf[BinlogSourceOffset].offset)
       require(got == 1000L.min(total), s"window=$got")
 
-      f"""{"files":$nFiles,"latest_ms":$latestMs%.3f,"latest_map_ms":$latestMapMs%.3f,"plan_ms":$planMs%.3f,"init_map_ms":$initMapMs%.3f,"latest_relist_ms":$relistMs%.3f}"""
+      {
+        // Locale.ROOT (not the f-interpolator, which uses the default
+        // locale): comma decimals would corrupt the JSON line
+        def n(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        s"""{"files":$nFiles,"latest_ms":${n(latestMs)},""" +
+          s""""latest_map_ms":${n(latestMapMs)},"plan_ms":${n(planMs)},""" +
+          s""""init_map_ms":${n(initMapMs)},""" +
+          s""""latest_relist_ms":${n(relistMs)}}"""
+      }
     }
 
     val line =

@@ -91,6 +91,30 @@ class CommitFaultSweepSpec extends SparkSuite {
       observe = root =>
         state(s"$root/p") ++ indexState(s"$root/i1") ++ indexState(s"$root/i2")),
 
+    // the r14 composition under crash: index deltas are the POST-STATE
+    // DIFF of the conditional fold — the replayed batch mixes a loser
+    // (key 1, seq 3 < 5), a winner (key 2, 7 > 5), a sub-tombstone
+    // resurrect attempt (key 3, 4 < the delete's 5), and a fresh key;
+    // at every crash point the replay must recompute the identical
+    // winner set from the still-unmerged primary and converge
+    Op("indexed_merge_conditional",
+      prepare = root => SecondaryIndex.applyBatchWithIndexes(spark,
+        s"$root/p", specs(root), batch(Seq((1L, "a5", 5L, "update"),
+          (2L, "b5", 5L, "update"), (3L, "c5", 5L, "delete"))),
+        ids, ordNames, numBuckets = 4, conditionalOrder = true),
+      run = root => SecondaryIndex.applyBatchWithIndexes(spark,
+        s"$root/p", specs(root), batch(Seq((1L, "a3", 3L, "update"),
+          (2L, "b7", 7L, "update"), (3L, "c4", 4L, "update"),
+          (4L, "d1", 1L, "update"))),
+        ids, ordNames, numBuckets = 4, conditionalOrder = true),
+      recover = root => SecondaryIndex.applyBatchWithIndexes(spark,
+        s"$root/p", specs(root), batch(Seq((1L, "a3", 3L, "update"),
+          (2L, "b7", 7L, "update"), (3L, "c4", 4L, "update"),
+          (4L, "d1", 1L, "update"))),
+        ids, ordNames, numBuckets = 4, conditionalOrder = true),
+      observe = root =>
+        state(s"$root/p") ++ indexState(s"$root/i1") ++ indexState(s"$root/i2")),
+
     Op("feed_maintained_indexes",
       prepare = { root =>
         commit(s"$root/p", b1, rec = true)

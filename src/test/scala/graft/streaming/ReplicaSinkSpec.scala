@@ -611,6 +611,40 @@ class ReplicaSinkSpec extends SparkSuite {
     assert(state() === Map(1L -> (50L, "B"), 3L -> (7L, "c")))
   }
 
+  test("conditionalOrder + indexColumn through the sink: late-losing " +
+      "batches leave the index exact (r14 composition)") {
+    val replica = Files.createTempDirectory("graft-cond-gsi-p").toString
+    val index = Files.createTempDirectory("graft-cond-gsi-i").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "conditionalOrder" -> "true",
+      "indexColumn" -> "city", "indexPath" -> index)))
+    def batch(rows: (Long, String, Long, String)*) =
+      rows.toSeq.toDF("user_id", "city", "ord", "op")
+    def hits(city: String): Set[Long] =
+      graft.streaming.SecondaryIndex.lookupByIndex(spark, replica, index,
+          Seq("user_id"), $"city", "city", Seq(city).toDF("city"))
+        .select($"user_id").collect().map(_.getLong(0)).toSet
+    sink.addBatch(0, batch((1L, "oslo", 50L, "insert"),
+      (2L, "lima", 50L, "insert"), (3L, "oslo", 50L, "insert")))
+    // late batch: key 1's move LOSES (40 < 50) — the index must not
+    // plant (lima, 1); key 3's delete WINS; key 4 is fresh
+    sink.addBatch(1, batch((1L, "lima", 40L, "update"),
+      (3L, "oslo", 60L, "delete"), (4L, "rome", 10L, "insert")))
+    assert(hits("oslo") === Set(1L))
+    assert(hits("lima") === Set(2L))
+    assert(hits("rome") === Set(4L))
+    // sub-tombstone resurrect attempt on dead key 3 (55 < 60): the
+    // index derivation's tombstone-keeping old read must reject it
+    sink.addBatch(2, batch((3L, "lima", 55L, "update")))
+    assert(hits("lima") === Set(2L))
+    val liveIdx = CdcStream.readReplica(spark, index).get
+      .select($"city", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(liveIdx === Set(("oslo", 1L), ("lima", 2L), ("rome", 4L)),
+      s"stale or phantom conditional index entries: $liveIdx")
+  }
+
   test("conditionalOrder: tombstones survive compaction") {
     val replica = Files.createTempDirectory("graft-cond-compact").toString
     val sink = new ReplicaSink(ReplicaSinkConfig(Map(

@@ -468,4 +468,120 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(probed.select($"id").collect().map(_.getLong(0)).toSeq.sorted ==
       (0L until 64L).filter(_ % 8 == 3))
   }
+
+  // ------------------------------------------------ conditionalOrder × GSI
+  // The r14 composition: index deltas are the POST-STATE DIFF of the
+  // conditional fold. A late-losing batch must neither erase a winning
+  // entry, nor insert its own, nor resurrect a tombstoned key.
+
+  private def applyCond(p: String, ix: String,
+      rows: Seq[(Long, String, Long, String)],
+      deferPrimary: Boolean = false): Unit =
+    SecondaryIndex.applyBatchWithIndex(spark, p, ix, batch(rows),
+      Seq("id"), Seq("seq"), col("city"), "city",
+      conditionalOrder = true, deferPrimaryMerge = deferPrimary)
+
+  private def liveIndex(ix: String): Seq[(String, Long)] =
+    CdcStream.readReplica(spark, ix).get
+      .select($"city", $"id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+  test("conditional GSI: a late-losing update changes neither store nor " +
+      "index; a winning one moves the entry; ties go to the incoming row") {
+    val (p, ix) = (freshDir(), freshDir())
+    applyCond(p, ix, Seq((1L, "oslo", 5L, "update"), (2L, "lima", 5L, "update")))
+    // LATE LOSER: seq 3 < stored 5 — the primary keeps oslo, and the
+    // index must not plant a (lima, 1) entry nor delete (oslo, 1)
+    applyCond(p, ix, Seq((1L, "lima", 3L, "update")))
+    assert(lookup(p, ix, "oslo") == Seq(1L))
+    assert(lookup(p, ix, "lima") == Seq(2L))
+    assert(liveIndex(ix) == Seq(("lima", 2L), ("oslo", 1L)),
+      "a losing batch must leave the index bit-identical")
+    // EXACT TIE: incoming wins (the merge's documented tie rule) —
+    // the index follows the move
+    applyCond(p, ix, Seq((1L, "lima", 5L, "update")))
+    assert(lookup(p, ix, "oslo") == Seq.empty)
+    assert(lookup(p, ix, "lima") == Seq(1L, 2L))
+    // WINNING move back
+    applyCond(p, ix, Seq((1L, "oslo", 9L, "update")))
+    assert(liveIndex(ix) == Seq(("lima", 2L), ("oslo", 1L)))
+  }
+
+  test("conditional GSI: tombstone protection — a winning delete removes " +
+      "the entry and a later LOWER-order update cannot resurrect it") {
+    val (p, ix) = (freshDir(), freshDir())
+    applyCond(p, ix, Seq((1L, "oslo", 5L, "update"), (2L, "lima", 5L, "update")))
+    // losing delete: seq 3 < 5 — ignored everywhere
+    applyCond(p, ix, Seq((1L, "oslo", 3L, "delete")))
+    assert(lookup(p, ix, "oslo") == Seq(1L))
+    // winning delete: key 1 dies, its entry leaves the index
+    applyCond(p, ix, Seq((1L, "oslo", 7L, "delete")))
+    assert(lookup(p, ix, "oslo") == Seq.empty)
+    assert(liveIndex(ix) == Seq(("lima", 2L)))
+    // the critical case the tombstone-keeping old-value read exists
+    // for: a late update BELOW the tombstone's order (6 < 7). The
+    // primary ignores it (tombstone compare); without tombstones in
+    // the index derivation the key would look absent, the update would
+    // "win", and a stale (lima, 1) entry would accrete on a dead key —
+    // served by covered lookups forever.
+    applyCond(p, ix, Seq((1L, "lima", 6L, "update")))
+    assert(lookup(p, ix, "lima") == Seq(2L))
+    assert(liveIndex(ix) == Seq(("lima", 2L)),
+      "a sub-tombstone update resurrected a dead key's index entry")
+    // ABOVE the tombstone the key legitimately returns
+    applyCond(p, ix, Seq((1L, "lima", 8L, "update")))
+    assert(lookup(p, ix, "lima") == Seq(1L, 2L))
+  }
+
+  test("conditional GSI: mixed batch — winners transition, losers don't; " +
+      "deferred primary folds tombstones into the old-value read") {
+    val (p, ix) = (freshDir(), freshDir())
+    // deferred primary: the old-state read must fold pending
+    // CONDITIONAL deltas (tombstones included) or the winner compare
+    // runs against stale state
+    applyCond(p, ix, Seq((1L, "oslo", 5L, "update"),
+      (2L, "lima", 5L, "update"), (3L, "oslo", 5L, "delete")),
+      deferPrimary = true)
+    // one batch: key 1 loses (3<5), key 2 wins a move (7>5), key 3 is
+    // a sub-tombstone resurrect attempt (4<5), key 4 is fresh
+    applyCond(p, ix, Seq((1L, "lima", 3L, "update"),
+      (2L, "oslo", 7L, "update"), (3L, "lima", 4L, "update"),
+      (4L, "rome", 1L, "update")), deferPrimary = true)
+    assert(lookup(p, ix, "oslo") == Seq(1L, 2L))
+    assert(lookup(p, ix, "lima") == Seq.empty)
+    assert(lookup(p, ix, "rome") == Seq(4L))
+    assert(liveIndex(ix) == Seq(("oslo", 1L), ("oslo", 2L), ("rome", 4L)))
+  }
+
+  test("conditional GSI: crash between index and primary commits replays " +
+      "to convergence (same recomputed winner set)") {
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyDir(f, new java.io.File(to, f.getName)))
+      } else java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val (p, ix) = (freshDir(), freshDir())
+    applyCond(p, ix, Seq((1L, "oslo", 5L, "update"), (2L, "lima", 5L, "update")))
+    val snap = new java.io.File(freshDir(), "snap")
+    copyDir(new java.io.File(p), snap)
+    // the batch mixes a winner (key 2 moves) and a loser (key 1)
+    val moving = Seq((1L, "lima", 3L, "update"), (2L, "oslo", 8L, "update"))
+    applyCond(p, ix, moving)
+    // crash: primary commit lost, index commit survives
+    rm(new java.io.File(p)); copyDir(snap, new java.io.File(p))
+    // replay — the old-state read sees the unmerged primary, so the
+    // winner set recomputes identically and the re-apply is idempotent
+    applyCond(p, ix, moving)
+    assert(lookup(p, ix, "oslo") == Seq(1L, 2L))
+    assert(lookup(p, ix, "lima") == Seq.empty)
+    assert(liveIndex(ix) == Seq(("oslo", 1L), ("oslo", 2L)),
+      "conditional crash replay left stale or phantom index entries")
+  }
 }
