@@ -366,6 +366,58 @@ object SourceQueries {
         .orderBy($"table_name")
     },
 
+    // --- cdc: cross-table ATOMIC fan-out (two-phase commit, r14) ---------
+    // The fan-out's per-table commits used to be only batch-idempotent:
+    // a crash between two tables' merges left the committed tables
+    // VISIBLY ahead of the batch boundary until the batch replayed.
+    // fanOutToReplicasAtomic runs every table's merge PREPARE-ONLY
+    // (version claimed, CURRENT untouched), writes one durable intent,
+    // then flips all pointers — ms apiece, forward-recoverable. The
+    // gate injects a kill BETWEEN table commits (publish claim #3 of
+    // the five concurrent prepares), asserts IN-QUERY that no table is
+    // observably ahead (none has a readable committed state — the old
+    // protocol would already be serving the killed batch's early
+    // tables), replays, and the oracle pins the converged per-table
+    // content. AtomicFanoutSpec covers the mid-flip kill + pure
+    // forward recovery from the intent.
+    "cdc_atomic_fanout" -> { (s, dir) =>
+      import s.implicits._
+      val root = graft.llm.IndexArtifacts.tempDir("fanout-atomic")
+      val df = s.read.format("graft-binlog")
+        .option("path", binlogByTypeDir(s, dir)).load()
+      val tables = Seq("click", "error", "purchase", "signup", "view")
+      val schemas = tables.map(t => s"graft.$t" -> eventsRowSchema).toMap
+      val ids = tables.map(t => s"graft.$t" -> Seq("event_id")).toMap
+      def run(): Unit = {
+        CdcStream.fanOutToReplicasAtomic(df, s"$root/{db}/{table}",
+          intentDir = root, schemas = schemas, idCols = ids)
+        ()
+      }
+      val disarm = CdcStream.armClaimKill(3)
+      val killed =
+        try { run(); false }
+        catch {
+          case e: RuntimeException if Option(e.getMessage)
+              .exists(_.contains("injected mid-commit kill")) => true
+        } finally disarm()
+      require(killed, "the injected kill must land mid-batch")
+      // NO table is observably ahead of the batch boundary: pointers
+      // only flip after every table prepared + the intent is durable
+      tables.foreach(t => require(
+        CdcStream.readReplica(s, s"$root/graft/$t").isEmpty,
+        s"table $t became visible before the batch's atomic flip"))
+      run() // replay: re-prepare (orphaned prepares swept), flip all
+      Seq("click", "purchase").map { t =>
+        CdcStream.readReplica(s, s"$root/graft/$t").get
+          .select(lit(t).as("table_name"), $"event_id", $"user_id", $"value")
+      }.reduce(_.unionByName(_))
+        .groupBy($"table_name")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"user_id").as("n_users"),
+          sum(Q.cents($"value")).as("value_cents"))
+        .orderBy($"table_name")
+    },
+
     // --- update before-images through the source (binlog_row_image=full)
     // The reference DISCARDS update before-images
     // (UpdateRowsWriter.java:54-57); this engine keeps them behind
@@ -745,6 +797,15 @@ object SourceQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "src_binlog_fanout" ->
+      s"""SELECT event_type AS table_name, count(*) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events WHERE event_type IN ('click', 'purchase')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the replayed atomic batch converges to the same per-table content
+    // the non-atomic fan-out serves
+    "cdc_atomic_fanout" ->
       s"""SELECT event_type AS table_name, count(*) AS n_rows,
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          |  CAST(sum(${graft.queries.Q.centsSql("value")}) AS BIGINT) AS value_cents

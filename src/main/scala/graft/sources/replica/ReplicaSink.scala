@@ -145,6 +145,14 @@ final case class ReplicaSinkConfig(
     deferMerge: Boolean = false,
     indexColumn: Option[String] = None,
     indexPath: Option[String] = None,
+    /** Fan-out batches commit CROSS-TABLE ATOMICALLY (two-phase: all
+      * tables' merges prepare reader-invisible versions, one durable
+      * intent file, then N pointer flips) — a crash between tables
+      * never leaves one table observably ahead of the batch boundary;
+      * recovery completes the flips forward from the intent. See
+      * [[graft.streaming.CdcStream.fanOutToReplicasAtomic]].
+      */
+    atomicFanOut: Boolean = false,
     /** When set, run [[CdcStream.maintainReplica]] after each commit:
       * merge-on-read delta chains fold once any bucket's chain reaches
       * this length — the self-maintaining deferred sink. O(manifest)
@@ -213,6 +221,7 @@ object ReplicaSinkConfig {
       deferMerge = opt("deferMerge").exists(_.toBoolean),
       indexColumn = opt("indexColumn"),
       indexPath = opt("indexPath"),
+      atomicFanOut = opt("atomicFanOut").exists(_.toBoolean),
       autoCompactDeltas = opt("autoCompactDeltas").map(_.toInt))
     if (cfg.isFanOut) {
       require(cfg.schemaRegistry.nonEmpty,
@@ -221,7 +230,14 @@ object ReplicaSinkConfig {
       require(cfg.keysGlobal.nonEmpty || cfg.keysByTable.nonEmpty,
         "graft-replica: fan-out requires 'keys' (global id columns) or " +
           "at least one 'keys.<db>.<table>' override")
+      if (cfg.atomicFanOut)
+        require(path.indexOf('{') > 0,
+          "graft-replica: atomicFanOut derives its intent dir from the " +
+            "path template's prefix before the first '{' — the template " +
+            "must carry one")
     }
+    require(!cfg.atomicFanOut || cfg.isFanOut,
+      "graft-replica: atomicFanOut applies to fan-out paths only")
     require(cfg.numBuckets > 0, "graft-replica: numBuckets must be > 0")
     // conditionalOrder + deferMerge compose since r9: deferred commits
     // append order-tagged deltas and every read path folds them by
@@ -301,14 +317,25 @@ class ReplicaSink(cfg: ReplicaSinkConfig) extends Sink {
       else Option(df
         .select(max(get_json_object(col("value"), "$.timestamp").cast("long"))
           .as("wm")).head().get(0)).map(_.asInstanceOf[Long])
-    CdcStream.fanOutToReplicas(df, cfg.path,
-      schemas = candidates.map(c => c._1 -> c._2).toMap,
-      idCols = candidates.map(c => c._1 -> c._3).toMap,
-      orderCols = orderCols,
-      watermark = watermark,
-      recordChanges = cfg.changeFeed,
-      conditionalOrder = cfg.conditionalOrder,
-      deferMerge = cfg.deferMerge)
+    if (cfg.atomicFanOut)
+      CdcStream.fanOutToReplicasAtomic(df, cfg.path,
+        intentDir = cfg.path.substring(0, cfg.path.indexOf('{')),
+        schemas = candidates.map(c => c._1 -> c._2).toMap,
+        idCols = candidates.map(c => c._1 -> c._3).toMap,
+        orderCols = orderCols,
+        watermark = watermark,
+        recordChanges = cfg.changeFeed,
+        conditionalOrder = cfg.conditionalOrder,
+        deferMerge = cfg.deferMerge)
+    else
+      CdcStream.fanOutToReplicas(df, cfg.path,
+        schemas = candidates.map(c => c._1 -> c._2).toMap,
+        idCols = candidates.map(c => c._1 -> c._3).toMap,
+        orderCols = orderCols,
+        watermark = watermark,
+        recordChanges = cfg.changeFeed,
+        conditionalOrder = cfg.conditionalOrder,
+        deferMerge = cfg.deferMerge)
     candidates.foreach { case (_, _, _, dir) => markCommitted(dir, batchId) }
   }
 

@@ -134,6 +134,145 @@ object CdcStream {
     * per-table filter is a pushed-down `get_json_object` predicate, no
     * full envelope parse. Returns the materialized replica paths.
     */
+  /** Phase-2 pointer flip of a PREPARED commit (phase 1 =
+    * `applyBatchToReplica(prepareOnly = true)`): make the claimed,
+    * reader-invisible version current in one atomic rename. Idempotent
+    * — a store already at or past the version no-ops (the crash-redo
+    * window of [[fanOutToReplicasAtomic]]'s intent replay). Throws
+    * when the prepared dir is gone AND the pointer never advanced: a
+    * later commit orphan-swept an abandoned prepare, so the batch must
+    * re-run from phase 1.
+    */
+  def flipPreparedVersion(replicaDir: String, version: Long): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    val name = f"v$version%09d"
+    if (replicaCurrentVersion(replicaDir).exists(_ >= version)) return
+    if (!new java.io.File(replicaDir, name).isDirectory)
+      throw new IllegalStateException(
+        s"flipPreparedVersion: $replicaDir has no prepared version $name " +
+          "— a later commit orphan-swept an abandoned prepare; re-run " +
+          "the batch from phase 1")
+    claimTestHook()
+    val tmp = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
+    java.nio.file.Files.write(tmp, name.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(replicaDir, Pointer), ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    postPublishTestHook()
+  }
+
+  // ---------------------------------------- cross-table atomic fan-out
+  // The fan-out's per-table commits used to be only batch-idempotent: a
+  // crash between two tables' merges left the committed tables VISIBLY
+  // ahead of the batch boundary until the batch replayed (an arbitrary
+  // mixed-visibility window spanning the whole data-sized merge
+  // sequence). The two-phase protocol shrinks that window to N pointer
+  // renames and makes recovery FORWARD (metadata-only — no source
+  // replay needed once the intent is durable):
+  //   phase 1  every table's merge runs PREPARE-ONLY: data written,
+  //            version dir claimed, CURRENT untouched — a crash here
+  //            publishes NOTHING anywhere (orphaned prepares are
+  //            swept by the next commit's existing crashed-writer
+  //            machinery);
+  //   intent   one atomic file listing (table dir → prepared version)
+  //            — the transaction's commit record;
+  //   phase 2  flip every pointer (ms apiece), delete the intent.
+  // A crash after the intent recovers by REPLAYING THE INTENT (each
+  // flip idempotent); a crash before it re-runs phase 1. No table is
+  // ever observably ahead of the batch boundary except during the
+  // flip sequence itself, and that window is bounded by metadata
+  // renames, not data work.
+
+  private def fanOutIntentFile(intentDir: String): java.io.File =
+    new java.io.File(intentDir, "_fanout_txn.json")
+
+  private def writeFanOutIntent(intentDir: String,
+      prepared: Seq[(String, Long)]): Unit = {
+    new java.io.File(intentDir).mkdirs()
+    val sw = new java.io.StringWriter()
+    val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    g.writeStartArray()
+    prepared.foreach { case (d, v) =>
+      g.writeStartObject()
+      g.writeStringField("dir", d)
+      g.writeNumberField("version", v)
+      g.writeEndObject()
+    }
+    g.writeEndArray()
+    g.close()
+    val dir = java.nio.file.Paths.get(intentDir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".txn-", ".tmp")
+    java.nio.file.Files.write(tmp, sw.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, fanOutIntentFile(intentDir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Complete a crashed atomic fan-out's pending flips from its
+    * durable intent — forward recovery, metadata-only. Returns true
+    * when an intent was found and completed. Runs automatically at the
+    * start of every [[fanOutToReplicasAtomic]] batch.
+    */
+  def recoverFanOutIntent(intentDir: String): Boolean = {
+    val f = fanOutIntentFile(intentDir)
+    if (!f.exists()) return false
+    import com.fasterxml.jackson.core.JsonToken
+    val p = new com.fasterxml.jackson.core.JsonFactory().createParser(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    require(p.nextToken() == JsonToken.START_ARRAY)
+    while (p.nextToken() != JsonToken.END_ARRAY) {
+      var dir: String = null; var v = -1L
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        p.currentName() match {
+          case "dir" => p.nextToken(); dir = p.getText
+          case "version" => p.nextToken(); v = p.getLongValue
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+      entries += ((dir, v))
+    }
+    p.close()
+    entries.foreach { case (d, v) => flipPreparedVersion(d, v) }
+    f.delete()
+    true
+  }
+
+  /** Cross-table ATOMIC fan-out: same routing and per-table merges as
+    * [[fanOutToReplicas]], committed under the two-phase protocol
+    * above. `intentDir` holds the transaction's intent file (one
+    * in-flight batch per intent dir — the streaming sink's batches are
+    * serialized, which is the intended caller).
+    */
+  def fanOutToReplicasAtomic(
+      envelopes: DataFrame,
+      pathTemplate: String,
+      intentDir: String,
+      schemas: Map[String, StructType],
+      idCols: Map[String, Seq[String]],
+      orderCols: Seq[Column] = Seq(col("offset")),
+      watermark: Option[Long] = None,
+      recordChanges: Boolean = false,
+      conditionalOrder: Boolean = false,
+      deferMerge: Boolean = false): Seq[String] = {
+    // forward recovery first: a crashed predecessor's intent completes
+    // before any new work (its flips are idempotent renames)
+    recoverFanOutIntent(intentDir)
+    val results = fanOutImpl(envelopes, pathTemplate, schemas, idCols,
+      orderCols, watermark, recordChanges, conditionalOrder, deferMerge,
+      prepareOnly = true)
+    val prepared = results.collect { case (path, Some(v)) => (path, v) }
+    if (prepared.nonEmpty) {
+      writeFanOutIntent(intentDir, prepared)
+      prepared.foreach { case (p, v) => flipPreparedVersion(p, v) }
+      fanOutIntentFile(intentDir).delete()
+    }
+    results.map(_._1)
+  }
+
   def fanOutToReplicas(
       envelopes: DataFrame,
       pathTemplate: String,
@@ -143,7 +282,22 @@ object CdcStream {
       watermark: Option[Long] = None,
       recordChanges: Boolean = false,
       conditionalOrder: Boolean = false,
-      deferMerge: Boolean = false): Seq[String] = {
+      deferMerge: Boolean = false): Seq[String] =
+    fanOutImpl(envelopes, pathTemplate, schemas, idCols, orderCols,
+      watermark, recordChanges, conditionalOrder, deferMerge,
+      prepareOnly = false).map(_._1)
+
+  private def fanOutImpl(
+      envelopes: DataFrame,
+      pathTemplate: String,
+      schemas: Map[String, StructType],
+      idCols: Map[String, Seq[String]],
+      orderCols: Seq[Column],
+      watermark: Option[Long],
+      recordChanges: Boolean,
+      conditionalOrder: Boolean,
+      deferMerge: Boolean,
+      prepareOnly: Boolean): Seq[(String, Option[Long])] = {
     // ONE from_json extracts both routing names per envelope
     val nameHeader = StructType(Seq(
       StructField("databaseName", StringType),
@@ -196,7 +350,7 @@ object CdcStream {
     } yield (db, tbl)).sorted
     try fanOutRouted(spark, routedDir, present, pathTemplate, schemas,
       idCols, orderCols, watermark, recordChanges, conditionalOrder,
-      deferMerge)
+      deferMerge, prepareOnly)
     finally dropRouted()
   }
 
@@ -211,7 +365,8 @@ object CdcStream {
       watermark: Option[Long],
       recordChanges: Boolean = false,
       conditionalOrder: Boolean = false,
-      deferMerge: Boolean = false): Seq[String] = {
+      deferMerge: Boolean = false,
+      prepareOnly: Boolean = false): Seq[(String, Option[Long])] = {
     // per-table merges target DISJOINT replica dirs — schedule them as
     // concurrent Spark jobs (a fan-out over T tables is T independent
     // merges; running them serially would leave the cluster idle
@@ -226,15 +381,16 @@ object CdcStream {
           val path = pathTemplate.replace("{db}", db).replace("{table}", tbl)
           Some(() => {
             // partition-pruned read: only this table's routed files
-            applyBatchToReplica(path,
+            val v = applyBatchToReplica(path,
               parsed(spark.read.parquet(routedDir)
                 .filter(col("__db") === db && col("__tbl") === tbl)
                 .select(col("value")), schema),
               ids, orderCols, watermark = watermark,
               recordChanges = recordChanges,
               conditionalOrder = conditionalOrder,
-              deferMerge = deferMerge)
-            path
+              deferMerge = deferMerge,
+              prepareOnly = prepareOnly)
+            (path, v)
           })
         case (Some(_), None) => throw new IllegalArgumentException(
           s"fanOutToReplicas: table $key has a schema but no idCols entry")
@@ -248,12 +404,21 @@ object CdcStream {
       math.max(1, math.min(8, jobs.count(_.isDefined))))
     try {
       val futures = jobs.map(_.map(f => pool.submit(
-        new java.util.concurrent.Callable[String] { def call(): String = f() })))
+        new java.util.concurrent.Callable[(String, Option[Long])] {
+          def call(): (String, Option[Long]) = f()
+        })))
       try futures.flatMap(_.map(_.get()))
       catch { // surface the merge's own exception, not the wrapper
         case e: java.util.concurrent.ExecutionException => throw e.getCause
       }
-    } finally pool.shutdown()
+    } finally {
+      // drain before returning OR propagating a failure: in-flight
+      // sibling merges must not race a caller's retry of the same
+      // batch (the atomic path's replay re-prepares the same stores)
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      ()
+    }
   }
 
   /** Reduce a CDC micro-batch to its net effect: the last op per key in
@@ -2178,7 +2343,9 @@ object CdcStream {
     * checks (`orphan_version`, a CURRENT-adjacent dir race) can fire
     * transiently on a perfectly healthy store — a lock is "stale" only
     * if its writer is actually dead, which one metadata pass cannot
-    * know. Treat error-severity structural findings (dangling refs,
+    * know. (A cross-table atomic fan-out's PREPARED version —
+    * [[fanOutToReplicasAtomic]], claimed but pending its flip — also
+    * reads as `orphan_version` while its transaction is in flight.) Treat error-severity structural findings (dangling refs,
     * schema, delta order, index_ahead) as actionable always; treat the
     * time-based and liveness findings as a prompt to re-run quiesced
     * before acting.
@@ -3472,7 +3639,18 @@ object CdcStream {
         * ([[replayFeedInto]]), so an unclassified new path fails
         * loud, not silent.
         */
-      kind: String = "merge"): Unit = {
+      kind: String = "merge",
+      /** PREPARE-ONLY commit (phase 1 of the cross-store atomic flip,
+        * [[flipPreparedVersion]]): do everything through the version-
+        * dir claim — staging assembled, manifest written, conflict
+        * checks, the claim rename — but leave CURRENT untouched. The
+        * prepared version is invisible to every reader until its flip;
+        * an abandoned prepare is a claimed-but-unpublished orphan the
+        * next commit renames aside (the existing crashed-writer
+        * machinery). The post-flip GC sweep is skipped — it belongs to
+        * the flip's view of the store.
+        */
+      flipPointer: Boolean = true): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
     CdcStream.publishTestHook()
@@ -3599,12 +3777,15 @@ object CdcStream {
           conflict(s"could not claim version dir $nextName (${e.getMessage})")
       }
       CdcStream.claimTestHook()
-      val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
-      java.nio.file.Files.write(tmpPtr, nextName.getBytes(UTF_8))
-      java.nio.file.Files.move(tmpPtr, java.nio.file.Paths.get(replicaDir, Pointer),
-        ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      CdcStream.postPublishTestHook()
+      if (flipPointer) {
+        val tmpPtr = java.nio.file.Paths.get(replicaDir, Pointer + ".tmp")
+        java.nio.file.Files.write(tmpPtr, nextName.getBytes(UTF_8))
+        java.nio.file.Files.move(tmpPtr,
+          java.nio.file.Paths.get(replicaDir, Pointer),
+          ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        CdcStream.postPublishTestHook()
+      }
     } finally {
       // release only OUR lock: if it went stale (>60 s — impossible for
       // this metadata-only section short of a machine-level stall) and
@@ -3616,6 +3797,9 @@ object CdcStream {
       } catch { case _: java.io.IOException => () }
     }
     orphanAside.foreach(p => deleteRecursively(p.toFile))
+    // a PREPARED commit changes no reader-visible state — the sweep
+    // below reasons from the flipped pointer's view and runs at flip
+    if (!flipPointer) return
     def refs(m: Option[ReplicaManifest]): Set[String] =
       m.map(mm => (mm.buckets.values ++ mm.deltas.values.flatten)
         .map(_.takeWhile(_ != '/')).toSet).getOrElse(Set.empty)
@@ -3764,7 +3948,11 @@ object CdcStream {
       deferMerge: Boolean = false,
       /** Commit classification recorded in the manifest (see
         * [[applyNetToReplica]]). */
-      kind: String = "merge"): Unit = {
+      kind: String = "merge",
+      /** Phase-1 (prepare-only) commit for the cross-store atomic flip
+        * — see [[publishVersion]]'s `flipPointer` and
+        * [[flipPreparedVersion]]. */
+      prepareOnly: Boolean = false): Option[Long] = {
     val spark = batch.sparkSession
     bucketCols.foreach(_.filterNot(idCols.contains).foreach(c =>
       throw new IllegalArgumentException(
@@ -3773,11 +3961,12 @@ object CdcStream {
     // optional changes write) — materializing the net would cost more
     // jobs than it saves, so it stays lazy there
     if (deferMerge) {
-      applyNetToReplica(replicaDir, lastOpPerKey(batch, idCols, orderCols),
+      return applyNetToReplica(replicaDir,
+        lastOpPerKey(batch, idCols, orderCols),
         batch.columns, idCols, opCol, numBuckets, watermark, recordChanges,
         conditional = if (conditionalOrder) Some(orderCols) else None,
-        bucketCols = bucketCols, defer = true, kind = kind)
-      return
+        bucketCols = bucketCols, defer = true, kind = kind,
+        prepareOnly = prepareOnly)
     }
     // materialize the per-key net ONCE: the merge below runs several
     // actions over it (touched-bucket collect, keys broadcast, upsert
@@ -3789,7 +3978,7 @@ object CdcStream {
     try applyNetToReplica(replicaDir, net, batch.columns, idCols, opCol,
       numBuckets, watermark, recordChanges,
       conditional = if (conditionalOrder) Some(orderCols) else None,
-      bucketCols = bucketCols, kind = kind)
+      bucketCols = bucketCols, kind = kind, prepareOnly = prepareOnly)
     finally dropNet()
   }
 
@@ -3809,7 +3998,8 @@ object CdcStream {
       /** Commit classification recorded in the manifest — "merge" for
         * every ordinary batch; [[refreshClone]] stamps "refresh" so
         * clone-divergence detection is metadata-exact. */
-      kind: String = "merge"): Unit = {
+      kind: String = "merge",
+      prepareOnly: Boolean = false): Option[Long] = {
     // split-brain fence: a demoted store refuses writers until it
     // rejoins (resyncAsFollower sets bypassFreeze — the rewind itself
     // is the sanctioned write)
@@ -3928,7 +4118,7 @@ object CdcStream {
       // net-empty batch: nothing to commit (same contract as eager)
       if (written.isEmpty) {
         deleteRecursively(new java.io.File(staging))
-        return
+        return None
       }
       // per-bucket exclusivity for sequence-folded deltas (metadata-
       // backed stores): the touched buckets fall out of the write's own
@@ -3973,8 +4163,9 @@ object CdcStream {
           tombstoneMins = minsBase,
           tombstoneMinCols = if (metaOrd.nonEmpty) None
             else prev.flatMap(_.tombstoneMinCols)),
-        prev, cur.map(_._2), forbidFrozen = !bypassFreeze, kind = kind)
-      return
+        prev, cur.map(_._2), forbidFrozen = !bypassFreeze, kind = kind,
+        flipPointer = !prepareOnly)
+      return Some(nextV)
     }
 
     // buckets touched by this batch — bounded by nb, driver-side
@@ -3984,7 +4175,7 @@ object CdcStream {
     // churn the manifest, and recording the batch's DataFrame columns
     // in the union schema would advertise columns no parquet file
     // carries (the pruned and full read paths must agree)
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return None
     val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
 
     val touchedPaths = prevBuckets.collect {
@@ -4198,7 +4389,9 @@ object CdcStream {
         tombstoneMins = newMins,
         tombstoneMinCols = if (metaOrd.nonEmpty) None
           else prev.flatMap(_.tombstoneMinCols)), prev,
-      cur.map(_._2), forbidFrozen = !bypassFreeze, kind = kind)
+      cur.map(_._2), forbidFrozen = !bypassFreeze, kind = kind,
+      flipPointer = !prepareOnly)
+    Some(nextV)
   }
 
   // ------------------------------------------- incremental view (IVM)

@@ -489,6 +489,7 @@ class BinlogSourceSpec extends SparkSuite {
         CdcStream.applyBatchToReplica(replicaDir, typed,
           idCols = Seq("user_id"),
           orderCols = Seq(col("ts_ms"), col("event_id")))
+        ()
       }
       .option("checkpointLocation", Files.createTempDirectory("ck").toString)
       .start()
