@@ -642,10 +642,14 @@ object EventQueries {
         .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
           cents($"value").as("value_cents"), $"event_type",
           opCol($"event_type").as("op"))
+      // index side merges DEFERRED — the delta-sized index batch is the
+      // natural merge-on-read shape (same trade cdc_secondary_index
+      // documents); the primary stays eager at this batch/store ratio
       val specs = Seq(
         SecondaryIndex.IndexSpec(idxBand, expr("value_cents div 1000"),
-          "band"),
-        SecondaryIndex.IndexSpec(idxType, col("event_type"), "etype"))
+          "band", defer = true),
+        SecondaryIndex.IndexSpec(idxType, col("event_type"), "etype",
+          defer = true))
       Seq(1, 0).foreach { parity =>
         SecondaryIndex.applyBatchWithIndexes(s, primary, specs,
           ev.filter($"event_id" % 2 === parity), Seq("user_id"),

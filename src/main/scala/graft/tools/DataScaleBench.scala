@@ -58,6 +58,10 @@ object DataScaleBench {
     // skipped. Expected shape: flat-or-falling us/row (the cost is
     // data-proportional work + a fixed commit-machinery floor).
     "cdc_secondary_index" -> "events",
+    // the r14 conditional-GSI composition: the tombstone-keeping
+    // old-value read + one winner window on top of the same write path
+    // — the curve evidences the composition adds no super-linear term
+    "cdc_gsi_conditional" -> "events",
     "cdc_index_bootstrap" -> "events",
     "q24_interval_join" -> "events",
     "q43_funnel" -> "events",
