@@ -42,6 +42,27 @@ object ZoneMaps {
   final case class FileZone(path: String, rows: Long,
       min: Option[Long], max: Option[Long])
 
+  /** Bounded driver-side cache of per-dir zones. Replica bucket dirs
+    * are IMMUTABLE once committed (merges write fresh version dirs),
+    * so (dir, column) zones never go stale — repeated range scans of
+    * the same store version pay the O(files) footer pass once, not per
+    * query. Cleared wholesale past the bound (simplicity over LRU: the
+    * entries are tiny and re-derivable).
+    */
+  private val zoneCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[FileZone]]()
+  private val ZoneCacheBound = 65536
+
+  /** [[fileZonesLong]] through the immutable-dir cache — the form the
+    * replica read path uses (raw q54-style scans over REWRITABLE dirs
+    * should call the uncached one).
+    */
+  def fileZonesLongCached(dir: String, column: String): Seq[FileZone] = {
+    if (zoneCache.size() > ZoneCacheBound) zoneCache.clear()
+    zoneCache.computeIfAbsent((dir, column),
+      { case (d, c) => fileZonesLong(d, c) })
+  }
+
   /** Per-file zones for a physically-INT64 column (bigint / timestamp
     * micros), read from parquet footers only — no Spark job, no data
     * pages touched.

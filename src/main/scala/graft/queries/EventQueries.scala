@@ -254,6 +254,39 @@ object EventQueries {
   private def opCol(eventType: org.apache.spark.sql.Column) =
     graft.cdc.OpMapping.col(eventType)
 
+  /** ONE builder for the single-bucket two-commit history store BOTH
+    * `cdc_history_manifest` and `cdc_sql_maintenance` read (they share
+    * the cachedPath key, so a drifting copy-pasted builder would let
+    * whichever gate ran first feed the other a store its oracle no
+    * longer matches).
+    */
+  private def historyStore(s: SparkSession, dir: String): String =
+    graft.llm.IndexArtifacts.cachedPath(dir, "cdc-history-manifest",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts",
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val ord = Seq(col("ts"), col("event_id"))
+      CdcStream.applyBatchToReplica(out,
+        ev.filter(unix_millis($"ts") < cut), Seq("user_id"), ord,
+        numBuckets = 1)
+      CdcStream.applyBatchToReplica(out,
+        ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), ord,
+        numBuckets = 1, recordChanges = true)
+      ()
+    }
+
+  /** fsck checks EXCLUDED from correctness gates: time/liveness-based
+    * findings fsckReplica documents as transient-capable on a live or
+    * long-cached store (shared by `cdc_fsck` and `cdc_sql_maintenance`).
+    */
+  private val FsckAdvisoryChecks = Seq("stale_lock", "stale_debris",
+    "orphan_version", "frozen", "retention_pin")
+
   private val opSql = graft.cdc.OpMapping.sql
 
   val defs: Map[String, QFn] = Map(
@@ -1416,21 +1449,7 @@ object EventQueries {
     "cdc_history_manifest" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.CdcStream
-      val root = graft.llm.IndexArtifacts.cachedPath(dir,
-          "cdc-history-manifest", inputs = Seq(s"$dir/events.parquet")) { out =>
-        val ev = Tables(s, dir).events
-          .select($"user_id", $"event_id", $"ts",
-            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
-        val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
-        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
-        val ord = Seq(col("ts"), col("event_id"))
-        CdcStream.applyBatchToReplica(out,
-          ev.filter(unix_millis($"ts") < cut), Seq("user_id"), ord,
-          numBuckets = 1)
-        CdcStream.applyBatchToReplica(out,
-          ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), ord,
-          numBuckets = 1, recordChanges = true)
-      }
+      val root = historyStore(s, dir)
       CdcStream.describeReplicaHistory(s, root)
         .select($"version", $"kind", $"change_rows", $"rows_written",
           $"buckets_changed")
@@ -1454,21 +1473,7 @@ object EventQueries {
     "cdc_sql_maintenance" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.CdcStream
-      val root = graft.llm.IndexArtifacts.cachedPath(dir,
-          "cdc-history-manifest", inputs = Seq(s"$dir/events.parquet")) { out =>
-        val ev = Tables(s, dir).events
-          .select($"user_id", $"event_id", $"ts",
-            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
-        val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
-        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
-        val ord = Seq(col("ts"), col("event_id"))
-        CdcStream.applyBatchToReplica(out,
-          ev.filter(unix_millis($"ts") < cut), Seq("user_id"), ord,
-          numBuckets = 1)
-        CdcStream.applyBatchToReplica(out,
-          ev.filter(unix_millis($"ts") >= cut), Seq("user_id"), ord,
-          numBuckets = 1, recordChanges = true)
-      }
+      val root = historyStore(s, dir)
       val histSql = s.sql(s"DESCRIBE HISTORY '$root'")
       val histApi = CdcStream.describeReplicaHistory(s, root)
       require(histSql.orderBy($"version").collect().toSeq ==
@@ -1479,10 +1484,8 @@ object EventQueries {
           CdcStream.fsckReplica(s, root)
             .orderBy($"check", $"subject").collect().toSeq,
         "FSCK REPLICA via SQL diverged from the Scala API")
-      val advisory = Set("stale_lock", "stale_debris", "orphan_version",
-        "frozen", "retention_pin")
       val findings = fsckSql
-        .filter(!$"check".isin(advisory.toSeq: _*)).count()
+        .filter(!$"check".isin(FsckAdvisoryChecks: _*)).count()
       histSql
         .select($"version", $"kind", $"change_rows", $"rows_written",
           $"buckets_changed")
@@ -1508,10 +1511,8 @@ object EventQueries {
       import s.implicits._
       import graft.streaming.CdcStream
       val replica = sharedReplica(s, dir)
-      val advisory = Set("stale_lock", "stale_debris", "orphan_version",
-        "frozen", "retention_pin")
       val findings = CdcStream.fsckReplica(s, replica)
-        .filter(!$"check".isin(advisory.toSeq: _*)).count()
+        .filter(!$"check".isin(FsckAdvisoryChecks: _*)).count()
       val live = CdcStream.readReplica(s, replica).get.count()
       Seq((findings, live,
         CdcStream.replicaVersions(replica).size.toLong,

@@ -68,11 +68,11 @@ final case class DescribeHistoryCommand(path: String)
       .collect().toSeq
 }
 
-final case class FsckReplicaCommand(path: String)
-    extends LeafRunnableCommand {
+final case class FsckReplicaCommand(path: String,
+    indexDirs: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlCommands.FsckOutput
   override def run(spark: SparkSession): Seq[Row] =
-    CdcStream.fsckReplica(spark, path).collect().toSeq
+    CdcStream.fsckReplica(spark, path, indexDirs).collect().toSeq
 }
 
 final case class CompactReplicaCommand(path: String)
@@ -95,13 +95,12 @@ final case class RestoreReplicaCommand(path: String, toVersion: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlCommands.VersionOutput
   override def run(spark: SparkSession): Seq[Row] = {
-    // a store with an active change feed REQUIRES the restore to
+    // a store with a recorded change feed REQUIRES the restore to
     // record its rollback diff (followers must replay it); a feed-less
-    // store must not grow one — match the store's own mode
-    val feedActive = CdcStream.replicaVersions(path).exists(v =>
-      new java.io.File(path, f"v$v%09d/changes").isDirectory)
+    // store must not grow one — match the store's own mode, consulting
+    // retired `_feed` surfaces too
     CdcStream.restoreReplica(spark, path, toVersion,
-      recordChanges = feedActive)
+      recordChanges = CdcStream.replicaHasFeed(path))
     Seq(Row(path, CdcStream.replicaCurrentVersion(path).getOrElse(0L)))
   }
 }
@@ -126,6 +125,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DescribeHistory =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*""".r
   private val Fsck = s"""(?is)\\s*FSCK\\s+REPLICA\\s+$P\\s*""".r
+  // INDEXES ('<dir>', '<dir>', …): runs the GSI cursor checks too
+  private val FsckIdx =
+    s"""(?is)\\s*FSCK\\s+REPLICA\\s+$P\\s+INDEXES\\s*\\(([^)]+)\\)\\s*""".r
   private val Compact = s"""(?is)\\s*COMPACT\\s+REPLICA\\s+$P\\s*""".r
   private val Clone =
     s"""(?is)\\s*CLONE\\s+REPLICA\\s+$P\\s+TO\\s+$P(?:\\s+AT\\s+VERSION\\s+(\\d+))?\\s*""".r
@@ -139,6 +141,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeHistory(p) => DescribeHistoryCommand(p)
+    case FsckIdx(p, ix) => FsckReplicaCommand(p,
+      ix.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty).toSeq)
     case Fsck(p) => FsckReplicaCommand(p)
     case Compact(p) => CompactReplicaCommand(p)
     case Clone(s, d, v) =>

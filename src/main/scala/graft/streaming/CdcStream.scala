@@ -142,12 +142,32 @@ object CdcStream {
     * when the prepared dir is gone AND the pointer never advanced: a
     * later commit orphan-swept an abandoned prepare, so the batch must
     * re-run from phase 1.
+    *
+    * SINGLE-WRITER assumption (the same contract the sink's marker
+    * protocol already carries): between prepare and flip, no FOREIGN
+    * writer may commit to the store — a foreign commit would
+    * orphan-sweep the prepared dir, take its version number, and make
+    * the idempotence check unable to tell "our flip landed" from "a
+    * stranger took the number" (the batch's data for this table would
+    * be silently lost). The streaming sink serializes batches per
+    * path, which is the intended caller. No post-flip GC runs here —
+    * the NEXT ordinary commit's sweep covers whatever this version
+    * superseded.
     */
   def flipPreparedVersion(replicaDir: String, version: Long): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
     val name = f"v$version%09d"
     if (replicaCurrentVersion(replicaDir).exists(_ >= version)) return
+    // split-brain fence: a freeze raised between prepare and flip (a
+    // failover demoting this writer's stores) must block the flip the
+    // same way publishVersion's in-lock re-check blocks a commit — a
+    // pointer published behind the fence would be a successful write
+    // on a demoted store
+    replicaFrozen(replicaDir).foreach(r => throw new IllegalStateException(
+      s"flipPreparedVersion: replica $replicaDir is FROZEN ($r): the " +
+        "prepared version stays unpublished — resyncAsFollower to " +
+        "rejoin, or unfreezeReplica to force"))
     if (!new java.io.File(replicaDir, name).isDirectory)
       throw new IllegalStateException(
         s"flipPreparedVersion: $replicaDir has no prepared version $name " +
@@ -1080,7 +1100,12 @@ object CdcStream {
     * `conditionalOrder` — need the tombstones' late-loser protection in
     * the compare, or a losing late update would look like a fresh
     * insert and plant a stale index entry on a dead key. Rows from
-    * stores that never merged conditionally carry `__tombstone = false`.
+    * stores that never merged conditionally carry `__tombstone = false`
+    * — including pre-bucket FLAT layouts, where false is exact, not a
+    * degradation: a conditional merge's first touch migrates a flat
+    * store into the bucketed layout, so a still-flat store can hold no
+    * tombstone (its legacy deletes removed rows without order
+    * metadata; nothing exists for the compare to protect).
     * Same bucket pruning and cost shape as [[readReplicaForKeys]].
     */
   def readReplicaForKeysWithTombstones(
@@ -1221,10 +1246,20 @@ object CdcStream {
               .map(p => resolveStorePath(replicaDir, p))
             spark.read.option("mergeSchema", "true").parquet(all: _*).schema
           }
-          val pred = col(column).cast("long").between(lo, hi)
-          val longTyped = fullSchema.fields.find(_.name == column)
-            .exists(f => f.dataType == org.apache.spark.sql.types.LongType ||
-              f.dataType == org.apache.spark.sql.types.TimestampType)
+          val colType = fullSchema.fields.find(_.name == column)
+            .map(_.dataType)
+          // UNIT PARITY with the footer stats: a TimestampType column's
+          // parquet min/max are epoch MICROS, so the residual predicate
+          // must compare micros too — cast("long") on a timestamp
+          // yields SECONDS and would silently empty the result
+          val asLong =
+            if (colType.contains(org.apache.spark.sql.types.TimestampType))
+              unix_micros(col(column))
+            else col(column).cast("long")
+          val pred = asLong.between(lo, hi)
+          val longTyped = colType.exists(t =>
+            t == org.apache.spark.sql.types.LongType ||
+              t == org.apache.spark.sql.types.TimestampType)
           val deltaBuckets = m.deltas.keySet
           // delta-carrying buckets: full fold, no file pruning (see
           // scaladoc — a pruned base row could flip a fold winner)
@@ -1239,8 +1274,10 @@ object CdcStream {
           }.toSeq.sorted
           val zones =
             if (longTyped)
+              // cached: committed bucket dirs are immutable, so
+              // repeated range scans pay the footer pass once
               scannable.flatMap(d =>
-                graft.operators.ZoneMaps.fileZonesLong(d, column))
+                graft.operators.ZoneMaps.fileZonesLongCached(d, column))
             else scannable.flatMap(d => Option(new java.io.File(d)
                 .listFiles()).getOrElse(Array.empty).toSeq
               .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -1394,6 +1431,22 @@ object CdcStream {
     * set, so data GC never creates a feed gap — only
     * [[truncateReplicaFeed]] (the VACUUM analog) does.
     */
+  /** Whether the store RECORDS a change feed: any committed version —
+    * live, or retired into `_feed` by data GC — carries a changes dir.
+    * The mode switch feed-sensitive operations consult: a
+    * feed-recording store's RESTORE must record its rollback diff so
+    * followers replay it (checking only LIVE version dirs misses a
+    * store whose every recorded feed surface was retired — e.g. all
+    * content commits aged into `_feed` behind a compaction).
+    */
+  def replicaHasFeed(replicaDir: String): Boolean =
+    replicaVersions(replicaDir).exists(v =>
+      new java.io.File(f"$replicaDir/v$v%09d/changes").isDirectory) ||
+      Option(new java.io.File(replicaDir, "_feed").listFiles())
+        .getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.matches("v[0-9]{9}") &&
+          new java.io.File(f, "changes").isDirectory)
+
   private def feedVersions(replicaDir: String): Seq[Long] =
     (committedVersions(replicaDir) ++
       Option(new java.io.File(replicaDir, "_feed").listFiles())
@@ -2168,8 +2221,7 @@ object CdcStream {
       s"restore: version $toVersion's data was GC'd " +
         s"(missing: ${missing.take(3).mkString(", ")}…)")
     val prev = readManifest(replicaDir, name)
-    val feedActive = replicaVersions(replicaDir).exists(vv =>
-      new java.io.File(f"$replicaDir/v$vv%09d/changes").isDirectory)
+    val feedActive = replicaHasFeed(replicaDir)
     if (feedActive && !recordChanges) throw new IllegalStateException(
       s"restore: $replicaDir records a change feed — restore with " +
         "recordChanges = true so followers replay the restore instead " +
@@ -3798,7 +3850,8 @@ object CdcStream {
     }
     orphanAside.foreach(p => deleteRecursively(p.toFile))
     // a PREPARED commit changes no reader-visible state — the sweep
-    // below reasons from the flipped pointer's view and runs at flip
+    // below reasons from a flipped pointer's view; the NEXT ordinary
+    // commit's sweep collects whatever the prepared version supersedes
     if (!flipPointer) return
     def refs(m: Option[ReplicaManifest]): Set[String] =
       m.map(mm => (mm.buckets.values ++ mm.deltas.values.flatten)

@@ -91,4 +91,22 @@ class GraftSqlSpec extends SparkSuite {
     // and a malformed statement still errors through Spark's parser
     intercept[Exception](spark.sql("SELECT FROM WHERE"))
   }
+
+  test("FSCK REPLICA ... INDEXES runs the GSI cursor checks: an index " +
+      "lagging past a content commit is reported from SQL") {
+    val p = freshDir(); val ix = freshDir()
+    graft.streaming.SecondaryIndex.applyBatchWithIndex(spark, p, ix,
+      Seq((1L, "oslo", 1L, "update")).toDF("id", "city", "seq", "op"),
+      Seq("id"), Seq("seq"), org.apache.spark.sql.functions.col("city"),
+      "city")
+    // the primary advances WITHOUT index maintenance → the index lags
+    commit(p, (2L, "lima", 2L, "update"))
+    val viaSql = spark.sql(s"FSCK REPLICA '$p' INDEXES ('$ix')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val viaApi = CdcStream.fsckReplica(spark, p, Seq(ix))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.exists(_._1 == "index_lag"),
+      s"the lagging index must be reported: $viaSql")
+  }
 }

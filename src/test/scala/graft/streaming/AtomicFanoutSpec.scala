@@ -113,6 +113,26 @@ class AtomicFanoutSpec extends SparkSuite {
     assert(!CdcStream.recoverFanOutIntent(root))
   }
 
+  test("a freeze raised between prepare and flip fences the pointer: " +
+      "intent recovery refuses the demoted store") {
+    val root = Files.createTempDirectory("atomic-fanout-frozen").toString
+    val disarm = CdcStream.armClaimKill(4)
+    try assert(injected(runAtomic(root)), "kill must land mid-flip")
+    finally disarm()
+    // failover demotes the pending table before recovery runs — the
+    // flip must refuse exactly like publishVersion's in-lock fence
+    CdcStream.freezeReplica(s"$root/shop/users")
+    val e = intercept[IllegalStateException](
+      CdcStream.recoverFanOutIntent(root))
+    assert(e.getMessage.contains("FROZEN"), e.getMessage)
+    assert(usersState(root).isEmpty,
+      "no pointer may publish behind the fence")
+    // unfreeze (operator resolves the failover) → recovery completes
+    CdcStream.unfreezeReplica(s"$root/shop/users")
+    assert(CdcStream.recoverFanOutIntent(root))
+    assert(usersState(root).contains(Map(1L -> "b")))
+  }
+
   test("sink atomicFanOut option: fan-out batches commit two-phase " +
       "through writeStream options") {
     val log = Files.createTempDirectory("atomic-fanout-log").toString
