@@ -110,7 +110,7 @@ object Bench {
     * and nothing in the artifact could say so. Best-effort: any
     * missing /proc file records null for that field.
     */
-  private def envJson(): String = {
+  private[graft] def envJson(): String = {
     def readFile(p: String): Option[String] =
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)),
@@ -261,8 +261,12 @@ object Bench {
     // under ambient load the isolated audit is the only honest number —
     // widen its budget (see MaxAudits scaladoc)
     val cpusN = Runtime.getRuntime.availableProcessors()
-    val auditCap =
-      if (loadavg1().exists(_ > cpusN * 0.1)) MaxAudits * 4 else MaxAudits
+    // the active cap and whether the load trigger fired are RECORDED
+    // (audit_cap / audit_load_trigger below): a 12-audit run and a
+    // 48-audit run would otherwise be indistinguishable from the
+    // artifact alone
+    val auditLoadTrigger = loadavg1().exists(_ > cpusN * 0.1)
+    val auditCap = if (auditLoadTrigger) MaxAudits * 4 else MaxAudits
     val outliers = results
       .filter { case (n, t) => t > 1.0 && t > 3.0 * famMedian(fam(n)) }
       .sortBy(-_._2).take(auditCap)
@@ -360,7 +364,7 @@ object Bench {
     val driftJson =
       s""""drift":$drift,"drift_panel_n":${driftRatios.size}"""
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},$driftJson,"basis_isolated":$basis,"queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"audit_errors":$auditErrs,"artifacts":$arts,"groups":$groups,"interference":$interf,"env":$envStart,"env_audit":$envAudit,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_recorded":${r3(totalRecorded)},$driftJson,"basis_isolated":$basis,"queries":$qsFull,"failed":$fs,"flaky":$fl,"errors":$errs,"audit_errors":$auditErrs,"artifacts":$arts,"groups":$groups,"interference":$interf,"audit_cap":$auditCap,"audit_load_trigger":$auditLoadTrigger,"env":$envStart,"env_audit":$envAudit,"sf":$sfNum,"sf_dir":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
     // a SPARK_GRAFT_QUERIES subset run is a DEBUG run: it must never
     // clobber the committed full-surface record the judge (and the
     // cross-round comparisons) read

@@ -56,11 +56,27 @@ object ZoneMaps {
   /** [[fileZonesLong]] through the immutable-dir cache — the form the
     * replica read path uses (raw q54-style scans over REWRITABLE dirs
     * should call the uncached one).
+    *
+    * Staleness guard: the immutability argument holds for a committed
+    * version dir's LIFETIME, but a store deleted and recreated at the
+    * same path within one driver restarts version numbering, so a hit
+    * is trusted only if its first recorded file still exists (one
+    * `isFile` stat — cheap next to the footer pass it saves). A
+    * recreated dir therefore recomputes instead of either failing the
+    * scan on vanished files or silently pruning against the old
+    * store's bounds.
     */
   def fileZonesLongCached(dir: String, column: String): Seq[FileZone] = {
     if (zoneCache.size() > ZoneCacheBound) zoneCache.clear()
-    zoneCache.computeIfAbsent((dir, column),
-      { case (d, c) => fileZonesLong(d, c) })
+    val key = (dir, column)
+    val hit = zoneCache.get(key)
+    if (hit != null &&
+        hit.headOption.forall(z => new java.io.File(z.path).isFile)) hit
+    else {
+      val fresh = fileZonesLong(dir, column)
+      zoneCache.put(key, fresh)
+      fresh
+    }
   }
 
   /** Per-file zones for a physically-INT64 column (bigint / timestamp
@@ -103,16 +119,20 @@ object ZoneMaps {
     }
   }
 
+  /** Can this zone hold a value in [lo, hi] (inclusive)? A stat-less
+    * zone can — dropping it would risk wrong results.
+    */
+  def overlaps(z: FileZone, lo: Long, hi: Long): Boolean =
+    (z.min, z.max) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true
+    }
+
   /** Zones that can hold a value in [lo, hi] (inclusive); stat-less
     * zones survive — dropping them would risk wrong results.
     */
   def overlapping(zones: Seq[FileZone], lo: Long, hi: Long): Seq[FileZone] =
-    zones.filter { z =>
-      (z.min, z.max) match {
-        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-        case _ => true
-      }
-    }
+    zones.filter(overlaps(_, lo, hi))
 
   /** Zone-pruned scan of `dir` for `column ∈ [lo, hi]`: returns the
     * DataFrame over only the surviving files plus (kept, total) file

@@ -280,6 +280,26 @@ object EventQueries {
       ()
     }
 
+  /** ONE builder for the band-indexed (primary, index) pair BOTH
+    * `cdc_index_range` and `cdc_replica_zonemap` read (they share the
+    * `gsi-shared` cachedPath key — the same drifting-copy-paste hazard
+    * [[historyStore]] closes for the history pair: if one copy were
+    * edited, whichever gate ran first would feed the other a store its
+    * oracle no longer matches).
+    */
+  private def gsiSharedStore(s: SparkSession, dir: String): String =
+    graft.llm.IndexArtifacts.cachedPath(dir, "gsi-shared",
+        inputs = Seq(s"$dir/events.parquet")) { out =>
+      import s.implicits._
+      import graft.streaming.SecondaryIndex
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      SecondaryIndex.applyBatchWithIndex(s, s"$out/primary", s"$out/index",
+        ev, Seq("user_id"), Seq("ms", "event_id"),
+        expr("value_cents div 1000"), "band")
+    }
+
   /** fsck checks EXCLUDED from correctness gates: time/liveness-based
     * findings fsckReplica documents as transient-capable on a live or
     * long-cached store (shared by `cdc_fsck` and `cdc_sql_maintenance`).
@@ -788,15 +808,7 @@ object EventQueries {
       // READ-ONLY query → the (primary, index) pair is a build-once
       // artifact (the sharedReplica convention); the timed op is the
       // banded range probe itself
-      val root = graft.llm.IndexArtifacts.cachedPath(dir, "gsi-shared",
-        inputs = Seq(s"$dir/events.parquet")) { out =>
-        val ev = Tables(s, dir).events
-          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
-            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
-        SecondaryIndex.applyBatchWithIndex(s, s"$out/primary", s"$out/index",
-          ev, Seq("user_id"), Seq("ms", "event_id"),
-          expr("value_cents div 1000"), "band")
-      }
+      val root = gsiSharedStore(s, dir)
       // range [2500, 4500) cents covers bands 2..4; exact bounds
       // re-apply after the read-repair
       val bands = (2L to 4L).toDF("band")
@@ -827,15 +839,7 @@ object EventQueries {
       import s.implicits._
       import graft.streaming.SecondaryIndex
       // same build-once (primary, banded index) pair as cdc_index_range
-      val root = graft.llm.IndexArtifacts.cachedPath(dir, "gsi-shared",
-        inputs = Seq(s"$dir/events.parquet")) { out =>
-        val ev = Tables(s, dir).events
-          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
-            cents($"value").as("value_cents"), opCol($"event_type").as("op"))
-        SecondaryIndex.applyBatchWithIndex(s, s"$out/primary", s"$out/index",
-          ev, Seq("user_id"), Seq("ms", "event_id"),
-          expr("value_cents div 1000"), "band")
-      }
+      val root = gsiSharedStore(s, dir)
       SecondaryIndex.lookupByIndexRange(s, s"$root/primary", s"$root/index",
           Seq("user_id"), expr("value_cents div 1000"), "band",
           3L, Long.MaxValue)
@@ -1491,6 +1495,80 @@ object EventQueries {
           $"buckets_changed")
         .withColumn("n_findings", lit(findings))
         .orderBy($"version")
+    },
+
+    // --- cdc: SQL compliance & topology ops (r15) -------------------------
+    // The SQL surface's MUTATING half: ERASE KEYS (right-to-be-
+    // forgotten — precisely the op an operator wants runnable as an
+    // auditable statement), REBUCKET (online resharding), and the
+    // FREEZE fence, all as SQL text through the injected parser. The
+    // gate drives the SQL statements against one file copy of the
+    // shared store and the Scala API against a second, requiring the
+    // stores BIT-IDENTICAL after every step (a divergence fails the
+    // gate in-query); the freeze drill then proves the fence refuses
+    // an ERASE from SQL exactly as from Scala — same exception, same
+    // message modulo the store path. Output is the erased+resharded
+    // store's state read through the NEW bucket layout; the oracle is
+    // the changelog's last-writer fold minus the erased users.
+    // GraftSqlSpec covers the remaining ops (PROMOTE FOLLOWER /
+    // RESTORE CONSISTENT / VALUES-form erase) and parse fall-through.
+    "cdc_sql_ops" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val viaSql = graft.llm.IndexArtifacts.tempDir("sqlops-sql")
+      val viaApi = graft.llm.IndexArtifacts.tempDir("sqlops-api")
+      copyDir(new java.io.File(sharedReplica(s, dir)),
+        new java.io.File(viaSql))
+      copyDir(new java.io.File(sharedReplica(s, dir)),
+        new java.io.File(viaApi))
+      val toErase = Tables(s, dir).events
+        .select($"user_id").distinct().filter($"user_id" % 97 === 0)
+      toErase.createOrReplaceTempView("__sqlops_erase_keys")
+      def state(p: String) = CdcStream.readReplica(s, p).get
+        .select($"user_id", $"event_id", $"value_cents")
+        .orderBy($"user_id", $"event_id")
+      s.sql(s"ERASE KEYS (user_id) FROM REPLICA '$viaSql' " +
+        "USING (SELECT user_id FROM __sqlops_erase_keys)").collect()
+      CdcStream.eraseKeys(s, viaApi, Seq("user_id"), toErase)
+      require(state(viaSql).collect().toSeq == state(viaApi).collect().toSeq,
+        "ERASE KEYS via SQL diverged from the Scala API")
+      val nb = CdcStream.DefaultReplicaBuckets * 3
+      s.sql(s"REBUCKET REPLICA '$viaSql' KEYS (user_id) TO $nb BUCKETS")
+        .collect()
+      CdcStream.rebucketReplica(s, viaApi, Seq("user_id"), nb)
+      require(state(viaSql).collect().toSeq == state(viaApi).collect().toSeq,
+        "REBUCKET via SQL diverged from the Scala API")
+      // fence parity: a frozen store's ERASE refuses from SQL exactly
+      // as from Scala — the requireUnfrozen exception, not a parse or
+      // wrapper error
+      val fr = s.sql(s"FREEZE REPLICA '$viaSql' REASON 'fence-drill'")
+        .collect()
+      require(fr.length == 1 && fr(0).getBoolean(1),
+        "FREEZE REPLICA must report the store fenced")
+      CdcStream.freezeReplica(viaApi, "fence-drill")
+      val sqlRefusal = scala.util.Try(s.sql(
+        s"ERASE KEYS (user_id) FROM REPLICA '$viaSql' VALUES (1)")
+        .collect()).failed.toOption
+      val apiRefusal = scala.util.Try(CdcStream.eraseKeys(s, viaApi,
+        Seq("user_id"), Seq(1L).toDF("user_id"))).failed.toOption
+      require(
+        sqlRefusal.map(_.getMessage.replace(viaSql, "<store>")) ==
+          apiRefusal.map(_.getMessage.replace(viaApi, "<store>")) &&
+          sqlRefusal.exists(_.getMessage.contains("FROZEN")),
+        s"frozen-store ERASE refusal must be identical via SQL and " +
+          s"API: sql=$sqlRefusal api=$apiRefusal")
+      s.sql(s"UNFREEZE REPLICA '$viaSql'").collect()
+      CdcStream.unfreezeReplica(viaApi)
+      // a key-pruned read through the post-reshard manifest: routing
+      // survived erase + rebucket or keys silently vanish here
+      val survivors = Tables(s, dir).events
+        .filter($"user_id" % 97 =!= 0)
+        .select($"user_id").distinct()
+      CdcStream.readReplicaForKeys(s, viaSql, Seq("user_id"),
+          survivors).get
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
     },
 
     // --- cdc: FSCK store doctor (r13) -------------------------------------
@@ -2900,6 +2978,20 @@ object EventQueries {
          |  UNION ALL SELECT CAST(2 AS BIGINT), 'merge',
          |    (SELECT n FROM h2), (SELECT n FROM liveall), CAST(1 AS BIGINT))
          |ORDER BY version""".stripMargin,
+
+    // erase + rebucket driven from SQL text (the in-query requires
+    // already pinned SQL == API bit-for-bit at every step): the
+    // last-writer fold minus the erased users, content-identical
+    // across the reshard
+    "cdc_sql_ops" ->
+      s"""SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id, ${centsSql("value")} AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete' AND user_id % 97 <> 0
+         |ORDER BY user_id""".stripMargin,
 
     // a healthy store: zero findings; the vitals are data-derived
     // (live rows = global last-writer fold over the whole corpus)

@@ -120,17 +120,33 @@ class ReplicaRelation(
           }.toOption.flatten
         }
       }
-    // zone-map path (r14): a RANGE predicate on any integral column
-    // prunes bucket files by parquet footer min/max
-    // (CdcStream.readReplicaRange) when the key-equality path didn't
-    // fire. Pays off on stores clustered by the column (bucketCols /
-    // time-sliced writes); a store whose files straddle the range
-    // keeps them all. Spark re-applies every filter, so this can only
-    // skip files, never rows.
+    // zone-map path (r14, composed r15): RANGE predicates on integral
+    // columns prune bucket files by parquet footer min/max
+    // (CdcStream.readReplicaRangeMulti) when the key-equality path
+    // didn't fire — ALL bounded columns intersect (a two-column range
+    // keeps only files overlapping both), and VERSION-PINNED reads
+    // (version=N / asOfWatermark=W) zone-prune too: version dirs are
+    // immutable, so historical pruning is exactly as safe as current
+    // (the watermark resolves to its version first). Pays off on
+    // stores clustered by the column (bucketCols / time-sliced
+    // writes); a store whose files straddle the range keeps them all.
+    // Spark re-applies every filter, so this can only skip files,
+    // never rows.
     val zoneDf: Option[DataFrame] =
-      if (prunedDf.nonEmpty || version.nonEmpty || asOfWatermark.nonEmpty)
-        None
+      if (prunedDf.nonEmpty) None
       else {
+        // resolve time travel to a concrete pinned version (None =
+        // current); an unresolvable watermark falls back to the
+        // ordinary read path below, which throws its documented error
+        val pinned: Option[Option[Long]] = (version, asOfWatermark) match {
+          case (Some(v), _) => Some(Some(v))
+          case (None, Some(w)) =>
+            CdcStream.versionAtWatermark(path, w) match {
+              case Some(v) => Some(Some(v))
+              case None => None // no servable version: don't zone-read
+            }
+          case (None, None) => Some(None)
+        }
         def num(v: Any): Option[Long] = v match {
           case l: Long => Some(l)
           case i: Int => Some(i.toLong)
@@ -160,12 +176,19 @@ class ReplicaRelation(
               case _ => acc
             }
         }
-        bounds.toSeq.sortBy(_._1).collectFirst {
+        // ALL bounded columns participate: the surviving-file set is
+        // the intersection across bounds (collectFirst would ignore
+        // every bound past the first — a two-column range predicate
+        // must prune tighter than either column alone)
+        val bounded = bounds.toSeq.sortBy(_._1).collect {
           case (c, (lo, hi))
               if lo != Long.MinValue || hi != Long.MaxValue => (c, lo, hi)
-        }.flatMap { case (c, lo, hi) =>
+        }
+        if (bounded.isEmpty) None
+        else pinned.flatMap { atV =>
           scala.util.Try(
-            CdcStream.readReplicaRange(spark, path, c, lo, hi).map(_._1))
+            CdcStream.readReplicaRangeMulti(spark, path, bounded,
+              atVersion = atV).map(_._1))
             .toOption.flatten
         }
       }

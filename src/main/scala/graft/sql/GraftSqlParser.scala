@@ -23,6 +23,13 @@ import graft.streaming.CdcStream
   * CLONE REPLICA '/src' TO '/dst' [AT VERSION 3]
   * RESTORE REPLICA '/path' TO VERSION 2
   * REFRESH CLONE '/clone' KEYS (id) ORDER BY (seq)
+  * ERASE KEYS (id) FROM REPLICA '/path' VALUES (1), (2)
+  * ERASE KEYS (id) FROM REPLICA '/path' USING (SELECT id FROM takedown)
+  * REBUCKET REPLICA '/path' KEYS (id) TO 24 BUCKETS
+  * FREEZE REPLICA '/path' REASON 'failover'
+  * UNFREEZE REPLICA '/path'
+  * PROMOTE FOLLOWER '/f' OVER '/old' KEYS (id) ORDER BY (seq) FROM VERSION 2 [NODRAIN] [CONDITIONAL]
+  * RESTORE CONSISTENT ('/t1', '/t2') AT WATERMARK 123
   * }}}
   *
   * Injected by [[graft.GraftExtensions]] as a DELEGATING parser: any
@@ -58,6 +65,13 @@ object GraftSqlCommands {
 
   val VersionOutput: Seq[Attribute] = attrs(
     ("replica", StringType, false), ("version", LongType, false))
+
+  val FreezeOutput: Seq[Attribute] = attrs(
+    ("replica", StringType, false), ("frozen", BooleanType, false),
+    ("reason", StringType, true))
+
+  val WatermarkOutput: Seq[Attribute] = attrs(
+    ("watermark", LongType, false))
 }
 
 final case class DescribeHistoryCommand(path: String)
@@ -113,6 +127,115 @@ final case class RefreshCloneCommand(path: String, keys: Seq[String],
       CdcStream.refreshClone(spark, path, keys, orderCols.map(col))))
 }
 
+/** Compliance erasure (right-to-be-forgotten) as an auditable SQL
+  * statement — the op an operator most needs runnable (and loggable)
+  * as text:
+  *
+  * {{{
+  * ERASE KEYS (user_id) FROM REPLICA '/path' VALUES (1), (2)
+  * ERASE KEYS (user_id) FROM REPLICA '/path' USING (SELECT user_id FROM takedown)
+  * }}}
+  *
+  * The VALUES tail is handed to Spark's OWN parser as
+  * `SELECT * FROM VALUES … AS t(cols)` — typed literals (strings,
+  * dates, tuples for composite keys) for free, no hand-rolled literal
+  * grammar; the USING form runs an arbitrary query and selects the key
+  * columns from it (a bulk takedown list is a table, not a literal
+  * list). Both reach [[CdcStream.eraseKeys]] — the SAME entry point as
+  * the Scala API, so the frozen-store fence, the flat-layout refusal,
+  * and the key-type casting behave identically from either surface.
+  */
+final case class EraseKeysCommand(path: String, cols: Seq[String],
+    valuesText: Option[String], usingQuery: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.VersionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = (valuesText, usingQuery) match {
+      case (Some(vs), _) => spark.sql(
+        s"SELECT * FROM VALUES $vs AS __erase_keys(${cols.mkString(", ")})")
+      case (_, Some(q)) => spark.sql(q).select(cols.map(col): _*)
+      case _ => throw new IllegalArgumentException(
+        "ERASE KEYS requires a VALUES list or a USING query")
+    }
+    CdcStream.eraseKeys(spark, path, cols, keys)
+    Seq(Row(path, CdcStream.replicaCurrentVersion(path).getOrElse(0L)))
+  }
+}
+
+/** `REBUCKET REPLICA '/path' KEYS (id) TO 24 BUCKETS` — online
+  * resharding from SQL; the KEYS clause is validated against the
+  * manifest's recorded routing columns exactly as the Scala API does.
+  */
+final case class RebucketReplicaCommand(path: String, cols: Seq[String],
+    newNumBuckets: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.VersionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    CdcStream.rebucketReplica(spark, path, cols, newNumBuckets)
+    Seq(Row(path, CdcStream.replicaCurrentVersion(path).getOrElse(0L)))
+  }
+}
+
+/** `FREEZE REPLICA '/path' [REASON '…']` / `UNFREEZE REPLICA '/path'`
+  * — the failover fence as SQL. Returns the store's resulting fence
+  * state so a runbook can assert it from the statement's own result.
+  */
+final case class FreezeReplicaCommand(path: String,
+    reason: Option[String], freeze: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.FreezeOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (freeze) CdcStream.freezeReplica(path, reason.getOrElse("frozen via SQL"))
+    else CdcStream.unfreezeReplica(path)
+    val r = CdcStream.replicaFrozen(path)
+    Seq(Row(path, r.isDefined, r.orNull))
+  }
+}
+
+/** `PROMOTE FOLLOWER '/f' OVER '/old' KEYS (id) ORDER BY (seq) FROM
+  * VERSION n [NODRAIN] [CONDITIONAL]` — the failover switchover as one
+  * auditable statement: fence the old primary, optionally drain its
+  * undelivered feed tail, return the promotion version. NODRAIN is the
+  * crash-failover path (old primary unreachable/untrusted);
+  * CONDITIONAL applies the drain with the order-conditional fold (the
+  * follower is an order-conditional store).
+  */
+final case class PromoteFollowerCommand(follower: String,
+    oldPrimary: String, keys: Seq[String], orderCols: Seq[String],
+    fromVersion: Long, drain: Boolean, conditional: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.VersionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(follower, CdcStream.promoteFollower(spark, follower,
+      oldPrimary, keys, orderCols.map(col), fromVersion, drain,
+      conditionalApply = conditional)))
+}
+
+/** `RESTORE CONSISTENT ('/t1', '/t2') [AT WATERMARK n]` — roll a whole
+  * fleet back to one source moment. The Scala API's single
+  * `recordChanges` flag is derived from the fleet itself: all tables
+  * carry a change feed → record (followers must replay the rollback
+  * diff); none do → don't (a feed-less store must not grow one); a
+  * MIXED fleet refuses loudly — no single mode is correct for both,
+  * so that choice stays with the Scala API's explicit parameter.
+  */
+final case class RestoreConsistentCommand(tables: Seq[String],
+    atWatermark: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.WatermarkOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val feeds = tables.map(t => t -> CdcStream.replicaHasFeed(t))
+    val recordChanges =
+      if (feeds.forall(_._2)) true
+      else if (!feeds.exists(_._2)) false
+      else throw new IllegalStateException(
+        "RESTORE CONSISTENT: the fleet mixes feed-recording and " +
+          s"feed-less stores (${feeds.map { case (t, f) =>
+            s"$t=${if (f) "feed" else "no-feed"}" }.mkString(", ")}) — " +
+          "no single recordChanges mode is correct for both; use the " +
+          "Scala API restoreConsistentTables with an explicit choice")
+    Seq(Row(CdcStream.restoreConsistentTables(spark, tables,
+      atWatermark, recordChanges)))
+  }
+}
+
 /** Delegating parser: graft store procedures parse here, everything
   * else falls through to Spark's parser verbatim.
   */
@@ -135,9 +258,36 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*RESTORE\\s+REPLICA\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)\\s*""".r
   private val Refresh =
     s"""(?is)\\s*REFRESH\\s+CLONE\\s+$P\\s+KEYS\\s*\\(([^)]+)\\)\\s+ORDER\\s+BY\\s*\\(([^)]+)\\)\\s*""".r
+  // compliance + topology ops (r15). The ERASE tails are free-form:
+  // VALUES re-parses through Spark's own parser (typed literals),
+  // USING carries an arbitrary subquery — both validated at run time,
+  // never by this regex layer.
+  private val EraseValues =
+    s"""(?is)\\s*ERASE\\s+KEYS\\s*\\(([^)]+)\\)\\s+FROM\\s+REPLICA\\s+$P\\s+VALUES\\s+(.+)""".r
+  private val EraseUsing =
+    s"""(?is)\\s*ERASE\\s+KEYS\\s*\\(([^)]+)\\)\\s+FROM\\s+REPLICA\\s+$P\\s+USING\\s+(.+)""".r
+  private val Rebucket =
+    s"""(?is)\\s*REBUCKET\\s+REPLICA\\s+$P\\s+KEYS\\s*\\(([^)]+)\\)\\s+TO\\s+(\\d+)\\s+BUCKETS\\s*""".r
+  private val Freeze =
+    s"""(?is)\\s*FREEZE\\s+REPLICA\\s+$P(?:\\s+REASON\\s+$P)?\\s*""".r
+  private val Unfreeze =
+    s"""(?is)\\s*UNFREEZE\\s+REPLICA\\s+$P\\s*""".r
+  private val Promote =
+    s"""(?is)\\s*PROMOTE\\s+FOLLOWER\\s+$P\\s+OVER\\s+$P\\s+KEYS\\s*\\(([^)]+)\\)\\s+ORDER\\s+BY\\s*\\(([^)]+)\\)\\s+FROM\\s+VERSION\\s+(\\d+)(\\s+NODRAIN)?(\\s+CONDITIONAL)?\\s*""".r
+  private val RestoreConsistent =
+    s"""(?is)\\s*RESTORE\\s+CONSISTENT\\s*\\(([^)]+)\\)(?:\\s+AT\\s+WATERMARK\\s+(\\d+))?\\s*""".r
 
   private def csv(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** `USING (SELECT …)` — the optional outer parens are syntax, not
+    * part of the subquery.
+    */
+  private def stripOuterParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
+    else t
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeHistory(p) => DescribeHistoryCommand(p)
@@ -150,6 +300,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CloneReplicaCommand(s, d, Option(v).map(_.toLong))
     case Restore(p, v) => RestoreReplicaCommand(p, v.toLong)
     case Refresh(p, ks, os) => RefreshCloneCommand(p, csv(ks), csv(os))
+    case EraseValues(ks, p, vs) =>
+      EraseKeysCommand(p, csv(ks), Some(vs.trim), None)
+    case EraseUsing(ks, p, q) =>
+      EraseKeysCommand(p, csv(ks), None, Some(stripOuterParens(q)))
+    case Rebucket(p, ks, n) => RebucketReplicaCommand(p, csv(ks), n.toInt)
+    case Freeze(p, reason) =>
+      FreezeReplicaCommand(p, Option(reason), freeze = true)
+    case Unfreeze(p) => FreezeReplicaCommand(p, None, freeze = false)
+    case Promote(f, old, ks, os, v, nodrain, cond) =>
+      PromoteFollowerCommand(f, old, csv(ks), csv(os), v.toLong,
+        drain = nodrain == null, conditional = cond != null)
+    case RestoreConsistent(ts, wm) =>
+      RestoreConsistentCommand(
+        ts.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+          .filter(_.nonEmpty).toSeq,
+        Option(wm).map(_.toLong))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -422,6 +422,7 @@ object CdcStream {
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, jobs.count(_.isDefined))))
+    var primary: Throwable = null
     try {
       val futures = jobs.map(_.map(f => pool.submit(
         new java.util.concurrent.Callable[(String, Option[Long])] {
@@ -431,13 +432,28 @@ object CdcStream {
       catch { // surface the merge's own exception, not the wrapper
         case e: java.util.concurrent.ExecutionException => throw e.getCause
       }
+    } catch {
+      case e: Throwable => primary = e; throw e
     } finally {
       // drain before returning OR propagating a failure: in-flight
       // sibling merges must not race a caller's retry of the same
-      // batch (the atomic path's replay re-prepares the same stores)
+      // batch (the atomic path's replay re-prepares the same stores).
+      // A drain that TIMES OUT must not fall through silently — a
+      // still-running merge would re-open exactly the
+      // retry-races-in-flight-commit window this block closes — so it
+      // interrupts the stragglers and fails loudly: thrown when the
+      // fan-out was otherwise succeeding, attached as SUPPRESSED when
+      // a merge exception is already in flight (a throw from finally
+      // would silently REPLACE the primary failure).
       pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-      ()
+      if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        pool.shutdownNow()
+        val drain = new IllegalStateException(
+          "fanOutToReplicas: worker pool failed to drain within 10 " +
+            "minutes — sibling merges may still be in flight; do NOT " +
+            "retry this batch until the JVM's merge threads are gone")
+        if (primary != null) primary.addSuppressed(drain) else throw drain
+      }
     }
   }
 
@@ -1237,29 +1253,73 @@ object CdcStream {
   def readReplicaRange(spark: org.apache.spark.sql.SparkSession,
       replicaDir: String, column: String, lo: Long, hi: Long)
       : Option[(DataFrame, Int, Int)] =
-    currentVersion(replicaDir).flatMap { case (_, name) =>
+    readReplicaRangeMulti(spark, replicaDir, Seq((column, lo, hi)))
+
+  /** [[readReplicaRange]] over a CONJUNCTION of range predicates
+    * and/or a pinned VERSION (time travel).
+    *
+    * Multi-column: a file survives only if its zone overlaps EVERY
+    * bounded column's range — the intersection is strictly tighter
+    * than any single column alone whenever the store clusters on more
+    * than one axis (e.g. value-banded buckets written in time order:
+    * the band bound drops off-band buckets, the time bound drops each
+    * surviving bucket's early files). Columns without usable footer
+    * stats contribute no pruning (their files conservatively survive),
+    * and the exact conjunction re-applies to every surviving row.
+    *
+    * Version pinning: `atVersion` serves the range read over a
+    * committed historical version. Version dirs are IMMUTABLE — zone
+    * pruning is exactly as safe there as on the current version (the
+    * footer cache already keys on the version-dir path); the
+    * GC-liveness rules of [[readReplicaAt]] apply (a version whose
+    * referenced files were collected reads as None).
+    */
+  def readReplicaRangeMulti(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, colBounds: Seq[(String, Long, Long)],
+      atVersion: Option[Long] = None)
+      : Option[(DataFrame, Int, Int)] = {
+    require(colBounds.nonEmpty, "readReplicaRangeMulti: no bounds given")
+    val resolved: Option[(Long, String)] = atVersion match {
+      case Some(v) =>
+        val name = f"v$v%09d"
+        if (new java.io.File(replicaDir, name).isDirectory) Some((v, name))
+        else None
+      case None => currentVersion(replicaDir)
+    }
+    val (column, lo, hi) = colBounds.head
+    resolved.flatMap { case (_, name) =>
       readManifest(replicaDir, name) match {
         case Some(m) if m.buckets.nonEmpty || m.deltas.nonEmpty =>
-          requireInheritedRefsLive(replicaDir, m)
+          // liveness: current-version reads enforce inherited refs
+          // loudly; a historical read's GC'd references mean "gone"
+          // (None), matching readReplicaAt
+          val live = if (atVersion.isEmpty) {
+            requireInheritedRefsLive(replicaDir, m); true
+          } else (m.buckets.values ++ m.deltas.values.flatten).toSeq
+            .map(p => resolveStorePath(replicaDir, p))
+            .forall(p => new java.io.File(p).exists())
+          if (!live) None else {
           val fullSchema = manifestSchema(m).getOrElse {
             val all = m.buckets.values.toSeq.sorted
               .map(p => resolveStorePath(replicaDir, p))
             spark.read.option("mergeSchema", "true").parquet(all: _*).schema
           }
-          val colType = fullSchema.fields.find(_.name == column)
-            .map(_.dataType)
+          def colType(c: String) =
+            fullSchema.fields.find(_.name == c).map(_.dataType)
           // UNIT PARITY with the footer stats: a TimestampType column's
           // parquet min/max are epoch MICROS, so the residual predicate
           // must compare micros too — cast("long") on a timestamp
           // yields SECONDS and would silently empty the result
-          val asLong =
-            if (colType.contains(org.apache.spark.sql.types.TimestampType))
-              unix_micros(col(column))
-            else col(column).cast("long")
-          val pred = asLong.between(lo, hi)
-          val longTyped = colType.exists(t =>
+          def asLong(c: String) =
+            if (colType(c).contains(org.apache.spark.sql.types.TimestampType))
+              unix_micros(col(c))
+            else col(c).cast("long")
+          def longTyped(c: String) = colType(c).exists(t =>
             t == org.apache.spark.sql.types.LongType ||
               t == org.apache.spark.sql.types.TimestampType)
+          // the exact CONJUNCTION re-applies to every surviving row
+          val pred = colBounds.map { case (c, l, h) =>
+            asLong(c).between(l, h) }.reduce(_ && _)
           val deltaBuckets = m.deltas.keySet
           // delta-carrying buckets: full fold, no file pruning (see
           // scaladoc — a pruned base row could flip a fold winner)
@@ -1272,18 +1332,29 @@ object CdcStream {
             case (k, p) if !deltaBuckets(k) =>
               resolveStorePath(replicaDir, p)
           }.toSeq.sorted
-          val zones =
-            if (longTyped)
+          // per-column zones over the same file universe; a column
+          // without footer-scannable stats yields stat-less zones
+          // (keeps every file — no pruning, never wrong results)
+          def zonesFor(c: String): Seq[graft.operators.ZoneMaps.FileZone] =
+            if (longTyped(c))
               // cached: committed bucket dirs are immutable, so
               // repeated range scans pay the footer pass once
               scannable.flatMap(d =>
-                graft.operators.ZoneMaps.fileZonesLongCached(d, column))
+                graft.operators.ZoneMaps.fileZonesLongCached(d, c))
             else scannable.flatMap(d => Option(new java.io.File(d)
                 .listFiles()).getOrElse(Array.empty).toSeq
               .filter(f => f.isFile && f.getName.endsWith(".parquet"))
               .map(f => graft.operators.ZoneMaps.FileZone(
                 f.getPath, 0L, None, None)))
+          val zones = zonesFor(column)
+          // INTERSECTION across bounds: a file survives only if every
+          // bounded column's zone overlaps that column's range
+          val otherBounds = colBounds.tail.map { case (c, l, h) =>
+            (zonesFor(c).map(z => z.path -> z).toMap, l, h) }
           val keep = graft.operators.ZoneMaps.overlapping(zones, lo, hi)
+            .filter(z => otherBounds.forall { case (zm, l, h) =>
+              zm.get(z.path).forall(zz =>
+                graft.operators.ZoneMaps.overlaps(zz, l, h)) })
           val baseSide: Option[DataFrame] =
             if (keep.isEmpty) None
             else Some(filterTombstones(
@@ -1295,14 +1366,17 @@ object CdcStream {
               fullSchema))
             .filter(pred)
           Some((rows.drop(Tombstone), keep.size, zones.size))
+          }
         case Some(_) => None // committed but empty
         case None => // pre-bucket flat layout: no per-bucket metadata
           val df = filterTombstones(
             spark.read.parquet(s"$replicaDir/$name"))
-            .filter(col(column).cast("long").between(lo, hi))
+            .filter(colBounds.map { case (c, l, h) =>
+              col(c).cast("long").between(l, h) }.reduce(_ && _))
           Some((df, 0, 0))
       }
     }
+  }
 
   /** Stream-side dimension enrichment — the "lookup join" every CDC
     * consumer runs in `foreachBatch`: left-join a micro-batch's rows
@@ -1642,10 +1716,16 @@ object CdcStream {
     * <= wm. Versions without a watermark are skipped (their source
     * position is unknown). None when no committed version qualifies.
     */
-  def readReplicaAtWatermark(spark: org.apache.spark.sql.SparkSession,
-      replicaDir: String, wm: Long): Option[DataFrame] =
+  /** The newest committed version whose recorded watermark is `<= wm`
+    * — the version a watermark time-travel read serves.
+    */
+  def versionAtWatermark(replicaDir: String, wm: Long): Option[Long] =
     committedVersions(replicaDir).reverse
       .find(v => replicaWatermark(replicaDir, v).exists(_ <= wm))
+
+  def readReplicaAtWatermark(spark: org.apache.spark.sql.SparkSession,
+      replicaDir: String, wm: Long): Option[DataFrame] =
+    versionAtWatermark(replicaDir, wm)
       .flatMap(v => readReplicaAt(spark, replicaDir, v))
 
   /** CROSS-TABLE consistent snapshot — the read every multi-table CDC

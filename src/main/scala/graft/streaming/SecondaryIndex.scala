@@ -740,8 +740,18 @@ object SecondaryIndex {
         val keys = entries.select(idCols.map(col): _*).distinct()
         CdcStream.readReplicaForKeys(spark, primaryDir, idCols, keys) match {
           case Some(rows) =>
-            rows.withColumn(idxName, idxExpr)
-              .filter(col(idxName).cast("long").between(lo, hi))
+            val withIdx = rows.withColumn(idxName, idxExpr)
+            // UNIT PARITY with readReplicaRange's footer-stat compare:
+            // a timestamp-typed index expression's parquet min/max are
+            // epoch MICROS, so the read-repair must compare micros too
+            // — cast("long") on a timestamp yields SECONDS and would
+            // silently empty the result for micros bounds
+            val asLong =
+              if (withIdx.schema(idxName).dataType ==
+                  org.apache.spark.sql.types.TimestampType)
+                org.apache.spark.sql.functions.unix_micros(col(idxName))
+              else col(idxName).cast("long")
+            withIdx.filter(asLong.between(lo, hi))
           case None => emptyLike(spark, entries, idCols, idxName)
         }
       case None =>

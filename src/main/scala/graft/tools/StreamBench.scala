@@ -121,7 +121,12 @@ object StreamBench {
       }.mkString(",")
       s""""$name":{"batches":$n,$fields}"""
     }.mkString(",")
-    val line = s"""{"metric":"stream_batch_latency","sf":"$sfDir",$body}"""
+    // same host-telemetry stamp as BENCH_FULL.json: trigger-latency
+    // swings on unchanged source code (r13→r14 p50 186→235 ms) need
+    // the loadavg/iowait context to interpret from the artifact alone
+    val env = graft.Bench.envJson()
+    val line =
+      s"""{"metric":"stream_batch_latency","sf":"$sfDir",$body,"env":$env}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAMBENCH.json"), line + "\n")
     catch { case e: Throwable =>
