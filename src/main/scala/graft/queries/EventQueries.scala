@@ -1571,6 +1571,52 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
+    // --- cdc: TYPE WIDENING through the merge sink (r15) ------------------
+    // The other Delta-supported evolution a year-long CDC stream
+    // eventually hits: upstream ALTERs a column int→bigint and values
+    // start exceeding int range. Batch 1 commits value_cents as INT
+    // (the narrow original schema); batch 2 arrives as LONG with
+    // +5e9 added (provably past int32). The eager merge admits the
+    // widening, the manifest records BIGINT, and the buckets batch 2
+    // never touched keep their int32 files — read back through the
+    // recorded schema they upcast in place (no rewrite). The in-query
+    // requires pin the widened read schema and that beyond-int values
+    // actually round-tripped; the oracle recomputes the last-writer
+    // fold with the widened second-half values. SchemaWidenSpec covers
+    // the refusal surface (routing columns, deferred commits, type
+    // replacement, rename).
+    "cdc_replica_widen" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.CdcStream
+      val replica = graft.llm.IndexArtifacts.tempDir("replica-widen")
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          cents($"value").as("value_cents"), opCol($"event_type").as("op"))
+      val mm = ev.agg(min($"ms"), max($"ms")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val ord = Seq(col("ms"), col("event_id"))
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter($"ms" < cut)
+          .withColumn("value_cents", $"value_cents".cast("int")),
+        Seq("user_id"), ord)
+      CdcStream.applyBatchToReplica(replica,
+        ev.filter($"ms" >= cut)
+          .withColumn("value_cents", $"value_cents" + 5000000000L),
+        Seq("user_id"), ord)
+      val out = CdcStream.readReplica(s, replica).get
+      require(out.schema("value_cents").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the store must serve the WIDENED type after batch 2")
+      val res = out
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"value_cents")
+        .orderBy($"user_id")
+      require(res.agg(max($"value_cents")).head().getLong(0) >
+        Int.MaxValue.toLong,
+        "beyond-int values must round-trip through the widened column")
+      res
+    },
+
     // --- cdc: FSCK store doctor (r13) -------------------------------------
     // One metadata-cost pass audits the store's physical and logical
     // invariants (dangling refs, feed contiguity, delta sequence,
@@ -2991,6 +3037,28 @@ object EventQueries {
          |                       ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM events)
          |WHERE rn = 1 AND op <> 'delete' AND user_id % 97 <> 0
+         |ORDER BY user_id""".stripMargin,
+
+    // last-writer fold with the widened second-half values: rows whose
+    // winning event is at/after the cutoff carry cents + 5e9 (the
+    // widened longs), earlier winners carry the int-committed cents
+    "cdc_replica_widen" ->
+      s"""WITH cutoff AS (
+         |  SELECT min(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |    + (max(epoch_ms(CAST(ts AS TIMESTAMP)))
+         |       - min(epoch_ms(CAST(ts AS TIMESTAMP)))) // 2 AS cut
+         |  FROM events)
+         |SELECT user_id, event_id AS last_event_id, value_cents FROM (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) >=
+         |        (SELECT cut FROM cutoff)
+         |      THEN ${centsSql("value")} + 5000000000
+         |      ELSE ${centsSql("value")} END AS value_cents,
+         |    $opSql AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND op <> 'delete'
          |ORDER BY user_id""".stripMargin,
 
     // a healthy store: zero findings; the vitals are data-derived

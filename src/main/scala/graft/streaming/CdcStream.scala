@@ -806,6 +806,30 @@ object CdcStream {
   private def manifestSchema(m: ReplicaManifest): Option[StructType] =
     m.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
 
+  /** Is `from → to` a SAFE type widening — one Spark 4's parquet
+    * readers serve losslessly when a file holding the narrow physical
+    * type is read under the wider requested schema? (The widening
+    * promotions of the vectorized reader: the integral ladder and
+    * float→double.) This is exactly the set the merge path may admit
+    * as a type change: old bucket files stay readable in place, no
+    * rewrite, no precision loss.
+    */
+  private[streaming] def isTypeWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+
   /** Thrown when a commit loses the optimistic-concurrency race: another
     * writer committed a version with the same number first. The loser's
     * staging data is cleaned up; retry by re-running the batch against
@@ -4139,12 +4163,33 @@ object CdcStream {
     if (!bypassFreeze) requireUnfrozen(replicaDir)
     val spark = net.sparkSession
     val dataCols = batchCols.filterNot(_ == opCol)
-    val upserts = net.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
-    val keys = net.select(idCols.map(col): _*)
 
     new java.io.File(replicaDir).mkdirs()
     val cur = currentVersion(replicaDir)
     val prev = cur.flatMap { case (_, name) => readManifest(replicaDir, name) }
+    // TYPE-FAITHFUL NET: batch columns that arrived NARROWER than the
+    // manifest's recorded type upcast to it before anything hashes or
+    // writes — the bucket hash is type-sensitive (hash(5: int) !=
+    // hash(5L: long)), so an int-keyed batch against a long-keyed
+    // store would otherwise compute `touched` against the wrong
+    // buckets and split keys across two homes. The cast is the same
+    // lossless widening ladder the reader upcasts by; a batch column
+    // WIDER than the store is left alone for the schema-evolution
+    // checks below to admit (eager, non-routing) or refuse loudly.
+    val netT = prev.flatMap(manifestSchema) match {
+      case Some(ps) =>
+        val types = ps.fields.map(f => f.name -> f.dataType).toMap
+        val narrow = net.schema.fields.filter(bf =>
+          types.get(bf.name).exists(t =>
+            !org.apache.spark.sql.GraftColumnBridge
+              .sameTypeIgnoreNullability(t, bf.dataType) &&
+              isTypeWidening(bf.dataType, t)))
+        narrow.foldLeft(net)((d, bf) =>
+          d.withColumn(bf.name, col(bf.name).cast(types(bf.name))))
+      case None => net
+    }
+    val upserts = netT.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
+    val keys = netT.select(idCols.map(col): _*)
     // a current version WITHOUT a manifest is the pre-bucket flat
     // layout: merge against the whole old version once (this batch
     // migrates the replica into the bucketed layout)
@@ -4174,7 +4219,7 @@ object CdcStream {
     // comparing stored rows written under one ordering against batches
     // ordered by another would be meaningless
     val condNames: Option[Seq[String]] =
-      conditional.map(ord => orderColNames(net, ord))
+      conditional.map(ord => orderColNames(netT, ord))
     condNames.foreach { ns =>
       ns.foreach(n => require(dataCols.contains(n),
         s"conditionalOrder: order column '$n' must be a stored batch column"))
@@ -4231,6 +4276,29 @@ object CdcStream {
         if (extra.nonEmpty) throw new IllegalArgumentException(
           s"deferMerge: batch adds column(s) ${extra.mkString(",")} — " +
             "schema evolution requires an eager merge")
+        // a deferred commit never updates the recorded schema, so the
+        // delta's columns must be SERVABLE under it: identical types,
+        // or narrower ones the parquet reader upcasts at fold time. A
+        // batch that WIDENS a column (or changes it off the ladder)
+        // must refuse here — admitting it would write a delta file the
+        // manifest-schema read path cannot open. Named recovery: one
+        // eager merge (deferMerge=false), which records the widened
+        // union schema and rewrites the touched buckets.
+        val widened = dataCols.flatMap { c =>
+          for {
+            pf <- ps.fields.find(_.name == c)
+            bf <- netT.schema.fields.find(_.name == c)
+            if !org.apache.spark.sql.GraftColumnBridge
+              .sameTypeIgnoreNullability(pf.dataType, bf.dataType) &&
+              !isTypeWidening(bf.dataType, pf.dataType)
+          } yield s"$c: ${pf.dataType.catalogString} → " +
+            s"${bf.dataType.catalogString}"
+        }
+        if (widened.nonEmpty) throw new IllegalArgumentException(
+          s"deferMerge: batch changes column type(s) " +
+            s"${widened.mkString("; ")} — type widening requires an " +
+            "eager merge (deferMerge=false), which records the widened " +
+            "schema and rewrites the touched buckets")
       }
       prev.flatMap(_.keyCols).foreach(k => require(k == idCols,
         s"deferMerge: replica records keyCols $k but batch uses $idCols"))
@@ -4241,7 +4309,7 @@ object CdcStream {
       // hash-repartition by bucket id (no explicit count — no driver
       // pre-collect): each bucket's rows land in exactly one shuffle
       // partition, so partitionBy still writes one file per bucket
-      net.withColumn("__bucket", bucketOf)
+      netT.withColumn("__bucket", bucketOf)
         .repartition(col("__bucket"))
         .write.partitionBy("__bucket").parquet(s"$staging/delta")
       val written = Option(new java.io.File(s"$staging/delta").listFiles())
@@ -4267,12 +4335,12 @@ object CdcStream {
               "against; compactReplica(tombstoneHorizon) first")
         }
       }
-      if (recordChanges) net.write.parquet(s"$staging/changes")
+      if (recordChanges) netT.write.parquet(s"$staging/changes")
       val prevDeltas = prev.map(_.deltas).getOrElse(Map.empty[Int, Seq[String]])
       val newDeltas = prevDeltas ++ written.map(k =>
         k -> (prevDeltas.getOrElse(k, Seq.empty) :+
           s"$nextName/delta/__bucket=$k")).toMap
-      val scJson = prevSc.getOrElse(net.select(dataCols.map(col): _*).schema)
+      val scJson = prevSc.getOrElse(netT.select(dataCols.map(col): _*).schema)
       // first CONDITIONAL commit on a legacy store: recording
       // condOrderCols flips the store onto metadata-decided expiry and
       // per-bucket exclusivity, so the mins must cover the legacy
@@ -4380,7 +4448,7 @@ object CdcStream {
           .withColumn(opCol, when(col(Tombstone), "delete").otherwise("update"))
           .withColumn("__incoming", lit(0))
           .unionByName(
-            net.select(batchCols.toSeq.map(col): _*)
+            netT.select(batchCols.toSeq.map(col): _*)
               .withColumn(Tombstone, col(opCol) === "delete")
               .withColumn("__incoming", lit(1)),
             allowMissingColumns = true)
@@ -4408,28 +4476,61 @@ object CdcStream {
           m.buckets.values.toSeq.sorted
             .map(p => resolveStorePath(replicaDir, p)): _*).schema))
     }
-    // SCHEMA EVOLUTION IS ADDITIVE-ONLY, and this is where the contract
-    // is ENFORCED, not assumed: `unionByName` silently widens a batch
-    // column against the touched buckets (int⋈long → long), but the
-    // UNTOUCHED buckets still hold the narrow type — and Spark's parquet
-    // footer-merge refuses int-vs-long, so admitting the write would
-    // leave the full-scan read path broken and the manifest schema lying
-    // to the pruned path (whose key casts would then hash to the wrong
-    // bucket). Reject loudly instead of corrupting.
+    // SCHEMA EVOLUTION: additive columns always; TYPE changes only
+    // along the safe WIDENING ladder ([[isTypeWidening]] — int→long,
+    // float→double …), and only on NON-ROUTING columns. This is where
+    // the contract is ENFORCED, not assumed. Widening works because
+    // every read path serves files through the manifest's recorded
+    // union schema (`spark.read.schema(...)`) and Spark 4's parquet
+    // readers upcast a narrower physical type into the requested wider
+    // one — so the UNTOUCHED buckets' int32 files read back as longs
+    // with no rewrite, while this commit's touched buckets write the
+    // wide type directly (`unionByName` already coerced `merged`).
+    // A ROUTING column (bucketCols / keyCols) must refuse: the bucket
+    // hash is TYPE-SENSITIVE (hash(5: int) != hash(5L: long)), so a
+    // widened routing column would silently send every later pruned
+    // lookup to the wrong bucket — the named migration is a
+    // clone-rewrite into a fresh store with the widened key schema.
+    // Anything off the ladder (narrowing, int→string, …) rejects
+    // loudly instead of corrupting.
     val unionSchema = prevSchema match {
       case Some(ps) =>
-        merged.schema.fields.foreach { f =>
+        // the check compares the BATCH's own types (netT) against the
+        // store, never `merged`'s: union type-coercion already blurred
+        // the distinction there (int ⋈ string resolves to a runtime
+        // cast that would masquerade as a "widening" here and then
+        // blow up mid-write)
+        netT.schema.fields.filter(f => dataCols.contains(f.name))
+          .foreach { f =>
           ps.fields.find(_.name == f.name).foreach { pf =>
-            if (!org.apache.spark.sql.GraftColumnBridge
-                .sameTypeIgnoreNullability(pf.dataType, f.dataType))
+            val same = org.apache.spark.sql.GraftColumnBridge
+              .sameTypeIgnoreNullability(pf.dataType, f.dataType)
+            if (!same && bc.contains(f.name))
+              throw new IllegalArgumentException(
+                s"replica $replicaDir: batch changes ROUTING column " +
+                  s"'${f.name}' from ${pf.dataType.catalogString} to " +
+                  s"${f.dataType.catalogString}; the bucket hash is " +
+                  "type-sensitive, so widening a routing column would " +
+                  "mis-route every later pruned lookup — migrate via " +
+                  "cloneReplica into a new store with the widened key type")
+            if (!same && !isTypeWidening(pf.dataType, f.dataType))
               throw new IllegalArgumentException(
                 s"replica $replicaDir: batch changes column '${f.name}' from " +
                   s"${pf.dataType.catalogString} to ${f.dataType.catalogString}; " +
-                  "replica schema evolution is additive-only (new columns), " +
-                  "never type changes")
+                  "replica schema evolution is additive columns and safe " +
+                  "type WIDENING (int→long, float→double), never " +
+                  "narrowing or type replacement")
           }
         }
-        StructType(ps.fields ++
+        StructType(ps.fields.map { pf =>
+          netT.schema.fields.find(_.name == pf.name) match {
+            case Some(f) if !org.apache.spark.sql.GraftColumnBridge
+                .sameTypeIgnoreNullability(pf.dataType, f.dataType) &&
+                isTypeWidening(pf.dataType, f.dataType) =>
+              pf.copy(dataType = f.dataType) // record the WIDENED type
+            case _ => pf
+          }
+        } ++
           merged.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
       case None => merged.schema
     }
@@ -4459,7 +4560,7 @@ object CdcStream {
     // still current, and at least the GC reader-grace window after a
     // full rewrite (readReplicaChanges FAILS on a gap, never skips).
     if (recordChanges)
-      conditionalWinners.getOrElse(net).write.parquet(s"$staging/changes")
+      conditionalWinners.getOrElse(netT).write.parquet(s"$staging/changes")
 
     // buckets actually written (a delete can empty one entirely)
     val written = Option(new java.io.File(s"$staging/data").listFiles())

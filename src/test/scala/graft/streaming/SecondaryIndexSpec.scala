@@ -553,6 +553,53 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(liveIndex(ix) == Seq(("oslo", 1L), ("oslo", 2L), ("rome", 4L)))
   }
 
+  test("conditional GSI property: 5 seeded random batch-orderings of " +
+      "one changelog all converge primary AND index to the direct " +
+      "last-writer fold") {
+    // the winner-set derivation (applyBatchWithIndexes under
+    // conditionalOrder) claims ARRIVAL-ORDER INDEPENDENCE: any
+    // partition of a changelog into batches, applied in any order,
+    // must land the primary and every index on the same
+    // greatest-order-wins state. The adversarial parity fixture
+    // (cdc_gsi_conditional) proves ONE permutation; this drives five
+    // seeded random ones, each checked state-equal to the fold
+    // computed directly in plain Scala.
+    val cities = Vector("oslo", "lima", "rome", "kiev", "baku")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // per key: strictly increasing unique seq (ties are the merge's
+      // documented incoming-wins rule — order-DEPENDENT by design, so
+      // the property must not generate them)
+      val events: Seq[(Long, String, Long, String)] =
+        (1L to 10L).flatMap { k =>
+          var seq = 0L
+          (0 until (2 + rnd.nextInt(4))).map { _ =>
+            seq += 1 + rnd.nextInt(4)
+            val op = if (rnd.nextInt(4) == 0) "delete" else "update"
+            (k, cities(rnd.nextInt(cities.size)), seq, op)
+          }
+        }
+      // the direct fold: greatest seq per key; a winning delete = gone
+      val expected = events.groupBy(_._1).flatMap { case (k, es) =>
+        val w = es.maxBy(_._3)
+        if (w._4 == "delete") None else Some((k, w._2))
+      }.toSet
+      val shuffled = rnd.shuffle(events)
+      val nBatches = 3
+      val (p, ix) = (freshDir(), freshDir())
+      shuffled.grouped(
+        math.max(1, (shuffled.size + nBatches - 1) / nBatches))
+        .foreach(b => applyCond(p, ix, b))
+      val gotPrimary = CdcStream.readReplica(spark, p).get
+        .select($"id", $"city").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(gotPrimary == expected,
+        s"seed $seed: primary diverged from the direct fold")
+      assert(liveIndex(ix).toSet == expected.map(_.swap),
+        s"seed $seed: index diverged from the direct fold")
+    }
+  }
+
   test("conditional GSI: crash between index and primary commits replays " +
       "to convergence (same recomputed winner set)") {
     def copyDir(from: java.io.File, to: java.io.File): Unit = {
