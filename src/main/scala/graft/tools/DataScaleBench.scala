@@ -97,6 +97,24 @@ object DataScaleBench {
       val builder = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // the curve spans 1×–100×, so shuffle parallelism must scale
+        // with the DATA, not the core count: at x100 a 16-partition
+        // window sort over 60M lineitem rows spilled 23 GB and went
+        // super-linear (4.6→39.7 s for 3.3× data; PROFILE q50, r15).
+        // Two knobs, both needed: AQE re-partitions each stage from
+        // this initial fan-out, and the ADVISORY size must be small
+        // because AQE coalesces by COMPRESSED shuffle bytes — q50's
+        // window input is 1.1 GB compressed but ~20× that as in-memory
+        // sort rows, so the 64 MB default coalesced back to 19 tasks
+        // and kept spilling. At 8 MB the window keeps 256 tasks
+        // (~235k rows each, in-memory), measured 44 s/23 GB-spill →
+        // 14 s/zero-spill at x100; small scales still coalesce to one
+        // task. (Raising the JVM heap instead removes the spill but
+        // runs 5–12× slower in this microVM — documented in
+        // SCALING.md.)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          "256")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.ui.enabled", "false")
         .config("spark.cleaner.periodicGC.interval", "45s")
       graft.Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }

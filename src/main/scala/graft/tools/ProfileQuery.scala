@@ -34,6 +34,13 @@ object ProfileQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    // opt-in AQE initial fan-out, to profile under the same
+    // data-scaled parallelism DataScaleBench runs the 30×/100×
+    // decades with (unset → the bench's fixed shuffle.partitions)
+    sys.env.get("SPARK_GRAFT_INITIAL_PARTS").foreach(n => builder
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    sys.env.get("SPARK_GRAFT_ADVISORY_MB").foreach(n => builder
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${n}m"))
     graft.Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
