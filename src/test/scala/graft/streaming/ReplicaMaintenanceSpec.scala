@@ -808,23 +808,35 @@ class ReplicaMaintenanceSpec extends SparkSuite {
     fresh.delete()
   }
 
-  test("schema evolution rejects type changes instead of corrupting the replica") {
+  test("schema evolution admits safe widening and rejects type " +
+      "replacement without corrupting the replica") {
     val dir = freshDir()
     CdcStream.applyBatchToReplica(dir,
       Seq((1L, "a", 1, "update")).toDF("id", "v", "n", "op"),
       idCols = Seq("id"), orderCols = Seq(col("v")))
-    // int → bigint would be silently widened by unionByName for the
-    // touched buckets while untouched buckets keep int files — a state
-    // Spark's parquet footer-merge then refuses to read. Reject loudly.
+    // int → bigint is on the widening ladder (r15): admitted, manifest
+    // records the wide type, narrow files upcast at read time
+    // (SchemaWidenSpec covers the full surface)
+    CdcStream.applyBatchToReplica(dir,
+      Seq((1L, "a2", 2L, "update")).toDF("id", "v", "n", "op"),
+      idCols = Seq("id"), orderCols = Seq(col("v")))
+    val widened = CdcStream.readReplica(spark, dir).get
+    assert(widened.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(widened.select($"id", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // off the ladder (bigint → string) still rejects loudly — a
+    // replacement would leave untouched buckets unreadable under the
+    // recorded schema
     val ex = intercept[IllegalArgumentException] {
       CdcStream.applyBatchToReplica(dir,
-        Seq((1L, "a2", 2L, "update")).toDF("id", "v", "n", "op"),
+        Seq((1L, "a3", "two", "update")).toDF("id", "v", "n", "op"),
         idCols = Seq("id"), orderCols = Seq(col("v")))
     }
-    assert(ex.getMessage.contains("'n'") && ex.getMessage.contains("additive"))
-    // the rejected batch left no trace: same version, same content
-    assert(CdcStream.replicaVersions(dir) == Seq(1L))
-    assert(content(dir) == Seq((1L, "a")))
+    assert(ex.getMessage.contains("'n'") && ex.getMessage.contains("WIDENING"))
+    // the rejected batch left no trace: same versions, same content
+    assert(CdcStream.replicaVersions(dir) == Seq(1L, 2L))
+    assert(content(dir) == Seq((1L, "a2")))
     assert(!new java.io.File(dir).listFiles()
       .exists(_.getName.startsWith(".staging-")))
   }
