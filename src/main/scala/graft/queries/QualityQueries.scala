@@ -63,20 +63,41 @@ object QualityQueries {
     },
 
     // --- q47: referential-integrity + uniqueness audit ----------------
-    // One output row per declared constraint: FK orphan counts via
-    // anti-joins (broadcast for bounded dims; shuffle for fact⋈fact)
-    // and primary-key uniqueness via count − distinct. The union of
-    // tiny 1-row aggregates is driver-cheap; each leg is an
-    // independent, fully pushed-down job.
+    // One output row per declared constraint. r15 (guide §1.2, fewer
+    // passes): the old shape ran each FK leg as its own anti-join PLUS
+    // its own count(*), scanning lineitem SIX times (3 legs × orphans
+    // + total); all three lineitem FK checks now ride ONE scan — three
+    // existence left joins against DEDUPLICATED parent keys (dedup
+    // keeps the null-flag count equal to the anti-join count even if a
+    // parent key were duplicated) folded into a single aggregate. At
+    // 100 TB this is 1 fact pass instead of 6. PK-uniqueness legs are
+    // unchanged one-pass aggregates; results are bit-identical.
     "q47_fk_check" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
+      val li3 = t.lineitem
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+        .join(t.orders.select($"o_orderkey").distinct(),
+          $"l_orderkey" === $"o_orderkey", "left")
+        .join(broadcast(t.part.select($"p_partkey").distinct()),
+          $"l_partkey" === $"p_partkey", "left")
+        .join(broadcast(t.supplier.select($"s_suppkey").distinct()),
+          $"l_suppkey" === $"s_suppkey", "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("v_orders"),
+          sum(when($"p_partkey".isNull, 1L).otherwise(0L)).as("v_part"),
+          sum(when($"s_suppkey".isNull, 1L).otherwise(0L)).as("v_supplier"))
+      val liLegs = li3.select(expr(
+        """stack(3,
+          |  'fk_lineitem_orders',   n_child, v_orders,
+          |  'fk_lineitem_part',     n_child, v_part,
+          |  'fk_lineitem_supplier', n_child, v_supplier)
+          |  AS (check_name, n_child, n_violations)""".stripMargin))
       def fk(name: String, child: DataFrame, childKey: String,
-          parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+          parent: DataFrame, parentKey: String): DataFrame = {
         val p = parent.select(col(parentKey))
         val orphans = child
-          .join(if (bcast) broadcast(p) else p,
-            col(childKey) === col(parentKey), "left_anti")
+          .join(broadcast(p), col(childKey) === col(parentKey), "left_anti")
           .agg(count(lit(1)).as("n_violations"))
         val total = child.agg(count(lit(1)).as("n_child"))
         orphans.crossJoin(total)
@@ -88,14 +109,9 @@ object QualityQueries {
           .select(lit(name).as("check_name"), $"n_child",
             $"n_violations".cast("long").as("n_violations"))
       Seq(
-        fk("fk_lineitem_orders", t.lineitem, "l_orderkey",
-          t.orders, "o_orderkey", bcast = false),
-        fk("fk_lineitem_part", t.lineitem, "l_partkey",
-          t.part, "p_partkey", bcast = true),
-        fk("fk_lineitem_supplier", t.lineitem, "l_suppkey",
-          t.supplier, "s_suppkey", bcast = true),
+        liLegs,
         fk("fk_orders_customer", t.orders, "o_custkey",
-          t.customer, "c_custkey", bcast = true),
+          t.customer, "c_custkey"),
         unique("pk_orders", t.orders, "o_orderkey"),
         unique("pk_part", t.part, "p_partkey"),
         unique("pk_customer", t.customer, "c_custkey"))

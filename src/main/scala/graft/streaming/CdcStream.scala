@@ -3611,10 +3611,18 @@ object CdcStream {
         }: _*)
       case None => keys.select(idCols.map(keys(_)): _*)
     }).distinct()
+    // materialize the typed key set ONCE (r15): the erasure consumes
+    // it from several actions (touched-bucket collect, bucket rewrite
+    // anti-joins, the per-version feed scrub) — each would otherwise
+    // re-run the caller's whole key derivation (often a table scan +
+    // distinct).
+    val (keysM, dropKeys) = graft.llm.IndexArtifacts.materializeOwned(
+      spark, typedKeys, "erase-keys")
+    try {
     val bucketOf = pmod(
-      hash(m.bucketCols.getOrElse(idCols).map(typedKeys(_)): _*),
+      hash(m.bucketCols.getOrElse(idCols).map(keysM(_)): _*),
       lit(m.numBuckets))
-    val touched = typedKeys.select(bucketOf.as("__bucket")).distinct()
+    val touched = keysM.select(bucketOf.as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     val rewrite = m.buckets.filter { case (k, _) => touched(k) }
     val touchedDeltas = m.deltas.keySet.filter(touched)
@@ -3629,7 +3637,7 @@ object CdcStream {
           .map { case (k, p) =>
             spark.read.schema(fullSchema.get)
               .parquet(resolveStorePath(replicaDir, p))
-              .join(typedKeys, idCols, "left_anti")
+              .join(keysM, idCols, "left_anti")
               .withColumn("__bucket", lit(k)) }
           .reduce(_.unionByName(_))
           .repartition(rewrite.size, col("__bucket"))
@@ -3646,7 +3654,7 @@ object CdcStream {
           lit(m.numBuckets))
         mergedBucketRead(spark, replicaDir, m, touched,
             keepDeletes = true).foreach { r =>
-          r.join(typedKeys, idCols, "left_anti")
+          r.join(keysM, idCols, "left_anti")
             .withColumn("__bucket", routeBy)
             .repartition(math.max(touched.size, 1), col("__bucket"))
             .write.partitionBy("__bucket").parquet(s"$staging/data")
@@ -3705,11 +3713,11 @@ object CdcStream {
       feedChangesDir(replicaDir, vv).foreach { d =>
         val df = spark.read.parquet(d.toString)
         if (idCols.forall(df.columns.contains) &&
-            df.join(typedKeys, idCols, "left_semi")
+            df.join(keysM, idCols, "left_semi")
               .limit(1).count() > 0) {
           val next = new java.io.File(d.toString + ".next")
           deleteRecursively(next)
-          df.join(typedKeys, idCols, "left_anti")
+          df.join(keysM, idCols, "left_anti")
             .write.parquet(next.toString)
           val aside = new java.io.File(
             d.getParent, s".changes-erased-${System.nanoTime()}")
@@ -3721,6 +3729,7 @@ object CdcStream {
         }
       }
     }
+    } finally dropKeys()
   }
 
   /** A fresh staging directory under `replicaDir` for a writer to
@@ -4110,7 +4119,6 @@ object CdcStream {
         * — see [[publishVersion]]'s `flipPointer` and
         * [[flipPreparedVersion]]. */
       prepareOnly: Boolean = false): Option[Long] = {
-    val spark = batch.sparkSession
     bucketCols.foreach(_.filterNot(idCols.contains).foreach(c =>
       throw new IllegalArgumentException(
         s"applyBatchToReplica: bucketCol '$c' must be one of idCols $idCols")))
@@ -4129,17 +4137,56 @@ object CdcStream {
     // actions over it (touched-bucket collect, keys broadcast, upsert
     // union), and each would otherwise recompute the whole batch plan —
     // which for a streaming micro-batch means re-reading and re-parsing
-    // the source's changelog files per action
-    val (net, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
+    // the source's changelog files per action.
+    // (r15 measured detour, kept for the record: deriving the touched
+    // set via Dataset.observe on this write — saving the collect job —
+    // costs MORE than it saves: the CollectMetrics node adds ~130 ms
+    // to each materialization stage under the fan-out's concurrent
+    // merges, tripling src_binlog_fanout. The separate tiny collect
+    // stays.)
+    val spark = batch.sparkSession
+    val (netM, dropNet) = graft.llm.IndexArtifacts.materializeOwned(spark,
       lastOpPerKey(batch, idCols, orderCols), "replica-net")
-    try applyNetToReplica(replicaDir, net, batch.columns, idCols, opCol,
+    try applyNetToReplica(replicaDir, netM, batch.columns, idCols, opCol,
       numBuckets, watermark, recordChanges,
       conditional = if (conditionalOrder) Some(orderCols) else None,
       bucketCols = bucketCols, kind = kind, prepareOnly = prepareOnly)
     finally dropNet()
   }
 
-  private def applyNetToReplica(
+  /** TYPE-FAITHFUL NET: batch columns that arrived NARROWER than the
+    * manifest's recorded type upcast to it before anything hashes or
+    * writes — the bucket hash is type-sensitive (hash(5: int) !=
+    * hash(5L: long)), so an int-keyed batch against a long-keyed
+    * store would otherwise compute `touched` against the wrong
+    * buckets and split keys across two homes. The cast is the same
+    * lossless widening ladder the reader upcasts by; a batch column
+    * WIDER than the store is left alone for the schema-evolution
+    * checks to admit (eager, non-routing) or refuse loudly.
+    */
+  private def castNetToStore(net: DataFrame,
+      prev: Option[ReplicaManifest]): DataFrame =
+    prev.flatMap(manifestSchema) match {
+      case Some(ps) =>
+        val types = ps.fields.map(f => f.name -> f.dataType).toMap
+        val narrow = net.schema.fields.filter(bf =>
+          types.get(bf.name).exists(t =>
+            !org.apache.spark.sql.GraftColumnBridge
+              .sameTypeIgnoreNullability(t, bf.dataType) &&
+              isTypeWidening(bf.dataType, t)))
+        narrow.foldLeft(net)((d, bf) =>
+          d.withColumn(bf.name, col(bf.name).cast(types(bf.name))))
+      case None => net
+    }
+
+  /** Package-private for [[SecondaryIndex]]: its batch entry points
+    * already hold a MATERIALIZED per-key net, so routing the primary
+    * commit through [[applyBatchToReplica]] would re-run the per-key
+    * window and re-materialize an identical copy (one redundant write
+    * job per batch — r15). Callers here must pass a net that is
+    * already last-op-per-key.
+    */
+  private[streaming] def applyNetToReplica(
       replicaDir: String,
       net: DataFrame,
       batchCols: Array[String],
@@ -4167,29 +4214,11 @@ object CdcStream {
     new java.io.File(replicaDir).mkdirs()
     val cur = currentVersion(replicaDir)
     val prev = cur.flatMap { case (_, name) => readManifest(replicaDir, name) }
-    // TYPE-FAITHFUL NET: batch columns that arrived NARROWER than the
-    // manifest's recorded type upcast to it before anything hashes or
-    // writes — the bucket hash is type-sensitive (hash(5: int) !=
-    // hash(5L: long)), so an int-keyed batch against a long-keyed
-    // store would otherwise compute `touched` against the wrong
-    // buckets and split keys across two homes. The cast is the same
-    // lossless widening ladder the reader upcasts by; a batch column
-    // WIDER than the store is left alone for the schema-evolution
-    // checks below to admit (eager, non-routing) or refuse loudly.
-    val netT = prev.flatMap(manifestSchema) match {
-      case Some(ps) =>
-        val types = ps.fields.map(f => f.name -> f.dataType).toMap
-        val narrow = net.schema.fields.filter(bf =>
-          types.get(bf.name).exists(t =>
-            !org.apache.spark.sql.GraftColumnBridge
-              .sameTypeIgnoreNullability(t, bf.dataType) &&
-              isTypeWidening(bf.dataType, t)))
-        narrow.foldLeft(net)((d, bf) =>
-          d.withColumn(bf.name, col(bf.name).cast(types(bf.name))))
-      case None => net
-    }
-    val upserts = netT.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
-    val keys = netT.select(idCols.map(col): _*)
+    // type-faithful net — see [[castNetToStore]] (the hint path in
+    // applyBatchToReplica runs the same cast pre-materialization; a
+    // net already cast under an equal-or-narrower snapshot re-casts
+    // losslessly, the widening ladder being transitive)
+    val netT = castNetToStore(net, prev)
     // a current version WITHOUT a manifest is the pre-bucket flat
     // layout: merge against the whole old version once (this batch
     // migrates the replica into the bucketed layout)
@@ -4229,6 +4258,9 @@ object CdcStream {
     }
     val metaOrd: Option[Seq[String]] =
       prev.flatMap(_.condOrderCols).orElse(condNames)
+
+    val upserts = netT.filter(col(opCol) =!= "delete").select(dataCols.map(col): _*)
+    val keys = netT.select(idCols.map(col): _*)
 
     // -------- DEFERRED (merge-on-read) commit: append the net as
     // per-bucket delta files — NO base read, NO base rewrite, and NO

@@ -238,18 +238,23 @@ object SecondaryIndex {
     // order values must join the winner compare below, or a losing
     // late update on a dead key would look like a fresh insert.
     val touchedKeys = net.select(idCols.map(col): _*).distinct()
+    val pruned: Option[DataFrame] =
+      if (conditionalOrder)
+        CdcStream.readReplicaForKeysWithTombstones(spark, primaryDir,
+          idCols, touchedKeys)
+      else
+        CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
+          touchedKeys)
+    // arrival-order mode: materialize the old rows once when several
+    // indexes will read them (conditionalOrder materializes the fused
+    // compare artifact below instead — r15)
     val oldMat: Option[(DataFrame, () => Unit)] =
-      (if (conditionalOrder)
-         CdcStream.readReplicaForKeysWithTombstones(spark, primaryDir,
-           idCols, touchedKeys)
-       else
-         CdcStream.readReplicaForKeys(spark, primaryDir, idCols,
-           touchedKeys))
-        .map { o =>
-          if (specs.size > 1 || conditionalOrder)
-            graft.llm.IndexArtifacts.materializeOwned(spark, o, "gsi-old")
-          else (o, () => ())
-        }
+      if (conditionalOrder) None
+      else pruned.map { o =>
+        if (specs.size > 1)
+          graft.llm.IndexArtifacts.materializeOwned(spark, o, "gsi-old")
+        else (o, () => ())
+      }
     // the rows whose arrival CHANGES the post-state — everything, in
     // arrival-order mode; under conditionalOrder only the net rows that
     // win the merge's exact order compare (greatest order tuple across
@@ -257,13 +262,24 @@ object SecondaryIndex {
     // ties — the same window the eager merge runs). Losing rows leave
     // every index untouched. oldLive is the live pre-state the
     // stale-delete derivation reads old values from.
+    //
+    // ONE fused materialization (r15): the windowed (stored ∪ net)
+    // table carries BOTH consumers' rows — the winner set (incoming
+    // rows with rank 1) and the live pre-state (stored, non-tombstone
+    // rows) — so the old separate `gsi-old` + `gsi-cond-net` writes
+    // (two jobs, the pruned read paid twice) collapse into one write.
+    // oldLive casts back to the pruned read's exact column types: the
+    // union may have widened a column (type coercion), and the
+    // stale-delete derivation must see the store's own types.
     val (effNet, dropEff, oldLive) =
       if (!conditionalOrder)
         (net, () => (), oldMat.map(_._1))
-      else oldMat match {
+      else pruned match {
         case None => (net, () => (), None) // fresh store: all rows win
-        case Some((o, _)) =>
+        case Some(o) =>
           val ts = CdcStream.Tombstone
+          val oCols = o.columns.filterNot(_ == ts).toSeq
+          val oTypes = o.schema.fields.map(f => f.name -> f.dataType).toMap
           val stored = o
             .withColumn(opCol, when(col(ts), "delete").otherwise("update"))
             .drop(ts)
@@ -275,13 +291,16 @@ object SecondaryIndex {
             .partitionBy(idCols.map(col): _*)
             .orderBy((orderColNames.map(c => col(c).desc) :+
               col("__incoming").desc): _*)
-          val winners = all
-            .withColumn("__rn", row_number().over(w))
+          val (allM, drop) = graft.llm.IndexArtifacts.materializeOwned(
+            spark, all.withColumn("__rn", row_number().over(w)),
+            "gsi-cond-all")
+          val winners = allM
             .filter(col("__rn") === 1 && col("__incoming") === 1)
             .select(net.columns.toSeq.map(col): _*)
-          val (m, drop) = graft.llm.IndexArtifacts.materializeOwned(spark,
-            winners, "gsi-cond-net")
-          (m, drop, Some(o.filter(!col(ts)).drop(ts)))
+          val live = allM
+            .filter(col("__incoming") === 0 && col(opCol) =!= "delete")
+            .select(oCols.map(c => col(c).cast(oTypes(c)).as(c)): _*)
+          (winners, drop, Some(live))
       }
     try {
       specs.foreach { sp =>
@@ -310,16 +329,19 @@ object SecondaryIndex {
       // create — a crash between here and that commit leaves the
       // cursor one AHEAD, the redo window the entry check allows
       specs.foreach(sp => recordAppliedPrimaryVersion(sp.dir, curV + 1))
-      // the net IS the batch's last-op-per-key — merging it is
-      // equivalent to merging the batch (and its inner net pass is a
-      // window over delta-sized rows). The primary may defer too: the
-      // old-value read above already resolved against the pre-commit
-      // fold, and the NEXT batch's old-value read folds this commit's
-      // delta like any reader.
-      CdcStream.applyBatchToReplica(primaryDir, net, idCols, orderCols, opCol,
-        numBuckets = numBuckets, watermark = watermark,
-        recordChanges = recordChanges, deferMerge = deferPrimaryMerge,
-        conditionalOrder = conditionalOrder)
+      // the net IS the batch's last-op-per-key AND already
+      // materialized — commit it through the direct net entry point,
+      // skipping applyBatchToReplica's redundant per-key window and
+      // its re-materialization of an identical copy (one write job per
+      // batch saved — r15). The primary may defer too: the old-value
+      // read above already resolved against the pre-commit fold, and
+      // the NEXT batch's old-value read folds this commit's delta like
+      // any reader.
+      CdcStream.applyNetToReplica(primaryDir, net, net.columns, idCols,
+        opCol, numBuckets = numBuckets, watermark = watermark,
+        recordChanges = recordChanges,
+        conditional = if (conditionalOrder) Some(orderCols) else None,
+        defer = deferPrimaryMerge)
       // re-stamp with the primary's ACTUAL current version: fixes the
       // pre-stamp after a net-empty batch (no commit happened) and
       // after an interleaved maintenance commit took the pre-stamped
