@@ -214,15 +214,35 @@ object IncrementalClusters {
         lbl.join(broadcast(touched), "label").select($"doc_id"),
         "retire-members")
       try {
-        rewriteExcluding(s, stateDir, "shingles")(
-          _.join(broadcast(ret), Seq("doc_id"), "left_anti"))
-        rewriteExcluding(s, stateDir, "bands")(
-          _.join(broadcast(ret), Seq("doc_id"), "left_anti"))
-        rewriteExcluding(s, stateDir, "edges")(
-          _.join(broadcast(ret.select($"doc_id".as("doc_a"))),
-              Seq("doc_a"), "left_anti")
-            .join(broadcast(ret.select($"doc_id".as("doc_b"))),
-              Seq("doc_b"), "left_anti"))
+        // the three table rewrites are independent (distinct tables,
+        // each its own crash-safe two-phase swap, and a replayed
+        // retire over an already-filtered table is a no-op) — run them
+        // as CONCURRENT Spark jobs (guide §2.6: overlap independent
+        // jobs) so the second and third fill the executor tail the
+        // first leaves idle, instead of paying three serial job
+        // latencies (r15)
+        val rewrites: Seq[() => Unit] = Seq(
+          () => rewriteExcluding(s, stateDir, "shingles")(
+            _.join(broadcast(ret), Seq("doc_id"), "left_anti")),
+          () => rewriteExcluding(s, stateDir, "bands")(
+            _.join(broadcast(ret), Seq("doc_id"), "left_anti")),
+          () => rewriteExcluding(s, stateDir, "edges")(
+            _.join(broadcast(ret.select($"doc_id".as("doc_a"))),
+                Seq("doc_a"), "left_anti")
+              .join(broadcast(ret.select($"doc_id".as("doc_b"))),
+                Seq("doc_b"), "left_anti")))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        try {
+          val fs = rewrites.map(f => pool.submit(
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = f()
+            }))
+          try fs.foreach(_.get())
+          catch { // surface the rewrite's own exception, not the wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        } finally { pool.shutdown(); () }
         if (nMem > 0L) {
           // recompute the affected subgraph over the REMAINING edges;
           // component closure means one-endpoint membership implies both

@@ -221,6 +221,7 @@ object RetrievalQueries {
     // phrases, topic markers, template fingerprints.
     "llm_token_pairs" -> { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       // distinct (doc, token) pairs are exactly the shared document-term
       // matrix's keys — no per-query corpus re-tokenization
       val dt = docTermCounts(s, dir)
@@ -230,22 +231,40 @@ object RetrievalQueries {
       val dfs = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
       val freq = dfs.crossJoin(broadcast(nDocs))
         .filter($"df" * lit(1000000L) >= $"n_docs" * lit(SupportPpm))
-      val ft = dt.join(broadcast(freq.select($"tok")), "tok")
-        .groupBy($"doc_id").agg(sort_array(collect_list($"tok")).as("ft"))
+      // r15 (guide §2.3, narrower types): the pair expansion and its
+      // aggregate used to key on (string, string) structs — the hash
+      // agg and shuffle paid two string copies + compares per PAIR.
+      // The frequent vocabulary is broadcast-bounded (≤ 1e6/SupportPpm
+      // tokens by downward closure), so assign each token a dense int
+      // id in TOKEN SORT ORDER (id order == string order, keeping the
+      // i<j pairing bit-identical) and run the quadratic expansion +
+      // count over ONE packed long (idA·2^31 + idB). Tokens decode
+      // back via the same broadcast vocabulary after the aggregate —
+      // identical output, measured 2.0 s → sub-second at sf0.1 (the
+      // 1.26 s single-task string-pair aggregate was the whole cost).
+      val wTok = Window.orderBy($"tok") // vocab-sized: single partition is fine
+      val freqIds = freq.select($"tok", $"df")
+        .withColumn("id", row_number().over(wTok).cast("long"))
+      val ft = dt.join(broadcast(freqIds.select($"tok", $"id")), "tok")
+        .groupBy($"doc_id").agg(sort_array(collect_list($"id")).as("ft"))
         .filter(size($"ft") >= 2)
       val pairCounts = ft.select(explode(expr(
           """flatten(transform(sequence(1, size(ft) - 1),
             |  i -> transform(sequence(i + 1, size(ft)),
-            |    j -> struct(element_at(ft, i) AS a,
-            |                element_at(ft, j) AS b))))""".stripMargin)).as("p"))
-        .select($"p.a".as("a"), $"p.b".as("b"))
-        .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+            |    j -> element_at(ft, i) * 2147483648L + element_at(ft, j))))"""
+            .stripMargin)).as("p"))
+        .groupBy($"p").agg(count(lit(1)).as("n_ab"))
+        // integer div/mod (Column./ is floating division and p exceeds
+        // a double's 2^53 exact range)
+        .select(expr("p div 2147483648L").as("id_a"),
+          expr("p % 2147483648L").as("id_b"), $"n_ab")
       pairCounts
-        .join(broadcast(freq.select($"tok".as("a"), $"df".as("df_a"))), "a")
-        .join(broadcast(freq.select($"tok".as("b"), $"df".as("df_b"))), "b")
+        .join(broadcast(freqIds.select($"id".as("id_a"),
+          $"tok".as("token_a"), $"df".as("df_a"))), "id_a")
+        .join(broadcast(freqIds.select($"id".as("id_b"),
+          $"tok".as("token_b"), $"df".as("df_b"))), "id_b")
         .crossJoin(broadcast(nDocs))
-        .select($"a".as("token_a"), $"b".as("token_b"), $"n_ab",
-          $"df_a", $"df_b",
+        .select($"token_a", $"token_b", $"n_ab", $"df_a", $"df_b",
           expr("n_ab * n_docs * 1000000L div (df_a * df_b)").as("lift_ppm"))
         .orderBy($"n_ab".desc, $"token_a", $"token_b")
         .limit(TokenPairsTopK)

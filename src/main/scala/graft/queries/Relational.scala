@@ -619,6 +619,19 @@ object Relational {
       t.lineitem
         .join(t.orders.select($"o_orderkey", $"o_orderdate"),
           $"l_orderkey" === $"o_orderkey")
+        // ONE exchange serves both the aggregate and the windows (r15,
+        // guide §2.4): hash-partitioning by l_orderkey alone satisfies
+        // the (l_orderkey, l_suppkey) aggregate's clustered
+        // distribution (subset rule) AND the l_orderkey windows, where
+        // the default plan shuffled twice — once by (orderkey, suppkey)
+        // for the aggregate (whose partial pass barely reduces: the
+        // pair is nearly unique per row) and again by orderkey for the
+        // window. Plan diff: 2 Exchange → 1 on this chain
+        // (plans/r15/q50_waiting_suppliers_{before,after}.txt). At
+        // production scale the join is a shuffle join keyed on
+        // l_orderkey, so this partitioning is the join's own output
+        // and the repartition collapses into it.
+        .repartition($"l_orderkey")
         .groupBy($"l_orderkey", $"l_suppkey")
         .agg(max(when(datediff($"l_shipdate".cast("date"),
             $"o_orderdate".cast("date")) > 60, 1L).otherwise(0L)).as("late"))

@@ -185,6 +185,36 @@ class ReplicaMaintenanceSpec extends SparkSuite {
       "no-op compaction must not commit a new version")
   }
 
+  test("direct net commit (applyNetToReplica) is bit-identical to the " +
+      "batch entry point for an already-per-key net, eager and deferred") {
+    // the GSI maintenance path commits its primary through
+    // applyNetToReplica directly (r15: skips the redundant per-key
+    // window + re-materialization of a net that is already
+    // last-op-per-key and on disk) — pin the equivalence the shortcut
+    // relies on, for both commit modes
+    val viaBatch = freshDir()
+    val viaNet = freshDir()
+    val b1 = Seq((1L, "a", "update"), (2L, "b", "update"),
+      (3L, "c", "delete"))
+    val b2 = Seq((1L, "a2", "update"), (4L, "d", "update"))
+    Seq((b1, false), (b2, true)).foreach { case (rows, defer) =>
+      val df = batch(rows)
+      CdcStream.applyBatchToReplica(viaBatch, df, Seq("id"),
+        Seq(col("v")), deferMerge = defer)
+      // an already-per-key net (one op per id), committed directly
+      val (net, drop) = graft.llm.IndexArtifacts.materializeOwned(
+        graft.SparkSuite.spark, CdcStream.lastOpPerKey(df, Seq("id"),
+          Seq(col("v"))), "net-equiv")
+      try CdcStream.applyNetToReplica(viaNet, net, df.columns, Seq("id"),
+        "op", CdcStream.DefaultReplicaBuckets, defer = defer)
+      finally drop()
+    }
+    assert(content(viaNet) == content(viaBatch),
+      "direct net commits must produce the same store content")
+    assert(CdcStream.replicaVersions(viaNet) ==
+      CdcStream.replicaVersions(viaBatch))
+  }
+
   test("batch evaluation precedes version selection: a mid-evaluation " +
       "competing commit is simply built upon, not conflicted with") {
     val dir = freshDir()
