@@ -174,8 +174,18 @@ object Relational {
     // (the window computation itself needs no global sort).
     "q10_running_total" -> { (s, dir) =>
       import s.implicits._
+      // l_quantity tiebreak (r15): (l_orderkey, l_linenumber) is NOT
+      // unique in this fixture, and at sf0.1 one (suppkey, shipdate,
+      // orderkey, linenumber) tuple occurs twice with DIFFERENT
+      // payloads — the frame-sensitive running sum and lag were
+      // tie-order-dependent (a latent flake; q27's twin actually
+      // fired once at 16 cores). Adding the quantity makes the order
+      // total over every output-relevant column, so any remaining tie
+      // is between output-identical rows; the oracle orders
+      // identically.
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"l_quantity")
       Tables(s, dir).lineitem
         .withColumn("running_qty",
           sum($"l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -296,8 +306,15 @@ object Relational {
     // reproducible; the frame ordering key is a total order.
     "q27_moving_avg" -> { (s, dir) =>
       import s.implicits._
+      // price_cents tiebreak (r15): same latent tie as q10 — at sf0.1
+      // one (suppkey, shipdate, orderkey, linenumber) tuple occurs
+      // twice with different prices, and the 4-row frame's sum flipped
+      // with the tie order (caught by the sf0.1 oracle re-run at 16
+      // cores). The price makes the order total over every
+      // output-relevant column; the oracle orders identically.
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"price_cents")
         .rowsBetween(-3, 0)
       Tables(s, dir).lineitem
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
@@ -793,10 +810,10 @@ object Relational {
     "q10_running_total" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q11_rollup" ->
@@ -854,7 +871,7 @@ object Relational {
          |        ${centsSql("l_extendedprice")} AS price_cents
          |      FROM lineitem)
          |WINDOW w AS (PARTITION BY l_suppkey
-         |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, price_cents
          |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
