@@ -240,6 +240,17 @@ object IncrementalClusters {
           try fs.foreach(_.get())
           catch { // surface the rewrite's own exception, not the wrapper
             case e: java.util.concurrent.ExecutionException =>
+              // a failed rewrite must not leave the sibling rewrite
+              // threads running past retire(): the enclosing finallys
+              // delete the ret/mem artifacts they read, and an orphan
+              // mid two-phase swap would break the single-writer
+              // invariant on the error path — cancel and AWAIT before
+              // rethrowing (the swap itself is replay-safe:
+              // recoverSwap handles a torn .next/.trash on the next
+              // retire)
+              pool.shutdownNow()
+              pool.awaitTermination(60,
+                java.util.concurrent.TimeUnit.SECONDS)
               throw e.getCause
           }
         } finally { pool.shutdown(); () }

@@ -61,6 +61,34 @@ object EventQueries {
     ()
   }
 
+  /** Run two INDEPENDENT store operations as concurrent Spark jobs
+    * (guide §2.6: actions are only sequential because driver code
+    * calls them sequentially). Used where a gate drives the same
+    * mutation against two disjoint stores (SQL copy vs API copy) and
+    * only compares AFTER both land — the second op back-fills the
+    * executor tail the first leaves idle. On failure the surviving
+    * thread is cancelled and awaited before the rethrow, so no
+    * mutation outlives the call.
+    */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = a
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = b
+      })
+      try (fa.get(), fb.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw e.getCause
+      }
+    } finally { pool.shutdown(); () }
+  }
+
   private[queries] def sharedReplica(s: SparkSession, dir: String): String =
     graft.llm.IndexArtifacts.cachedPath(dir, "cdc-replica") { out =>
       import s.implicits._
@@ -749,23 +777,28 @@ object EventQueries {
         .orderBy($"user_id")
     },
 
-    // --- cdc: RESTORE × GSI composition (r11) ---------------------------
+    // --- cdc: RESTORE × GSI composition (r11; sized recovery r16) -------
     // restoreReplica rolls an indexed primary back METADATA-ONLY,
-    // leaving any index stale by documented design. This gate proves
-    // the sanctioned recovery end to end: two indexed halves commit
-    // (feed recorded), RESTORE to v1, then the index REBUILDS into a
-    // fresh dir (buildIndex) and swaps in — the banded lookup through
-    // the rebuilt index must serve the ROLLED-BACK state exactly
-    // (oracle = the first half's last-writer fold, banded). The
-    // delta-cost alternative — replaying the restore's feed entry
-    // through maintainIndexesFromFeed — is spec-pinned equal to this
-    // rebuild in SecondaryIndexSpec.
+    // leaving any index stale by documented design. The recovery is
+    // SIZE-CONDITIONAL (r16): the restore's feed entry IS the
+    // divergence-sized rollback diff, and when the diff is small
+    // relative to the rolled-back state — every production rollback at
+    // 100 TB — maintainIndexesFromFeed replays that one entry and
+    // converges the EXISTING index at O(diff) cost, never a primary
+    // scan. When the diff RIVALS the store (this fixture's rollback
+    // unwinds half of it), the replay's per-key window + pruned
+    // old-value read + index merge measurably cost MORE jobs than the
+    // O(store) buildIndex-into-fresh-dir it exists to avoid (78 vs 68
+    // jobs, 5.4 vs 4.3 s at sf0.1) — so the policy picks by the two
+    // row counts, both free parquet-footer metadata (no Spark job).
+    // Both arms are spec-pinned bit-identical in SecondaryIndexSpec,
+    // so the choice cannot change the result; the oracle (the first
+    // half's last-writer fold, banded) pins either.
     "cdc_restore_indexed" -> { (s, dir) =>
       import s.implicits._
-      import graft.streaming.SecondaryIndex
+      import graft.streaming.{CdcStream, SecondaryIndex}
       val primary = graft.llm.IndexArtifacts.tempDir("gsi-rst-primary")
       val index = graft.llm.IndexArtifacts.tempDir("gsi-rst-index")
-      val index2 = graft.llm.IndexArtifacts.tempDir("gsi-rst-index2")
       val ev = Tables(s, dir).events
         .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
           cents($"value").as("value_cents"), opCol($"event_type").as("op"))
@@ -778,14 +811,36 @@ object EventQueries {
       SecondaryIndex.applyBatchWithIndex(s, primary, index,
         ev.filter($"ms" >= cut), Seq("user_id"), Seq("ms", "event_id"),
         band, "band", recordChanges = true)
-      graft.streaming.CdcStream.restoreReplica(s, primary, toVersion = 1L,
+      CdcStream.restoreReplica(s, primary, toVersion = 1L,
         recordChanges = true)
-      // rebuild into a FRESH dir and swap (the in-place-rebuild refusal
-      // is the documented contract); `index` stays as the stale husk
-      SecondaryIndex.buildIndex(s, primary,
-        SecondaryIndex.IndexSpec(index2, band, "band"),
-        Seq("user_id"), Seq("ms", "event_id"))
-      SecondaryIndex.lookupByIndex(s, primary, index2, Seq("user_id"),
+      val restoredV = CdcStream.replicaCurrentVersion(primary).get
+      // diff rows = the restore entry's net; target-state rows = v1's
+      // recorded net (exactly the live rows the rollback lands on) —
+      // both from parquet footers, zero jobs
+      val diffRows = graft.llm.IndexArtifacts.parquetRowCount(
+        f"$primary/v$restoredV%09d/changes")
+      val targetRows = graft.llm.IndexArtifacts.parquetRowCount(
+        f"$primary/v${1L}%09d/changes")
+      val lookupVia =
+        if (diffRows * 4 < targetRows) {
+          // small diff: replay it through the EXISTING index (whose
+          // cursor sits at the pre-restore version — exactly the state
+          // the entry's old-value read resolves against)
+          SecondaryIndex.maintainIndexesFromFeed(s, primary,
+            Seq(SecondaryIndex.IndexSpec(index, band, "band")),
+            restoredV, Seq("user_id"), Seq("ms", "event_id"))
+          index
+        } else {
+          // store-sized diff: rebuild into a FRESH dir and swap (the
+          // in-place-rebuild refusal is the documented contract);
+          // `index` stays as the stale husk
+          val index2 = graft.llm.IndexArtifacts.tempDir("gsi-rst-index2")
+          SecondaryIndex.buildIndex(s, primary,
+            SecondaryIndex.IndexSpec(index2, band, "band"),
+            Seq("user_id"), Seq("ms", "event_id"))
+          index2
+        }
+      SecondaryIndex.lookupByIndex(s, primary, lookupVia, Seq("user_id"),
           band, "band", Seq(2L, 3L).toDF("band"))
         .select($"band", $"user_id", $"event_id".as("last_event_id"),
           $"value_cents")
@@ -1517,26 +1572,35 @@ object EventQueries {
       import graft.streaming.CdcStream
       val viaSql = graft.llm.IndexArtifacts.tempDir("sqlops-sql")
       val viaApi = graft.llm.IndexArtifacts.tempDir("sqlops-api")
-      copyDir(new java.io.File(sharedReplica(s, dir)),
-        new java.io.File(viaSql))
-      copyDir(new java.io.File(sharedReplica(s, dir)),
-        new java.io.File(viaApi))
+      // the SQL-driven and API-driven stores are DISJOINT copies and
+      // the parity compare only runs after BOTH sides land, so every
+      // copy/mutate/read pair below overlaps as concurrent jobs
+      // (guide §2.6, r16) — same ops, same compares, half the serial
+      // job-latency chain
+      val shared = new java.io.File(sharedReplica(s, dir))
+      par2(copyDir(shared, new java.io.File(viaSql)),
+        copyDir(shared, new java.io.File(viaApi)))
       val toErase = Tables(s, dir).events
         .select($"user_id").distinct().filter($"user_id" % 97 === 0)
       toErase.createOrReplaceTempView("__sqlops_erase_keys")
       def state(p: String) = CdcStream.readReplica(s, p).get
         .select($"user_id", $"event_id", $"value_cents")
         .orderBy($"user_id", $"event_id")
-      s.sql(s"ERASE KEYS (user_id) FROM REPLICA '$viaSql' " +
-        "USING (SELECT user_id FROM __sqlops_erase_keys)").collect()
-      CdcStream.eraseKeys(s, viaApi, Seq("user_id"), toErase)
-      require(state(viaSql).collect().toSeq == state(viaApi).collect().toSeq,
+      def statesMatch(): (Seq[org.apache.spark.sql.Row],
+          Seq[org.apache.spark.sql.Row]) =
+        par2(state(viaSql).collect().toSeq, state(viaApi).collect().toSeq)
+      par2(
+        s.sql(s"ERASE KEYS (user_id) FROM REPLICA '$viaSql' " +
+          "USING (SELECT user_id FROM __sqlops_erase_keys)").collect(),
+        CdcStream.eraseKeys(s, viaApi, Seq("user_id"), toErase))
+      require(statesMatch() match { case (a, b) => a == b },
         "ERASE KEYS via SQL diverged from the Scala API")
       val nb = CdcStream.DefaultReplicaBuckets * 3
-      s.sql(s"REBUCKET REPLICA '$viaSql' KEYS (user_id) TO $nb BUCKETS")
-        .collect()
-      CdcStream.rebucketReplica(s, viaApi, Seq("user_id"), nb)
-      require(state(viaSql).collect().toSeq == state(viaApi).collect().toSeq,
+      par2(
+        s.sql(s"REBUCKET REPLICA '$viaSql' KEYS (user_id) TO $nb BUCKETS")
+          .collect(),
+        CdcStream.rebucketReplica(s, viaApi, Seq("user_id"), nb))
+      require(statesMatch() match { case (a, b) => a == b },
         "REBUCKET via SQL diverged from the Scala API")
       // fence parity: a frozen store's ERASE refuses from SQL exactly
       // as from Scala — the requireUnfrozen exception, not a parse or

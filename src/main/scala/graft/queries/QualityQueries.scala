@@ -39,6 +39,21 @@ object QualityQueries {
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** SIZE-CONDITIONAL broadcast hint (r16, guide §3.1): an
+    * unconditional `broadcast()` on an FK parent's key set pins a plan
+    * that dies at 100 TB — billions of parent keys blow the 8 GB /
+    * 512M-row broadcast cap. Hint only when the pruned key projection's
+    * optimizer size estimate is provably small (driver-side plan
+    * metadata, no job); above the bound the planner chooses from real
+    * sizes (AQE still converts to broadcast at runtime if the actual
+    * distinct output is tiny). 256 MB bound: comfortably broadcastable,
+    * far above every bench-scale dimension, far below the cap.
+    */
+  private def hintIfSmall(df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= 0 && est <= BigInt(256L << 20)) broadcast(df) else df
+  }
+
   val defs: Map[String, QFn] = Map(
     // --- q46: one-pass column profiler --------------------------------
     // All per-column stats (null count, min, max) and the row count in
@@ -79,9 +94,9 @@ object QualityQueries {
         .select($"l_orderkey", $"l_partkey", $"l_suppkey")
         .join(t.orders.select($"o_orderkey").distinct(),
           $"l_orderkey" === $"o_orderkey", "left")
-        .join(broadcast(t.part.select($"p_partkey").distinct()),
+        .join(hintIfSmall(t.part.select($"p_partkey").distinct()),
           $"l_partkey" === $"p_partkey", "left")
-        .join(broadcast(t.supplier.select($"s_suppkey").distinct()),
+        .join(hintIfSmall(t.supplier.select($"s_suppkey").distinct()),
           $"l_suppkey" === $"s_suppkey", "left")
         .agg(count(lit(1)).as("n_child"),
           sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("v_orders"),
@@ -97,7 +112,7 @@ object QualityQueries {
           parent: DataFrame, parentKey: String): DataFrame = {
         val p = parent.select(col(parentKey))
         val orphans = child
-          .join(broadcast(p), col(childKey) === col(parentKey), "left_anti")
+          .join(hintIfSmall(p), col(childKey) === col(parentKey), "left_anti")
           .agg(count(lit(1)).as("n_violations"))
         val total = child.agg(count(lit(1)).as("n_child"))
         orphans.crossJoin(total)

@@ -192,7 +192,16 @@ object Relational {
         .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
           $"running_qty", $"prev_qty")
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+        // final-order totality (r16, advisor): the duplicate fixture
+        // tuple differs in l_quantity AND the running columns, so the
+        // old 3-column order left the tied rows' relative order
+        // engine-dependent. Quantities are positive, so running_qty is
+        // STRICTLY increasing within a suppkey partition — appending
+        // (l_quantity, running_qty) makes the output order total (and
+        // pins prev_qty too: equal running_qty means the same window
+        // position). The oracle orders identically.
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"running_qty")
     },
 
     // --- q11: rollup (grouping sets) ------------------------------------
@@ -324,7 +333,14 @@ object Relational {
           $"mov_cents".cast("double") / count(lit(1)).over(w).cast("double"))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           $"price_cents", $"mov_cents", $"mov_avg")
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+        // final-order totality (r16, advisor): the duplicate tuple's
+        // rows differ in price_cents and the frame columns; appending
+        // every remaining output column (mov_avg = two exact ints'
+        // IEEE quotient — bitwise identical across engines) makes any
+        // residual tie output-identical, so the order-sensitive hash
+        // compare is deterministic. The oracle orders identically.
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"price_cents", $"mov_cents", $"mov_avg")
     },
 
     // --- q12: distinct over a join --------------------------------------
@@ -633,22 +649,35 @@ object Relational {
       import s.implicits._
       val t = Tables(s, dir)
       val wO = Window.partitionBy($"l_orderkey")
-      t.lineitem
-        .join(t.orders.select($"o_orderkey", $"o_orderdate"),
-          $"l_orderkey" === $"o_orderkey")
-        // ONE exchange serves both the aggregate and the windows (r15,
-        // guide §2.4): hash-partitioning by l_orderkey alone satisfies
-        // the (l_orderkey, l_suppkey) aggregate's clustered
-        // distribution (subset rule) AND the l_orderkey windows, where
-        // the default plan shuffled twice — once by (orderkey, suppkey)
-        // for the aggregate (whose partial pass barely reduces: the
-        // pair is nearly unique per row) and again by orderkey for the
-        // window. Plan diff: 2 Exchange → 1 on this chain
-        // (plans/r15/q50_waiting_suppliers_{before,after}.txt). At
-        // production scale the join is a shuffle join keyed on
-        // l_orderkey, so this partitioning is the join's own output
-        // and the repartition collapses into it.
-        .repartition($"l_orderkey")
+      val ordSel = t.orders.select($"o_orderkey", $"o_orderdate")
+      // ONE exchange serves both the aggregate and the windows (r15,
+      // guide §2.4): hash-partitioning by l_orderkey alone satisfies
+      // the (l_orderkey, l_suppkey) aggregate's clustered distribution
+      // (subset rule) AND the l_orderkey windows, where the default
+      // plan shuffled twice — once by (orderkey, suppkey) for the
+      // aggregate (whose partial pass barely reduces: the pair is
+      // nearly unique per row) and again by orderkey for the window.
+      // Plan diff: 2 Exchange → 1 on this chain
+      // (plans/r15/q50_waiting_suppliers_{before,after}.txt).
+      //
+      // SIZE-CONDITIONAL (r16): the explicit repartition is only right
+      // when the join BROADCASTS orders (join output then carries the
+      // scan's partitioning, and without the repartition the agg and
+      // window would shuffle the fact rows twice). When orders is too
+      // big to broadcast the join is itself a shuffle join keyed on
+      // the order key whose output partitioning ALREADY satisfies both
+      // — and a user-specified repartition is NOT removed by the
+      // planner, so keeping it would add back a redundant full fact
+      // shuffle (plans/r16/q50_waiting_suppliers_bigjoin_*.txt). The
+      // branch reads the same driver-side size estimate the planner
+      // broadcasts by — plan metadata, no job.
+      val bcBytes = BigInt(org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(s.conf.get(
+          "spark.sql.autoBroadcastJoinThreshold", "10MB")))
+      val ordersBroadcasts = bcBytes > 0 &&
+        ordSel.queryExecution.optimizedPlan.stats.sizeInBytes <= bcBytes
+      val joined = t.lineitem.join(ordSel, $"l_orderkey" === $"o_orderkey")
+      (if (ordersBroadcasts) joined.repartition($"l_orderkey") else joined)
         .groupBy($"l_orderkey", $"l_suppkey")
         .agg(max(when(datediff($"l_shipdate".cast("date"),
             $"o_orderdate".cast("date")) > 60, 1L).otherwise(0L)).as("late"))
@@ -814,7 +843,9 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  running_qty""".stripMargin,
 
     "q11_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -873,7 +904,8 @@ object Relational {
          |WINDOW w AS (PARTITION BY l_suppkey
          |  ORDER BY l_shipdate, l_orderkey, l_linenumber, price_cents
          |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber, price_cents,
+         |  mov_cents, mov_avg""".stripMargin,
 
     "q12_distinct_pairs" ->
       """SELECT DISTINCT c_mktsegment, o_orderpriority

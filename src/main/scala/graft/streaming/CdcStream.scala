@@ -3708,25 +3708,71 @@ object CdcStream {
     }
     // 3: scrub the change feed (only versions whose nets carry the
     // keys) — INCLUDING `_feed`-retained entries: feed retention must
-    // not let an erased key outlive the erasure in GC'd history
-    feedVersions(replicaDir).foreach { vv =>
-      feedChangesDir(replicaDir, vv).foreach { d =>
-        val df = spark.read.parquet(d.toString)
-        if (idCols.forall(df.columns.contains) &&
-            df.join(keysM, idCols, "left_semi")
-              .limit(1).count() > 0) {
-          val next = new java.io.File(d.toString + ".next")
-          deleteRecursively(next)
-          df.join(keysM, idCols, "left_anti")
-            .write.parquet(next.toString)
-          val aside = new java.io.File(
-            d.getParent, s".changes-erased-${System.nanoTime()}")
-          java.nio.file.Files.move(d.toPath, aside.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          java.nio.file.Files.move(next.toPath, d.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(aside)
-        }
+    // not let an erased key outlive the erasure in GC'd history.
+    // ONE probe job decides WHICH versions carry the keys (r16): the
+    // old shape paid one semi-join driver job PER feed version; the
+    // versions' key projections union (cast to the key set's types —
+    // the store's recorded widest, so the cast is the same lossless
+    // widening every reader applies) and semi-join ONCE, returning the
+    // touched version ids in a single bounded collect. The touched
+    // versions' rewrites are then independent (distinct directories,
+    // each its own atomic two-move swap), so they run as CONCURRENT
+    // Spark jobs from a bounded pool (guide §2.6) instead of paying
+    // one serial job latency apiece.
+    val keyTypes = keysM.schema.fields.map(f => f.name -> f.dataType).toMap
+    val scrubbable: Seq[(Long, java.io.File)] =
+      feedVersions(replicaDir).flatMap { vv =>
+        feedChangesDir(replicaDir, vv).map(vv -> _)
+      }.filter { case (_, d) =>
+        // schema gate is parquet-footer metadata — no Spark job
+        val cols = spark.read.parquet(d.toString).columns
+        idCols.forall(cols.contains)
+      }
+    if (scrubbable.nonEmpty) {
+      val touchedVs: Set[Long] = scrubbable.map { case (vv, d) =>
+        spark.read.parquet(d.toString)
+          .select(idCols.map(c => col(c).cast(keyTypes(c)).as(c)): _*)
+          .withColumn("__v", lit(vv))
+      }.reduce(_.unionByName(_))
+        .join(keysM, idCols, "left_semi")
+        .select(col("__v")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val jobs = scrubbable.filter { case (vv, _) => touchedVs(vv) }
+      if (jobs.nonEmpty) {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(4, jobs.size))
+        try {
+          val fs = jobs.map { case (_, d) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                val next = new java.io.File(d.toString + ".next")
+                deleteRecursively(next)
+                spark.read.parquet(d.toString)
+                  .join(keysM, idCols, "left_anti")
+                  .write.parquet(next.toString)
+                val aside = new java.io.File(
+                  d.getParent, s".changes-erased-${System.nanoTime()}")
+                java.nio.file.Files.move(d.toPath, aside.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                java.nio.file.Files.move(next.toPath, d.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                deleteRecursively(aside)
+              }
+            })
+          }
+          try fs.foreach(_.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              // a failed scrub must not leave sibling scrub threads
+              // racing the caller's cleanup (keysM drops below): cancel
+              // and AWAIT before rethrowing — the swap is replay-safe
+              // (a re-run erase re-derives the same anti-join)
+              pool.shutdownNow()
+              pool.awaitTermination(60,
+                java.util.concurrent.TimeUnit.SECONDS)
+              throw e.getCause
+          }
+        } finally { pool.shutdown(); () }
       }
     }
     } finally dropKeys()
@@ -4214,9 +4260,10 @@ object CdcStream {
     new java.io.File(replicaDir).mkdirs()
     val cur = currentVersion(replicaDir)
     val prev = cur.flatMap { case (_, name) => readManifest(replicaDir, name) }
-    // type-faithful net — see [[castNetToStore]] (the hint path in
-    // applyBatchToReplica runs the same cast pre-materialization; a
-    // net already cast under an equal-or-narrower snapshot re-casts
+    // type-faithful net — see [[castNetToStore]]. The cast runs HERE,
+    // for both entry points: applyBatchToReplica materializes its net
+    // uncast and this is the only castNetToStore call site (a net a
+    // caller pre-cast under an equal-or-narrower snapshot re-casts
     // losslessly, the widening ladder being transitive)
     val netT = castNetToStore(net, prev)
     // a current version WITHOUT a manifest is the pre-bucket flat

@@ -72,6 +72,38 @@ object SecondaryIndex {
 
   private val CursorFile = "_applied_primary_version"
 
+  /** Run one independent commit per index spec as CONCURRENT Spark
+    * jobs when there is more than one (guide §2.6) — index stores are
+    * distinct dirs, each commit its own staging + lock, and every
+    * caller's crash-recovery argument is per-index (a replay converges
+    * ANY subset of already-committed indexes; nothing requires the
+    * commits to land in spec order). Single-spec calls stay inline —
+    * no pool churn on the common path. On failure the surviving
+    * threads are cancelled and awaited before the rethrow, so no index
+    * commit outlives the call.
+    */
+  private def eachConcurrently(specs: Seq[IndexSpec])(
+      commit: IndexSpec => Unit): Unit =
+    if (specs.size <= 1) specs.foreach(commit)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(4, specs.size))
+      try {
+        val fs = specs.map(sp =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = commit(sp)
+          }))
+        try fs.foreach(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            pool.awaitTermination(60,
+              java.util.concurrent.TimeUnit.SECONDS)
+            throw e.getCause
+        }
+      } finally { pool.shutdown(); () }
+    }
+
   /** The primary version this index store reflects (None: never
     * recorded — pre-cursor index stores, or a dir that isn't one).
     */
@@ -174,10 +206,11 @@ object SecondaryIndex {
     * stops at one GSI). ONE key-pruned old-value read serves every
     * index (the touched keys' current rows are materialized once, each
     * index derives its old value from them), and ALL index commits
-    * land before the primary's: a crash anywhere in the sequence
-    * leaves some prefix of the indexes ahead by one batch, and the
-    * replay — whose old-value read still sees the unmerged primary —
-    * recomputes identical delete/upsert sets for every index, so
+    * land before the primary's: a crash anywhere in the commit phase
+    * leaves some subset of the indexes ahead by one batch (the
+    * commits run concurrently — r16), and the replay — whose
+    * old-value read still sees the unmerged primary — recomputes
+    * identical delete/upsert sets for every index, so
     * already-committed indexes re-apply idempotent content and the
     * rest catch up. (Primary-first would be unrecoverable for every
     * index at once; see the ordering note below.)
@@ -303,23 +336,27 @@ object SecondaryIndex {
           (winners, drop, Some(live))
       }
     try {
-      specs.foreach { sp =>
+      // INDEXES COMMIT FIRST. A crash during the commits then leaves
+      // a SUBSET of indexes AHEAD by one batch — the replay recomputes
+      // the SAME dels/ups from the still-unmerged primary and each
+      // index re-apply converges (idempotent content); the recovery
+      // argument is per-index, so the commits need no mutual order and
+      // run as CONCURRENT Spark jobs (guide §2.6, r16 — distinct
+      // stores, each its own staging + commit lock; cursor stamps
+      // still happen only after ALL commits land, below).
+      // Committing the primary first would be the unrecoverable
+      // order: the replay's old-value read would run against the
+      // already-merged primary, see old == new, compute an EMPTY
+      // stale-delete set, and the pre-batch (old value, key) entries
+      // would accrete forever — read-repair hides them from
+      // [[lookupByIndex]], but [[lookupCovered]] would serve them.
+      // Forward entries in the crash window are the benign
+      // direction: the verified lookup drops them (no primary row to
+      // confirm against) and the replay erases the window.
+      eachConcurrently(specs) { sp =>
         val oldIdx = oldLive.map { o =>
           o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
         }
-        // INDEXES COMMIT FIRST. A crash between any two commits then
-        // leaves a prefix of indexes AHEAD by one batch — the replay
-        // recomputes the SAME dels/ups from the still-unmerged primary
-        // and each index re-apply converges (idempotent content).
-        // Committing the primary first would be the unrecoverable
-        // order: the replay's old-value read would run against the
-        // already-merged primary, see old == new, compute an EMPTY
-        // stale-delete set, and the pre-batch (old value, key) entries
-        // would accrete forever — read-repair hides them from
-        // [[lookupByIndex]], but [[lookupCovered]] would serve them.
-        // Forward entries in the crash window are the benign
-        // direction: the verified lookup drops them (no primary row to
-        // confirm against) and the replay erases the window.
         CdcStream.applyBatchToReplica(sp.dir,
           indexDelta(effNet, oldIdx, sp, idCols, orderColNames, opCol),
           idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
@@ -449,7 +486,12 @@ object SecondaryIndex {
               graft.llm.IndexArtifacts.materializeOwned(spark, o, "gsi-feed-old")
             else (o, () => ())
           }
-      try specs.foreach { sp =>
+      // concurrent per-index commits (r16): each index stamps right
+      // after ITS OWN commit, so a crash mid-way leaves applied
+      // indexes at `version` (redo-allowed) and unapplied ones at
+      // `version - 1` (catch up) — exactly the serial loop's states,
+      // just reachable in any subset order
+      try eachConcurrently(specs) { sp =>
         val oldIdx = oldMat.map { case (o, _) =>
           o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
         }
@@ -457,9 +499,6 @@ object SecondaryIndex {
           indexDelta(net, oldIdx, sp, idCols, orderColNames, opCol),
           idCols = sp.name +: idCols, orderCols = orderCols, opCol = opCol,
           bucketCols = Some(Seq(sp.name)), deferMerge = sp.defer)
-        // stamped per index, right after ITS commit: a crash
-        // mid-sequence leaves applied indexes at `version` (redo-
-        // allowed) and unapplied ones at `version - 1` (catch up)
         recordAppliedPrimaryVersion(sp.dir, version)
       } finally oldMat.foreach(_._2())
     } finally dropNet()
@@ -546,7 +585,9 @@ object SecondaryIndex {
                     "gsi-range-old")
                 else (o, () => ())
               }
-          try specs.foreach { sp =>
+          // same concurrent shape as the single-version replay: each
+          // index stamps after its own commit (r16)
+          try eachConcurrently(specs) { sp =>
             val oldIdx = oldMat.map { case (o, _) =>
               o.select(idCols.map(col) :+ sp.expr.as("__old_idx"): _*)
             }

@@ -26,6 +26,14 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    // extra session confs for WHAT-IF dumps (e.g. the production
+    // big⋈big shape via spark.sql.autoBroadcastJoinThreshold=-1):
+    // semicolon-separated k=v pairs, applied last so they win
+    sys.env.get("SPARK_GRAFT_PLAN_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

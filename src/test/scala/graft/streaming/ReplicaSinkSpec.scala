@@ -777,6 +777,53 @@ class ReplicaSinkSpec extends SparkSuite {
       .select($"user_id").as[Long].collect().toSet === ((1L to 20L).toSet - 7L))
   }
 
+  test("eraseKeys feed scrub rewrites ONLY the versions carrying the " +
+      "keys (single-probe selection, concurrent scrubs — r16)") {
+    // pins the r16 internals change: the per-version semi-join probe
+    // became ONE union probe selecting touched versions, and touched
+    // versions scrub concurrently. Selection must stay EXACT — an
+    // untouched version's changes dir is not rewritten (its files stay
+    // byte-identical in place), a touched one is.
+    val replica = Files.createTempDirectory("graft-erase-sel").toString
+    val sink = new ReplicaSink(ReplicaSinkConfig(Map(
+      "path" -> replica, "keys" -> "user_id", "orderColumns" -> "ord",
+      "changeFeed" -> "true")))
+    def batch(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "ord", "op")
+    sink.addBatch(0, batch((1L, 10L, "insert"), (2L, 10L, "insert")))
+    sink.addBatch(1, batch((3L, 20L, "insert"), (4L, 20L, "insert")))
+    sink.addBatch(2, batch((2L, 30L, "update"), (5L, 30L, "insert")))
+    def changesFiles(v: Long): Map[String, Long] = {
+      val d = new java.io.File(replica, f"v$v%09d/changes")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val v1Before = changesFiles(1)
+    val v2Before = changesFiles(2)
+    val v3Before = changesFiles(3)
+    assert(v1Before.nonEmpty && v2Before.nonEmpty && v3Before.nonEmpty)
+    // key 3 lives only in version 2's net — versions 1 and 3 must not
+    // be selected by the probe (their files stay untouched in place)
+    CdcStream.eraseKeys(spark, replica, Seq("user_id"),
+      Seq(3L).toDF("user_id"))
+    // version 2's changes dir was rewritten (different file set)…
+    assert(changesFiles(2) !== v2Before,
+      "the touched version's feed entry must be scrubbed")
+    // …the untouched versions were NOT rewritten (same files, same
+    // mtimes — the probe selected exactly the carrying version)…
+    assert(changesFiles(1) === v1Before,
+      "an untouched version's feed entry must not be rewritten")
+    assert(changesFiles(3) === v3Before,
+      "an untouched version's feed entry must not be rewritten")
+    // …and no feed entry anywhere still carries the key, while every
+    // other net row survived
+    val feed = CdcStream.readReplicaChanges(spark, replica, strict = false)
+      .get.select($"user_id").as[Long].collect().toSeq
+    assert(!feed.contains(3L))
+    assert(feed.sorted === Seq(1L, 2L, 2L, 4L, 5L))
+  }
+
   test("SQL DDL: CREATE TEMPORARY VIEW USING graft-replica serves SQL readers") {
     val replica = Files.createTempDirectory("graft-sql-view").toString
     val sink = new ReplicaSink(ReplicaSinkConfig(Map(
