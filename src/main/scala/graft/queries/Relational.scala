@@ -671,9 +671,16 @@ object Relational {
       // shuffle (plans/r16/q50_waiting_suppliers_bigjoin_*.txt). The
       // branch reads the same driver-side size estimate the planner
       // broadcasts by — plan metadata, no job.
-      val bcBytes = BigInt(org.apache.spark.network.util.JavaUtils
-        .byteStringAsBytes(s.conf.get(
-          "spark.sql.autoBroadcastJoinThreshold", "10MB")))
+      val bcBytes: BigInt = {
+        // plain numbers (including the -1 "disabled" sentinel) are not
+        // byte strings — parse them first
+        val v = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        try BigInt(java.lang.Long.parseLong(v))
+        catch {
+          case _: NumberFormatException => BigInt(
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+        }
+      }
       val ordersBroadcasts = bcBytes > 0 &&
         ordSel.queryExecution.optimizedPlan.stats.sizeInBytes <= bcBytes
       val joined = t.lineitem.join(ordSel, $"l_orderkey" === $"o_orderkey")
