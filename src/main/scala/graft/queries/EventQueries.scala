@@ -217,21 +217,27 @@ object EventQueries {
         .drop("event_type")
       val y = ev.filter(!$"event_type".isin("click", "view"))
         .drop("event_type")
-      CdcStream.applyBatchToReplica(s"$out/clicks",
-        x.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
-        watermark = Some(cuts(0)))
-      CdcStream.applyBatchToReplica(s"$out/clicks",
-        x.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
-        orderCols, watermark = Some(cuts(1)))
-      CdcStream.applyBatchToReplica(s"$out/clicks",
-        x.filter($"ms" >= cuts(1)), Seq("user_id"), orderCols,
-        watermark = Some(mx + 1))
-      CdcStream.applyBatchToReplica(s"$out/orders",
-        y.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
-        watermark = Some(cuts(0)))
-      CdcStream.applyBatchToReplica(s"$out/orders",
-        y.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
-        orderCols, watermark = Some(cuts(1)))
+      // the two tables are independent stores — their commit chains
+      // (each internally version-ordered) overlap as concurrent jobs
+      // (guide §2.6, r16)
+      par2({
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+          watermark = Some(cuts(0)))
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+          orderCols, watermark = Some(cuts(1)))
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" >= cuts(1)), Seq("user_id"), orderCols,
+          watermark = Some(mx + 1))
+      }, {
+        CdcStream.applyBatchToReplica(s"$out/orders",
+          y.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+          watermark = Some(cuts(0)))
+        CdcStream.applyBatchToReplica(s"$out/orders",
+          y.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+          orderCols, watermark = Some(cuts(1)))
+      })
       CdcStream.restoreConsistentTables(s,
         Seq(s"$out/clicks", s"$out/orders"))
     }
@@ -259,21 +265,25 @@ object EventQueries {
         .drop("event_type")
       val y = ev.filter(!$"event_type".isin("click", "view"))
         .drop("event_type")
-      CdcStream.applyBatchToReplica(s"$out/clicks",
-        x.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
-        watermark = Some(cuts(0)))
-      CdcStream.applyBatchToReplica(s"$out/clicks",
-        x.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
-        orderCols, watermark = Some(cuts(1)))
-      CdcStream.applyBatchToReplica(s"$out/clicks",
-        x.filter($"ms" >= cuts(1)), Seq("user_id"), orderCols,
-        watermark = Some(mx + 1))
-      CdcStream.applyBatchToReplica(s"$out/orders",
-        y.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
-        watermark = Some(cuts(0)))
-      CdcStream.applyBatchToReplica(s"$out/orders",
-        y.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
-        orderCols, watermark = Some(cuts(1)))
+      // independent stores: the two commit chains overlap (§2.6, r16)
+      par2({
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+          watermark = Some(cuts(0)))
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+          orderCols, watermark = Some(cuts(1)))
+        CdcStream.applyBatchToReplica(s"$out/clicks",
+          x.filter($"ms" >= cuts(1)), Seq("user_id"), orderCols,
+          watermark = Some(mx + 1))
+      }, {
+        CdcStream.applyBatchToReplica(s"$out/orders",
+          y.filter($"ms" < cuts(0)), Seq("user_id"), orderCols,
+          watermark = Some(cuts(0)))
+        CdcStream.applyBatchToReplica(s"$out/orders",
+          y.filter($"ms" >= cuts(0) && $"ms" < cuts(1)), Seq("user_id"),
+          orderCols, watermark = Some(cuts(1)))
+      })
     }
   }
 

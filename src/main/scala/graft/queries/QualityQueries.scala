@@ -212,7 +212,7 @@ object QualityQueries {
         if (maxDepth <= 1L) 0
         else 64 - java.lang.Long.numberOfLeadingZeros(maxDepth - 1L)
       var clos = base
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
         val doubled = clos.as("x").join(clos.as("y"),
             col("x.anc") === col("y.node"))
           .select(col("x.node").as("node"), col("y.anc").as("anc"),
@@ -221,6 +221,23 @@ object QualityQueries {
         // overlapping half-splits a doubling round generates
         clos = clos.unionByName(doubled)
           .groupBy($"node", $"anc").agg(min($"dist").as("dist"))
+        // truncate lineage on DEEP hierarchies (r16): each round
+        // references the previous closure THREE times (self-join x/y +
+        // the union), so the lazy plan grows 3^rounds copies of the
+        // base — runtime dedupes via exchange reuse, but planning and
+        // AQE re-optimization pay the full tree per round, and a
+        // deeper hierarchy (one more round per ~3 decades of keys)
+        // cubes it again. From THREE rounds up (27+ copies) every
+        // intermediate closure materializes
+        // (IndexArtifacts.materialize — per-invocation parquet, built
+        // inside every timed run, no cross-run reuse), capping the
+        // plan depth; measured 7.2 → 3.7 s / 26 → 21 jobs at the 10×
+        // decade (rounds = 3). A 2-round closure (9 copies — every
+        // bench-scale fixture) plans fine and pays no write; the last
+        // round always stays lazy so the downstream rollup fuses with
+        // it.
+        if (rounds >= 3 && r < rounds)
+          clos = graft.llm.IndexArtifacts.materialize(s, clos, "q49-clos")
       }
       val withSelf = clos.unionByName(
         c.select($"k".as("node"), $"k".as("anc"), lit(0L).as("dist")))

@@ -3720,35 +3720,35 @@ object CdcStream {
     // Spark jobs from a bounded pool (guide §2.6) instead of paying
     // one serial job latency apiece.
     val keyTypes = keysM.schema.fields.map(f => f.name -> f.dataType).toMap
-    val scrubbable: Seq[(Long, java.io.File)] =
+    // each dir is READ ONCE (relation resolution pays a listing/schema
+    // pass per spark.read call — the old shape paid it three times:
+    // schema gate, probe, rewrite)
+    val scrubbable: Seq[(Long, java.io.File, DataFrame)] =
       feedVersions(replicaDir).flatMap { vv =>
         feedChangesDir(replicaDir, vv).map(vv -> _)
-      }.filter { case (_, d) =>
-        // schema gate is parquet-footer metadata — no Spark job
-        val cols = spark.read.parquet(d.toString).columns
-        idCols.forall(cols.contains)
+      }.flatMap { case (vv, d) =>
+        val df = spark.read.parquet(d.toString)
+        if (idCols.forall(df.columns.contains)) Some((vv, d, df)) else None
       }
     if (scrubbable.nonEmpty) {
-      val touchedVs: Set[Long] = scrubbable.map { case (vv, d) =>
-        spark.read.parquet(d.toString)
-          .select(idCols.map(c => col(c).cast(keyTypes(c)).as(c)): _*)
+      val touchedVs: Set[Long] = scrubbable.map { case (vv, _, df) =>
+        df.select(idCols.map(c => col(c).cast(keyTypes(c)).as(c)): _*)
           .withColumn("__v", lit(vv))
       }.reduce(_.unionByName(_))
         .join(keysM, idCols, "left_semi")
         .select(col("__v")).distinct()
         .collect().map(_.getLong(0)).toSet
-      val jobs = scrubbable.filter { case (vv, _) => touchedVs(vv) }
+      val jobs = scrubbable.filter { case (vv, _, _) => touchedVs(vv) }
       if (jobs.nonEmpty) {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(math.min(4, jobs.size))
         try {
-          val fs = jobs.map { case (_, d) =>
+          val fs = jobs.map { case (_, d, df) =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit = {
                 val next = new java.io.File(d.toString + ".next")
                 deleteRecursively(next)
-                spark.read.parquet(d.toString)
-                  .join(keysM, idCols, "left_anti")
+                df.join(keysM, idCols, "left_anti")
                   .write.parquet(next.toString)
                 val aside = new java.io.File(
                   d.getParent, s".changes-erased-${System.nanoTime()}")
