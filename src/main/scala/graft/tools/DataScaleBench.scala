@@ -313,6 +313,66 @@ object DataScaleBench {
       CdcStream.cloneReplica(store, s"$store-clone")
       val cloneMs = (System.nanoTime() - tC0) / 1e6
       deleteRecursively(new java.io.File(s"$store-clone"))
+      // ---- STREAMING SINK per-trigger cost vs store size (r16,
+      // `sink_stream` family): a FIXED ~1000-row changelog (keys
+      // confined to the same 2 buckets as the eager probe) drains
+      // through a REAL readStream → foreachBatch deferred-merge query
+      // into the scale-seeded store at 100 events/trigger, so every
+      // trigger pays full offset-resolution + planning + commit + one
+      // delta append against a store 1×–100× bigger. The per-decade
+      // p50 of Spark's own triggerExecution/addBatch separates the
+      // sink's fixed trigger machinery from any store-size term —
+      // expected FLAT (a deferred commit reads no base data), which is
+      // the claim the streaming sink makes at 100 TB.
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100")
+      val streamLog = s"$root/.sinklog-x$scale-${System.nanoTime()}"
+      graft.cdc.ChangelogGenerator.generate(
+        graft.Tables(spark, dir).events
+          .filter(pmod(hash(col("user_id")),
+            lit(CdcStream.DefaultReplicaBuckets)).isin(touchedBuckets: _*))
+          .orderBy(col("event_id")).limit(1000),
+        streamLog, recordsPerFile = 100)
+      val rowSc = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType)))
+      val sq = spark.readStream.format("graft-binlog")
+        .option("path", streamLog)
+        .option("maxEventsPerTrigger", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val batch = CdcStream.parsed(b, rowSc)
+            .select(col("user_id"), col("event_id"),
+              col("ts_ms").as("ms"), col("value"), col("op"))
+          CdcStream.applyBatchToReplica(store, batch, Seq("user_id"),
+            Seq(col("ms"), col("event_id")), deferMerge = true)
+          ()
+        }
+        .option("checkpointLocation",
+          s"$root/.sinkck-x$scale-${System.nanoTime()}")
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      val sinkProg = sq.recentProgress.toSeq.map { p =>
+        (p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue()),
+          Option(p.durationMs.get("addBatch")).map(_.longValue()))
+      }.drop(1).filter(_._1 > 0) // steady state: first batch is warmup
+      def p50(xs: Seq[Long]): Long =
+        if (xs.isEmpty) -1L else xs.sorted.apply(xs.size / 2)
+      val sinkTrigP50 = p50(sinkProg.flatMap(_._2))
+      val sinkAddP50 = p50(sinkProg.flatMap(_._3))
+      deleteRecursively(new java.io.File(streamLog))
+      System.err.println(f"[datascale] x$scale sink_stream: " +
+        f"${sinkProg.size} steady triggers, trigger p50 ${sinkTrigP50}ms, " +
+        f"addBatch p50 ${sinkAddP50}ms (100 rows/trigger, deferred merge)")
       deleteRecursively(new java.io.File(store))
       // FAN-OUT curve (r13): the multi-table route-once + per-table
       // MERGE path whose scratch write was the r12 bench's one
@@ -363,6 +423,10 @@ object DataScaleBench {
           s""""touched_bucket_rows":$touchedRows,""" +
           s""""store_rows":${counts("events")}},""" +
           s""""clone_ms":${r3(cloneMs)},""" +
+          s""""sink_stream":{"steady_triggers":${sinkProg.size},""" +
+          s""""rows_per_trigger":100,""" +
+          s""""trigger_p50_ms":$sinkTrigP50,""" +
+          s""""addbatch_p50_ms":$sinkAddP50},""" +
           s""""fanout":{"sec":${r3(fanSec)},"rows":${counts("events")},""" +
           s""""us_per_row":${r3(fanSec * 1e6 / counts("events"))},""" +
           s""""tables":$fanTables}}"""
